@@ -18,11 +18,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Analytics.queries ++
-      graft.queries.EltOps.queries
+      graft.queries.EltOps.queries ++
+      graft.pipeline.StarSchema.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.Analytics.oracle ++
-      graft.queries.EltOps.oracle
+      graft.queries.EltOps.oracle ++
+      graft.pipeline.StarSchema.oracle
 }
