@@ -19,12 +19,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Analytics.queries ++
       graft.queries.EltOps.queries ++
-      graft.pipeline.StarSchema.queries
+      graft.pipeline.StarSchema.queries ++
+      graft.pipeline.EtlPipeline.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.Analytics.oracle ++
       graft.queries.EltOps.oracle ++
-      graft.pipeline.StarSchema.oracle
+      graft.pipeline.StarSchema.oracle ++
+      graft.pipeline.EtlPipeline.oracle
 }
