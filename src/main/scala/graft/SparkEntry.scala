@@ -20,7 +20,12 @@ object SparkEntry {
     graft.queries.Analytics.queries ++
       graft.queries.EltOps.queries ++
       graft.pipeline.StarSchema.queries ++
-      graft.pipeline.EtlPipeline.queries
+      graft.pipeline.EtlPipeline.queries ++
+      graft.ext.TextOps.queries ++
+      graft.ext.Dedup.queries ++
+      graft.ext.Similarity.queries ++
+      graft.ext.Multimodal.queries ++
+      graft.ext.EventOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -28,5 +33,10 @@ object SparkEntry {
     graft.queries.Analytics.oracle ++
       graft.queries.EltOps.oracle ++
       graft.pipeline.StarSchema.oracle ++
-      graft.pipeline.EtlPipeline.oracle
+      graft.pipeline.EtlPipeline.oracle ++
+      graft.ext.TextOps.oracle ++
+      graft.ext.Dedup.oracle ++
+      graft.ext.Similarity.oracle ++
+      graft.ext.Multimodal.oracle ++
+      graft.ext.EventOps.oracle
 }

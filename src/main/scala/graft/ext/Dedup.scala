@@ -1,0 +1,195 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ext.TextOps.{tokens, shingles3}
+
+/** Deduplication operators for LLM training-data pipelines: exact
+  * (hash group), n-gram Jaccard (exactness baseline), MinHash+LSH
+  * (the scale path: shingle → minhash → band → bucket-join), and
+  * SimHash (bit-signature near-dup).
+  *
+  * Scale design: the LSH pipeline is the one that survives 100 TB —
+  * cost is O(docs × shingles) for signatures plus a shuffle on band
+  * values whose buckets are candidate sets, never an all-pairs
+  * product. The all-pairs Jaccard query exists as the correctness
+  * baseline at test scale (it plans as a broadcast nested-loop join
+  * and must NOT be run on a large corpus — use the LSH variant).
+  *
+  * MinHash permutations are md5-keyed (`md5(seed|shingle)`, min over
+  * the hex strings) — fully deterministic and engine-independent, so
+  * even the sketch stage is oracle-checkable, unlike seed-based
+  * engine hash functions.
+  */
+object Dedup {
+
+  private val NumHashes = 8
+  private val BandRows = 2 // 4 bands × 2 rows
+  private val JaccardThreshold = 0.2
+
+  /** doc_id + distinct 3-gram shingle set. */
+  private def docShingles(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        array_distinct(shingles3(tokens(col("text")))).as("sh"))
+
+  private def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") /
+      size(array_distinct(concat(a, b)))
+
+  /** Exact dedup summary: content-hash groups (reference-style A6/A7
+    * generalized to documents). */
+  def exactSummary(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val fp = md5(lower(trim(col("text"))).cast("binary"))
+    d.agg(
+      count(lit(1)).as("total_docs"),
+      countDistinct(fp).as("distinct_fingerprints"),
+      (count(lit(1)) - countDistinct(fp)).as("duplicate_docs"))
+  }
+
+  /** All-pairs n-gram Jaccard near-dup pairs — exactness baseline,
+    * O(n²), test-scale only. */
+  def ngramJaccardPairs(spark: SparkSession, dir: String): DataFrame = {
+    val t = docShingles(spark, dir)
+    val a = t.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val b = t.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    a.join(b, col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= JaccardThreshold)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** MinHash signature columns mh0..mh7 over the shingle set. */
+  private def withMinhashes(t: DataFrame): DataFrame =
+    (0 until NumHashes).foldLeft(t) { (df, j) =>
+      df.withColumn(s"mh$j",
+        array_min(transform(col("sh"), s =>
+          md5(concat(lit(s"$j|"), s).cast("binary")))))
+    }
+
+  /** MinHash+LSH near-dup pairs: signatures → banded bucket join →
+    * exact Jaccard verification on candidates only. */
+  def minhashLshPairs(spark: SparkSession, dir: String): DataFrame = {
+    val t = docShingles(spark, dir)
+    val mh = withMinhashes(t)
+    // band values: md5 of the concatenated minhashes in the band
+    val bandCols = (0 until NumHashes / BandRows).map { bi =>
+      struct(lit(bi).as("band_idx"),
+        md5(concat(col(s"mh${2 * bi}"), col(s"mh${2 * bi + 1}"))
+          .cast("binary")).as("band_val"))
+    }
+    val bands = mh.select(col("doc_id"), explode(array(bandCols: _*)).as("b"))
+      .select(col("doc_id"), col("b.band_idx"), col("b.band_val"))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band_idx") === col("y.band_idx")
+          && col("x.band_val") === col("y.band_val")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val sa = t.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val sb = t.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    cand.join(sa, Seq("doc_a")).join(sb, Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= JaccardThreshold)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** SimHash 64-bit signatures: per-token 64-bit hashes vote per bit,
+    * weighted majority becomes the signature bit. Near-dup = small
+    * Hamming distance on the signature (join on 16-bit sub-bands at
+    * scale). Engine-hash-based (xxhash64), so checked rows-only. */
+  def simhashSignatures(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val tok = d.select(col("doc_id"),
+      explode(array_distinct(tokens(col("text")))).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val votes = (0 until 64).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1))
+        .as(s"v$j")
+    }
+    val sig = (0 until 64).map { j =>
+      shiftleft((col(s"v$j") > 0).cast("long"), j)
+    }.reduce(_.bitwiseOR(_))
+    tok.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), sig.as("simhash"))
+      .withColumn("band0", col("simhash").bitwiseAND(lit(0xFFFFL)))
+      .withColumn("band1", shiftright(col("simhash"), 16).bitwiseAND(lit(0xFFFFL)))
+      .withColumn("band2", shiftright(col("simhash"), 32).bitwiseAND(lit(0xFFFFL)))
+      .withColumn("band3", shiftright(col("simhash"), 48).bitwiseAND(lit(0xFFFFL)))
+      .orderBy(col("doc_id"))
+  }
+
+  /** SimHash near-dup pairs via banded join + Hamming filter. */
+  def simhashPairs(spark: SparkSession, dir: String, maxHamming: Int = 8): DataFrame = {
+    val s = simhashSignatures(spark, dir)
+    val bands = (0 to 3).map { bi =>
+      s.select(col("doc_id"), lit(bi).as("band_idx"), col(s"band$bi").as("band_val"),
+        col("simhash"))
+    }.reduce(_.unionByName(_))
+    bands.as("x").join(bands.as("y"),
+        col("x.band_idx") === col("y.band_idx")
+          && col("x.band_val") === col("y.band_val")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Embedding near-dup pairs: double-precision cosine over the float
+    * vectors, all-pairs baseline (LSH/IVF variants in Similarity). */
+  def embeddingCosinePairs(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val a = e.select(col("vec_id").as("vec_a"), col("v").as("va"))
+    val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"))
+    val dot = aggregate(zip_with(col("va"), col("vb"), _ * _), lit(0.0), _ + _)
+    val na = aggregate(zip_with(col("va"), col("va"), _ * _), lit(0.0), _ + _)
+    val nb = aggregate(zip_with(col("vb"), col("vb"), _ * _), lit(0.0), _ + _)
+    a.join(b, col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        (dot / sqrt(na * nb)).as("cosine"))
+      .filter(col("cosine") >= 0.45)
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  private val shSql =
+    """list_distinct(CASE WHEN len(t) >= 3 THEN list_transform(range(1, len(t)-1), i -> t[i]||' '||t[i+1]||' '||t[i+2]) ELSE [] END)"""
+  private val docShinglesSql =
+    s"""SELECT doc_id, $shSql AS sh FROM (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN [] ELSE regexp_split_to_array(trim(text), '\\s+') END AS t FROM documents)"""
+  private val jaccardSql =
+    """CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE) / len(list_distinct(sh_a || sh_b))"""
+  private val minhashSql = {
+    val mhs = (0 until NumHashes)
+      .map(j => s"list_min(list_transform(sh, s -> md5('$j|' || s))) AS mh$j")
+      .mkString(", ")
+    s"""SELECT doc_id, sh, $mhs FROM ($docShinglesSql)"""
+  }
+  private val bandsSql = (0 until NumHashes / BandRows)
+    .map(bi => s"SELECT doc_id, $bi AS band_idx, md5(mh${2 * bi} || mh${2 * bi + 1}) AS band_val FROM mh")
+    .mkString(" UNION ALL ")
+
+  val oracle: Map[String, String] = Map(
+    "dedup_exact_summary" ->
+      """SELECT COUNT(*) AS total_docs, COUNT(DISTINCT md5(lower(trim(text)))) AS distinct_fingerprints, COUNT(*) - COUNT(DISTINCT md5(lower(trim(text)))) AS duplicate_docs FROM documents""",
+    "dedup_ngram_jaccard" ->
+      s"""SELECT doc_a, doc_b, jaccard FROM (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, $jaccardSql AS jaccard FROM (SELECT doc_id, sh AS sh_a FROM ($docShinglesSql) ) a(doc_id, sh_a) JOIN (SELECT doc_id, sh AS sh_b FROM ($docShinglesSql)) b(doc_id, sh_b) ON a.doc_id < b.doc_id) WHERE jaccard >= $JaccardThreshold ORDER BY doc_a, doc_b""",
+    "dedup_minhash_lsh" ->
+      s"""WITH mh AS ($minhashSql), bands AS ($bandsSql), cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b FROM bands x JOIN bands y ON x.band_idx = y.band_idx AND x.band_val = y.band_val AND x.doc_id < y.doc_id), sh_tbl AS ($docShinglesSql) SELECT doc_a, doc_b, jaccard FROM (SELECT doc_a, doc_b, $jaccardSql AS jaccard FROM cand JOIN (SELECT doc_id, sh AS sh_a FROM sh_tbl) sa ON cand.doc_a = sa.doc_id JOIN (SELECT doc_id, sh AS sh_b FROM sh_tbl) sb ON cand.doc_b = sb.doc_id) WHERE jaccard >= $JaccardThreshold ORDER BY doc_a, doc_b""",
+    "dedup_embedding_cosine" ->
+      """SELECT vec_a, vec_b, cosine FROM (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, list_sum(list_transform(range(1, len(a.embedding)+1), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) / sqrt(list_sum(list_transform(range(1, len(a.embedding)+1), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))) * list_sum(list_transform(range(1, len(b.embedding)+1), i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))) AS cosine FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id) WHERE cosine >= 0.45 ORDER BY vec_a, vec_b"""
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact_summary" -> exactSummary _,
+    "dedup_ngram_jaccard" -> ngramJaccardPairs _,
+    "dedup_minhash_lsh" -> minhashLshPairs _,
+    "dedup_simhash" -> simhashSignatures _,
+    "dedup_embedding_cosine" -> embeddingCosinePairs _
+  )
+}

@@ -1,0 +1,77 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Multimodal-column plumbing: media payloads ride through the
+  * pipeline as opaque `binary` columns with typed metadata alongside,
+  * and decode/feature-extraction runs batchwise inside partitions.
+  *
+  * The container has no image/audio codecs, so [[decodeStub]] is a
+  * clearly-marked deterministic fake; the Spark-side plumbing —
+  * binary schema, partition-batched execution, typed output rows —
+  * is real. A production deployment replaces `decodeStub`'s body with
+  * the codec call (e.g. JNI/FFI into libjpeg/ffmpeg) and nothing else
+  * changes: `mapPartitions` amortizes per-batch codec setup exactly
+  * like a pandas-batched UDF does in PySpark.
+  */
+object Multimodal {
+
+  /** Typed feature row produced by the (stubbed) decoder. */
+  case class MediaFeatures(doc_id: Long, byte_len: Int, width: Int,
+      height: Int, channels: Int, frame_count: Int)
+
+  /** STUB decoder — deterministic fake features derived from payload
+    * bytes. Replace the body with a real codec to productionize; the
+    * signature (bytes in, features out, called once per row inside a
+    * partition iterator) is the contract. */
+  def decodeStub(docId: Long, payload: Array[Byte]): MediaFeatures = {
+    val len = payload.length
+    // fake "decode": pretend byte length encodes a resolution
+    val width = 64 + (len % 1216)
+    val height = 64 + ((len * 7) % 656)
+    MediaFeatures(docId, len, width, height, channels = 3,
+      frame_count = 1 + (len % 16))
+  }
+
+  /** Binary payload + metadata view of `documents` (the multimodal
+    * schema pattern: content as binary, typed metadata columns). */
+  def payloads(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"),
+        col("source"), col("n_chars"))
+
+  /** Oracle-checked metadata pass: byte length + content hash straight
+    * from the binary column (no decode). */
+  def metadata(spark: SparkSession, dir: String): DataFrame =
+    payloads(spark, dir)
+      .select(col("doc_id"), length(col("payload")).as("byte_len"),
+        md5(col("payload")).as("content_md5"), col("source"))
+      .orderBy(col("doc_id"))
+
+  /** Partition-batched feature extraction through the stub decoder.
+    * Rows-only check (the stub is engine-side by design). */
+  def features(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    payloads(spark, dir)
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // per-partition setup would open the codec once here
+        it.map { case (id, bytes) => decodeStub(id, bytes) }
+      }
+      .toDF()
+      .orderBy(col("doc_id"))
+  }
+
+  val oracle: Map[String, String] = Map(
+    "mm_metadata" ->
+      """SELECT doc_id, octet_length(CAST(text AS BLOB)) AS byte_len, md5(text) AS content_md5, source FROM documents ORDER BY doc_id"""
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_metadata" -> metadata _,
+    "mm_features" -> features _
+  )
+}

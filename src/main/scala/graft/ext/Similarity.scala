@@ -1,0 +1,84 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Approximate-nearest-neighbor search over the `embeddings` table
+  * (`embedding: array<float>`, 64-dim; `label: int` — the coarse
+  * cluster assignment, used as IVF partitions).
+  *
+  * Two paths:
+  *  - brute-force cosine top-k: the exactness baseline. One pass over
+  *    all vectors, TakeOrderedAndProject — O(N·d) per query, fine for
+  *    batch scoring, not for 100 TB interactive.
+  *  - IVF top-k: probe only the query's coarse partition (here the
+  *    provided `label`; at scale the centroids come from k-means and
+  *    the table is partitioned/bucketed by label so a probe reads one
+  *    partition, not the corpus).
+  *
+  * All arithmetic is double-precision with an explicit left-to-right
+  * fold, so results are bit-identical across engines and cluster
+  * layouts (per-row computation only — no partial-agg reorder).
+  */
+object Similarity {
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, _ * _), lit(0.0), _ + _)
+
+  private def cosine(a: Column, b: Column): Column =
+    dot(a, b) / sqrt(dot(a, a) * dot(b, b))
+
+  /** Collect the query vector (row with min vec_id) as a literal. */
+  private def queryVec(spark: SparkSession, dir: String): (Long, Column) = {
+    val e = Tables.embeddings(spark, dir)
+    val row = e.orderBy(col("vec_id")).limit(1)
+      .select(col("vec_id"), col("embedding")).head()
+    val id = row.getLong(0)
+    val vec = row.getSeq[Float](1)
+    (id, array(vec.map(f => lit(f.toDouble)): _*))
+  }
+
+  /** Brute-force cosine top-10 against the min-vec_id query vector. */
+  def bruteForceTopK(spark: SparkSession, dir: String): DataFrame = {
+    val (qid, q) = queryVec(spark, dir)
+    Tables.embeddings(spark, dir)
+      .filter(col("vec_id") =!= qid)
+      .select(col("vec_id"), col("label"),
+        cosine(col("embedding").cast("array<double>"), q).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  /** IVF-style top-5: search only the query's coarse partition. */
+  def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val row = e.orderBy(col("vec_id")).limit(1)
+      .select(col("vec_id"), col("embedding"), col("label")).head()
+    val qid = row.getLong(0)
+    val q = array(row.getSeq[Float](1).map(f => lit(f.toDouble)): _*)
+    val qLabel = row.getInt(2)
+    e.filter(col("label") === qLabel && col("vec_id") =!= qid)
+      .select(col("vec_id"), col("label"),
+        cosine(col("embedding").cast("array<double>"), q).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(5)
+  }
+
+  private val dotSql = (a: String, b: String) =>
+    s"""list_sum(list_transform(range(1, len($a)+1), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"""
+  private def cosineSql(a: String, b: String) =
+    s"""${dotSql(a, b)} / sqrt(${dotSql(a, a)} * ${dotSql(b, b)})"""
+
+  val oracle: Map[String, String] = Map(
+    "sim_bruteforce_topk" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id = (SELECT min(vec_id) FROM embeddings)) SELECT vec_id, label, ${cosineSql("embedding", "qe")} AS cosine FROM embeddings, q WHERE vec_id <> qid ORDER BY cosine DESC, vec_id LIMIT 10""",
+    "sim_ivf_topk" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe, label AS qlabel FROM embeddings WHERE vec_id = (SELECT min(vec_id) FROM embeddings)) SELECT vec_id, label, ${cosineSql("embedding", "qe")} AS cosine FROM embeddings, q WHERE label = qlabel AND vec_id <> qid ORDER BY cosine DESC, vec_id LIMIT 5"""
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_bruteforce_topk" -> bruteForceTopK _,
+    "sim_ivf_topk" -> ivfTopK _
+  )
+}

@@ -1,0 +1,122 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Text-analysis operators for LLM training-data pipelines over the
+  * `documents` table: token counting, quality scoring, language ID,
+  * and document fingerprinting. Everything is built from codegen'd
+  * built-ins (split / higher-order array functions / regexp / md5) —
+  * no UDFs — so the whole stage stays inside whole-stage codegen and
+  * scales linearly with the corpus.
+  */
+object TextOps {
+
+  /** Whitespace tokenization with empty-input guard. */
+  def tokens(text: Column): Column =
+    when(length(trim(text)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(text), "\\s+"))
+
+  /** Word 3-gram shingles (1-based element_at mirrors the SQL oracle). */
+  def shingles3(toks: Column): Column =
+    when(size(toks) >= 3,
+      transform(sequence(lit(1), size(toks) - 2), i =>
+        concat(element_at(toks, i), lit(" "), element_at(toks, i + 1),
+          lit(" "), element_at(toks, i + 2))))
+      .otherwise(array().cast("array<string>"))
+
+  private val stopEn = Seq("the", "and", "of", "to", "a")
+  private val stopDe = Seq("der", "die", "und", "ist", "das")
+  private val stopFr = Seq("le", "la", "et", "les", "des")
+  private val stopEs = Seq("el", "los", "y", "una", "las")
+
+  private def hits(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words.map(lit): _*)))
+
+  /** Token + char counts per document. */
+  def tokenCount(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    d.select(col("doc_id"),
+        size(tokens(col("text"))).as("token_count"),
+        length(col("text")).as("char_count"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Quality scoring: length/stopword/punctuation/avg-token-length
+    * signals and a composite score — the standard cheap pre-filters
+    * for web-scale corpus cleaning. */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val toks = tokens(col("text"))
+    val nTok = size(toks)
+    val nChar = length(col("text"))
+    val stopRatio = hits(toks, stopEn).cast("double") / nTok
+    val punct = (nChar - length(regexp_replace(col("text"), "[.,;:!?]", "")))
+      .cast("double") / nChar
+    val avgTokLen = (nChar - (nTok - lit(1))).cast("double") / nTok
+    d.select(col("doc_id"), nTok.as("token_count"),
+        stopRatio.as("stopword_ratio"),
+        punct.as("punct_ratio"),
+        avgTokLen.as("avg_token_len"),
+        (stopRatio * 0.5 + (lit(1.0) - punct) * 0.3
+          + least(nTok.cast("double") / 100.0, lit(1.0)) * 0.2)
+          .as("quality_score"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** N-gram-heuristic language ID: per-language stopword hit counts,
+    * argmax with deterministic alphabetical tie-break. */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val toks = tokens(col("text"))
+    val withScores = d.select(col("doc_id"), col("lang").as("lang_label"),
+      hits(toks, stopDe).as("s_de"), hits(toks, stopEn).as("s_en"),
+      hits(toks, stopEs).as("s_es"), hits(toks, stopFr).as("s_fr"))
+    withScores.withColumn("lang_pred",
+        when(col("s_de") >= col("s_en") && col("s_de") >= col("s_es")
+          && col("s_de") >= col("s_fr"), "de")
+          .when(col("s_en") >= col("s_es") && col("s_en") >= col("s_fr"), "en")
+          .when(col("s_es") >= col("s_fr"), "es")
+          .otherwise("fr"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Document fingerprints: exact (md5 of normalized text) and
+    * shingle-set (md5 of the sorted distinct 3-gram set) — the
+    * content-defined keys that downstream dedup joins on. */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val toks = tokens(col("text"))
+    d.select(col("doc_id"),
+        md5(lower(trim(col("text"))).cast("binary")).as("fp_exact"),
+        md5(array_join(array_sort(array_distinct(shingles3(toks))), "|")
+          .cast("binary")).as("fp_shingle"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val toksSql =
+    """CASE WHEN length(trim(text)) = 0 THEN [] ELSE regexp_split_to_array(trim(text), '\s+') END"""
+  private def hitsSql(words: Seq[String]): String =
+    s"""len(list_filter(t, x -> x IN (${words.map(w => s"'$w'").mkString(",")})))"""
+  private val shinglesSql =
+    """CASE WHEN len(t) >= 3 THEN list_transform(range(1, len(t)-1), i -> t[i]||' '||t[i+1]||' '||t[i+2]) ELSE [] END"""
+
+  val oracle: Map[String, String] = Map(
+    "text_token_count" ->
+      s"""SELECT doc_id, len($toksSql) AS token_count, length(text) AS char_count FROM documents ORDER BY doc_id""",
+    "text_quality_score" ->
+      s"""SELECT doc_id, token_count, stopword_ratio, punct_ratio, avg_token_len, stopword_ratio * 0.5 + (1.0 - punct_ratio) * 0.3 + least(CAST(token_count AS DOUBLE) / 100.0, 1.0) * 0.2 AS quality_score FROM (SELECT doc_id, len(t) AS token_count, CAST(${hitsSql(stopEn)} AS DOUBLE) / len(t) AS stopword_ratio, CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE) / length(text) AS punct_ratio, CAST(length(text) - (len(t) - 1) AS DOUBLE) / len(t) AS avg_token_len FROM (SELECT doc_id, text, $toksSql AS t FROM documents)) ORDER BY doc_id""",
+    "text_lang_id" ->
+      s"""SELECT doc_id, lang_label, s_de, s_en, s_es, s_fr, CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de' WHEN s_en >= s_es AND s_en >= s_fr THEN 'en' WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END AS lang_pred FROM (SELECT doc_id, lang AS lang_label, ${hitsSql(stopDe)} AS s_de, ${hitsSql(stopEn)} AS s_en, ${hitsSql(stopEs)} AS s_es, ${hitsSql(stopFr)} AS s_fr FROM (SELECT doc_id, lang, $toksSql AS t FROM documents)) ORDER BY doc_id""",
+    "text_fingerprint" ->
+      s"""SELECT doc_id, md5(lower(trim(text))) AS fp_exact, md5(array_to_string(list_sort(list_distinct($shinglesSql)), '|')) AS fp_shingle FROM (SELECT doc_id, text, $toksSql AS t FROM documents) ORDER BY doc_id"""
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_token_count" -> tokenCount _,
+    "text_quality_score" -> qualityScore _,
+    "text_lang_id" -> langId _,
+    "text_fingerprint" -> fingerprint _
+  )
+}
