@@ -1,0 +1,94 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types._
+
+/** Structured Streaming extension (SURVEY.md §2.9: the reference is
+  * batch-only; the `events` table invites the streaming surface).
+  *
+  * The same logical aggregations as `graft.ext.EventOps` run here as
+  * incremental plans: file-source `readStream` → watermark → windowed
+  * groupBy → sink. Batch/stream parity is asserted in
+  * `EventStreamsSpec` by replaying the test parquet through the
+  * streaming plan with a memory sink and diffing against the batch
+  * answer.
+  *
+  * Scale notes: stateful aggregation state is bounded by the
+  * watermark (late data beyond 2 hours is dropped); keys are
+  * (window, event_type) — low cardinality — so state store size is
+  * bounded regardless of input volume. At 100 TB/day the same plan
+  * runs with a real source (Kafka) and checkpointed state; nothing
+  * here is local-mode-specific.
+  */
+object EventStreams {
+
+  /** Schema of the events stream after timestamp normalization
+    * (nanos parquet read as long, converted in [[eventsStream]]). */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType), // nanos
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-source stream over the events parquet. Event time stays
+    * TIMESTAMP (with the session's UTC zone): watermarks reject
+    * TIMESTAMP_NTZ. The file source requires a *directory* (it
+    * watches for new files), so the single test parquet is staged via
+    * symlink into a temp dir — production would point at the landing
+    * directory of a real feed. */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val src = java.nio.file.Paths.get(dir, "events.parquet")
+    val streamDir =
+      if (java.nio.file.Files.isDirectory(src)) src.toString
+      else {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_events_stream")
+        java.nio.file.Files.createSymbolicLink(
+          tmp.resolve("events.parquet"), src)
+        tmp.toString
+      }
+    spark.readStream
+      .schema(rawSchema)
+      .parquet(streamDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Tumbling 1-hour windowed aggregate with a 2-hour watermark —
+    * the streaming form of `EventOps.hourlyRollup`. */
+  def hourlyWindowed(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          .cast("double").as("total_value"))
+      .select(col("w.start").as("hour"), col("event_type"), col("n"),
+        col("total_value"))
+
+  /** Sliding 30-minute windows, 10-minute slide — the overlapping-
+    * window shape. */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "30 minutes", "10 minutes").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"))
+
+  /** Run a streaming frame to completion into an in-memory table
+    * (test/local harness; production uses a durable sink +
+    * checkpointLocation). Returns the query for teardown. */
+  def runToMemory(df: DataFrame, name: String): StreamingQuery = {
+    val q = df.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .start()
+    q.processAllAvailable()
+    q
+  }
+}

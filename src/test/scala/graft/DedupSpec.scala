@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.Dedup
+
+class DedupSpec extends SparkSpec {
+
+  test("LSH candidate pairs are a subset of exact all-pairs results") {
+    val exact = Dedup.ngramJaccardPairs(spark, sf)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLshPairs(spark, sf)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact), s"LSH found pairs exact missed: ${lsh -- exact}")
+  }
+
+  test("LSH recall is 100% on strong near-duplicates (jaccard ≥ 0.8)") {
+    val strong = Dedup.ngramJaccardPairs(spark, sf)
+      .filter(col("jaccard") >= 0.8)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLshPairs(spark, sf)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(strong.nonEmpty, "test data should contain planted near-dups")
+    assert(strong.subsetOf(lsh),
+      s"LSH missed strong near-dups: ${strong -- lsh}")
+  }
+
+  test("near-duplicate documents have close SimHash signatures") {
+    val strongPair = Dedup.ngramJaccardPairs(spark, sf)
+      .orderBy(col("jaccard").desc).limit(1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).head
+    val sigs = Dedup.simhashSignatures(spark, sf)
+      .filter(col("doc_id").isin(strongPair._1, strongPair._2))
+      .select("simhash").collect().map(_.getLong(0))
+    val hamming = java.lang.Long.bitCount(sigs(0) ^ sigs(1))
+    assert(hamming <= 12, s"near-dup pair hamming=$hamming")
+  }
+
+  test("simhash banded pair join finds the planted near-dups") {
+    val pairs = Dedup.simhashPairs(spark, sf)
+    assert(pairs.count() > 0)
+  }
+}

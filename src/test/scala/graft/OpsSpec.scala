@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.ColumnOps._
+import graft.ops.StatsOps
+
+class OpsSpec extends SparkSpec {
+  private val ss = SparkSpec.spark
+  import ss.implicits._
+
+  test("normalizeName standardizes like the reference (P2)") {
+    assert(normalizeName(" Order Date ") == "order_date")
+    assert(normalizeName("Total Revenue") == "total_revenue")
+  }
+
+  test("safeDiv yields null on zero divisor (F9/F23)") {
+    val df = Seq((10.0, 2.0), (10.0, 0.0)).toDF("a", "b")
+    val out = df.select(safeDiv($"a", $"b")).collect()
+    assert(out(0).getDouble(0) == 5.0)
+    assert(out(1).isNullAt(0))
+  }
+
+  test("buckets are exhaustive and disjoint (F15-F17)") {
+    val df = Seq(-5.0, 0.0, 0.05, 0.10, 0.30, 0.31, 100.0).toDF("r")
+    val cats = df.select(marginCategory($"r")).as[String].collect()
+    assert(cats.forall(Set("low", "medium", "high")))
+    val units = Seq(0, 49, 50, 200, 201).toDF("u")
+    assert(units.select(orderSizeCategory($"u")).as[String].collect()
+      .sameElements(Array("small", "small", "medium", "medium", "large")))
+    val days = Seq(0, 3, 4, 7, 8).toDF("d")
+    assert(days.select(shippingSpeedCategory($"d")).as[String].collect()
+      .sameElements(Array("fast", "fast", "normal", "normal", "slow")))
+  }
+
+  test("clip bounds and min-max normalization invariants (F13/F14)") {
+    val df = Seq(-100.0, 0.0, 50.0, 1000.0).toDF("x")
+    val clipped = df.select(clip($"x", 0.0, 100.0)).as[Double].collect()
+    assert(clipped.forall(v => v >= 0.0 && v <= 100.0))
+    val norm = df.select(minMaxScale($"x", -100.0, 1000.0)).as[Double].collect()
+    assert(norm.forall(v => v >= 0.0 && v <= 1.0))
+    // constant column guard
+    assert(df.select(minMaxScale($"x", 5.0, 5.0)).as[Double].collect()
+      .forall(_ == 0.0))
+  }
+
+  test("sumMoney is exact and partition-order independent") {
+    val vals = (1 to 1000).map(i => i + 0.01 * (i % 100))
+    val a = vals.toDF("x").repartition(1).agg(sumMoney($"x")).head.getDouble(0)
+    val b = vals.reverse.toDF("x").repartition(17).agg(sumMoney($"x")).head.getDouble(0)
+    assert(a == b) // bit-identical despite different partitioning
+  }
+
+  test("orderStat quantiles are the lower order statistic (A9)") {
+    val df = (1 to 100).map(_.toDouble).toDF("x")
+    assert(StatsOps.orderStat(df, $"x", 0.25) == 25.0) // floor(0.25*99)=24 → 25th value
+    assert(StatsOps.orderStat(df, $"x", 0.5) == 50.0)
+    assert(StatsOps.median(df, $"x") == 50.0)
+    val (lo, hi) = StatsOps.iqrBounds(df, $"x")
+    assert(lo == 25.0 - 1.5 * 50.0 && hi == 75.0 + 1.5 * 50.0)
+  }
+}

@@ -1,0 +1,33 @@
+package graft
+
+class QueriesSpec extends SparkSpec {
+
+  test("every oracle key has a matching query (driver contract)") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracle entries without queries: $missing")
+  }
+
+  test("entry() returns rows (driver smoke contract)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("all queries run at sf0.001 and non-summary ones return rows") {
+    // queries whose correct answer may legitimately be empty (pair
+    // finders above a similarity threshold)
+    val mayBeEmpty = Set("dedup_embedding_cosine")
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, sf).count()
+      assert(n >= 0, s"$name failed")
+      if (!mayBeEmpty(name)) assert(n > 0, s"$name returned 0 rows")
+    }
+  }
+
+  test("column names are stable between runs (hash-compare contract)") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val c1 = fn(spark, sf).columns.toSeq
+      val c2 = fn(spark, sf).columns.toSeq
+      assert(c1 == c2, s"$name unstable columns")
+      assert(c1.distinct == c1, s"$name duplicate column names")
+    }
+  }
+}
