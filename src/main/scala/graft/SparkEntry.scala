@@ -19,6 +19,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Analytics.queries ++
       graft.queries.EltOps.queries ++
+      graft.queries.JoinsExtra.queries ++
       graft.pipeline.StarSchema.queries ++
       graft.pipeline.EtlPipeline.queries ++
       graft.ext.TextOps.queries ++
@@ -32,6 +33,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     graft.queries.Analytics.oracle ++
       graft.queries.EltOps.oracle ++
+      graft.queries.JoinsExtra.oracle ++
       graft.pipeline.StarSchema.oracle ++
       graft.pipeline.EtlPipeline.oracle ++
       graft.ext.TextOps.oracle ++
