@@ -148,12 +148,9 @@ object Dedup {
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     val a = e.select(col("vec_id").as("vec_a"), col("v").as("va"))
     val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"))
-    val dot = aggregate(zip_with(col("va"), col("vb"), _ * _), lit(0.0), _ + _)
-    val na = aggregate(zip_with(col("va"), col("va"), _ * _), lit(0.0), _ + _)
-    val nb = aggregate(zip_with(col("vb"), col("vb"), _ * _), lit(0.0), _ + _)
     a.join(b, col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"),
-        (dot / sqrt(na * nb)).as("cosine"))
+        graft.functions.CosineSimilarity(col("va"), col("vb")).as("cosine"))
       .filter(col("cosine") >= 0.45)
       .orderBy(col("vec_a"), col("vec_b"))
   }

@@ -23,11 +23,18 @@ import graft.Tables
   */
 object Similarity {
 
-  private def dot(a: Column, b: Column): Column =
+  /** Composable-builtin form — correctness baseline, kept for
+    * documentation and the equivalence test in FunctionsSpec. */
+  def dotBuiltin(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, _ * _), lit(0.0), _ + _)
 
+  def cosineBuiltin(a: Column, b: Column): Column =
+    dotBuiltin(a, b) / sqrt(dotBuiltin(a, a) * dotBuiltin(b, b))
+
+  /** Hot path: native codegen'd expression (single fused loop, no
+    * intermediate arrays) — bit-identical to the builtin form. */
   private def cosine(a: Column, b: Column): Column =
-    dot(a, b) / sqrt(dot(a, a) * dot(b, b))
+    graft.functions.CosineSimilarity(a, b)
 
   /** Collect the query vector (row with min vec_id) as a literal. */
   private def queryVec(spark: SparkSession, dir: String): (Long, Column) = {

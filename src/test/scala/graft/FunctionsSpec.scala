@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.CosineSimilarity
+
+class FunctionsSpec extends SparkSpec {
+  private val ss = SparkSpec.spark
+  import ss.implicits._
+
+  test("native cosine is bit-identical to the composable builtin form") {
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val q = e.orderBy(col("vec_id")).limit(1).select(col("v")).head.getSeq[Double](0)
+    val qc = array(q.map(lit): _*)
+    val native = e.select(col("vec_id"), CosineSimilarity(col("v"), qc).as("c"))
+      .orderBy(col("vec_id")).collect().map(_.getDouble(1))
+    val builtin = e.select(col("vec_id"),
+        graft.ext.Similarity.cosineBuiltin(col("v"), qc).as("c"))
+      .orderBy(col("vec_id")).collect().map(_.getDouble(1))
+    assert(native.sameElements(builtin))
+  }
+
+  test("native cosine handles nulls, length mismatch, zero vectors") {
+    val df = Seq(
+      (1, Seq(1.0, 0.0), Seq(1.0, 0.0)),
+      (2, Seq(1.0, 0.0), Seq(0.0, 1.0)),
+      (3, Seq(0.0, 0.0), Seq(1.0, 1.0))
+    ).toDF("id", "a", "b")
+    val out = df.select(CosineSimilarity(col("a"), col("b"))).collect()
+    assert(out(0).getDouble(0) == 1.0)
+    assert(out(1).getDouble(0) == 0.0)
+    assert(out(2).isNullAt(0)) // zero-norm → null
+    val mismatch = Seq((1, Seq(1.0, 2.0), Seq(1.0, 2.0, 3.0))).toDF("id", "a", "b")
+    assert(mismatch.select(CosineSimilarity(col("a"), col("b"))).head.isNullAt(0))
+    val nulls = Seq((1, null.asInstanceOf[Seq[Double]], Seq(1.0)))
+      .toDF("id", "a", "b")
+    assert(nulls.select(CosineSimilarity(col("a"), col("b"))).head.isNullAt(0))
+  }
+
+  test("native cosine runs inside whole-stage codegen") {
+    val e = Tables.embeddings(spark, sf)
+      .select(col("embedding").cast("array<double>").as("v"))
+    val plan = e.select(CosineSimilarity(col("v"), col("v")).as("c"))
+      .queryExecution.executedPlan.toString
+    // "*(n)" marks operators fused into WholeStageCodegen stage n
+    assert(plan.linesIterator.exists(l =>
+      l.contains("cosinesimilarity") && l.trim.startsWith("*(")), plan)
+  }
+}
