@@ -79,6 +79,43 @@ object EventStreams {
       .agg(count(lit(1)).as("n"))
       .select(col("w.start").as("window_start"), col("event_type"), col("n"))
 
+  /** Per-user session state for [[sessionize]]. */
+  case class UserSession(user_id: Long, n_events: Long, total_value: Double,
+      first_ts: java.sql.Timestamp, last_ts: java.sql.Timestamp)
+
+  case class EventRow(ts: java.sql.Timestamp, user_id: Long,
+      value: Double)
+
+  /** Custom stateful aggregation via flatMapGroupsWithState: per-user
+    * running session stats, emitted on every trigger (update mode).
+    * The state-per-key is O(1) — counts and bounds — so total state is
+    * bounded by the user cardinality, not event volume. This is the
+    * extension slot for arbitrary session logic (timeout-based session
+    * splitting plugs into the GroupStateTimeout parameter). */
+  def sessionize(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, GroupState}
+    events.select(col("ts"), col("user_id"), col("value")).as[EventRow]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserSession, UserSession](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[EventRow], state: GroupState[UserSession]) =>
+          val batch = rows.toSeq
+          if (batch.isEmpty) Iterator.empty
+          else {
+            val prev = state.getOption.getOrElse(
+              UserSession(uid, 0L, 0.0, batch.head.ts, batch.head.ts))
+            val next = batch.foldLeft(prev) { (s, e) =>
+              UserSession(uid, s.n_events + 1, s.total_value + e.value,
+                if (e.ts.before(s.first_ts)) e.ts else s.first_ts,
+                if (e.ts.after(s.last_ts)) e.ts else s.last_ts)
+            }
+            state.update(next)
+            Iterator.single(next)
+          }
+      }.toDF()
+  }
+
   /** Run a streaming frame to completion into an in-memory table
     * (test/local harness; production uses a durable sink +
     * checkpointLocation). Returns the query for teardown. */

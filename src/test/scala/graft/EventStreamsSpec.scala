@@ -29,6 +29,27 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stateful sessionization matches the batch per-user rollup") {
+    val stream = EventStreams.eventsStream(spark, sf)
+    val sess = EventStreams.sessionize(spark, stream)
+    val q = sess.writeStream.outputMode("update")
+      .format("memory").queryName("sessions_out").start()
+    try {
+      q.processAllAvailable()
+      // update mode emits one row per user per trigger; last wins
+      val streamed = spark.table("sessions_out")
+        .groupBy(col("user_id"))
+        .agg(max(col("n_events")).as("n_events"))
+        .orderBy("user_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val batch = graft.ext.EventOps.userActivity(spark, sf)
+        .select(col("user_id"), col("n_events"))
+        .orderBy("user_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(streamed.sameElements(batch))
+    } finally q.stop()
+  }
+
   test("sliding windows produce overlapping coverage") {
     val stream = EventStreams.eventsStream(spark, sf)
     val q = EventStreams.runToMemory(EventStreams.slidingCounts(stream),

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.ColumnOps
+
+/** Source/sink coverage (SURVEY.md §2.1): CSV scan with header +
+  * schema inference (S1), CSV sink (S7), parquet append/overwrite
+  * modes (S5/S6/S9), and the fuzzy column resolution helper (P3).
+  * The reference's JDBC surface (S4/S5) maps to the lakehouse layer
+  * itself — parquet tables ARE the warehouse — so the round trips
+  * here are the sandbox-truth equivalent. */
+class SourcesSpec extends SparkSpec {
+
+  test("CSV sink then scan with inferSchema round-trips orders (S1/S7)") {
+    val out = java.nio.file.Files.createTempDirectory("graft_csv").toString
+    val orders = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    orders.coalesce(1).write.mode("overwrite")
+      .option("header", "true").csv(s"$out/orders_csv")
+    val back = spark.read.option("header", "true").option("inferSchema", "true")
+      .csv(s"$out/orders_csv")
+    assert(back.count() == orders.count())
+    assert(back.columns.toSeq == orders.columns.toSeq)
+    val a = orders.agg(sum(col("o_orderkey"))).head.getLong(0)
+    val b = back.agg(sum(col("o_orderkey"))).head.getLong(0)
+    assert(a == b)
+  }
+
+  test("overwrite is idempotent full refresh, append accumulates (S5/S9)") {
+    val out = java.nio.file.Files.createTempDirectory("graft_modes").toString
+    val n = Tables.nation(spark, sf)
+    n.write.mode("overwrite").parquet(s"$out/t")
+    n.write.mode("overwrite").parquet(s"$out/t")
+    assert(spark.read.parquet(s"$out/t").count() == n.count())
+    n.write.mode("append").parquet(s"$out/t")
+    assert(spark.read.parquet(s"$out/t").count() == 2 * n.count())
+  }
+
+  test("fuzzy column resolution matches case/space/underscore variants (P3)") {
+    val df = Tables.orders(spark, sf)
+    assert(ColumnOps.resolveColumn(df, "O_ORDERKEY").contains("o_orderkey"))
+    assert(ColumnOps.resolveColumn(df, "o orderkey").contains("o_orderkey"))
+    assert(ColumnOps.resolveColumn(df, "oorderkey").contains("o_orderkey"))
+    assert(ColumnOps.resolveColumn(df, "nope").isEmpty)
+  }
+
+  test("column-name standardization normalizes a messy frame (P2)") {
+    val messy = Tables.orders(spark, sf).limit(5)
+      .withColumnRenamed("o_orderkey", "Order Key")
+      .withColumnRenamed("o_totalprice", " Total Price ")
+    val std = ColumnOps.standardizeColumnNames(messy)
+    assert(std.columns.contains("order_key"))
+    assert(std.columns.contains("total_price"))
+  }
+}
