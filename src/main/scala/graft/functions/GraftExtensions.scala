@@ -1,0 +1,40 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Session-extension registration (SURVEY.md §7.3): makes the native
+  * expressions SQL-callable, e.g.
+  * `SELECT cosine_similarity(a, b) FROM t`.
+  *
+  * Use with
+  * `SparkSession.builder().withExtensions(new GraftExtensions)` or
+  * `spark.sql.extensions=graft.functions.GraftExtensions`, or call
+  * [[GraftExtensions.register]] on a live session.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction(GraftExtensions.cosineSimilarityDescriptor)
+  }
+}
+
+object GraftExtensions {
+  private[functions] val cosineSimilarityDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("cosine_similarity"),
+    new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_similarity"),
+    (children: Seq[Expression]) => {
+      require(children.size == 2,
+        s"cosine_similarity takes 2 arguments, got ${children.size}")
+      CosineSimilarity(children.head, children(1))
+    })
+
+  /** Imperative registration on an existing session (tests, REPL). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val (_, info, builder) = cosineSimilarityDescriptor
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cosine_similarity", builder, "scala_udf")
+    val _ = info
+  }
+}

@@ -37,6 +37,14 @@ class FunctionsSpec extends SparkSpec {
     assert(nulls.select(CosineSimilarity(col("a"), col("b"))).head.isNullAt(0))
   }
 
+  test("cosine_similarity is SQL-callable after registration") {
+    graft.functions.GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT cosine_similarity(array(1.0d, 0.0d), array(0.6d, 0.8d)) AS c")
+      .head.getDouble(0)
+    assert(math.abs(r - 0.6) < 1e-15)
+  }
+
   test("native cosine runs inside whole-stage codegen") {
     val e = Tables.embeddings(spark, sf)
       .select(col("embedding").cast("array<double>").as("v"))
