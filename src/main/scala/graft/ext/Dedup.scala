@@ -49,13 +49,25 @@ object Dedup {
       (count(lit(1)) - countDistinct(fp)).as("duplicate_docs"))
   }
 
-  /** All-pairs n-gram Jaccard near-dup pairs — exactness baseline,
-    * O(n²), test-scale only. */
+  /** Exact n-gram Jaccard near-dup pairs via an inverted-index
+    * candidate join: a pair can have jaccard > 0 only if it shares at
+    * least one shingle, so exploding shingles and equi-joining on the
+    * shingle value yields a candidate set that provably contains every
+    * qualifying pair — no O(n²) cross product. This is the shuffle-
+    * friendly shape (equi-join on shingle hash) that survives large
+    * corpora; a hot-shingle cap (prefix filtering) is the standard
+    * next step if shingle frequency skews. Results are identical to
+    * the naive all-pairs formulation, which the DuckDB oracle uses. */
   def ngramJaccardPairs(spark: SparkSession, dir: String): DataFrame = {
     val t = docShingles(spark, dir)
-    val a = t.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-    val b = t.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-    a.join(b, col("doc_a") < col("doc_b"))
+    val inv = t.select(col("doc_id"), explode(col("sh")).as("s"))
+    val cand = inv.as("x").join(inv.as("y"),
+        col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val sa = t.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val sb = t.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    cand.join(sa, Seq("doc_a")).join(sb, Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= JaccardThreshold)
