@@ -1,0 +1,96 @@
+package graft.queries
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.ColumnOps._
+import graft.ops.StatsOps
+
+/** The dashboard's parameterized query surface (reference C6,
+  * `dashboard/app.py:163-440`): one `Filters` object drives every
+  * widget query, mirroring the sidebar → `apply_filters` →
+  * KPI/trend/histogram/rollup/explorer flow. Each widget is a lazy
+  * plan over the filtered frame; callers `.cache()` the filtered
+  * frame when rendering several widgets per interaction (the Spark
+  * analog of the reference's `@st.cache_data` load memoization).
+  */
+object Dashboard {
+
+  /** Conjunctive global filters (reference P6–P8,
+    * dashboard/app.py:256-289). `None`/empty = filter inactive. */
+  case class Filters(
+      dateFrom: Option[Timestamp] = None,
+      dateTo: Option[Timestamp] = None,
+      regions: Seq[String] = Nil,
+      priorities: Seq[String] = Nil,
+      statuses: Seq[String] = Nil)
+
+  /** Orders joined to region names, with all active filters applied. */
+  def filteredOrders(spark: SparkSession, dir: String, f: Filters): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir)
+    val joined = o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .select(o("o_orderkey"), o("o_custkey"), o("o_orderstatus"),
+        o("o_totalprice"), o("o_orderdate"), o("o_orderpriority"),
+        r("r_name").as("region"))
+    val preds: Seq[Column] = Seq(
+      f.dateFrom.map(col("o_orderdate") >= lit(_)),
+      f.dateTo.map(col("o_orderdate") <= lit(_)),
+      Option.when(f.regions.nonEmpty)(col("region").isin(f.regions: _*)),
+      Option.when(f.priorities.nonEmpty)(
+        col("o_orderpriority").isin(f.priorities: _*)),
+      Option.when(f.statuses.nonEmpty)(
+        col("o_orderstatus").isin(f.statuses: _*))).flatten
+    preds.foldLeft(joined)(_ filter _)
+  }
+
+  /** KPI block (reference dashboard/app.py:336-339). */
+  def kpis(df: DataFrame): DataFrame =
+    df.agg(
+      sumMoney(coalesce(col("o_totalprice"), lit(0.0))).as("total_revenue"),
+      count(lit(1)).as("total_orders"),
+      countDistinct(col("o_custkey")).as("unique_customers"),
+      avgMoney(col("o_totalprice")).as("avg_order_value"))
+
+  /** Monthly revenue trend (reference dashboard/app.py:355). */
+  def monthlyTrend(df: DataFrame): DataFrame =
+    df.groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("order_month"))
+      .agg(sumMoney(col("o_totalprice")).as("total_revenue"))
+      .orderBy(col("order_month"))
+
+  /** Value histogram over the filtered frame (reference app.py:384-389). */
+  def histogram(df: DataFrame, bins: Int = 30): DataFrame = {
+    val (mn, mx) = StatsOps.minMax(df, col("o_totalprice"))
+    val width = (mx - mn) / bins.toDouble
+    df.groupBy(least(floor((col("o_totalprice") - lit(mn)) / lit(width)),
+        lit((bins - 1).toLong)).as("bin"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("bin"))
+  }
+
+  /** Channel (priority) rollup (reference app.py:394). */
+  def channelRollup(df: DataFrame): DataFrame =
+    df.groupBy(col("o_orderpriority").as("sales_channel"))
+      .agg(sumMoney(col("o_totalprice")).as("total_revenue"),
+        count(lit(1)).as("order_count"))
+      .orderBy(col("sales_channel"))
+
+  /** Region rollup (reference app.py:413). */
+  def regionRollup(df: DataFrame): DataFrame =
+    df.groupBy(col("region"))
+      .agg(sumMoney(col("o_totalprice")).as("total_revenue"),
+        count(lit(1)).as("order_count"))
+      .orderBy(col("region"))
+
+  /** Top-N explorer sample (reference app.py:431). */
+  def sample(df: DataFrame, n: Int = 100): DataFrame =
+    df.select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), col("region"))
+      .orderBy(col("o_orderkey"))
+      .limit(n)
+}

@@ -1,0 +1,46 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.queries.Dashboard
+import graft.queries.Dashboard.Filters
+
+class DashboardSpec extends SparkSpec {
+
+  test("no active filters reproduces the unfiltered KPI block") {
+    val df = Dashboard.filteredOrders(spark, sf, Filters())
+    val viaApi = Dashboard.kpis(df).head
+    val direct = graft.queries.Analytics.dashKpis(spark, sf).head
+    assert(viaApi.getDouble(0) == direct.getDouble(0))
+    assert(viaApi.getLong(1) == direct.getLong(1))
+  }
+
+  test("filters compose conjunctively and widgets agree with each other") {
+    val f = Filters(
+      dateFrom = Some(Timestamp.valueOf("1994-01-01 00:00:00")),
+      dateTo = Some(Timestamp.valueOf("1996-12-31 23:59:59")),
+      regions = Seq("ASIA", "EUROPE"),
+      priorities = Seq("1-URGENT", "2-HIGH"))
+    val df = Dashboard.filteredOrders(spark, sf, f).cache()
+    try {
+      val total = df.count()
+      assert(total > 0)
+      // widget totals must reconcile with the filtered frame
+      assert(Dashboard.kpis(df).head.getLong(1) == total)
+      assert(Dashboard.channelRollup(df)
+        .agg(sum(col("order_count"))).head.getLong(0) == total)
+      assert(Dashboard.regionRollup(df)
+        .agg(sum(col("order_count"))).head.getLong(0) == total)
+      assert(Dashboard.histogram(df)
+        .agg(sum(col("n"))).head.getLong(0) == total)
+      // filters actually applied
+      val regions = Dashboard.regionRollup(df)
+        .select("region").collect().map(_.getString(0)).toSet
+      assert(regions.subsetOf(Set("ASIA", "EUROPE")))
+      val years = df.select(year(col("o_orderdate"))).distinct()
+        .collect().map(_.getInt(0))
+      assert(years.forall(y => y >= 1994 && y <= 1996))
+      assert(Dashboard.sample(df, 10).count() <= 10)
+    } finally { df.unpersist(); () }
+  }
+}
