@@ -49,7 +49,7 @@ object EltOps {
   def dedupKeepFirst(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
     val w = Window.partitionBy(col("l_orderkey"))
-      .orderBy(col("l_shipdate"), col("l_linenumber"))
+      .orderBy(col("l_shipdate"), col("l_linenumber"), col("l_quantity"))
     li.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"),
@@ -227,7 +227,7 @@ object EltOps {
     val li = Tables.lineitem(spark, dir)
     val o = Tables.orders(spark, dir)
     val w = Window.partitionBy(col("l_orderkey"))
-      .orderBy(col("l_shipdate"), col("l_linenumber"))
+      .orderBy(col("l_shipdate"), col("l_linenumber"), col("l_quantity"))
     val first = li.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
     val days = datediff(col("l_shipdate"), col("o_orderdate"))
@@ -249,7 +249,7 @@ object EltOps {
     "elt_smart_fill_region" ->
       """WITH t1 AS (SELECT c_custkey, n_name, CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE r_name END AS region FROM customer JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey), ref AS (SELECT DISTINCT n_name, region AS region_ref FROM t1 WHERE region IS NOT NULL) SELECT t1.c_custkey, t1.n_name, COALESCE(t1.region, ref.region_ref, 'Unknown') AS region_filled FROM t1 LEFT JOIN ref USING (n_name) ORDER BY c_custkey""",
     "elt_dedup_keep_first" ->
-      """SELECT l_orderkey, l_linenumber, l_shipdate, l_quantity FROM (SELECT *, row_number() OVER (PARTITION BY l_orderkey ORDER BY l_shipdate, l_linenumber) AS rn FROM lineitem) WHERE rn = 1 ORDER BY l_orderkey""",
+      """SELECT l_orderkey, l_linenumber, l_shipdate, l_quantity FROM (SELECT *, row_number() OVER (PARTITION BY l_orderkey ORDER BY l_shipdate, l_linenumber, l_quantity) AS rn FROM lineitem) WHERE rn = 1 ORDER BY l_orderkey""",
     "elt_union_dedup_sources" ->
       """SELECT o_orderkey, o_totalprice, src FROM (SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY src) AS rn FROM (SELECT o_orderkey, o_totalprice, 1 AS src FROM orders WHERE o_orderkey % 3 <> 0 UNION ALL SELECT o_orderkey, o_totalprice, 2 AS src FROM orders WHERE o_orderkey % 2 = 0)) WHERE rn = 1 ORDER BY o_orderkey""",
     "elt_margin_buckets" ->
@@ -275,7 +275,7 @@ object EltOps {
     "elt_recompute_totals" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice AS gross_revenue, l_extendedprice * (1.0 - l_discount) AS discounted_revenue, l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS final_charge FROM lineitem WHERE l_orderkey % 100 = 0 ORDER BY l_orderkey, l_linenumber""",
     "elt_processed_pipeline" ->
-      """SELECT l_orderkey, l_shipdate, datediff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) AS shipping_days, CASE WHEN datediff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) <= 3 THEN 'fast' WHEN datediff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) <= 7 THEN 'normal' ELSE 'slow' END AS shipping_speed_category, CASE WHEN l_quantity < 50 THEN 'small' WHEN l_quantity <= 200 THEN 'medium' ELSE 'large' END AS line_size_category FROM (SELECT *, row_number() OVER (PARTITION BY l_orderkey ORDER BY l_shipdate, l_linenumber) AS rn FROM lineitem) li JOIN orders ON l_orderkey = o_orderkey WHERE rn = 1 ORDER BY l_orderkey"""
+      """SELECT l_orderkey, l_shipdate, datediff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) AS shipping_days, CASE WHEN datediff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) <= 3 THEN 'fast' WHEN datediff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) <= 7 THEN 'normal' ELSE 'slow' END AS shipping_speed_category, CASE WHEN l_quantity < 50 THEN 'small' WHEN l_quantity <= 200 THEN 'medium' ELSE 'large' END AS line_size_category FROM (SELECT *, row_number() OVER (PARTITION BY l_orderkey ORDER BY l_shipdate, l_linenumber, l_quantity) AS rn FROM lineitem) li JOIN orders ON l_orderkey = o_orderkey WHERE rn = 1 ORDER BY l_orderkey"""
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
