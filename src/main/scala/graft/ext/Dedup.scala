@@ -186,8 +186,11 @@ object Dedup {
   val oracle: Map[String, String] = Map(
     "dedup_exact_summary" ->
       """SELECT COUNT(*) AS total_docs, COUNT(DISTINCT md5(lower(trim(text)))) AS distinct_fingerprints, COUNT(*) - COUNT(DISTINCT md5(lower(trim(text)))) AS duplicate_docs FROM documents""",
+    // inverted-index candidate join (same pairs as all-pairs: sharing
+    // a shingle is necessary for jaccard > 0) — keeps the oracle
+    // feasible for DuckDB at larger scale factors too
     "dedup_ngram_jaccard" ->
-      s"""SELECT doc_a, doc_b, jaccard FROM (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, $jaccardSql AS jaccard FROM (SELECT doc_id, sh AS sh_a FROM ($docShinglesSql) ) a(doc_id, sh_a) JOIN (SELECT doc_id, sh AS sh_b FROM ($docShinglesSql)) b(doc_id, sh_b) ON a.doc_id < b.doc_id) WHERE jaccard >= $JaccardThreshold ORDER BY doc_a, doc_b""",
+      s"""WITH shing AS ($docShinglesSql), inv AS (SELECT doc_id, unnest(sh) AS s FROM shing), cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM inv x JOIN inv y ON x.s = y.s AND x.doc_id < y.doc_id) SELECT doc_a, doc_b, jaccard FROM (SELECT a AS doc_a, b AS doc_b, $jaccardSql AS jaccard FROM cand JOIN (SELECT doc_id, sh AS sh_a FROM shing) sa ON cand.a = sa.doc_id JOIN (SELECT doc_id, sh AS sh_b FROM shing) sb ON cand.b = sb.doc_id) WHERE jaccard >= $JaccardThreshold ORDER BY doc_a, doc_b""",
     "dedup_minhash_lsh" ->
       s"""WITH mh AS ($minhashSql), bands AS ($bandsSql), cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b FROM bands x JOIN bands y ON x.band_idx = y.band_idx AND x.band_val = y.band_val AND x.doc_id < y.doc_id), sh_tbl AS ($docShinglesSql) SELECT doc_a, doc_b, jaccard FROM (SELECT doc_a, doc_b, $jaccardSql AS jaccard FROM cand JOIN (SELECT doc_id, sh AS sh_a FROM sh_tbl) sa ON cand.doc_a = sa.doc_id JOIN (SELECT doc_id, sh AS sh_b FROM sh_tbl) sb ON cand.doc_b = sb.doc_id) WHERE jaccard >= $JaccardThreshold ORDER BY doc_a, doc_b""",
     "dedup_embedding_cosine" ->
