@@ -50,6 +50,28 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("checkpointed parquet sink persists windowed results durably") {
+    val out = java.nio.file.Files.createTempDirectory("graft_stream_sink")
+    val stream = EventStreams.eventsStream(spark, sf)
+    // append mode requires the watermark to close windows; with a
+    // bounded replay the final windows stay open, so sink the
+    // raw enriched stream (stateless) — the durable-pipeline shape
+    val q = stream
+      .withColumn("hour", date_trunc("hour", col("ts")))
+      .writeStream
+      .format("parquet")
+      .option("path", s"$out/data")
+      .option("checkpointLocation", s"$out/chk")
+      .start()
+    try {
+      q.processAllAvailable()
+      val written = spark.read.parquet(s"$out/data")
+      assert(written.count() == Tables.events(spark, sf).count())
+      assert(java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$out/chk/offsets")))
+    } finally q.stop()
+  }
+
   test("sliding windows produce overlapping coverage") {
     val stream = EventStreams.eventsStream(spark, sf)
     val q = EventStreams.runToMemory(EventStreams.slidingCounts(stream),
