@@ -34,11 +34,18 @@ object TextOps {
   private def hits(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => t.isin(words.map(lit): _*)))
 
-  /** Token + char counts per document. */
+  /** BPE-style pre-tokenizer regex (GPT-2-shaped, simplified to the
+    * RE2-compatible subset both engines support: no lookahead). */
+  val BpePattern = " ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s]+"
+
+  /** Token + char counts per document: whitespace tokens and BPE-ish
+    * regex tokens (the cheap proxy for LLM token budgeting). */
   def tokenCount(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
     d.select(col("doc_id"),
         size(tokens(col("text"))).as("token_count"),
+        size(regexp_extract_all(lower(col("text")), lit(BpePattern), lit(0)))
+          .as("bpe_token_count"),
         length(col("text")).as("char_count"))
       .orderBy(col("doc_id"))
   }
@@ -104,7 +111,7 @@ object TextOps {
 
   val oracle: Map[String, String] = Map(
     "text_token_count" ->
-      s"""SELECT doc_id, len($toksSql) AS token_count, length(text) AS char_count FROM documents ORDER BY doc_id""",
+      s"""SELECT doc_id, len($toksSql) AS token_count, len(regexp_extract_all(lower(text), ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s]+')) AS bpe_token_count, length(text) AS char_count FROM documents ORDER BY doc_id""",
     "text_quality_score" ->
       s"""SELECT doc_id, token_count, stopword_ratio, punct_ratio, avg_token_len, stopword_ratio * 0.5 + (1.0 - punct_ratio) * 0.3 + least(CAST(token_count AS DOUBLE) / 100.0, 1.0) * 0.2 AS quality_score FROM (SELECT doc_id, len(t) AS token_count, CAST(${hitsSql(stopEn)} AS DOUBLE) / len(t) AS stopword_ratio, CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE) / length(text) AS punct_ratio, CAST(length(text) - (len(t) - 1) AS DOUBLE) / len(t) AS avg_token_len FROM (SELECT doc_id, text, $toksSql AS t FROM documents)) ORDER BY doc_id""",
     "text_lang_id" ->
@@ -113,7 +120,18 @@ object TextOps {
       s"""SELECT doc_id, md5(lower(trim(text))) AS fp_exact, md5(array_to_string(list_sort(list_distinct($shinglesSql)), '|')) AS fp_shingle FROM (SELECT doc_id, text, $toksSql AS t FROM documents) ORDER BY doc_id"""
   )
 
+  /** Rolling-hash (Karp–Rabin) content fingerprints via the native
+    * codegen'd expression — engine-hash-independent but not
+    * SQL-expressible, so checked rows-only (values unit-tested). */
+  def rollingFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    d.select(col("doc_id"),
+        graft.functions.RollingHash(lower(trim(col("text")))).as("fp_rolling"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_rolling_fingerprint" -> rollingFingerprint _,
     "text_token_count" -> tokenCount _,
     "text_quality_score" -> qualityScore _,
     "text_lang_id" -> langId _,

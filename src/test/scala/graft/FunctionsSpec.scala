@@ -45,6 +45,20 @@ class FunctionsSpec extends SparkSpec {
     assert(math.abs(r - 0.6) < 1e-15)
   }
 
+  test("rolling hash matches the reference computation and is stable") {
+    // reference implementation in plain Scala over UTF-8 bytes
+    def ref(s: String): Long =
+      s.getBytes("UTF-8").foldLeft(0L)(graft.functions.RollingHash.step)
+    val samples = Seq("", "a", "hello world", "the same the same",
+      "unicode é中文")
+    val got = samples.toDF("s")
+      .select(graft.functions.RollingHash(col("s")))
+      .collect().map(_.getLong(0))
+    assert(got.sameElements(samples.map(ref)))
+    // distinct inputs hash distinctly here; equal inputs collide
+    assert(ref("abc") != ref("abd") && ref("abc") == ref("abc"))
+  }
+
   test("native cosine runs inside whole-stage codegen") {
     val e = Tables.embeddings(spark, sf)
       .select(col("embedding").cast("array<double>").as("v"))
