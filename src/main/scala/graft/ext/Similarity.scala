@@ -72,6 +72,40 @@ object Similarity {
       .limit(5)
   }
 
+  /** Random-hyperplane LSH signatures: `bits` sign bits from fixed
+    * seeded ±1 planes (literal arrays in the plan — deterministic
+    * across runs and engines-of-record). Vectors whose signatures
+    * share a band are near-angle candidates; at scale the table is
+    * partitioned by band so candidate generation is an equi-join. */
+  def lshSignature(v: Column, bits: Int = 8, dim: Int = 64): Column = {
+    val rnd = new scala.util.Random(42)
+    val planes = Seq.fill(bits)(Seq.fill(dim)(if (rnd.nextBoolean()) 1.0 else -1.0))
+    planes.zipWithIndex.map { case (p, j) =>
+      val pl = array(p.map(lit): _*)
+      shiftleft((dotBuiltin(v, pl) > 0).cast("long"), j)
+    }.reduce(_.bitwiseOR(_))
+  }
+
+  /** LSH-bucketed near-dup pairs over embeddings — the scale path for
+    * `Dedup.embeddingCosinePairs` (equi-join on bucket, no all-pairs
+    * product). Approximate by construction → rows-only check; recall
+    * vs the exact baseline is asserted in SimilaritySpec. */
+  def lshBucketedPairs(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("bucket", lshSignature(col("v")))
+    val a = e.select(col("vec_id").as("vec_a"), col("v").as("va"),
+      col("bucket"))
+    val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"),
+      col("bucket"))
+    a.join(b, Seq("bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        graft.functions.CosineSimilarity(col("va"), col("vb")).as("cosine"))
+      .filter(col("cosine") >= 0.45)
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
   private val dotSql = (a: String, b: String) =>
     s"""list_sum(list_transform(range(1, len($a)+1), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"""
   private def cosineSql(a: String, b: String) =
@@ -86,6 +120,7 @@ object Similarity {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_bruteforce_topk" -> bruteForceTopK _,
-    "sim_ivf_topk" -> ivfTopK _
+    "sim_ivf_topk" -> ivfTopK _,
+    "sim_lsh_bucketed_pairs" -> lshBucketedPairs _
   )
 }

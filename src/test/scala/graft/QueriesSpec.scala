@@ -14,7 +14,8 @@ class QueriesSpec extends SparkSpec {
   test("all queries run at sf0.001 and non-summary ones return rows") {
     // queries whose correct answer may legitimately be empty (pair
     // finders above a similarity threshold)
-    val mayBeEmpty = Set("dedup_embedding_cosine", "join_anti_customers")
+    val mayBeEmpty = Set("dedup_embedding_cosine", "join_anti_customers",
+      "sim_lsh_bucketed_pairs")
     SparkEntry.queries.foreach { case (name, fn) =>
       val n = fn(spark, sf).count()
       assert(n >= 0, s"$name failed")

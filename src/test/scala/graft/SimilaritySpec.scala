@@ -1,0 +1,25 @@
+package graft
+
+import graft.ext.{Dedup, Similarity}
+
+class SimilaritySpec extends SparkSpec {
+
+  test("LSH-bucketed pairs are a subset of the exact cosine pairs") {
+    val exact = Dedup.embeddingCosinePairs(spark, sf)
+      .select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshBucketedPairs(spark, sf)
+      .select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact), s"LSH invented pairs: ${lsh -- exact}")
+  }
+
+  test("IVF top-k scores agree with brute force on shared candidates") {
+    val brute = Similarity.bruteForceTopK(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val ivf = Similarity.ivfTopK(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val shared = brute.keySet intersect ivf.keySet
+    assert(shared.forall(k => brute(k) == ivf(k)))
+  }
+}
