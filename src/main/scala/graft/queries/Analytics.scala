@@ -64,7 +64,7 @@ object Analytics {
     li.join(p, li("l_partkey") === p("p_partkey"))
       .groupBy(col("p_type").as("item_type"))
       .agg(sumMoney(col("l_quantity")).as("total_units"))
-      .orderBy(col("item_type"))
+      .orderBy(col("total_units").desc, col("item_type"))
   }
 
   /** q5 (A3 avg ratio per channel with 0-divisor guard F9/F23;
@@ -114,7 +114,7 @@ object Analytics {
       .groupBy(col("n_name").as("country"))
       .agg(avg(datediff(col("l_shipdate"), col("o_orderdate")))
         .as("avg_shipping_days"))
-      .orderBy(col("country"))
+      .orderBy(col("avg_shipping_days"), col("country"))
   }
 
   /** Dashboard channel rollup (A2; reference dashboard/app.py:394). */
@@ -191,7 +191,7 @@ object Analytics {
     "q3_top_nations_by_revenue" ->
       """SELECT n_name, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_revenue FROM orders JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey GROUP BY 1 ORDER BY total_revenue DESC, n_name LIMIT 5""",
     "q4_units_per_item_type" ->
-      """SELECT p_type AS item_type, CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS total_units FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1 ORDER BY 1""",
+      """SELECT p_type AS item_type, CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS total_units FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1 ORDER BY total_units DESC, item_type""",
     "q5_avg_margin_per_channel" ->
       """SELECT l_returnflag AS sales_channel, CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) / NULLIF(l_extendedprice, 0) AS DECIMAL(18,9))) AS DOUBLE) / COUNT(l_extendedprice * (1.0 - l_discount) / NULLIF(l_extendedprice, 0)) AS avg_margin_ratio FROM lineitem GROUP BY 1 ORDER BY 1""",
     "q6_revenue_per_region_year" ->
@@ -199,7 +199,7 @@ object Analytics {
     "q7_top_orders_by_price" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
     "q8_avg_shipping_days" ->
-      """SELECT n_name AS country, AVG(datediff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))) AS avg_shipping_days FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey GROUP BY 1 ORDER BY 1""",
+      """SELECT n_name AS country, AVG(datediff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))) AS avg_shipping_days FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey GROUP BY 1 ORDER BY avg_shipping_days, country""",
     "dash_channel_rollup" ->
       """SELECT o_orderpriority AS sales_channel, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_revenue, COUNT(*) AS order_count FROM orders GROUP BY 1 ORDER BY 1""",
     "dash_monthly_trend" ->
