@@ -111,6 +111,36 @@ object EltOps {
       .orderBy(col("order_size_category"))
   }
 
+  /** A4 2-key bucket matrix (reference margin × order-size report,
+    * elt/transforms.ipynb:cell18). */
+  def marginSizeMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val p = Tables.part(spark, dir)
+    val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    val cost = col("l_quantity") * col("p_retailprice") * lit(0.6)
+    val ratio = safeDiv(rev - cost, rev)
+    li.join(p, li("l_partkey") === p("p_partkey"))
+      .groupBy(marginCategory(ratio).as("margin_category"),
+        orderSizeCategory(col("l_quantity")).as("order_size_category"))
+      .agg(count(lit(1)).as("total_orders"), sumMoney(rev).as("total_revenue"))
+      .orderBy(col("margin_category"), col("order_size_category"))
+  }
+
+  /** A3 profitability per shipping bucket (reference avg
+    * net_profit_ratio per speed, elt/transforms.ipynb:cell17). */
+  def shippingProfitability(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val days = datediff(col("l_shipdate"), col("o_orderdate"))
+    val ratio = safeDiv(col("l_extendedprice") * (lit(1.0) - col("l_discount")),
+      col("l_extendedprice"))
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .groupBy(shippingSpeedCategory(days).as("shipping_speed_category"))
+      .agg(count(lit(1)).as("total_orders"),
+        avgRatio(ratio).as("avg_net_ratio"))
+      .orderBy(col("shipping_speed_category"))
+  }
+
   /** A9+F13 IQR clip: two-phase — order-statistic quartiles collected,
     * then clip applied in-plan (reference etl_pipeline/transform.py:37-58). */
   def iqrClip(spark: SparkSession, dir: String): DataFrame = {
@@ -258,6 +288,10 @@ object EltOps {
       """SELECT CASE WHEN d <= 3 THEN 'fast' WHEN d <= 7 THEN 'normal' ELSE 'slow' END AS shipping_speed_category, COUNT(*) AS line_count, AVG(d) AS avg_shipping_days FROM (SELECT datediff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) AS d FROM lineitem JOIN orders ON l_orderkey = o_orderkey) GROUP BY 1 ORDER BY 1""",
     "elt_size_buckets" ->
       """WITH per_order AS (SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS units FROM lineitem GROUP BY 1) SELECT CASE WHEN units < 50 THEN 'small' WHEN units <= 200 THEN 'medium' ELSE 'large' END AS order_size_category, COUNT(*) AS order_count, CAST(SUM(CAST(units AS DECIMAL(18,6))) AS DOUBLE) / COUNT(units) AS avg_units FROM per_order GROUP BY 1 ORDER BY 1""",
+    "elt_margin_size_matrix" ->
+      """SELECT CASE WHEN r IS NULL OR r < 0.10 THEN 'low' WHEN r <= 0.30 THEN 'medium' ELSE 'high' END AS margin_category, CASE WHEN l_quantity < 50 THEN 'small' WHEN l_quantity <= 200 THEN 'medium' ELSE 'large' END AS order_size_category, COUNT(*) AS total_orders, CAST(SUM(CAST(rev AS DECIMAL(18,6))) AS DOUBLE) AS total_revenue FROM (SELECT l_quantity, l_extendedprice * (1.0 - l_discount) AS rev, (l_extendedprice * (1.0 - l_discount) - l_quantity * p_retailprice * 0.6) / NULLIF(l_extendedprice * (1.0 - l_discount), 0) AS r FROM lineitem JOIN part ON l_partkey = p_partkey) GROUP BY 1, 2 ORDER BY 1, 2""",
+    "elt_shipping_profitability" ->
+      """SELECT CASE WHEN d <= 3 THEN 'fast' WHEN d <= 7 THEN 'normal' ELSE 'slow' END AS shipping_speed_category, COUNT(*) AS total_orders, CAST(SUM(CAST(r AS DECIMAL(18,9))) AS DOUBLE) / COUNT(r) AS avg_net_ratio FROM (SELECT datediff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) AS d, l_extendedprice * (1.0 - l_discount) / NULLIF(l_extendedprice, 0) AS r FROM lineitem JOIN orders ON l_orderkey = o_orderkey) GROUP BY 1 ORDER BY 1""",
     "elt_iqr_clip" ->
       s"""WITH b AS (SELECT q1.q1, q3.q3 FROM (${orderStatSql("orders", "o_totalprice", "0.25", "q1")}) q1, (${orderStatSql("orders", "o_totalprice", "0.75", "q3")}) q3) SELECT o_orderkey, o_totalprice, least(greatest(o_totalprice, q1 - 1.5*(q3 - q1)), q3 + 1.5*(q3 - q1)) AS totalprice_clipped FROM orders, b ORDER BY o_orderkey""",
     "elt_minmax_norm" ->
@@ -285,6 +319,8 @@ object EltOps {
     "elt_margin_buckets" -> marginBuckets _,
     "elt_shipping_buckets" -> shippingBuckets _,
     "elt_size_buckets" -> sizeBuckets _,
+    "elt_margin_size_matrix" -> marginSizeMatrix _,
+    "elt_shipping_profitability" -> shippingProfitability _,
     "elt_iqr_clip" -> iqrClip _,
     "elt_minmax_norm" -> minMaxNorm _,
     "elt_histogram" -> histogram _,
