@@ -18,6 +18,15 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** Name-dispatched loader that applies per-table normalization
+    * (events needs the nanos-timestamp conversion). */
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    if (name == "events") events(spark, sfDir) else load(spark, sfDir, name)
+
+  /** Register every test table as a temp view for the SQL surface. */
+  def registerAllViews(spark: SparkSession, sfDir: String): Unit =
+    all.foreach(t => table(spark, sfDir, t).createOrReplaceTempView(t))
+
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame  = load(s, d, "customer")
