@@ -117,6 +117,21 @@ object Analytics {
       .orderBy(col("avg_shipping_days"), col("country"))
   }
 
+  /** Supplier-side star join (J3 shape over the remaining dim path:
+    * lineitem⋈supplier⋈nation — completes coverage of every test
+    * table). */
+  def q9RevenuePerSupplierNation(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val s = Tables.supplier(spark, dir)
+    val n = Tables.nation(spark, dir)
+    li.join(s, li("l_suppkey") === s("s_suppkey"))
+      .join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name").as("supplier_nation"))
+      .agg(sumMoney(revenue(li)).as("total_revenue"),
+        countDistinct(col("s_suppkey")).as("supplier_count"))
+      .orderBy(col("supplier_nation"))
+  }
+
   /** Dashboard channel rollup (A2; reference dashboard/app.py:394). */
   def dashChannelRollup(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)
@@ -200,6 +215,8 @@ object Analytics {
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
     "q8_avg_shipping_days" ->
       """SELECT n_name AS country, AVG(datediff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))) AS avg_shipping_days FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey GROUP BY 1 ORDER BY avg_shipping_days, country""",
+    "q9_revenue_per_supplier_nation" ->
+      """SELECT n_name AS supplier_nation, CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS total_revenue, COUNT(DISTINCT s_suppkey) AS supplier_count FROM lineitem JOIN supplier ON l_suppkey = s_suppkey JOIN nation ON s_nationkey = n_nationkey GROUP BY 1 ORDER BY 1""",
     "dash_channel_rollup" ->
       """SELECT o_orderpriority AS sales_channel, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_revenue, COUNT(*) AS order_count FROM orders GROUP BY 1 ORDER BY 1""",
     "dash_monthly_trend" ->
@@ -225,6 +242,7 @@ object Analytics {
     "q6_revenue_per_region_year" -> q6RevenuePerRegionYear _,
     "q7_top_orders_by_price" -> q7TopOrdersByPrice _,
     "q8_avg_shipping_days" -> q8AvgShippingDays _,
+    "q9_revenue_per_supplier_nation" -> q9RevenuePerSupplierNation _,
     "dash_channel_rollup" -> dashChannelRollup _,
     "dash_monthly_trend" -> dashMonthlyTrend _,
     "dash_kpis" -> dashKpis _,
