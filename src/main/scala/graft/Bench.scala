@@ -24,17 +24,15 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = GraftSession.builder(s"local[$cpus]", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val qs = headline.filter(SparkEntry.queries.contains)
-    // warm-up: JVM/codegen/file-footer caches
-    qs.foreach(n => SparkEntry.queries(n)(spark, sfDir).count())
+    // warm-up: JVM/codegen/file-footer caches. Guarded like the timed
+    // loop — one broken query must not take down the bench output.
+    qs.foreach { n =>
+      try { SparkEntry.queries(n)(spark, sfDir).count() }
+      catch { case _: Throwable => () }
+    }
     val results = qs.map { name =>
       val t0 = System.nanoTime()
       try { SparkEntry.queries(name)(spark, sfDir).count() }

@@ -35,11 +35,14 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark rejects by
-    * default. Read it as raw nanos (legacy flag) and convert to
-    * microsecond TIMESTAMP_NTZ with integer floor-division — the same
-    * truncation DuckDB applies natively, so oracles agree. */
+    * default. The session must be built with the nanos legacy flag
+    * ([[GraftSession.builder]] sets it) so the column surfaces as raw
+    * Long nanos; here it converts to microsecond TIMESTAMP_NTZ with
+    * integer floor-division — the same truncation DuckDB applies
+    * natively, so oracles agree. The flag is asserted, not set: a
+    * loader must not mutate session conf as a side effect. */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    GraftSession.requireNanosFlag(s)
     load(s, d, "events").withColumn("ts",
       org.apache.spark.sql.functions.timestamp_micros(
         org.apache.spark.sql.functions.expr("ts div 1000"))

@@ -31,6 +31,11 @@ object StatsOps {
     val n = vals.count()
     require(n > 0, "orderStat on empty input")
     val k = rankOf(q, n)
+    // limit() takes an Int; past that rank the exact path cannot be
+    // planned as sort-limit — fail loudly rather than silently
+    // truncating the rank (callers switch to approxQuantile at scale).
+    require(k < Int.MaxValue - 1,
+      s"orderStat rank $k exceeds exact sort-limit range; use approxQuantile")
     vals.orderBy(col("x")).limit(k.toInt + 1)
       .agg(max(col("x"))).head().getDouble(0)
   }
@@ -60,4 +65,15 @@ object StatsOps {
     * median imputation, etl_pipeline/transform.py:161-166). */
   def median(df: DataFrame, c: Column): Double =
     orderStat(df.filter(c.isNotNull), c, 0.5)
+
+  /** Equal-width histogram bin id with a constant-column guard: when
+    * `mx == mn` (e.g. a narrow dashboard filter leaves one distinct
+    * value) every row lands in bin 0 instead of dividing by a zero
+    * width — the same convention `ColumnOps.minMaxScale` uses for
+    * constant columns. Values at the max clamp into the last bin
+    * (reference dashboard/app.py:384-389 maxbins behavior). */
+  def histogramBin(c: Column, mn: Double, mx: Double, bins: Int): Column =
+    if (mx == mn) lit(0L)
+    else least(floor((c - lit(mn)) / lit((mx - mn) / bins.toDouble)),
+      lit((bins - 1).toLong))
 }

@@ -63,12 +63,13 @@ object Dashboard {
       .agg(sumMoney(col("o_totalprice")).as("total_revenue"))
       .orderBy(col("order_month"))
 
-  /** Value histogram over the filtered frame (reference app.py:384-389). */
+  /** Value histogram over the filtered frame (reference app.py:384-389);
+    * a filter narrow enough to leave one distinct value yields a
+    * single bin 0 rather than a zero-width division. */
   def histogram(df: DataFrame, bins: Int = 30): DataFrame = {
     val (mn, mx) = StatsOps.minMax(df, col("o_totalprice"))
-    val width = (mx - mn) / bins.toDouble
-    df.groupBy(least(floor((col("o_totalprice") - lit(mn)) / lit(width)),
-        lit((bins - 1).toLong)).as("bin"))
+    df.groupBy(StatsOps.histogramBin(col("o_totalprice"), mn, mx, bins)
+        .as("bin"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("bin"))
   }

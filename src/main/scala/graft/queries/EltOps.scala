@@ -162,13 +162,12 @@ object EltOps {
   }
 
   /** A13 histogram binning, 30 equal-width bins with the max value
-    * clamped into the last bin (reference dashboard/app.py:384-389). */
+    * clamped into the last bin (reference dashboard/app.py:384-389);
+    * constant-column inputs all land in bin 0 (StatsOps.histogramBin). */
   def histogram(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)
     val (mn, mx) = StatsOps.minMax(o, col("o_totalprice"))
-    val width = (mx - mn) / 30.0
-    o.groupBy(least(floor((col("o_totalprice") - lit(mn)) / lit(width)), lit(29L))
-        .as("bin"))
+    o.groupBy(StatsOps.histogramBin(col("o_totalprice"), mn, mx, 30).as("bin"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("bin"))
   }

@@ -40,17 +40,24 @@ object EventStreams {
     * watches for new files), so the single test parquet is staged via
     * symlink into a temp dir — production would point at the landing
     * directory of a real feed. */
+  /** Staged stream dirs, one per source path: repeated calls (each
+    * test, each restart) reuse the same staging symlink instead of
+    * accumulating temp directories. */
+  private val stagedDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    graft.GraftSession.requireNanosFlag(spark)
     val src = java.nio.file.Paths.get(dir, "events.parquet")
     val streamDir =
       if (java.nio.file.Files.isDirectory(src)) src.toString
-      else {
+      else stagedDirs.computeIfAbsent(src.toString, { _ =>
         val tmp = java.nio.file.Files.createTempDirectory("graft_events_stream")
         java.nio.file.Files.createSymbolicLink(
           tmp.resolve("events.parquet"), src)
+        tmp.toFile.deleteOnExit()
         tmp.toString
-      }
+      })
     spark.readStream
       .schema(rawSchema)
       .parquet(streamDir)
@@ -118,10 +125,13 @@ object EventStreams {
 
   /** Run a streaming frame to completion into an in-memory table
     * (test/local harness; production uses a durable sink +
-    * checkpointLocation). Returns the query for teardown. */
-  def runToMemory(df: DataFrame, name: String): StreamingQuery = {
+    * checkpointLocation). Output mode is a parameter: windowed
+    * aggregates use "complete", flatMapGroupsWithState plans declare
+    * "update". Returns the query for teardown. */
+  def runToMemory(df: DataFrame, name: String,
+      outputMode: String = "complete"): StreamingQuery = {
     val q = df.writeStream
-      .outputMode("complete")
+      .outputMode(outputMode)
       .format("memory")
       .queryName(name)
       .start()

@@ -32,10 +32,8 @@ class EventStreamsSpec extends SparkSpec {
   test("stateful sessionization matches the batch per-user rollup") {
     val stream = EventStreams.eventsStream(spark, sf)
     val sess = EventStreams.sessionize(spark, stream)
-    val q = sess.writeStream.outputMode("update")
-      .format("memory").queryName("sessions_out").start()
+    val q = EventStreams.runToMemory(sess, "sessions_out", "update")
     try {
-      q.processAllAvailable()
       // update mode emits one row per user per trigger; last wins
       val streamed = spark.table("sessions_out")
         .groupBy(col("user_id"))

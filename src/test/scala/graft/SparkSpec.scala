@@ -7,14 +7,10 @@ import org.scalatest.funsuite.AnyFunSuite
   * getOrCreate; suites may run in parallel inside the forked test
   * JVM). */
 object SparkSpec {
-  lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[8]")
+  lazy val spark: SparkSession = GraftSession.builder("local[8]", "8")
     .appName("graft-test")
-    .config("spark.sql.shuffle.partitions", "8")
-    .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.warehouse.dir",
       java.nio.file.Files.createTempDirectory("graft_wh").toString)
-    .config("spark.ui.enabled", "false")
     .getOrCreate()
 
   val sf: String = "/root/testdata/sf0.001"
