@@ -135,6 +135,34 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Engine-independent SimHash: per-token bits come from the md5 hex
+    * digest (first 64 bits) instead of xxhash64, so DuckDB can replay
+    * the exact signature — the same md5-keying trick that makes the
+    * MinHash stage oracle-checkable. Bit j of a token = bit (3-j%4) of
+    * hex nibble j/4. Output is the signature as 4×16-bit bands (the
+    * join keys the banded near-dup search uses). The xxhash64 variant
+    * above stays as the cheaper production path; both share the
+    * vote/band plan shape, which is what matters at scale. */
+  def simhashSignaturesMd5(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val tok = d.select(col("doc_id"),
+        explode(array_distinct(tokens(col("text")))).as("tok"))
+      .withColumn("h", md5(col("tok").cast("binary")))
+    val votes = (0 until 64).map { j =>
+      val nib = conv(substring(col("h"), j / 4 + 1, 1), 16, 10).cast("int")
+      sum(when(shiftright(nib, 3 - j % 4).bitwiseAND(1) === 1, 1).otherwise(-1))
+        .as(s"v$j")
+    }
+    val bands = (0 until 4).map { b =>
+      (0 until 16).map { k =>
+        when(col(s"v${16 * b + k}") > 0, 1 << k).otherwise(0)
+      }.reduce(_ + _).cast("long").as(s"band$b")
+    }
+    tok.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
+      .select(col("doc_id") +: bands: _*)
+      .orderBy(col("doc_id"))
+  }
+
   /** SimHash near-dup pairs via banded join + Hamming filter. */
   def simhashPairs(spark: SparkSession, dir: String, maxHamming: Int = 8): DataFrame = {
     val s = simhashSignatures(spark, dir)
@@ -183,6 +211,19 @@ object Dedup {
     .map(bi => s"SELECT doc_id, $bi AS band_idx, md5(mh${2 * bi} || mh${2 * bi + 1}) AS band_val FROM mh")
     .mkString(" UNION ALL ")
 
+  // DuckDB replay of simhashSignaturesMd5: same md5-hex bit votes,
+  // same 16-bit band packing
+  private val simhashVotesSql = (0 until 64).map { j =>
+    s"SUM(CASE WHEN ((strpos('0123456789abcdef', substr(h, ${j / 4 + 1}, 1)) - 1) >> ${3 - j % 4}) & 1 = 1 THEN 1 ELSE -1 END) AS v$j"
+  }.mkString(", ")
+  private val simhashBandsSql = (0 until 4).map { b =>
+    "CAST(" + (0 until 16)
+      .map(k => s"(CASE WHEN v${16 * b + k} > 0 THEN ${1 << k} ELSE 0 END)")
+      .mkString(" + ") + s" AS BIGINT) AS band$b"
+  }.mkString(", ")
+  private val tokensSql =
+    """CASE WHEN length(trim(text)) = 0 THEN [] ELSE regexp_split_to_array(trim(text), '\s+') END"""
+
   val oracle: Map[String, String] = Map(
     "dedup_exact_summary" ->
       """SELECT COUNT(*) AS total_docs, COUNT(DISTINCT md5(lower(trim(text)))) AS distinct_fingerprints, COUNT(*) - COUNT(DISTINCT md5(lower(trim(text)))) AS duplicate_docs FROM documents""",
@@ -193,6 +234,8 @@ object Dedup {
       s"""WITH shing AS ($docShinglesSql), inv AS (SELECT doc_id, unnest(sh) AS s FROM shing), cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM inv x JOIN inv y ON x.s = y.s AND x.doc_id < y.doc_id) SELECT doc_a, doc_b, jaccard FROM (SELECT a AS doc_a, b AS doc_b, $jaccardSql AS jaccard FROM cand JOIN (SELECT doc_id, sh AS sh_a FROM shing) sa ON cand.a = sa.doc_id JOIN (SELECT doc_id, sh AS sh_b FROM shing) sb ON cand.b = sb.doc_id) WHERE jaccard >= $JaccardThreshold ORDER BY doc_a, doc_b""",
     "dedup_minhash_lsh" ->
       s"""WITH mh AS ($minhashSql), bands AS ($bandsSql), cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b FROM bands x JOIN bands y ON x.band_idx = y.band_idx AND x.band_val = y.band_val AND x.doc_id < y.doc_id), sh_tbl AS ($docShinglesSql) SELECT doc_a, doc_b, jaccard FROM (SELECT doc_a, doc_b, $jaccardSql AS jaccard FROM cand JOIN (SELECT doc_id, sh AS sh_a FROM sh_tbl) sa ON cand.doc_a = sa.doc_id JOIN (SELECT doc_id, sh AS sh_b FROM sh_tbl) sb ON cand.doc_b = sb.doc_id) WHERE jaccard >= $JaccardThreshold ORDER BY doc_a, doc_b""",
+    "dedup_simhash" ->
+      s"""WITH tok AS (SELECT DISTINCT doc_id, unnest(t) AS tok FROM (SELECT doc_id, $tokensSql AS t FROM documents)), h AS (SELECT doc_id, md5(tok) AS h FROM tok), v AS (SELECT doc_id, $simhashVotesSql FROM h GROUP BY doc_id) SELECT doc_id, $simhashBandsSql FROM v ORDER BY doc_id""",
     "dedup_embedding_cosine" ->
       """SELECT vec_a, vec_b, cosine FROM (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, list_sum(list_transform(range(1, len(a.embedding)+1), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) / sqrt(list_sum(list_transform(range(1, len(a.embedding)+1), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))) * list_sum(list_transform(range(1, len(b.embedding)+1), i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))) AS cosine FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id) WHERE cosine >= 0.45 ORDER BY vec_a, vec_b"""
   )
@@ -201,7 +244,7 @@ object Dedup {
     "dedup_exact_summary" -> exactSummary _,
     "dedup_ngram_jaccard" -> ngramJaccardPairs _,
     "dedup_minhash_lsh" -> minhashLshPairs _,
-    "dedup_simhash" -> simhashSignatures _,
+    "dedup_simhash" -> simhashSignaturesMd5 _,
     "dedup_embedding_cosine" -> embeddingCosinePairs _
   )
 }

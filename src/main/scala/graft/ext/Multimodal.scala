@@ -51,7 +51,11 @@ object Multimodal {
       .orderBy(col("doc_id"))
 
   /** Partition-batched feature extraction through the stub decoder.
-    * Rows-only check (the stub is engine-side by design). */
+    * Because the stub's fake features are pure arithmetic on the byte
+    * length, the full mapPartitions path is oracle-checkable: DuckDB
+    * recomputes the same formulas in SQL, verifying the Spark-side
+    * plumbing (binary column, encoder round-trip, partition batching)
+    * end to end. A real codec would revert this to a rows-only check. */
   def features(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     payloads(spark, dir)
@@ -67,7 +71,10 @@ object Multimodal {
 
   val oracle: Map[String, String] = Map(
     "mm_metadata" ->
-      """SELECT doc_id, octet_length(CAST(text AS BLOB)) AS byte_len, md5(text) AS content_md5, source FROM documents ORDER BY doc_id"""
+      """SELECT doc_id, octet_length(CAST(text AS BLOB)) AS byte_len, md5(text) AS content_md5, source FROM documents ORDER BY doc_id""",
+    // mirrors decodeStub's deterministic fake-feature arithmetic
+    "mm_features" ->
+      """SELECT doc_id, l AS byte_len, 64 + l % 1216 AS width, 64 + (l * 7) % 656 AS height, 3 AS channels, 1 + l % 16 AS frame_count FROM (SELECT doc_id, octet_length(CAST(text AS BLOB)) AS l FROM documents) ORDER BY doc_id"""
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -72,24 +72,29 @@ object Similarity {
       .limit(5)
   }
 
+  /** Fixed seeded ±1 hyperplanes, shared by the Spark plan and the
+    * oracle SQL so both engines compute identical signatures. */
+  private def planes(bits: Int = 8, dim: Int = 64): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(42)
+    Seq.fill(bits)(Seq.fill(dim)(if (rnd.nextBoolean()) 1.0 else -1.0))
+  }
+
   /** Random-hyperplane LSH signatures: `bits` sign bits from fixed
     * seeded ±1 planes (literal arrays in the plan — deterministic
     * across runs and engines-of-record). Vectors whose signatures
     * share a band are near-angle candidates; at scale the table is
     * partitioned by band so candidate generation is an equi-join. */
-  def lshSignature(v: Column, bits: Int = 8, dim: Int = 64): Column = {
-    val rnd = new scala.util.Random(42)
-    val planes = Seq.fill(bits)(Seq.fill(dim)(if (rnd.nextBoolean()) 1.0 else -1.0))
-    planes.zipWithIndex.map { case (p, j) =>
+  def lshSignature(v: Column, bits: Int = 8, dim: Int = 64): Column =
+    planes(bits, dim).zipWithIndex.map { case (p, j) =>
       val pl = array(p.map(lit): _*)
       shiftleft((dotBuiltin(v, pl) > 0).cast("long"), j)
     }.reduce(_.bitwiseOR(_))
-  }
 
   /** LSH-bucketed near-dup pairs over embeddings — the scale path for
     * `Dedup.embeddingCosinePairs` (equi-join on bucket, no all-pairs
-    * product). Approximate by construction → rows-only check; recall
-    * vs the exact baseline is asserted in SimilaritySpec. */
+    * product). The seeded planes are shared with the oracle SQL, so
+    * even this approximate path is hash-checked exactly; recall vs the
+    * exact baseline is additionally asserted in SimilaritySpec. */
   def lshBucketedPairs(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
@@ -111,11 +116,21 @@ object Similarity {
   private def cosineSql(a: String, b: String) =
     s"""${dotSql(a, b)} / sqrt(${dotSql(a, a)} * ${dotSql(b, b)})"""
 
+  // DuckDB replay of lshSignature: the same seeded planes as SQL
+  // literals, bit j = sign of the plane-j dot product
+  private def planeLit(p: Seq[Double]): String =
+    p.map(x => if (x > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+  private val lshSigSql = planes().zipWithIndex.map { case (p, j) =>
+    s"(CASE WHEN list_sum(list_transform(range(1, ${p.size + 1}), i -> CAST(embedding[i] AS DOUBLE) * (${planeLit(p)})[i])) > 0 THEN ${1L << j} ELSE 0 END)"
+  }.mkString(" + ")
+
   val oracle: Map[String, String] = Map(
     "sim_bruteforce_topk" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id = (SELECT min(vec_id) FROM embeddings)) SELECT vec_id, label, ${cosineSql("embedding", "qe")} AS cosine FROM embeddings, q WHERE vec_id <> qid ORDER BY cosine DESC, vec_id LIMIT 10""",
     "sim_ivf_topk" ->
-      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe, label AS qlabel FROM embeddings WHERE vec_id = (SELECT min(vec_id) FROM embeddings)) SELECT vec_id, label, ${cosineSql("embedding", "qe")} AS cosine FROM embeddings, q WHERE label = qlabel AND vec_id <> qid ORDER BY cosine DESC, vec_id LIMIT 5"""
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe, label AS qlabel FROM embeddings WHERE vec_id = (SELECT min(vec_id) FROM embeddings)) SELECT vec_id, label, ${cosineSql("embedding", "qe")} AS cosine FROM embeddings, q WHERE label = qlabel AND vec_id <> qid ORDER BY cosine DESC, vec_id LIMIT 5""",
+    "sim_lsh_bucketed_pairs" ->
+      s"""WITH e AS (SELECT vec_id, embedding, CAST($lshSigSql AS BIGINT) AS bucket FROM embeddings) SELECT vec_a, vec_b, cosine FROM (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, ${cosineSql("a.embedding", "b.embedding")} AS cosine FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id) WHERE cosine >= 0.45 ORDER BY vec_a, vec_b"""
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

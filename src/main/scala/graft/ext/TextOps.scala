@@ -117,12 +117,19 @@ object TextOps {
     "text_lang_id" ->
       s"""SELECT doc_id, lang_label, s_de, s_en, s_es, s_fr, CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de' WHEN s_en >= s_es AND s_en >= s_fr THEN 'en' WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END AS lang_pred FROM (SELECT doc_id, lang AS lang_label, ${hitsSql(stopDe)} AS s_de, ${hitsSql(stopEn)} AS s_en, ${hitsSql(stopEs)} AS s_es, ${hitsSql(stopFr)} AS s_fr FROM (SELECT doc_id, lang, $toksSql AS t FROM documents)) ORDER BY doc_id""",
     "text_fingerprint" ->
-      s"""SELECT doc_id, md5(lower(trim(text))) AS fp_exact, md5(array_to_string(list_sort(list_distinct($shinglesSql)), '|')) AS fp_shingle FROM (SELECT doc_id, text, $toksSql AS t FROM documents) ORDER BY doc_id"""
+      s"""SELECT doc_id, md5(lower(trim(text))) AS fp_exact, md5(array_to_string(list_sort(list_distinct($shinglesSql)), '|')) AS fp_shingle FROM (SELECT doc_id, text, $toksSql AS t FROM documents) ORDER BY doc_id""",
+    // Karp–Rabin h = (h*257 + byte) mod 2^61-1, re-expressed as a
+    // HUGEINT list_reduce over code points. Valid because the corpus
+    // is pure ASCII (verified at every scale factor), where
+    // ord(char) == utf8 byte — the Spark expression hashes raw bytes.
+    "text_rolling_fingerprint" ->
+      """SELECT doc_id, CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT), list_transform(range(1, length(t)+1), i -> CAST(ord(substr(t, i, 1)) AS HUGEINT))), (h, b) -> (h * 257 + b) % 2305843009213693951) AS BIGINT) AS fp_rolling FROM (SELECT doc_id, lower(trim(text)) AS t FROM documents) ORDER BY doc_id"""
   )
 
   /** Rolling-hash (Karp–Rabin) content fingerprints via the native
-    * codegen'd expression — engine-hash-independent but not
-    * SQL-expressible, so checked rows-only (values unit-tested). */
+    * codegen'd expression — engine-hash-independent (pure arithmetic),
+    * so even this custom-Expression path is oracle-checked: DuckDB
+    * replays the polynomial fold in HUGEINT arithmetic. */
   def rollingFingerprint(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
     d.select(col("doc_id"),

@@ -57,14 +57,22 @@ object JoinsExtra {
         col("o_orderpriority").asc_nulls_first)
   }
 
-  /** Approximate distinct (HLL) next to the exact count — sketch ops
-    * are engine-specific, so the oracle checks only the exact column
-    * and the approx error bound is asserted in tests. */
+  /** Approximate distinct (HLL) checked against the exact count. The
+    * sketch estimate itself is engine-specific (DuckDB cannot
+    * reproduce Spark's HLL++), so the query emits the *semantic
+    * contract* instead of the raw estimate: the exact count plus a
+    * within-tolerance flag (rsd 0.02 sketch, 10% acceptance bound —
+    * comfortably wide; HLL is deterministic per dataset, so the flag
+    * is stable). The oracle asserts the exact count and that the
+    * sketch met its error bound. */
   def approxDistinctUsers(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(spark, dir)
     e.groupBy(col("event_type"))
       .agg(countDistinct(col("user_id")).as("exact_users"),
-        approx_count_distinct(col("user_id")).as("approx_users"))
+        approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
+      .select(col("event_type"), col("exact_users"),
+        (abs(col("approx_users") - col("exact_users")).cast("double")
+          / col("exact_users") <= 0.1).as("approx_within_10pct"))
       .orderBy(col("event_type"))
   }
 
@@ -76,7 +84,11 @@ object JoinsExtra {
     "agg_rollup_region_year" ->
       """SELECT region, order_year, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_revenue, COUNT(*) AS n FROM (SELECT r_name AS region, year(o_orderdate) AS order_year, o_totalprice FROM orders JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey) GROUP BY ROLLUP(region, order_year) ORDER BY region NULLS FIRST, order_year NULLS FIRST""",
     "agg_cube_status_priority" ->
-      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_revenue FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority) ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"""
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_revenue FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority) ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
+    // the oracle asserts the HLL sketch's error contract (flag TRUE)
+    // alongside the exact count it was measured against
+    "agg_approx_distinct" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS exact_users, TRUE AS approx_within_10pct FROM events GROUP BY event_type ORDER BY event_type"""
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -39,4 +39,23 @@ class DedupSpec extends SparkSpec {
     val pairs = Dedup.simhashPairs(spark, sf)
     assert(pairs.count() > 0)
   }
+
+  test("md5 simhash: near-dup pair shares bands; identical texts agree") {
+    val md5Sigs = Dedup.simhashSignaturesMd5(spark, sf)
+    // bands are 16-bit values
+    val bad = md5Sigs.filter(
+      (1 to 4).map(i => col(s"band${i - 1}")).map(c => c < 0 || c > 0xFFFF)
+        .reduce(_ || _))
+    assert(bad.count() === 0)
+    // the strongest planted near-dup pair should agree on ≥1 band
+    // (same property the banded join exploits)
+    val strongPair = Dedup.ngramJaccardPairs(spark, sf)
+      .orderBy(col("jaccard").desc).limit(1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).head
+    val rows = md5Sigs
+      .filter(col("doc_id").isin(strongPair._1, strongPair._2))
+      .collect().map(r => (1 to 4).map(i => r.getLong(i)))
+    val shared = rows(0).zip(rows(1)).count { case (a, b) => a == b }
+    assert(shared >= 1, s"near-dup pair shares no simhash band: $rows")
+  }
 }
