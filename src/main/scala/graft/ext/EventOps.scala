@@ -1,9 +1,11 @@
 package graft.ext
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.ops.ColumnOps._
+import graft.ops.{AsOfJoin, RangeJoin}
 
 /** Event-stream operators over the `events` table (ts, user_id,
   * event_type, value, props JSON). Batch forms here; the same
@@ -49,18 +51,108 @@ object EventOps {
       .orderBy(col("user_id"))
   }
 
+  /** As-of join: each purchase aligned to the user's latest preceding
+    * (or same-instant) click — the feature-store "latest observation"
+    * join, via the merge-style [[AsOfJoin]] operator (one shuffle on
+    * user_id + one window; no range product). Oracle is DuckDB's
+    * native ASOF JOIN, so the operator is checked against the
+    * canonical semantics, not against its own algorithm. */
+  def asOfPurchaseClick(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"), col("value").as("purchase_value"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+    AsOfJoin.backward(purchases, clicks, "user_id", "purchase_ts", "click_ts")
+      .orderBy(col("purchase_id"))
+  }
+
+  /** Gap-based batch sessionization: a >30-minute silence starts a new
+    * session (lag + running sum of break flags — one shuffle on
+    * user_id, two window passes over the same sort). The batch twin of
+    * the stateful streaming sessionizer in EventStreams. */
+  def sessionizeBatch(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val prevTs = lag(col("ts"), 1).over(byUser)
+    val brk = when(prevTs.isNull
+      || col("ts") - prevTs > expr("INTERVAL '30' MINUTE"), 1).otherwise(0)
+    e.select(col("user_id"), col("ts"), col("event_id"), col("value"),
+        brk.as("brk"))
+      .withColumn("session_id", sum(col("brk")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        sumMoney(col("value")).as("total_value"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  /** Exact grouped quantiles as lower order statistics (rank
+    * floor(q·(n-1)) within each group) — the grouped form of
+    * StatsOps.orderStat: one shuffle on the group key, one sort, all
+    * three quantiles from the same ranked pass. */
+  def groupedQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val ranked = Window.partitionBy(col("event_type"))
+      .orderBy(col("value"), col("event_id"))
+    val grp = Window.partitionBy(col("event_type"))
+    def q(p: Double) =
+      max(when(col("rn") === floor(lit(p) * (col("n") - 1)), col("value")))
+    e.select(col("event_type"), col("value"), col("event_id"))
+      .withColumn("rn", row_number().over(ranked) - 1)
+      .withColumn("n", count(lit(1)).over(grp))
+      .groupBy(col("event_type"))
+      .agg(q(0.25).as("p25"), q(0.5).as("p50"), q(0.9).as("p90"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Keyless time-range join via [[RangeJoin]] bucketing: clicks from
+    * ANY user within the 5 minutes before each error event (burst
+    * correlation). Equi-join on time bucket instead of a nested-loop
+    * range scan. */
+  def rangeErrorClicks(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val errors = e.filter(col("event_type") === "error")
+      .select(col("event_id").as("error_id"), col("ts").as("error_ts"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("ts").as("click_ts"))
+    RangeJoin.pointsWithin(errors, clicks, "error_ts", "click_ts", 300L)
+      .groupBy(col("error_id"))
+      .agg(count(lit(1)).as("n_clicks_5min"))
+      .orderBy(col("error_id"))
+  }
+
   val oracle: Map[String, String] = Map(
     "events_json_extract" ->
       """SELECT event_type, COUNT(*) AS n, CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k, CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(value) AS avg_value FROM events GROUP BY 1 ORDER BY 1""",
     "events_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value, COUNT(DISTINCT user_id) AS unique_users FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
     "events_user_activity" ->
-      """SELECT user_id, COUNT(*) AS n_events, CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value, MIN(ts) AS first_ts, MAX(ts) AS last_ts, COUNT(DISTINCT event_type) AS distinct_types FROM events GROUP BY 1 ORDER BY 1"""
+      """SELECT user_id, COUNT(*) AS n_events, CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value, MIN(ts) AS first_ts, MAX(ts) AS last_ts, COUNT(DISTINCT event_type) AS distinct_types FROM events GROUP BY 1 ORDER BY 1""",
+    // canonical ASOF JOIN semantics — checks the merge-style operator
+    // against DuckDB's native implementation, not against itself
+    "events_asof_purchase_click" ->
+      """SELECT p.user_id, p.event_id AS purchase_id, p.ts AS purchase_ts, p.value AS purchase_value, c.event_id AS click_id, c.ts AS click_ts FROM (SELECT * FROM events WHERE event_type = 'purchase') p ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c ON p.user_id = c.user_id AND p.ts >= c.ts ORDER BY purchase_id""",
+    "events_sessionize" ->
+      """WITH x AS (SELECT user_id, ts, event_id, value, CASE WHEN lag(ts) OVER w IS NULL OR ts - lag(ts) OVER w > INTERVAL '30' MINUTE THEN 1 ELSE 0 END AS brk FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), s AS (SELECT *, CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM x) SELECT user_id, session_id, MIN(ts) AS session_start, MAX(ts) AS session_end, COUNT(*) AS n_events, CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value FROM s GROUP BY 1, 2 ORDER BY 1, 2""",
+    "events_grouped_quantiles" ->
+      """WITH r AS (SELECT event_type, value, row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) - 1 AS rn, COUNT(*) OVER (PARTITION BY event_type) AS n FROM events) SELECT event_type, MAX(CASE WHEN rn = floor(0.25 * (n - 1)) THEN value END) AS p25, MAX(CASE WHEN rn = floor(0.5 * (n - 1)) THEN value END) AS p50, MAX(CASE WHEN rn = floor(0.9 * (n - 1)) THEN value END) AS p90 FROM r GROUP BY 1 ORDER BY 1""",
+    "events_range_error_clicks" ->
+      """SELECT e.event_id AS error_id, COUNT(*) AS n_clicks_5min FROM (SELECT * FROM events WHERE event_type = 'error') e JOIN (SELECT * FROM events WHERE event_type = 'click') c ON c.ts >= e.ts - INTERVAL '5' MINUTE AND c.ts <= e.ts GROUP BY 1 ORDER BY 1"""
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_json_extract" -> jsonExtract _,
     "events_hourly" -> hourlyRollup _,
-    "events_user_activity" -> userActivity _
+    "events_user_activity" -> userActivity _,
+    "events_asof_purchase_click" -> asOfPurchaseClick _,
+    "events_sessionize" -> sessionizeBatch _,
+    "events_grouped_quantiles" -> groupedQuantiles _,
+    "events_range_error_clicks" -> rangeErrorClicks _
   )
 }

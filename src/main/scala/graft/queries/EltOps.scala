@@ -189,7 +189,14 @@ object EltOps {
 
   /** C3 data-quality report in ONE pass (reference runs 6 separate
     * rules, etl_pipeline/transform.py:84-127 — fused here into a
-    * single aggregation so it's one scan at any scale). */
+    * single aggregation so it's one scan at any scale). Catalyst
+    * already plans all seven aggregates as one partial+final
+    * HashAggregate over a single scan, which is why no custom fused
+    * Aggregator exists: a TypedImperativeAggregate would duplicate
+    * what the declarative form gets for free, while leaving
+    * whole-stage codegen. (countDistinct adds an expand+reshuffle leg
+    * — the one thing a sketch would trade exactness to avoid; see
+    * agg_approx_distinct for that path.) */
   def qualityReport(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
     li.agg(
