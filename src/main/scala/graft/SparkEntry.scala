@@ -20,6 +20,7 @@ object SparkEntry {
     graft.queries.Analytics.queries ++
       graft.queries.EltOps.queries ++
       graft.queries.JoinsExtra.queries ++
+      graft.queries.Reshape.queries ++
       graft.pipeline.StarSchema.queries ++
       graft.pipeline.EtlPipeline.queries ++
       graft.ext.TextOps.queries ++
@@ -34,6 +35,7 @@ object SparkEntry {
     graft.queries.Analytics.oracle ++
       graft.queries.EltOps.oracle ++
       graft.queries.JoinsExtra.oracle ++
+      graft.queries.Reshape.oracle ++
       graft.pipeline.StarSchema.oracle ++
       graft.pipeline.EtlPipeline.oracle ++
       graft.ext.TextOps.oracle ++

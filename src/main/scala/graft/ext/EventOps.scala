@@ -127,6 +127,23 @@ object EventOps {
       .orderBy(col("error_id"))
   }
 
+  /** Native session windows (`session_window`, gap 30 min) — the
+    * built-in operator form of [[sessionizeBatch]]; the same grouping
+    * runs incrementally under Structured Streaming with a watermark.
+    * Session-window semantics start a new session at gap ≥ 30 min
+    * (each event extends the window to ts+gap, exclusive end), which
+    * the oracle's lag formulation mirrors with `>=`. */
+  def sessionWindows(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    e.groupBy(col("user_id"),
+        session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        sumMoney(col("value")).as("total_value"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("n_events"), col("total_value"))
+      .orderBy(col("user_id"), col("session_start"))
+  }
+
   val oracle: Map[String, String] = Map(
     "events_json_extract" ->
       """SELECT event_type, COUNT(*) AS n, CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k, CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(value) AS avg_value FROM events GROUP BY 1 ORDER BY 1""",
@@ -143,7 +160,10 @@ object EventOps {
     "events_grouped_quantiles" ->
       """WITH r AS (SELECT event_type, value, row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) - 1 AS rn, COUNT(*) OVER (PARTITION BY event_type) AS n FROM events) SELECT event_type, MAX(CASE WHEN rn = floor(0.25 * (n - 1)) THEN value END) AS p25, MAX(CASE WHEN rn = floor(0.5 * (n - 1)) THEN value END) AS p50, MAX(CASE WHEN rn = floor(0.9 * (n - 1)) THEN value END) AS p90 FROM r GROUP BY 1 ORDER BY 1""",
     "events_range_error_clicks" ->
-      """SELECT e.event_id AS error_id, COUNT(*) AS n_clicks_5min FROM (SELECT * FROM events WHERE event_type = 'error') e JOIN (SELECT * FROM events WHERE event_type = 'click') c ON c.ts >= e.ts - INTERVAL '5' MINUTE AND c.ts <= e.ts GROUP BY 1 ORDER BY 1"""
+      """SELECT e.event_id AS error_id, COUNT(*) AS n_clicks_5min FROM (SELECT * FROM events WHERE event_type = 'error') e JOIN (SELECT * FROM events WHERE event_type = 'click') c ON c.ts >= e.ts - INTERVAL '5' MINUTE AND c.ts <= e.ts GROUP BY 1 ORDER BY 1""",
+    // session_window semantics: new session at gap >= 30 min
+    "events_session_window" ->
+      """WITH x AS (SELECT user_id, ts, event_id, value, CASE WHEN lag(ts) OVER w IS NULL OR ts - lag(ts) OVER w >= INTERVAL '30' MINUTE THEN 1 ELSE 0 END AS brk FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), s AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM x) SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events, CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value FROM s GROUP BY user_id, sid ORDER BY user_id, session_start"""
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -153,6 +173,7 @@ object EventOps {
     "events_asof_purchase_click" -> asOfPurchaseClick _,
     "events_sessionize" -> sessionizeBatch _,
     "events_grouped_quantiles" -> groupedQuantiles _,
-    "events_range_error_clicks" -> rangeErrorClicks _
+    "events_range_error_clicks" -> rangeErrorClicks _,
+    "events_session_window" -> sessionWindows _
   )
 }

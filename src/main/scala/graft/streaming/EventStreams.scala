@@ -86,6 +86,27 @@ object EventStreams {
       .agg(count(lit(1)).as("n"))
       .select(col("w.start").as("window_start"), col("event_type"), col("n"))
 
+  /** Stream–stream interval join with watermarks on both sides: each
+    * purchase joined to the same user's clicks from the preceding 10
+    * minutes. Both watermarks bound the join state (clicks older than
+    * watermark - interval are evicted), so state size is O(rate ×
+    * interval), not unbounded — the canonical scalable shape for
+    * stream correlation. Batch parity is asserted in the spec. */
+  def purchaseClickStreamJoin(events: DataFrame): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "1 hour")
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    purchases.join(clicks,
+      expr("""p_user = c_user
+        AND click_ts >= purchase_ts - INTERVAL 10 MINUTES
+        AND click_ts <= purchase_ts"""))
+  }
+
   /** Per-user session state for [[sessionize]]. */
   case class UserSession(user_id: Long, n_events: Long, total_value: Double,
       first_ts: java.sql.Timestamp, last_ts: java.sql.Timestamp)

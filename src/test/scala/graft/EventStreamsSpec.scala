@@ -108,6 +108,26 @@ class EventStreamsSpec extends SparkSpec {
     assert(out.select(countDistinct(col("event_id"))).head.getLong(0) == n1 + n2)
   }
 
+  test("stream-stream interval join matches the batch join") {
+    val stream = EventStreams.eventsStream(spark, sf)
+    val q = EventStreams.runToMemory(
+      EventStreams.purchaseClickStreamJoin(stream), "ss_join_out", "append")
+    try {
+      val streamed = spark.table("ss_join_out").count()
+      val e = Tables.events(spark, sf)
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"))
+      val c = e.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("click_ts"))
+      val batch = p.join(c,
+        col("p_user") === col("c_user")
+          && col("click_ts") >= col("purchase_ts") - expr("INTERVAL 10 MINUTES")
+          && col("click_ts") <= col("purchase_ts")).count()
+      assert(streamed === batch)
+      assert(batch > 0)
+    } finally q.stop()
+  }
+
   test("sliding windows produce overlapping coverage") {
     val stream = EventStreams.eventsStream(spark, sf)
     val q = EventStreams.runToMemory(EventStreams.slidingCounts(stream),
