@@ -89,6 +89,47 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Composite corpus-filter pipeline — the decide-and-keep-provenance
+    * shape every LLM training-data pipeline ends in: exact-dup removal
+    * (first doc_id per content fingerprint survives), minimum length,
+    * and quality-score gates, with the first failing rule recorded as
+    * the drop reason. One window pass (dedup rank over the content
+    * hash) + per-row expressions — no joins, scales linearly. */
+  def corpusFilter(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val toks = tokens(col("text"))
+    val nTok = size(toks)
+    val nChar = length(col("text"))
+    val stopRatio = hits(toks, stopEn).cast("double") / nTok
+    val punct = (nChar - length(regexp_replace(col("text"), "[.,;:!?]", "")))
+      .cast("double") / nChar
+    val score = stopRatio * 0.5 + (lit(1.0) - punct) * 0.3 +
+      least(nTok.cast("double") / 100.0, lit(1.0)) * 0.2
+    val fp = md5(lower(trim(col("text"))).cast("binary"))
+    val dupRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(fp).orderBy(col("doc_id"))
+    val reason = when(row_number().over(dupRank) > 1, "duplicate")
+      .when(nTok < 30, "short")
+      .when(score < 0.35, "low_quality")
+      .otherwise("keep")
+    d.select(col("doc_id"), col("source"), nTok.as("token_count"),
+        reason.as("reason"))
+      .withColumn("keep", col("reason") === "keep")
+      .orderBy(col("doc_id"))
+  }
+
+  /** Per-source yield report over [[corpusFilter]]: docs in, docs
+    * kept, drop-reason breakdown — the corpus-curation dashboard. */
+  def corpusFilterSummary(spark: SparkSession, dir: String): DataFrame =
+    corpusFilter(spark, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("docs"),
+        sum(col("keep").cast("long")).as("kept"),
+        sum((col("reason") === "duplicate").cast("long")).as("dropped_duplicate"),
+        sum((col("reason") === "short").cast("long")).as("dropped_short"),
+        sum((col("reason") === "low_quality").cast("long")).as("dropped_low_quality"))
+      .orderBy(col("source"))
+
   /** Document fingerprints: exact (md5 of normalized text) and
     * shingle-set (md5 of the sorted distinct 3-gram set) — the
     * content-defined keys that downstream dedup joins on. */
@@ -123,7 +164,11 @@ object TextOps {
     // is pure ASCII (verified at every scale factor), where
     // ord(char) == utf8 byte — the Spark expression hashes raw bytes.
     "text_rolling_fingerprint" ->
-      """SELECT doc_id, CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT), list_transform(range(1, length(t)+1), i -> CAST(ord(substr(t, i, 1)) AS HUGEINT))), (h, b) -> (h * 257 + b) % 2305843009213693951) AS BIGINT) AS fp_rolling FROM (SELECT doc_id, lower(trim(text)) AS t FROM documents) ORDER BY doc_id"""
+      """SELECT doc_id, CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT), list_transform(range(1, length(t)+1), i -> CAST(ord(substr(t, i, 1)) AS HUGEINT))), (h, b) -> (h * 257 + b) % 2305843009213693951) AS BIGINT) AS fp_rolling FROM (SELECT doc_id, lower(trim(text)) AS t FROM documents) ORDER BY doc_id""",
+    "text_corpus_filter" ->
+      s"""WITH q AS (SELECT doc_id, source, len(t) AS token_count, CAST(${hitsSql(stopEn)} AS DOUBLE) / len(t) * 0.5 + (1.0 - CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE) / length(text)) * 0.3 + least(CAST(len(t) AS DOUBLE) / 100.0, 1.0) * 0.2 AS score, row_number() OVER (PARTITION BY md5(lower(trim(text))) ORDER BY doc_id) AS rn FROM (SELECT doc_id, source, text, $toksSql AS t FROM documents)) SELECT doc_id, source, token_count, reason, reason = 'keep' AS keep FROM (SELECT doc_id, source, token_count, CASE WHEN rn > 1 THEN 'duplicate' WHEN token_count < 30 THEN 'short' WHEN score < 0.35 THEN 'low_quality' ELSE 'keep' END AS reason FROM q) ORDER BY doc_id""",
+    "text_corpus_filter_summary" ->
+      s"""WITH q AS (SELECT doc_id, source, len(t) AS token_count, CAST(${hitsSql(stopEn)} AS DOUBLE) / len(t) * 0.5 + (1.0 - CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE) / length(text)) * 0.3 + least(CAST(len(t) AS DOUBLE) / 100.0, 1.0) * 0.2 AS score, row_number() OVER (PARTITION BY md5(lower(trim(text))) ORDER BY doc_id) AS rn FROM (SELECT doc_id, source, text, $toksSql AS t FROM documents)), r AS (SELECT source, CASE WHEN rn > 1 THEN 'duplicate' WHEN token_count < 30 THEN 'short' WHEN score < 0.35 THEN 'low_quality' ELSE 'keep' END AS reason FROM q) SELECT source, COUNT(*) AS docs, CAST(SUM(CASE WHEN reason = 'keep' THEN 1 ELSE 0 END) AS BIGINT) AS kept, CAST(SUM(CASE WHEN reason = 'duplicate' THEN 1 ELSE 0 END) AS BIGINT) AS dropped_duplicate, CAST(SUM(CASE WHEN reason = 'short' THEN 1 ELSE 0 END) AS BIGINT) AS dropped_short, CAST(SUM(CASE WHEN reason = 'low_quality' THEN 1 ELSE 0 END) AS BIGINT) AS dropped_low_quality FROM r GROUP BY 1 ORDER BY 1"""
   )
 
   /** Rolling-hash (Karp–Rabin) content fingerprints via the native
@@ -139,6 +184,8 @@ object TextOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_rolling_fingerprint" -> rollingFingerprint _,
+    "text_corpus_filter" -> corpusFilter _,
+    "text_corpus_filter_summary" -> corpusFilterSummary _,
     "text_token_count" -> tokenCount _,
     "text_quality_score" -> qualityScore _,
     "text_lang_id" -> langId _,
