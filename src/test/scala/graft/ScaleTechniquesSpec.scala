@@ -48,4 +48,22 @@ class ScaleTechniquesSpec extends SparkSpec {
       db.conf.set("spark.sql.adaptive.enabled", prevAqe)
     }
   }
+
+  test("partitioned layout prunes non-matching partitions at scan") {
+    val out = java.nio.file.Files.createTempDirectory("graft_part").toString
+    val o = Tables.orders(spark, sf)
+      .withColumn("order_year", year(col("o_orderdate")))
+    o.write.mode("overwrite").partitionBy("order_year").parquet(out)
+    val filtered = spark.read.parquet(out)
+      .filter(col("order_year") === 1995)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    // the year predicate must become a partition filter (directory
+    // pruning), not a row filter over the full scan
+    val scan = filtered.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString("\n")
+    assert(scan.contains("PartitionFilters") &&
+      scan.contains("order_year"), s"no partition pruning:\n$scan")
+    val expected = o.filter(col("order_year") === 1995).count()
+    assert(filtered.count() == expected && expected > 0)
+  }
 }
