@@ -21,6 +21,7 @@ object SparkEntry {
       graft.queries.EltOps.queries ++
       graft.queries.JoinsExtra.queries ++
       graft.queries.Reshape.queries ++
+      graft.queries.WindowAnalytics.queries ++
       graft.pipeline.StarSchema.queries ++
       graft.pipeline.EtlPipeline.queries ++
       graft.ext.TextOps.queries ++
@@ -36,6 +37,7 @@ object SparkEntry {
       graft.queries.EltOps.oracle ++
       graft.queries.JoinsExtra.oracle ++
       graft.queries.Reshape.oracle ++
+      graft.queries.WindowAnalytics.oracle ++
       graft.pipeline.StarSchema.oracle ++
       graft.pipeline.EtlPipeline.oracle ++
       graft.ext.TextOps.oracle ++

@@ -76,6 +76,28 @@ object JoinsExtra {
       .orderBy(col("event_type"))
   }
 
+  /** EXCEPT: customers active in 1995 but gone in 1996 (churn set).
+    * Plans as a left-anti hash join after aggregation — no sort-based
+    * set machinery needed. */
+  def exceptChurned(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    def buyers(y: Int) = o.filter(year(col("o_orderdate")) === y)
+      .select(col("o_custkey")).distinct()
+    buyers(1995).except(buyers(1996))
+      .select(col("o_custkey").as("churned_custkey"))
+      .orderBy(col("churned_custkey"))
+  }
+
+  /** INTERSECT: customers active in both 1995 and 1996 (retained set). */
+  def intersectRetained(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    def buyers(y: Int) = o.filter(year(col("o_orderdate")) === y)
+      .select(col("o_custkey")).distinct()
+    buyers(1995).intersect(buyers(1996))
+      .select(col("o_custkey").as("retained_custkey"))
+      .orderBy(col("retained_custkey"))
+  }
+
   val oracle: Map[String, String] = Map(
     "join_semi_customers" ->
       """SELECT c_custkey, c_mktsegment FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) ORDER BY c_custkey""",
@@ -88,7 +110,11 @@ object JoinsExtra {
     // the oracle asserts the HLL sketch's error contract (flag TRUE)
     // alongside the exact count it was measured against
     "agg_approx_distinct" ->
-      """SELECT event_type, COUNT(DISTINCT user_id) AS exact_users, TRUE AS approx_within_10pct FROM events GROUP BY event_type ORDER BY event_type"""
+      """SELECT event_type, COUNT(DISTINCT user_id) AS exact_users, TRUE AS approx_within_10pct FROM events GROUP BY event_type ORDER BY event_type""",
+    "set_except_churned" ->
+      """SELECT o_custkey AS churned_custkey FROM (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995 EXCEPT SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996) ORDER BY 1""",
+    "set_intersect_retained" ->
+      """SELECT o_custkey AS retained_custkey FROM (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995 INTERSECT SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996) ORDER BY 1"""
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -96,6 +122,8 @@ object JoinsExtra {
     "join_anti_customers" -> antiJoinCustomers _,
     "agg_rollup_region_year" -> rollupRegionYear _,
     "agg_cube_status_priority" -> cubeStatusPriority _,
-    "agg_approx_distinct" -> approxDistinctUsers _
+    "agg_approx_distinct" -> approxDistinctUsers _,
+    "set_except_churned" -> exceptChurned _,
+    "set_intersect_retained" -> intersectRetained _
   )
 }

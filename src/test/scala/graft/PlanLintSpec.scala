@@ -12,7 +12,11 @@ class PlanLintSpec extends SparkSpec {
   // (surrogate keys on distinct'd dims — see StarSchema scaladoc)
   private val allowGlobalWindow = Set(
     "star_dim_date", "star_dim_country", "star_dim_item",
-    "star_dim_channel", "star_fact_sales", "star_revenue_by_year")
+    "star_dim_channel", "star_fact_sales", "star_revenue_by_year",
+    // time-series windows over POST-AGGREGATION frames (one row per
+    // day/month — bounded by the calendar, not by fact size; see
+    // WindowAnalytics scaladoc)
+    "window_moving_average", "window_month_over_month")
 
   // intentional exceptions: exactness baselines over bounded inputs,
   // kept next to their scale paths (IVF/LSH) — see Dedup scaladoc
