@@ -144,6 +144,33 @@ object EventStreams {
       }.toDF()
   }
 
+  /** Idempotent gold-layer sink via foreachBatch: each micro-batch is
+    * anti-joined against the keys already in the gold directory before
+    * appending — the streaming form of the reference's UNIQUE-key
+    * dedup backstop (SURVEY.md §4), without a transactional table
+    * format. Micro-batches execute sequentially per query, so the
+    * read-check-append sequence is race-free; a replayed batch (e.g.
+    * after checkpoint recovery) becomes a no-op instead of writing
+    * duplicates. */
+  def dedupAppendGold(df: DataFrame, goldDir: String, keyCol: String,
+      checkpointDir: String): StreamingQuery = {
+    val q = df.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val fresh =
+          if (new java.io.File(goldDir).exists()) {
+            val existing = spark.read.parquet(goldDir).select(keyCol)
+            batch.join(existing, Seq(keyCol), "left_anti")
+          } else batch
+        fresh.write.mode("append").parquet(goldDir)
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q
+  }
+
   /** Run a streaming frame to completion into an in-memory table
     * (test/local harness; production uses a durable sink +
     * checkpointLocation). Output mode is a parameter: windowed

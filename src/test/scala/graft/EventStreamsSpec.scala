@@ -108,6 +108,45 @@ class EventStreamsSpec extends SparkSpec {
     assert(out.select(countDistinct(col("event_id"))).head.getLong(0) == n1 + n2)
   }
 
+  test("foreachBatch gold sink is idempotent on replayed keys") {
+    import java.nio.file.{Files, Paths}
+    val base = Files.createTempDirectory("graft_gold_sink")
+    val srcDir = s"$base/src"; Files.createDirectories(Paths.get(srcDir))
+    val all = Tables.events(spark, sf)
+
+    def stageFile(filter: org.apache.spark.sql.Column, name: String): Long = {
+      val tmp = Files.createTempDirectory("graft_gold_batch")
+      val part = all.filter(filter)
+      part.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val f = new java.io.File(tmp.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(f.toPath, Paths.get(srcDir, name))
+      part.count()
+    }
+
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(all.schema).parquet(srcDir)
+      EventStreams.dedupAppendGold(stream, s"$base/gold", "event_id",
+        s"$base/chk").stop()
+    }
+
+    val n1 = stageFile(col("event_id") % 3 === 0, "b1.parquet")
+    runOnce()
+    assert(spark.read.parquet(s"$base/gold").count() == n1)
+
+    // the same keys arrive again in a new file: the anti-join backstop
+    // must drop every row instead of appending duplicates
+    stageFile(col("event_id") % 3 === 0, "b1_replay.parquet")
+    runOnce()
+    assert(spark.read.parquet(s"$base/gold").count() == n1)
+
+    val n2 = stageFile(col("event_id") % 3 === 1, "b2.parquet")
+    runOnce()
+    val gold = spark.read.parquet(s"$base/gold")
+    assert(gold.count() == n1 + n2)
+    assert(gold.select(countDistinct(col("event_id"))).head.getLong(0) == n1 + n2)
+  }
+
   test("stream-stream interval join matches the batch join") {
     val stream = EventStreams.eventsStream(spark, sf)
     val q = EventStreams.runToMemory(

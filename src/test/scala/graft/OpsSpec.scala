@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.ops.ColumnOps._
-import graft.ops.StatsOps
+import graft.ops.{StageLog, StatsOps}
 
 class OpsSpec extends SparkSpec {
   private val ss = SparkSpec.spark
@@ -57,5 +57,16 @@ class OpsSpec extends SparkSpec {
     assert(StatsOps.median(df, $"x") == 50.0)
     val (lo, hi) = StatsOps.iqrBounds(df, $"x")
     assert(lo == 25.0 - 1.5 * 50.0 && hi == 75.0 + 1.5 * 50.0)
+  }
+
+  test("StageLog.observed collects metrics with the action, no extra pass") {
+    val src = Seq((1L, Some(1.0)), (2L, None), (3L, Some(3.0)))
+      .toDF("id", "v")
+    val (df, obs) = StageLog.observed("clean", src, "v")
+    assert(df.count() == 3)
+    val m = StageLog.metrics(obs)
+    assert(m("rows") == 3L && m("nulls_v") == 1L)
+    val table = StageLog.metricsTable(ss, Seq("clean" -> m))
+    assert(table.collect().head.getLong(1) == 3L)
   }
 }
