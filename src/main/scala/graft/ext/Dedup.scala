@@ -163,6 +163,27 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** The same md5-bit signature through the fused custom aggregate
+    * ([[graft.functions.SimHashAgg]]): one int[64] vote buffer per
+    * group instead of 64 SUM columns — the registered production path.
+    * Equality with the declarative formulation is asserted in
+    * FunctionsSpec, and the DuckDB oracle (which replays the
+    * declarative votes) checks it end-to-end. */
+  def simhashSignaturesAgg(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val tok = d.select(col("doc_id"),
+        explode(array_distinct(tokens(col("text")))).as("tok"))
+      .withColumn("h", md5(col("tok").cast("binary")))
+    tok.groupBy(col("doc_id"))
+      .agg(graft.functions.SimHashAgg(col("h")).as("sig"))
+      .select(col("doc_id"),
+        col("sig").bitwiseAND(lit(0xFFFFL)).as("band0"),
+        shiftright(col("sig"), 16).bitwiseAND(lit(0xFFFFL)).as("band1"),
+        shiftright(col("sig"), 32).bitwiseAND(lit(0xFFFFL)).as("band2"),
+        shiftright(col("sig"), 48).bitwiseAND(lit(0xFFFFL)).as("band3"))
+      .orderBy(col("doc_id"))
+  }
+
   /** SimHash near-dup pairs via banded join + Hamming filter. */
   def simhashPairs(spark: SparkSession, dir: String, maxHamming: Int = 8): DataFrame = {
     val s = simhashSignatures(spark, dir)
@@ -244,7 +265,7 @@ object Dedup {
     "dedup_exact_summary" -> exactSummary _,
     "dedup_ngram_jaccard" -> ngramJaccardPairs _,
     "dedup_minhash_lsh" -> minhashLshPairs _,
-    "dedup_simhash" -> simhashSignaturesMd5 _,
+    "dedup_simhash" -> simhashSignaturesAgg _,
     "dedup_embedding_cosine" -> embeddingCosinePairs _
   )
 }

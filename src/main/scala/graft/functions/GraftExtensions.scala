@@ -16,6 +16,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(GraftExtensions.cosineSimilarityDescriptor)
+    e.injectFunction(GraftExtensions.simhashAggDescriptor)
   }
 }
 
@@ -30,11 +31,22 @@ object GraftExtensions {
       CosineSimilarity(children.head, children(1))
     })
 
+  private[functions] val simhashAggDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("simhash_agg"),
+    new ExpressionInfo(classOf[SimHashAgg].getName, "simhash_agg"),
+    (children: Seq[Expression]) => {
+      require(children.size == 1,
+        s"simhash_agg takes 1 argument, got ${children.size}")
+      SimHashAgg(children.head).toAggregateExpression()
+    })
+
   /** Imperative registration on an existing session (tests, REPL). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
-    val (_, info, builder) = cosineSimilarityDescriptor
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "cosine_similarity", builder, "scala_udf")
-    val _ = info
+    Seq(cosineSimilarityDescriptor, simhashAggDescriptor).foreach {
+      case (id, _, builder) =>
+        spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+          id.funcName, builder, "scala_udf")
+    }
   }
 }

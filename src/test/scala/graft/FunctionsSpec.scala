@@ -68,4 +68,30 @@ class FunctionsSpec extends SparkSpec {
     assert(plan.linesIterator.exists(l =>
       l.contains("cosinesimilarity") && l.trim.startsWith("*(")), plan)
   }
+
+  test("SimHashAgg equals the declarative 64-column vote formulation") {
+    val agg = graft.ext.Dedup.simhashSignaturesAgg(spark, sf)
+      .collect().map(r => (r.getLong(0), (1 to 4).map(r.getLong)))
+    val declarative = graft.ext.Dedup.simhashSignaturesMd5(spark, sf)
+      .collect().map(r => (r.getLong(0), (1 to 4).map(r.getLong)))
+    assert(agg.nonEmpty && agg.sameElements(declarative))
+  }
+
+  test("simhash_agg is SQL-callable and merges across partitions") {
+    graft.functions.GraftExtensions.register(spark)
+    Tables.documents(spark, sf).createOrReplaceTempView("docs_simhash")
+    // force multiple partitions so partial buffers must merge
+    val r = spark.sql(
+      """SELECT simhash_agg(md5(CAST(tok AS BINARY))) AS sig
+        |FROM (SELECT explode(split(text, ' ')) AS tok
+        |      FROM docs_simhash DISTRIBUTE BY doc_id)""".stripMargin)
+      .head.getLong(0)
+    val single = spark.sql(
+      """SELECT simhash_agg(md5(CAST(tok AS BINARY))) AS sig
+        |FROM (SELECT explode(split(text, ' ')) AS tok
+        |      FROM docs_simhash) t""".stripMargin)
+      .repartition(1)
+      .head.getLong(0)
+    assert(r == single)
+  }
 }
