@@ -41,19 +41,25 @@ object Bench {
     // warm-up: JVM/codegen/file-footer caches. Guarded like the timed
     // loop — one broken query must not take down the bench output.
     qs.foreach { n =>
-      try { SparkEntry.queries(n)(spark, sfDir).count() }
+      try { SparkEntry.queries(n)(spark, sfDir).collect() }
       catch { case _: Throwable => () }
     }
+    // collect(), not count(): count() lets the optimizer prune the
+    // aggregate value columns (a sum the caller never reads is
+    // removed), so it would under-measure. collect() materializes
+    // every output column; all headline results are tiny (≤ 100 rows).
     val results = qs.map { name =>
       val t0 = System.nanoTime()
-      try { SparkEntry.queries(name)(spark, sfDir).count() }
-      catch { case _: Throwable => -1L }
+      try { SparkEntry.queries(name)(spark, sfDir).collect() }
+      catch { case _: Throwable => Array.empty[org.apache.spark.sql.Row] }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qjson = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"sf":"$sfDir"}""")
+    val note = "collect() full materialization (round-1 bench used " +
+      "count(), which let the optimizer prune aggregate value columns)"
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"sf":"$sfDir","note":"$note"}""")
     spark.stop()
   }
 }
