@@ -69,16 +69,33 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** Frame-sampling plumbing: expand each media payload into a
+    * bounded set of frame indices (stride = frame_count/4, ≥1) — the
+    * row-expansion shape a video pipeline feeds to per-frame feature
+    * extraction. The expansion is map-side (Generate), bounded at 4
+    * rows per doc, and the stub's deterministic frame_count keeps it
+    * oracle-checkable. */
+  def frameSample(spark: SparkSession, dir: String): DataFrame =
+    features(spark, dir)
+      .select(col("doc_id"), col("frame_count"),
+        explode(sequence(lit(0), col("frame_count") - 1,
+          greatest(lit(1), floor(col("frame_count") / 4).cast("int"))))
+          .as("frame_idx"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+
   val oracle: Map[String, String] = Map(
     "mm_metadata" ->
       """SELECT doc_id, octet_length(CAST(text AS BLOB)) AS byte_len, md5(text) AS content_md5, source FROM documents ORDER BY doc_id""",
     // mirrors decodeStub's deterministic fake-feature arithmetic
     "mm_features" ->
-      """SELECT doc_id, l AS byte_len, 64 + l % 1216 AS width, 64 + (l * 7) % 656 AS height, 3 AS channels, 1 + l % 16 AS frame_count FROM (SELECT doc_id, octet_length(CAST(text AS BLOB)) AS l FROM documents) ORDER BY doc_id"""
+      """SELECT doc_id, l AS byte_len, 64 + l % 1216 AS width, 64 + (l * 7) % 656 AS height, 3 AS channels, 1 + l % 16 AS frame_count FROM (SELECT doc_id, octet_length(CAST(text AS BLOB)) AS l FROM documents) ORDER BY doc_id""",
+    "mm_frame_sample" ->
+      """SELECT doc_id, frame_count, CAST(unnest(range(0, frame_count, greatest(1, CAST(floor(frame_count / 4) AS INTEGER)))) AS INTEGER) AS frame_idx FROM (SELECT doc_id, 1 + octet_length(CAST(text AS BLOB)) % 16 AS frame_count FROM documents) ORDER BY doc_id, frame_idx"""
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_metadata" -> metadata _,
-    "mm_features" -> features _
+    "mm_features" -> features _,
+    "mm_frame_sample" -> frameSample _
   )
 }

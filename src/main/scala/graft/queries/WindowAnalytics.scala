@@ -71,18 +71,42 @@ object WindowAnalytics {
       .orderBy(col("order_month"))
   }
 
+  /** Top-k per group via ranked window (row_number ≤ k) — the
+    * grouped form of O2's sort-limit: top-3 orders by price within
+    * each region. Partitioned window + per-partition top-k; no
+    * global sort of the fact. */
+  def top3OrdersPerRegion(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir)
+    val joined = o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .select(col("r_name").as("region"), col("o_orderkey"),
+        col("o_totalprice"))
+    val w = Window.partitionBy(col("region"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    joined.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .orderBy(col("region"), col("rk"))
+  }
+
   val oracle: Map[String, String] = Map(
     "window_moving_average" ->
       """WITH d AS (SELECT strftime(o_orderdate, '%Y-%m-%d') AS order_day, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS daily_revenue FROM orders GROUP BY 1) SELECT order_day, daily_revenue, CAST(SUM(CAST(daily_revenue AS DECIMAL(18,6))) OVER ma AS DOUBLE) / COUNT(*) OVER ma AS ma7, CAST(SUM(CAST(daily_revenue AS DECIMAL(18,6))) OVER cum AS DOUBLE) AS cumulative_revenue FROM d WINDOW ma AS (ORDER BY order_day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), cum AS (ORDER BY order_day ROWS UNBOUNDED PRECEDING) ORDER BY order_day""",
     "window_month_rank" ->
       """WITH m AS (SELECT year(o_orderdate) AS order_year, month(o_orderdate) AS order_month, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue FROM orders GROUP BY 1, 2) SELECT order_year, order_month, revenue, CAST(rank() OVER (PARTITION BY order_year ORDER BY revenue DESC, order_month) AS INTEGER) AS rank_in_year, revenue / CAST(SUM(CAST(revenue AS DECIMAL(18,6))) OVER (PARTITION BY order_year) AS DOUBLE) AS share_of_year FROM m ORDER BY order_year, order_month""",
     "window_month_over_month" ->
-      """WITH m AS (SELECT strftime(o_orderdate, '%Y-%m') AS order_month, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue FROM orders GROUP BY 1) SELECT order_month, revenue, lag(revenue) OVER w AS prev_revenue, revenue - lag(revenue) OVER w AS mom_delta FROM m WINDOW w AS (ORDER BY order_month) ORDER BY order_month"""
+      """WITH m AS (SELECT strftime(o_orderdate, '%Y-%m') AS order_month, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue FROM orders GROUP BY 1) SELECT order_month, revenue, lag(revenue) OVER w AS prev_revenue, revenue - lag(revenue) OVER w AS mom_delta FROM m WINDOW w AS (ORDER BY order_month) ORDER BY order_month""",
+    "window_top3_per_region" ->
+      """SELECT region, o_orderkey, o_totalprice, rk FROM (SELECT r_name AS region, o_orderkey, o_totalprice, CAST(row_number() OVER (PARTITION BY r_name ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rk FROM orders JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey) WHERE rk <= 3 ORDER BY region, rk"""
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "window_moving_average" -> movingAverage _,
     "window_month_rank" -> monthRankInYear _,
-    "window_month_over_month" -> monthOverMonth _
+    "window_month_over_month" -> monthOverMonth _,
+    "window_top3_per_region" -> top3OrdersPerRegion _
   )
 }
