@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -111,6 +112,55 @@ object Similarity {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  /** Embedding preprocessing profile: L2 norm, max-|x|, and an int8
+    * quantization checksum (`floor(127·x/max_abs + 0.5)` summed — the
+    * storage-shrink step before ANN indexing, reported as scalars so
+    * the whole path is oracle-checkable). Per-row array folds only —
+    * no shuffle beyond the final sort. */
+  def embeddingProfile(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val maxAbs = array_max(transform(col("v"), x => abs(x)))
+    val qsum = aggregate(
+      transform(col("v"), x =>
+        floor(lit(127.0) * x / col("max_abs") + lit(0.5)).cast("int")),
+      lit(0), _ + _)
+    e.select(col("vec_id"), col("v"), size(col("v")).as("n_dims"),
+        sqrt(aggregate(transform(col("v"), x => x * x), lit(0.0), _ + _))
+          .as("l2_norm"),
+        maxAbs.as("max_abs"))
+      .select(col("vec_id"), col("n_dims"), col("l2_norm"), col("max_abs"),
+        qsum.as("quant_sum"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** Nearest-representative assignment (IVF probe evaluation): each
+    * vector is assigned to the label whose representative (min-vec_id
+    * member) it is most cosine-similar to; `matches_label` reports
+    * agreement with the stored coarse label. The 8 representatives
+    * broadcast; one pass over the corpus. */
+  def centroidAssign(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+    val reps = e.join(
+        e.groupBy(col("label").as("rep_label"))
+          .agg(min(col("vec_id")).as("rep_id")),
+        col("vec_id") === col("rep_id"))
+      .select(col("rep_label"), col("v").as("rep_v"))
+    val scored = e.join(broadcast(reps))
+      .select(col("vec_id"), col("label"), col("rep_label"),
+        cosine(col("v"), col("rep_v")).as("cos"))
+    val best = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("rep_label"))
+    scored.withColumn("rk", row_number().over(best))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("label"),
+        col("rep_label").as("assigned_label"),
+        (col("label") === col("rep_label")).as("matches_label"))
+      .orderBy(col("vec_id"))
+  }
+
   private val dotSql = (a: String, b: String) =>
     s"""list_sum(list_transform(range(1, len($a)+1), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"""
   private def cosineSql(a: String, b: String) =
@@ -130,12 +180,18 @@ object Similarity {
     "sim_ivf_topk" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe, label AS qlabel FROM embeddings WHERE vec_id = (SELECT min(vec_id) FROM embeddings)) SELECT vec_id, label, ${cosineSql("embedding", "qe")} AS cosine FROM embeddings, q WHERE label = qlabel AND vec_id <> qid ORDER BY cosine DESC, vec_id LIMIT 5""",
     "sim_lsh_bucketed_pairs" ->
-      s"""WITH e AS (SELECT vec_id, embedding, CAST($lshSigSql AS BIGINT) AS bucket FROM embeddings) SELECT vec_a, vec_b, cosine FROM (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, ${cosineSql("a.embedding", "b.embedding")} AS cosine FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id) WHERE cosine >= 0.45 ORDER BY vec_a, vec_b"""
+      s"""WITH e AS (SELECT vec_id, embedding, CAST($lshSigSql AS BIGINT) AS bucket FROM embeddings) SELECT vec_a, vec_b, cosine FROM (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, ${cosineSql("a.embedding", "b.embedding")} AS cosine FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id) WHERE cosine >= 0.45 ORDER BY vec_a, vec_b""",
+    "sim_embedding_profile" ->
+      """SELECT vec_id, n_dims, sqrt(sq) AS l2_norm, max_abs, CAST(list_sum(list_transform(v, x -> CAST(floor(127.0 * x / max_abs + 0.5) AS INTEGER))) AS INTEGER) AS quant_sum FROM (SELECT vec_id, len(embedding) AS n_dims, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v, list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS sq, list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS max_abs FROM embeddings) ORDER BY vec_id""",
+    "sim_centroid_assign" ->
+      s"""WITH reps AS (SELECT label AS rep_label, embedding AS rep_v FROM embeddings WHERE vec_id IN (SELECT min(vec_id) FROM embeddings GROUP BY label)), scored AS (SELECT e.vec_id, e.label, r.rep_label, ${cosineSql("e.embedding", "r.rep_v")} AS cos FROM embeddings e CROSS JOIN reps r), ranked AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, rep_label) AS rk FROM scored) SELECT vec_id, label, rep_label AS assigned_label, label = rep_label AS matches_label FROM ranked WHERE rk = 1 ORDER BY vec_id"""
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_bruteforce_topk" -> bruteForceTopK _,
     "sim_ivf_topk" -> ivfTopK _,
-    "sim_lsh_bucketed_pairs" -> lshBucketedPairs _
+    "sim_lsh_bucketed_pairs" -> lshBucketedPairs _,
+    "sim_embedding_profile" -> embeddingProfile _,
+    "sim_centroid_assign" -> centroidAssign _
   )
 }
