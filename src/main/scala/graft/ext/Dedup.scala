@@ -90,12 +90,14 @@ object Dedup {
     }
 
   /** MinHash+LSH near-dup pairs: signatures → banded bucket join →
-    * exact Jaccard verification restricted to band candidates (the
-    * count-based verification joins the candidate set against the
-    * shared-shingle pair stream — skinny rows, no arrays shuffled).
-    * On corpora whose shingle vocabulary is large, the band join
-    * prunes the verification stream to near-dups only; that pruning
-    * is the LSH scale advantage over [[ngramJaccardPairs]]. */
+    * exact Jaccard verification on band candidates ONLY (shingle sets
+    * attached to the candidate pairs) — verification work is
+    * proportional to the candidate count, which is what banding is
+    * for. On a real-vocabulary corpus candidates are rare and this is
+    * far cheaper than [[ngramJaccardPairs]]'s full shared-shingle
+    * pass; on this synthetic tiny-vocabulary corpus nearly all pairs
+    * collide, so the exact path wins locally — the regimes are
+    * documented here precisely because they invert at scale. */
   def minhashLshPairs(spark: SparkSession, dir: String): DataFrame = {
     val t = docShingles(spark, dir)
     val mh = withMinhashes(t)
@@ -113,7 +115,14 @@ object Dedup {
           && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    cand.join(sharedPairJaccard(t), Seq("doc_a", "doc_b"))
+    val sa = t.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val sb = t.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    cand.join(sa, Seq("doc_a")).join(sb, Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          (size(col("sh_a")) + size(col("sh_b"))
+            - size(array_intersect(col("sh_a"), col("sh_b")))))
+          .as("jaccard"))
       .filter(col("jaccard") >= JaccardThreshold)
       .orderBy(col("doc_a"), col("doc_b"))
   }

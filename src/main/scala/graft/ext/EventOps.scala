@@ -97,7 +97,10 @@ object EventOps {
     * StatsOps.orderStat: one shuffle on the group key, one sort, all
     * three quantiles from the same ranked pass. */
   def groupedQuantiles(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.events(spark, dir)
+    // quantiles are over NON-NULL values (StatsOps.orderStat
+    // convention); without the filter, Spark ranks nulls first while
+    // DuckDB ranks them last, shifting every rank if a null appears
+    val e = Tables.events(spark, dir).filter(col("value").isNotNull)
     val ranked = Window.partitionBy(col("event_type"))
       .orderBy(col("value"), col("event_id"))
     val grp = Window.partitionBy(col("event_type"))
@@ -158,7 +161,7 @@ object EventOps {
     "events_sessionize" ->
       """WITH x AS (SELECT user_id, ts, event_id, value, CASE WHEN lag(ts) OVER w IS NULL OR ts - lag(ts) OVER w > INTERVAL '30' MINUTE THEN 1 ELSE 0 END AS brk FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), s AS (SELECT *, CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM x) SELECT user_id, session_id, MIN(ts) AS session_start, MAX(ts) AS session_end, COUNT(*) AS n_events, CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value FROM s GROUP BY 1, 2 ORDER BY 1, 2""",
     "events_grouped_quantiles" ->
-      """WITH r AS (SELECT event_type, value, row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) - 1 AS rn, COUNT(*) OVER (PARTITION BY event_type) AS n FROM events) SELECT event_type, MAX(CASE WHEN rn = floor(0.25 * (n - 1)) THEN value END) AS p25, MAX(CASE WHEN rn = floor(0.5 * (n - 1)) THEN value END) AS p50, MAX(CASE WHEN rn = floor(0.9 * (n - 1)) THEN value END) AS p90 FROM r GROUP BY 1 ORDER BY 1""",
+      """WITH r AS (SELECT event_type, value, row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) - 1 AS rn, COUNT(*) OVER (PARTITION BY event_type) AS n FROM events WHERE value IS NOT NULL) SELECT event_type, MAX(CASE WHEN rn = floor(0.25 * (n - 1)) THEN value END) AS p25, MAX(CASE WHEN rn = floor(0.5 * (n - 1)) THEN value END) AS p50, MAX(CASE WHEN rn = floor(0.9 * (n - 1)) THEN value END) AS p90 FROM r GROUP BY 1 ORDER BY 1""",
     "events_range_error_clicks" ->
       """SELECT e.event_id AS error_id, COUNT(*) AS n_clicks_5min FROM (SELECT * FROM events WHERE event_type = 'error') e JOIN (SELECT * FROM events WHERE event_type = 'click') c ON c.ts >= e.ts - INTERVAL '5' MINUTE AND c.ts <= e.ts GROUP BY 1 ORDER BY 1""",
     // session_window semantics: new session at gap >= 30 min

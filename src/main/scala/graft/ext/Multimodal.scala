@@ -70,11 +70,12 @@ object Multimodal {
   }
 
   /** Frame-sampling plumbing: expand each media payload into a
-    * bounded set of frame indices (stride = frame_count/4, ≥1) — the
-    * row-expansion shape a video pipeline feeds to per-frame feature
-    * extraction. The expansion is map-side (Generate), bounded at 4
-    * rows per doc, and the stub's deterministic frame_count keeps it
-    * oracle-checkable. */
+    * bounded set of frame indices (stride = max(1, frame_count/4)) —
+    * the row-expansion shape a video pipeline feeds to per-frame
+    * feature extraction. The expansion is map-side (Generate) and
+    * bounded by a constant: ceil(frame_count/stride) ≤ 7 rows per doc
+    * (4 when frame_count ≥ 8); the stub's deterministic frame_count
+    * keeps it oracle-checkable. */
   def frameSample(spark: SparkSession, dir: String): DataFrame =
     features(spark, dir)
       .select(col("doc_id"), col("frame_count"),

@@ -40,22 +40,33 @@ object AsOfJoin {
     val overlap = carried.toSet intersect left.columns.toSet
     require(overlap.isEmpty, s"rename right columns colliding with left: $overlap")
 
+    // The carried right columns travel as ONE struct so the matched
+    // row is atomic: carrying columns independently with
+    // last(ignoreNulls) would reach past a null field of the latest
+    // matching row into an older row, fabricating a row that never
+    // existed (ASOF semantics return the matched row's fields as-is,
+    // nulls included).
     val lTagged = left
       .withColumn("_asof_ts", col(leftTs))
       .withColumn("_asof_side", lit(1))
+      .withColumn("_asof_payload",
+        lit(null).cast(org.apache.spark.sql.types.StructType(
+          right.schema.fields.filter(f => carried.contains(f.name)))))
     val rTagged = right
       .withColumn("_asof_ts", col(rightTs))
       .withColumn("_asof_side", lit(0))
+      .withColumn("_asof_payload", struct(carried.map(col): _*))
+      .drop(carried: _*)
     val unioned = lTagged.unionByName(rTagged, allowMissingColumns = true)
 
     val carry = Window.partitionBy(col(key))
       .orderBy(col("_asof_ts"), col("_asof_side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carriedAll = carried.foldLeft(unioned) { (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(carry))
-    }
-    carriedAll
-      .filter(col("_asof_side") === 1)
-      .drop("_asof_ts", "_asof_side")
+    val matched = unioned.withColumn("_asof_match",
+      last(col("_asof_payload"), ignoreNulls = true).over(carry))
+    carried.foldLeft(matched.filter(col("_asof_side") === 1)) { (df, c) =>
+        df.withColumn(c, col(s"_asof_match.$c"))
+      }
+      .drop("_asof_ts", "_asof_side", "_asof_payload", "_asof_match")
   }
 }

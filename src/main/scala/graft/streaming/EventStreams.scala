@@ -53,9 +53,12 @@ object EventStreams {
       if (java.nio.file.Files.isDirectory(src)) src.toString
       else stagedDirs.computeIfAbsent(src.toString, { _ =>
         val tmp = java.nio.file.Files.createTempDirectory("graft_events_stream")
-        java.nio.file.Files.createSymbolicLink(
-          tmp.resolve("events.parquet"), src)
+        // deleteOnExit is LIFO and only removes empty dirs: register
+        // the dir first, then the symlink, so the link goes first
         tmp.toFile.deleteOnExit()
+        val link = java.nio.file.Files.createSymbolicLink(
+          tmp.resolve("events.parquet"), src)
+        link.toFile.deleteOnExit()
         tmp.toString
       })
     spark.readStream
@@ -158,8 +161,13 @@ object EventStreams {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
+        // presence of readable part files, not just the directory: an
+        // empty first batch writes only _SUCCESS, and reading a
+        // part-less dir throws schema-inference errors
+        val hasData = Option(new java.io.File(goldDir).listFiles())
+          .exists(_.exists(f => f.getName.endsWith(".parquet")))
         val fresh =
-          if (new java.io.File(goldDir).exists()) {
+          if (hasData) {
             val existing = spark.read.parquet(goldDir).select(keyCol)
             batch.join(existing, Seq(keyCol), "left_anti")
           } else batch

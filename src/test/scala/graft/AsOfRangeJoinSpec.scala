@@ -27,6 +27,22 @@ class AsOfRangeJoinSpec extends SparkSpec {
     assert(out === Map("p1" -> "c2", "p2" -> "c3", "p3" -> null))
   }
 
+  test("as-of join carries the matched row atomically (nulls included)") {
+    val spark2 = spark
+    import spark2.implicits._
+    // latest matching right row has val=null: ASOF semantics must
+    // return that null, not reach back to the older row's value
+    val left = Seq((1L, ts("2024-01-01 10:30:00"), "p")).toDF("k", "lts", "l")
+    val right = Seq(
+      (1L, ts("2024-01-01 09:00:00"), Some(5.0), "a"),
+      (1L, ts("2024-01-01 10:00:00"), None: Option[Double], "b")
+    ).toDF("k", "rts", "rval", "rtag")
+    val row = AsOfJoin.backward(left, right, "k", "lts", "rts")
+      .select("rval", "rtag").head
+    assert(row.isNullAt(0) && row.getString(1) == "b",
+      s"expected the 10:00 row's fields verbatim, got $row")
+  }
+
   test("as-of join refuses colliding column names") {
     val spark2 = spark
     import spark2.implicits._
