@@ -219,6 +219,49 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Near-dup cluster resolution: connected components over the
+    * [[ngramJaccardPairs]] edge set via iterative min-label
+    * propagation (each round, every doc takes the minimum cluster id
+    * among itself and its neighbors; fixpoint = components labeled by
+    * their minimum doc_id). `keep` marks the canonical representative
+    * — the decision step that turns near-dup PAIRS into actual corpus
+    * dedup. Each iteration is one equi-join + groupBy (shuffle on
+    * doc_id) and `localCheckpoint` truncates the growing lineage;
+    * rounds needed = component diameter (near-dup clusters are
+    * shallow — bounded here at 20 with a loud failure, not a silent
+    * wrong answer). Docs in no pair are their own singleton cluster. */
+  def nearDupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"))
+    val edges = ngramJaccardPairs(spark, dir)
+      .select(col("doc_a"), col("doc_b"))
+    val sym = edges.unionByName(edges.select(col("doc_b").as("doc_a"),
+      col("doc_a").as("doc_b"))).localCheckpoint()
+    var labels = docs.select(col("doc_id"), col("doc_id").as("cluster_id"))
+      .localCheckpoint()
+    var converged = false
+    var rounds = 0
+    while (!converged) {
+      require(rounds < 20, "component diameter exceeded propagation bound")
+      val neighborMin = sym.join(labels, sym("doc_a") === labels("doc_id"))
+        .groupBy(col("doc_b").as("doc_id"))
+        .agg(min(col("cluster_id")).as("nmin"))
+      val next = labels.join(neighborMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id")))
+            .as("cluster_id"))
+        .localCheckpoint()
+      val changed = next.join(labels.withColumnRenamed("cluster_id", "prev"),
+          Seq("doc_id"))
+        .filter(col("cluster_id") =!= col("prev")).count()
+      labels = next
+      converged = changed == 0
+      rounds += 1
+    }
+    labels.select(col("doc_id"), col("cluster_id"),
+        (col("doc_id") === col("cluster_id")).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Embedding near-dup pairs: double-precision cosine over the float
     * vectors, all-pairs baseline (LSH/IVF variants in Similarity). */
   def embeddingCosinePairs(spark: SparkSession, dir: String): DataFrame = {
@@ -261,6 +304,8 @@ object Dedup {
   }.mkString(", ")
   private val tokensSql =
     """CASE WHEN length(trim(text)) = 0 THEN [] ELSE regexp_split_to_array(trim(text), '\s+') END"""
+  private val ngramPairsSql =
+    s"""WITH shing AS ($docShinglesSql), inv AS (SELECT doc_id, unnest(sh) AS s FROM shing), cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM inv x JOIN inv y ON x.s = y.s AND x.doc_id < y.doc_id) SELECT doc_a, doc_b, jaccard FROM (SELECT a AS doc_a, b AS doc_b, $jaccardSql AS jaccard FROM cand JOIN (SELECT doc_id, sh AS sh_a FROM shing) sa ON cand.a = sa.doc_id JOIN (SELECT doc_id, sh AS sh_b FROM shing) sb ON cand.b = sb.doc_id) WHERE jaccard >= $JaccardThreshold ORDER BY doc_a, doc_b"""
 
   val oracle: Map[String, String] = Map(
     "dedup_exact_summary" ->
@@ -268,8 +313,11 @@ object Dedup {
     // inverted-index candidate join (same pairs as all-pairs: sharing
     // a shingle is necessary for jaccard > 0) — keeps the oracle
     // feasible for DuckDB at larger scale factors too
-    "dedup_ngram_jaccard" ->
-      s"""WITH shing AS ($docShinglesSql), inv AS (SELECT doc_id, unnest(sh) AS s FROM shing), cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM inv x JOIN inv y ON x.s = y.s AND x.doc_id < y.doc_id) SELECT doc_a, doc_b, jaccard FROM (SELECT a AS doc_a, b AS doc_b, $jaccardSql AS jaccard FROM cand JOIN (SELECT doc_id, sh AS sh_a FROM shing) sa ON cand.a = sa.doc_id JOIN (SELECT doc_id, sh AS sh_b FROM shing) sb ON cand.b = sb.doc_id) WHERE jaccard >= $JaccardThreshold ORDER BY doc_a, doc_b""",
+    "dedup_ngram_jaccard" -> ngramPairsSql,
+    // reachability closure via recursive CTE = the iterative
+    // min-label propagation fixpoint (component min ids agree)
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE pairs AS (SELECT doc_a, doc_b FROM ($ngramPairsSql)), sym AS (SELECT doc_a AS a, doc_b AS b FROM pairs UNION ALL SELECT doc_b, doc_a FROM pairs), reach(a, b) AS (SELECT a, b FROM sym UNION SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a) SELECT doc_id, cluster_id, doc_id = cluster_id AS keep FROM (SELECT d.doc_id, least(d.doc_id, COALESCE(MIN(r.b), d.doc_id)) AS cluster_id FROM documents d LEFT JOIN reach r ON r.a = d.doc_id GROUP BY d.doc_id) ORDER BY doc_id""",
     "dedup_minhash_lsh" ->
       s"""WITH mh AS ($minhashSql), bands AS ($bandsSql), cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b FROM bands x JOIN bands y ON x.band_idx = y.band_idx AND x.band_val = y.band_val AND x.doc_id < y.doc_id), sh_tbl AS ($docShinglesSql) SELECT doc_a, doc_b, jaccard FROM (SELECT doc_a, doc_b, $jaccardSql AS jaccard FROM cand JOIN (SELECT doc_id, sh AS sh_a FROM sh_tbl) sa ON cand.doc_a = sa.doc_id JOIN (SELECT doc_id, sh AS sh_b FROM sh_tbl) sb ON cand.doc_b = sb.doc_id) WHERE jaccard >= $JaccardThreshold ORDER BY doc_a, doc_b""",
     "dedup_simhash" ->
@@ -283,6 +331,7 @@ object Dedup {
     "dedup_ngram_jaccard" -> ngramJaccardPairs _,
     "dedup_minhash_lsh" -> minhashLshPairs _,
     "dedup_simhash" -> simhashSignaturesAgg _,
+    "dedup_clusters" -> nearDupClusters _,
     "dedup_embedding_cosine" -> embeddingCosinePairs _
   )
 }

@@ -40,6 +40,23 @@ class DedupSpec extends SparkSpec {
     assert(pairs.count() > 0)
   }
 
+  test("near-dup clusters: pairs co-clustered, canonical keep per cluster") {
+    val clusters = Dedup.nearDupClusters(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    // every near-dup pair lands in the same cluster
+    Dedup.ngramJaccardPairs(spark, sf)
+      .select("doc_a", "doc_b").collect().foreach { r =>
+        assert(clusters(r.getLong(0))._1 == clusters(r.getLong(1))._1)
+      }
+    // exactly one kept doc per cluster, and it is the cluster id
+    val byCluster = clusters.values.groupBy(_._1)
+    byCluster.foreach { case (cid, members) =>
+      assert(members.count(_._2) == 1)
+      assert(clusters(cid) == (cid, true))
+    }
+    assert(byCluster.size < clusters.size, "planted dups should merge")
+  }
+
   test("md5 simhash: near-dup pair shares bands; identical texts agree") {
     val md5Sigs = Dedup.simhashSignaturesMd5(spark, sf)
     // bands are 16-bit values

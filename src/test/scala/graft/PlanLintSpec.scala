@@ -19,8 +19,12 @@ class PlanLintSpec extends SparkSpec {
     "window_moving_average", "window_month_over_month")
 
   // intentional exceptions: exactness baselines over bounded inputs,
-  // kept next to their scale paths (IVF/LSH) — see Dedup scaladoc
-  private val allowProductJoin = Set("dedup_embedding_cosine")
+  // kept next to their scale paths (IVF/LSH) — see Dedup scaladoc —
+  // and the centroid scorer's broadcast fan-out against a
+  // CONSTANT-sized representative set (8 rows: work is 8× corpus,
+  // not corpus², at any scale)
+  private val allowProductJoin =
+    Set("dedup_embedding_cosine", "sim_centroid_assign")
 
   test("no query plans a cartesian or nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
