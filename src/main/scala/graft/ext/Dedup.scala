@@ -81,6 +81,47 @@ object Dedup {
       .filter(col("jaccard") >= JaccardThreshold)
       .orderBy(col("doc_a"), col("doc_b"))
 
+  /** Prefix-filtered exact Jaccard pairs — the hot-shingle scale path
+    * flagged in [[sharedPairJaccard]]'s scaladoc. Standard prefix
+    * filtering (Chaudhuri et al. SSJoin / Xiao et al. PPJoin): order
+    * each doc's shingles by a GLOBAL canonical order (document
+    * frequency asc, then value — rarest first) and index only the
+    * first `|S| − ⌈t·|S|⌉ + 1` of them; two sets with jaccard ≥ t
+    * MUST share a prefix element under any global order, so candidate
+    * generation only joins on the rare prefix shingles and hot
+    * (high-df) shingles never enter the index. Exact — the spec
+    * asserts pair-for-pair equality with [[ngramJaccardPairs]], and
+    * the oracle runs the full inverted-index formulation, so DuckDB
+    * cross-checks the prefix theorem end to end. */
+  def ngramJaccardPrefixPairs(spark: SparkSession, dir: String): DataFrame = {
+    val t = docShingles(spark, dir)
+    val inv = t.select(col("doc_id"), explode(col("sh")).as("s"))
+    val freq = inv.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val ranked = inv.join(freq, Seq("s"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id")).orderBy(col("df"), col("s"))))
+    val sizes = t.select(col("doc_id"), size(col("sh")).as("n"))
+    val prefix = ranked.join(sizes, Seq("doc_id"))
+      .filter(col("rk") <=
+        col("n") - ceil(lit(JaccardThreshold) * col("n")) + 1)
+      .select(col("doc_id"), col("s"))
+    val cand = prefix.as("x").join(prefix.as("y"),
+        col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val sa = t.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val sb = t.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    cand.join(sa, Seq("doc_a")).join(sb, Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          (size(col("sh_a")) + size(col("sh_b"))
+            - size(array_intersect(col("sh_a"), col("sh_b")))))
+          .as("jaccard"))
+      .filter(col("jaccard") >= JaccardThreshold)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** MinHash signature columns mh0..mh7 over the shingle set. */
   private def withMinhashes(t: DataFrame): DataFrame =
     (0 until NumHashes).foldLeft(t) { (df, j) =>
@@ -314,6 +355,10 @@ object Dedup {
     // a shingle is necessary for jaccard > 0) — keeps the oracle
     // feasible for DuckDB at larger scale factors too
     "dedup_ngram_jaccard" -> ngramPairsSql,
+    // same result set as dedup_ngram_jaccard — the oracle runs the
+    // full inverted-index formulation, cross-checking the prefix
+    // theorem (qualifying pairs must share a prefix shingle)
+    "dedup_ngram_prefix" -> ngramPairsSql,
     // reachability closure via recursive CTE = the iterative
     // min-label propagation fixpoint (component min ids agree)
     "dedup_clusters" ->
@@ -329,6 +374,7 @@ object Dedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact_summary" -> exactSummary _,
     "dedup_ngram_jaccard" -> ngramJaccardPairs _,
+    "dedup_ngram_prefix" -> ngramJaccardPrefixPairs _,
     "dedup_minhash_lsh" -> minhashLshPairs _,
     "dedup_simhash" -> simhashSignaturesAgg _,
     "dedup_clusters" -> nearDupClusters _,

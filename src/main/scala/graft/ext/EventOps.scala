@@ -130,6 +130,24 @@ object EventOps {
       .orderBy(col("error_id"))
   }
 
+  /** Schema-enforced JSON parse (`from_json` with a declared struct,
+    * vs [[jsonExtract]]'s path extraction): malformed documents
+    * become null rows rather than runtime errors, and the parsed
+    * struct carries typed fields through the rest of the plan. */
+  def jsonTyped(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    e.select(col("event_type"),
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))
+          .getField("k").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(col("k")).as("parsed"),
+        sum(col("k").isNull.cast("long")).as("unparsed"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"),
+        countDistinct(col("k")).as("distinct_k"))
+      .orderBy(col("event_type"))
+  }
+
   /** Native session windows (`session_window`, gap 30 min) — the
     * built-in operator form of [[sessionizeBatch]]; the same grouping
     * runs incrementally under Structured Streaming with a watermark.
@@ -164,6 +182,8 @@ object EventOps {
       """WITH r AS (SELECT event_type, value, row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) - 1 AS rn, COUNT(*) OVER (PARTITION BY event_type) AS n FROM events WHERE value IS NOT NULL) SELECT event_type, MAX(CASE WHEN rn = floor(0.25 * (n - 1)) THEN value END) AS p25, MAX(CASE WHEN rn = floor(0.5 * (n - 1)) THEN value END) AS p50, MAX(CASE WHEN rn = floor(0.9 * (n - 1)) THEN value END) AS p90 FROM r GROUP BY 1 ORDER BY 1""",
     "events_range_error_clicks" ->
       """SELECT e.event_id AS error_id, COUNT(*) AS n_clicks_5min FROM (SELECT * FROM events WHERE event_type = 'error') e JOIN (SELECT * FROM events WHERE event_type = 'click') c ON c.ts >= e.ts - INTERVAL '5' MINUTE AND c.ts <= e.ts GROUP BY 1 ORDER BY 1""",
+    "events_json_typed" ->
+      """SELECT event_type, COUNT(k) AS parsed, CAST(SUM(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS unparsed, MIN(k) AS min_k, MAX(k) AS max_k, COUNT(DISTINCT k) AS distinct_k FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events) GROUP BY 1 ORDER BY 1""",
     // session_window semantics: new session at gap >= 30 min
     "events_session_window" ->
       """WITH x AS (SELECT user_id, ts, event_id, value, CASE WHEN lag(ts) OVER w IS NULL OR ts - lag(ts) OVER w >= INTERVAL '30' MINUTE THEN 1 ELSE 0 END AS brk FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), s AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM x) SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events, CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value FROM s GROUP BY user_id, sid ORDER BY user_id, session_start"""
@@ -171,6 +191,7 @@ object EventOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_json_extract" -> jsonExtract _,
+    "events_json_typed" -> jsonTyped _,
     "events_hourly" -> hourlyRollup _,
     "events_user_activity" -> userActivity _,
     "events_asof_purchase_click" -> asOfPurchaseClick _,

@@ -40,6 +40,15 @@ class DedupSpec extends SparkSpec {
     assert(pairs.count() > 0)
   }
 
+  test("prefix-filtered jaccard equals the full inverted-index result") {
+    val full = Dedup.ngramJaccardPairs(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val pref = Dedup.ngramJaccardPrefixPairs(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(full.nonEmpty && pref === full,
+      s"prefix filtering lost/added pairs: missing=${full -- pref} extra=${pref -- full}")
+  }
+
   test("near-dup clusters: pairs co-clustered, canonical keep per cluster") {
     val clusters = Dedup.nearDupClusters(spark, sf)
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
