@@ -1,6 +1,5 @@
 package graft
 
-import org.apache.spark.sql.functions._
 import graft.ops.StageLog
 
 /** End-to-end executable pipeline — the reference's

@@ -110,6 +110,13 @@ object Dedup {
         col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
+    verifyCandidates(t, cand)
+  }
+
+  /** Exact-Jaccard verification of a candidate pair set: attach both
+    * shingle sets, intersect, threshold — work proportional to the
+    * candidate count (shared by the prefix and LSH paths). */
+  private def verifyCandidates(t: DataFrame, cand: DataFrame): DataFrame = {
     val sa = t.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
     val sb = t.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
     cand.join(sa, Seq("doc_a")).join(sb, Seq("doc_b"))
@@ -156,16 +163,7 @@ object Dedup {
           && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    val sa = t.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-    val sb = t.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-    cand.join(sa, Seq("doc_a")).join(sb, Seq("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          (size(col("sh_a")) + size(col("sh_b"))
-            - size(array_intersect(col("sh_a"), col("sh_b")))))
-          .as("jaccard"))
-      .filter(col("jaccard") >= JaccardThreshold)
-      .orderBy(col("doc_a"), col("doc_b"))
+    verifyCandidates(t, cand)
   }
 
   /** SimHash 64-bit signatures: per-token 64-bit hashes vote per bit,
@@ -270,7 +268,14 @@ object Dedup {
     * doc_id) and `localCheckpoint` truncates the growing lineage;
     * rounds needed = component diameter (near-dup clusters are
     * shallow — bounded here at 20 with a loud failure, not a silent
-    * wrong answer). Docs in no pair are their own singleton cluster. */
+    * wrong answer). Docs in no pair are their own singleton cluster.
+    *
+    * Note: like any driver-loop graph algorithm (GraphFrames-style),
+    * the fixpoint runs EAGERLY when this function is called and the
+    * returned frame is a checkpoint-truncated plan — plan-inspection
+    * tools (Explain, PlanLintSpec) see only the final scan, and the
+    * per-round join shapes are covered by this scaladoc + the
+    * DedupSpec invariants instead. */
   def nearDupClusters(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).select(col("doc_id"))
     val edges = ngramJaccardPairs(spark, dir)
@@ -286,16 +291,17 @@ object Dedup {
       val neighborMin = sym.join(labels, sym("doc_a") === labels("doc_id"))
         .groupBy(col("doc_b").as("doc_id"))
         .agg(min(col("cluster_id")).as("nmin"))
+      // the moved flag rides on the same join, so each round is ONE
+      // join + one materialization (no second convergence join)
       val next = labels.join(neighborMin, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id")))
-            .as("cluster_id"))
+            .as("next_cid"),
+          (coalesce(col("nmin"), col("cluster_id")) < col("cluster_id"))
+            .as("moved"))
         .localCheckpoint()
-      val changed = next.join(labels.withColumnRenamed("cluster_id", "prev"),
-          Seq("doc_id"))
-        .filter(col("cluster_id") =!= col("prev")).count()
-      labels = next
-      converged = changed == 0
+      converged = next.filter(col("moved")).count() == 0
+      labels = next.select(col("doc_id"), col("next_cid").as("cluster_id"))
       rounds += 1
     }
     labels.select(col("doc_id"), col("cluster_id"),

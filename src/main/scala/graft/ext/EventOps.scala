@@ -133,7 +133,10 @@ object EventOps {
   /** Schema-enforced JSON parse (`from_json` with a declared struct,
     * vs [[jsonExtract]]'s path extraction): malformed documents
     * become null rows rather than runtime errors, and the parsed
-    * struct carries typed fields through the rest of the plan. */
+    * struct carries typed fields through the rest of the plan.
+    * (The DuckDB oracle replays the extraction assuming well-formed
+    * props — true of this corpus; the malformed-row tolerance itself
+    * is Spark-side behavior, not part of the hash check.) */
   def jsonTyped(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(spark, dir)
     e.select(col("event_type"),
