@@ -27,6 +27,7 @@ object SparkEntry {
       graft.ext.TextOps.queries ++
       graft.ext.Dedup.queries ++
       graft.ext.Similarity.queries ++
+      graft.ext.KMeans.queries ++
       graft.ext.Multimodal.queries ++
       graft.ext.EventOps.queries
 
@@ -43,6 +44,7 @@ object SparkEntry {
       graft.ext.TextOps.oracle ++
       graft.ext.Dedup.oracle ++
       graft.ext.Similarity.oracle ++
+      graft.ext.KMeans.oracle ++
       graft.ext.Multimodal.oracle ++
       graft.ext.EventOps.oracle
 }

@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.ext.TextOps.{tokens, shingles3}
@@ -28,17 +29,31 @@ object Dedup {
   private val BandRows = 2 // 4 bands × 2 rows
   private val JaccardThreshold = 0.2
 
+  /** Guard threshold for the quarantined O(n²) exactness baselines:
+    * past this row count the all-pairs plans must fail loudly instead
+    * of silently becoming the cluster-melting job (same discipline as
+    * StatsOps.orderStat's rank guard). */
+  val MaxExactRows = 100000L
+
+  /** doc_id + distinct 3-gram shingle set over an arbitrary
+    * (doc_id, text) frame. */
+  private def shingleSets(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      array_distinct(shingles3(tokens(col("text")))).as("sh"))
+
   /** doc_id + distinct 3-gram shingle set. */
   private def docShingles(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .select(col("doc_id"),
-        array_distinct(shingles3(tokens(col("text")))).as("sh"))
+    shingleSets(Tables.documents(spark, dir))
+
+  /** Content fingerprint for exact dedup (md5 of the normalized text). */
+  private def fingerprint(c: Column): Column =
+    md5(lower(trim(c)).cast("binary"))
 
   /** Exact dedup summary: content-hash groups (reference-style A6/A7
     * generalized to documents). */
   def exactSummary(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
-    val fp = md5(lower(trim(col("text"))).cast("binary"))
+    val fp = fingerprint(col("text"))
     d.agg(
       count(lit(1)).as("total_docs"),
       countDistinct(fp).as("distinct_fingerprints"),
@@ -146,17 +161,24 @@ object Dedup {
     * pass; on this synthetic tiny-vocabulary corpus nearly all pairs
     * collide, so the exact path wins locally — the regimes are
     * documented here precisely because they invert at scale. */
-  def minhashLshPairs(spark: SparkSession, dir: String): DataFrame = {
-    val t = docShingles(spark, dir)
+  /** LSH band table (doc_id, band_idx, band_val) over shingle sets —
+    * the signature store an incremental pipeline persists per corpus
+    * and joins each new batch against. Band values: md5 of the
+    * concatenated minhashes in the band. */
+  private def bandTable(t: DataFrame): DataFrame = {
     val mh = withMinhashes(t)
-    // band values: md5 of the concatenated minhashes in the band
     val bandCols = (0 until NumHashes / BandRows).map { bi =>
       struct(lit(bi).as("band_idx"),
         md5(concat(col(s"mh${2 * bi}"), col(s"mh${2 * bi + 1}"))
           .cast("binary")).as("band_val"))
     }
-    val bands = mh.select(col("doc_id"), explode(array(bandCols: _*)).as("b"))
+    mh.select(col("doc_id"), explode(array(bandCols: _*)).as("b"))
       .select(col("doc_id"), col("b.band_idx"), col("b.band_val"))
+  }
+
+  def minhashLshPairs(spark: SparkSession, dir: String): DataFrame = {
+    val t = docShingles(spark, dir)
+    val bands = bandTable(t)
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band_idx") === col("y.band_idx")
           && col("x.band_val") === col("y.band_val")
@@ -309,11 +331,122 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Incremental dedup of a new batch against an existing gold
+    * corpus — the production shape: each incoming batch is checked
+    * against the accumulated store, never corpus × corpus. Two
+    * stages, in increasing cost:
+    *
+    *  1. exact: fingerprint lookup against the gold fingerprint set
+    *     (an equi-join on md5 — at scale the store is bucketed by
+    *     fingerprint so this is a co-located probe);
+    *  2. near-dup: LSH band join of the *surviving* new docs'
+    *     signatures against the gold band table ([[bandTable]] — the
+    *     store an incremental pipeline persists), then exact-Jaccard
+    *     verification of candidates only.
+    *
+    * Verdict per new doc: `exact_dup` (match = min gold doc with the
+    * same fingerprint), else `near_dup` (best gold match by jaccard
+    * desc, doc asc), else `unique`. The registered query derives
+    * "gold" and "new" from a doc_id cutoff at 80% of max so DuckDB
+    * can replay the split; [[incrementalAgainstIndex]] is the same
+    * logic against a persisted index, asserted equal in DedupSpec. */
+  def incrementalNearDups(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val cutoff = d.agg(floor(max(col("doc_id")) * 0.8).cast("long"))
+      .head().getLong(0)
+    incrementalSplit(d.filter(col("doc_id") <= cutoff),
+      d.filter(col("doc_id") > cutoff))
+  }
+
+  /** Core of [[incrementalNearDups]] over explicit gold/new frames
+    * (both (doc_id, text, ...); doc_ids must be globally unique). */
+  def incrementalSplit(gold: DataFrame, fresh: DataFrame): DataFrame = {
+    val goldFp = gold
+      .select(fingerprint(col("text")).as("fp"), col("doc_id"))
+      .groupBy(col("fp")).agg(min(col("doc_id")).as("exact_match"))
+    incrementalCore(fresh, goldFp, bandTable(shingleSets(gold)),
+      shingleSets(gold))
+  }
+
+  /** Persist the gold corpus's dedup index: fingerprint set, LSH band
+    * table (partitioned by band_idx so a band probe prunes to one
+    * directory), and shingle sets for candidate verification. This is
+    * the state an incremental pipeline accumulates batch over batch. */
+  def writeGoldIndex(gold: DataFrame, path: String): Unit = {
+    gold.select(fingerprint(col("text")).as("fp"), col("doc_id"))
+      .groupBy(col("fp")).agg(min(col("doc_id")).as("exact_match"))
+      .write.mode("overwrite").parquet(s"$path/fingerprints")
+    bandTable(shingleSets(gold))
+      .write.mode("overwrite").partitionBy("band_idx")
+      .parquet(s"$path/bands")
+    shingleSets(gold)
+      .write.mode("overwrite").parquet(s"$path/shingles")
+  }
+
+  /** Incremental dedup of `fresh` against a [[writeGoldIndex]] store —
+    * no access to the gold texts, only the persisted index. */
+  def incrementalAgainstIndex(spark: SparkSession, fresh: DataFrame,
+      path: String): DataFrame = {
+    val goldSh = spark.read.parquet(s"$path/shingles")
+    incrementalCore(fresh,
+      spark.read.parquet(s"$path/fingerprints"),
+      spark.read.parquet(s"$path/bands")
+        .select(col("doc_id"), col("band_idx"), col("band_val")),
+      goldSh)
+  }
+
+  private def incrementalCore(fresh: DataFrame, goldFp: DataFrame,
+      goldBands: DataFrame, goldSh: DataFrame): DataFrame = {
+    val exact = fresh.select(col("doc_id"), fingerprint(col("text")).as("fp"))
+      .join(goldFp, Seq("fp"), "left")
+      .select(col("doc_id"), col("exact_match"))
+    // only exact-stage survivors reach the signature stage
+    val freshSh = shingleSets(fresh)
+      .join(exact.filter(col("exact_match").isNull).select(col("doc_id")),
+        Seq("doc_id"))
+    val cand = goldBands.as("g").join(bandTable(freshSh).as("nw"),
+        col("g.band_idx") === col("nw.band_idx")
+          && col("g.band_val") === col("nw.band_val"))
+      .select(col("g.doc_id").as("doc_a"), col("nw.doc_id").as("doc_b"))
+      .distinct()
+    // verify candidates against gold + fresh shingle sets
+    val sa = goldSh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val sb = freshSh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    val verified = cand.join(sa, Seq("doc_a")).join(sb, Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          (size(col("sh_a")) + size(col("sh_b"))
+            - size(array_intersect(col("sh_a"), col("sh_b")))))
+          .as("jaccard"))
+      .filter(col("jaccard") >= JaccardThreshold)
+    val best = verified.withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_b"))
+          .orderBy(col("jaccard").desc, col("doc_a"))))
+      .filter(col("rn") === 1)
+      .select(col("doc_b").as("doc_id"), col("doc_a").as("near_match"),
+        col("jaccard"))
+    exact.join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("exact_match").isNotNull, lit("exact_dup"))
+          .when(col("near_match").isNotNull, lit("near_dup"))
+          .otherwise(lit("unique")).as("verdict"),
+        coalesce(col("exact_match"), col("near_match")).as("match_id"),
+        when(col("exact_match").isNull, col("jaccard")).as("jaccard"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Embedding near-dup pairs: double-precision cosine over the float
-    * vectors, all-pairs baseline (LSH/IVF variants in Similarity). */
-  def embeddingCosinePairs(spark: SparkSession, dir: String): DataFrame = {
+    * vectors, all-pairs baseline (LSH/IVF variants in Similarity).
+    * Guarded: the O(n²) plan refuses to run past [[MaxExactRows]] —
+    * use [[Similarity.lshBucketedPairs]] for large corpora. */
+  def embeddingCosinePairs(spark: SparkSession, dir: String,
+      maxRows: Long = MaxExactRows): DataFrame = {
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val n = e.count()
+    require(n <= maxRows,
+      s"embeddingCosinePairs is the all-pairs O(n^2) exactness baseline " +
+        s"($n rows > limit $maxRows); use Similarity.lshBucketedPairs at scale")
     val a = e.select(col("vec_id").as("vec_a"), col("v").as("va"))
     val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"))
     a.join(b, col("vec_a") < col("vec_b"))
@@ -373,6 +506,11 @@ object Dedup {
       s"""WITH mh AS ($minhashSql), bands AS ($bandsSql), cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b FROM bands x JOIN bands y ON x.band_idx = y.band_idx AND x.band_val = y.band_val AND x.doc_id < y.doc_id), sh_tbl AS ($docShinglesSql) SELECT doc_a, doc_b, jaccard FROM (SELECT doc_a, doc_b, $jaccardSql AS jaccard FROM cand JOIN (SELECT doc_id, sh AS sh_a FROM sh_tbl) sa ON cand.doc_a = sa.doc_id JOIN (SELECT doc_id, sh AS sh_b FROM sh_tbl) sb ON cand.doc_b = sb.doc_id) WHERE jaccard >= $JaccardThreshold ORDER BY doc_a, doc_b""",
     "dedup_simhash" ->
       s"""WITH tok AS (SELECT DISTINCT doc_id, unnest(t) AS tok FROM (SELECT doc_id, $tokensSql AS t FROM documents)), h AS (SELECT doc_id, md5(tok) AS h FROM tok), v AS (SELECT doc_id, $simhashVotesSql FROM h GROUP BY doc_id) SELECT doc_id, $simhashBandsSql FROM v ORDER BY doc_id""",
+    // incremental new-batch-vs-gold dedup: DuckDB replays the 80% doc_id
+    // cutoff split, the fingerprint lookup, the band join restricted to
+    // gold × new, and the best-match precedence
+    "dedup_incremental" ->
+      s"""WITH cut AS (SELECT CAST(floor(max(doc_id) * 0.8) AS BIGINT) AS c FROM documents), mh AS ($minhashSql), bands AS ($bandsSql), gold_fp AS (SELECT md5(lower(trim(text))) AS fp, min(doc_id) AS exact_match FROM documents WHERE doc_id <= (SELECT c FROM cut) GROUP BY 1), ex AS (SELECT n.doc_id, g.exact_match FROM (SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents WHERE doc_id > (SELECT c FROM cut)) n LEFT JOIN gold_fp g USING (fp)), cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b FROM bands x JOIN bands y ON x.band_idx = y.band_idx AND x.band_val = y.band_val WHERE x.doc_id <= (SELECT c FROM cut) AND y.doc_id > (SELECT c FROM cut)), sh_tbl AS ($docShinglesSql), verified AS (SELECT doc_a, doc_b, jaccard FROM (SELECT doc_a, doc_b, $jaccardSql AS jaccard FROM cand JOIN (SELECT doc_id, sh AS sh_a FROM sh_tbl) sa ON cand.doc_a = sa.doc_id JOIN (SELECT doc_id, sh AS sh_b FROM sh_tbl) sb ON cand.doc_b = sb.doc_id) WHERE jaccard >= $JaccardThreshold), best AS (SELECT doc_id, near_match, jaccard FROM (SELECT doc_b AS doc_id, doc_a AS near_match, jaccard, row_number() OVER (PARTITION BY doc_b ORDER BY jaccard DESC, doc_a) AS rn FROM verified) WHERE rn = 1) SELECT e.doc_id, CASE WHEN e.exact_match IS NOT NULL THEN 'exact_dup' WHEN b.near_match IS NOT NULL THEN 'near_dup' ELSE 'unique' END AS verdict, COALESCE(e.exact_match, b.near_match) AS match_id, CASE WHEN e.exact_match IS NULL THEN b.jaccard END AS jaccard FROM ex e LEFT JOIN best b USING (doc_id) ORDER BY doc_id""",
     "dedup_embedding_cosine" ->
       """SELECT vec_a, vec_b, cosine FROM (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, list_sum(list_transform(range(1, len(a.embedding)+1), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) / sqrt(list_sum(list_transform(range(1, len(a.embedding)+1), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))) * list_sum(list_transform(range(1, len(b.embedding)+1), i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))) AS cosine FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id) WHERE cosine >= 0.45 ORDER BY vec_a, vec_b"""
   )
@@ -384,6 +522,8 @@ object Dedup {
     "dedup_minhash_lsh" -> minhashLshPairs _,
     "dedup_simhash" -> simhashSignaturesAgg _,
     "dedup_clusters" -> nearDupClusters _,
-    "dedup_embedding_cosine" -> embeddingCosinePairs _
+    "dedup_incremental" -> incrementalNearDups _,
+    "dedup_embedding_cosine" ->
+      ((s: SparkSession, dir: String) => embeddingCosinePairs(s, dir))
   )
 }

@@ -1,0 +1,160 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Deterministic fixed-round Lloyd's k-means over the embeddings
+  * table — the centroid training the IVF probe path promises
+  * ([[Similarity.ivfTopK]] consumes the pre-supplied coarse `label`;
+  * this trains the coarse quantizer itself).
+  *
+  * The algorithm is defined for engine-independent exactness, so the
+  * whole training loop is oracle-checkable (the same discipline as
+  * the md5-keyed MinHash):
+  *
+  *  - init: the K min-vec_id vectors, centroid id = rank in vec_id
+  *    order (no RNG);
+  *  - assignment: argmin of squared L2 distance, computed as an
+  *    explicit left-to-right fold over the 64 dims (identical IEEE
+  *    result in any engine), ties to the lower centroid id;
+  *  - update ("quantized-mean" Lloyd): member vectors are quantized
+  *    once to integers (`floor(x·2^20 + 0.5)`), per-dim sums are
+  *    EXACT integer arithmetic — order-independent across partitions
+  *    and engines — and the new centroid component is
+  *    `(sum / count) / 2^20` in double. A float mean would depend on
+  *    partial-aggregation order; the integer sum cannot.
+  *  - a FIXED round count (no data-dependent convergence test), so
+  *    DuckDB replays the loop as a finite CTE chain.
+  *
+  * Scale shape: per round one map-only assignment (centroids are
+  * literals — K·d doubles) + one partial/final aggregation down to
+  * K·d scalar rows on the driver. That is exactly MLlib KMeans'
+  * treeAggregate pattern; corpus size never lands on the driver.
+  */
+object KMeans {
+
+  val K = 10
+  val Rounds = 2
+  private val Q = 1048576.0 // 2^20 quantization step
+
+  private def vecs(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+
+  /** Squared L2 distance to a literal centroid, left-to-right fold. */
+  private def dist2(v: Column, cv: Seq[Double]): Column =
+    aggregate(zip_with(v, array(cv.map(lit): _*), (x, c) => (x - c) * (x - c)),
+      lit(0.0), _ + _)
+
+  /** argmin centroid id under the given centroids — map-only, no
+    * join/window per round: `least` of the distances, then the FIRST
+    * centroid (ascending cid) whose distance equals the minimum, so
+    * ties break to the lower cid. */
+  private def assignCol(cents: Seq[(Int, Seq[Double])]): Column = {
+    val ds = cents.map { case (cid, cv) => (cid, dist2(col("v"), cv)) }
+    val best = least(ds.map(_._2): _*)
+    ds.foldRight(lit(null).cast("int")) { case ((cid, d), acc) =>
+      when(d === best, lit(cid)).otherwise(acc)
+    }
+  }
+
+  /** Train centroids: [[Rounds]] assignment/update iterations from the
+    * min-vec_id init. Returns (cid, centroid) sorted by cid. */
+  def train(spark: SparkSession, dir: String): Seq[(Int, Seq[Double])] = {
+    val e = vecs(spark, dir)
+    var cents: Seq[(Int, Seq[Double])] =
+      e.orderBy(col("vec_id")).limit(K)
+        .select(col("vec_id"), col("v")).collect()
+        .sortBy(_.getLong(0)).zipWithIndex
+        .map { case (r, i) => (i, r.getSeq[Double](1).toSeq) }.toSeq
+    val q = e.select(col("v"),
+      transform(col("v"), x => floor(x * lit(Q) + lit(0.5)).cast("long"))
+        .as("vi"))
+    (1 to Rounds).foreach { _ =>
+      val sums = q.select(assignCol(cents).as("cid"),
+          posexplode(col("vi")).as(Seq("dim", "x")))
+        .groupBy(col("cid"), col("dim"))
+        .agg(sum(col("x")).as("s"), count(lit(1)).as("cnt"))
+        .collect()
+      cents = sums.groupBy(_.getInt(0)).toSeq.map { case (cid, rows) =>
+        (cid, rows.sortBy(_.getInt(1))
+          .map(r => r.getLong(2).toDouble / r.getLong(3).toDouble / Q).toSeq)
+      }.sortBy(_._1)
+    }
+    cents
+  }
+
+  /** Final cluster assignment under the trained centroids, next to the
+    * stored coarse label for comparison. */
+  def kmeansAssign(spark: SparkSession, dir: String): DataFrame = {
+    val cents = train(spark, dir)
+    vecs(spark, dir)
+      .select(col("vec_id"), col("label"), assignCol(cents).as("cluster"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** IVF top-5 with TRAINED centroids (the variant
+    * [[Similarity.ivfTopK]]'s scaladoc promises): assign the corpus to
+    * trained centroids, assign the query on the driver with the same
+    * fold, probe only the query's cell. */
+  def ivfTrainedTopK(spark: SparkSession, dir: String): DataFrame = {
+    val cents = train(spark, dir)
+    val e = vecs(spark, dir)
+    val qrow = e.orderBy(col("vec_id")).limit(1)
+      .select(col("vec_id"), col("v")).head()
+    val qid = qrow.getLong(0)
+    val qv = qrow.getSeq[Double](1)
+    val qCid = cents.map { case (cid, cv) =>
+      (qv.zip(cv).foldLeft(0.0) { case (acc, (x, c)) =>
+        acc + (x - c) * (x - c) }, cid)
+    }.min._2
+    val qLit = array(qv.map(lit): _*)
+    e.select(col("vec_id"), col("label"), col("v"),
+        assignCol(cents).as("cluster"))
+      .filter(col("cluster") === qCid && col("vec_id") =!= qid)
+      .select(col("vec_id"), col("label"),
+        graft.functions.CosineSimilarity(col("v"), qLit).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(5)
+  }
+
+  // ---- DuckDB replay of the training loop as a CTE chain ----
+
+  private val qSql =
+    "SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v, " +
+      "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT)) AS vi FROM embeddings"
+
+  private def distSql(v: String, cv: String): String =
+    s"list_sum(list_transform(range(1, 65), i -> ($v[i] - $cv[i]) * ($v[i] - $cv[i])))"
+
+  private val c0Sql =
+    s"SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid, v AS cv FROM q ORDER BY vec_id LIMIT $K"
+
+  private def assignSql(cents: String): String =
+    s"SELECT vec_id, cid FROM (SELECT q.vec_id, c.cid, row_number() OVER (PARTITION BY q.vec_id ORDER BY ${distSql("q.v", "c.cv")}, c.cid) AS rn FROM q CROSS JOIN $cents c) WHERE rn = 1"
+
+  private def updateSql(assigned: String): String =
+    s"SELECT cid, list(comp ORDER BY dim) AS cv FROM (SELECT a.cid, t.dim, CAST(SUM(q.vi[t.dim]) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 1048576.0 AS comp FROM $assigned a JOIN q USING (vec_id) CROSS JOIN range(1, 65) t(dim) GROUP BY a.cid, t.dim) GROUP BY cid"
+
+  private val trainCtes =
+    s"q AS ($qSql), c0 AS ($c0Sql), a1 AS (${assignSql("c0")}), c1 AS (${updateSql("a1")}), a2 AS (${assignSql("c1")}), c2 AS (${updateSql("a2")}), af AS (${assignSql("c2")})"
+
+  private def dotSql(a: String, b: String): String =
+    s"list_sum(list_transform(range(1, len($a)+1), i -> $a[i] * $b[i]))"
+  private def cosSql(a: String, b: String): String =
+    s"${dotSql(a, b)} / sqrt(${dotSql(a, a)} * ${dotSql(b, b)})"
+
+  val oracle: Map[String, String] = Map(
+    "sim_kmeans_assign" ->
+      s"""WITH $trainCtes SELECT af.vec_id, q.label, CAST(af.cid AS INTEGER) AS cluster FROM af JOIN q USING (vec_id) ORDER BY vec_id""",
+    "sim_kmeans_topk" ->
+      s"""WITH $trainCtes, qrow AS (SELECT vec_id AS qid, v AS qv FROM q ORDER BY vec_id LIMIT 1), qa AS (SELECT cid FROM (SELECT c.cid, row_number() OVER (ORDER BY ${distSql("qrow.qv", "c.cv")}, c.cid) AS rn FROM qrow CROSS JOIN c2 c) WHERE rn = 1) SELECT vec_id, label, cosine FROM (SELECT af.vec_id, q.label, ${cosSql("q.v", "r.qv")} AS cosine FROM af JOIN q USING (vec_id) CROSS JOIN qrow r CROSS JOIN qa WHERE af.cid = qa.cid AND af.vec_id <> r.qid) ORDER BY cosine DESC, vec_id LIMIT 5"""
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_kmeans_assign" -> kmeansAssign _,
+    "sim_kmeans_topk" -> ivfTrainedTopK _
+  )
+}

@@ -47,11 +47,20 @@ object Similarity {
     (id, array(vec.map(f => lit(f.toDouble)): _*))
   }
 
-  /** Brute-force cosine top-10 against the min-vec_id query vector. */
-  def bruteForceTopK(spark: SparkSession, dir: String): DataFrame = {
+  /** Brute-force cosine top-10 against the min-vec_id query vector.
+    * Guarded: the full-corpus scan per query refuses to run past
+    * [[Dedup.MaxExactRows]] — route large corpora through [[ivfTopK]]
+    * (or its trained variant in [[KMeans]]), which probes one coarse
+    * partition instead. */
+  def bruteForceTopK(spark: SparkSession, dir: String,
+      maxRows: Long = Dedup.MaxExactRows): DataFrame = {
     val (qid, q) = queryVec(spark, dir)
-    Tables.embeddings(spark, dir)
-      .filter(col("vec_id") =!= qid)
+    val e = Tables.embeddings(spark, dir)
+    val n = e.count()
+    require(n <= maxRows,
+      s"bruteForceTopK scans the whole corpus per query ($n rows > limit " +
+        s"$maxRows); use the IVF probe path at scale")
+    e.filter(col("vec_id") =!= qid)
       .select(col("vec_id"), col("label"),
         cosine(col("embedding").cast("array<double>"), q).as("cosine"))
       .orderBy(col("cosine").desc, col("vec_id"))
@@ -188,7 +197,8 @@ object Similarity {
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "sim_bruteforce_topk" -> bruteForceTopK _,
+    "sim_bruteforce_topk" ->
+      ((s: SparkSession, dir: String) => bruteForceTopK(s, dir)),
     "sim_ivf_topk" -> ivfTopK _,
     "sim_lsh_bucketed_pairs" -> lshBucketedPairs _,
     "sim_embedding_profile" -> embeddingProfile _,

@@ -275,6 +275,42 @@ object EltOps {
       .orderBy(col("l_orderkey"))
   }
 
+  /** Boxplot/whisker EDA shape (reference elt/hold.ipynb:cell10-12,
+    * the per-category boxplot render): per-group five-number summary
+    * (order-statistic quartiles, no interpolation), Tukey whiskers
+    * (outermost values inside q1/q3 ± 1.5·IQR), and the outlier count
+    * — the exact rows a boxplot renderer needs, computed
+    * distributed. One window pass ranks values within groups; the
+    * group count is tiny so the whisker join broadcasts. */
+  def boxplot(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderpriority").as("grp"), col("o_totalprice").as("x"))
+    val t = o
+      .withColumn("i", row_number().over(
+        Window.partitionBy(col("grp")).orderBy(col("x"))) - 1)
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("grp"))))
+    def stat(q: Double) =
+      max(when(col("i") === floor(lit(q) * (col("n") - 1)).cast("long"),
+        col("x")))
+    val qs = t.groupBy(col("grp")).agg(
+      count(lit(1)).as("n"),
+      min(col("x")).as("min_val"),
+      stat(0.25).as("q1"), stat(0.5).as("median"), stat(0.75).as("q3"),
+      max(col("x")).as("max_val"))
+    val b = qs.withColumn("lo", col("q1") - lit(1.5) * (col("q3") - col("q1")))
+      .withColumn("hi", col("q3") + lit(1.5) * (col("q3") - col("q1")))
+    val wk = o.join(broadcast(b.select(col("grp"), col("lo"), col("hi"))),
+        Seq("grp"))
+      .groupBy(col("grp")).agg(
+        min(when(col("x") >= col("lo"), col("x"))).as("whisker_lo"),
+        max(when(col("x") <= col("hi"), col("x"))).as("whisker_hi"),
+        sum((col("x") < col("lo") || col("x") > col("hi")).cast("long"))
+          .as("n_outliers"))
+    b.drop("lo", "hi").join(wk, Seq("grp"))
+      .withColumnRenamed("grp", "order_priority")
+      .orderBy(col("order_priority"))
+  }
+
   /** Wider decimal for sums of squared money values. */
   private val DecimalBig = org.apache.spark.sql.types.DecimalType(27, 6)
 
@@ -312,6 +348,8 @@ object EltOps {
       """WITH t AS (SELECT c_custkey, CASE WHEN c_custkey % 5 = 0 THEN NULL ELSE c_acctbal END AS acct, CASE WHEN c_custkey % 11 = 0 THEN NULL ELSE c_mktsegment END AS seg FROM customer), s AS (SELECT acct AS x, row_number() OVER (ORDER BY acct) - 1 AS i, count(*) OVER () AS n FROM t WHERE acct IS NOT NULL), m AS (SELECT max(CASE WHEN i = CAST(floor(0.5*(n-1)) AS BIGINT) THEN x END) AS med FROM s) SELECT c_custkey, COALESCE(acct, med) AS acctbal_imputed, COALESCE(seg, 'Unknown') AS segment_filled FROM t, m ORDER BY c_custkey""",
     "elt_describe" ->
       """SELECT COUNT(o_totalprice) AS cnt, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(o_totalprice) AS mean, round(sqrt((CAST(SUM(CAST(o_totalprice * o_totalprice AS DECIMAL(27,6))) AS DOUBLE) - CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) * CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(o_totalprice)) / (COUNT(o_totalprice) - 1)), 4) AS stddev, MIN(o_totalprice) AS min_val, MAX(o_totalprice) AS max_val FROM orders""",
+    "elt_boxplot" ->
+      """WITH t AS (SELECT o_orderpriority AS grp, o_totalprice AS x, row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice) - 1 AS i, count(*) OVER (PARTITION BY o_orderpriority) AS n FROM orders), qs AS (SELECT grp, CAST(count(*) AS BIGINT) AS n, min(x) AS min_val, max(CASE WHEN i = CAST(floor(0.25*(n-1)) AS BIGINT) THEN x END) AS q1, max(CASE WHEN i = CAST(floor(0.5*(n-1)) AS BIGINT) THEN x END) AS median, max(CASE WHEN i = CAST(floor(0.75*(n-1)) AS BIGINT) THEN x END) AS q3, max(x) AS max_val FROM t GROUP BY grp), b AS (SELECT *, q1 - 1.5*(q3 - q1) AS lo, q3 + 1.5*(q3 - q1) AS hi FROM qs), wk AS (SELECT t.grp, min(CASE WHEN x >= lo THEN x END) AS whisker_lo, max(CASE WHEN x <= hi THEN x END) AS whisker_hi, CAST(SUM(CASE WHEN x < lo OR x > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers FROM t JOIN b USING (grp) GROUP BY t.grp) SELECT b.grp AS order_priority, n, min_val, q1, median, q3, max_val, whisker_lo, whisker_hi, n_outliers FROM b JOIN wk USING (grp) ORDER BY 1""",
     "elt_recompute_totals" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice AS gross_revenue, l_extendedprice * (1.0 - l_discount) AS discounted_revenue, l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS final_charge FROM lineitem WHERE l_orderkey % 100 = 0 ORDER BY l_orderkey, l_linenumber""",
     "elt_processed_pipeline" ->
@@ -334,6 +372,7 @@ object EltOps {
     "elt_quality_report" -> qualityReport _,
     "elt_median_impute" -> medianImpute _,
     "elt_describe" -> describeStats _,
+    "elt_boxplot" -> boxplot _,
     "elt_recompute_totals" -> recomputeTotals _,
     "elt_processed_pipeline" -> processedPipeline _
   )

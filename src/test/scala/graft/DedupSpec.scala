@@ -84,4 +84,43 @@ class DedupSpec extends SparkSpec {
     val shared = rows(0).zip(rows(1)).count { case (a, b) => a == b }
     assert(shared >= 1, s"near-dup pair shares no simhash band: $rows")
   }
+
+  test("incremental dedup: one verdict per new doc, matches point into gold") {
+    val d = graft.Tables.documents(spark, sf)
+    val cutoff = d.agg(floor(max(col("doc_id")) * 0.8).cast("long"))
+      .head().getLong(0)
+    val res = Dedup.incrementalNearDups(spark, sf).collect()
+    assert(res.length == d.filter(col("doc_id") > cutoff).count())
+    res.foreach { r =>
+      val verdict = r.getString(1)
+      assert(Set("exact_dup", "near_dup", "unique")(verdict))
+      assert(r.getLong(0) > cutoff, "rows must be new-batch docs")
+      if (verdict == "unique") assert(r.isNullAt(2) && r.isNullAt(3))
+      else assert(r.getLong(2) <= cutoff, "match must be a gold doc")
+      if (verdict == "near_dup") assert(r.getDouble(3) >= 0.2)
+      if (verdict == "exact_dup") assert(r.isNullAt(3))
+    }
+    assert(res.count(_.getString(1) != "unique") > 0,
+      "planted near-dups should cross the split")
+  }
+
+  test("incremental dedup against a persisted gold index matches the split form") {
+    val d = graft.Tables.documents(spark, sf)
+    val cutoff = d.agg(floor(max(col("doc_id")) * 0.8).cast("long"))
+      .head().getLong(0)
+    val dir = java.nio.file.Files.createTempDirectory("gold_idx").toString
+    Dedup.writeGoldIndex(d.filter(col("doc_id") <= cutoff), dir)
+    val viaIndex = Dedup.incrementalAgainstIndex(spark,
+      d.filter(col("doc_id") > cutoff), dir).collect().toSeq
+    val direct = Dedup.incrementalNearDups(spark, sf).collect().toSeq
+    assert(viaIndex == direct)
+  }
+
+  test("all-pairs embedding baseline refuses to run past its row guard") {
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.embeddingCosinePairs(spark, sf, maxRows = 10)
+    }
+    assert(ex.getMessage.contains("lshBucketedPairs"),
+      "guard message should point at the scale path")
+  }
 }

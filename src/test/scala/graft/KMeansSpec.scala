@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.KMeans
+
+class KMeansSpec extends SparkSpec {
+
+  private def vectors: Array[(Long, Array[Double])] =
+    Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+
+  private def wcss(cents: Seq[(Int, Seq[Double])],
+      vs: Array[(Long, Array[Double])]): Double =
+    vs.map { case (_, v) =>
+      cents.map { case (_, c) =>
+        v.zip(c).map { case (x, y) => (x - y) * (x - y) }.sum
+      }.min
+    }.sum
+
+  test("trained assignment covers every vector with a cluster in [0, K)") {
+    val a = KMeans.kmeansAssign(spark, sf)
+    assert(a.count() == Tables.embeddings(spark, sf).count())
+    assert(a.filter(col("cluster") < 0 || col("cluster") >= KMeans.K)
+      .count() == 0)
+    assert(a.select(col("cluster")).distinct().count() > 1,
+      "training should keep multiple clusters populated")
+  }
+
+  test("Lloyd training does not increase within-cluster squared distance") {
+    val vs = vectors
+    val init = vs.sortBy(_._1).take(KMeans.K).zipWithIndex
+      .map { case ((_, v), i) => (i, v.toSeq) }.toSeq
+    val trained = KMeans.train(spark, sf)
+    assert(wcss(trained, vs) <= wcss(init, vs),
+      "trained centroids should fit at least as well as the init")
+  }
+
+  test("trained IVF probe: 5 rows, descending cosine, from one cell") {
+    val t = KMeans.ivfTrainedTopK(spark, sf).collect()
+    assert(t.length == 5)
+    val cosines = t.map(_.getDouble(2)).toSeq
+    assert(cosines == cosines.sortBy(-_), "results must be cosine-descending")
+  }
+}

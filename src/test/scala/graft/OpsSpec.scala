@@ -69,4 +69,16 @@ class OpsSpec extends SparkSpec {
     val table = StageLog.metricsTable(ss, Seq("clean" -> m))
     assert(table.collect().head.getLong(1) == 3L)
   }
+
+  test("boxplot five-number summaries are internally consistent") {
+    val rows = graft.queries.EltOps.boxplot(spark, sf).collect()
+    assert(rows.length == 5, "one row per order priority")
+    rows.foreach { r =>
+      val Seq(mn, q1, med, q3, mx, wlo, whi) = (2 to 8).map(r.getDouble).toSeq
+      assert(mn <= q1 && q1 <= med && med <= q3 && q3 <= mx,
+        s"five-number order violated: $r")
+      assert(wlo >= mn && whi <= mx && wlo <= whi, s"whiskers outside range: $r")
+      assert(r.getLong(9) >= 0 && r.getLong(9) < r.getLong(1))
+    }
+  }
 }

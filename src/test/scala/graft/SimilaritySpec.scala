@@ -22,4 +22,12 @@ class SimilaritySpec extends SparkSpec {
     val shared = brute.keySet intersect ivf.keySet
     assert(shared.forall(k => brute(k) == ivf(k)))
   }
+
+  test("brute-force top-k refuses to run past its row guard") {
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.bruteForceTopK(spark, sf, maxRows = 10)
+    }
+    assert(ex.getMessage.contains("IVF"),
+      "guard message should point at the probe path")
+  }
 }
