@@ -59,7 +59,27 @@ object Bench {
     val total = results.map(_._2).sum
     val note = "collect() full materialization (round-1 bench used " +
       "count(), which let the optimizer prune aggregate value columns)"
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"sf":"$sfDir","note":"$note"}""")
+    // Soft regression report against the committed BENCH_BASELINE.json
+    // (>1.5x per query, like-for-like sf only). Informational here so
+    // the driver-contract JSON line always prints; the hard gate is
+    // tools/check_bench.py.
+    val regressions = try {
+      val base = scala.io.Source.fromFile(
+        sys.env.getOrElse("SPARK_GRAFT_BASELINE", "BENCH_BASELINE.json"))
+        .mkString
+      if (!base.contains("\"sf\": \"" + sfDir + "\"")) Seq.empty[String]
+      else {
+        val pairs = """"([a-z0-9_]+)":\s*([0-9.]+)""".r
+          .findAllMatchIn(base.split("\"queries\"").last)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        results.collect {
+          case (n, s) if pairs.get(n).exists(b => s > 1.5 * b) =>
+            f""""$n:${s / pairs(n)}%.2fx""""
+        }
+      }
+    } catch { case _: Throwable => Seq.empty[String] }
+    val regJson = regressions.mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"sf":"$sfDir","regressions":$regJson,"note":"$note"}""")
     spark.stop()
   }
 }
