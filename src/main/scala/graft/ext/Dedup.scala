@@ -364,8 +364,12 @@ object Dedup {
     val goldFp = gold
       .select(fingerprint(col("text")).as("fp"), col("doc_id"))
       .groupBy(col("fp")).agg(min(col("doc_id")).as("exact_match"))
-    incrementalCore(fresh, goldFp, bandTable(shingleSets(gold)),
-      shingleSets(gold))
+    // one shingle frame feeds both the band table and verification —
+    // the plan still evaluates the branches independently, but a
+    // single definition keeps them in lockstep (and is what the
+    // persisted-index path materializes once on disk)
+    val goldSh = shingleSets(gold)
+    incrementalCore(fresh, goldFp, bandTable(goldSh), goldSh)
   }
 
   /** Persist the gold corpus's dedup index: fingerprint set, LSH band
@@ -376,11 +380,16 @@ object Dedup {
     gold.select(fingerprint(col("text")).as("fp"), col("doc_id"))
       .groupBy(col("fp")).agg(min(col("doc_id")).as("exact_match"))
       .write.mode("overwrite").parquet(s"$path/fingerprints")
-    bandTable(shingleSets(gold))
-      .write.mode("overwrite").partitionBy("band_idx")
-      .parquet(s"$path/bands")
-    shingleSets(gold)
-      .write.mode("overwrite").parquet(s"$path/shingles")
+    // cache(): the band write and the shingle write are two ACTIONS
+    // over the same tokenize+shingle pass — without it the corpus is
+    // re-tokenized and re-minhashed once per write
+    val goldSh = shingleSets(gold).cache()
+    try {
+      bandTable(goldSh)
+        .write.mode("overwrite").partitionBy("band_idx")
+        .parquet(s"$path/bands")
+      goldSh.write.mode("overwrite").parquet(s"$path/shingles")
+    } finally goldSh.unpersist()
   }
 
   /** Incremental dedup of `fresh` against a [[writeGoldIndex]] store —
@@ -438,7 +447,12 @@ object Dedup {
   /** Embedding near-dup pairs: double-precision cosine over the float
     * vectors, all-pairs baseline (LSH/IVF variants in Similarity).
     * Guarded: the O(n²) plan refuses to run past [[MaxExactRows]] —
-    * use [[Similarity.lshBucketedPairs]] for large corpora. */
+    * use [[Similarity.lshBucketedPairs]] for large corpora.
+    *
+    * NOTE the guard runs an EAGER `count()` job when the frame is
+    * constructed (the cost of failing loudly before the quadratic
+    * join, not after) — don't build this inside a hot loop; it is a
+    * quarantined exactness baseline, not a production path. */
   def embeddingCosinePairs(spark: SparkSession, dir: String,
       maxRows: Long = MaxExactRows): DataFrame = {
     val e = Tables.embeddings(spark, dir)

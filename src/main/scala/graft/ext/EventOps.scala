@@ -95,12 +95,21 @@ object EventOps {
   /** Exact grouped quantiles as lower order statistics (rank
     * floor(q·(n-1)) within each group) — the grouped form of
     * StatsOps.orderStat: one shuffle on the group key, one sort, all
-    * three quantiles from the same ranked pass. */
-  def groupedQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    * three quantiles from the same ranked pass.
+    *
+    * Scale guard: `event_type` is LOW-NDV (~5 values), so the rank
+    * window sorts each type's full row set in one task — guarded by
+    * [[graft.ops.StatsOps.requireGroupsSortable]] (loud failure past
+    * MaxRankGroupRows); [[groupedQuantilesApprox]] is the registered
+    * sketch variant that replaces it at scale. */
+  def groupedQuantiles(spark: SparkSession, dir: String,
+      maxGroupRows: Long = graft.ops.StatsOps.MaxRankGroupRows): DataFrame = {
     // quantiles are over NON-NULL values (StatsOps.orderStat
     // convention); without the filter, Spark ranks nulls first while
     // DuckDB ranks them last, shifting every rank if a null appears
     val e = Tables.events(spark, dir).filter(col("value").isNotNull)
+    graft.ops.StatsOps.requireGroupsSortable(
+      e.select(col("event_type")), col("event_type"), maxGroupRows)
     val ranked = Window.partitionBy(col("event_type"))
       .orderBy(col("value"), col("event_id"))
     val grp = Window.partitionBy(col("event_type"))
@@ -111,6 +120,21 @@ object EventOps {
       .withColumn("n", count(lit(1)).over(grp))
       .groupBy(col("event_type"))
       .agg(q(0.25).as("p25"), q(0.5).as("p50"), q(0.9).as("p90"))
+      .orderBy(col("event_type"))
+  }
+
+  /** The 100 TB form of [[groupedQuantiles]]: `percentile_approx`
+    * (mergeable sketch, partial aggregation — no per-group sort, so
+    * a hot event_type never lands on one task). Sketch accuracy
+    * 10000 → ≤0.01% rank error; rows-only correctness check, with
+    * the tolerance-vs-exact assertion in EventOpsSpec. */
+  def groupedQuantilesApprox(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir).filter(col("value").isNotNull)
+    e.groupBy(col("event_type"))
+      .agg(percentile_approx(col("value"),
+        array(lit(0.25), lit(0.5), lit(0.9)), lit(10000)).as("qq"))
+      .select(col("event_type"), col("qq").getItem(0).as("p25"),
+        col("qq").getItem(1).as("p50"), col("qq").getItem(2).as("p90"))
       .orderBy(col("event_type"))
   }
 
@@ -199,7 +223,9 @@ object EventOps {
     "events_user_activity" -> userActivity _,
     "events_asof_purchase_click" -> asOfPurchaseClick _,
     "events_sessionize" -> sessionizeBatch _,
-    "events_grouped_quantiles" -> groupedQuantiles _,
+    "events_grouped_quantiles" ->
+      ((s: SparkSession, dir: String) => groupedQuantiles(s, dir)),
+    "events_quantiles_approx" -> groupedQuantilesApprox _,
     "events_range_error_clicks" -> rangeErrorClicks _,
     "events_session_window" -> sessionWindows _
   )

@@ -78,10 +78,18 @@ object KMeans {
         .groupBy(col("cid"), col("dim"))
         .agg(sum(col("x")).as("s"), count(lit(1)).as("cnt"))
         .collect()
-      cents = sums.groupBy(_.getInt(0)).toSeq.map { case (cid, rows) =>
-        (cid, rows.sortBy(_.getInt(1))
-          .map(r => r.getLong(2).toDouble / r.getLong(3).toDouble / Q).toSeq)
-      }.sortBy(_._1)
+      val updated = sums.groupBy(_.getInt(0)).map { case (cid, rows) =>
+        cid -> rows.sortBy(_.getInt(1))
+          .map(r => r.getLong(2).toDouble / r.getLong(3).toDouble / Q).toSeq
+      }
+      // a centroid that loses every member keeps its previous position
+      // (deterministic — no reseed RNG), so the quantizer always has
+      // exactly K cells with stable ids; the oracle CTE mirrors this
+      // with a COALESCE against the previous round's centroids
+      cents = cents.map { case (cid, old) =>
+        (cid, updated.getOrElse(cid, old))
+      }
+      assert(cents.size == K, s"centroid set shrank to ${cents.size}")
     }
     cents
   }
@@ -120,6 +128,35 @@ object KMeans {
       .limit(5)
   }
 
+  /** Multi-probe IVF top-5: probe the P nearest centroids to the
+    * query instead of one, the standard recall/latency knob (FAISS
+    * `nprobe`). Work scales with the probed fraction P/K of the
+    * corpus — still a partition-pruned scan, never the full table —
+    * and recall is monotonically ≥ single-probe (asserted in
+    * SimilaritySpec). P fixed at 2 keeps the oracle replayable as a
+    * `rn <= 2` extension of the single-probe CTE. */
+  def ivfTrainedTopKMultiProbe(spark: SparkSession, dir: String,
+      probes: Int = 2): DataFrame = {
+    val cents = train(spark, dir)
+    val e = vecs(spark, dir)
+    val qrow = e.orderBy(col("vec_id")).limit(1)
+      .select(col("vec_id"), col("v")).head()
+    val qid = qrow.getLong(0)
+    val qv = qrow.getSeq[Double](1)
+    val probeCids = cents.map { case (cid, cv) =>
+      (qv.zip(cv).foldLeft(0.0) { case (acc, (x, c)) =>
+        acc + (x - c) * (x - c) }, cid)
+    }.sorted.take(probes).map(_._2)
+    val qLit = array(qv.map(lit): _*)
+    e.select(col("vec_id"), col("label"), col("v"),
+        assignCol(cents).as("cluster"))
+      .filter(col("cluster").isin(probeCids: _*) && col("vec_id") =!= qid)
+      .select(col("vec_id"), col("label"),
+        graft.functions.CosineSimilarity(col("v"), qLit).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(5)
+  }
+
   // ---- DuckDB replay of the training loop as a CTE chain ----
 
   private val qSql =
@@ -135,11 +172,13 @@ object KMeans {
   private def assignSql(cents: String): String =
     s"SELECT vec_id, cid FROM (SELECT q.vec_id, c.cid, row_number() OVER (PARTITION BY q.vec_id ORDER BY ${distSql("q.v", "c.cv")}, c.cid) AS rn FROM q CROSS JOIN $cents c) WHERE rn = 1"
 
-  private def updateSql(assigned: String): String =
-    s"SELECT cid, list(comp ORDER BY dim) AS cv FROM (SELECT a.cid, t.dim, CAST(SUM(q.vi[t.dim]) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 1048576.0 AS comp FROM $assigned a JOIN q USING (vec_id) CROSS JOIN range(1, 65) t(dim) GROUP BY a.cid, t.dim) GROUP BY cid"
+  // empty clusters keep the previous round's centroid (COALESCE over a
+  // left join from the previous centroid set) — mirrors train()
+  private def updateSql(assigned: String, prev: String): String =
+    s"SELECT p.cid, COALESCE(u.cv, p.cv) AS cv FROM $prev p LEFT JOIN (SELECT cid, list(comp ORDER BY dim) AS cv FROM (SELECT a.cid, t.dim, CAST(SUM(q.vi[t.dim]) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 1048576.0 AS comp FROM $assigned a JOIN q USING (vec_id) CROSS JOIN range(1, 65) t(dim) GROUP BY a.cid, t.dim) GROUP BY cid) u ON p.cid = u.cid"
 
   private val trainCtes =
-    s"q AS ($qSql), c0 AS ($c0Sql), a1 AS (${assignSql("c0")}), c1 AS (${updateSql("a1")}), a2 AS (${assignSql("c1")}), c2 AS (${updateSql("a2")}), af AS (${assignSql("c2")})"
+    s"q AS ($qSql), c0 AS ($c0Sql), a1 AS (${assignSql("c0")}), c1 AS (${updateSql("a1", "c0")}), a2 AS (${assignSql("c1")}), c2 AS (${updateSql("a2", "c1")}), af AS (${assignSql("c2")})"
 
   private def dotSql(a: String, b: String): String =
     s"list_sum(list_transform(range(1, len($a)+1), i -> $a[i] * $b[i]))"
@@ -150,11 +189,17 @@ object KMeans {
     "sim_kmeans_assign" ->
       s"""WITH $trainCtes SELECT af.vec_id, q.label, CAST(af.cid AS INTEGER) AS cluster FROM af JOIN q USING (vec_id) ORDER BY vec_id""",
     "sim_kmeans_topk" ->
-      s"""WITH $trainCtes, qrow AS (SELECT vec_id AS qid, v AS qv FROM q ORDER BY vec_id LIMIT 1), qa AS (SELECT cid FROM (SELECT c.cid, row_number() OVER (ORDER BY ${distSql("qrow.qv", "c.cv")}, c.cid) AS rn FROM qrow CROSS JOIN c2 c) WHERE rn = 1) SELECT vec_id, label, cosine FROM (SELECT af.vec_id, q.label, ${cosSql("q.v", "r.qv")} AS cosine FROM af JOIN q USING (vec_id) CROSS JOIN qrow r CROSS JOIN qa WHERE af.cid = qa.cid AND af.vec_id <> r.qid) ORDER BY cosine DESC, vec_id LIMIT 5"""
+      s"""WITH $trainCtes, qrow AS (SELECT vec_id AS qid, v AS qv FROM q ORDER BY vec_id LIMIT 1), qa AS (SELECT cid FROM (SELECT c.cid, row_number() OVER (ORDER BY ${distSql("qrow.qv", "c.cv")}, c.cid) AS rn FROM qrow CROSS JOIN c2 c) WHERE rn = 1) SELECT vec_id, label, cosine FROM (SELECT af.vec_id, q.label, ${cosSql("q.v", "r.qv")} AS cosine FROM af JOIN q USING (vec_id) CROSS JOIN qrow r CROSS JOIN qa WHERE af.cid = qa.cid AND af.vec_id <> r.qid) ORDER BY cosine DESC, vec_id LIMIT 5""",
+    // multi-probe: the qa CTE keeps the TWO nearest centroids (rn <= 2)
+    // and the probe filter becomes an IN over them
+    "sim_kmeans_topk_p2" ->
+      s"""WITH $trainCtes, qrow AS (SELECT vec_id AS qid, v AS qv FROM q ORDER BY vec_id LIMIT 1), qa AS (SELECT cid FROM (SELECT c.cid, row_number() OVER (ORDER BY ${distSql("qrow.qv", "c.cv")}, c.cid) AS rn FROM qrow CROSS JOIN c2 c) WHERE rn <= 2) SELECT vec_id, label, cosine FROM (SELECT af.vec_id, q.label, ${cosSql("q.v", "r.qv")} AS cosine FROM af JOIN q USING (vec_id) CROSS JOIN qrow r WHERE af.cid IN (SELECT cid FROM qa) AND af.vec_id <> r.qid) ORDER BY cosine DESC, vec_id LIMIT 5"""
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_kmeans_assign" -> kmeansAssign _,
-    "sim_kmeans_topk" -> ivfTrainedTopK _
+    "sim_kmeans_topk" -> ivfTrainedTopK _,
+    "sim_kmeans_topk_p2" ->
+      ((s: SparkSession, dir: String) => ivfTrainedTopKMultiProbe(s, dir))
   )
 }

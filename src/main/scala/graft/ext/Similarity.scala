@@ -51,7 +51,9 @@ object Similarity {
     * Guarded: the full-corpus scan per query refuses to run past
     * [[Dedup.MaxExactRows]] — route large corpora through [[ivfTopK]]
     * (or its trained variant in [[KMeans]]), which probes one coarse
-    * partition instead. */
+    * partition instead. The guard runs an EAGER `count()` job at
+    * construction time (fail before the scan, not after) — baseline
+    * path, don't build it inside a hot loop. */
   def bruteForceTopK(spark: SparkSession, dir: String,
       maxRows: Long = Dedup.MaxExactRows): DataFrame = {
     val (qid, q) = queryVec(spark, dir)

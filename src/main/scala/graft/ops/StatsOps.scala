@@ -25,6 +25,31 @@ object StatsOps {
   /** Zero-based rank of quantile q in n rows (lower order statistic). */
   def rankOf(q: Double, n: Long): Long = math.floor(q * (n - 1)).toLong
 
+  /** Guard threshold for exact per-group rank windows — the grouped
+    * form of the orderStat discipline. A window partitioned by a
+    * low-NDV key (5 order priorities, 5 event types) sorts each
+    * group's FULL row set in a single task; past this bound that task
+    * is a skewed-shuffle hot spot and the plan must fail loudly
+    * instead (callers switch to the registered `percentile_approx`
+    * variant, which is mergeable sketch state — no per-group sort). */
+  val MaxRankGroupRows = 10000000L
+
+  /** Loud-failure guard for exact rank windows over low-NDV partition
+    * keys (same discipline as Dedup.MaxExactRows). Runs one EAGER
+    * aggregation job over just the grouping column — column-pruned,
+    * map-side combined, cheap relative to the guarded per-group sort —
+    * so do not call it inside a hot per-query loop. */
+  def requireGroupsSortable(df: DataFrame, grp: Column,
+      maxRows: Long = MaxRankGroupRows): Unit = {
+    val worst = df.groupBy(grp).count()
+      .agg(max(col("count"))).head()
+    val n = if (worst.isNullAt(0)) 0L else worst.getLong(0)
+    require(n <= maxRows,
+      s"largest group has $n rows > $maxRows: an exact rank window " +
+        s"would sort the whole group in one task; use the " +
+        s"percentile_approx variant at this scale")
+  }
+
   /** Exact lower-order-statistic quantile of a numeric column. */
   def orderStat(df: DataFrame, c: Column, q: Double): Double = {
     val vals = df.select(c.cast("double").as("x")).filter(col("x").isNotNull)

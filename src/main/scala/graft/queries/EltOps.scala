@@ -281,10 +281,19 @@ object EltOps {
     * (outermost values inside q1/q3 ± 1.5·IQR), and the outlier count
     * — the exact rows a boxplot renderer needs, computed
     * distributed. One window pass ranks values within groups; the
-    * group count is tiny so the whisker join broadcasts. */
-  def boxplot(spark: SparkSession, dir: String): DataFrame = {
+    * group count is tiny so the whisker join broadcasts.
+    *
+    * Scale guard: the partition key is LOW-NDV (5 priorities), so the
+    * rank window sorts each group's full row set in one task. The
+    * plan is guarded by [[StatsOps.requireGroupsSortable]] (one eager
+    * column-pruned pre-check job) and fails loudly past
+    * [[StatsOps.MaxRankGroupRows]] — [[boxplotApprox]] is the
+    * registered sketch-based variant that replaces it at scale. */
+  def boxplot(spark: SparkSession, dir: String,
+      maxGroupRows: Long = StatsOps.MaxRankGroupRows): DataFrame = {
     val o = Tables.orders(spark, dir)
       .select(col("o_orderpriority").as("grp"), col("o_totalprice").as("x"))
+    StatsOps.requireGroupsSortable(o, col("grp"), maxGroupRows)
     val t = o
       .withColumn("i", row_number().over(
         Window.partitionBy(col("grp")).orderBy(col("x"))) - 1)
@@ -297,6 +306,39 @@ object EltOps {
       min(col("x")).as("min_val"),
       stat(0.25).as("q1"), stat(0.5).as("median"), stat(0.75).as("q3"),
       max(col("x")).as("max_val"))
+    val b = qs.withColumn("lo", col("q1") - lit(1.5) * (col("q3") - col("q1")))
+      .withColumn("hi", col("q3") + lit(1.5) * (col("q3") - col("q1")))
+    val wk = o.join(broadcast(b.select(col("grp"), col("lo"), col("hi"))),
+        Seq("grp"))
+      .groupBy(col("grp")).agg(
+        min(when(col("x") >= col("lo"), col("x"))).as("whisker_lo"),
+        max(when(col("x") <= col("hi"), col("x"))).as("whisker_hi"),
+        sum((col("x") < col("lo") || col("x") > col("hi")).cast("long"))
+          .as("n_outliers"))
+    b.drop("lo", "hi").join(wk, Seq("grp"))
+      .withColumnRenamed("grp", "order_priority")
+      .orderBy(col("order_priority"))
+  }
+
+  /** The 100 TB form of [[boxplot]]: quartiles via `percentile_approx`
+    * (mergeable Greenwald–Khanna sketch — partial aggregation, no
+    * per-group sort, no single-task hot spot), whiskers/outliers from
+    * the same second broadcast-join pass as the exact plan. Quartile
+    * values are approximate (sketch-accuracy 10000, i.e. ≤0.01%
+    * rank error), so this entry gets the rows-only correctness check;
+    * EltSpec asserts it within IQR tolerance of the exact plan. */
+  def boxplotApprox(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderpriority").as("grp"), col("o_totalprice").as("x"))
+    val qs = o.groupBy(col("grp")).agg(
+      count(lit(1)).as("n"),
+      min(col("x")).as("min_val"),
+      percentile_approx(col("x"),
+        array(lit(0.25), lit(0.5), lit(0.75)), lit(10000)).as("qq"),
+      max(col("x")).as("max_val"))
+      .select(col("grp"), col("n"), col("min_val"),
+        col("qq").getItem(0).as("q1"), col("qq").getItem(1).as("median"),
+        col("qq").getItem(2).as("q3"), col("max_val"))
     val b = qs.withColumn("lo", col("q1") - lit(1.5) * (col("q3") - col("q1")))
       .withColumn("hi", col("q3") + lit(1.5) * (col("q3") - col("q1")))
     val wk = o.join(broadcast(b.select(col("grp"), col("lo"), col("hi"))),
@@ -372,7 +414,9 @@ object EltOps {
     "elt_quality_report" -> qualityReport _,
     "elt_median_impute" -> medianImpute _,
     "elt_describe" -> describeStats _,
-    "elt_boxplot" -> boxplot _,
+    "elt_boxplot" ->
+      ((s: SparkSession, dir: String) => boxplot(s, dir)),
+    "elt_boxplot_approx" -> boxplotApprox _,
     "elt_recompute_totals" -> recomputeTotals _,
     "elt_processed_pipeline" -> processedPipeline _
   )

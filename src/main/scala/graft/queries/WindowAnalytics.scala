@@ -71,10 +71,16 @@ object WindowAnalytics {
       .orderBy(col("order_month"))
   }
 
-  /** Top-k per group via ranked window (row_number ≤ k) — the
-    * grouped form of O2's sort-limit: top-3 orders by price within
-    * each region. Partitioned window + per-partition top-k; no
-    * global sort of the fact. */
+  /** Top-k per group: top-3 orders by price within each region.
+    * `region` is a 5-value key, so a direct rank window would sort
+    * every region's full order set in ONE task (the round-3-verdict
+    * hot-spot shape) — instead this runs
+    * [[graft.ops.SkewOps.topKPerGroup]]'s salted two-phase rank:
+    * stage 1 ranks within (region, hash-salt) in parallel, stage 2
+    * ranks the ≤ 5·salts·3 survivors exactly. Identical rows to the
+    * direct window (the DuckDB oracle runs the direct formulation,
+    * cross-checking the decomposition), stage-2 sort bounded by
+    * construction. */
   def top3OrdersPerRegion(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)
     val c = Tables.customer(spark, dir)
@@ -85,10 +91,9 @@ object WindowAnalytics {
       .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
       .select(col("r_name").as("region"), col("o_orderkey"),
         col("o_totalprice"))
-    val w = Window.partitionBy(col("region"))
-      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
-    joined.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= 3)
+    graft.ops.SkewOps.topKPerGroup(joined, col("region"),
+        Seq(col("o_totalprice").desc, col("o_orderkey")), 3,
+        spreadBy = col("o_orderkey"))
       .orderBy(col("region"), col("rk"))
   }
 

@@ -81,4 +81,43 @@ class OpsSpec extends SparkSpec {
       assert(r.getLong(9) >= 0 && r.getLong(9) < r.getLong(1))
     }
   }
+
+  test("exact rank windows over low-NDV keys refuse oversized groups") {
+    val ex = intercept[IllegalArgumentException] {
+      graft.queries.EltOps.boxplot(spark, sf, maxGroupRows = 10)
+    }
+    assert(ex.getMessage.contains("percentile_approx"),
+      "guard message should point at the sketch variant")
+    val ex2 = intercept[IllegalArgumentException] {
+      graft.ext.EventOps.groupedQuantiles(spark, sf, maxGroupRows = 10)
+    }
+    assert(ex2.getMessage.contains("percentile_approx"))
+  }
+
+  test("approx boxplot/quantiles track the exact plans within IQR tolerance") {
+    def byGroup(df: org.apache.spark.sql.DataFrame,
+        cols: Seq[Int]): Map[String, Seq[Double]] =
+      df.collect().map(r => r.getString(0) -> cols.map(r.getDouble)).toMap
+    val exact = byGroup(graft.queries.EltOps.boxplot(spark, sf), Seq(3, 4, 5))
+    val approx =
+      byGroup(graft.queries.EltOps.boxplotApprox(spark, sf), Seq(3, 4, 5))
+    exact.foreach { case (grp, eq) =>
+      val iqr = math.max(eq(2) - eq(0), 1e-9)
+      eq.zip(approx(grp)).foreach { case (e, a) =>
+        assert(math.abs(e - a) <= 0.05 * iqr,
+          s"approx quartile drifted: grp=$grp exact=$e approx=$a")
+      }
+    }
+    val eq2 = byGroup(graft.ext.EventOps.groupedQuantiles(spark, sf),
+      Seq(1, 2, 3))
+    val aq2 = byGroup(graft.ext.EventOps.groupedQuantilesApprox(spark, sf),
+      Seq(1, 2, 3))
+    eq2.foreach { case (grp, eq) =>
+      val spread = math.max(eq(2) - eq(0), 1e-9)
+      eq.zip(aq2(grp)).foreach { case (e, a) =>
+        assert(math.abs(e - a) <= 0.05 * spread,
+          s"approx quantile drifted: grp=$grp exact=$e approx=$a")
+      }
+    }
+  }
 }

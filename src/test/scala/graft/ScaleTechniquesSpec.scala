@@ -23,6 +23,24 @@ class ScaleTechniquesSpec extends SparkSpec {
     assert(direct.sameElements(salted))
   }
 
+  test("salted two-phase top-k per group equals the direct rank window") {
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables.orders(spark, sf)
+      .select(col("o_orderpriority").as("grp"), col("o_orderkey"),
+        col("o_totalprice"))
+    val w = Window.partitionBy(col("grp"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val direct = o.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 4).orderBy(col("grp"), col("rk"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(3)))
+    val salted = SkewOps.topKPerGroup(o, col("grp"),
+        Seq(col("o_totalprice").desc, col("o_orderkey")), 4,
+        spreadBy = col("o_orderkey"), salts = 16)
+      .orderBy(col("grp"), col("rk"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(3)))
+    assert(direct.sameElements(salted))
+  }
+
   test("bucketed tables join without an exchange on the join key") {
     val db = spark
     val o = Tables.orders(spark, sf)

@@ -23,6 +23,22 @@ class SimilaritySpec extends SparkSpec {
     assert(shared.forall(k => brute(k) == ivf(k)))
   }
 
+  test("multi-probe IVF recall is at least single-probe recall") {
+    val brute = Similarity.bruteForceTopK(spark, sf)
+      .collect().map(_.getLong(0)).take(5).toSet
+    val p1 = graft.ext.KMeans.ivfTrainedTopK(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    val p2 = graft.ext.KMeans.ivfTrainedTopKMultiProbe(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    assert((p2 intersect brute).size >= (p1 intersect brute).size,
+      s"probing 2 cells lost recall: p1=${p1 intersect brute} " +
+        s"p2=${p2 intersect brute}")
+    // the single-probe cell is among the 2 probed cells, so every
+    // single-probe candidate stays a candidate; scores are identical,
+    // so the p2 top-5 can only swap in better candidates
+    assert(p2.size == 5)
+  }
+
   test("brute-force top-k refuses to run past its row guard") {
     val ex = intercept[IllegalArgumentException] {
       Similarity.bruteForceTopK(spark, sf, maxRows = 10)
