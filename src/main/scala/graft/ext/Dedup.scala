@@ -392,6 +392,25 @@ object Dedup {
     } finally goldSh.unpersist()
   }
 
+  /** Extend a [[writeGoldIndex]] store with newly-accepted docs
+    * (append-mode writes of the same three components). Callers add
+    * only docs whose verdict was `unique`, so the appended
+    * fingerprints are disjoint from the stored ones — the fingerprint
+    * probe join stays key-unique. The streaming pipeline
+    * ([[graft.streaming.EventStreams.incrementalDedupSink]]) calls
+    * this once per micro-batch. */
+  def appendGoldIndex(docs: DataFrame, path: String): Unit = {
+    docs.select(fingerprint(col("text")).as("fp"), col("doc_id"))
+      .groupBy(col("fp")).agg(min(col("doc_id")).as("exact_match"))
+      .write.mode("append").parquet(s"$path/fingerprints")
+    val sh = shingleSets(docs).cache()
+    try {
+      bandTable(sh).write.mode("append").partitionBy("band_idx")
+        .parquet(s"$path/bands")
+      sh.write.mode("append").parquet(s"$path/shingles")
+    } finally sh.unpersist()
+  }
+
   /** Incremental dedup of `fresh` against a [[writeGoldIndex]] store —
     * no access to the gold texts, only the persisted index. */
   def incrementalAgainstIndex(spark: SparkSession, fresh: DataFrame,

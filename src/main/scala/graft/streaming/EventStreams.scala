@@ -179,6 +179,81 @@ object EventStreams {
     q
   }
 
+  /** State-store hardening confs for large-state streaming: the
+    * RocksDB provider keeps state on local disk with an in-memory
+    * block cache, so state size is bounded by disk, not executor
+    * heap — the 100 TB requirement for high-cardinality stateful ops
+    * (per-user sessions, streaming dedup keys). Referenced by class
+    * NAME (the provider is loaded reflectively by Spark), set on the
+    * session conf before starting a stateful query; the checkpoint
+    * records the provider, so a query keeps its store across
+    * restarts. Output parity with the default HDFS-backed store and
+    * restart behavior are asserted in EventStreamsSpec. */
+  val RocksDbStateStoreConf: (String, String) =
+    "spark.sql.streaming.stateStore.providerClass" ->
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  /** Streaming incremental dedup — the production composition of
+    * [[graft.ext.Dedup.incrementalAgainstIndex]] with the idempotent
+    * gold-sink pattern: each micro-batch of documents is
+    *
+    *  1. anti-joined against the gold corpus's doc_ids (a replayed
+    *     batch after checkpoint recovery becomes a no-op);
+    *  2. verdict-ed against the persisted dedup index (fingerprint
+    *     probe, LSH band probe of survivors, candidate verification);
+    *  3. its `unique` docs appended to the gold corpus, then the
+    *     index extended with those docs ([[graft.ext.Dedup.appendGoldIndex]]).
+    *
+    * Micro-batches run sequentially per query, so read-check-append
+    * is race-free. Gold is written BEFORE the index: a crash between
+    * the two writes leaves the index missing entries (recoverable —
+    * rebuild from gold; duplicates of those docs are missed, never
+    * invented), whereas index-first would make the replayed batch
+    * match its own fingerprints and drop the docs entirely. Exact
+    * dups WITHIN one micro-batch are intentionally kept (matching
+    * the batch [[graft.ext.Dedup.incrementalSplit]] semantics, which
+    * judge fresh docs against gold only); compose a batch-local
+    * keep-first on the fingerprint upstream if within-batch dedup is
+    * wanted. */
+  def incrementalDedupSink(docs: DataFrame, indexDir: String,
+      goldDir: String, checkpointDir: String): StreamingQuery = {
+    import org.apache.spark.sql.functions.col
+    def hasParquet(dir: String): Boolean =
+      Option(new java.io.File(dir).listFiles())
+        .exists(_.exists(f => f.getName.endsWith(".parquet")))
+    val q = docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val fresh =
+          if (hasParquet(goldDir)) {
+            val seen = spark.read.parquet(goldDir).select("doc_id")
+            batch.join(seen, Seq("doc_id"), "left_anti")
+          } else batch
+        // localCheckpoint (EAGER): the accepted set's lineage reads
+        // the gold dir and the index dirs — the very paths the two
+        // appends below write to. A lazily-cached plan that misses
+        // the cache would re-execute AFTER the gold append and
+        // anti-join the batch against itself (verified failure mode:
+        // the index appends wrote zero rows). Checkpointing pins the
+        // rows and truncates the lineage before any append happens.
+        val uniques = (
+          if (hasParquet(s"$indexDir/fingerprints")) {
+            val verdicts = graft.ext.Dedup
+              .incrementalAgainstIndex(spark, fresh, indexDir)
+              .filter(col("verdict") === "unique").select("doc_id")
+            fresh.join(verdicts, Seq("doc_id"))
+          } else fresh // empty store: the first batch seeds it
+        ).localCheckpoint()
+        uniques.write.mode("append").parquet(goldDir)
+        graft.ext.Dedup.appendGoldIndex(uniques, indexDir)
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q
+  }
+
   /** Run a streaming frame to completion into an in-memory table
     * (test/local harness; production uses a durable sink +
     * checkpointLocation). Output mode is a parameter: windowed

@@ -147,6 +147,147 @@ class EventStreamsSpec extends SparkSpec {
     assert(gold.select(countDistinct(col("event_id"))).head.getLong(0) == n1 + n2)
   }
 
+  test("RocksDB state store produces identical sessionization output") {
+    val conf = EventStreams.RocksDbStateStoreConf
+    def runSessionize(name: String): Array[(Long, Long)] = {
+      val stream = EventStreams.eventsStream(spark, sf)
+      val q = EventStreams.runToMemory(
+        EventStreams.sessionize(spark, stream), name, "update")
+      try spark.table(name)
+        .groupBy(col("user_id")).agg(max(col("n_events")).as("n_events"))
+        .orderBy("user_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      finally q.stop()
+    }
+    val hdfs = runSessionize("sess_hdfs_store")
+    val prev = spark.conf.getOption(conf._1)
+    spark.conf.set(conf._1, conf._2)
+    try {
+      val rocks = runSessionize("sess_rocksdb_store")
+      assert(rocks.nonEmpty && rocks.sameElements(hdfs),
+        "RocksDB-backed state diverged from the default store")
+    } finally prev match {
+      case Some(v) => spark.conf.set(conf._1, v)
+      case None => spark.conf.unset(conf._1)
+    }
+  }
+
+  test("RocksDB streaming dedup restarts exactly-once under AvailableNow") {
+    import java.nio.file.{Files, Paths}
+    import org.apache.spark.sql.streaming.Trigger
+    val base = Files.createTempDirectory("graft_rocks_restart")
+    val srcDir = s"$base/src"; Files.createDirectories(Paths.get(srcDir))
+    val all = Tables.events(spark, sf)
+
+    def stageFile(filter: org.apache.spark.sql.Column, name: String): Long = {
+      val tmp = Files.createTempDirectory("graft_rocks_batch")
+      val part = all.filter(filter)
+      part.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val f = new java.io.File(tmp.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(f.toPath, Paths.get(srcDir, name))
+      part.count()
+    }
+
+    // dropDuplicates keeps every seen event_id in the state store —
+    // exactly the state that must survive a restart (production
+    // bounds it with dropDuplicatesWithinWatermark; the store is the
+    // thing under test here). AvailableNow processes everything
+    // staged and then terminates itself — the catch-up trigger.
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema(all.schema).parquet(srcDir)
+        .dropDuplicates("event_id")
+        .writeStream.format("parquet")
+        .option("path", s"$base/data")
+        .option("checkpointLocation", s"$base/chk")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination(120000) finally q.stop()
+    }
+
+    val conf = EventStreams.RocksDbStateStoreConf
+    val prev = spark.conf.getOption(conf._1)
+    spark.conf.set(conf._1, conf._2)
+    try {
+      val n1 = stageFile(col("event_id") % 2 === 0, "b1.parquet")
+      runOnce()
+      assert(spark.read.parquet(s"$base/data").count() == n1)
+      // replayed keys + new keys arrive while the query is down: the
+      // restarted query must drop the replays (RocksDB state) and
+      // process only the new file (checkpointed offsets)
+      stageFile(col("event_id") % 2 === 0, "b1_replay.parquet")
+      val n2 = stageFile(col("event_id") % 2 === 1, "b2.parquet")
+      runOnce()
+      val out = spark.read.parquet(s"$base/data")
+      assert(out.count() == n1 + n2,
+        "restart reprocessed, dropped, or failed to dedup rows")
+      assert(out.select(countDistinct(col("event_id"))).head.getLong(0)
+        == n1 + n2)
+    } finally prev match {
+      case Some(v) => spark.conf.set(conf._1, v)
+      case None => spark.conf.unset(conf._1)
+    }
+  }
+
+  test("streaming incremental dedup equals sequential batch splits across restart") {
+    import java.nio.file.{Files, Paths}
+    import graft.ext.Dedup
+    val base = Files.createTempDirectory("graft_inc_dedup")
+    val srcDir = s"$base/src"; Files.createDirectories(Paths.get(srcDir))
+    val docs = Tables.documents(spark, sf)
+    val ids = docs.select(col("doc_id")).orderBy(col("doc_id"))
+      .collect().map(_.getLong(0))
+    val c0 = ids(ids.length * 3 / 5); val c1 = ids(ids.length * 4 / 5)
+    val gold0 = docs.filter(col("doc_id") <= c0)
+    val fresh1 = docs.filter(col("doc_id") > c0 && col("doc_id") <= c1)
+    val fresh2 = docs.filter(col("doc_id") > c1)
+
+    // seed the store with the initial gold corpus + its index
+    gold0.write.mode("overwrite").parquet(s"$base/gold")
+    Dedup.writeGoldIndex(gold0, s"$base/index")
+
+    def stageFile(part: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory("graft_inc_batch")
+      part.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val f = new java.io.File(tmp.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(f.toPath, Paths.get(srcDir, name))
+    }
+
+    def runOnce(): Unit =
+      EventStreams.incrementalDedupSink(
+        spark.readStream.schema(docs.schema).parquet(srcDir),
+        s"$base/index", s"$base/gold", s"$base/chk").stop()
+
+    stageFile(fresh1, "b1.parquet")
+    runOnce()
+    // restart boundary: second batch arrives while the query is down
+    stageFile(fresh2, "b2.parquet")
+    runOnce()
+    val streamed = spark.read.parquet(s"$base/gold")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+
+    // batch replay of the same sequence: fresh1 against gold0, then
+    // fresh2 against gold0 + fresh1's accepted docs
+    def uniqueIds(gold: org.apache.spark.sql.DataFrame,
+        fresh: org.apache.spark.sql.DataFrame): Set[Long] =
+      Dedup.incrementalSplit(gold, fresh)
+        .filter(col("verdict") === "unique")
+        .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val u1 = uniqueIds(gold0, fresh1)
+    val gold1 = gold0.unionByName(fresh1.filter(col("doc_id").isInCollection(u1)))
+    val u2 = uniqueIds(gold1, fresh2)
+    val expected = ids.filter(_ <= c0).toSet ++ u1 ++ u2
+
+    assert(streamed == expected,
+      s"stream-ingested corpus diverged: extra=${streamed -- expected} " +
+        s"missing=${expected -- streamed}")
+    // a replayed batch after the run is a no-op (idempotent sink)
+    stageFile(fresh2, "b2_replay.parquet")
+    runOnce()
+    assert(spark.read.parquet(s"$base/gold").count() == expected.size)
+  }
+
   test("stream-stream interval join matches the batch join") {
     val stream = EventStreams.eventsStream(spark, sf)
     val q = EventStreams.runToMemory(
