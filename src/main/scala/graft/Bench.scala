@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 
 /** Benchmark main (driver contract): runs the headline queries — the
   * reference's own q1–q8 workload plus the dashboard query surface
@@ -11,6 +12,27 @@ import org.apache.spark.sql.SparkSession
   * comparable figure excludes one-time JVM/codegen/IO warm-up
   * (BASELINE.md notes fixed per-query overhead dominates at these
   * sizes).
+  *
+  * == Environment calibration ==
+  *
+  * Absolute seconds are NOT comparable across sessions: round 3
+  * measured a uniform 20–40% drift on byte-identical query code. So
+  * the bench also times a FROZEN synthetic workload ([[calibrate]])
+  * in the same session, right before the timed loop, and emits it as
+  * `calib`. The calibration code never changes between rounds, so
+  * `calib_now / calib_baseline` measures the environment, and the
+  * regression gate (tools/check_bench.py, mirrored in the soft
+  * report here) flags a query only when it is slow AFTER dividing
+  * out that drift — per-query seconds measure code again, not the
+  * machine's mood. Gate testability: `SPARK_GRAFT_INJECT_SLOW=1`
+  * executes every timed query twice inside its timing — a
+  * deterministic 2.0× execution-cost regression that must trip the
+  * gate. (Plan-level degradations were tried first and measured
+  * INVISIBLE here: codegen off + no cache pinning + broadcast→SMJ
+  * moved per-query times by <10% at sf0.1, because at this scale
+  * per-query wall time is fixed scheduling/collect overhead, not
+  * compute — the overhead-dominated regime PLANS.md documents. A
+  * magnitude-pinned injection is the only deterministic self-test.)
   */
 object Bench {
   val headline: Seq[String] = Seq(
@@ -21,9 +43,29 @@ object Bench {
     "dash_kpis", "dash_channel_rollup", "dash_monthly_trend",
     "dash_filtered_kpis")
 
+  /** FROZEN calibration workload — DO NOT EDIT (edits invalidate
+    * cross-session drift measurement; re-record BENCH_BASELINE.json
+    * if a change is ever unavoidable). Pure synthetic scan → shuffle
+    * → aggregate, no graft query code, no IO: times the same
+    * machinery (codegen, exchange, task scheduling) the headline
+    * queries run on. Min of 3 runs after one warm-up. */
+  def calibrate(spark: SparkSession): Double = {
+    def once(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 40000000L, 1L, 64)
+        .selectExpr("id % 9973 AS k", "id AS v")
+        .groupBy("k").agg(sum("v").as("s"), count(lit(1)).as("n"))
+        .collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    once() // warm-up
+    Seq(once(), once(), once()).min
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val injectSlow = sys.env.contains("SPARK_GRAFT_INJECT_SLOW")
     val spark = GraftSession.builder(s"local[$cpus]", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val qs = headline.filter(SparkEntry.queries.contains)
@@ -44,42 +86,85 @@ object Bench {
       try { SparkEntry.queries(n)(spark, sfDir).collect() }
       catch { case _: Throwable => () }
     }
+    val calib = calibrate(spark)
     // collect(), not count(): count() lets the optimizer prune the
     // aggregate value columns (a sum the caller never reads is
     // removed), so it would under-measure. collect() materializes
     // every output column; all headline results are tiny (≤ 100 rows).
+    // Per-query seconds = MIN OF TWO timed runs: single-shot times of
+    // sub-second queries jitter ±30-50% here (scheduling noise), which
+    // false-fires a 1.5× gate; the min is the steady-state figure.
     val results = qs.map { name =>
-      val t0 = System.nanoTime()
-      try { SparkEntry.queries(name)(spark, sfDir).collect() }
-      catch { case _: Throwable => Array.empty[org.apache.spark.sql.Row] }
-      name -> (System.nanoTime() - t0) / 1e9
+      def timed(): Double = {
+        val t0 = System.nanoTime()
+        try {
+          SparkEntry.queries(name)(spark, sfDir).collect()
+          if (injectSlow) SparkEntry.queries(name)(spark, sfDir).collect()
+        } catch { case _: Throwable => Array.empty[org.apache.spark.sql.Row] }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> math.min(timed(), timed())
     }
     val qjson = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val note = "collect() full materialization (round-1 bench used " +
-      "count(), which let the optimizer prune aggregate value columns)"
-    // Soft regression report against the committed BENCH_BASELINE.json
-    // (>1.5x per query, like-for-like sf only). Informational here so
-    // the driver-contract JSON line always prints; the hard gate is
-    // tools/check_bench.py.
-    val regressions = try {
-      val base = scala.io.Source.fromFile(
-        sys.env.getOrElse("SPARK_GRAFT_BASELINE", "BENCH_BASELINE.json"))
-        .mkString
-      if (!base.contains("\"sf\": \"" + sfDir + "\"")) Seq.empty[String]
-      else {
-        val pairs = """"([a-z0-9_]+)":\s*([0-9.]+)""".r
-          .findAllMatchIn(base.split("\"queries\"").last)
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
-        results.collect {
-          case (n, s) if pairs.get(n).exists(b => s > 1.5 * b) =>
-            f""""$n:${s / pairs(n)}%.2fx""""
-        }
-      }
-    } catch { case _: Throwable => Seq.empty[String] }
+      "count(), which let the optimizer prune aggregate value columns)" +
+      (if (injectSlow) "; SPARK_GRAFT_INJECT_SLOW active" else "")
+    // Soft drift-normalized regression report against the committed
+    // BENCH_BASELINE.json. Informational here so the driver-contract
+    // JSON line always prints; the hard gate is tools/check_bench.py.
+    val regressions = softRegressions(results, total, calib, sfDir, cpus)
     val regJson = regressions.mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"sf":"$sfDir","regressions":$regJson,"note":"$note"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"sf":"$sfDir","cpus":$cpus,"calib":$calib,"regressions":$regJson,"note":"$note"}""")
     spark.stop()
+  }
+
+  /** Drift-normalized per-query flags (>1.5× after dividing out the
+    * calibration ratio) — json4s parsing, formatting-tolerant; any
+    * baseline problem is REPORTED as a one-line note instead of
+    * silently disabling the comparison. */
+  def softRegressions(results: Seq[(String, Double)], total: Double,
+      calib: Double, sfDir: String, cpus: String): Seq[String] = {
+    import org.json4s._
+    val basePath =
+      sys.env.getOrElse("SPARK_GRAFT_BASELINE", "BENCH_BASELINE.json")
+    try {
+      val base = jackson.JsonMethods.parse(
+        scala.io.Source.fromFile(basePath).mkString)
+      def str(k: String) = base \ k match {
+        case JString(s) => Some(s); case _ => None
+      }
+      def num(k: String) = base \ k match {
+        case JDouble(d) => Some(d); case JInt(i) => Some(i.toDouble)
+        case JDecimal(d) => Some(d.toDouble); case _ => None
+      }
+      if (!str("sf").contains(sfDir))
+        Seq("\"note: baseline sf mismatch, no comparison\"")
+      else if (!num("cpus").contains(cpus.toDouble))
+        Seq("\"note: baseline cpus mismatch, no comparison\"")
+      else num("calib") match {
+        case None =>
+          Seq("\"note: baseline has no calib, no comparison\"")
+        case Some(bCalib) =>
+          val drift = calib / bCalib
+          val baseQ = (base \ "queries") match {
+            case JObject(fields) => fields.collect {
+              case (k, JDouble(v)) => k -> v
+              case (k, JInt(v)) => k -> v.toDouble
+              case (k, JDecimal(v)) => k -> v.toDouble
+            }.toMap
+            case _ => Map.empty[String, Double]
+          }
+          results.collect {
+            case (n, s) if baseQ.get(n).exists(b => s > 1.5 * b * drift) =>
+              f""""$n:${s / (baseQ(n) * drift)}%.2fx""""
+          }
+      }
+    } catch {
+      case e: Throwable =>
+        Seq("\"note: baseline unreadable (" +
+          e.getClass.getSimpleName + "), no comparison\"")
+    }
   }
 }

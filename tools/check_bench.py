@@ -1,26 +1,44 @@
 #!/usr/bin/env python3
-"""Bench regression gate: compare a graft.Bench JSON line against the
-committed BENCH_BASELINE.json and fail (exit 1) on >1.5x per-query
-regression.
+"""Bench regression gate, drift-normalized: compare a graft.Bench JSON
+line against the committed BENCH_BASELINE.json and fail (exit 1) on
+per-query or total regressions AFTER dividing out environment drift.
 
 Usage:
     sbt -batch "runMain graft.Bench" 2>&1 | grep '"metric"' > /tmp/bench.json
     python3 tools/check_bench.py /tmp/bench.json [BENCH_BASELINE.json]
 
-The baseline records the cpu count and sf dir it was measured at;
-comparisons against a different configuration are refused rather than
-producing a meaningless verdict. Methodology is pinned to collect()
-materialization (see Bench.scala) — never compare across methodology
-changes.
+Cross-session absolute seconds are not comparable (round 3 measured a
+uniform 20-40% drift on byte-identical code), so both the baseline and
+the candidate record `calib`: the seconds of a FROZEN synthetic
+workload (Bench.calibrate) timed in the same session as the queries.
+drift = calib_candidate / calib_baseline measures the environment; a
+query is flagged only when sec > 1.5 * baseline * drift, and the total
+when total > 1.3 * baseline_total * drift. The baseline records the
+sf dir, cpu count, and calib it was measured at; comparisons against a
+different configuration (or a baseline without calib) are refused
+(exit 2) rather than producing a meaningless verdict. Methodology is
+pinned to collect() materialization (see Bench.scala) — never compare
+across methodology changes.
+
+Gate self-test: run Bench with SPARK_GRAFT_INJECT_SLOW=1 (every timed
+query executes twice — a deterministic 2x execution-cost regression)
+— this script must exit 1. Plan-level degradations (codegen off, no
+cache, broadcast->SMJ) were measured to move sf0.1 per-query times by
+<10%: wall time at this scale is fixed per-query overhead, so only a
+magnitude-pinned injection tests the gate deterministically.
 """
 import json
 import re
 import sys
 
 THRESHOLD = 1.5
+TOTAL_THRESHOLD = 1.3
 
 
 def main() -> int:
+    if len(sys.argv) < 2:
+        print(__doc__.strip().split("\n\n")[1])  # the Usage block
+        return 2
     bench_path = sys.argv[1]
     base_path = sys.argv[2] if len(sys.argv) > 2 else "BENCH_BASELINE.json"
     with open(base_path) as f:
@@ -32,24 +50,40 @@ def main() -> int:
         print(f"check_bench: no bench JSON line found in {bench_path}")
         return 2
     bench = json.loads(m.group(0))
-    if bench.get("sf") != base.get("sf"):
-        print(f"check_bench: sf mismatch ({bench.get('sf')} vs baseline "
-              f"{base.get('sf')}) — refusing to compare")
+    for key in ("sf", "cpus"):
+        if bench.get(key) != base.get(key):
+            print(f"check_bench: {key} mismatch ({bench.get(key)} vs "
+                  f"baseline {base.get(key)}) — refusing to compare")
+            return 2
+    if not base.get("calib") or not bench.get("calib"):
+        print("check_bench: calib missing (baseline and candidate must both "
+              "record the frozen calibration workload) — refusing to compare")
         return 2
+    drift = bench["calib"] / base["calib"]
+    print(f"environment drift: {drift:.2f}x "
+          f"(calib {bench['calib']:.3f}s vs baseline {base['calib']:.3f}s)")
     regressions = []
     for name, sec in bench["queries"].items():
         b = base["queries"].get(name)
         if b is None:
             continue  # new query this round; no baseline yet
-        if sec > THRESHOLD * b:
-            regressions.append((name, sec, b, sec / b))
+        if sec > THRESHOLD * b * drift:
+            regressions.append((name, sec, b * drift, sec / (b * drift)))
     for name, sec, b, ratio in sorted(regressions, key=lambda r: -r[3]):
-        print(f"REGRESSION {name}: {sec:.3f}s vs baseline {b:.3f}s "
-              f"({ratio:.2f}x > {THRESHOLD}x)")
+        print(f"REGRESSION {name}: {sec:.3f}s vs drift-adjusted baseline "
+              f"{b:.3f}s ({ratio:.2f}x > {THRESHOLD}x)")
+    base_total = sum(b for n, b in base["queries"].items()
+                     if n in bench["queries"])
+    total = sum(bench["queries"].values())
+    total_reg = total > TOTAL_THRESHOLD * base_total * drift
+    if total_reg:
+        print(f"REGRESSION total: {total:.3f}s vs drift-adjusted baseline "
+              f"{base_total * drift:.3f}s (> {TOTAL_THRESHOLD}x)")
     ok = len(bench["queries"]) - len(regressions)
-    print(f"{ok} within bound, {len(regressions)} regressed "
-          f"(baseline round {base.get('round')}, cpus {base.get('cpus')})")
-    return 1 if regressions else 0
+    print(f"{ok} within bound, {len(regressions)} regressed, total "
+          f"{'REGRESSED' if total_reg else 'ok'} (baseline round "
+          f"{base.get('round')}, cpus {base.get('cpus')})")
+    return 1 if (regressions or total_reg) else 0
 
 
 if __name__ == "__main__":
