@@ -1,37 +1,100 @@
 package graft
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 import org.apache.spark.sql.functions._
-/** Dev experiment: build a key-shifted 10x copy of the star tables
-  * under /tmp and time headline queries — measured evidence that the
-  * plans scale linearly (PLANS.md "Reading these at 100 TB"). */
+
+/** Dev experiment: build key-shifted 10×/100× copies of the star
+  * tables AND the documents corpus under /tmp, then time headline +
+  * dedup queries against base and scaled data, recording SHUFFLE
+  * BYTES alongside wall seconds — measured evidence across two
+  * decades of scaling that the plans stay linear (PLANS.md "Reading
+  * these at 100 TB").
+  *
+  * Usage: `runMain graft.ScaleUp [copies]` (default 100).
+  *
+  * Scaling design:
+  *  - orders/lineitem: key-shifted copies (`key + i·maxKey`) keep
+  *    join fan-outs identical to the base data;
+  *  - documents: each copy prefixes every TOKEN with `c<i>_`, so
+  *    shingles differ across copies and the near-dup structure is
+  *    each copy's own (output pairs scale ×copies, LINEAR). Naive
+  *    identical-text copies would make every doc an exact dup of its
+  *    99 siblings — C(100,2) output pairs per doc, a quadratic
+  *    OUTPUT artifact of the copy process, not a plan property.
+  */
 object ScaleUp {
+
+  /** Cumulative shuffle bytes across all completed stages. */
+  private final class ShuffleListener extends SparkListener {
+    val read = new java.util.concurrent.atomic.AtomicLong
+    val write = new java.util.concurrent.atomic.AtomicLong
+    override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
+      val m = s.stageInfo.taskMetrics
+      read.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+      write.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
+    val copies = args.headOption.map(_.toInt).getOrElse(100)
     val spark = GraftSession.builder("local[32]", "32").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val src = "/root/testdata/sf0.1"
-    val dst = "/tmp/scale10"
-    val copies = 10
-    val li = Tables.lineitem(spark, src)
-    val o = Tables.orders(spark, src)
-    val maxOrder = o.agg(max(col("o_orderkey"))).head().getLong(0) + 1
-    val shifted = (0 until copies).map { i =>
-      o.withColumn("o_orderkey", col("o_orderkey") + lit(i * maxOrder))
-    }.reduce(_ unionByName _)
-    shifted.write.mode("overwrite").parquet(s"$dst/orders.parquet")
-    val liShifted = (0 until copies).map { i =>
-      li.withColumn("l_orderkey", col("l_orderkey") + lit(i * maxOrder))
-    }.reduce(_ unionByName _)
-    liShifted.write.mode("overwrite").parquet(s"$dst/lineitem.parquet")
-    for (t <- Seq("customer", "supplier", "part", "nation", "region"))
-      Tables.load(spark, src, t).write.mode("overwrite")
-        .parquet(s"$dst/$t.parquet")
-    println(s"[scaleup] built $dst: lineitem=${liShifted.count()} orders=${shifted.count()}")
-    def time(n: String, dir: String): Unit = {
-      val t0 = System.nanoTime()
-      SparkEntry.queries(n)(spark, dir).collect()
-      println(f"[scaleup] $n%-30s $dir%-22s ${(System.nanoTime - t0) / 1e9}%6.2f s")
+    val dst = s"/tmp/scale$copies"
+    val listener = new ShuffleListener
+    spark.sparkContext.addSparkListener(listener)
+
+    if (!new java.io.File(s"$dst/lineitem.parquet").exists()) {
+      val li = Tables.lineitem(spark, src)
+      val o = Tables.orders(spark, src)
+      val maxOrder = o.agg(max(col("o_orderkey"))).head().getLong(0) + 1
+      (0 until copies).map { i =>
+        o.withColumn("o_orderkey", col("o_orderkey") + lit(i * maxOrder))
+      }.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$dst/orders.parquet")
+      (0 until copies).map { i =>
+        li.withColumn("l_orderkey", col("l_orderkey") + lit(i * maxOrder))
+      }.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$dst/lineitem.parquet")
+      val d = Tables.documents(spark, src)
+      val maxDoc = d.agg(max(col("doc_id"))).head().getLong(0) + 1
+      (0 until copies).map { i =>
+        d.withColumn("doc_id", col("doc_id") + lit(i * maxDoc))
+          .withColumn("text",
+            regexp_replace(col("text"), "(\\S+)", s"c${i}_$$1"))
+      }.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$dst/documents.parquet")
+      for (t <- Seq("customer", "supplier", "part", "nation", "region"))
+        Tables.load(spark, src, t).write.mode("overwrite")
+          .parquet(s"$dst/$t.parquet")
+      println(s"[scaleup] built $dst (${copies}x)")
     }
-    for (q <- Seq("q1_total_revenue", "q6_revenue_per_region_year", "q8_avg_shipping_days");
-         _ <- 1 to 2) { time(q, src); time(q, dst) }
+
+    // one untimed pass so the first timed query isn't paying JVM/
+    // codegen warm-up (the round-4 first run measured q1 at 6-8 s
+    // cold vs 0.5 s steady)
+    SparkEntry.queries("q6_revenue_per_region_year")(spark, src).collect()
+    SparkEntry.queries("q6_revenue_per_region_year")(spark, dst).collect()
+
+    def time(n: String, dir: String, reps: Int): Unit =
+      (1 to reps).foreach { _ =>
+        val t0 = System.nanoTime()
+        val r0 = listener.read.get; val w0 = listener.write.get
+        val rows = SparkEntry.queries(n)(spark, dir).collect().length
+        val sec = (System.nanoTime - t0) / 1e9
+        Thread.sleep(500) // let stage-completion events drain
+        println(f"[scaleup] $n%-28s $dir%-18s $sec%8.2f s  " +
+          f"shufR ${(listener.read.get - r0) / 1048576.0}%9.1f MB  " +
+          f"shufW ${(listener.write.get - w0) / 1048576.0}%9.1f MB  " +
+          f"rows $rows%d")
+      }
+
+    for (q <- Seq("q1_total_revenue", "q6_revenue_per_region_year",
+        "q8_avg_shipping_days")) {
+      time(q, src, 2); time(q, dst, 2)
+    }
+    for (q <- Seq("dedup_minhash_lsh", "dedup_incremental")) {
+      time(q, src, 1); time(q, dst, 1)
+    }
     spark.stop()
   }
 }
