@@ -91,20 +91,31 @@ object Bench {
     // aggregate value columns (a sum the caller never reads is
     // removed), so it would under-measure. collect() materializes
     // every output column; all headline results are tiny (≤ 100 rows).
-    // Per-query seconds = MIN OF TWO timed runs: single-shot times of
-    // sub-second queries jitter ±30-50% here (scheduling noise), which
-    // false-fires a 1.5× gate; the min is the steady-state figure.
-    val results = qs.map { name =>
-      def timed(): Double = {
-        val t0 = System.nanoTime()
-        try {
-          SparkEntry.queries(name)(spark, sfDir).collect()
-          if (injectSlow) SparkEntry.queries(name)(spark, sfDir).collect()
-        } catch { case _: Throwable => Array.empty[org.apache.spark.sql.Row] }
-        (System.nanoTime() - t0) / 1e9
-      }
-      name -> math.min(timed(), timed())
+    // Per-query seconds = MIN ACROSS TWO INTERLEAVED PASSES (pass A
+    // over the whole query list, then pass B; min per query). Round 4
+    // recorded three false regressions from back-to-back timing: a
+    // multi-second contention burst lands on BOTH adjacent samples of
+    // the same query. Interleaved, a burst must span nearly the whole
+    // loop to corrupt both samples of one query — and then it also
+    // shows up in the post-loop calibration below, which voids the
+    // verdict instead.
+    def timedOnce(name: String): Double = {
+      val t0 = System.nanoTime()
+      try {
+        SparkEntry.queries(name)(spark, sfDir).collect()
+        if (injectSlow) SparkEntry.queries(name)(spark, sfDir).collect()
+      } catch { case _: Throwable => () }
+      (System.nanoTime() - t0) / 1e9
     }
+    val passA = qs.map(n => n -> timedOnce(n)).toMap
+    val passB = qs.map(n => n -> timedOnce(n)).toMap
+    val results = qs.map(n => n -> math.min(passA(n), passB(n)))
+    // Second calibration AFTER the timed loop: pre/post disagreement
+    // means the environment changed mid-run (a burst the min-of-passes
+    // can't reject) — the gate refuses a verdict rather than shipping
+    // false flags. When they agree, the geometric mean estimates the
+    // environment DURING the loop better than either endpoint.
+    val calibPost = calibrate(spark)
     val qjson = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
@@ -114,19 +125,31 @@ object Bench {
     // Soft drift-normalized regression report against the committed
     // BENCH_BASELINE.json. Informational here so the driver-contract
     // JSON line always prints; the hard gate is tools/check_bench.py.
-    val regressions = softRegressions(results, total, calib, sfDir, cpus)
+    val regressions =
+      softRegressions(results, total, calib, calibPost, sfDir, cpus)
     val regJson = regressions.mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"sf":"$sfDir","cpus":$cpus,"calib":$calib,"regressions":$regJson,"note":"$note"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"sf":"$sfDir","cpus":$cpus,"calib":$calib,"calib_post":$calibPost,"regressions":$regJson,"note":"$note"}""")
     spark.stop()
   }
+
+  /** Max over min ratio of the pre- and post-loop calibrations; >1.3
+    * means the environment shifted mid-run and no per-query verdict is
+    * trustworthy. Shared threshold with tools/check_bench.py. */
+  val CalibAgreement = 1.3
 
   /** Drift-normalized per-query flags (>1.5× after dividing out the
     * calibration ratio) — json4s parsing, formatting-tolerant; any
     * baseline problem is REPORTED as a one-line note instead of
     * silently disabling the comparison. */
   def softRegressions(results: Seq[(String, Double)], total: Double,
-      calib: Double, sfDir: String, cpus: String): Seq[String] = {
+      calib: Double, calibPost: Double, sfDir: String,
+      cpus: String): Seq[String] = {
     import org.json4s._
+    if (math.max(calib, calibPost) / math.min(calib, calibPost)
+        > CalibAgreement)
+      return Seq("\"note: unstable environment (pre/post calib " +
+        f"${calib}%.3f/${calibPost}%.3f disagree >${CalibAgreement}x), " +
+        "no verdict\"")
     val basePath =
       sys.env.getOrElse("SPARK_GRAFT_BASELINE", "BENCH_BASELINE.json")
     try {
@@ -147,7 +170,10 @@ object Bench {
         case None =>
           Seq("\"note: baseline has no calib, no comparison\"")
         case Some(bCalib) =>
-          val drift = calib / bCalib
+          // geometric mean of pre/post: the timed loop sits between
+          // the two calibrations, so their midpoint (in ratio space)
+          // estimates the environment the queries actually saw.
+          val drift = math.sqrt(calib * calibPost) / bCalib
           val baseQ = (base \ "queries") match {
             case JObject(fields) => fields.collect {
               case (k, JDouble(v)) => k -> v

@@ -33,6 +33,10 @@ import sys
 
 THRESHOLD = 1.5
 TOTAL_THRESHOLD = 1.3
+# Max/min ratio the pre- and post-loop calibrations may disagree by
+# before the run is declared unstable (exit 2, no verdict). Mirrored in
+# Bench.CalibAgreement.
+CALIB_AGREEMENT = 1.3
 
 
 def main() -> int:
@@ -59,9 +63,26 @@ def main() -> int:
         print("check_bench: calib missing (baseline and candidate must both "
               "record the frozen calibration workload) — refusing to compare")
         return 2
-    drift = bench["calib"] / base["calib"]
+    calib = bench["calib"]
+    calib_post = bench.get("calib_post")
+    if calib_post:
+        # Pre/post disagreement means the environment shifted DURING the
+        # timed loop — a contention burst min-of-two-passes can't reject.
+        # No verdict beats false flags (round 4 shipped three of them).
+        agreement = max(calib, calib_post) / min(calib, calib_post)
+        if agreement > CALIB_AGREEMENT:
+            print(f"check_bench: unstable environment — pre/post calib "
+                  f"{calib:.3f}s / {calib_post:.3f}s disagree "
+                  f"{agreement:.2f}x > {CALIB_AGREEMENT}x — no verdict")
+            return 2
+        # geometric mean: the timed loop sits between the calibrations,
+        # so their ratio-space midpoint estimates what the queries saw.
+        effective = (calib * calib_post) ** 0.5
+    else:
+        effective = calib  # pre-round-5 bench line; pre-loop calib only
+    drift = effective / base["calib"]
     print(f"environment drift: {drift:.2f}x "
-          f"(calib {bench['calib']:.3f}s vs baseline {base['calib']:.3f}s)")
+          f"(calib {effective:.3f}s vs baseline {base['calib']:.3f}s)")
     regressions = []
     for name, sec in bench["queries"].items():
         b = base["queries"].get(name)
