@@ -24,7 +24,13 @@ import org.apache.spark.sql.functions._
   * regression gate (tools/check_bench.py, mirrored in the soft
   * report here) flags a query only when it is slow AFTER dividing
   * out that drift — per-query seconds measure code again, not the
-  * machine's mood. Gate testability: `SPARK_GRAFT_INJECT_SLOW=1`
+  * machine's mood. A second calibration runs AFTER the timed loop;
+  * if the two disagree >[[CalibAgreement]] the environment shifted
+  * mid-run and the whole timed loop RE-RUNS (up to [[MaxAttempts]])
+  * until a stable window is found — instability postpones the
+  * verdict rather than suppressing it (round 5 shipped a no-verdict
+  * round because a single bursty window was allowed to stand).
+  * Gate testability: `SPARK_GRAFT_INJECT_SLOW=1`
   * executes every timed query twice inside its timing — a
   * deterministic 2.0× execution-cost regression that must trip the
   * gate. (Plan-level degradations were tried first and measured
@@ -39,7 +45,7 @@ object Bench {
     "q1_total_revenue", "q2_revenue_per_year", "q3_top_nations_by_revenue",
     "q4_units_per_item_type", "q5_avg_margin_per_channel",
     "q6_revenue_per_region_year", "q7_top_orders_by_price",
-    "q8_avg_shipping_days",
+    "q8_avg_shipping_days", "q8_shipping_days_bucketed",
     "dash_kpis", "dash_channel_rollup", "dash_monthly_trend",
     "dash_filtered_kpis")
 
@@ -86,7 +92,6 @@ object Bench {
       try { SparkEntry.queries(n)(spark, sfDir).collect() }
       catch { case _: Throwable => () }
     }
-    val calib = calibrate(spark)
     // collect(), not count(): count() lets the optimizer prune the
     // aggregate value columns (a sum the caller never reads is
     // removed), so it would under-measure. collect() materializes
@@ -107,15 +112,37 @@ object Bench {
       } catch { case _: Throwable => () }
       (System.nanoTime() - t0) / 1e9
     }
-    val passA = qs.map(n => n -> timedOnce(n)).toMap
-    val passB = qs.map(n => n -> timedOnce(n)).toMap
-    val results = qs.map(n => n -> math.min(passA(n), passB(n)))
-    // Second calibration AFTER the timed loop: pre/post disagreement
+    // Attempt loop: one attempt = calibrate → pass A over the whole
+    // query list → pass B → calibrate again. Pre/post disagreement
     // means the environment changed mid-run (a burst the min-of-passes
-    // can't reject) — the gate refuses a verdict rather than shipping
-    // false flags. When they agree, the geometric mean estimates the
-    // environment DURING the loop better than either endpoint.
-    val calibPost = calibrate(spark)
+    // can't reject). Round 5 showed that emitting "no verdict" once
+    // per round defers a real regression (or the INJECT_SLOW
+    // self-test) indefinitely — instability must postpone the
+    // verdict, not suppress it — so the bench RE-RUNS the whole timed
+    // loop, up to MaxAttempts, and emits the first stable attempt.
+    // Only if every attempt is bursty does the line carry the
+    // no-verdict note (and check_bench.py exits 2 = mandatory re-run).
+    var attempt = 0
+    var calib = 0.0
+    var calibPost = 0.0
+    var results: Seq[(String, Double)] = Seq.empty
+    var stable = false
+    while (attempt < MaxAttempts && !stable) {
+      attempt += 1
+      calib = calibrate(spark)
+      require(calib > 0, "degenerate calibration (<= 0 s)")
+      val passA = qs.map(n => n -> timedOnce(n)).toMap
+      val passB = qs.map(n => n -> timedOnce(n)).toMap
+      results = qs.map(n => n -> math.min(passA(n), passB(n)))
+      calibPost = calibrate(spark)
+      require(calibPost > 0, "degenerate calibration (<= 0 s)")
+      stable = math.max(calib, calibPost) /
+        math.min(calib, calibPost) <= CalibAgreement
+      if (!stable)
+        System.err.println(f"[bench] attempt $attempt unstable " +
+          f"(calib $calib%.3f/$calibPost%.3f), " +
+          (if (attempt < MaxAttempts) "retrying" else "giving up"))
+    }
     val qjson = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
@@ -128,7 +155,7 @@ object Bench {
     val regressions =
       softRegressions(results, total, calib, calibPost, sfDir, cpus)
     val regJson = regressions.mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"sf":"$sfDir","cpus":$cpus,"calib":$calib,"calib_post":$calibPost,"regressions":$regJson,"note":"$note"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"sf":"$sfDir","cpus":$cpus,"calib":$calib,"calib_post":$calibPost,"attempts":$attempt,"regressions":$regJson,"note":"$note"}""")
     spark.stop()
   }
 
@@ -136,6 +163,11 @@ object Bench {
     * means the environment shifted mid-run and no per-query verdict is
     * trustworthy. Shared threshold with tools/check_bench.py. */
   val CalibAgreement = 1.3
+
+  /** How many times the whole timed loop re-runs looking for a
+    * stable (pre/post calib within [[CalibAgreement]]) window before
+    * the bench gives up and emits the no-verdict note. */
+  val MaxAttempts = 3
 
   /** Drift-normalized per-query flags (>1.5× after dividing out the
     * calibration ratio) — json4s parsing, formatting-tolerant; any

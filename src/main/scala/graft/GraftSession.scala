@@ -27,6 +27,15 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config(NanosFlag, "true")
+      // Bucketed scans report their write-time sortBy order, so a
+      // co-bucketed sort-merge join needs neither Exchange nor Sort
+      // (graft.pipeline.GoldLayout). Spark turned the ordering report
+      // off by default (SPARK-28595) but still applies the safety
+      // precondition when enabled — ordering is only claimed when
+      // every bucket is a single file, which GoldLayout's
+      // repartition-before-write guarantees; multi-file buckets fall
+      // back to an explicit Sort regardless of this flag.
+      .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
       .config("spark.ui.enabled", "false")
 
   /** Assert the session was built with the nanos flag (see above)

@@ -92,6 +92,18 @@ object ScaleUp {
         "q8_avg_shipping_days")) {
       time(q, src, 2); time(q, dst, 2)
     }
+    // bucketed gold layout: the exchange-free answer to q8's 100×
+    // regime (both-sides shuffle SMJ, 852 MB measured round 4). The
+    // one-time layout build is timed separately — it's the write-side
+    // cost a lakehouse pays once, amortized over every downstream
+    // fact-fact join.
+    for (d <- Seq(src, dst)) {
+      val t0 = System.nanoTime()
+      graft.pipeline.GoldLayout.ensureBucketed(spark, d)
+      println(f"[scaleup] gold_bucketed_build          $d%-18s " +
+        f"${(System.nanoTime - t0) / 1e9}%8.2f s")
+      time("q8_shipping_days_bucketed", d, 2)
+    }
     for (q <- Seq("dedup_minhash_lsh", "dedup_incremental")) {
       time(q, src, 1); time(q, dst, 1)
     }

@@ -23,6 +23,7 @@ object SparkEntry {
       graft.queries.Reshape.queries ++
       graft.queries.WindowAnalytics.queries ++
       graft.pipeline.StarSchema.queries ++
+      graft.pipeline.GoldLayout.queries ++
       graft.pipeline.EtlPipeline.queries ++
       graft.ext.TextOps.queries ++
       graft.ext.Dedup.queries ++
@@ -40,6 +41,7 @@ object SparkEntry {
       graft.queries.Reshape.oracle ++
       graft.queries.WindowAnalytics.oracle ++
       graft.pipeline.StarSchema.oracle ++
+      graft.pipeline.GoldLayout.oracle ++
       graft.pipeline.EtlPipeline.oracle ++
       graft.ext.TextOps.oracle ++
       graft.ext.Dedup.oracle ++

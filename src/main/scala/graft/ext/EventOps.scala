@@ -100,8 +100,10 @@ object EventOps {
     * Scale guard: `event_type` is LOW-NDV (~5 values), so the rank
     * window sorts each type's full row set in one task — guarded by
     * [[graft.ops.StatsOps.requireGroupsSortable]] (loud failure past
-    * MaxRankGroupRows); [[groupedQuantilesApprox]] is the registered
-    * sketch variant that replaces it at scale. */
+    * MaxRankGroupRows); [[groupedQuantilesApprox]] is the sketch
+    * variant that replaces it at scale (deterministic projection
+    * registered as `events_quantile_bounds`; sketch columns
+    * tolerance-asserted in OpsSpec). */
   def groupedQuantiles(spark: SparkSession, dir: String,
       maxGroupRows: Long = graft.ops.StatsOps.MaxRankGroupRows): DataFrame = {
     // quantiles are over NON-NULL values (StatsOps.orderStat
@@ -126,8 +128,10 @@ object EventOps {
   /** The 100 TB form of [[groupedQuantiles]]: `percentile_approx`
     * (mergeable sketch, partial aggregation — no per-group sort, so
     * a hot event_type never lands on one task). Sketch accuracy
-    * 10000 → ≤0.01% rank error; rows-only correctness check, with
-    * the tolerance-vs-exact assertion in EventOpsSpec. */
+    * 10000 → ≤0.01% rank error, so sketch output cannot hash-match
+    * an independent engine; OpsSpec holds the tolerance-vs-exact
+    * assertion, and the deterministic slice is oracle-checked as
+    * `events_quantile_bounds`. */
   def groupedQuantilesApprox(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(spark, dir).filter(col("value").isNotNull)
     e.groupBy(col("event_type"))
@@ -135,6 +139,21 @@ object EventOps {
         array(lit(0.25), lit(0.5), lit(0.9)), lit(10000)).as("qq"))
       .select(col("event_type"), col("qq").getItem(0).as("p25"),
         col("qq").getItem(1).as("p50"), col("qq").getItem(2).as("p90"))
+      .orderBy(col("event_type"))
+  }
+
+  /** The deterministic slice of the grouped quantiles at unbounded
+    * scale: group key, count, min, max — pure partial aggregation,
+    * so it runs at any group size and hash-matches a DuckDB replay.
+    * Oracle-checkable companion of [[groupedQuantilesApprox]] (a GK
+    * sketch quantile can never hash-match an independent engine);
+    * the sketch columns stay under OpsSpec's tolerance-vs-exact
+    * assertion. */
+  def groupedQuantileBounds(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir).filter(col("value").isNotNull)
+    e.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), min(col("value")).as("min_val"),
+        max(col("value")).as("max_val"))
       .orderBy(col("event_type"))
   }
 
@@ -207,6 +226,8 @@ object EventOps {
       """WITH x AS (SELECT user_id, ts, event_id, value, CASE WHEN lag(ts) OVER w IS NULL OR ts - lag(ts) OVER w > INTERVAL '30' MINUTE THEN 1 ELSE 0 END AS brk FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), s AS (SELECT *, CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM x) SELECT user_id, session_id, MIN(ts) AS session_start, MAX(ts) AS session_end, COUNT(*) AS n_events, CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value FROM s GROUP BY 1, 2 ORDER BY 1, 2""",
     "events_grouped_quantiles" ->
       """WITH r AS (SELECT event_type, value, row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) - 1 AS rn, COUNT(*) OVER (PARTITION BY event_type) AS n FROM events WHERE value IS NOT NULL) SELECT event_type, MAX(CASE WHEN rn = floor(0.25 * (n - 1)) THEN value END) AS p25, MAX(CASE WHEN rn = floor(0.5 * (n - 1)) THEN value END) AS p50, MAX(CASE WHEN rn = floor(0.9 * (n - 1)) THEN value END) AS p90 FROM r GROUP BY 1 ORDER BY 1""",
+    "events_quantile_bounds" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n, min(value) AS min_val, max(value) AS max_val FROM events WHERE value IS NOT NULL GROUP BY 1 ORDER BY 1""",
     "events_range_error_clicks" ->
       """SELECT e.event_id AS error_id, COUNT(*) AS n_clicks_5min FROM (SELECT * FROM events WHERE event_type = 'error') e JOIN (SELECT * FROM events WHERE event_type = 'click') c ON c.ts >= e.ts - INTERVAL '5' MINUTE AND c.ts <= e.ts GROUP BY 1 ORDER BY 1""",
     "events_json_typed" ->
@@ -225,7 +246,7 @@ object EventOps {
     "events_sessionize" -> sessionizeBatch _,
     "events_grouped_quantiles" ->
       ((s: SparkSession, dir: String) => groupedQuantiles(s, dir)),
-    "events_quantiles_approx" -> groupedQuantilesApprox _,
+    "events_quantile_bounds" -> groupedQuantileBounds _,
     "events_range_error_clicks" -> rangeErrorClicks _,
     "events_session_window" -> sessionWindows _
   )

@@ -288,7 +288,9 @@ object EltOps {
     * plan is guarded by [[StatsOps.requireGroupsSortable]] (one eager
     * column-pruned pre-check job) and fails loudly past
     * [[StatsOps.MaxRankGroupRows]] — [[boxplotApprox]] is the
-    * registered sketch-based variant that replaces it at scale. */
+    * sketch-based variant that replaces it at scale (its
+    * deterministic projection is registered as `elt_boxplot_bounds`;
+    * the sketch columns are tolerance-asserted in OpsSpec). */
   def boxplot(spark: SparkSession, dir: String,
       maxGroupRows: Long = StatsOps.MaxRankGroupRows): DataFrame = {
     val o = Tables.orders(spark, dir)
@@ -325,8 +327,10 @@ object EltOps {
     * per-group sort, no single-task hot spot), whiskers/outliers from
     * the same second broadcast-join pass as the exact plan. Quartile
     * values are approximate (sketch-accuracy 10000, i.e. ≤0.01%
-    * rank error), so this entry gets the rows-only correctness check;
-    * EltSpec asserts it within IQR tolerance of the exact plan. */
+    * rank error), so they cannot hash-match an independent engine;
+    * OpsSpec asserts them within IQR tolerance of the exact plan,
+    * and the deterministic slice is oracle-checked as
+    * `elt_boxplot_bounds`. */
   def boxplotApprox(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)
       .select(col("o_orderpriority").as("grp"), col("o_totalprice").as("x"))
@@ -352,6 +356,24 @@ object EltOps {
       .withColumnRenamed("grp", "order_priority")
       .orderBy(col("order_priority"))
   }
+
+  /** The deterministic slice of the boxplot at unbounded scale:
+    * group key, count, min, max — pure partial aggregation (no
+    * sort, no sketch, no per-group hot task), so it runs at any
+    * group size and hash-matches a DuckDB replay. This is the
+    * oracle-checkable companion of [[boxplotApprox]]: a sketch
+    * quartile can never hash-match an independent engine (GK
+    * internals differ), so the registry splits the 100 TB boxplot
+    * into this exact projection (oracle) + the sketch quartiles
+    * ([[boxplotApprox]], kept under OpsSpec's tolerance-vs-exact
+    * assertion). */
+  def boxplotBounds(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority").as("order_priority"))
+      .agg(count(lit(1)).as("n"),
+        min(col("o_totalprice")).as("min_val"),
+        max(col("o_totalprice")).as("max_val"))
+      .orderBy(col("order_priority"))
 
   /** Wider decimal for sums of squared money values. */
   private val DecimalBig = org.apache.spark.sql.types.DecimalType(27, 6)
@@ -392,6 +414,8 @@ object EltOps {
       """SELECT COUNT(o_totalprice) AS cnt, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(o_totalprice) AS mean, round(sqrt((CAST(SUM(CAST(o_totalprice * o_totalprice AS DECIMAL(27,6))) AS DOUBLE) - CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) * CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(o_totalprice)) / (COUNT(o_totalprice) - 1)), 4) AS stddev, MIN(o_totalprice) AS min_val, MAX(o_totalprice) AS max_val FROM orders""",
     "elt_boxplot" ->
       """WITH t AS (SELECT o_orderpriority AS grp, o_totalprice AS x, row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice) - 1 AS i, count(*) OVER (PARTITION BY o_orderpriority) AS n FROM orders), qs AS (SELECT grp, CAST(count(*) AS BIGINT) AS n, min(x) AS min_val, max(CASE WHEN i = CAST(floor(0.25*(n-1)) AS BIGINT) THEN x END) AS q1, max(CASE WHEN i = CAST(floor(0.5*(n-1)) AS BIGINT) THEN x END) AS median, max(CASE WHEN i = CAST(floor(0.75*(n-1)) AS BIGINT) THEN x END) AS q3, max(x) AS max_val FROM t GROUP BY grp), b AS (SELECT *, q1 - 1.5*(q3 - q1) AS lo, q3 + 1.5*(q3 - q1) AS hi FROM qs), wk AS (SELECT t.grp, min(CASE WHEN x >= lo THEN x END) AS whisker_lo, max(CASE WHEN x <= hi THEN x END) AS whisker_hi, CAST(SUM(CASE WHEN x < lo OR x > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers FROM t JOIN b USING (grp) GROUP BY t.grp) SELECT b.grp AS order_priority, n, min_val, q1, median, q3, max_val, whisker_lo, whisker_hi, n_outliers FROM b JOIN wk USING (grp) ORDER BY 1""",
+    "elt_boxplot_bounds" ->
+      """SELECT o_orderpriority AS order_priority, CAST(count(*) AS BIGINT) AS n, min(o_totalprice) AS min_val, max(o_totalprice) AS max_val FROM orders GROUP BY 1 ORDER BY 1""",
     "elt_recompute_totals" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice AS gross_revenue, l_extendedprice * (1.0 - l_discount) AS discounted_revenue, l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS final_charge FROM lineitem WHERE l_orderkey % 100 = 0 ORDER BY l_orderkey, l_linenumber""",
     "elt_processed_pipeline" ->
@@ -416,7 +440,7 @@ object EltOps {
     "elt_describe" -> describeStats _,
     "elt_boxplot" ->
       ((s: SparkSession, dir: String) => boxplot(s, dir)),
-    "elt_boxplot_approx" -> boxplotApprox _,
+    "elt_boxplot_bounds" -> boxplotBounds _,
     "elt_recompute_totals" -> recomputeTotals _,
     "elt_processed_pipeline" -> processedPipeline _
   )

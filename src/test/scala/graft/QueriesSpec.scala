@@ -7,6 +7,15 @@ class QueriesSpec extends SparkSpec {
     assert(missing.isEmpty, s"oracle entries without queries: $missing")
   }
 
+  test("every registered query is oracle-checked (no rows-only checks)") {
+    // Sketch outputs (GK quantiles) can't hash-match an independent
+    // engine, so those live as library functions under tolerance
+    // tests (OpsSpec) while their deterministic projections are
+    // registered — the registry itself stays 100% oracle-green.
+    val unchecked = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(unchecked.isEmpty, s"queries without an oracle: $unchecked")
+  }
+
   test("entry() returns rows (driver smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

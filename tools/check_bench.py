@@ -11,14 +11,32 @@ Cross-session absolute seconds are not comparable (round 3 measured a
 uniform 20-40% drift on byte-identical code), so both the baseline and
 the candidate record `calib`: the seconds of a FROZEN synthetic
 workload (Bench.calibrate) timed in the same session as the queries.
-drift = calib_candidate / calib_baseline measures the environment; a
-query is flagged only when sec > 1.5 * baseline * drift, and the total
-when total > 1.3 * baseline_total * drift. The baseline records the
-sf dir, cpu count, and calib it was measured at; comparisons against a
-different configuration (or a baseline without calib) are refused
-(exit 2) rather than producing a meaningless verdict. Methodology is
-pinned to collect() materialization (see Bench.scala) — never compare
-across methodology changes.
+Since round 5 the bench also records `calib_post`, the same workload
+re-timed AFTER the timed loop, and the effective calibration is the
+geometric mean of the two (the timed loop sits between them, so their
+ratio-space midpoint estimates the environment the queries saw).
+drift = calib_effective / calib_baseline; a query is flagged only when
+sec > 1.5 * baseline * drift, and the total when total >
+1.3 * baseline_total * drift.
+
+Unstable environment: when pre/post calibrations disagree by more than
+CALIB_AGREEMENT (1.3x, mirrored in Bench.CalibAgreement), the
+environment shifted DURING the timed loop and no per-query verdict is
+trustworthy — this script exits 2 ("no verdict"). Exit 2 is NOT a
+pass: it is a MANDATORY re-run signal. Callers must re-run graft.Bench
+(on a quiet machine) and re-check; treating exit 2 as success would
+silently defer a real regression forever. Bench itself already retries
+the whole timed loop up to Bench.MaxAttempts times looking for a
+stable window before emitting an unstable line, so exit 2 here means
+the machine was loaded for the entire bench run.
+
+The baseline records the sf dir, cpu count, and calib it was measured
+at; comparisons against a different configuration (or a baseline
+without calib) are refused (exit 2) rather than producing a
+meaningless verdict. Methodology is pinned to collect()
+materialization with two interleaved timed passes and dual
+calibration (see Bench.scala) — never compare across methodology
+changes without re-recording the baseline.
 
 Gate self-test: run Bench with SPARK_GRAFT_INJECT_SLOW=1 (every timed
 query executes twice — a deterministic 2x execution-cost regression)
@@ -65,7 +83,15 @@ def main() -> int:
         return 2
     calib = bench["calib"]
     calib_post = bench.get("calib_post")
-    if calib_post:
+    # `is not None`, not truthiness: a (degenerate) 0.0 must hit the
+    # validation below, not silently fall back to the pre-round-5 path.
+    for label, val in [("calib", calib), ("calib_post", calib_post),
+                       ("baseline calib", base.get("calib"))]:
+        if val is not None and val <= 0:
+            print(f"check_bench: degenerate {label} ({val}) — refusing "
+                  "to compare")
+            return 2
+    if calib_post is not None:
         # Pre/post disagreement means the environment shifted DURING the
         # timed loop — a contention burst min-of-two-passes can't reject.
         # No verdict beats false flags (round 4 shipped three of them).
@@ -73,7 +99,11 @@ def main() -> int:
         if agreement > CALIB_AGREEMENT:
             print(f"check_bench: unstable environment — pre/post calib "
                   f"{calib:.3f}s / {calib_post:.3f}s disagree "
-                  f"{agreement:.2f}x > {CALIB_AGREEMENT}x — no verdict")
+                  f"{agreement:.2f}x > {CALIB_AGREEMENT}x — no verdict. "
+                  f"Exit 2 is a MANDATORY re-run signal, not a pass: "
+                  f"re-run graft.Bench on a quiet machine "
+                  f"(bench already retried {bench.get('attempts', 1)} "
+                  f"attempt(s) internally).")
             return 2
         # geometric mean: the timed loop sits between the calibrations,
         # so their ratio-space midpoint estimates what the queries saw.
