@@ -392,6 +392,25 @@ object Dedup {
     } finally goldSh.unpersist()
   }
 
+  /** Crash recovery: rebuild the dedup index from the gold corpus.
+    *
+    * The streaming sink ([[graft.streaming.EventStreams.incrementalDedupSink]])
+    * appends gold BEFORE extending the index, so a crash between the
+    * two writes leaves gold docs the index doesn't know about —
+    * duplicates of those docs would be missed (never invented). This
+    * closes that window: the gold corpus is the source of truth and
+    * the index is derived state, so a full rebuild from gold restores
+    * the exact index a crash-free run would have produced
+    * (fingerprints, band table, and shingle sets are all
+    * deterministic functions of the text). Runs as one distributed
+    * pass over gold per component — at 100 TB this is the same cost
+    * as the initial index build, so operators should also consider
+    * it the compaction path for a store fragmented by many small
+    * appends. */
+  def rebuildIndex(spark: SparkSession, goldDir: String,
+      indexDir: String): Unit =
+    writeGoldIndex(spark.read.parquet(goldDir), indexDir)
+
   /** Extend a [[writeGoldIndex]] store with newly-accepted docs
     * (append-mode writes of the same three components). Callers add
     * only docs whose verdict was `unique`, so the appended

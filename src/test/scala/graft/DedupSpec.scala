@@ -116,6 +116,41 @@ class DedupSpec extends SparkSpec {
     assert(viaIndex == direct)
   }
 
+  test("rebuildIndex recovers the crash window between gold append " +
+      "and index append") {
+    val d = graft.Tables.documents(spark, sf)
+    val maxId = d.agg(max(col("doc_id"))).head().getLong(0)
+    val gold0 = d.filter(col("doc_id") <= maxId * 6 / 10)
+    val batch1 = d.filter(col("doc_id") > maxId * 6 / 10
+      && col("doc_id") <= maxId * 8 / 10)
+    val batch2 = d.filter(col("doc_id") > maxId * 8 / 10)
+    val base = java.nio.file.Files.createTempDirectory("gold_crash").toString
+    // healthy start: gold corpus + matching index
+    gold0.write.parquet(s"$base/gold")
+    Dedup.writeGoldIndex(gold0, s"$base/index")
+    // simulated crash: batch1's uniques reach the gold corpus but the
+    // index append never happens (the sink's documented crash window
+    // — gold is written first so replay misses dups, never drops docs)
+    val uniques1 = batch1.join(
+      Dedup.incrementalAgainstIndex(spark, batch1, s"$base/index")
+        .filter(col("verdict") === "unique").select("doc_id"),
+      Seq("doc_id")).localCheckpoint()
+    uniques1.write.mode("append").parquet(s"$base/gold")
+    // recovery: rebuild the index from the gold source of truth …
+    Dedup.rebuildIndex(spark, s"$base/gold", s"$base/index")
+    val recovered = Dedup.incrementalAgainstIndex(
+      spark, batch2, s"$base/index").collect().toSeq
+    // … and it must judge batch2 exactly like an index built directly
+    // from the same gold corpus by a crash-free run
+    val cleanIdx = java.nio.file.Files
+      .createTempDirectory("gold_clean").toString
+    Dedup.writeGoldIndex(spark.read.parquet(s"$base/gold"), cleanIdx)
+    val clean = Dedup.incrementalAgainstIndex(
+      spark, batch2, cleanIdx).collect().toSeq
+    assert(recovered == clean)
+    assert(recovered.nonEmpty)
+  }
+
   test("all-pairs embedding baseline refuses to run past its row guard") {
     val ex = intercept[IllegalArgumentException] {
       Dedup.embeddingCosinePairs(spark, sf, maxRows = 10)
