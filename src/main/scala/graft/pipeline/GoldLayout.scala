@@ -10,8 +10,8 @@ import graft.Tables
   * 15M orders — the ScaleUp tier) AQE plans a both-sides shuffle
   * sort-merge join that moved 852 MB (PLANS.md scale table). On a
   * 100 TB cluster that exchange IS the query cost. The lakehouse
-  * answer is layout, not plan tuning: write lineitem and orders
-  * CO-BUCKETED on the order key (same bucket count, sorted within
+  * answer is layout, not plan tuning: write the two facts
+  * CO-BUCKETED on the join key (same bucket count, sorted within
   * buckets), and the join needs no exchange and no sort on either
   * side — each bucket pair joins locally, which also means a
   * 1000-executor cluster schedules it as 1000 independent
@@ -20,9 +20,23 @@ import graft.Tables
   * (`/root/reference/dashboard/app.py:88-99`); bucketing keeps the
   * tables normalized while buying the same join-free read path.
   *
+  * Bucketing is a generic gold-write OPTION: [[ensureBucketedTable]]
+  * registers any `(table, key, buckets)` triple, so any fact-fact
+  * pair can opt in (q8's lineitem⋈orders on the order key is just
+  * the shipped default, [[ensureBucketed]]; GoldLayoutSpec also
+  * exercises lineitem⋈part on the part key). The same table may be
+  * bucketed on several keys — each layout is its own catalog table.
+  *
   * Tables are EXTERNAL (explicit `path` option): the layout lives at
   * a caller-controlled location, not the session warehouse, so the
-  * engine never writes state into the repo working directory. The
+  * engine never writes state into the repo working directory.
+  * Staleness and concurrency: the catalog name and path embed a
+  * FINGERPRINT of the source files (name/size/mtime), so rewritten
+  * source data yields a new table name and the stale layout is never
+  * served — `tableExists` only short-circuits while the source is
+  * byte-identical. The default root is process-scoped (pid), so two
+  * JVMs (e.g. sbt test and ScaleUp) never overwrite each other's
+  * layouts; `synchronized` covers the in-process build race. The
   * layout is an optimization, not a semantic: `q8Bucketed` must
   * (and does — same oracle SQL) return byte-identical results to
   * the direct `q8_avg_shipping_days`.
@@ -36,47 +50,73 @@ object GoldLayout {
     * further by parquet row groups at read time). */
   val Buckets = 32
 
-  /** Catalog-safe 8-hex tag for a source dir, so layouts for
-    * different scale factors coexist in one session catalog. */
-  private def tag(dir: String): String =
+  private def md5hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      .digest(s.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
 
-  def lineitemTable(dir: String): String = s"gold_lineitem_bkt_${tag(dir)}"
-  def ordersTable(dir: String): String = s"gold_orders_bkt_${tag(dir)}"
+  /** Catalog-safe 8-hex fingerprint of a table's source files:
+    * changes whenever the source parquet is rewritten (per-file
+    * name/length/mtime), so layouts for different scale factors AND
+    * different source versions coexist without serving stale data. */
+  private def fingerprint(dir: String, table: String): String = {
+    val src = new java.io.File(s"$dir/$table.parquet")
+    val files =
+      if (src.isDirectory)
+        Option(src.listFiles()).getOrElse(Array.empty).sortBy(_.getName)
+      else Array(src)
+    md5hex(dir + "|" + files.map(f =>
+      s"${f.getName}:${f.length}:${f.lastModified}").mkString("|"))
+  }
 
-  private def defaultRoot(dir: String): String =
-    s"${sys.props("java.io.tmpdir")}/graft_gold_${tag(dir)}"
+  /** Catalog name for a (source dir, table, bucket key) layout. */
+  def bucketedName(dir: String, table: String, key: String): String =
+    s"gold_${table}_${key}_bkt_${fingerprint(dir, table)}"
 
-  /** Materialize lineitem + orders co-bucketed on the order key as
-    * external catalog tables (build-once per source dir: a no-op
-    * when both tables are already registered in this session).
+  def lineitemTable(dir: String): String =
+    bucketedName(dir, "lineitem", "l_orderkey")
+  def ordersTable(dir: String): String =
+    bucketedName(dir, "orders", "o_orderkey")
+
+  /** Process-scoped default root: concurrent JVMs build disjoint
+    * layout dirs instead of racing on one path (leftover dirs are
+    * ordinary /tmp garbage, reclaimed by the OS). */
+  private def defaultRoot: String =
+    s"${sys.props("java.io.tmpdir")}/graft_gold_p${ProcessHandle.current().pid()}"
+
+  /** Materialize one table bucketed + sorted on `key` as an external
+    * catalog table; build-once per (source-version, table, key) in
+    * this session. Returns the catalog name to `spark.table(...)`.
     * Synchronized: concurrent test suites may race on the catalog. */
+  def ensureBucketedTable(spark: SparkSession, dir: String, table: String,
+      key: String, buckets: Int = Buckets, root: String = null): String =
+    synchronized {
+      val name = bucketedName(dir, table, key)
+      if (!spark.catalog.tableExists(name)) {
+        val base = Option(root).getOrElse(defaultRoot)
+        // repartition on the bucket key first: each write task then
+        // holds exactly one bucket's rows (repartition and bucketBy
+        // share the Murmur3 hash), so every bucket is ONE file — the
+        // precondition for Spark to trust the write-time sortBy and
+        // skip the merge-join Sort at read time (multi-file buckets
+        // only guarantee per-file order, and the reader ignores
+        // sortBy metadata then).
+        Tables.table(spark, dir, table)
+          .repartition(buckets, col(key))
+          .write.mode("overwrite")
+          .option("path", s"$base/$name")
+          .bucketBy(buckets, key).sortBy(key)
+          .saveAsTable(name)
+      }
+      name
+    }
+
+  /** The shipped default layout: lineitem + orders co-bucketed on the
+    * order key (q8's fact-fact pair). */
   def ensureBucketed(spark: SparkSession, dir: String,
-      buckets: Int = Buckets, root: String = null): Unit = synchronized {
-    val base = Option(root).getOrElse(defaultRoot(dir))
-    // repartition on the bucket key first: each write task then holds
-    // exactly one bucket's rows (repartition and bucketBy share the
-    // Murmur3 hash), so every bucket is ONE file — the precondition
-    // for Spark to trust the write-time sortBy and skip the
-    // merge-join Sort at read time (multi-file buckets only guarantee
-    // per-file order, and the reader ignores sortBy metadata then).
-    val lt = lineitemTable(dir)
-    if (!spark.catalog.tableExists(lt))
-      Tables.lineitem(spark, dir)
-        .repartition(buckets, col("l_orderkey"))
-        .write.mode("overwrite")
-        .option("path", s"$base/lineitem")
-        .bucketBy(buckets, "l_orderkey").sortBy("l_orderkey")
-        .saveAsTable(lt)
-    val ot = ordersTable(dir)
-    if (!spark.catalog.tableExists(ot))
-      Tables.orders(spark, dir)
-        .repartition(buckets, col("o_orderkey"))
-        .write.mode("overwrite")
-        .option("path", s"$base/orders")
-        .bucketBy(buckets, "o_orderkey").sortBy("o_orderkey")
-        .saveAsTable(ot)
+      buckets: Int = Buckets, root: String = null): Unit = {
+    ensureBucketedTable(spark, dir, "lineitem", "l_orderkey", buckets, root)
+    ensureBucketedTable(spark, dir, "orders", "o_orderkey", buckets, root)
+    ()
   }
 
   /** q8 over the bucketed layout — the exchange-free form of

@@ -42,4 +42,31 @@ class GoldLayoutSpec extends SparkSpec {
       spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
     }
   }
+
+  test("any fact-fact pair can opt in: lineitem x part co-bucketed on " +
+      "the part key joins exchange-free") {
+    val lt = GoldLayout.ensureBucketedTable(spark, sf, "lineitem", "l_partkey")
+    val pt = GoldLayout.ensureBucketedTable(spark, sf, "part", "p_partkey")
+    // a second layout of the same table on a different key coexists
+    // with the order-key layout under its own catalog name
+    assert(lt != GoldLayout.lineitemTable(sf))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val j = spark.table(lt)
+        .join(spark.table(pt), col("l_partkey") === col("p_partkey"))
+        .select(col("l_partkey"), col("l_quantity"), col("p_type"))
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"co-bucketed pair must join exchange-free:\n$plan")
+      assert(!plan.contains("Sort "),
+        s"bucketed+sorted layout must not re-sort:\n$plan")
+      assert(j.count() === Tables.lineitem(spark, sf).count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
 }
