@@ -57,6 +57,33 @@ object OverheadProbe {
       f"steady-min $steady%6.3f s  jobs $dj stages $ds tasks $dt")
   }
 
+  /** Steady-state serving-latency comparison for the dashboard memo
+    * layer (graft.queries.QueryMemo): fresh plan+execute per request
+    * (what a naive dashboard pays on every widget interaction) vs
+    * plan-reuse (same DataFrame instance — Catalyst paid once) vs
+    * pinned (persist() — execution skipped too, the full
+    * `@st.cache_data` analog). Each number is min of 3 after warm-up. */
+  private def probeReuse(spark: SparkSession, name: String,
+      sfDir: String): Unit = {
+    import graft.queries.QueryMemo
+    def minOf3(f: () => Double): Double = Seq(f(), f(), f()).min
+    def timed(df: => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime(); df.collect(); (System.nanoTime() - t0) / 1e9
+    }
+    SparkEntry.queries(name)(spark, sfDir).collect() // warm codegen/IO
+    val fresh = minOf3(() => timed(SparkEntry.queries(name)(spark, sfDir)))
+    val memoDf = QueryMemo.of(spark, name, sfDir)
+    memoDf.collect() // plan once
+    val reuse = minOf3(() => timed(memoDf))
+    val pinDf = QueryMemo.pinned(spark, s"$name@$sfDir#pinned")(
+      SparkEntry.queries(name)(spark, sfDir))
+    pinDf.collect() // materialize the cache
+    val pinned = minOf3(() => timed(pinDf))
+    println(f"[probe] $name%-28s fresh $fresh%6.3f s  " +
+      f"plan-reuse $reuse%6.3f s (${fresh / reuse}%4.1fx)  " +
+      f"pinned $pinned%6.3f s (${fresh / pinned}%4.1fx)")
+  }
+
   def main(args: Array[String]): Unit = {
     val qs = if (args.nonEmpty) args.toSeq
       else Seq("q5_avg_margin_per_channel", "q7_top_orders_by_price")
@@ -81,5 +108,14 @@ object OverheadProbe {
     run("coalesce-to-size", Map(
       "spark.sql.adaptive.coalescePartitions.parallelismFirst" -> "false",
       "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "64m"))
+    // dashboard serving path: QueryMemo plan-reuse vs fresh-per-request
+    val spark = GraftSession.builder("local[32]", "32")
+      .appName("overhead-reuse").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    println("[probe] --- dashboard memo reuse (QueryMemo) ---")
+    val dashQs = qs ++ (if (args.nonEmpty) Nil else Seq("dash_kpis",
+      "dash_filtered_kpis", "dash_channel_rollup", "dash_monthly_trend"))
+    dashQs.foreach(q => probeReuse(spark, q, sfDir))
+    spark.stop()
   }
 }

@@ -43,4 +43,36 @@ class DashboardSpec extends SparkSpec {
       assert(Dashboard.sample(df, 10).count() <= 10)
     } finally { df.unpersist(); () }
   }
+
+  test("QueryMemo reuses one plan per key and invalidates per session") {
+    import graft.queries.QueryMemo
+    QueryMemo.invalidate(spark)
+    val a = QueryMemo.of(spark, "dash_kpis", sf)
+    val b = QueryMemo.of(spark, "dash_kpis", sf)
+    assert(a eq b, "same key must return the identical DataFrame instance")
+    val other = QueryMemo.of(spark, "dash_channel_rollup", sf)
+    assert(!(a eq other))
+    assert(QueryMemo.size(spark) == 2)
+    // memoized results match a fresh build
+    val fresh = SparkEntry.queries("dash_kpis")(spark, sf).collect()
+    assert(a.collect().sameElements(fresh))
+    QueryMemo.invalidate(spark)
+    assert(QueryMemo.size(spark) == 0)
+    val c = QueryMemo.of(spark, "dash_kpis", sf)
+    assert(!(a eq c), "invalidate must drop the old plan")
+    QueryMemo.invalidate(spark)
+  }
+
+  test("QueryMemo.pinned persists the frame and invalidate unpersists it") {
+    import graft.queries.QueryMemo
+    val key = "dashboard-spec-pinned"
+    val df = QueryMemo.pinned(spark, key)(
+      Dashboard.filteredOrders(spark, sf, Filters(regions = Seq("ASIA"))))
+    assert(df.storageLevel.useMemory, "pinned frame must be persisted")
+    assert(df.count() > 0)
+    assert(QueryMemo.pinned(spark, key)(fail("must not rebuild")) eq df)
+    QueryMemo.invalidate(spark)
+    assert(df.storageLevel == org.apache.spark.storage.StorageLevel.NONE,
+      "invalidate must unpersist pinned frames")
+  }
 }
