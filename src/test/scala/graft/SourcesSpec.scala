@@ -44,6 +44,41 @@ class SourcesSpec extends SparkSpec {
     assert(ColumnOps.resolveColumn(df, "nope").isEmpty)
   }
 
+  test("HTTP fetch + zip staging lands a readable bronze CSV (S2/S3)") {
+    import graft.sources.Staging
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stage")
+    // fixture: a zip archive holding a CSV, served via file:// (the
+    // sandbox has zero egress; the URL path is what S2 exercises)
+    val csv = "k,v\n1,a\n2,b\n3,c\n"
+    val zipPath = tmp.resolve("sales.zip")
+    val zout = new java.util.zip.ZipOutputStream(
+      java.nio.file.Files.newOutputStream(zipPath))
+    zout.putNextEntry(new java.util.zip.ZipEntry("data/sales.csv"))
+    zout.write(csv.getBytes("UTF-8"))
+    zout.closeEntry(); zout.close()
+
+    val bronze = tmp.resolve("bronze").toString
+    val staged = Staging.stage(zipPath.toUri.toString, bronze)
+    assert(staged.map(_.getName) == Seq("sales.csv"))
+    val df = spark.read.option("header", "true").option("inferSchema", "true")
+      .csv(staged.head.getPath)
+    assert(df.count() == 3)
+    assert(df.columns.toSeq == Seq("k", "v"))
+    // idempotent refresh: re-staging replaces, never accumulates
+    assert(Staging.stage(zipPath.toUri.toString, bronze).size == 1)
+
+    // zip-slip: an escaping entry must fail the extraction loudly
+    val evil = tmp.resolve("evil.zip")
+    val zev = new java.util.zip.ZipOutputStream(
+      java.nio.file.Files.newOutputStream(evil))
+    zev.putNextEntry(new java.util.zip.ZipEntry("../outside.txt"))
+    zev.write("x".getBytes("UTF-8")); zev.closeEntry(); zev.close()
+    intercept[IllegalArgumentException] {
+      Staging.unzip(evil.toFile, tmp.resolve("bronze2").toString)
+    }
+    assert(!java.nio.file.Files.exists(tmp.resolve("outside.txt")))
+  }
+
   test("column-name standardization normalizes a messy frame (P2)") {
     val messy = Tables.orders(spark, sf).limit(5)
       .withColumnRenamed("o_orderkey", "Order Key")
