@@ -1,0 +1,163 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQueryListener
+import graft.streaming.EventStreams
+
+/** Dev experiment: the STREAMING counterpart of [[ScaleUp]] — run the
+  * stateful streaming surface (flatMapGroupsWithState sessionization,
+  * watermarked windowed agg, incremental dedup sink) over 100× copies
+  * of events/documents with the RocksDB state store, delivered as a
+  * sequence of micro-batches, and record per-batch latency and state
+  * store size from `StreamingQueryProgress`.
+  *
+  * What "holds at 100 TB" means here, and what the numbers must show:
+  *  - per-micro-batch latency stays FLAT as batches accumulate (each
+  *    batch's cost is a function of the batch, not of history) for
+  *    sessionization and the windowed agg; the dedup sink's per-batch
+  *    cost may grow slowly with the gold index it probes, but
+  *    probe-shaped (the round-4 batch measurement: linear);
+  *  - state rows grow with KEY cardinality (users), not event volume,
+  *    and live in RocksDB (disk-backed, off-heap) — driver/executor
+  *    heap stays bounded.
+  *
+  * Scaling design mirrors ScaleUp: events copies shift event_id AND
+  * user_id (100× the session-state cardinality — the stress), doc
+  * copies shift doc_id and prefix every token (each copy carries its
+  * own near-dup structure, so dedup output scales linearly). Copies
+  * land as `copies/GroupsOf` parquet files in a watched dir;
+  * `maxFilesPerTrigger=1` turns each file into one micro-batch — the
+  * file-source equivalent of a Kafka feed's arrival sequence.
+  *
+  * Usage: `runMain graft.StreamScaleUp [copies]` (default 100).
+  */
+object StreamScaleUp {
+
+  /** Copies per landing file: 100 copies / 10 = 10 micro-batches. */
+  val GroupsOf = 10
+
+  private def moveSinglePart(tmpDir: String, dest: String): Unit = {
+    val part = Option(new java.io.File(tmpDir).listFiles())
+      .getOrElse(Array.empty)
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .getOrElse(sys.error(s"no part file in $tmpDir"))
+    java.nio.file.Files.move(part.toPath, java.nio.file.Paths.get(dest))
+    ()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val copies = args.headOption.map(_.toInt).getOrElse(100)
+    val spark = GraftSession.builder("local[32]", "32")
+      .appName("graft-stream-scale")
+      .config(EventStreams.RocksDbStateStoreConf._1,
+        EventStreams.RocksDbStateStoreConf._2)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val src = "/root/testdata/sf0.1"
+    val base = s"/tmp/streamscale$copies"
+    val eventsDir = s"$base/events.parquet"
+    val docsDir = s"$base/documents.parquet"
+
+    // ---- stage the 100× landing files (build-once) ----
+    if (!new java.io.File(eventsDir).exists()) {
+      new java.io.File(eventsDir).mkdirs()
+      new java.io.File(docsDir).mkdirs()
+      val ev = Tables.load(spark, src, "events") // ts stays raw long nanos
+      val maxEvent = ev.agg(max(col("event_id"))).head().getLong(0) + 1
+      val maxUser = ev.agg(max(col("user_id"))).head().getLong(0) + 1
+      val d = Tables.documents(spark, src)
+      val maxDoc = d.agg(max(col("doc_id"))).head().getLong(0) + 1
+      for (g <- 0 until (copies + GroupsOf - 1) / GroupsOf) {
+        val span = (g * GroupsOf) until math.min((g + 1) * GroupsOf, copies)
+        val evTmp = s"$base/_tmp_ev_$g"
+        span.map { i =>
+          ev.withColumn("event_id", col("event_id") + lit(i * maxEvent))
+            .withColumn("user_id", col("user_id") + lit(i * maxUser))
+        }.reduce(_ unionByName _)
+          .coalesce(1).write.mode("overwrite").parquet(evTmp)
+        moveSinglePart(evTmp, f"$eventsDir/g$g%02d.parquet")
+        val docTmp = s"$base/_tmp_doc_$g"
+        span.map { i =>
+          d.withColumn("doc_id", col("doc_id") + lit(i * maxDoc))
+            .withColumn("text",
+              regexp_replace(col("text"), "(\\S+)", s"c${i}_$$1"))
+        }.reduce(_ unionByName _)
+          .coalesce(1).write.mode("overwrite").parquet(docTmp)
+        moveSinglePart(docTmp, f"$docsDir/g$g%02d.parquet")
+      }
+      println(s"[streamscale] staged $base (${copies}x, " +
+        s"${(copies + GroupsOf - 1) / GroupsOf} files per table)")
+    }
+
+    // ---- per-batch progress listener ----
+    spark.streams.addListener(new StreamingQueryListener {
+      override def onQueryStarted(
+          e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryTerminated(
+          e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+      override def onQueryProgress(
+          e: StreamingQueryListener.QueryProgressEvent): Unit = {
+        val p = e.progress
+        if (p.numInputRows > 0) {
+          val st = p.stateOperators
+          val stateRows = st.map(_.numRowsTotal).sum
+          val stateMem = st.map(_.memoryUsedBytes).sum / 1048576.0
+          val heap = (Runtime.getRuntime.totalMemory() -
+            Runtime.getRuntime.freeMemory()) / 1048576
+          println(f"[streamscale] ${p.name}%-16s batch ${p.batchId}%2d  " +
+            f"rows ${p.numInputRows}%9d  " +
+            f"trigger ${p.durationMs.get("triggerExecution") / 1000.0}%7.2f s  " +
+            f"stateRows $stateRows%9d  stateMem $stateMem%8.1f MB  " +
+            f"heap $heap%6d MB")
+        }
+      }
+    })
+
+    def rawEvents: DataFrame = spark.readStream
+      .schema(EventStreams.rawSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(eventsDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
+    // ---- 1. watermarked windowed agg (low-cardinality state) ----
+    locally {
+      val q = EventStreams.hourlyWindowed(rawEvents)
+        .writeStream.outputMode("update").format("noop")
+        .queryName("hourly100x")
+        .option("checkpointLocation", s"$base/ckpt_hourly")
+        .start()
+      q.processAllAvailable(); q.stop()
+    }
+
+    // ---- 2. flatMapGroupsWithState sessionization (state ∝ users) ----
+    locally {
+      val q = EventStreams.sessionize(spark, rawEvents)
+        .writeStream.outputMode("update").format("noop")
+        .queryName("sessionize100x")
+        .option("checkpointLocation", s"$base/ckpt_sessionize")
+        .start()
+      q.processAllAvailable(); q.stop()
+    }
+
+    // ---- 3. incremental dedup sink (gold + LSH index grow per batch) ----
+    locally {
+      val docsSchema = spark.read.parquet(docsDir).schema
+      val t0 = System.nanoTime()
+      val q = EventStreams.incrementalDedupSink(
+        spark.readStream.schema(docsSchema)
+          .option("maxFilesPerTrigger", 1).parquet(docsDir),
+        s"$base/dedup_index", s"$base/gold_docs", s"$base/ckpt_dedup")
+      q.stop()
+      val goldRows = spark.read.parquet(s"$base/gold_docs").count()
+      println(f"[streamscale] dedup sink total " +
+        f"${(System.nanoTime() - t0) / 1e9}%.1f s, gold rows $goldRows%d")
+    }
+
+    val rocksDirs = Option(new java.io.File(
+      s"${sys.props("java.io.tmpdir")}").listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith("spark-"))
+    println(s"[streamscale] done; rocksdb/ckpt scratch dirs: ${rocksDirs.length}")
+    spark.stop()
+  }
+}
