@@ -89,6 +89,28 @@ object EventStreams {
       .agg(count(lit(1)).as("n"))
       .select(col("w.start").as("window_start"), col("event_type"), col("n"))
 
+  /** Streaming native session windows — the incremental form of
+    * `EventOps.sessionWindows` (batch `session_window`, 30-minute
+    * gap). Unlike [[sessionize]] (running per-user stats, update
+    * mode), this emits CLOSED sessions only: in append mode a session
+    * row is finalized exactly when the watermark passes its end
+    * (last event + gap), so downstream sinks see each session once,
+    * complete. State is the set of OPEN sessions — bounded by key
+    * cardinality × gap, evicted by the watermark — and Spark merges
+    * adjacent windows as late-but-in-watermark events arrive. The
+    * parity claim (streamed closed sessions = the batch sessions past
+    * the final watermark, and never a session batch doesn't have) is
+    * asserted in EventStreamsSpec. */
+  def sessionWindowed(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          .cast("double").as("total_value"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"), col("total_value"))
+
   /** Stream–stream interval join with watermarks on both sides: each
     * purchase joined to the same user's clicks from the preceding 10
     * minutes. Both watermarks bound the join state (clicks older than

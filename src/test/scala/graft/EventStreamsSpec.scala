@@ -29,6 +29,49 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming session windows emit exactly the batch sessions the " +
+      "watermark has closed, and never a session batch doesn't have") {
+    import org.apache.spark.sql.Row
+    val stream = EventStreams.eventsStream(spark, sf)
+    val q = EventStreams.runToMemory(
+      EventStreams.sessionWindowed(stream), "session_win_out", "append")
+    try {
+      val fmt = "yyyy-MM-dd HH:mm:ss"
+      def key(r: Row) =
+        (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))
+      val streamed = spark.table("session_win_out")
+        .select(col("user_id"),
+          date_format(col("session_start"), fmt).as("s"),
+          col("n_events"), col("total_value"))
+        .collect().map(key).toSet
+      // batch truth, WITH session end for watermark classification
+      val e = Tables.events(spark, sf)
+      val batch = e.groupBy(col("user_id"),
+          session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"),
+          graft.ops.ColumnOps.sumMoney(col("value")).as("total_value"))
+        .select(col("user_id"), date_format(col("w.start"), fmt).as("s"),
+          col("w.end").as("session_end"), col("n_events"), col("total_value"))
+        .collect()
+      def batchKey(r: Row) =
+        (r.getLong(0), r.getString(1), r.getLong(3), r.getDouble(4))
+      val batchSet = batch.map(batchKey).toSet
+      assert(streamed.nonEmpty, "append mode must have finalized sessions")
+      assert(streamed.subsetOf(batchSet),
+        "streaming must never invent a session batch doesn't have")
+      // completeness: every session that closed strictly before the
+      // final watermark (max event time - 2h delay) must be emitted
+      val wm = e.agg(max(col("ts"))).head()
+        .getAs[java.time.LocalDateTime](0).minusHours(2)
+      val mustEmit = batch.filter(
+          _.getAs[java.time.LocalDateTime]("session_end").isBefore(wm))
+        .map(batchKey).toSet
+      assert(mustEmit.nonEmpty)
+      assert(mustEmit.subsetOf(streamed),
+        "a watermark-closed session was never emitted")
+    } finally q.stop()
+  }
+
   test("stateful sessionization matches the batch per-user rollup") {
     val stream = EventStreams.eventsStream(spark, sf)
     val sess = EventStreams.sessionize(spark, stream)
