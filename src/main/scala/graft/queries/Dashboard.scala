@@ -49,6 +49,16 @@ object Dashboard {
     preds.foldLeft(joined)(_ filter _)
   }
 
+  /** [[filteredOrders]] through the serving memo: the same `Filters`
+    * in the same session returns one pinned (persisted) frame that
+    * every widget reuses — the full `@st.cache_data` analog
+    * (reference dashboard/app.py:36). `QueryMemo.invalidate(spark)`
+    * releases the pins when the lakehouse dir is rewritten. */
+  def filteredOrdersCached(spark: SparkSession, dir: String,
+      f: Filters): DataFrame =
+    QueryMemo.pinned(spark, s"dash-filtered@$dir#$f")(
+      filteredOrders(spark, dir, f))
+
   /** KPI block (reference dashboard/app.py:336-339). */
   def kpis(df: DataFrame): DataFrame =
     df.agg(

@@ -63,6 +63,31 @@ class DashboardSpec extends SparkSpec {
     QueryMemo.invalidate(spark)
   }
 
+  test("QueryMemo LRU stays bounded and evicted entries are rebuilt") {
+    import graft.queries.QueryMemo
+    QueryMemo.invalidate(spark)
+    val first = QueryMemo(spark, "evict-0")(spark.range(1).toDF())
+    (1 to QueryMemo.MaxEntries).foreach(i =>
+      QueryMemo(spark, s"evict-$i")(spark.range(1).toDF()))
+    assert(QueryMemo.size(spark) == QueryMemo.MaxEntries,
+      "map must cap at MaxEntries")
+    val again = QueryMemo(spark, "evict-0")(spark.range(1).toDF())
+    assert(!(again eq first), "the evicted eldest entry must rebuild")
+    QueryMemo.invalidate(spark)
+  }
+
+  test("widgets agree between fresh and cached filtered frames") {
+    import graft.queries.QueryMemo
+    val f = Filters(regions = Seq("AFRICA"), statuses = Seq("O"))
+    val cached = Dashboard.filteredOrdersCached(spark, sf, f)
+    try {
+      assert(cached eq Dashboard.filteredOrdersCached(spark, sf, f))
+      assert(cached.storageLevel.useMemory)
+      val fresh = Dashboard.filteredOrders(spark, sf, f)
+      assert(Dashboard.kpis(cached).head == Dashboard.kpis(fresh).head)
+    } finally QueryMemo.invalidate(spark)
+  }
+
   test("QueryMemo.pinned persists the frame and invalidate unpersists it") {
     import graft.queries.QueryMemo
     val key = "dashboard-spec-pinned"
