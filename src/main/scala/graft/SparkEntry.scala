@@ -30,7 +30,8 @@ object SparkEntry {
       graft.ext.Similarity.queries ++
       graft.ext.KMeans.queries ++
       graft.ext.Multimodal.queries ++
-      graft.ext.EventOps.queries
+      graft.ext.EventOps.queries ++
+      graft.ext.Sampling.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -48,5 +49,6 @@ object SparkEntry {
       graft.ext.Similarity.oracle ++
       graft.ext.KMeans.oracle ++
       graft.ext.Multimodal.oracle ++
-      graft.ext.EventOps.oracle
+      graft.ext.EventOps.oracle ++
+      graft.ext.Sampling.oracle
 }

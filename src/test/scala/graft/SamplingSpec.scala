@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.{Dedup, Sampling}
+
+class SamplingSpec extends SparkSpec {
+
+  test("mix hash matches the independent local reimplementation") {
+    val got = Tables.documents(spark, sf)
+      .select(col("doc_id"), Sampling.mixHash(col("doc_id")).as("h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got.nonEmpty)
+    got.foreach { case (id, h) =>
+      assert(h == Sampling.mixHashLocal(id), s"doc $id: $h")
+      assert(h >= 0L && h < 1000003L)
+    }
+  }
+
+  test("stratified sample is deterministic across runs") {
+    val a = Sampling.stratifiedSample(spark, sf).collect().toSeq
+    val b = Sampling.stratifiedSample(spark, sf).collect().toSeq
+    assert(a.nonEmpty && a == b)
+  }
+
+  test("threshold samples are nested: lower rate is a subset of higher") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        (Sampling.mixHash(col("doc_id")) % Sampling.BucketCount).as("b"))
+    def at(t: Long) = docs.filter(col("b") < t)
+      .collect().map(_.getLong(0)).toSet
+    val s10 = at(1000L); val s25 = at(2500L)
+    val s50 = at(5000L); val s100 = at(10000L)
+    assert(s10.subsetOf(s25) && s25.subsetOf(s50) && s50.subsetOf(s100))
+    assert(s100.size.toLong ==
+      Tables.documents(spark, sf).count())
+  }
+
+  test("summary sampled counts equal the sample's per-source sizes") {
+    val fromSample = Sampling.stratifiedSample(spark, sf)
+      .groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val fromSummary = Sampling.stratifiedSampleSummary(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(2))
+      .filter(_._2 > 0L).toMap
+    assert(fromSummary == fromSample)
+  }
+
+  test("train/test split never separates a near-dup pair (no leakage)") {
+    val split = Sampling.trainTestSplit(spark, sf)
+      .select("doc_id", "split")
+    val pairs = Dedup.ngramJaccardPairs(spark, sf)
+      .select("doc_a", "doc_b")
+    val straddling = pairs
+      .join(split.select(col("doc_id").as("doc_a"),
+        col("split").as("split_a")), "doc_a")
+      .join(split.select(col("doc_id").as("doc_b"),
+        col("split").as("split_b")), "doc_b")
+      .filter(col("split_a") =!= col("split_b"))
+    assert(pairs.count() > 0, "test data should contain near-dup pairs")
+    assert(straddling.count() == 0L,
+      s"near-dup pairs straddle splits: ${straddling.collect().toSeq}")
+  }
+
+  test("split covers every document exactly once with a valid label") {
+    val split = Sampling.trainTestSplit(spark, sf)
+    val total = Tables.documents(spark, sf).count()
+    assert(split.count() == total)
+    assert(split.select("doc_id").distinct().count() == total)
+    val labels = split.select("split").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(labels.subsetOf(Set("train", "validation", "test")))
+    assert(labels.contains("train"), "80% decile mass must land in train")
+  }
+}
