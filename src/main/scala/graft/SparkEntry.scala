@@ -31,7 +31,8 @@ object SparkEntry {
       graft.ext.KMeans.queries ++
       graft.ext.Multimodal.queries ++
       graft.ext.EventOps.queries ++
-      graft.ext.Sampling.queries
+      graft.ext.Sampling.queries ++
+      graft.ext.Curation.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -50,5 +51,6 @@ object SparkEntry {
       graft.ext.KMeans.oracle ++
       graft.ext.Multimodal.oracle ++
       graft.ext.EventOps.oracle ++
-      graft.ext.Sampling.oracle
+      graft.ext.Sampling.oracle ++
+      graft.ext.Curation.oracle
 }

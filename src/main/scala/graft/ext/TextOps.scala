@@ -37,6 +37,23 @@ object TextOps {
         (a, bc) => concat(a, lit(" "), bc))
     }).otherwise(array().cast("array<string>"))
 
+  /** Word k-gram shingles, same slice+zip_with discipline as
+    * [[shingles3]] (each zip_with lambda only touches bound slices,
+    * so `toks` is evaluated O(k) times per row, not O(k·n)). Used
+    * with k=8 by [[Curation.decontaminate]] — long grams are the
+    * standard eval-decontamination signal, rare enough that overlap
+    * means real contamination rather than shared stock phrases. */
+  def shinglesN(toks: Column, k: Int): Column = {
+    require(k >= 1, s"shingle size must be positive, got $k")
+    when(size(toks) >= k, {
+      val n = size(toks) - (k - 1)
+      (2 to k).foldLeft(slice(toks, lit(1), n)) { (acc, j) =>
+        zip_with(acc, slice(toks, lit(j), n),
+          (a, b) => concat(a, lit(" "), b))
+      }
+    }).otherwise(array().cast("array<string>"))
+  }
+
   private val stopEn = Seq("the", "and", "of", "to", "a")
   private val stopDe = Seq("der", "die", "und", "ist", "das")
   private val stopFr = Seq("le", "la", "et", "les", "des")
@@ -154,7 +171,7 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
-  private val toksSql =
+  private[ext] val toksSql =
     """CASE WHEN length(trim(text)) = 0 THEN [] ELSE regexp_split_to_array(trim(text), '\s+') END"""
   private def hitsSql(words: Seq[String]): String =
     s"""len(list_filter(t, x -> x IN (${words.map(w => s"'$w'").mkString(",")})))"""

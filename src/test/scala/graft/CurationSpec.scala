@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.{Curation, TextOps}
+
+class CurationSpec extends SparkSpec {
+
+  test("decontamination flags match an independent local recomputation") {
+    // independent check: shingle the corpus in plain Scala and
+    // recompute the eval-overlap counts without Spark expressions
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def grams(text: String): Set[String] = {
+      val t = text.trim
+      val toks = if (t.isEmpty) Array.empty[String] else t.split("\\s+")
+      toks.sliding(Curation.ShingleK)
+        .filter(_.length == Curation.ShingleK)
+        .map(_.mkString(" ")).toSet
+    }
+    val evalGrams = docs.collect {
+      case (id, text) if id % Curation.EvalModulus == 0 => grams(text)
+    }.foldLeft(Set.empty[String])(_ ++ _)
+    val expected = docs.collect {
+      case (id, text) if id % Curation.EvalModulus != 0 =>
+        id -> (grams(text) & evalGrams).size.toLong
+    }.toMap
+
+    val got = Curation.decontaminate(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+  }
+
+  test("decontamination fires on planted near-dups but not the whole corpus") {
+    val rows = Curation.decontaminate(spark, sf)
+      .select("contaminated").collect().map(_.getBoolean(0))
+    val contaminated = rows.count(identity)
+    assert(contaminated > 0, "planted near-dups should contaminate")
+    assert(contaminated < rows.length / 10,
+      s"8-gram rule should be rare, got $contaminated/${rows.length}")
+  }
+
+  test("eval documents never appear in the decontamination output") {
+    val ids = Curation.decontaminate(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(ids.forall(_ % Curation.EvalModulus != 0))
+  }
+
+  test("chunk packing partitions every document's tokens exactly") {
+    val tokenCounts = Tables.documents(spark, sf)
+      .select(col("doc_id"), size(TextOps.tokens(col("text"))).as("n"))
+      .filter(col("n") > 0)
+      .collect().map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    val chunks = Curation.chunkPack(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val byDoc = chunks.groupBy(_._1)
+    assert(byDoc.keySet == tokenCounts.keySet)
+    byDoc.foreach { case (id, cs) =>
+      val n = tokenCounts(id)
+      val expectChunks = (n + Curation.ChunkSize - 1) / Curation.ChunkSize
+      assert(cs.length.toLong == expectChunks, s"doc $id chunk count")
+      assert(cs.map(_._3.toLong).sum == n, s"doc $id token sum")
+      // chunk indexes are dense 0..k-1 and only the last may be short
+      assert(cs.map(_._2).sorted.toSeq == (0L until expectChunks).toSeq)
+      cs.sortBy(_._2).dropRight(1).foreach { c =>
+        assert(c._3 == Curation.ChunkSize, s"doc $id interior chunk ${c._2}")
+      }
+    }
+  }
+}

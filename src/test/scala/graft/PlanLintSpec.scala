@@ -95,6 +95,20 @@ class PlanLintSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("stratified sample core plans with zero exchanges") {
+    val plan = graft.ext.Sampling.stratifiedSampleCore(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"sampling must stay a pure scan+filter projection:\n$plan")
+  }
+
+  test("decontamination probes the eval gram set via broadcast join") {
+    val plan = graft.ext.Curation.decontaminate(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"eval side is benchmark-sized and must broadcast:\n$plan")
+  }
+
   test("no fact-path query uses an unpartitioned (global) window") {
     val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
       if (allowGlobalWindow(name)) None
