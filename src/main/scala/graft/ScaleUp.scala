@@ -107,6 +107,18 @@ object ScaleUp {
     for (q <- Seq("dedup_minhash_lsh", "dedup_incremental")) {
       time(q, src, 1); time(q, dst, 1)
     }
+    // curation tier: sampling is scan-shaped (zero exchange on the
+    // core), chunk packing is a pure explode, decontamination is a
+    // broadcast probe (NOTE: the % EvalModulus pseudo-benchmark makes
+    // the eval side scale WITH the corpus here — a real benchmark is
+    // O(thousands of docs), so production broadcast cost is constant;
+    // the number to read is the probe side's linearity), and the
+    // split rides the connected-components fixpoint (the one
+    // driver-loop graph job, previously unmeasured at 100×)
+    for (q <- Seq("sample_stratified", "text_chunk_pack",
+        "decontam_eval_overlap", "split_train_test")) {
+      time(q, src, 1); time(q, dst, 1)
+    }
     spark.stop()
   }
 }

@@ -52,5 +52,5 @@ object SparkEntry {
       graft.ext.Multimodal.oracle ++
       graft.ext.EventOps.oracle ++
       graft.ext.Sampling.oracle ++
-      graft.ext.Curation.oracle
+      graft.ext.Curation.allOracle
 }

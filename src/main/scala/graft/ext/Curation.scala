@@ -87,6 +87,54 @@ object Curation {
       .orderBy(col("doc_id"), col("chunk_idx"))
   }
 
+  /** End-to-end curation pipeline: every document's final disposition
+    * through the full chain a training corpus goes through —
+    *
+    *   eval holdout → quality filter (exact-dup / short / low-quality,
+    *   [[TextOps.corpusFilter]]) → near-dup removal
+    *   ([[Dedup.nearDupClusters]], non-representatives drop) →
+    *   decontamination ([[decontaminate]]) → mixture sampling
+    *   ([[Sampling]]) → leakage-safe split assignment
+    *   ([[Sampling.trainTestSplit]]).
+    *
+    * First failing stage wins, so the output is a complete,
+    * mutually-exclusive audit of where every document went — the
+    * "switch to this library and run your whole pipeline" surface.
+    * All stages key by doc_id, so the combining joins co-partition on
+    * one exchange each; every stage's own scale shape is documented
+    * and lint-checked at its definition. */
+  def curationPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val flt = TextOps.corpusFilter(spark, dir)
+      .select(col("doc_id"), col("reason"))
+    val clus = Dedup.nearDupClusters(spark, dir)
+      .select(col("doc_id"), col("keep").as("nd_keep"))
+    val dec = decontaminate(spark, dir)
+      .select(col("doc_id"), col("contaminated"))
+    val spl = Sampling.trainTestSplit(spark, dir)
+      .select(col("doc_id"), col("split"))
+    val smp = Sampling.withMixColumns(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("mix_bucket"), col("mix_threshold"))
+    flt.join(clus, "doc_id")
+      .join(dec, Seq("doc_id"), "left")
+      .join(spl, "doc_id")
+      .join(smp, "doc_id")
+      .select(col("doc_id"),
+        when(col("doc_id") % EvalModulus === 0, "eval_holdout")
+          .when(col("reason") =!= "keep", col("reason"))
+          .when(!col("nd_keep"), "near_duplicate")
+          .when(coalesce(col("contaminated"), lit(false)), "contaminated")
+          .when(col("mix_bucket") >= col("mix_threshold"), "not_sampled")
+          .otherwise(col("split")).as("disposition"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Corpus-level yield report over [[curationPipeline]]. */
+  def curationPipelineSummary(spark: SparkSession, dir: String): DataFrame =
+    curationPipeline(spark, dir)
+      .groupBy(col("disposition"))
+      .agg(count(lit(1)).as("docs"))
+      .orderBy(col("disposition"))
+
   // ---------------------------------------------------------------
   // DuckDB oracle replays.
   // ---------------------------------------------------------------
@@ -104,8 +152,23 @@ object Curation {
       s"""WITH tk AS (SELECT doc_id, ${TextOps.toksSql} AS t FROM documents), e AS (SELECT doc_id, t, unnest(range(0, CAST(ceil(len(t) / ${ChunkSize}.0) AS BIGINT))) AS chunk_idx FROM tk WHERE len(t) > 0) SELECT doc_id, chunk_idx, len(c) AS chunk_len, md5(array_to_string(c, ' ')) AS chunk_fp FROM (SELECT doc_id, chunk_idx, list_slice(t, chunk_idx*$ChunkSize+1, chunk_idx*$ChunkSize+$ChunkSize) AS c FROM e) ORDER BY doc_id, chunk_idx"""
   )
 
+  /** The pipeline oracle is the stage oracles composed as CTEs — the
+    * same precedence CASE over the same frames. */
+  private def pipelineSql: String =
+    s"""WITH flt AS (${TextOps.oracle("text_corpus_filter")}), clus AS (${Dedup.oracle("dedup_clusters")}), dec AS (${oracle("decontam_eval_overlap")}), spl AS (${Sampling.oracle("split_train_test")}), smp AS (SELECT doc_id, ${Sampling.bucketSql} AS mix_bucket, ${Sampling.threshSql} AS mix_threshold FROM documents) SELECT f.doc_id, CASE WHEN f.doc_id % $EvalModulus = 0 THEN 'eval_holdout' WHEN f.reason <> 'keep' THEN f.reason WHEN NOT c.keep THEN 'near_duplicate' WHEN COALESCE(dd.contaminated, FALSE) THEN 'contaminated' WHEN s.mix_bucket >= s.mix_threshold THEN 'not_sampled' ELSE p.split END AS disposition FROM flt f JOIN clus c USING (doc_id) LEFT JOIN dec dd USING (doc_id) JOIN spl p USING (doc_id) JOIN smp s USING (doc_id) ORDER BY doc_id"""
+
+  private val pipelineOracle: Map[String, String] = Map(
+    "curation_pipeline" -> pipelineSql,
+    "curation_pipeline_summary" ->
+      s"""SELECT disposition, COUNT(*) AS docs FROM ($pipelineSql) GROUP BY 1 ORDER BY 1"""
+  )
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "decontam_eval_overlap" -> decontaminate _,
-    "text_chunk_pack" -> chunkPack _
+    "text_chunk_pack" -> chunkPack _,
+    "curation_pipeline" -> curationPipeline _,
+    "curation_pipeline_summary" -> curationPipelineSummary _
   )
+
+  def allOracle: Map[String, String] = oracle ++ pipelineOracle
 }

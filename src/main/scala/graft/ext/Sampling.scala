@@ -67,7 +67,7 @@ object Sampling {
       .otherwise(1000L)
   }
 
-  private def withMixColumns(docs: DataFrame): DataFrame =
+  private[ext] def withMixColumns(docs: DataFrame): DataFrame =
     docs
       .withColumn("mix_bucket", mixHash(col("doc_id")) % BucketCount)
       .withColumn("mix_threshold", thresholdFor(col("source")))
@@ -125,9 +125,9 @@ object Sampling {
   // DuckDB oracle replays — same integer arithmetic, same recipe rule.
   // ---------------------------------------------------------------
 
-  private val hashSql    = s"(((doc_id % $P) * $A + $B) % $P)"
-  private val bucketSql  = s"($hashSql % $BucketCount)"
-  private val threshSql  =
+  private[ext] val hashSql    = s"(((doc_id % $P) * $A + $B) % $P)"
+  private[ext] val bucketSql  = s"($hashSql % $BucketCount)"
+  private[ext] val threshSql  =
     """CASE CAST(regexp_extract(source, '(\d+)', 1) AS BIGINT) % 4
        WHEN 0 THEN 10000 WHEN 1 THEN 5000 WHEN 2 THEN 2500 ELSE 1000 END"""
 

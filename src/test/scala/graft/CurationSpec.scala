@@ -46,6 +46,44 @@ class CurationSpec extends SparkSpec {
     assert(ids.forall(_ % Curation.EvalModulus != 0))
   }
 
+  test("pipeline assigns every document exactly one disposition") {
+    val rows = Curation.curationPipeline(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    assert(rows.length.toLong == Tables.documents(spark, sf).count())
+    assert(rows.map(_._1).distinct.length == rows.length)
+    val valid = Set("eval_holdout", "duplicate", "short", "low_quality",
+      "near_duplicate", "contaminated", "not_sampled",
+      "train", "validation", "test")
+    assert(rows.map(_._2).toSet.subsetOf(valid))
+    // precedence spot-checks: every eval-modulus doc is a holdout,
+    // and the pipeline yields a non-empty training set
+    rows.filter(_._1 % Curation.EvalModulus == 0)
+      .foreach { case (id, d) => assert(d == "eval_holdout", s"doc $id: $d") }
+    assert(rows.count(_._2 == "train") > 0)
+  }
+
+  test("pipeline dispositions agree with the standalone stages") {
+    val disp = Curation.curationPipeline(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // any doc the corpus filter drops carries the filter's reason,
+    // unless it is an eval holdout
+    val reasons = ext.TextOps.corpusFilter(spark, sf)
+      .select("doc_id", "reason").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    reasons.foreach { case (id, reason) =>
+      if (id % Curation.EvalModulus != 0 && reason != "keep")
+        assert(disp(id) == reason, s"doc $id")
+    }
+    // any surviving contaminated doc is labeled contaminated
+    val contam = Curation.decontaminate(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("contaminated"))
+      .collect().map(_.getLong(0))
+    contam.foreach { id =>
+      val upstream = Set("duplicate", "short", "low_quality", "near_duplicate")
+      assert(disp(id) == "contaminated" || upstream(disp(id)), s"doc $id")
+    }
+  }
+
   test("chunk packing partitions every document's tokens exactly") {
     val tokenCounts = Tables.documents(spark, sf)
       .select(col("doc_id"), size(TextOps.tokens(col("text"))).as("n"))
