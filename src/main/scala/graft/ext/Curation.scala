@@ -135,6 +135,30 @@ object Curation {
       .agg(count(lit(1)).as("docs"))
       .orderBy(col("disposition"))
 
+  /** Materialize the curated corpus — the load side of the pipeline:
+    * surviving documents land under `outDir/corpus` partitioned by
+    * split (so a trainer reads its split with partition pruning, no
+    * file-level filtering), and the training split's chunk shards
+    * land under `outDir/train_chunks`. Plain parquet writes; at
+    * warehouse scale the split column has 3 values, so writers should
+    * `repartition` on (split, doc_id-range) upstream if small-file
+    * pressure matters — here the default task layout is fine and the
+    * write is a run-once artifact alongside the gold layout. */
+  def writeCurated(spark: SparkSession, dir: String, outDir: String): Unit = {
+    val disp = curationPipeline(spark, dir)
+      .filter(col("disposition").isin("train", "validation", "test"))
+      .withColumnRenamed("disposition", "split")
+    Tables.documents(spark, dir)
+      .join(disp, "doc_id")
+      .write.mode("overwrite").partitionBy("split")
+      .parquet(s"$outDir/corpus")
+    val trainIds = disp.filter(col("split") === "train").select("doc_id")
+    chunkPack(spark, dir)
+      .join(trainIds, "doc_id")
+      .write.mode("overwrite")
+      .parquet(s"$outDir/train_chunks")
+  }
+
   // ---------------------------------------------------------------
   // DuckDB oracle replays.
   // ---------------------------------------------------------------

@@ -102,6 +102,34 @@ object Sampling {
         col("mix_threshold"))
       .orderBy(col("source"))
 
+  /** Epoch-repetition mixing — the upsampling half of a mixture
+    * recipe (weights above 1.0 repeat a source across training
+    * epochs; below 1.0 degrade to the stratified down-sample). A
+    * weight w emits floor(w) copies of every document plus one more
+    * for the hash-bucket fraction that lands under frac(w)·10000, so
+    * the expected multiplicity is exactly w and the choice of WHICH
+    * docs get the extra epoch is the same deterministic, nested
+    * bucket rule as [[stratifiedSampleCore]]. Row fan-out is the
+    * explode only — integer arithmetic end to end (weights stored as
+    * w·10000), no RNG, no shuffle beyond the presentation sort.
+    * Epoch-weight rule by source suffix mod 4: 2.5 / 2.0 / 1.0 / 0.5. */
+  def epochRepeat(spark: SparkSession, dir: String): DataFrame = {
+    val idx = regexp_extract(col("source"), "(\\d+)", 1).cast("long")
+    val w10k = when(idx % 4 === 0, 25000L)
+      .when(idx % 4 === 1, 20000L)
+      .when(idx % 4 === 2, 10000L)
+      .otherwise(5000L)
+    Tables.documents(spark, dir)
+      .withColumn("mix_bucket", mixHash(col("doc_id")) % BucketCount)
+      .withColumn("reps",
+        floor(w10k / lit(BucketCount)).cast("long") +
+          when(col("mix_bucket") < w10k % BucketCount, 1L).otherwise(0L))
+      .filter(col("reps") > 0)
+      .select(col("doc_id"), col("source"),
+        explode(sequence(lit(0L), col("reps") - 1)).as("epoch"))
+      .orderBy(col("doc_id"), col("epoch"))
+  }
+
   /** Leakage-safe train/validation/test split: the split is assigned
     * by hashing the near-dup CLUSTER id (the component's minimum
     * doc_id from [[Dedup.nearDupClusters]]), not the document id — so
@@ -140,12 +168,15 @@ object Sampling {
     // dedup_clusters oracle uses (component min-id), then the split
     // replays the cluster-id hash decile
     "split_train_test" ->
-      s"""WITH clusters AS (SELECT doc_id, cluster_id FROM (${Dedup.oracle("dedup_clusters")})) SELECT doc_id, cluster_id, CASE WHEN d < 8 THEN 'train' WHEN d = 8 THEN 'validation' ELSE 'test' END AS split FROM (SELECT doc_id, cluster_id, (((cluster_id % $P) * $A + $B) % $P) % 10 AS d FROM clusters) ORDER BY doc_id"""
+      s"""WITH clusters AS (SELECT doc_id, cluster_id FROM (${Dedup.oracle("dedup_clusters")})) SELECT doc_id, cluster_id, CASE WHEN d < 8 THEN 'train' WHEN d = 8 THEN 'validation' ELSE 'test' END AS split FROM (SELECT doc_id, cluster_id, (((cluster_id % $P) * $A + $B) % $P) % 10 AS d FROM clusters) ORDER BY doc_id""",
+    "mix_epoch_repeat" ->
+      s"""WITH r AS (SELECT doc_id, source, (w / $BucketCount) + CASE WHEN $bucketSql < (w % $BucketCount) THEN 1 ELSE 0 END AS reps FROM (SELECT doc_id, source, CASE CAST(regexp_extract(source, '(\\d+)', 1) AS BIGINT) % 4 WHEN 0 THEN 25000 WHEN 1 THEN 20000 WHEN 2 THEN 10000 ELSE 5000 END AS w FROM documents)) SELECT doc_id, source, unnest(range(0, reps)) AS epoch FROM r WHERE reps > 0 ORDER BY doc_id, epoch"""
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sample_stratified" -> stratifiedSample _,
     "sample_stratified_summary" -> stratifiedSampleSummary _,
-    "split_train_test" -> trainTestSplit _
+    "split_train_test" -> trainTestSplit _,
+    "mix_epoch_repeat" -> epochRepeat _
   )
 }

@@ -84,6 +84,30 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("writeCurated materializes splits that reconcile with the pipeline") {
+    val out = java.nio.file.Files.createTempDirectory("graft_curated").toString
+    Curation.writeCurated(spark, sf, out)
+    val dispCounts = Curation.curationPipeline(spark, sf)
+      .groupBy("disposition").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val corpus = spark.read.parquet(s"$out/corpus")
+    val splitCounts = corpus.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    Seq("train", "validation", "test").foreach { s =>
+      assert(splitCounts.getOrElse(s, 0L) == dispCounts.getOrElse(s, 0L), s)
+    }
+    // split is a partition column: reading one split prunes to its dir
+    assert(corpus.filter(col("split") === "train").count()
+      == dispCounts.getOrElse("train", 0L))
+    // chunk shards cover exactly the train docs that have tokens
+    val trainChunkDocs = spark.read.parquet(s"$out/train_chunks")
+      .select("doc_id").distinct().count()
+    val expected = Curation.chunkPack(spark, sf).select("doc_id").distinct()
+      .join(corpus.filter(col("split") === "train").select("doc_id"), "doc_id")
+      .count()
+    assert(trainChunkDocs == expected)
+  }
+
   test("chunk packing partitions every document's tokens exactly") {
     val tokenCounts = Tables.documents(spark, sf)
       .select(col("doc_id"), size(TextOps.tokens(col("text"))).as("n"))

@@ -57,6 +57,8 @@ class PlanLintSpec extends SparkSpec {
     "dedup_ngram_prefix", "dedup_incremental", "sim_centroid_assign",
     // partitioned by the md5 content fingerprint — NDV ~ doc count
     "text_corpus_filter", "text_corpus_filter_summary",
+    // inherit corpusFilter's fingerprint-keyed dedup window
+    "curation_pipeline", "curation_pipeline_summary",
     // built on etl_transform_sales' orderkey-keyed dedup window
     "etl_transform_quality")
   private val entityKeyedWindow = Set(

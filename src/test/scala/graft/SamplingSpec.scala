@@ -45,6 +45,31 @@ class SamplingSpec extends SparkSpec {
     assert(fromSummary == fromSample)
   }
 
+  test("epoch repetition matches an independent multiplicity recomputation") {
+    val sources = Tables.documents(spark, sf)
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    def weight10k(src: String): Long =
+      "(\\d+)".r.findFirstIn(src).get.toLong % 4 match {
+        case 0 => 25000L; case 1 => 20000L; case 2 => 10000L; case _ => 5000L
+      }
+    val expected = sources.map { case (id, src) =>
+      val w = weight10k(src)
+      val bucket = Sampling.mixHashLocal(id) % Sampling.BucketCount
+      (id, src) -> (w / 10000L + (if (bucket < w % 10000L) 1L else 0L))
+    }.toMap.filter(_._2 > 0)
+
+    val got = Sampling.epochRepeat(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byDoc = got.groupBy(r => (r._1, r._2))
+    assert(byDoc.keySet == expected.keySet)
+    byDoc.foreach { case (k, rows) =>
+      assert(rows.length.toLong == expected(k), s"doc $k multiplicity")
+      // epochs are dense 0..reps-1
+      assert(rows.map(_._3).sorted.toSeq == (0L until expected(k)).toSeq)
+    }
+  }
+
   test("train/test split never separates a near-dup pair (no leakage)") {
     val split = Sampling.trainTestSplit(spark, sf)
       .select("doc_id", "split")
