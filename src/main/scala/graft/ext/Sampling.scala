@@ -58,9 +58,17 @@ object Sampling {
   /** Mixing recipe: weight per source, derived from the numeric
     * suffix of the source name so the rule covers every scale
     * factor's source domain. Thresholds are exact integers (out of
-    * [[BucketCount]]) — 1.0 / 0.5 / 0.25 / 0.1 by suffix mod 4. */
+    * [[BucketCount]]) — 1.0 / 0.5 / 0.25 / 0.1 by suffix mod 4.
+    * A source name with no digits maps to index 0 (full weight) —
+    * made explicit on BOTH engines (coalesce here, TRY_CAST+COALESCE
+    * in the oracle) so they cannot silently diverge. */
+  private[ext] def sourceIdx(source: Column): Column =
+    coalesce(
+      nullif(regexp_extract(source, "(\\d+)", 1), lit("")).cast("long"),
+      lit(0L))
+
   private def thresholdFor(source: Column): Column = {
-    val idx = regexp_extract(source, "(\\d+)", 1).cast("long")
+    val idx = sourceIdx(source)
     when(idx % 4 === 0, 10000L)
       .when(idx % 4 === 1, 5000L)
       .when(idx % 4 === 2, 2500L)
@@ -114,7 +122,7 @@ object Sampling {
     * w·10000), no RNG, no shuffle beyond the presentation sort.
     * Epoch-weight rule by source suffix mod 4: 2.5 / 2.0 / 1.0 / 0.5. */
   def epochRepeat(spark: SparkSession, dir: String): DataFrame = {
-    val idx = regexp_extract(col("source"), "(\\d+)", 1).cast("long")
+    val idx = sourceIdx(col("source"))
     val w10k = when(idx % 4 === 0, 25000L)
       .when(idx % 4 === 1, 20000L)
       .when(idx % 4 === 2, 10000L)
@@ -156,7 +164,7 @@ object Sampling {
   private[ext] val hashSql    = s"(((doc_id % $P) * $A + $B) % $P)"
   private[ext] val bucketSql  = s"($hashSql % $BucketCount)"
   private[ext] val threshSql  =
-    """CASE CAST(regexp_extract(source, '(\d+)', 1) AS BIGINT) % 4
+    """CASE COALESCE(TRY_CAST(regexp_extract(source, '(\d+)', 1) AS BIGINT), 0) % 4
        WHEN 0 THEN 10000 WHEN 1 THEN 5000 WHEN 2 THEN 2500 ELSE 1000 END"""
 
   val oracle: Map[String, String] = Map(
@@ -170,7 +178,7 @@ object Sampling {
     "split_train_test" ->
       s"""WITH clusters AS (SELECT doc_id, cluster_id FROM (${Dedup.oracle("dedup_clusters")})) SELECT doc_id, cluster_id, CASE WHEN d < 8 THEN 'train' WHEN d = 8 THEN 'validation' ELSE 'test' END AS split FROM (SELECT doc_id, cluster_id, (((cluster_id % $P) * $A + $B) % $P) % 10 AS d FROM clusters) ORDER BY doc_id""",
     "mix_epoch_repeat" ->
-      s"""WITH r AS (SELECT doc_id, source, (w / $BucketCount) + CASE WHEN $bucketSql < (w % $BucketCount) THEN 1 ELSE 0 END AS reps FROM (SELECT doc_id, source, CASE CAST(regexp_extract(source, '(\\d+)', 1) AS BIGINT) % 4 WHEN 0 THEN 25000 WHEN 1 THEN 20000 WHEN 2 THEN 10000 ELSE 5000 END AS w FROM documents)) SELECT doc_id, source, unnest(range(0, reps)) AS epoch FROM r WHERE reps > 0 ORDER BY doc_id, epoch"""
+      s"""WITH r AS (SELECT doc_id, source, (w // $BucketCount) + CASE WHEN $bucketSql < (w % $BucketCount) THEN 1 ELSE 0 END AS reps FROM (SELECT doc_id, source, CASE COALESCE(TRY_CAST(regexp_extract(source, '(\\d+)', 1) AS BIGINT), 0) % 4 WHEN 0 THEN 25000 WHEN 1 THEN 20000 WHEN 2 THEN 10000 ELSE 5000 END AS w FROM documents)) SELECT doc_id, source, unnest(range(0, reps)) AS epoch FROM r WHERE reps > 0 ORDER BY doc_id, epoch"""
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

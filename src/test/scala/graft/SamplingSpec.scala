@@ -50,7 +50,7 @@ class SamplingSpec extends SparkSpec {
       .select("doc_id", "source").collect()
       .map(r => r.getLong(0) -> r.getString(1))
     def weight10k(src: String): Long =
-      "(\\d+)".r.findFirstIn(src).get.toLong % 4 match {
+      "(\\d+)".r.findFirstIn(src).getOrElse("0").toLong % 4 match {
         case 0 => 25000L; case 1 => 20000L; case 2 => 10000L; case _ => 5000L
       }
     val expected = sources.map { case (id, src) =>
