@@ -75,11 +75,12 @@ object ScaleUp {
     SparkEntry.queries("q6_revenue_per_region_year")(spark, src).collect()
     SparkEntry.queries("q6_revenue_per_region_year")(spark, dst).collect()
 
-    def time(n: String, dir: String, reps: Int): Unit =
+    def timed(n: String, dir: String, reps: Int)(
+        body: => org.apache.spark.sql.DataFrame): Unit =
       (1 to reps).foreach { _ =>
         val t0 = System.nanoTime()
         val r0 = listener.read.get; val w0 = listener.write.get
-        val rows = SparkEntry.queries(n)(spark, dir).collect().length
+        val rows = body.collect().length
         val sec = (System.nanoTime - t0) / 1e9
         Thread.sleep(500) // let stage-completion events drain
         println(f"[scaleup] $n%-28s $dir%-18s $sec%8.2f s  " +
@@ -87,6 +88,9 @@ object ScaleUp {
           f"shufW ${(listener.write.get - w0) / 1048576.0}%9.1f MB  " +
           f"rows $rows%d")
       }
+
+    def time(n: String, dir: String, reps: Int): Unit =
+      timed(n, dir, reps)(SparkEntry.queries(n)(spark, dir))
 
     for (q <- Seq("q1_total_revenue", "q6_revenue_per_region_year",
         "q8_avg_shipping_days")) {
@@ -116,9 +120,31 @@ object ScaleUp {
     // split rides the connected-components fixpoint (the one
     // driver-loop graph job, previously unmeasured at 100×)
     for (q <- Seq("sample_stratified", "text_chunk_pack",
-        "decontam_eval_overlap", "split_train_test")) {
+        "decontam_eval_overlap", "split_train_test", "mix_epoch_repeat")) {
       time(q, src, 1); time(q, dst, 1)
     }
+    // constant-size eval set: the % EvalModulus pseudo-benchmark above
+    // scales WITH the corpus (every copy contributes eval docs), which
+    // overstates the broadcast side — a real benchmark is fixed-size.
+    // Scaling the modulus by `copies` holds the eval-doc count at the
+    // base level, so this row is the true production shape (probe-side
+    // linear, broadcast constant).
+    timed("decontam_const_eval", dst, 1)(
+      graft.ext.Curation.decontaminateWith(spark, dst,
+        graft.ext.Curation.EvalModulus * copies))
+    // composed curation pipeline: live (embeds the CC-fixpoint split —
+    // the run-once corpus-build cost) vs artifact-fed (the steady-state
+    // form every later invocation runs). The labels build is timed
+    // separately: it IS the one-time cost the artifact amortizes.
+    timed("curation_pipeline_live", dst, 1)(
+      graft.ext.Curation.curationPipeline(spark, dst))
+    val labelsDir = s"$dst/curated"
+    val t0 = System.nanoTime()
+    graft.ext.Sampling.writeSplitLabels(spark, dst, labelsDir)
+    println(f"[scaleup] split_labels_build            $dst%-18s " +
+      f"${(System.nanoTime - t0) / 1e9}%8.2f s")
+    timed("curation_pipeline_artifact", dst, 2)(
+      graft.ext.Curation.curationPipelineFrom(spark, dst, labelsDir))
     spark.stop()
   }
 }

@@ -90,6 +90,20 @@ object StreamScaleUp {
         s"${(copies + GroupsOf - 1) / GroupsOf} files per table)")
     }
 
+    // The staged landing files are reusable across runs, but the
+    // checkpoint/gold/index dirs are NOT: resuming from a previous
+    // run's checkpoints would process zero new files and report the
+    // PREVIOUS run's metrics as if freshly measured. Every run starts
+    // from clean streaming state.
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rmrf)
+      f.delete(); ()
+    }
+    for (d <- Seq("ckpt_hourly", "ckpt_sessionize", "ckpt_dedup",
+        "dedup_index", "gold_docs"))
+      rmrf(new java.io.File(s"$base/$d"))
+
     // ---- per-batch progress listener ----
     spark.streams.addListener(new StreamingQueryListener {
       override def onQueryStarted(

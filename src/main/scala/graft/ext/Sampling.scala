@@ -145,7 +145,12 @@ object Sampling {
     * leak training text into evaluation. 80/10/10 by hash decile.
     * SamplingSpec asserts zero straddling pairs over the full
     * near-dup edge set. */
-  def trainTestSplit(spark: SparkSession, dir: String): DataFrame = {
+  def trainTestSplit(spark: SparkSession, dir: String): DataFrame =
+    trainTestSplitCore(spark, dir).orderBy(col("doc_id"))
+
+  /** Unordered split frame — the form pipelines consume (the sort in
+    * [[trainTestSplit]] exists only for the oracle dump). */
+  private[ext] def trainTestSplitCore(spark: SparkSession, dir: String): DataFrame = {
     val labels = Dedup.nearDupClusters(spark, dir)
       .select(col("doc_id"), col("cluster_id"))
     val decile = mixHash(col("cluster_id")) % 10L
@@ -154,8 +159,44 @@ object Sampling {
         when(decile < 8, "train")
           .when(decile === 8, "validation")
           .otherwise("test"))
-      .orderBy(col("doc_id"))
   }
+
+  /** Table name for the persisted split-label artifact under a
+    * curated-output dir (parquet at `<outDir>/split_labels.parquet`,
+    * matching the [[graft.Tables]] path convention so
+    * [[graft.pipeline.GoldLayout.ensureBucketedTable]] can bucket it
+    * like any other table). */
+  val SplitLabelsTable = "split_labels"
+
+  /** Persist the doc_id → (cluster_id, split) label table as a gold
+    * artifact, doc_id-bucketed. This is THE fix for the split's 100×
+    * cost: [[trainTestSplit]] rides the connected-components fixpoint
+    * (the one driver-coordinated graph job — 344 s / 4.9 GB shuffle
+    * at 100×, PLANS.md), which is a per-corpus-BUILD cost, not a
+    * per-query cost. Writing the labels once at corpus build (the
+    * same pattern as the reference persisting its dims rather than
+    * recomputing them, `/root/reference/etl_pipeline/load.py:178-199`)
+    * turns every downstream consumer into a bucketed table read —
+    * and because the layout is doc_id-bucketed via [[GoldLayout]],
+    * label joins against a doc_id-partitioned corpus need no
+    * exchange on the label side. Returns the bucketed catalog name. */
+  def writeSplitLabels(spark: SparkSession, dir: String,
+      outDir: String): String = {
+    trainTestSplitCore(spark, dir)
+      .write.mode("overwrite")
+      .parquet(s"$outDir/$SplitLabelsTable.parquet")
+    graft.pipeline.GoldLayout.ensureBucketedTable(
+      spark, outDir, SplitLabelsTable, "doc_id")
+  }
+
+  /** Split labels from the persisted artifact instead of the live CC
+    * fixpoint: same (doc_id, cluster_id, split) schema as
+    * [[trainTestSplit]], served from the doc_id-bucketed layout
+    * ([[GoldLayout.ensureBucketedTable]] is build-once per source
+    * fingerprint, so repeat calls are a catalog lookup). */
+  def trainTestSplitFrom(spark: SparkSession, labelsDir: String): DataFrame =
+    spark.table(graft.pipeline.GoldLayout.ensureBucketedTable(
+      spark, labelsDir, SplitLabelsTable, "doc_id"))
 
   // ---------------------------------------------------------------
   // DuckDB oracle replays — same integer arithmetic, same recipe rule.

@@ -24,11 +24,13 @@ import org.apache.spark.storage.StorageLevel
   *     block manager and skip execution too. Use for the filtered
   *     frame a user is slicing interactively; `invalidate` unpersists.
   *
-  * Scope and bounds: entries are keyed by the owning `SparkSession`
-  * instance, so a restarted session never sees another session's
-  * (dead) plans; the
-  * map is a small synchronized LRU (`MaxEntries`) because dashboard
-  * filter combinations are user-generated and unbounded. The BENCH
+  * Scope and bounds: each `SparkSession` owns its own LRU
+  * (`MaxEntries` per session) held under a weak session key, so a
+  * restarted session never sees another session's (dead) plans, a
+  * stopped session's entries are swept on the next access instead of
+  * lingering, and one session's filter churn cannot evict another
+  * session's pins. Eviction unpersists non-blocking: a thread
+  * mid-collect on an evicted frame completes rather than stalling. The BENCH
   * harness deliberately does NOT use this layer — it measures
   * fresh-plan latency by design (Bench.scala pins table data but
   * re-plans every query, the cold-cache serving case).
@@ -37,26 +39,57 @@ import org.apache.spark.storage.StorageLevel
   */
 object QueryMemo {
 
-  /** LRU capacity; 128 distinct (query, filters) combos is far beyond
-    * a dashboard session's working set while bounding driver heap. */
+  /** PER-SESSION LRU capacity; 128 distinct (query, filters) combos
+    * is far beyond a dashboard session's working set while bounding
+    * driver heap. Capacity is per session, not global, so one
+    * session's filter churn can never evict another session's pins. */
   val MaxEntries = 128
 
-  private val memo =
-    new java.util.LinkedHashMap[(SparkSession, String), DataFrame](32, 0.75f, true) {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[(SparkSession, String), DataFrame]): Boolean =
-        if (this.size > MaxEntries) { e.getValue.unpersist(); true } else false
+  private type Lru = java.util.LinkedHashMap[String, DataFrame]
+
+  /** Session → its own LRU. Weak session keys + the stopped-session
+    * sweep in [[apply]] mean a dead session's plans and pinned blocks
+    * are not held hostage until 128 other entries push them out. */
+  private val memo = new java.util.WeakHashMap[SparkSession, Lru]()
+
+  /** Non-blocking: a dashboard thread mid-collect on an evicted frame
+    * finishes against whatever blocks remain instead of stalling the
+    * evictor; stragglers recompute at most their unread partitions. */
+  private def drop(df: DataFrame): Unit =
+    if (!df.sparkSession.sparkContext.isStopped)
+      df.unpersist(blocking = false)
+
+  private def sweepStopped(): Unit = {
+    val it = memo.entrySet().iterator()
+    // a stopped session's blocks died with its executors — just drop
+    // the references (unpersist on a stopped context would throw)
+    while (it.hasNext) if (it.next().getKey.sparkContext.isStopped) it.remove()
+  }
+
+  private def lruFor(spark: SparkSession): Lru = {
+    val hit = memo.get(spark)
+    if (hit != null) hit
+    else {
+      val lru = new Lru(32, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, DataFrame]): Boolean =
+          if (this.size > MaxEntries) { drop(e.getValue); true } else false
+      }
+      memo.put(spark, lru)
+      lru
     }
+  }
 
   /** Memoize an arbitrary dashboard frame under a caller-chosen key
     * (e.g. the rendered filter state). The same key in the same
     * session returns the identical DataFrame instance — planned once. */
   def apply(spark: SparkSession, key: String)(build: => DataFrame): DataFrame =
     memo.synchronized {
-      val k = (spark, key)
-      val hit = memo.get(k)
+      sweepStopped()
+      val lru = lruFor(spark)
+      val hit = lru.get(key)
       if (hit != null) hit
-      else { val df = build; memo.put(k, df); df }
+      else { val df = build; lru.put(key, df); df }
     }
 
   /** Memoized registry query: the dashboard's named widgets. */
@@ -73,17 +106,13 @@ object QueryMemo {
   /** Drop this session's entries (unpersisting any pinned data) —
     * call when the underlying lakehouse dir is rewritten. */
   def invalidate(spark: SparkSession): Unit = memo.synchronized {
-    val it = memo.entrySet().iterator()
-    while (it.hasNext) {
-      val e = it.next()
-      if (e.getKey._1 eq spark) { e.getValue.unpersist(); it.remove() }
-    }
+    val lru = memo.remove(spark)
+    if (lru != null) lru.values().forEach(drop(_))
   }
 
   /** Entry count for this session (test/monitoring hook). */
   def size(spark: SparkSession): Int = memo.synchronized {
-    var n = 0
-    memo.keySet().forEach(k => if (k._1 eq spark) n += 1)
-    n
+    val lru = memo.get(spark)
+    if (lru == null) 0 else lru.size()
   }
 }

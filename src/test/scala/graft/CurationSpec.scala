@@ -108,6 +108,33 @@ class CurationSpec extends SparkSpec {
     assert(trainChunkDocs == expected)
   }
 
+  test("artifact-fed pipeline equals the live pipeline") {
+    val out = java.nio.file.Files.createTempDirectory("graft_labels").toString
+    ext.Sampling.writeSplitLabels(spark, sf, out)
+    val live = Curation.curationPipeline(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).sorted.toSeq
+    val fed = Curation.curationPipelineFrom(spark, sf, out).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).sorted.toSeq
+    assert(fed == live)
+  }
+
+  test("persisted split labels round-trip the live split exactly") {
+    val out = java.nio.file.Files.createTempDirectory("graft_labels").toString
+    ext.Sampling.writeSplitLabels(spark, sf, out)
+    val live = ext.Sampling.trainTestSplit(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted.toSeq
+    val fed = ext.Sampling.trainTestSplitFrom(spark, out).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted.toSeq
+    assert(fed == live)
+    // the artifact is served from a doc_id-bucketed catalog table, so
+    // a doc_id-keyed consumer can plan bucket-local joins; its scan
+    // must not re-run the connected-components fixpoint (no joins at
+    // all in the read plan)
+    val plan = ext.Sampling.trainTestSplitFrom(spark, out)
+      .queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("join"), plan)
+  }
+
   test("chunk packing partitions every document's tokens exactly") {
     val tokenCounts = Tables.documents(spark, sf)
       .select(col("doc_id"), size(TextOps.tokens(col("text"))).as("n"))
