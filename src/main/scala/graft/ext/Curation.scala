@@ -79,23 +79,88 @@ object Curation {
     * chunk — the row shape a sequence-packing/training-shard writer
     * consumes. Pure per-row explode (fan-out ~ n/ChunkSize), no
     * shuffle besides the presentation sort. */
-  def chunkPack(spark: SparkSession, dir: String): DataFrame = {
-    val toks = TextOps.tokens(col("text"))
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), toks.as("t"))
-      .filter(size(col("t")) > 0)
-      .select(col("doc_id"), col("t"),
-        explode(sequence(lit(0L),
-          ceil(size(col("t")) / lit(ChunkSize.toDouble)).cast("long") - 1))
-          .as("chunk_idx"))
-      .select(col("doc_id"), col("chunk_idx"),
-        slice(col("t"), (col("chunk_idx") * ChunkSize + 1).cast("int"),
-          lit(ChunkSize)).as("c"))
+  def chunkPack(spark: SparkSession, dir: String): DataFrame =
+    chunkCore(spark, dir)
       .select(col("doc_id"), col("chunk_idx"),
         size(col("c")).as("chunk_len"),
         md5(concat_ws(" ", col("c")).cast("binary")).as("chunk_fp"))
       .orderBy(col("doc_id"), col("chunk_idx"))
+
+  /** Shared chunk explosion: (doc_id, source, chunk_idx, c) with `c`
+    * the token slice — [[chunkPack]] fingerprints it,
+    * [[packSequences]] packs it. */
+  private def chunkCore(spark: SparkSession, dir: String): DataFrame = {
+    val toks = TextOps.tokens(col("text"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), toks.as("t"))
+      .filter(size(col("t")) > 0)
+      .select(col("doc_id"), col("source"), col("t"),
+        explode(sequence(lit(0L),
+          ceil(size(col("t")) / lit(ChunkSize.toDouble)).cast("long") - 1))
+          .as("chunk_idx"))
+      .select(col("doc_id"), col("source"), col("chunk_idx"),
+        slice(col("t"), (col("chunk_idx") * ChunkSize + 1).cast("int"),
+          lit(ChunkSize)).as("c"))
   }
+
+  /** Tokens per packed training sequence ([[packSequences]]) — 8 full
+    * chunks. */
+  val PackBudget = 512L
+
+  /** Independent packing shards per source. */
+  val PackShards = 16L
+
+  /** Training-sequence packing: lay every source's chunks end to end
+    * (document order) and cut ~[[PackBudget]]-token sequences — a
+    * chunk joins the sequence its START offset falls in. This is the
+    * concatenate-and-cut packing LLM trainers run after chunking;
+    * only document-FINAL chunks are short, so interior raggedness is
+    * bounded by one short chunk per document.
+    *
+    * Shape at scale: a per-source running sum would sort each
+    * source's whole chunk stream in ONE task (source is low-NDV — the
+    * same trap [[Sampling.fixedCountSample]] documents). Packing is
+    * embarrassingly shardable, so the stream is first split by
+    * doc_id into [[PackShards]] deterministic shards per source and
+    * each (source, shard) packs independently — the window sort
+    * parallelizes across source·shard partitions, and a real
+    * deployment scales `PackShards` with the cluster. Output order
+    * and sequence ids are fully deterministic (no RNG, no
+    * placement dependence). */
+  def packSequences(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source"), col("pack_shard"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    chunkCore(spark, dir)
+      .select(col("doc_id"), col("source"), col("chunk_idx"),
+        size(col("c")).as("chunk_len"),
+        pmod(col("doc_id"), lit(PackShards)).as("pack_shard"))
+      .withColumn("cum", sum(col("chunk_len")).over(w))
+      .withColumn("seq_id", expr(s"(cum - chunk_len) div $PackBudget"))
+      .select(col("doc_id"), col("source"), col("pack_shard"),
+        col("seq_id"), col("chunk_idx"), col("chunk_len"))
+      .orderBy(col("source"), col("pack_shard"), col("doc_id"),
+        col("chunk_idx"))
+  }
+
+  /** Per-source packing yield: sequences cut, chunks and tokens
+    * packed, and how many sequences are budget-full — the fill-rate
+    * report a packing run is judged by. Integer-only aggregates
+    * (oracle-exact); two map-side-combinable groupBys over the
+    * (source, shard, seq) domain. */
+  def packSequencesSummary(spark: SparkSession, dir: String): DataFrame =
+    packSequences(spark, dir)
+      .groupBy(col("source"), col("pack_shard"), col("seq_id"))
+      .agg(count(lit(1)).as("seq_chunks"),
+        sum(col("chunk_len")).as("seq_tokens"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("sequences"),
+        sum(col("seq_chunks")).as("chunks"),
+        sum(col("seq_tokens")).as("tokens"),
+        sum((col("seq_tokens") >= PackBudget).cast("long"))
+          .as("full_sequences"))
+      .orderBy(col("source"))
 
   /** End-to-end curation pipeline: every document's final disposition
     * through the full chain a training corpus goes through —
@@ -205,8 +270,16 @@ object Curation {
     "decontam_eval_overlap" ->
       s"""WITH g AS (SELECT doc_id, $gramSql AS sh FROM (SELECT doc_id, ${TextOps.toksSql} AS t FROM documents)), ev AS (SELECT DISTINCT unnest(sh) AS s FROM g WHERE doc_id % $EvalModulus = 0), tr AS (SELECT doc_id, unnest(sh) AS s FROM g WHERE doc_id % $EvalModulus <> 0), hits AS (SELECT doc_id, COUNT(*) AS n FROM tr JOIN ev USING (s) GROUP BY doc_id) SELECT d.doc_id, CAST(COALESCE(h.n, 0) AS BIGINT) AS shared_evalgrams, COALESCE(h.n, 0) > 0 AS contaminated FROM (SELECT doc_id FROM documents WHERE doc_id % $EvalModulus <> 0) d LEFT JOIN hits h USING (doc_id) ORDER BY doc_id""",
     "text_chunk_pack" ->
-      s"""WITH tk AS (SELECT doc_id, ${TextOps.toksSql} AS t FROM documents), e AS (SELECT doc_id, t, unnest(range(0, CAST(ceil(len(t) / ${ChunkSize}.0) AS BIGINT))) AS chunk_idx FROM tk WHERE len(t) > 0) SELECT doc_id, chunk_idx, len(c) AS chunk_len, md5(array_to_string(c, ' ')) AS chunk_fp FROM (SELECT doc_id, chunk_idx, list_slice(t, chunk_idx*$ChunkSize+1, chunk_idx*$ChunkSize+$ChunkSize) AS c FROM e) ORDER BY doc_id, chunk_idx"""
+      s"""WITH tk AS (SELECT doc_id, ${TextOps.toksSql} AS t FROM documents), e AS (SELECT doc_id, t, unnest(range(0, CAST(ceil(len(t) / ${ChunkSize}.0) AS BIGINT))) AS chunk_idx FROM tk WHERE len(t) > 0) SELECT doc_id, chunk_idx, len(c) AS chunk_len, md5(array_to_string(c, ' ')) AS chunk_fp FROM (SELECT doc_id, chunk_idx, list_slice(t, chunk_idx*$ChunkSize+1, chunk_idx*$ChunkSize+$ChunkSize) AS c FROM e) ORDER BY doc_id, chunk_idx""",
+    "text_pack_sequences" -> s"$packDetailSql ORDER BY source, pack_shard, doc_id, chunk_idx",
+    "text_pack_summary" ->
+      s"""WITH s AS (SELECT source, pack_shard, seq_id, COUNT(*) AS seq_chunks, SUM(chunk_len) AS seq_tokens FROM ($packDetailSql) GROUP BY 1, 2, 3) SELECT source, COUNT(*) AS sequences, CAST(SUM(seq_chunks) AS BIGINT) AS chunks, CAST(SUM(seq_tokens) AS BIGINT) AS tokens, CAST(SUM(CASE WHEN seq_tokens >= $PackBudget THEN 1 ELSE 0 END) AS BIGINT) AS full_sequences FROM s GROUP BY 1 ORDER BY 1"""
   )
+
+  /** Packing detail (unordered) — the window replay of
+    * [[packSequences]]'s start-offset rule. */
+  private def packDetailSql: String =
+    s"""SELECT doc_id, source, pack_shard, CAST((cum - chunk_len) // $PackBudget AS BIGINT) AS seq_id, chunk_idx, chunk_len FROM (SELECT doc_id, source, chunk_idx, chunk_len, pack_shard, SUM(chunk_len) OVER (PARTITION BY source, pack_shard ORDER BY doc_id, chunk_idx ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM (SELECT doc_id, source, chunk_idx, len(list_slice(t, chunk_idx*$ChunkSize+1, chunk_idx*$ChunkSize+$ChunkSize)) AS chunk_len, doc_id % $PackShards AS pack_shard FROM (SELECT doc_id, source, t, unnest(range(0, CAST(ceil(len(t) / ${ChunkSize}.0) AS BIGINT))) AS chunk_idx FROM (SELECT doc_id, source, ${TextOps.toksSql} AS t FROM documents) WHERE len(t) > 0)))"""
 
   /** The pipeline oracle is the stage oracles composed as CTEs — the
     * same precedence CASE over the same frames. */
@@ -222,6 +295,8 @@ object Curation {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "decontam_eval_overlap" -> decontaminate _,
     "text_chunk_pack" -> chunkPack _,
+    "text_pack_sequences" -> packSequences _,
+    "text_pack_summary" -> packSequencesSummary _,
     "curation_pipeline" -> curationPipeline _,
     "curation_pipeline_summary" -> curationPipelineSummary _
   )

@@ -110,6 +110,34 @@ object Sampling {
         col("mix_threshold"))
       .orderBy(col("source"))
 
+  /** Docs kept per source by [[fixedCountSample]]. */
+  val FixedSampleK = 50
+
+  /** Fixed-COUNT per-source sample — the deterministic equivalent of
+    * per-stratum reservoir sampling: exactly min([[FixedSampleK]],
+    * stratum size) documents per source, chosen as the k smallest
+    * (hash, doc_id) pairs. Rate sampling ([[stratifiedSample]])
+    * cannot hit an exact budget; this is the "give me exactly 10k
+    * docs from each source for the eval slice" operator. Same nested
+    * property along k: the 10-doc sample is a prefix of the 50-doc
+    * sample.
+    *
+    * Shape at scale: source is LOW-NDV, so a naive rank window sorts
+    * a whole source in one task — this rides
+    * [[graft.ops.SkewOps.topKPerGroup]]'s salted two-phase rank
+    * instead (stage-2 sort bounded by groups·salts·k, identical
+    * result). */
+  def fixedCountSample(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.SkewOps.topKPerGroup(
+        Tables.documents(spark, dir)
+          .select(col("doc_id"), col("source"),
+            mixHash(col("doc_id")).as("sample_hash")),
+        col("source"), Seq(col("sample_hash"), col("doc_id")),
+        FixedSampleK, col("doc_id"), rankCol = "sample_rank")
+      .select(col("doc_id"), col("source"), col("sample_hash"),
+        col("sample_rank"))
+      .orderBy(col("source"), col("sample_rank"))
+
   /** Epoch-repetition mixing — the upsampling half of a mixture
     * recipe (weights above 1.0 repeat a source across training
     * epochs; below 1.0 degrade to the stratified down-sample). A
@@ -218,6 +246,8 @@ object Sampling {
     // replays the cluster-id hash decile
     "split_train_test" ->
       s"""WITH clusters AS (SELECT doc_id, cluster_id FROM (${Dedup.oracle("dedup_clusters")})) SELECT doc_id, cluster_id, CASE WHEN d < 8 THEN 'train' WHEN d = 8 THEN 'validation' ELSE 'test' END AS split FROM (SELECT doc_id, cluster_id, (((cluster_id % $P) * $A + $B) % $P) % 10 AS d FROM clusters) ORDER BY doc_id""",
+    "sample_fixed_count" ->
+      s"""SELECT doc_id, source, sample_hash, sample_rank FROM (SELECT doc_id, source, $hashSql AS sample_hash, row_number() OVER (PARTITION BY source ORDER BY $hashSql, doc_id) AS sample_rank FROM documents) WHERE sample_rank <= $FixedSampleK ORDER BY source, sample_rank""",
     "mix_epoch_repeat" ->
       s"""WITH r AS (SELECT doc_id, source, (w // $BucketCount) + CASE WHEN $bucketSql < (w % $BucketCount) THEN 1 ELSE 0 END AS reps FROM (SELECT doc_id, source, CASE COALESCE(TRY_CAST(regexp_extract(source, '(\\d+)', 1) AS BIGINT), 0) % 4 WHEN 0 THEN 25000 WHEN 1 THEN 20000 WHEN 2 THEN 10000 ELSE 5000 END AS w FROM documents)) SELECT doc_id, source, unnest(range(0, reps)) AS epoch FROM r WHERE reps > 0 ORDER BY doc_id, epoch"""
   )
@@ -225,6 +255,7 @@ object Sampling {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sample_stratified" -> stratifiedSample _,
     "sample_stratified_summary" -> stratifiedSampleSummary _,
+    "sample_fixed_count" -> fixedCountSample _,
     "split_train_test" -> trainTestSplit _,
     "mix_epoch_repeat" -> epochRepeat _
   )

@@ -13,6 +13,13 @@ import graft.Tables
   */
 object TextOps {
 
+  /** Vocabulary rows returned by [[vocabTopK]] (deterministic:
+    * count desc, token asc). Declared BEFORE the `oracle` val: object
+    * vals initialize in declaration order, so a constant interpolated
+    * into an oracle string must precede the map or it interpolates
+    * as 0 (the round-8 `LIMIT 0` bug). */
+  val VocabK = 100
+
   /** Whitespace tokenization with empty-input guard. */
   def tokens(text: Column): Column =
     when(length(trim(text)) === 0, array().cast("array<string>"))
@@ -196,8 +203,28 @@ object TextOps {
     "text_corpus_filter" ->
       s"""WITH q AS (SELECT doc_id, source, len(t) AS token_count, CAST(${hitsSql(stopEn)} AS DOUBLE) / len(t) * 0.5 + (1.0 - CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE) / length(text)) * 0.3 + least(CAST(len(t) AS DOUBLE) / 100.0, 1.0) * 0.2 AS score, row_number() OVER (PARTITION BY md5(lower(trim(text))) ORDER BY doc_id) AS rn FROM (SELECT doc_id, source, text, $toksSql AS t FROM documents)) SELECT doc_id, source, token_count, reason, reason = 'keep' AS keep FROM (SELECT doc_id, source, token_count, CASE WHEN rn > 1 THEN 'duplicate' WHEN token_count < 30 THEN 'short' WHEN score < 0.35 THEN 'low_quality' ELSE 'keep' END AS reason FROM q) ORDER BY doc_id""",
     "text_corpus_filter_summary" ->
-      s"""WITH q AS (SELECT doc_id, source, len(t) AS token_count, CAST(${hitsSql(stopEn)} AS DOUBLE) / len(t) * 0.5 + (1.0 - CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE) / length(text)) * 0.3 + least(CAST(len(t) AS DOUBLE) / 100.0, 1.0) * 0.2 AS score, row_number() OVER (PARTITION BY md5(lower(trim(text))) ORDER BY doc_id) AS rn FROM (SELECT doc_id, source, text, $toksSql AS t FROM documents)), r AS (SELECT source, CASE WHEN rn > 1 THEN 'duplicate' WHEN token_count < 30 THEN 'short' WHEN score < 0.35 THEN 'low_quality' ELSE 'keep' END AS reason FROM q) SELECT source, COUNT(*) AS docs, CAST(SUM(CASE WHEN reason = 'keep' THEN 1 ELSE 0 END) AS BIGINT) AS kept, CAST(SUM(CASE WHEN reason = 'duplicate' THEN 1 ELSE 0 END) AS BIGINT) AS dropped_duplicate, CAST(SUM(CASE WHEN reason = 'short' THEN 1 ELSE 0 END) AS BIGINT) AS dropped_short, CAST(SUM(CASE WHEN reason = 'low_quality' THEN 1 ELSE 0 END) AS BIGINT) AS dropped_low_quality FROM r GROUP BY 1 ORDER BY 1"""
+      s"""WITH q AS (SELECT doc_id, source, len(t) AS token_count, CAST(${hitsSql(stopEn)} AS DOUBLE) / len(t) * 0.5 + (1.0 - CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE) / length(text)) * 0.3 + least(CAST(len(t) AS DOUBLE) / 100.0, 1.0) * 0.2 AS score, row_number() OVER (PARTITION BY md5(lower(trim(text))) ORDER BY doc_id) AS rn FROM (SELECT doc_id, source, text, $toksSql AS t FROM documents)), r AS (SELECT source, CASE WHEN rn > 1 THEN 'duplicate' WHEN token_count < 30 THEN 'short' WHEN score < 0.35 THEN 'low_quality' ELSE 'keep' END AS reason FROM q) SELECT source, COUNT(*) AS docs, CAST(SUM(CASE WHEN reason = 'keep' THEN 1 ELSE 0 END) AS BIGINT) AS kept, CAST(SUM(CASE WHEN reason = 'duplicate' THEN 1 ELSE 0 END) AS BIGINT) AS dropped_duplicate, CAST(SUM(CASE WHEN reason = 'short' THEN 1 ELSE 0 END) AS BIGINT) AS dropped_short, CAST(SUM(CASE WHEN reason = 'low_quality' THEN 1 ELSE 0 END) AS BIGINT) AS dropped_low_quality FROM r GROUP BY 1 ORDER BY 1""",
+    "text_vocab_topk" ->
+      s"""SELECT token, COUNT(*) AS cnt FROM (SELECT unnest($toksSql) AS token FROM documents) GROUP BY token ORDER BY cnt DESC, token LIMIT $VocabK"""
   )
+
+  /** Corpus vocabulary: the [[VocabK]] most frequent tokens with
+    * counts — the frequency table tokenizer training, stopword
+    * derivation, and corpus drift monitoring all start from.
+    *
+    * Shape at scale: explode → hash aggregate. The aggregation is
+    * partial (map-side combine), so the shuffle carries one row per
+    * DISTINCT token per task — bounded by vocabulary, not corpus
+    * size — and hot tokens ("the") are pre-summed before they ever
+    * cross the wire; the top-k is a TakeOrderedAndProject over the
+    * aggregated domain, not a global sort of the corpus. */
+  def vocabTopK(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token"))
+      .limit(VocabK)
 
   /** Rolling-hash (Karp–Rabin) content fingerprints via the native
     * codegen'd expression — engine-hash-independent (pure arithmetic),
@@ -217,6 +244,7 @@ object TextOps {
     "text_token_count" -> tokenCount _,
     "text_quality_score" -> qualityScore _,
     "text_lang_id" -> langId _,
-    "text_fingerprint" -> fingerprint _
+    "text_fingerprint" -> fingerprint _,
+    "text_vocab_topk" -> vocabTopK _
   )
 }

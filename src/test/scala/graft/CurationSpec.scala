@@ -135,6 +135,69 @@ class CurationSpec extends SparkSpec {
     assert(!plan.toLowerCase.contains("join"), plan)
   }
 
+  test("sequence packing matches an independent running-offset recomputation") {
+    // independent recompute: chunk lengths in plain Scala, running
+    // sum per (source, shard) in document order, start-offset rule
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val chunks = docs.flatMap { case (id, src, text) =>
+      val t = text.trim
+      val toks = if (t.isEmpty) Array.empty[String] else t.split("\\s+")
+      toks.grouped(Curation.ChunkSize).zipWithIndex.map {
+        case (c, i) => (src, id % Curation.PackShards, id, i.toLong, c.length.toLong)
+      }
+    }
+    val expected = chunks.groupBy(c => (c._1, c._2)).toSeq.flatMap {
+      case ((src, shard), cs) =>
+        var cum = 0L
+        cs.sortBy(c => (c._3, c._4)).map { case (_, _, id, idx, len) =>
+          val seq = cum / Curation.PackBudget
+          cum += len
+          (id, src, shard, seq, idx, len)
+        }
+    }.toSet
+    val got = Curation.packSequences(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getInt(5).toLong)).toSet
+    assert(got == expected)
+  }
+
+  test("packing summary reconciles with the packing detail") {
+    val detail = Curation.packSequences(spark, sf).collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3), r.getInt(5).toLong))
+    val bySeq = detail.groupBy(d => (d._1, d._2, d._3))
+      .map { case (k, cs) => k -> cs.map(_._4).sum }
+    val expected = bySeq.groupBy(_._1._1).map { case (src, seqs) =>
+      src -> (seqs.size.toLong, seqs.values.sum,
+        seqs.values.count(_ >= Curation.PackBudget).toLong)
+    }
+    val got = Curation.packSequencesSummary(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(3), r.getLong(4))).toMap
+    assert(got == expected)
+    // every chunk from chunkPack is packed exactly once
+    assert(detail.length.toLong ==
+      Curation.chunkPack(spark, sf).count())
+  }
+
+  test("vocabulary top-k matches an independent frequency count") {
+    val texts = Tables.documents(spark, sf)
+      .select("text").collect().map(_.getString(0))
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+    texts.foreach { text =>
+      val t = text.trim
+      if (t.nonEmpty) t.split("\\s+").foreach(w =>
+        counts(w) = counts.getOrElse(w, 0L) + 1L)
+    }
+    val expected = counts.toSeq
+      .sortBy { case (tok, n) => (-n, tok) }
+      .take(TextOps.VocabK)
+    val rows = TextOps.vocabTopK(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(rows == expected)
+  }
+
   test("chunk packing partitions every document's tokens exactly") {
     val tokenCounts = Tables.documents(spark, sf)
       .select(col("doc_id"), size(TextOps.tokens(col("text"))).as("n"))

@@ -71,7 +71,12 @@ class PlanLintSpec extends SparkSpec {
   private val calendarBoundedWindow = Set("window_month_rank")
   // SkewOps.topKPerGroup: stage-1 window is (key, salt)-partitioned,
   // stage-2 input bounded at groups·salts·k by construction
-  private val saltedTwoPhaseWindow = Set("window_top3_per_region")
+  private val saltedTwoPhaseWindow =
+    Set("window_top3_per_region", "sample_fixed_count")
+  // running-sum window partitioned by (source, doc_id-shard):
+  // parallelism = sources × PackShards, and a deployment scales
+  // PackShards with the corpus (Curation.packSequences scaladoc)
+  private val shardedWindow = Set("text_pack_sequences", "text_pack_summary")
 
   test("every rank window is classified: row-keyed, entity-keyed, or guarded") {
     // built with AQE off: AdaptiveSparkPlanExec is a leaf node, so
@@ -81,7 +86,7 @@ class PlanLintSpec extends SparkSpec {
     try {
       val known = rowKeyedWindow ++ entityKeyedWindow ++
         guardedLowNdvWindow ++ calendarBoundedWindow ++
-        saltedTwoPhaseWindow ++ allowGlobalWindow
+        saltedTwoPhaseWindow ++ shardedWindow ++ allowGlobalWindow
       val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
         if (known(name)) None
         else {
@@ -109,6 +114,15 @@ class PlanLintSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"),
       s"eval side is benchmark-sized and must broadcast:\n$plan")
+  }
+
+  test("vocabulary top-k is a partial aggregate + bounded take, not a global sort") {
+    val plan = graft.ext.TextOps.vocabTopK(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must take k per partition, not globally sort the vocab:\n$plan")
+    assert(!plan.contains("Sort "),
+      s"no full sort should survive planning:\n$plan")
   }
 
   test("no fact-path query uses an unpartitioned (global) window") {

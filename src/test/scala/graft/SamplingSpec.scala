@@ -70,6 +70,29 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("fixed-count sample matches an independent per-source selection") {
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expected = docs.groupBy(_._2).toSeq.flatMap { case (src, ds) =>
+      ds.map(_._1)
+        .sortBy(id => (Sampling.mixHashLocal(id), id))
+        .take(Sampling.FixedSampleK)
+        .zipWithIndex
+        .map { case (id, i) => (id, src, i + 1) }
+    }.toSet
+    val got = Sampling.fixedCountSample(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(3))).toSet
+    assert(got == expected)
+    // exactly min(K, stratum size) rows per source
+    val perSource = got.groupBy(_._2).view.mapValues(_.size).toMap
+    val sizes = docs.groupBy(_._2).view.mapValues(_.size).toMap
+    sizes.foreach { case (src, n) =>
+      assert(perSource.getOrElse(src, 0) ==
+        math.min(Sampling.FixedSampleK, n), src)
+    }
+  }
+
   test("train/test split never separates a near-dup pair (no leakage)") {
     val split = Sampling.trainTestSplit(spark, sf)
       .select("doc_id", "split")
