@@ -10,10 +10,24 @@ import graft.ops.StageLog
   * passes — the reference re-counts eagerly per stage).
   *
   * Usage: runMain graft.RunPipeline [sfDir] [warehouseDir]
+  *
+  * `sfDir` may also be a zip URL (`file://…/feed.zip` or http(s)) —
+  * the reference's staged-feed entry point: the archive's per-table
+  * CSVs are staged and rewritten as typed parquet tables
+  * ([[graft.sources.BronzeIngest]]) with schemas borrowed from the
+  * `SPARK_GRAFT_SCHEMA_DIR` table dir (default sf0.001), then the
+  * pipeline runs unchanged against the staged dir.
   */
 object RunPipeline {
+
+  /** Tables a zip feed must carry: everything the C1→C2 pipeline and
+    * its q1–q8 verification stage read. */
+  private val FeedTables =
+    Seq("orders", "customer", "nation", "region", "part",
+      "supplier", "lineitem")
+
   def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val source = args.headOption.getOrElse("/root/testdata/sf0.001")
     val warehouse =
       if (args.length > 1) args(1)
       else java.nio.file.Files.createTempDirectory("graft_warehouse").toString
@@ -21,6 +35,19 @@ object RunPipeline {
     val spark = GraftSession.builder(s"local[$cpus]", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val t0 = System.nanoTime()
+
+    val sfDir =
+      if (!source.endsWith(".zip")) source
+      else {
+        val schemaDir = sys.env.getOrElse("SPARK_GRAFT_SCHEMA_DIR",
+          "/root/testdata/sf0.001")
+        val staging =
+          java.nio.file.Files.createTempDirectory("graft_staging").toString
+        val dir = graft.sources.BronzeIngest.ingestZip(spark, source, staging,
+          FeedTables.map(t => t -> Tables.load(spark, schemaDir, t).schema).toMap)
+        println(s"[pipeline] staged $source -> $dir")
+        dir
+      }
 
     // stage 1: C1 composed transform, metrics observed on the write
     val (transformed, obs) = StageLog.observed("transform",

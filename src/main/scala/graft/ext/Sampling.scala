@@ -138,6 +138,45 @@ object Sampling {
         col("sample_rank"))
       .orderBy(col("source"), col("sample_rank"))
 
+  /** Quantization scale for [[temperatureWeights]]'s integer weights. */
+  val MixWeightScale = 1000L
+
+  /** Per-epoch document budget distributed by [[temperatureWeights]]. */
+  val MixBudgetDocs = 100000L
+
+  /** Temperature-scaled source mixture — the α-smoothed sampling rule
+    * multilingual/multi-source LM training uses to keep big sources
+    * from drowning small ones: p_i ∝ n_i^α with α = 1/2 (T = 2).
+    *
+    * Exactness discipline: a naive p_i = n_i^α / Σ n_j^α hash-diverges
+    * across engines because the Σ of DOUBLEs is summation-ORDER-
+    * dependent (last-ulp), and neither Spark's partial aggregation nor
+    * DuckDB guarantees an order. So the weight is quantized FIRST —
+    * w_i = floor(sqrt(n_i)·[[MixWeightScale]]), exact on both engines
+    * because sqrt and multiply are correctly-rounded IEEE ops on
+    * identical inputs — and every cross-row step (Σ w_i, the budget
+    * split) is then pure integer arithmetic with one final per-row
+    * division for the probability. Same class of trick as the
+    * bucket-integer thresholds above.
+    *
+    * Shape at scale: one map-side-combinable groupBy over the source
+    * domain; the normalizing total is a window over the POST-
+    * aggregation frame (rows = sources, bounded — PlanLintSpec
+    * classification). */
+  def temperatureWeights(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    Tables.documents(spark, dir)
+      .groupBy(col("source")).agg(count(lit(1)).as("docs"))
+      .withColumn("w_scaled",
+        floor(sqrt(col("docs").cast("double")) * MixWeightScale).cast("long"))
+      .withColumn("total_w", sum(col("w_scaled")).over(Window.partitionBy()))
+      .select(col("source"), col("docs"), col("w_scaled"),
+        (col("w_scaled").cast("double") / col("total_w")).as("mix_p"),
+        expr(s"CAST(w_scaled * ${MixBudgetDocs}L div total_w AS BIGINT)")
+          .as("budget_docs"))
+      .orderBy(col("source"))
+  }
+
   /** Epoch-repetition mixing — the upsampling half of a mixture
     * recipe (weights above 1.0 repeat a source across training
     * epochs; below 1.0 degrade to the stratified down-sample). A
@@ -249,7 +288,12 @@ object Sampling {
     "sample_fixed_count" ->
       s"""SELECT doc_id, source, sample_hash, sample_rank FROM (SELECT doc_id, source, $hashSql AS sample_hash, row_number() OVER (PARTITION BY source ORDER BY $hashSql, doc_id) AS sample_rank FROM documents) WHERE sample_rank <= $FixedSampleK ORDER BY source, sample_rank""",
     "mix_epoch_repeat" ->
-      s"""WITH r AS (SELECT doc_id, source, (w // $BucketCount) + CASE WHEN $bucketSql < (w % $BucketCount) THEN 1 ELSE 0 END AS reps FROM (SELECT doc_id, source, CASE COALESCE(TRY_CAST(regexp_extract(source, '(\\d+)', 1) AS BIGINT), 0) % 4 WHEN 0 THEN 25000 WHEN 1 THEN 20000 WHEN 2 THEN 10000 ELSE 5000 END AS w FROM documents)) SELECT doc_id, source, unnest(range(0, reps)) AS epoch FROM r WHERE reps > 0 ORDER BY doc_id, epoch"""
+      s"""WITH r AS (SELECT doc_id, source, (w // $BucketCount) + CASE WHEN $bucketSql < (w % $BucketCount) THEN 1 ELSE 0 END AS reps FROM (SELECT doc_id, source, CASE COALESCE(TRY_CAST(regexp_extract(source, '(\\d+)', 1) AS BIGINT), 0) % 4 WHEN 0 THEN 25000 WHEN 1 THEN 20000 WHEN 2 THEN 10000 ELSE 5000 END AS w FROM documents)) SELECT doc_id, source, unnest(range(0, reps)) AS epoch FROM r WHERE reps > 0 ORDER BY doc_id, epoch""",
+    // integer-quantized sqrt weights (see temperatureWeights scaladoc);
+    // SUM(w) in DuckDB is HUGEINT, so both it and the // quotient are
+    // cast back to BIGINT
+    "mix_temperature_weights" ->
+      s"""WITH per AS (SELECT source, COUNT(*) AS docs, CAST(floor(sqrt(CAST(COUNT(*) AS DOUBLE)) * $MixWeightScale) AS BIGINT) AS w_scaled FROM documents GROUP BY source), t AS (SELECT CAST(SUM(w_scaled) AS BIGINT) AS total_w FROM per) SELECT source, docs, w_scaled, CAST(w_scaled AS DOUBLE) / total_w AS mix_p, CAST((w_scaled * $MixBudgetDocs) // total_w AS BIGINT) AS budget_docs FROM per, t ORDER BY source"""
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -257,6 +301,7 @@ object Sampling {
     "sample_stratified_summary" -> stratifiedSampleSummary _,
     "sample_fixed_count" -> fixedCountSample _,
     "split_train_test" -> trainTestSplit _,
-    "mix_epoch_repeat" -> epochRepeat _
+    "mix_epoch_repeat" -> epochRepeat _,
+    "mix_temperature_weights" -> temperatureWeights _
   )
 }

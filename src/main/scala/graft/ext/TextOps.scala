@@ -20,6 +20,19 @@ object TextOps {
     * as 0 (the round-8 `LIMIT 0` bug). */
   val VocabK = 100
 
+  /** Tokenizer-vocabulary size for [[oovRate]] — deliberately smaller
+    * than [[VocabK]] so the out-of-vocabulary rate is a meaningful
+    * signal on the test corpus (a vocab larger than the corpus's
+    * distinct-token count would make every rate zero). */
+  val OovVocabK = 10
+
+  /** Repetition-flag thresholds for [[repetition]], chosen at the
+    * ~p90 of each signal's corpus distribution (top-bigram-frac p90 ≈
+    * 0.069, dup-token-frac median ≈ 0.54 at sf0.01) so the flag
+    * splits the corpus rather than passing or failing everything. */
+  val RepTopBigramFrac = 0.08
+  val RepDupTokenFrac = 0.65
+
   /** Whitespace tokenization with empty-input guard. */
   def tokens(text: Column): Column =
     when(length(trim(text)) === 0, array().cast("array<string>"))
@@ -184,6 +197,12 @@ object TextOps {
     s"""len(list_filter(t, x -> x IN (${words.map(w => s"'$w'").mkString(",")})))"""
   private val shinglesSql =
     """CASE WHEN len(t) >= 3 THEN list_transform(range(1, len(t)-1), i -> t[i]||' '||t[i+1]||' '||t[i+2]) ELSE [] END"""
+  private val bigramsSql =
+    """CASE WHEN len(t) >= 2 THEN list_transform(range(1, len(t)), i -> t[i]||' '||t[i+1]) ELSE [] END"""
+  private val dupFracSql =
+    "CASE WHEN len(t) = 0 THEN 0.0 ELSE 1.0 - CAST(len(list_distinct(t)) AS DOUBLE) / len(t) END"
+  private val topBgFracSql =
+    "CASE WHEN len(b) = 0 THEN 0.0 ELSE CAST(COALESCE(m.top, 0) AS DOUBLE) / len(b) END"
 
   val oracle: Map[String, String] = Map(
     "text_token_count" ->
@@ -205,7 +224,13 @@ object TextOps {
     "text_corpus_filter_summary" ->
       s"""WITH q AS (SELECT doc_id, source, len(t) AS token_count, CAST(${hitsSql(stopEn)} AS DOUBLE) / len(t) * 0.5 + (1.0 - CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE) / length(text)) * 0.3 + least(CAST(len(t) AS DOUBLE) / 100.0, 1.0) * 0.2 AS score, row_number() OVER (PARTITION BY md5(lower(trim(text))) ORDER BY doc_id) AS rn FROM (SELECT doc_id, source, text, $toksSql AS t FROM documents)), r AS (SELECT source, CASE WHEN rn > 1 THEN 'duplicate' WHEN token_count < 30 THEN 'short' WHEN score < 0.35 THEN 'low_quality' ELSE 'keep' END AS reason FROM q) SELECT source, COUNT(*) AS docs, CAST(SUM(CASE WHEN reason = 'keep' THEN 1 ELSE 0 END) AS BIGINT) AS kept, CAST(SUM(CASE WHEN reason = 'duplicate' THEN 1 ELSE 0 END) AS BIGINT) AS dropped_duplicate, CAST(SUM(CASE WHEN reason = 'short' THEN 1 ELSE 0 END) AS BIGINT) AS dropped_short, CAST(SUM(CASE WHEN reason = 'low_quality' THEN 1 ELSE 0 END) AS BIGINT) AS dropped_low_quality FROM r GROUP BY 1 ORDER BY 1""",
     "text_vocab_topk" ->
-      s"""SELECT token, COUNT(*) AS cnt FROM (SELECT unnest($toksSql) AS token FROM documents) GROUP BY token ORDER BY cnt DESC, token LIMIT $VocabK"""
+      s"""SELECT token, COUNT(*) AS cnt FROM (SELECT unnest($toksSql) AS token FROM documents) GROUP BY token ORDER BY cnt DESC, token LIMIT $VocabK""",
+    // the fold-over-sorted-bigrams max-multiplicity is replayed
+    // relationally: unnest → per-bigram counts → MAX
+    "text_repetition" ->
+      s"""WITH tk AS (SELECT doc_id, $toksSql AS t FROM documents), bg AS (SELECT doc_id, t, $bigramsSql AS b FROM tk), m AS (SELECT doc_id, MAX(c) AS top FROM (SELECT doc_id, u, COUNT(*) AS c FROM (SELECT doc_id, unnest(b) AS u FROM bg) GROUP BY doc_id, u) GROUP BY doc_id) SELECT doc_id, len(t) AS token_count, len(list_distinct(t)) AS distinct_tokens, $dupFracSql AS dup_token_frac, len(b) AS bigram_count, COALESCE(m.top, 0) AS top_bigram_count, $topBgFracSql AS top_bigram_frac, ($topBgFracSql > $RepTopBigramFrac OR $dupFracSql > $RepDupTokenFrac) AS repetitive FROM bg LEFT JOIN m USING (doc_id) ORDER BY doc_id""",
+    "text_oov_rate" ->
+      s"""WITH tk AS (SELECT source, $toksSql AS t FROM documents), v AS (SELECT u AS token FROM (SELECT unnest(t) AS u FROM tk) GROUP BY u ORDER BY COUNT(*) DESC, u LIMIT $OovVocabK), tok AS (SELECT source, unnest(t) AS token FROM tk) SELECT source, COUNT(*) AS tokens, CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS oov_tokens, CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS oov_rate FROM tok LEFT JOIN v ON tok.token = v.token GROUP BY source ORDER BY source"""
   )
 
   /** Corpus vocabulary: the [[VocabK]] most frequent tokens with
@@ -226,6 +251,80 @@ object TextOps {
       .orderBy(col("cnt").desc, col("token"))
       .limit(VocabK)
 
+  /** Repetition signals per document — the Gopher-class repetitious-
+    * text filters (published web-corpus quality heuristics): the
+    * duplicate-token fraction (1 − distinct/total) and the fraction
+    * of all word bigrams taken by the single most frequent bigram,
+    * with a composite `repetitive` flag at the documented thresholds.
+    *
+    * Shape at scale: entirely per-row. The max-bigram-multiplicity is
+    * a fold over the SORTED bigram array (longest equal-run), so it's
+    * O(n log n) per document inside whole-stage codegen — no explode,
+    * no shuffle, no per-document aggregation job. The oracle replays
+    * it relationally (unnest → GROUP BY → MAX) — same answer, which
+    * is itself the equivalence proof for the fold. */
+  def repetition(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .withColumn("bg", shinglesN(col("t"), 2))
+      .withColumn("top_bigram_count", expr(
+        """aggregate(array_sort(bg),
+             named_struct('prev', CAST(NULL AS STRING),
+                          'run', CAST(0 AS BIGINT),
+                          'best', CAST(0 AS BIGINT)),
+             (acc, x) -> named_struct(
+               'prev', x,
+               'run', IF(acc.prev IS NOT NULL AND x = acc.prev, acc.run + 1L, 1L),
+               'best', GREATEST(acc.best,
+                 IF(acc.prev IS NOT NULL AND x = acc.prev, acc.run + 1L, 1L))),
+             acc -> acc.best)"""))
+      .select(
+        col("doc_id"),
+        size(col("t")).as("token_count"),
+        size(array_distinct(col("t"))).as("distinct_tokens"),
+        when(size(col("t")) === 0, lit(0.0))
+          .otherwise(lit(1.0) -
+            size(array_distinct(col("t"))).cast("double") / size(col("t")))
+          .as("dup_token_frac"),
+        size(col("bg")).as("bigram_count"),
+        col("top_bigram_count"),
+        when(size(col("bg")) === 0, lit(0.0))
+          .otherwise(col("top_bigram_count").cast("double") / size(col("bg")))
+          .as("top_bigram_frac"))
+      .withColumn("repetitive",
+        col("top_bigram_frac") > RepTopBigramFrac ||
+          col("dup_token_frac") > RepDupTokenFrac)
+      .orderBy(col("doc_id"))
+
+  /** Out-of-vocabulary rate per source against the corpus's own
+    * top-[[OovVocabK]] token vocabulary — the coverage check run
+    * after tokenizer training (how much of each source the vocab
+    * explains) and the cheap drift alarm between corpus builds.
+    *
+    * Shape at scale: the vocabulary is an aggregate bounded at K
+    * rows, broadcast to the probe side (PlanLintSpec asserts the
+    * broadcast) — the corpus-sized stream is a single explode →
+    * broadcast-hash-join → map-side-combinable groupBy; no
+    * corpus-sized shuffle, mirroring [[Curation.decontaminate]]'s
+    * probe shape. */
+  def oovRate(spark: SparkSession, dir: String): DataFrame = {
+    val vocab = Tables.documents(spark, dir)
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token"))
+      .limit(OovVocabK)
+      .select(col("token"), lit(1L).as("in_vocab"))
+    Tables.documents(spark, dir)
+      .select(col("source"), explode(tokens(col("text"))).as("token"))
+      .join(broadcast(vocab), Seq("token"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("oov_tokens"))
+      .withColumn("oov_rate",
+        col("oov_tokens").cast("double") / col("tokens"))
+      .orderBy(col("source"))
+  }
+
   /** Rolling-hash (Karp–Rabin) content fingerprints via the native
     * codegen'd expression — engine-hash-independent (pure arithmetic),
     * so even this custom-Expression path is oracle-checked: DuckDB
@@ -245,6 +344,8 @@ object TextOps {
     "text_quality_score" -> qualityScore _,
     "text_lang_id" -> langId _,
     "text_fingerprint" -> fingerprint _,
-    "text_vocab_topk" -> vocabTopK _
+    "text_vocab_topk" -> vocabTopK _,
+    "text_repetition" -> repetition _,
+    "text_oov_rate" -> oovRate _
   )
 }

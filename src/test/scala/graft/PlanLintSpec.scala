@@ -16,7 +16,10 @@ class PlanLintSpec extends SparkSpec {
     // time-series windows over POST-AGGREGATION frames (one row per
     // day/month — bounded by the calendar, not by fact size; see
     // WindowAnalytics scaladoc)
-    "window_moving_average", "window_month_over_month")
+    "window_moving_average", "window_month_over_month",
+    // normalizing-total window over the POST-AGGREGATION per-source
+    // frame (rows = sources — Sampling.temperatureWeights scaladoc)
+    "mix_temperature_weights")
 
   // intentional exceptions: exactness baselines over bounded inputs,
   // kept next to their scale paths (IVF/LSH) — see Dedup scaladoc —
@@ -114,6 +117,13 @@ class PlanLintSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"),
       s"eval side is benchmark-sized and must broadcast:\n$plan")
+  }
+
+  test("OOV rate probes the vocabulary via broadcast join") {
+    val plan = graft.ext.TextOps.oovRate(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the K-row vocabulary must broadcast to the corpus probe side:\n$plan")
   }
 
   test("vocabulary top-k is a partial aggregate + bounded take, not a global sort") {

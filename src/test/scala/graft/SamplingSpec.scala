@@ -93,6 +93,40 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("temperature weights match an independent recomputation and keep the budget") {
+    val sizes = Tables.documents(spark, sf)
+      .select("doc_id", "source").collect()
+      .map(r => r.getString(1))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val w = sizes.view.mapValues(n =>
+      math.floor(math.sqrt(n.toDouble) * Sampling.MixWeightScale).toLong).toMap
+    val total = w.values.sum
+    val expected = sizes.keys.map { src =>
+      src -> (sizes(src), w(src), w(src).toDouble / total,
+        w(src) * Sampling.MixBudgetDocs / total)
+    }.toMap
+    val got = Sampling.temperatureWeights(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
+      .toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (src, (docs, ws, p, budget)) =>
+      val g = got(src)
+      assert(g._1 == docs && g._2 == ws && g._4 == budget, s"$src: $g")
+      assert(math.abs(g._3 - p) < 1e-12, s"$src: ${g._3} vs $p")
+    }
+    // integer floor split: the distributed budget never overshoots,
+    // and undershoots by less than one doc per source
+    val distributed = got.values.map(_._4).sum
+    assert(distributed <= Sampling.MixBudgetDocs)
+    assert(distributed > Sampling.MixBudgetDocs - got.size)
+    // α = 1/2 flattens: smaller sources get MORE than proportional share
+    val (minSrc, _) = sizes.minBy(_._2)
+    val propShare = sizes(minSrc).toDouble / sizes.values.sum
+    assert(got(minSrc)._3 >= propShare - 1e-12,
+      s"sqrt smoothing should not give a small source less than proportional")
+  }
+
   test("train/test split never separates a near-dup pair (no leakage)") {
     val split = Sampling.trainTestSplit(spark, sf)
       .select("doc_id", "split")

@@ -79,6 +79,59 @@ class SourcesSpec extends SparkSpec {
     assert(!java.nio.file.Files.exists(tmp.resolve("outside.txt")))
   }
 
+  test("staged zip ingest feeds C1 transform + C2 star build end to end") {
+    import graft.sources.BronzeIngest
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ingest")
+    // fixture: the reference's feed shape — one zip holding a CSV per
+    // table, exported from the parquet tables so values round-trip
+    val tabs = Seq("orders", "customer", "nation", "region", "part")
+    tabs.foreach { t =>
+      Tables.load(spark, sf, t).coalesce(1).write.mode("overwrite")
+        .option("header", "true").csv(tmp.resolve(s"csv_$t").toString)
+    }
+    val zipPath = tmp.resolve("feed.zip")
+    val zout = new java.util.zip.ZipOutputStream(
+      java.nio.file.Files.newOutputStream(zipPath))
+    tabs.foreach { t =>
+      val part = new java.io.File(tmp.resolve(s"csv_$t").toString)
+        .listFiles().filter(_.getName.endsWith(".csv")).head
+      zout.putNextEntry(new java.util.zip.ZipEntry(s"$t.csv"))
+      java.nio.file.Files.copy(part.toPath, zout)
+      zout.closeEntry()
+    }
+    zout.close()
+
+    // stage → declared-schema CSV scan → parquet tables dir
+    val schemas = tabs.map(t => t -> Tables.load(spark, sf, t).schema).toMap
+    val staged = BronzeIngest.ingestZip(spark, zipPath.toUri.toString,
+      tmp.resolve("staging").toString, schemas)
+
+    // a missing feed fails loudly, it does not become an empty table
+    val err = intercept[RuntimeException] {
+      BronzeIngest.ingestZip(spark, zipPath.toUri.toString,
+        tmp.resolve("staging2").toString,
+        schemas + ("lineitem" -> Tables.lineitem(spark, sf).schema))
+    }
+    assert(err.getMessage.contains("lineitem"))
+
+    // C1: the composed transform over staged tables == over originals
+    val a = graft.pipeline.EtlPipeline.transformSales(spark, staged)
+      .orderBy("o_orderkey").collect()
+    val b = graft.pipeline.EtlPipeline.transformSales(spark, sf)
+      .orderBy("o_orderkey").collect()
+    assert(a.sameElements(b))
+
+    // C2: the star warehouse builds from the staged dir, and the
+    // through-the-star analytic answer is unchanged
+    val wh = tmp.resolve("wh").toString
+    graft.pipeline.StarSchema.materialize(spark, staged, wh)
+    assert(spark.read.parquet(s"$wh/fact_sales").count() ==
+      graft.pipeline.StarSchema.factSales(spark, sf).count())
+    val r1 = graft.pipeline.StarSchema.revenueByYear(spark, staged).collect()
+    val r2 = graft.pipeline.StarSchema.revenueByYear(spark, sf).collect()
+    assert(r1.sameElements(r2))
+  }
+
   test("column-name standardization normalizes a messy frame (P2)") {
     val messy = Tables.orders(spark, sf).limit(5)
       .withColumnRenamed("o_orderkey", "Order Key")

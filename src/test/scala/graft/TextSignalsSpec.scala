@@ -1,0 +1,74 @@
+package graft
+
+import graft.ext.TextOps
+
+/** Independent-recompute checks for the repetition and OOV-rate
+  * signals: plain-Scala reimplementations over collected text (not
+  * the Column expressions under test), compared exactly for integer
+  * fields and to 1e-12 for the single-division doubles. */
+class TextSignalsSpec extends SparkSpec {
+
+  private def toks(text: String): Array[String] = {
+    val t = text.trim
+    if (t.isEmpty) Array.empty[String] else t.split("\\s+")
+  }
+
+  test("repetition signals match an independent per-document recomputation") {
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expected = docs.map { case (id, text) =>
+      val t = toks(text)
+      val bg = t.sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSeq
+      val top = if (bg.isEmpty) 0L
+        else bg.groupBy(identity).values.map(_.size).max.toLong
+      val dupFrac = if (t.isEmpty) 0.0 else 1.0 - t.distinct.length.toDouble / t.length
+      val bgFrac = if (bg.isEmpty) 0.0 else top.toDouble / bg.size
+      (id, t.length, t.distinct.length, dupFrac, bg.size, top, bgFrac,
+        bgFrac > TextOps.RepTopBigramFrac || dupFrac > TextOps.RepDupTokenFrac)
+    }.sortBy(_._1)
+    val got = TextOps.repetition(spark, sf).collect().map(r =>
+      (r.getLong(0), r.getInt(1), r.getInt(2), r.getDouble(3),
+        r.getInt(4), r.getLong(5), r.getDouble(6), r.getBoolean(7)))
+    assert(got.length == expected.length)
+    got.zip(expected).foreach { case (g, e) =>
+      assert(g._1 == e._1 && g._2 == e._2 && g._3 == e._3 &&
+        g._5 == e._5 && g._6 == e._6 && g._8 == e._8, s"$g vs $e")
+      assert(math.abs(g._4 - e._4) < 1e-12 && math.abs(g._7 - e._7) < 1e-12,
+        s"$g vs $e")
+    }
+    // the thresholds must split the corpus, not rubber-stamp it
+    val flagged = got.count(_._8)
+    assert(flagged > 0 && flagged < got.length,
+      s"repetitive flag is degenerate: $flagged of ${got.length}")
+  }
+
+  test("OOV rate matches an independent vocabulary + count recomputation") {
+    val docs = Tables.documents(spark, sf)
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+    docs.foreach { case (_, text) =>
+      toks(text).foreach(w => counts(w) = counts.getOrElse(w, 0L) + 1L)
+    }
+    val vocab = counts.toSeq.sortBy { case (tok, n) => (-n, tok) }
+      .take(TextOps.OovVocabK).map(_._1).toSet
+    val expected = docs.groupBy(_._1).map { case (src, ds) =>
+      val all = ds.flatMap(d => toks(d._2))
+      val oov = all.count(w => !vocab(w)).toLong
+      src -> (all.length.toLong, oov, oov.toDouble / all.length)
+    }
+    val got = TextOps.oovRate(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (src, (n, oov, rate)) =>
+      val g = got(src)
+      assert(g._1 == n && g._2 == oov, s"$src: $g vs ($n, $oov)")
+      assert(math.abs(g._3 - rate) < 1e-12, s"$src: ${g._3} vs $rate")
+    }
+    // with a vocab smaller than the corpus's distinct tokens, some
+    // mass must be out-of-vocabulary
+    assert(got.values.exists(_._2 > 0))
+  }
+}
