@@ -163,7 +163,7 @@ object ScaleUp {
       // evidence
       for (q <- Seq("text_pack_sequences", "sample_fixed_count",
           "text_vocab_topk", "text_repetition", "text_oov_rate",
-          "mix_temperature_weights")) {
+          "mix_temperature_weights", "mix_epoch_shuffle")) {
         time(q, src, 1); time(q, dst, 1)
       }
     }

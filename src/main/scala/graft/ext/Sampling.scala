@@ -205,6 +205,44 @@ object Sampling {
       .orderBy(col("doc_id"), col("epoch"))
   }
 
+  /** Training epochs laid out by [[epochShuffle]]. */
+  val ShuffleEpochs = 3L
+
+  /** Training-order shards per epoch in [[epochShuffle]]. */
+  val ShuffleShards = 8L
+
+  /** Deterministic epoch-wise training order: every epoch sees the
+    * corpus in a DIFFERENT pseudo-random order — the shuffle a
+    * training loop needs between epochs — materialized as a manifest
+    * of (epoch, shard, position, doc_id). The permutation is the
+    * (doc_id, epoch)-keyed multiplicative hash, so it is reproducible
+    * across reruns/retries (a `rand()` shuffle is neither) and needs
+    * no stored permutation state.
+    *
+    * Shape at scale: a GLOBAL per-epoch sort would be the naive
+    * formulation; instead each doc hashes to one of [[ShuffleShards]]
+    * shards per epoch and only the WITHIN-shard order is ranked — the
+    * rank window partitions on (epoch, shard), parallel across
+    * epochs×shards, and a deployment scales `ShuffleShards` with the
+    * cluster exactly like [[Curation.PackShards]]. Shard files are
+    * what the training loader reads sequentially; cross-shard order
+    * intentionally doesn't matter because the loader interleaves
+    * shards anyway. */
+  def epochShuffle(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(sequence(lit(0L), lit(ShuffleEpochs - 1))).as("epoch"))
+      .withColumn("shuffle_hash",
+        mixHash(col("doc_id") * ShuffleEpochs + col("epoch")))
+      .withColumn("shard", col("shuffle_hash") % ShuffleShards)
+      .withColumn("position", row_number().over(
+        Window.partitionBy(col("epoch"), col("shard"))
+          .orderBy(col("shuffle_hash"), col("doc_id"))))
+      .select(col("epoch"), col("shard"), col("position"), col("doc_id"))
+      .orderBy(col("epoch"), col("shard"), col("position"))
+  }
+
   /** Leakage-safe train/validation/test split: the split is assigned
     * by hashing the near-dup CLUSTER id (the component's minimum
     * doc_id from [[Dedup.nearDupClusters]]), not the document id — so
@@ -293,7 +331,11 @@ object Sampling {
     // SUM(w) in DuckDB is HUGEINT, so both it and the // quotient are
     // cast back to BIGINT
     "mix_temperature_weights" ->
-      s"""WITH per AS (SELECT source, COUNT(*) AS docs, CAST(floor(sqrt(CAST(COUNT(*) AS DOUBLE)) * $MixWeightScale) AS BIGINT) AS w_scaled FROM documents GROUP BY source), t AS (SELECT CAST(SUM(w_scaled) AS BIGINT) AS total_w FROM per) SELECT source, docs, w_scaled, CAST(w_scaled AS DOUBLE) / total_w AS mix_p, CAST((w_scaled * $MixBudgetDocs) // total_w AS BIGINT) AS budget_docs FROM per, t ORDER BY source"""
+      s"""WITH per AS (SELECT source, COUNT(*) AS docs, CAST(floor(sqrt(CAST(COUNT(*) AS DOUBLE)) * $MixWeightScale) AS BIGINT) AS w_scaled FROM documents GROUP BY source), t AS (SELECT CAST(SUM(w_scaled) AS BIGINT) AS total_w FROM per) SELECT source, docs, w_scaled, CAST(w_scaled AS DOUBLE) / total_w AS mix_p, CAST((w_scaled * $MixBudgetDocs) // total_w AS BIGINT) AS budget_docs FROM per, t ORDER BY source""",
+    // the epoch permutation replayed: same (doc_id·E + epoch) hash,
+    // same shard mod, same within-shard rank
+    "mix_epoch_shuffle" ->
+      s"""WITH x AS (SELECT doc_id, unnest(range(0, $ShuffleEpochs)) AS epoch FROM documents), h AS (SELECT doc_id, epoch, ((((doc_id * $ShuffleEpochs + epoch) % $P) * $A + $B) % $P) AS sh FROM x) SELECT epoch, sh % $ShuffleShards AS shard, row_number() OVER (PARTITION BY epoch, sh % $ShuffleShards ORDER BY sh, doc_id) AS position, doc_id FROM h ORDER BY epoch, shard, position"""
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -302,6 +344,7 @@ object Sampling {
     "sample_fixed_count" -> fixedCountSample _,
     "split_train_test" -> trainTestSplit _,
     "mix_epoch_repeat" -> epochRepeat _,
-    "mix_temperature_weights" -> temperatureWeights _
+    "mix_temperature_weights" -> temperatureWeights _,
+    "mix_epoch_shuffle" -> epochShuffle _
   )
 }

@@ -76,10 +76,12 @@ class PlanLintSpec extends SparkSpec {
   // stage-2 input bounded at groups·salts·k by construction
   private val saltedTwoPhaseWindow =
     Set("window_top3_per_region", "sample_fixed_count")
-  // running-sum window partitioned by (source, doc_id-shard):
-  // parallelism = sources × PackShards, and a deployment scales
-  // PackShards with the corpus (Curation.packSequences scaladoc)
-  private val shardedWindow = Set("text_pack_sequences", "text_pack_summary")
+  // running-sum/rank windows partitioned by (source or epoch,
+  // doc_id-shard): parallelism = groups × shards, and a deployment
+  // scales the shard count with the corpus (Curation.packSequences /
+  // Sampling.epochShuffle scaladocs)
+  private val shardedWindow = Set("text_pack_sequences", "text_pack_summary",
+    "mix_epoch_shuffle")
 
   test("every rank window is classified: row-keyed, entity-keyed, or guarded") {
     // built with AQE off: AdaptiveSparkPlanExec is a leaf node, so

@@ -127,6 +127,37 @@ class SamplingSpec extends SparkSpec {
       s"sqrt smoothing should not give a small source less than proportional")
   }
 
+  test("epoch shuffle is a per-epoch permutation with distinct orders") {
+    val ids = Tables.documents(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0))
+    // independent recompute: hash, shard, then rank within (epoch, shard)
+    val expected = (0L until Sampling.ShuffleEpochs).flatMap { e =>
+      ids.map { id =>
+        val h = Sampling.mixHashLocal(id * Sampling.ShuffleEpochs + e)
+        (e, h % Sampling.ShuffleShards, h, id)
+      }.groupBy(_._2).toSeq.flatMap { case (shard, rows) =>
+        rows.sortBy(r => (r._3, r._4)).zipWithIndex.map {
+          case ((ep, sh, _, id), i) => (ep, sh, (i + 1).toLong, id)
+        }
+      }
+    }.toSet
+    val got = Sampling.epochShuffle(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong, r.getLong(3)))
+    assert(got.toSet == expected)
+    // each epoch is a permutation: every doc exactly once
+    got.groupBy(_._1).foreach { case (e, rows) =>
+      assert(rows.map(_._4).sorted.sameElements(ids.sorted), s"epoch $e")
+    }
+    // epochs see genuinely different orders: some doc changes shard
+    val shardOf = got.groupBy(r => (r._1, r._4)).view.mapValues(_.head._2)
+    assert(ids.exists(id => shardOf((0L, id)) != shardOf((1L, id))),
+      "epoch 0 and 1 produced identical shard assignments")
+    // positions are contiguous 1..n within every (epoch, shard)
+    got.groupBy(r => (r._1, r._2)).foreach { case (k, rows) =>
+      assert(rows.map(_._3).sorted.sameElements(1L to rows.length), s"$k")
+    }
+  }
+
   test("train/test split never separates a near-dup pair (no leakage)") {
     val split = Sampling.trainTestSplit(spark, sf)
       .select("doc_id", "split")
