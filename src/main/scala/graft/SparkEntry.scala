@@ -29,6 +29,7 @@ object SparkEntry {
       graft.ext.Dedup.queries ++
       graft.ext.Similarity.queries ++
       graft.ext.KMeans.queries ++
+      graft.ext.ProductQuant.queries ++
       graft.ext.Multimodal.queries ++
       graft.ext.EventOps.queries ++
       graft.ext.Sampling.queries ++
@@ -49,6 +50,7 @@ object SparkEntry {
       graft.ext.Dedup.oracle ++
       graft.ext.Similarity.oracle ++
       graft.ext.KMeans.oracle ++
+      graft.ext.ProductQuant.oracle ++
       graft.ext.Multimodal.oracle ++
       graft.ext.EventOps.oracle ++
       graft.ext.Sampling.oracle ++

@@ -38,13 +38,13 @@ object KMeans {
   val Rounds = 2
   private val Q = 1048576.0 // 2^20 quantization step
 
-  private def vecs(spark: SparkSession, dir: String): DataFrame =
+  private[ext] def vecs(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label"),
         col("embedding").cast("array<double>").as("v"))
 
   /** Squared L2 distance to a literal centroid, left-to-right fold. */
-  private def dist2(v: Column, cv: Seq[Double]): Column =
+  private[ext] def dist2(v: Column, cv: Seq[Double]): Column =
     aggregate(zip_with(v, array(cv.map(lit): _*), (x, c) => (x - c) * (x - c)),
       lit(0.0), _ + _)
 
@@ -52,20 +52,34 @@ object KMeans {
     * join/window per round: `least` of the distances, then the FIRST
     * centroid (ascending cid) whose distance equals the minimum, so
     * ties break to the lower cid. */
-  private def assignCol(cents: Seq[(Int, Seq[Double])]): Column = {
-    val ds = cents.map { case (cid, cv) => (cid, dist2(col("v"), cv)) }
+  private[ext] def assignOn(v: Column,
+      cents: Seq[(Int, Seq[Double])]): Column = {
+    val ds = cents.map { case (cid, cv) => (cid, dist2(v, cv)) }
     val best = least(ds.map(_._2): _*)
     ds.foldRight(lit(null).cast("int")) { case ((cid, d), acc) =>
       when(d === best, lit(cid)).otherwise(acc)
     }
   }
 
+  private def assignCol(cents: Seq[(Int, Seq[Double])]): Column =
+    assignOn(col("v"), cents)
+
   /** Train centroids: [[Rounds]] assignment/update iterations from the
     * min-vec_id init. Returns (cid, centroid) sorted by cid. */
-  def train(spark: SparkSession, dir: String): Seq[(Int, Seq[Double])] = {
+  def train(spark: SparkSession, dir: String): Seq[(Int, Seq[Double])] =
+    trainOn(spark, dir, 1, 64, K)
+
+  /** [[train]] generalized to a dimension slice [lo, lo+len) and a
+    * centroid count k — the sub-quantizer trainer
+    * [[ProductQuant]] runs per subspace. Identical discipline:
+    * min-vec_id init, argmin assignment with low-cid ties,
+    * quantized-integer mean update, fixed rounds. */
+  private[ext] def trainOn(spark: SparkSession, dir: String,
+      lo: Int, len: Int, k: Int): Seq[(Int, Seq[Double])] = {
     val e = vecs(spark, dir)
+      .select(col("vec_id"), slice(col("v"), lo, len).as("v"))
     var cents: Seq[(Int, Seq[Double])] =
-      e.orderBy(col("vec_id")).limit(K)
+      e.orderBy(col("vec_id")).limit(k)
         .select(col("vec_id"), col("v")).collect()
         .sortBy(_.getLong(0)).zipWithIndex
         .map { case (r, i) => (i, r.getSeq[Double](1).toSeq) }.toSeq
@@ -89,7 +103,7 @@ object KMeans {
       cents = cents.map { case (cid, old) =>
         (cid, updated.getOrElse(cid, old))
       }
-      assert(cents.size == K, s"centroid set shrank to ${cents.size}")
+      assert(cents.size == k, s"centroid set shrank to ${cents.size}")
     }
     cents
   }
@@ -159,26 +173,31 @@ object KMeans {
 
   // ---- DuckDB replay of the training loop as a CTE chain ----
 
-  private val qSql =
+  private[ext] val qSql =
     "SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v, " +
       "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT)) AS vi FROM embeddings"
 
-  private def distSql(v: String, cv: String): String =
-    s"list_sum(list_transform(range(1, 65), i -> ($v[i] - $cv[i]) * ($v[i] - $cv[i])))"
+  private[ext] def distSqlN(v: String, cv: String, dims: Int): String =
+    s"list_sum(list_transform(range(1, ${dims + 1}), i -> ($v[i] - $cv[i]) * ($v[i] - $cv[i])))"
 
-  private val c0Sql =
-    s"SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid, v AS cv FROM q ORDER BY vec_id LIMIT $K"
+  private def distSql(v: String, cv: String): String = distSqlN(v, cv, 64)
 
-  private def assignSql(cents: String): String =
-    s"SELECT vec_id, cid FROM (SELECT q.vec_id, c.cid, row_number() OVER (PARTITION BY q.vec_id ORDER BY ${distSql("q.v", "c.cv")}, c.cid) AS rn FROM q CROSS JOIN $cents c) WHERE rn = 1"
+  /** The [[trainOn]] loop as a CTE chain over quantized table `qt`
+    * (cols vec_id, v, vi): init `c0\$sfx` (k min-vec_id vectors), two
+    * assign/update rounds, final centroids `c2\$sfx` and final
+    * assignment `af\$sfx`. Empty clusters keep the previous round's
+    * centroid (COALESCE over a left join) — mirrors train(). */
+  private[ext] def trainChain(qt: String, sfx: String, dims: Int, k: Int): String = {
+    val c0 =
+      s"SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid, v AS cv FROM $qt ORDER BY vec_id LIMIT $k"
+    def assign(cents: String): String =
+      s"SELECT vec_id, cid FROM (SELECT t.vec_id, c.cid, row_number() OVER (PARTITION BY t.vec_id ORDER BY ${distSqlN("t.v", "c.cv", dims)}, c.cid) AS rn FROM $qt t CROSS JOIN $cents c) WHERE rn = 1"
+    def update(assigned: String, prev: String): String =
+      s"SELECT p.cid, COALESCE(u.cv, p.cv) AS cv FROM $prev p LEFT JOIN (SELECT cid, list(comp ORDER BY dim) AS cv FROM (SELECT a.cid, t.dim, CAST(SUM(qq.vi[t.dim]) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 1048576.0 AS comp FROM $assigned a JOIN $qt qq USING (vec_id) CROSS JOIN range(1, ${dims + 1}) t(dim) GROUP BY a.cid, t.dim) GROUP BY cid) u ON p.cid = u.cid"
+    s"c0$sfx AS ($c0), a1$sfx AS (${assign(s"c0$sfx")}), c1$sfx AS (${update(s"a1$sfx", s"c0$sfx")}), a2$sfx AS (${assign(s"c1$sfx")}), c2$sfx AS (${update(s"a2$sfx", s"c1$sfx")}), af$sfx AS (${assign(s"c2$sfx")})"
+  }
 
-  // empty clusters keep the previous round's centroid (COALESCE over a
-  // left join from the previous centroid set) — mirrors train()
-  private def updateSql(assigned: String, prev: String): String =
-    s"SELECT p.cid, COALESCE(u.cv, p.cv) AS cv FROM $prev p LEFT JOIN (SELECT cid, list(comp ORDER BY dim) AS cv FROM (SELECT a.cid, t.dim, CAST(SUM(q.vi[t.dim]) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 1048576.0 AS comp FROM $assigned a JOIN q USING (vec_id) CROSS JOIN range(1, 65) t(dim) GROUP BY a.cid, t.dim) GROUP BY cid) u ON p.cid = u.cid"
-
-  private val trainCtes =
-    s"q AS ($qSql), c0 AS ($c0Sql), a1 AS (${assignSql("c0")}), c1 AS (${updateSql("a1", "c0")}), a2 AS (${assignSql("c1")}), c2 AS (${updateSql("a2", "c1")}), af AS (${assignSql("c2")})"
+  private val trainCtes = s"q AS ($qSql), ${trainChain("q", "", 64, K)}"
 
   private def dotSql(a: String, b: String): String =
     s"list_sum(list_transform(range(1, len($a)+1), i -> $a[i] * $b[i]))"

@@ -1,0 +1,133 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Product quantization (PQ) with asymmetric-distance (ADC) search over
+  * the embeddings table — the memory-compression tier of the ANN
+  * ladder (brute → LSH → IVF → multi-probe → PQ). Reference analog:
+  * the similarity-search surface its notebooks drive over embedding
+  * exports (/root/reference/notebooks — nearest-neighbour lookups);
+  * the PQ formulation itself is Jégou et al., "Product Quantization
+  * for Nearest Neighbor Search", TPAMI 2011.
+  *
+  * The 64-dim space splits into [[M]] contiguous subspaces of
+  * [[SubDim]] dims; each gets its own [[Ks]]-centroid codebook from
+  * the SAME deterministic quantized-Lloyd trainer the IVF path uses
+  * ([[KMeans.trainOn]]), so the whole operator — train, encode,
+  * search — replays in DuckDB as [[M]] parallel CTE chains.
+  *
+  *  - '''encode''' ([[pqCodes]]): each vector compresses to M small
+  *    codes (here 4 × 3 bits = 64 dims × 8 bytes → 4 codes; at scale,
+  *    a 512-dim float vector becomes 8–16 bytes). Map-only: the
+  *    codebooks are M·Ks·SubDim literal doubles baked into one
+  *    codegen'd projection — no join, no shuffle, no state.
+  *  - '''search''' ([[pqTopK]]): ADC — the query is NOT quantized;
+  *    a distance table dt[m][j] = ‖q_m − c_{m,j}‖² (M×Ks doubles) is
+  *    computed once on the driver, and each row's approximate distance
+  *    is M literal-array lookups summed: `dt0[code0] + … + dt3[code3]`.
+  *    Scan cost per row is O(M) regardless of dimension — the whole
+  *    point of PQ — and the scan stays one WholeStageCodegen span
+  *    (filter → project → TakeOrdered top-k; no shuffle before the
+  *    final K-row exchange).
+  *
+  * Scale shape: at 100 TB the codes table is ~1000× smaller than the
+  * raw vectors, fits executor page cache, and ADC reads ONLY the codes
+  * — the float vectors are never touched at query time. Combine with
+  * the IVF cell filter ([[KMeans.ivfTrainedTopK]]) for the standard
+  * IVF-PQ layout: prune to a cell, then ADC within it.
+  */
+object ProductQuant {
+
+  val M = 4       // subspaces
+  val SubDim = 16 // dims per subspace (4 × 16 = 64)
+  val Ks = 8      // centroids per sub-quantizer
+  val TopK = 10
+
+  /** Per-subspace codebooks from the shared quantized-Lloyd trainer —
+    * subspace m trains on dims [m·SubDim, (m+1)·SubDim). */
+  def codebooks(spark: SparkSession, dir: String): Seq[Seq[(Int, Seq[Double])]] =
+    (0 until M).map(m =>
+      KMeans.trainOn(spark, dir, m * SubDim + 1, SubDim, Ks))
+
+  private def codeCol(cbs: Seq[Seq[(Int, Seq[Double])]], m: Int): Column =
+    KMeans.assignOn(slice(col("v"), m * SubDim + 1, SubDim), cbs(m))
+
+  /** PQ encode: (vec_id, label, code0..code3) — the compressed corpus
+    * representation downstream ADC scans read instead of the vectors. */
+  def pqCodes(spark: SparkSession, dir: String): DataFrame = {
+    val cbs = codebooks(spark, dir)
+    KMeans.vecs(spark, dir)
+      .select(col("vec_id") +: col("label") +:
+        (0 until M).map(m => codeCol(cbs, m).as(s"code$m")): _*)
+      .orderBy(col("vec_id"))
+  }
+
+  /** ADC top-k for the min-vec_id query vector: per-row distance is M
+    * lookups into the driver-computed distance table, summed
+    * left-to-right (dt0+dt1)+dt2)+dt3 — the same IEEE order the
+    * oracle replays. Ascending distance, vec_id tiebreak. */
+  def pqTopK(spark: SparkSession, dir: String): DataFrame = {
+    val cbs = codebooks(spark, dir)
+    val e = KMeans.vecs(spark, dir)
+    val qrow = e.orderBy(col("vec_id")).limit(1)
+      .select(col("vec_id"), col("v")).head()
+    val qid = qrow.getLong(0)
+    val qv = qrow.getSeq[Double](1)
+    // distance table: M × Ks doubles, left-to-right fold per entry —
+    // identical IEEE result to the oracle's list_sum over the slice
+    val dt: Seq[Seq[Double]] = (0 until M).map { m =>
+      val qs = qv.slice(m * SubDim, (m + 1) * SubDim)
+      cbs(m).map { case (_, cv) =>
+        qs.zip(cv).foldLeft(0.0) { case (acc, (x, c)) =>
+          acc + (x - c) * (x - c) }
+      }
+    }
+    val adc = (0 until M).map { m =>
+      element_at(array(dt(m).map(lit): _*), codeCol(cbs, m) + lit(1))
+    }.reduceLeft(_ + _)
+    e.filter(col("vec_id") =!= qid)
+      .select(col("vec_id"), col("label"), adc.as("adc_dist"))
+      .orderBy(col("adc_dist"), col("vec_id"))
+      .limit(TopK)
+  }
+
+  // ---- DuckDB replay: M parallel sub-chains over dimension slices ----
+
+  private def lo(m: Int) = m * SubDim + 1
+  private def hi(m: Int) = (m + 1) * SubDim
+
+  /** Shared prefix: quantized table q, per-subspace slices q_m, and a
+    * train chain per subspace (c2_m = final codebook, af_m = codes). */
+  private val pqCtes: String = {
+    val subs = (0 until M).map { m =>
+      s"q_$m AS (SELECT vec_id, list_slice(v, ${lo(m)}, ${hi(m)}) AS v, " +
+        s"list_slice(vi, ${lo(m)}, ${hi(m)}) AS vi FROM q), " +
+        KMeans.trainChain(s"q_$m", s"_$m", SubDim, Ks)
+    }.mkString(", ")
+    s"q AS (${KMeans.qSql}), $subs"
+  }
+
+  private val codesJoin =
+    (0 until M).map(m => s"JOIN af_$m USING (vec_id)").mkString(" ")
+
+  val oracle: Map[String, String] = Map(
+    "sim_pq_codes" ->
+      s"""WITH $pqCtes SELECT q.vec_id, q.label, ${(0 until M)
+        .map(m => s"CAST(af_$m.cid AS INTEGER) AS code$m").mkString(", ")} FROM q $codesJoin ORDER BY vec_id""",
+    // qrow carries the query's subspace slices; each row's distance is
+    // the per-subspace squared-L2 to its ASSIGNED sub-centroid, summed
+    // left-to-right — exactly the lookup-table sum the Spark side does
+    "sim_pq_topk" ->
+      s"""WITH $pqCtes, qrow AS (SELECT vec_id AS qid, ${(0 until M)
+        .map(m => s"list_slice(v, ${lo(m)}, ${hi(m)}) AS qv$m").mkString(", ")} FROM q ORDER BY vec_id LIMIT 1) SELECT vec_id, label, adc_dist FROM (SELECT q.vec_id, q.label, ${(0 until M)
+        .map(m => s"(${KMeans.distSqlN(s"r.qv$m", s"g$m.cv", SubDim)})")
+        .reduceLeft((a, b) => s"($a + $b)")} AS adc_dist FROM q $codesJoin ${(0 until M)
+        .map(m => s"JOIN c2_$m g$m ON g$m.cid = af_$m.cid").mkString(" ")} CROSS JOIN qrow r WHERE q.vec_id <> r.qid) ORDER BY adc_dist, vec_id LIMIT $TopK"""
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_pq_codes" -> pqCodes _,
+    "sim_pq_topk" -> pqTopK _
+  )
+}

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.{KMeans, ProductQuant}
+
+class ProductQuantSpec extends SparkSpec {
+
+  test("pq codes: one row per vector, every code in [0, Ks)") {
+    val c = ProductQuant.pqCodes(spark, sf)
+    assert(c.count() == Tables.embeddings(spark, sf).count())
+    (0 until ProductQuant.M).foreach { m =>
+      assert(c.filter(col(s"code$m") < 0 ||
+        col(s"code$m") >= ProductQuant.Ks).count() == 0)
+      assert(c.select(col(s"code$m")).distinct().count() > 1,
+        s"subspace $m should use more than one code")
+    }
+  }
+
+  test("adc distance equals independent exact table-lookup recomputation") {
+    val cbs = ProductQuant.codebooks(spark, sf)
+    val vs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    val qv = vs.head._2
+    // local replay: encode each vector by argmin (low-cid ties), then
+    // sum the query's per-subspace distances to the assigned centroids
+    def d2(a: Array[Double], b: Seq[Double]): Double =
+      a.zip(b).foldLeft(0.0) { case (acc, (x, c)) => acc + (x - c) * (x - c) }
+    val expect = vs.tail.map { case (id, v) =>
+      val dist = (0 until ProductQuant.M).map { m =>
+        val s = m * ProductQuant.SubDim
+        val sub = v.slice(s, s + ProductQuant.SubDim)
+        val code = cbs(m).map { case (cid, cv) => (d2(sub, cv), cid) }.min._2
+        d2(qv.slice(s, s + ProductQuant.SubDim), cbs(m)(code)._2)
+      }.reduceLeft(_ + _)
+      (id, dist)
+    }.sortBy { case (id, d) => (d, id) }.take(ProductQuant.TopK)
+    val got = ProductQuant.pqTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(2)))
+    assert(got.toSeq == expect.toSeq)
+  }
+
+  test("adc top-k recalls some of the exact same-metric (L2) top-k") {
+    val vs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    val qv = vs.head._2
+    val ranked = vs.tail.map { case (id, v) =>
+      (v.zip(qv).map { case (x, y) => (x - y) * (x - y) }.sum, id)
+    }.sorted.map(_._2)
+    val rank = ranked.zipWithIndex.toMap
+    val approx = ProductQuant.pqTopK(spark, sf)
+      .select(col("vec_id")).collect().map(_.getLong(0))
+    val ranks = approx.map(rank)
+    val meanRank = ranks.sum.toDouble / ranks.length
+    // random top-10 from 499 candidates would average rank ~249; the
+    // coarse 4×8 quantizer must land far closer than chance and put at
+    // least one true top-k neighbour in its top-k
+    assert(meanRank < 125.0, s"mean exact-L2 rank $meanRank (ranks ${ranks.toSeq})")
+    assert(ranks.min < ProductQuant.TopK,
+      s"no true top-${ProductQuant.TopK} neighbour recalled (ranks ${ranks.toSeq})")
+  }
+}
