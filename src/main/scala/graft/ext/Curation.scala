@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -71,6 +72,55 @@ object Curation {
       .select(col("doc_id"),
         coalesce(col("n"), lit(0L)).as("shared_evalgrams"),
         (coalesce(col("n"), lit(0L)) > 0).as("contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** A gram is boilerplate when it appears in at least this many
+    * distinct documents. */
+  val BoilerMinDocs = 2
+
+  /** A document is boilerplate-heavy when at least this fraction of
+    * its gram positions are boilerplate (on this corpus that flags
+    * the exact/near-dup cohort, whose every gram is shared). */
+  val BoilerHeavyFrac = 0.5
+
+  /** Cross-document boilerplate detection: word [[ShingleK]]-grams
+    * occurring in ≥ [[BoilerMinDocs]] distinct documents are
+    * boilerplate (headers, footers, licence blocks, templated spans —
+    * the Common-Crawl-cleaning counterpart of eval decontamination,
+    * cf. Lee et al. 2021's cross-doc repeated-span analysis). Output:
+    * per-document gram-position counts, boilerplate fraction, and a
+    * heavy flag at [[BoilerHeavyFrac]].
+    *
+    * Shape at scale: gram doc-frequency is computed with a count
+    * window over the (doc_id, gram) partial aggregate — two shuffles,
+    * both bounded by the corpus gram volume, with map-side combine on
+    * the first. The boilerplate gram SET is never materialized or
+    * broadcast (it can be corpus-sized in the worst case); each gram
+    * row carries its own df. Docs shorter than the gram size survive
+    * via the final left join with zeroed counts. */
+  def boilerplate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val grams = docs.select(col("doc_id"),
+        explode(TextOps.shinglesN(TextOps.tokens(col("text")), ShingleK))
+          .as("s"))
+    val occ = grams.groupBy(col("doc_id"), col("s"))
+      .agg(count(lit(1)).as("occ"))
+    val withDf = occ.withColumn("df",
+      count(lit(1)).over(Window.partitionBy(col("s"))))
+    val per = withDf.groupBy(col("doc_id"))
+      .agg(sum(col("occ")).as("n_grams"),
+        sum(when(col("df") >= BoilerMinDocs, col("occ")).otherwise(0L))
+          .as("boiler_grams"))
+    val frac = when(coalesce(col("n_grams"), lit(0L)) === 0, lit(0.0))
+      .otherwise(col("boiler_grams").cast("double") / col("n_grams"))
+    docs.select(col("doc_id"), col("source"))
+      .join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("boiler_grams"), lit(0L)).as("boiler_grams"),
+        frac.as("boiler_frac"),
+        (frac >= BoilerHeavyFrac).as("boiler_heavy"))
       .orderBy(col("doc_id"))
   }
 
@@ -260,17 +310,23 @@ object Curation {
   // DuckDB oracle replays.
   // ---------------------------------------------------------------
 
-  private val gramSql = {
+  /** All gram POSITIONS (with repeats) — [[boilerplate]] counts
+    * per-position coverage; [[gramSql]] distincts it for set overlap. */
+  private val gramsPosSql = {
     val cat = (0 until ShingleK).map(j =>
       if (j == 0) "t[i]" else s"t[i+$j]").mkString("||' '||")
-    s"""list_distinct(CASE WHEN len(t) >= $ShingleK THEN list_transform(range(1, len(t)-${ShingleK - 2}), i -> $cat) ELSE [] END)"""
+    s"""CASE WHEN len(t) >= $ShingleK THEN list_transform(range(1, len(t)-${ShingleK - 2}), i -> $cat) ELSE [] END"""
   }
+
+  private val gramSql = s"list_distinct($gramsPosSql)"
 
   val oracle: Map[String, String] = Map(
     "decontam_eval_overlap" ->
       s"""WITH g AS (SELECT doc_id, $gramSql AS sh FROM (SELECT doc_id, ${TextOps.toksSql} AS t FROM documents)), ev AS (SELECT DISTINCT unnest(sh) AS s FROM g WHERE doc_id % $EvalModulus = 0), tr AS (SELECT doc_id, unnest(sh) AS s FROM g WHERE doc_id % $EvalModulus <> 0), hits AS (SELECT doc_id, COUNT(*) AS n FROM tr JOIN ev USING (s) GROUP BY doc_id) SELECT d.doc_id, CAST(COALESCE(h.n, 0) AS BIGINT) AS shared_evalgrams, COALESCE(h.n, 0) > 0 AS contaminated FROM (SELECT doc_id FROM documents WHERE doc_id % $EvalModulus <> 0) d LEFT JOIN hits h USING (doc_id) ORDER BY doc_id""",
     "text_chunk_pack" ->
       s"""WITH tk AS (SELECT doc_id, ${TextOps.toksSql} AS t FROM documents), e AS (SELECT doc_id, t, unnest(range(0, CAST(ceil(len(t) / ${ChunkSize}.0) AS BIGINT))) AS chunk_idx FROM tk WHERE len(t) > 0) SELECT doc_id, chunk_idx, len(c) AS chunk_len, md5(array_to_string(c, ' ')) AS chunk_fp FROM (SELECT doc_id, chunk_idx, list_slice(t, chunk_idx*$ChunkSize+1, chunk_idx*$ChunkSize+$ChunkSize) AS c FROM e) ORDER BY doc_id, chunk_idx""",
+    "text_boilerplate" ->
+      s"""WITH g AS (SELECT doc_id, unnest($gramsPosSql) AS s FROM (SELECT doc_id, ${TextOps.toksSql} AS t FROM documents)), occ AS (SELECT doc_id, s, COUNT(*) AS occ FROM g GROUP BY doc_id, s), w AS (SELECT doc_id, occ, COUNT(*) OVER (PARTITION BY s) AS df FROM occ), per AS (SELECT doc_id, SUM(occ) AS n_grams, SUM(CASE WHEN df >= $BoilerMinDocs THEN occ ELSE 0 END) AS b FROM w GROUP BY doc_id) SELECT d.doc_id, d.source, CAST(COALESCE(p.n_grams, 0) AS BIGINT) AS n_grams, CAST(COALESCE(p.b, 0) AS BIGINT) AS boiler_grams, CASE WHEN COALESCE(p.n_grams, 0) = 0 THEN 0.0 ELSE CAST(p.b AS DOUBLE) / p.n_grams END AS boiler_frac, CASE WHEN COALESCE(p.n_grams, 0) = 0 THEN 0.0 ELSE CAST(p.b AS DOUBLE) / p.n_grams END >= $BoilerHeavyFrac AS boiler_heavy FROM documents d LEFT JOIN per p USING (doc_id) ORDER BY doc_id""",
     "text_pack_sequences" -> s"$packDetailSql ORDER BY source, pack_shard, doc_id, chunk_idx",
     "text_pack_summary" ->
       s"""WITH s AS (SELECT source, pack_shard, seq_id, COUNT(*) AS seq_chunks, SUM(chunk_len) AS seq_tokens FROM ($packDetailSql) GROUP BY 1, 2, 3) SELECT source, COUNT(*) AS sequences, CAST(SUM(seq_chunks) AS BIGINT) AS chunks, CAST(SUM(seq_tokens) AS BIGINT) AS tokens, CAST(SUM(CASE WHEN seq_tokens >= $PackBudget THEN 1 ELSE 0 END) AS BIGINT) AS full_sequences FROM s GROUP BY 1 ORDER BY 1"""
@@ -294,6 +350,7 @@ object Curation {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "decontam_eval_overlap" -> decontaminate _,
+    "text_boilerplate" -> boilerplate _,
     "text_chunk_pack" -> chunkPack _,
     "text_pack_sequences" -> packSequences _,
     "text_pack_summary" -> packSequencesSummary _,

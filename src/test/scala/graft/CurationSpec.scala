@@ -31,6 +31,35 @@ class CurationSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("boilerplate counts match an independent local recomputation") {
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    def gramList(text: String): Seq[String] = {
+      val t = text.trim
+      val toks = if (t.isEmpty) Array.empty[String] else t.split("\\s+")
+      toks.sliding(Curation.ShingleK)
+        .filter(_.length == Curation.ShingleK).map(_.mkString(" ")).toSeq
+    }
+    val perDoc = docs.map { case (id, text) => id -> gramList(text) }
+    val df = perDoc.flatMap { case (id, gs) => gs.distinct.map(_ -> id) }
+      .groupBy(_._1).map { case (g, xs) => g -> xs.length }
+    val expected = perDoc.map { case (id, gs) =>
+      id -> (gs.size.toLong,
+        gs.count(g => df(g) >= Curation.BoilerMinDocs).toLong)
+    }.toMap
+    val got = Curation.boilerplate(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(got == expected)
+  }
+
+  test("boilerplate flag splits the corpus (some heavy, not all)") {
+    val b = Curation.boilerplate(spark, sf)
+    val heavy = b.filter(col("boiler_heavy")).count()
+    assert(heavy > 0, "planted exact dups should be boilerplate-heavy")
+    assert(heavy < b.count() / 2, "most of the corpus is not boilerplate")
+  }
+
   test("decontamination fires on planted near-dups but not the whole corpus") {
     val rows = Curation.decontaminate(spark, sf)
       .select("contaminated").collect().map(_.getBoolean(0))
