@@ -167,6 +167,43 @@ object ScaleUp {
         time(q, src, 1); time(q, dst, 1)
       }
     }
+    if (on("ann")) {
+      // ANN tier at a corpus that actually stresses the scan: the base
+      // embeddings table is 500 rows at every SF, so copies×100
+      // key-shifted copies (~5M vectors at copies=100) via a range
+      // cross-join (a unionByName of 10k frames would be a plan
+      // explosion). Vector CONTENT is copy-identical — scan cost does
+      // not depend on values, and ties resolve on vec_id.
+      val mult = copies * 100
+      val e0 = Tables.embeddings(spark, src)
+      if (!new java.io.File(s"$dst/embeddings.parquet").exists()) {
+        val maxVec = e0.agg(max(col("vec_id"))).head().getLong(0) + 1
+        e0.crossJoin(spark.range(mult).toDF("copy"))
+          .select((col("vec_id") + col("copy") * lit(maxVec)).as("vec_id"),
+            col("label"), col("embedding"))
+          .write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
+        println(s"[scaleup] built $dst/embeddings.parquet (${mult}x)")
+      }
+      // the guarded brute-force full scan — this row records what the
+      // MaxExactRows guard protects against
+      timed("sim_bruteforce_full", dst, 2)(
+        graft.ext.Similarity.bruteForceTopK(spark, dst,
+          maxRows = Long.MaxValue))
+      // PQ production shape: codebooks trained on the BASE sample,
+      // corpus encoded once (the write-side cost, timed separately),
+      // steady-state ADC reads ONLY the codes table — 3 small ints per
+      // row instead of 64 floats, M lookups instead of a 64-dim fold
+      val cbs = graft.ext.ProductQuant.codebooks(spark, src)
+      val t0 = System.nanoTime()
+      graft.ext.ProductQuant.encodeWith(spark, dst, cbs)
+        .write.mode("overwrite").parquet(s"$dst/pq_codes.parquet")
+      println(f"[scaleup] pq_encode_build              $dst%-18s " +
+        f"${(System.nanoTime - t0) / 1e9}%8.2f s")
+      val (qid, dt) = graft.ext.ProductQuant.queryTable(spark, src, cbs)
+      timed("sim_pq_adc_codes", dst, 2)(
+        graft.ext.ProductQuant.adcOverCodes(
+          spark.read.parquet(s"$dst/pq_codes.parquet"), dt, qid))
+    }
     spark.stop()
   }
 }

@@ -43,22 +43,18 @@ object KMeans {
       .select(col("vec_id"), col("label"),
         col("embedding").cast("array<double>").as("v"))
 
-  /** Squared L2 distance to a literal centroid, left-to-right fold. */
-  private[ext] def dist2(v: Column, cv: Seq[Double]): Column =
-    aggregate(zip_with(v, array(cv.map(lit): _*), (x, c) => (x - c) * (x - c)),
-      lit(0.0), _ + _)
-
-  /** argmin centroid id under the given centroids — map-only, no
-    * join/window per round: `least` of the distances, then the FIRST
-    * centroid (ascending cid) whose distance equals the minimum, so
-    * ties break to the lower cid. */
+  /** argmin centroid id under the given centroids — map-only, one
+    * codegen'd [[graft.functions.NearestCentroid]] loop per row (see
+    * that scaladoc for why the composable forms fail at 5M rows:
+    * interpreted HOFs ~3.7 ms/row; full unrolling OOMs janino).
+    * Left-to-right IEEE fold per centroid, ties to the lower cid —
+    * exactly the oracle's `ORDER BY dist, cid / rn = 1`. Requires
+    * cids to be their positions, which [[trainOn]] guarantees. */
   private[ext] def assignOn(v: Column,
       cents: Seq[(Int, Seq[Double])]): Column = {
-    val ds = cents.map { case (cid, cv) => (cid, dist2(v, cv)) }
-    val best = least(ds.map(_._2): _*)
-    ds.foldRight(lit(null).cast("int")) { case ((cid, d), acc) =>
-      when(d === best, lit(cid)).otherwise(acc)
-    }
+    require(cents.map(_._1) == cents.indices,
+      s"centroid ids must be 0..${cents.size - 1} in order")
+    graft.functions.NearestCentroid(v, cents.map(_._2))
   }
 
   private def assignCol(cents: Seq[(Int, Seq[Double])]): Column =

@@ -53,14 +53,53 @@ object ProductQuant {
   private def codeCol(cbs: Seq[Seq[(Int, Seq[Double])]], m: Int): Column =
     KMeans.assignOn(slice(col("v"), m * SubDim + 1, SubDim), cbs(m))
 
-  /** PQ encode: (vec_id, label, code0..code3) — the compressed corpus
-    * representation downstream ADC scans read instead of the vectors. */
-  def pqCodes(spark: SparkSession, dir: String): DataFrame = {
-    val cbs = codebooks(spark, dir)
+  /** Map-only encode of `dir`'s corpus under PRE-TRAINED codebooks —
+    * the production split: train on a sample, encode the fleet. */
+  def encodeWith(spark: SparkSession, dir: String,
+      cbs: Seq[Seq[(Int, Seq[Double])]]): DataFrame =
     KMeans.vecs(spark, dir)
       .select(col("vec_id") +: col("label") +:
         (0 until M).map(m => codeCol(cbs, m).as(s"code$m")): _*)
-      .orderBy(col("vec_id"))
+
+  /** PQ encode: (vec_id, label, code0..code3) — the compressed corpus
+    * representation downstream ADC scans read instead of the vectors. */
+  def pqCodes(spark: SparkSession, dir: String): DataFrame =
+    encodeWith(spark, dir, codebooks(spark, dir)).orderBy(col("vec_id"))
+
+  /** ADC distance table for a query vector: dt[m][j] = ‖q_m − c_{m,j}‖²,
+    * left-to-right fold per entry — identical IEEE result to the
+    * oracle's list_sum over the slice. */
+  def distTable(qv: Seq[Double],
+      cbs: Seq[Seq[(Int, Seq[Double])]]): Seq[Seq[Double]] =
+    (0 until M).map { m =>
+      val qs = qv.slice(m * SubDim, (m + 1) * SubDim)
+      cbs(m).map { case (_, cv) =>
+        qs.zip(cv).foldLeft(0.0) { case (acc, (x, c)) =>
+          acc + (x - c) * (x - c) }
+      }
+    }
+
+  /** Query-side prep: the min-vec_id query's id and distance table. */
+  def queryTable(spark: SparkSession, dir: String,
+      cbs: Seq[Seq[(Int, Seq[Double])]]): (Long, Seq[Seq[Double]]) = {
+    val qrow = KMeans.vecs(spark, dir).orderBy(col("vec_id")).limit(1)
+      .select(col("vec_id"), col("v")).head()
+    (qrow.getLong(0), distTable(qrow.getSeq[Double](1), cbs))
+  }
+
+  /** ADC top-k over a PERSISTED codes table ([[encodeWith]] output):
+    * the steady-state search — M lookups per row into the literal
+    * distance table, the float vectors never read. Same values as
+    * [[pqTopK]] under the same codebooks (ProductQuantSpec). */
+  def adcOverCodes(codes: DataFrame, dt: Seq[Seq[Double]],
+      qid: Long): DataFrame = {
+    val adc = (0 until M).map { m =>
+      element_at(array(dt(m).map(lit): _*), col(s"code$m") + lit(1))
+    }.reduceLeft(_ + _)
+    codes.filter(col("vec_id") =!= qid)
+      .select(col("vec_id"), col("label"), adc.as("adc_dist"))
+      .orderBy(col("adc_dist"), col("vec_id"))
+      .limit(TopK)
   }
 
   /** ADC top-k for the min-vec_id query vector: per-row distance is M
@@ -69,24 +108,39 @@ object ProductQuant {
     * oracle replays. Ascending distance, vec_id tiebreak. */
   def pqTopK(spark: SparkSession, dir: String): DataFrame = {
     val cbs = codebooks(spark, dir)
+    val (qid, dt) = queryTable(spark, dir, cbs)
+    val adc = (0 until M).map { m =>
+      element_at(array(dt(m).map(lit): _*), codeCol(cbs, m) + lit(1))
+    }.reduceLeft(_ + _)
+    KMeans.vecs(spark, dir).filter(col("vec_id") =!= qid)
+      .select(col("vec_id"), col("label"), adc.as("adc_dist"))
+      .orderBy(col("adc_dist"), col("vec_id"))
+      .limit(TopK)
+  }
+
+  /** IVF-PQ top-k — the composed production layout (FAISS `IVF,PQ`):
+    * the coarse quantizer ([[KMeans.train]], K=10 full-space cells)
+    * prunes the scan to the query's cell, ADC ranks within it. At
+    * scale the codes table is partitioned by coarse cell, so this
+    * reads one partition of an already-1000×-compressed table. */
+  def ivfPqTopK(spark: SparkSession, dir: String): DataFrame = {
+    val coarse = KMeans.train(spark, dir)
+    val cbs = codebooks(spark, dir)
     val e = KMeans.vecs(spark, dir)
     val qrow = e.orderBy(col("vec_id")).limit(1)
       .select(col("vec_id"), col("v")).head()
     val qid = qrow.getLong(0)
     val qv = qrow.getSeq[Double](1)
-    // distance table: M × Ks doubles, left-to-right fold per entry —
-    // identical IEEE result to the oracle's list_sum over the slice
-    val dt: Seq[Seq[Double]] = (0 until M).map { m =>
-      val qs = qv.slice(m * SubDim, (m + 1) * SubDim)
-      cbs(m).map { case (_, cv) =>
-        qs.zip(cv).foldLeft(0.0) { case (acc, (x, c)) =>
-          acc + (x - c) * (x - c) }
-      }
-    }
+    val qCid = coarse.map { case (cid, cv) =>
+      (qv.zip(cv).foldLeft(0.0) { case (acc, (x, c)) =>
+        acc + (x - c) * (x - c) }, cid)
+    }.min._2
+    val dt = distTable(qv, cbs)
     val adc = (0 until M).map { m =>
       element_at(array(dt(m).map(lit): _*), codeCol(cbs, m) + lit(1))
     }.reduceLeft(_ + _)
-    e.filter(col("vec_id") =!= qid)
+    e.filter(KMeans.assignOn(col("v"), coarse) === qCid &&
+        col("vec_id") =!= qid)
       .select(col("vec_id"), col("label"), adc.as("adc_dist"))
       .orderBy(col("adc_dist"), col("vec_id"))
       .limit(TopK)
@@ -111,23 +165,39 @@ object ProductQuant {
   private val codesJoin =
     (0 until M).map(m => s"JOIN af_$m USING (vec_id)").mkString(" ")
 
+  // qrow carries the query's full vector AND its subspace slices; each
+  // row's ADC distance is the per-subspace squared-L2 to its ASSIGNED
+  // sub-centroid, summed left-to-right — exactly the lookup-table sum
+  // the Spark side does
+  private val qrowCte =
+    s"qrow AS (SELECT vec_id AS qid, v AS qv, ${(0 until M)
+      .map(m => s"list_slice(v, ${lo(m)}, ${hi(m)}) AS qv$m")
+      .mkString(", ")} FROM q ORDER BY vec_id LIMIT 1)"
+
+  private val cbJoins =
+    (0 until M).map(m => s"JOIN c2_$m g$m ON g$m.cid = af_$m.cid").mkString(" ")
+
+  private val adcSql =
+    (0 until M).map(m => s"(${KMeans.distSqlN(s"r.qv$m", s"g$m.cv", SubDim)})")
+      .reduceLeft((a, b) => s"($a + $b)")
+
   val oracle: Map[String, String] = Map(
     "sim_pq_codes" ->
       s"""WITH $pqCtes SELECT q.vec_id, q.label, ${(0 until M)
         .map(m => s"CAST(af_$m.cid AS INTEGER) AS code$m").mkString(", ")} FROM q $codesJoin ORDER BY vec_id""",
-    // qrow carries the query's subspace slices; each row's distance is
-    // the per-subspace squared-L2 to its ASSIGNED sub-centroid, summed
-    // left-to-right — exactly the lookup-table sum the Spark side does
     "sim_pq_topk" ->
-      s"""WITH $pqCtes, qrow AS (SELECT vec_id AS qid, ${(0 until M)
-        .map(m => s"list_slice(v, ${lo(m)}, ${hi(m)}) AS qv$m").mkString(", ")} FROM q ORDER BY vec_id LIMIT 1) SELECT vec_id, label, adc_dist FROM (SELECT q.vec_id, q.label, ${(0 until M)
-        .map(m => s"(${KMeans.distSqlN(s"r.qv$m", s"g$m.cv", SubDim)})")
-        .reduceLeft((a, b) => s"($a + $b)")} AS adc_dist FROM q $codesJoin ${(0 until M)
-        .map(m => s"JOIN c2_$m g$m ON g$m.cid = af_$m.cid").mkString(" ")} CROSS JOIN qrow r WHERE q.vec_id <> r.qid) ORDER BY adc_dist, vec_id LIMIT $TopK"""
+      s"""WITH $pqCtes, $qrowCte SELECT vec_id, label, adc_dist FROM (SELECT q.vec_id, q.label, $adcSql AS adc_dist FROM q $codesJoin $cbJoins CROSS JOIN qrow r WHERE q.vec_id <> r.qid) ORDER BY adc_dist, vec_id LIMIT $TopK""",
+    // composed IVF-PQ: the coarse full-space chain (suffix-less c2/af,
+    // shared with sim_kmeans_*) prunes to the query's cell via qa —
+    // the same rn=1 CTE sim_kmeans_topk uses — and ADC ranks within it
+    "sim_ivfpq_topk" ->
+      s"""WITH $pqCtes, ${KMeans.trainChain("q", "", 64, KMeans.K)}, $qrowCte, qa AS (SELECT cid FROM (SELECT c.cid, row_number() OVER (ORDER BY ${KMeans
+        .distSqlN("r.qv", "c.cv", 64)}, c.cid) AS rn FROM qrow r CROSS JOIN c2 c) WHERE rn = 1) SELECT vec_id, label, adc_dist FROM (SELECT q.vec_id, q.label, $adcSql AS adc_dist FROM q JOIN af USING (vec_id) $codesJoin $cbJoins CROSS JOIN qrow r CROSS JOIN qa WHERE af.cid = qa.cid AND q.vec_id <> r.qid) ORDER BY adc_dist, vec_id LIMIT $TopK"""
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_pq_codes" -> pqCodes _,
-    "sim_pq_topk" -> pqTopK _
+    "sim_pq_topk" -> pqTopK _,
+    "sim_ivfpq_topk" -> ivfPqTopK _
   )
 }

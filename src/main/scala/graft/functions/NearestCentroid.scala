@@ -1,0 +1,116 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftSqlBridge}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
+
+/** Native Catalyst expression: index of the nearest centroid (squared
+  * L2) among a LITERAL codebook, for k-means assignment and PQ
+  * encoding ([[graft.ext.KMeans.assignOn]]).
+  *
+  * Why an expression and not composed columns: the composable forms
+  * both fail at scale —
+  *  - `aggregate(zip_with(...))` per centroid: higher-order functions
+  *    evaluate interpretively (no codegen); measured ~3.7 ms/row on
+  *    the 5M-row PQ encode in ScaleUp's ann tier.
+  *  - fully unrolled `element_at` arithmetic: K·d expression nodes
+  *    per assignment (19k for K=10, d=64) — janino OOMs compiling the
+  *    generated projection.
+  * This expression is O(1) generated-code size: the codebook is a
+  * `double[][]` reference object and the argmin is a two-level loop,
+  * fused into whole-stage codegen.
+  *
+  * Semantics are engine-exact and match the DuckDB oracle replay
+  * ([[graft.ext.KMeans.distSqlN]]): per centroid the distance is the
+  * LEFT-TO-RIGHT fold sum((x_i - c_i)^2), and the argmin keeps the
+  * FIRST (lowest-id) centroid on exact ties (strict `<` update).
+  * Interpreted eval and codegen use the identical loop.
+  */
+case class NearestCentroid(child: Expression, centroids: Seq[Seq[Double]])
+    extends UnaryExpression {
+
+  require(centroids.nonEmpty, "empty codebook")
+  require(centroids.forall(_.size == centroids.head.size),
+    "ragged codebook")
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"nearest_centroid expects array<double>, got ${other.sql}")
+    }
+
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = child.nullable
+
+  @transient private lazy val matrix: Array[Array[Double]] =
+    centroids.map(_.toArray).toArray
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val k = matrix.length
+    val d = matrix(0).length
+    var best = 0
+    var bestDist = Double.PositiveInfinity
+    var c = 0
+    while (c < k) {
+      val cv = matrix(c)
+      var acc = 0.0
+      var i = 0
+      while (i < d) {
+        val t = x.getDouble(i) - cv(i)
+        acc += t * t
+        i += 1
+      }
+      if (acc < bestDist) { bestDist = acc; best = c }
+      c += 1
+    }
+    best
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x => {
+      val m = ctx.addReferenceObj("centroids", matrix, "double[][]")
+      val k = ctx.freshName("k")
+      val d = ctx.freshName("d")
+      val c = ctx.freshName("c")
+      val i = ctx.freshName("i")
+      val cv = ctx.freshName("cv")
+      val acc = ctx.freshName("acc")
+      val t = ctx.freshName("t")
+      val best = ctx.freshName("best")
+      val bestDist = ctx.freshName("bestDist")
+      s"""
+         |final int $k = $m.length;
+         |final int $d = $m[0].length;
+         |int $best = 0;
+         |double $bestDist = Double.POSITIVE_INFINITY;
+         |for (int $c = 0; $c < $k; $c++) {
+         |  final double[] $cv = $m[$c];
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $d; $i++) {
+         |    final double $t = $x.getDouble($i) - $cv[$i];
+         |    $acc += $t * $t;
+         |  }
+         |  if ($acc < $bestDist) { $bestDist = $acc; $best = $c; }
+         |}
+         |${ev.value} = $best;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): NearestCentroid = copy(child = newChild)
+}
+
+object NearestCentroid {
+  /** Column-API entry point: argmin-distance centroid index of `v`
+    * under `centroids` (ids = positions, ties to the lower id). */
+  def apply(v: Column, centroids: Seq[Seq[Double]]): Column =
+    GraftSqlBridge.column(
+      NearestCentroid(GraftSqlBridge.expression(v), centroids))
+}

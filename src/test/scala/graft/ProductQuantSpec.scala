@@ -42,6 +42,49 @@ class ProductQuantSpec extends SparkSpec {
     assert(got.toSeq == expect.toSeq)
   }
 
+  test("ivf-pq equals independent cell-filtered lookup recomputation") {
+    val coarse = KMeans.train(spark, sf)
+    val cbs = ProductQuant.codebooks(spark, sf)
+    val vs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    val qv = vs.head._2
+    def d2(a: Array[Double], b: Seq[Double]): Double =
+      a.zip(b).foldLeft(0.0) { case (acc, (x, c)) => acc + (x - c) * (x - c) }
+    def coarseCell(v: Array[Double]): Int =
+      coarse.map { case (cid, cv) => (d2(v, cv), cid) }.min._2
+    val qCell = coarseCell(qv)
+    val expect = vs.tail
+      .filter { case (_, v) => coarseCell(v) == qCell }
+      .map { case (id, v) =>
+        val dist = (0 until ProductQuant.M).map { m =>
+          val s = m * ProductQuant.SubDim
+          val sub = v.slice(s, s + ProductQuant.SubDim)
+          val code = cbs(m).map { case (cid, cv) => (d2(sub, cv), cid) }.min._2
+          d2(qv.slice(s, s + ProductQuant.SubDim), cbs(m)(code)._2)
+        }.reduceLeft(_ + _)
+        (id, dist)
+      }.sortBy { case (id, d) => (d, id) }.take(ProductQuant.TopK)
+    val got = ProductQuant.ivfPqTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(2)))
+    assert(got.toSeq == expect.toSeq)
+  }
+
+  test("adc over persisted codes equals the live pq top-k") {
+    val cbs = ProductQuant.codebooks(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("pq_codes").toString
+    ProductQuant.encodeWith(spark, sf, cbs)
+      .write.mode("overwrite").parquet(dir)
+    val (qid, dt) = ProductQuant.queryTable(spark, sf, cbs)
+    val fed = ProductQuant.adcOverCodes(spark.read.parquet(dir), dt, qid)
+      .collect().map(r => (r.getLong(0), r.get(1), r.getDouble(2)))
+    val live = ProductQuant.pqTopK(spark, sf)
+      .collect().map(r => (r.getLong(0), r.get(1), r.getDouble(2)))
+    assert(fed.toSeq == live.toSeq)
+  }
+
   test("adc top-k recalls some of the exact same-metric (L2) top-k") {
     val vs = Tables.embeddings(spark, sf)
       .select(col("vec_id"), col("embedding").cast("array<double>"))
