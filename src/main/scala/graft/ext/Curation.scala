@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -121,6 +121,67 @@ object Curation {
         coalesce(col("boiler_grams"), lit(0L)).as("boiler_grams"),
         frac.as("boiler_frac"),
         (frac >= BoilerHeavyFrac).as("boiler_heavy"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Bloom filter geometry: 2^20 bits (exactly 5 md5 hex chars per
+    * position — no modulo), 3 hash functions. At a real benchmark's
+    * ~10^4-10^5 distinct grams the per-probe false-positive rate is
+    * ~1e-4; the mask itself is 128 KB regardless of corpus size. */
+  val BloomBits = 1 << 20
+  val BloomHashes = 3
+
+  /** Position of hash `i` for gram column `s`: the first 5 hex chars
+    * of md5(i || s) read as an integer — 20 bits, in [0, BloomBits).
+    * The md5-keyed family keeps the whole filter engine-independent
+    * (the same trick as the MinHash/SimHash oracles). */
+  private def bloomPos(i: Int, s: Column): Column =
+    conv(substring(md5(concat(lit(i.toString), s).cast("binary")), 1, 5),
+      16, 10).cast("long")
+
+  /** Sketch-based eval-set decontamination: the eval gram set is
+    * compressed into a [[BloomBits]]-bit Bloom filter and the corpus
+    * is probed with MAP-ONLY bit tests — the scale path when even the
+    * broadcast gram set is too big (or the eval set must not ship in
+    * cleartext). One-sided error: every truly shared gram hits
+    * (bloom_hits ≥ exact shared_evalgrams, asserted in CurationSpec);
+    * a ~1e-4 probe FP rate can flag extra grams — the standard
+    * sketch-vs-exact trade the registry's approx tier documents.
+    *
+    * Shape at scale: the eval side (benchmark-sized by definition)
+    * collapses to ≤ 3n distinct bit positions on the driver, packed
+    * into a 128 KB long[] that ships as ONE array literal in the
+    * plan. The corpus probe is then explode → 3 codegen'd bit tests
+    * per gram → map-side-combined per-doc count: NO join at all —
+    * compare [[decontaminate]], whose broadcast-hash-join probe keys
+    * on full gram strings. The only shuffle is one row per document.
+    *
+    * DuckDB replays the exact semantics (bitmask membership = set
+    * membership of positions): distinct eval positions as a CTE,
+    * gram hit iff all [[BloomHashes]] positions join. */
+  def decontaminateBloom(spark: SparkSession, dir: String): DataFrame = {
+    val g = gramSets(Tables.documents(spark, dir))
+    val evalPos = g.filter(col("doc_id") % EvalModulus === 0)
+      .select(explode(col("sh")).as("s")).distinct()
+      .select(explode(array(
+        (0 until BloomHashes).map(i => bloomPos(i, col("s"))): _*)).as("p"))
+      .distinct().collect().map(_.getLong(0))
+    val words = new Array[Long](BloomBits / 64)
+    evalPos.foreach(p => words((p >> 6).toInt) |= (1L << (p & 63).toInt))
+    val bits = lit(words)
+    def isSet(p: Column): Column =
+      call_function("shiftright",
+        element_at(bits, (shiftright(p, 6) + 1).cast("int")),
+        p.bitwiseAND(lit(63L)).cast("int"))
+        .bitwiseAND(lit(1L)) === lit(1L)
+    val hit = (0 until BloomHashes)
+      .map(i => isSet(bloomPos(i, col("s")))).reduce(_ && _)
+    val train = g.filter(col("doc_id") % EvalModulus =!= 0)
+    train.select(col("doc_id"), explode_outer(col("sh")).as("s"))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(hit, 1L).otherwise(0L)).as("bloom_hits"))
+      .select(col("doc_id"), col("bloom_hits"),
+        (col("bloom_hits") > 0).as("flagged"))
       .orderBy(col("doc_id"))
   }
 
@@ -320,11 +381,28 @@ object Curation {
 
   private val gramSql = s"list_distinct($gramsPosSql)"
 
+  /** DuckDB replay of [[bloomPos]]: first 5 hex chars of md5(i || s)
+    * as an integer, nibble-by-nibble (the SimHash oracle's strpos
+    * idiom). */
+  private def bloomPosSql(i: Int, s: String): String = {
+    def nib(n: Int) =
+      s"(strpos('0123456789abcdef', substr(md5('$i' || $s), $n, 1)) - 1)"
+    s"(${nib(1)} * 65536 + ${nib(2)} * 4096 + ${nib(3)} * 256 + ${nib(4)} * 16 + ${nib(5)})"
+  }
+
+  private def bloomPosListSql(s: String): String =
+    (0 until BloomHashes).map(bloomPosSql(_, s)).mkString("[", ", ", "]")
+
   val oracle: Map[String, String] = Map(
     "decontam_eval_overlap" ->
       s"""WITH g AS (SELECT doc_id, $gramSql AS sh FROM (SELECT doc_id, ${TextOps.toksSql} AS t FROM documents)), ev AS (SELECT DISTINCT unnest(sh) AS s FROM g WHERE doc_id % $EvalModulus = 0), tr AS (SELECT doc_id, unnest(sh) AS s FROM g WHERE doc_id % $EvalModulus <> 0), hits AS (SELECT doc_id, COUNT(*) AS n FROM tr JOIN ev USING (s) GROUP BY doc_id) SELECT d.doc_id, CAST(COALESCE(h.n, 0) AS BIGINT) AS shared_evalgrams, COALESCE(h.n, 0) > 0 AS contaminated FROM (SELECT doc_id FROM documents WHERE doc_id % $EvalModulus <> 0) d LEFT JOIN hits h USING (doc_id) ORDER BY doc_id""",
     "text_chunk_pack" ->
       s"""WITH tk AS (SELECT doc_id, ${TextOps.toksSql} AS t FROM documents), e AS (SELECT doc_id, t, unnest(range(0, CAST(ceil(len(t) / ${ChunkSize}.0) AS BIGINT))) AS chunk_idx FROM tk WHERE len(t) > 0) SELECT doc_id, chunk_idx, len(c) AS chunk_len, md5(array_to_string(c, ' ')) AS chunk_fp FROM (SELECT doc_id, chunk_idx, list_slice(t, chunk_idx*$ChunkSize+1, chunk_idx*$ChunkSize+$ChunkSize) AS c FROM e) ORDER BY doc_id, chunk_idx""",
+    // bitmask membership == set membership of positions, so the oracle
+    // replays the filter as a distinct-position CTE; a gram hits iff
+    // all BloomHashes positions (with multiplicity) join
+    "decontam_bloom" ->
+      s"""WITH g AS (SELECT doc_id, $gramSql AS sh FROM (SELECT doc_id, ${TextOps.toksSql} AS t FROM documents)), ev AS (SELECT DISTINCT unnest(sh) AS s FROM g WHERE doc_id % $EvalModulus = 0), bits AS (SELECT DISTINCT p FROM (SELECT unnest(${bloomPosListSql("s")}) AS p FROM ev)), tr AS (SELECT doc_id, unnest(sh) AS s FROM g WHERE doc_id % $EvalModulus <> 0), trp AS (SELECT doc_id, s, unnest(${bloomPosListSql("s")}) AS p FROM tr), hitg AS (SELECT doc_id, s FROM trp JOIN bits USING (p) GROUP BY doc_id, s HAVING COUNT(*) = $BloomHashes), per AS (SELECT doc_id, COUNT(*) AS n FROM hitg GROUP BY doc_id) SELECT d.doc_id, CAST(COALESCE(per.n, 0) AS BIGINT) AS bloom_hits, COALESCE(per.n, 0) > 0 AS flagged FROM (SELECT doc_id FROM g WHERE doc_id % $EvalModulus <> 0) d LEFT JOIN per USING (doc_id) ORDER BY doc_id""",
     "text_boilerplate" ->
       s"""WITH g AS (SELECT doc_id, unnest($gramsPosSql) AS s FROM (SELECT doc_id, ${TextOps.toksSql} AS t FROM documents)), occ AS (SELECT doc_id, s, COUNT(*) AS occ FROM g GROUP BY doc_id, s), w AS (SELECT doc_id, occ, COUNT(*) OVER (PARTITION BY s) AS df FROM occ), per AS (SELECT doc_id, SUM(occ) AS n_grams, SUM(CASE WHEN df >= $BoilerMinDocs THEN occ ELSE 0 END) AS b FROM w GROUP BY doc_id) SELECT d.doc_id, d.source, CAST(COALESCE(p.n_grams, 0) AS BIGINT) AS n_grams, CAST(COALESCE(p.b, 0) AS BIGINT) AS boiler_grams, CASE WHEN COALESCE(p.n_grams, 0) = 0 THEN 0.0 ELSE CAST(p.b AS DOUBLE) / p.n_grams END AS boiler_frac, CASE WHEN COALESCE(p.n_grams, 0) = 0 THEN 0.0 ELSE CAST(p.b AS DOUBLE) / p.n_grams END >= $BoilerHeavyFrac AS boiler_heavy FROM documents d LEFT JOIN per p USING (doc_id) ORDER BY doc_id""",
     "text_pack_sequences" -> s"$packDetailSql ORDER BY source, pack_shard, doc_id, chunk_idx",
@@ -350,6 +428,7 @@ object Curation {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "decontam_eval_overlap" -> decontaminate _,
+    "decontam_bloom" -> decontaminateBloom _,
     "text_boilerplate" -> boilerplate _,
     "text_chunk_pack" -> chunkPack _,
     "text_pack_sequences" -> packSequences _,

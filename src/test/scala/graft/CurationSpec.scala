@@ -75,6 +75,25 @@ class CurationSpec extends SparkSpec {
     assert(ids.forall(_ % Curation.EvalModulus != 0))
   }
 
+  test("bloom decontamination dominates the exact overlap (one-sided error)") {
+    val exact = Curation.decontaminate(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bloom = Curation.decontaminateBloom(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(bloom.map(_._1).toSeq == exact.keys.toSeq.sorted,
+      "same train-doc universe as the exact path")
+    // every truly shared gram sets all its bits, so per doc the bloom
+    // count can only exceed the exact count (never undercount), and
+    // every contaminated doc is flagged
+    bloom.foreach { case (id, hits, flagged) =>
+      assert(hits >= exact(id), s"doc $id: bloom $hits < exact ${exact(id)}")
+      if (exact(id) > 0) assert(flagged, s"doc $id contaminated but unflagged")
+    }
+    val fpGrams = bloom.map(_._2).sum - exact.values.sum
+    assert(fpGrams >= 0)
+    info(s"bloom false-positive gram hits beyond exact: $fpGrams")
+  }
+
   test("pipeline assigns every document exactly one disposition") {
     val rows = Curation.curationPipeline(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getString(1))
