@@ -142,6 +142,17 @@ object ScaleUp {
       timed("decontam_const_eval", dst, 1)(
         graft.ext.Curation.decontaminateWith(spark, dst,
           graft.ext.Curation.EvalModulus * copies))
+    }
+    if (on("bloom")) {
+      // the bloom variant of decontam_const_eval's shape: the eval
+      // side collapses to a 128 KB bitmask on the driver and the probe
+      // is join-free map work — the row to compare against the
+      // broadcast-hash-join probe above
+      timed("decontam_bloom_const_eval", dst, 1)(
+        graft.ext.Curation.decontaminateBloomWith(spark, dst,
+          graft.ext.Curation.EvalModulus * copies))
+    }
+    if (on("curation")) {
       // composed curation pipeline: live (embeds the CC-fixpoint split —
       // the run-once corpus-build cost) vs artifact-fed (the steady-state
       // form every later invocation runs). The labels build is timed

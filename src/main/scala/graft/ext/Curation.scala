@@ -159,9 +159,15 @@ object Curation {
     * DuckDB replays the exact semantics (bitmask membership = set
     * membership of positions): distinct eval positions as a CTE,
     * gram hit iff all [[BloomHashes]] positions join. */
-  def decontaminateBloom(spark: SparkSession, dir: String): DataFrame = {
+  def decontaminateBloom(spark: SparkSession, dir: String): DataFrame =
+    decontaminateBloomWith(spark, dir, EvalModulus)
+
+  /** [[decontaminateBloom]] with an explicit eval modulus — same
+    * constant-eval-set scaling knob as [[decontaminateWith]]. */
+  def decontaminateBloomWith(spark: SparkSession, dir: String,
+      evalModulus: Long): DataFrame = {
     val g = gramSets(Tables.documents(spark, dir))
-    val evalPos = g.filter(col("doc_id") % EvalModulus === 0)
+    val evalPos = g.filter(col("doc_id") % evalModulus === 0)
       .select(explode(col("sh")).as("s")).distinct()
       .select(explode(array(
         (0 until BloomHashes).map(i => bloomPos(i, col("s"))): _*)).as("p"))
@@ -176,7 +182,7 @@ object Curation {
         .bitwiseAND(lit(1L)) === lit(1L)
     val hit = (0 until BloomHashes)
       .map(i => isSet(bloomPos(i, col("s")))).reduce(_ && _)
-    val train = g.filter(col("doc_id") % EvalModulus =!= 0)
+    val train = g.filter(col("doc_id") % evalModulus =!= 0)
     train.select(col("doc_id"), explode_outer(col("sh")).as("s"))
       .groupBy(col("doc_id"))
       .agg(sum(when(hit, 1L).otherwise(0L)).as("bloom_hits"))
