@@ -214,6 +214,22 @@ object ScaleUp {
       timed("sim_pq_adc_codes", dst, 2)(
         graft.ext.ProductQuant.adcOverCodes(
           spark.read.parquet(s"$dst/pq_codes.parquet"), dt, qid))
+      // the full production layout (FAISS IVF,PQ): codes PARTITIONED
+      // by coarse cell, so the ADC scan partition-prunes to ~1/K of
+      // the already-57x-compressed table before reading anything
+      val coarse = graft.ext.KMeans.train(spark, src)
+      val t1 = System.nanoTime()
+      graft.ext.ProductQuant.encodeWithCells(spark, dst, coarse, cbs)
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$dst/pq_codes_cells.parquet")
+      println(f"[scaleup] pq_encode_cells_build        $dst%-18s " +
+        f"${(System.nanoTime - t1) / 1e9}%8.2f s")
+      val (qid2, qCell, dt2) =
+        graft.ext.ProductQuant.queryPrep(spark, src, coarse, cbs)
+      timed("sim_ivfpq_adc_partitioned", dst, 2)(
+        graft.ext.ProductQuant.adcOverCodes(
+          spark.read.parquet(s"$dst/pq_codes_cells.parquet")
+            .filter(col("cell") === qCell), dt2, qid2))
     }
     spark.stop()
   }

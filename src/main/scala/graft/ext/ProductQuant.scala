@@ -118,24 +118,47 @@ object ProductQuant {
       .limit(TopK)
   }
 
-  /** IVF-PQ top-k — the composed production layout (FAISS `IVF,PQ`):
-    * the coarse quantizer ([[KMeans.train]], K=10 full-space cells)
-    * prunes the scan to the query's cell, ADC ranks within it. At
-    * scale the codes table is partitioned by coarse cell, so this
-    * reads one partition of an already-1000×-compressed table. */
-  def ivfPqTopK(spark: SparkSession, dir: String): DataFrame = {
-    val coarse = KMeans.train(spark, dir)
-    val cbs = codebooks(spark, dir)
-    val e = KMeans.vecs(spark, dir)
-    val qrow = e.orderBy(col("vec_id")).limit(1)
+  /** PQ encode PLUS the coarse IVF cell per vector — one map-only
+    * pass producing the production table layout: write this
+    * `partitionBy("cell")` and an ADC query's cell filter becomes
+    * parquet PARTITION PRUNING (the scan lists one directory of an
+    * already-compressed table; asserted in ProductQuantSpec). */
+  def encodeWithCells(spark: SparkSession, dir: String,
+      coarse: Seq[(Int, Seq[Double])],
+      cbs: Seq[Seq[(Int, Seq[Double])]]): DataFrame =
+    KMeans.vecs(spark, dir)
+      .select(col("vec_id") +: col("label") +:
+        KMeans.assignOn(col("v"), coarse).as("cell") +:
+        (0 until M).map(m => codeCol(cbs, m).as(s"code$m")): _*)
+
+  /** Driver-side query prep for the composed IVF-PQ layouts: the
+    * min-vec_id query's id, its coarse cell (same left-to-right fold
+    * as [[KMeans.assignOn]], low-cid ties), and its ADC distance
+    * table. */
+  def queryPrep(spark: SparkSession, dir: String,
+      coarse: Seq[(Int, Seq[Double])],
+      cbs: Seq[Seq[(Int, Seq[Double])]]): (Long, Int, Seq[Seq[Double]]) = {
+    val qrow = KMeans.vecs(spark, dir).orderBy(col("vec_id")).limit(1)
       .select(col("vec_id"), col("v")).head()
-    val qid = qrow.getLong(0)
     val qv = qrow.getSeq[Double](1)
     val qCid = coarse.map { case (cid, cv) =>
       (qv.zip(cv).foldLeft(0.0) { case (acc, (x, c)) =>
         acc + (x - c) * (x - c) }, cid)
     }.min._2
-    val dt = distTable(qv, cbs)
+    (qrow.getLong(0), qCid, distTable(qv, cbs))
+  }
+
+  /** IVF-PQ top-k — the composed production layout (FAISS `IVF,PQ`):
+    * the coarse quantizer ([[KMeans.train]], K=10 full-space cells)
+    * prunes the scan to the query's cell, ADC ranks within it. At
+    * scale the codes table is partitioned by coarse cell
+    * ([[encodeWithCells]]), so this reads one partition of an
+    * already-1000×-compressed table. */
+  def ivfPqTopK(spark: SparkSession, dir: String): DataFrame = {
+    val coarse = KMeans.train(spark, dir)
+    val cbs = codebooks(spark, dir)
+    val e = KMeans.vecs(spark, dir)
+    val (qid, qCid, dt) = queryPrep(spark, dir, coarse, cbs)
     val adc = (0 until M).map { m =>
       element_at(array(dt(m).map(lit): _*), codeCol(cbs, m) + lit(1))
     }.reduceLeft(_ + _)

@@ -145,6 +145,35 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** Quantization step for exact distributed means (2^20) — the same
+    * discipline as the k-means update: integer sums are
+    * order-independent across partitions, so the mean is bit-identical
+    * on any cluster layout and any engine. */
+  private val Q = 1048576.0
+
+  /** Exact mean embedding per label — the group-centroid / mean-pool
+    * aggregation (class centroids, per-source document embeddings).
+    * Output is one row per (label, dim) so every value is a scalar
+    * the oracle hash-compares.
+    *
+    * Shape at scale: posexplode fans each vector into 64 scalar rows
+    * (codegen'd Generate + per-scalar quantize — no interpreted
+    * higher-order functions on the hot path), partial aggregation
+    * combines map-side, and the only shuffle is labels × 64 partial
+    * rows per task — the MLlib treeAggregate shape; corpus size never
+    * crosses the wire. */
+  def groupCentroids(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("label"),
+        posexplode(col("embedding").cast("array<double>"))
+          .as(Seq("dim", "x")))
+      .groupBy(col("label"), col("dim"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(floor(col("x") * lit(Q) + lit(0.5)).cast("long")).as("s"))
+      .select(col("label"), col("dim"), col("n_vecs"),
+        (col("s").cast("double") / col("n_vecs") / lit(Q)).as("component"))
+      .orderBy(col("label"), col("dim"))
+
   /** Nearest-representative assignment (IVF probe evaluation): each
     * vector is assigned to the label whose representative (min-vec_id
     * member) it is most cosine-similar to; `matches_label` reports
@@ -194,6 +223,8 @@ object Similarity {
       s"""WITH e AS (SELECT vec_id, embedding, CAST($lshSigSql AS BIGINT) AS bucket FROM embeddings) SELECT vec_a, vec_b, cosine FROM (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, ${cosineSql("a.embedding", "b.embedding")} AS cosine FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id) WHERE cosine >= 0.45 ORDER BY vec_a, vec_b""",
     "sim_embedding_profile" ->
       """SELECT vec_id, n_dims, sqrt(sq) AS l2_norm, max_abs, CAST(list_sum(list_transform(v, x -> CAST(floor(127.0 * x / max_abs + 0.5) AS INTEGER))) AS INTEGER) AS quant_sum FROM (SELECT vec_id, len(embedding) AS n_dims, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v, list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS sq, list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS max_abs FROM embeddings) ORDER BY vec_id""",
+    "sim_group_centroids" ->
+      s"""SELECT label, CAST(t.dim - 1 AS INTEGER) AS dim, COUNT(*) AS n_vecs, CAST(SUM(CAST(floor(CAST(embedding[t.dim] AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT)) AS DOUBLE) / COUNT(*) / 1048576.0 AS component FROM embeddings CROSS JOIN range(1, 65) t(dim) GROUP BY label, t.dim ORDER BY label, dim""",
     "sim_centroid_assign" ->
       s"""WITH reps AS (SELECT label AS rep_label, embedding AS rep_v FROM embeddings WHERE vec_id IN (SELECT min(vec_id) FROM embeddings GROUP BY label)), scored AS (SELECT e.vec_id, e.label, r.rep_label, ${cosineSql("e.embedding", "r.rep_v")} AS cos FROM embeddings e CROSS JOIN reps r), ranked AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, rep_label) AS rk FROM scored) SELECT vec_id, label, rep_label AS assigned_label, label = rep_label AS matches_label FROM ranked WHERE rk = 1 ORDER BY vec_id"""
   )
@@ -204,6 +235,7 @@ object Similarity {
     "sim_ivf_topk" -> ivfTopK _,
     "sim_lsh_bucketed_pairs" -> lshBucketedPairs _,
     "sim_embedding_profile" -> embeddingProfile _,
+    "sim_group_centroids" -> groupCentroids _,
     "sim_centroid_assign" -> centroidAssign _
   )
 }

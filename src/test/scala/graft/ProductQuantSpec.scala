@@ -85,6 +85,24 @@ class ProductQuantSpec extends SparkSpec {
     assert(fed.toSeq == live.toSeq)
   }
 
+  test("cell-partitioned codes: ADC equals the live IVF-PQ and prunes partitions") {
+    val coarse = KMeans.train(spark, sf)
+    val cbs = ProductQuant.codebooks(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("pq_cells").toString
+    ProductQuant.encodeWithCells(spark, sf, coarse, cbs)
+      .write.mode("overwrite").partitionBy("cell").parquet(dir)
+    val (qid, qCell, dt) = ProductQuant.queryPrep(spark, sf, coarse, cbs)
+    val pruned = ProductQuant.adcOverCodes(
+      spark.read.parquet(dir).filter(col("cell") === qCell), dt, qid)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains(s"cell"), s"expected partition pruning in:\n$plan")
+    val live = ProductQuant.ivfPqTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(2)))
+    val got = pruned.collect().map(r => (r.getLong(0), r.getDouble(2)))
+    assert(got.toSeq == live.toSeq)
+  }
+
   test("adc top-k recalls some of the exact same-metric (L2) top-k") {
     val vs = Tables.embeddings(spark, sf)
       .select(col("vec_id"), col("embedding").cast("array<double>"))

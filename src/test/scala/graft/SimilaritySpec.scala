@@ -14,6 +14,24 @@ class SimilaritySpec extends SparkSpec {
     assert(lsh.subsetOf(exact), s"LSH invented pairs: ${lsh -- exact}")
   }
 
+  test("group centroids match an independent local quantized-mean recomputation") {
+    val rows = Tables.embeddings(spark, sf)
+      .selectExpr("label", "cast(embedding as array<double>) v").collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+    val expected = rows.groupBy(_._1).flatMap { case (label, vs) =>
+      (0 until 64).map { d =>
+        val sums = vs.map { case (_, v) =>
+          math.floor(v(d) * 1048576.0 + 0.5).toLong }.sum
+        (label, d) -> (vs.length.toLong,
+          sums.toDouble / vs.length / 1048576.0)
+      }
+    }
+    val got = Similarity.groupCentroids(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(got == expected)
+  }
+
   test("IVF top-k scores agree with brute force on shared candidates") {
     val brute = Similarity.bruteForceTopK(spark, sf)
       .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
