@@ -174,14 +174,15 @@ object ScaleUp {
       // evidence
       for (q <- Seq("text_pack_sequences", "sample_fixed_count",
           "text_vocab_topk", "text_repetition", "text_oov_rate",
-          "mix_temperature_weights", "mix_epoch_shuffle")) {
+          "mix_temperature_weights", "mix_epoch_shuffle",
+          "text_boilerplate")) {
         time(q, src, 1); time(q, dst, 1)
       }
     }
     if (on("ann")) {
       // ANN tier at a corpus that actually stresses the scan: the base
       // embeddings table is 500 rows at every SF, so copies×100
-      // key-shifted copies (~5M vectors at copies=100) via a range
+      // key-shifted copies (20M vectors at copies=100 on the sf0.1 base) via a range
       // cross-join (a unionByName of 10k frames would be a plan
       // explosion). Vector CONTENT is copy-identical — scan cost does
       // not depend on values, and ties resolve on vec_id.
@@ -230,6 +231,11 @@ object ScaleUp {
         graft.ext.ProductQuant.adcOverCodes(
           spark.read.parquet(s"$dst/pq_codes_cells.parquet")
             .filter(col("cell") === qCell), dt2, qid2))
+      // per-row profile (fused VecStats loop) and the exact group
+      // mean (posexplode + integer partial agg) — the two vector
+      // kernels that read every element of every vector
+      time("sim_embedding_profile", dst, 1)
+      time("sim_group_centroids", dst, 1)
     }
     spark.stop()
   }

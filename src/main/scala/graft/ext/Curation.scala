@@ -1,7 +1,6 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -92,13 +91,17 @@ object Curation {
     * per-document gram-position counts, boilerplate fraction, and a
     * heavy flag at [[BoilerHeavyFrac]].
     *
-    * Shape at scale: gram doc-frequency is computed with a count
-    * window over the (doc_id, gram) partial aggregate — two shuffles,
-    * both bounded by the corpus gram volume, with map-side combine on
-    * the first. The boilerplate gram SET is never materialized or
-    * broadcast (it can be corpus-sized in the worst case); each gram
-    * row carries its own df. Docs shorter than the gram size survive
-    * via the final left join with zeroed counts. */
+    * Shape at scale: gram doc-frequency is a gram-keyed partial
+    * aggregate JOINED back to the (doc_id, gram) rows — deliberately
+    * a join and not a `count(*) over (partition by gram)` window: a
+    * universal boilerplate gram (the thing this operator exists to
+    * find) has a corpus-sized group, which a window must materialize
+    * in ONE task while AQE splits a skewed sort-merge-join partition
+    * freely. Both shuffles are bounded by the corpus gram volume with
+    * map-side combine. The boilerplate gram SET is never materialized
+    * or broadcast (it can be corpus-sized in the worst case); each
+    * gram row carries its own df. Docs shorter than the gram size
+    * survive via the final left join with zeroed counts. */
   def boilerplate(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val grams = docs.select(col("doc_id"),
@@ -106,8 +109,8 @@ object Curation {
           .as("s"))
     val occ = grams.groupBy(col("doc_id"), col("s"))
       .agg(count(lit(1)).as("occ"))
-    val withDf = occ.withColumn("df",
-      count(lit(1)).over(Window.partitionBy(col("s"))))
+    val df_ = occ.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val withDf = occ.join(df_, "s")
     val per = withDf.groupBy(col("doc_id"))
       .agg(sum(col("occ")).as("n_grams"),
         sum(when(col("df") >= BoilerMinDocs, col("occ")).otherwise(0L))

@@ -45,7 +45,7 @@ object KMeans {
 
   /** argmin centroid id under the given centroids — map-only, one
     * codegen'd [[graft.functions.NearestCentroid]] loop per row (see
-    * that scaladoc for why the composable forms fail at 5M rows:
+    * that scaladoc for why the composable forms fail at 20M rows:
     * interpreted HOFs ~3.7 ms/row; full unrolling OOMs janino).
     * Left-to-right IEEE fold per centroid, ties to the lower cid —
     * exactly the oracle's `ORDER BY dist, cid / rn = 1`. Requires

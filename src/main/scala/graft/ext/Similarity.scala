@@ -128,7 +128,23 @@ object Similarity {
     * storage-shrink step before ANN indexing, reported as scalars so
     * the whole path is oracle-checkable). Per-row array folds only —
     * no shuffle beyond the final sort. */
-  def embeddingProfile(spark: SparkSession, dir: String): DataFrame = {
+  def embeddingProfile(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), size(col("embedding")).as("n_dims"),
+        graft.functions.VecStats(col("embedding").cast("array<double>"))
+          .as("st"))
+      .select(col("vec_id"), col("n_dims"),
+        sqrt(element_at(col("st"), 1)).as("l2_norm"),
+        element_at(col("st"), 2).as("max_abs"),
+        element_at(col("st"), 3).cast("int").as("quant_sum"))
+      .orderBy(col("vec_id"))
+
+  /** The composable-builtin formulation of [[embeddingProfile]]'s
+    * per-row statistics — four interpreted higher-order functions per
+    * row; kept as the correctness baseline the fused
+    * [[graft.functions.VecStats]] loop is asserted bit-identical to
+    * (FunctionsSpec). */
+  def embeddingProfileBuiltin(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     val maxAbs = array_max(transform(col("v"), x => abs(x)))

@@ -14,7 +14,7 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
   * both fail at scale —
   *  - `aggregate(zip_with(...))` per centroid: higher-order functions
   *    evaluate interpretively (no codegen); measured ~3.7 ms/row on
-  *    the 5M-row PQ encode in ScaleUp's ann tier.
+  *    the 20M-row PQ encode in ScaleUp's ann tier.
   *  - fully unrolled `element_at` arithmetic: K·d expression nodes
   *    per assignment (19k for K=10, d=64) — janino OOMs compiling the
   *    generated projection.

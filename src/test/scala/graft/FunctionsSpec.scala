@@ -20,6 +20,17 @@ class FunctionsSpec extends SparkSpec {
     assert(native.sameElements(builtin))
   }
 
+  test("fused VecStats profile is bit-identical to the composable builtin form") {
+    val native = graft.ext.Similarity.embeddingProfile(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2),
+        r.getDouble(3), r.getInt(4)))
+    val builtin = graft.ext.Similarity.embeddingProfileBuiltin(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2),
+        r.getDouble(3), r.getInt(4)))
+    assert(native.sameElements(builtin))
+  }
+
   test("native cosine handles nulls, length mismatch, zero vectors") {
     val df = Seq(
       (1, Seq(1.0, 0.0), Seq(1.0, 0.0)),
