@@ -179,6 +179,15 @@ object ScaleUp {
         time(q, src, 1); time(q, dst, 1)
       }
     }
+    if (on("dedup8")) {
+      // the rest of the dedup ladder at 100×: exact-hash summary,
+      // fingerprints (pure map), SimHash banded pairs, n-gram Jaccard
+      // inverted index — closing the unmeasured dedup rows
+      for (q <- Seq("dedup_exact_summary", "text_fingerprint",
+          "dedup_simhash", "dedup_ngram_jaccard")) {
+        time(q, src, 1); time(q, dst, 1)
+      }
+    }
     if (on("ann")) {
       // ANN tier at a corpus that actually stresses the scan: the base
       // embeddings table is 500 rows at every SF, so copies×100

@@ -17,6 +17,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(GraftExtensions.cosineSimilarityDescriptor)
     e.injectFunction(GraftExtensions.simhashAggDescriptor)
+    e.injectFunction(GraftExtensions.vecStatsDescriptor)
   }
 }
 
@@ -41,9 +42,20 @@ object GraftExtensions {
       SimHashAgg(children.head).toAggregateExpression()
     })
 
+  private[functions] val vecStatsDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("vec_stats"),
+    new ExpressionInfo(classOf[VecStats].getName, "vec_stats"),
+    (children: Seq[Expression]) => {
+      require(children.size == 1,
+        s"vec_stats takes 1 argument, got ${children.size}")
+      VecStats(children.head)
+    })
+
   /** Imperative registration on an existing session (tests, REPL). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
-    Seq(cosineSimilarityDescriptor, simhashAggDescriptor).foreach {
+    Seq(cosineSimilarityDescriptor, simhashAggDescriptor,
+      vecStatsDescriptor).foreach {
       case (id, _, builder) =>
         spark.sessionState.functionRegistry.createOrReplaceTempFunction(
           id.funcName, builder, "scala_udf")

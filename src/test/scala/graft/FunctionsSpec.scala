@@ -56,6 +56,15 @@ class FunctionsSpec extends SparkSpec {
     assert(math.abs(r - 0.6) < 1e-15)
   }
 
+  test("vec_stats is SQL-callable after registration") {
+    graft.functions.GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT vec_stats(array(3.0d, -4.0d)) AS st").head.getSeq[Double](0)
+    // sum_sq = 25, max_abs = 4, quant_sum = floor(127*3/4+.5) + floor(-127+.5)
+    assert(r == Seq(25.0, 4.0,
+      math.floor(127.0 * 3.0 / 4.0 + 0.5) + math.floor(-127.0 + 0.5)))
+  }
+
   test("rolling hash matches the reference computation and is stable") {
     // reference implementation in plain Scala over UTF-8 bytes
     def ref(s: String): Long =
