@@ -60,6 +60,32 @@ object Dedup {
       (count(lit(1)) - countDistinct(fp)).as("duplicate_docs"))
   }
 
+  /** Cross-source duplication matrix: near-duplicate pair counts per
+    * (canonical) source pair — the "which feeds copy from each other"
+    * report a multi-source corpus build runs before weighting sources
+    * (the signal Dolma-style corpus reports publish as a
+    * source-overlap table). The diagonal (src_a = src_b) counts
+    * intra-source near-dups.
+    *
+    * Shape at scale: rides [[ngramJaccardPairs]]' inverted-index join
+    * (skinny rows, the measured-linear dedup8 path), then two doc_id
+    * equi-joins to attach sources and a partial agg down to at most
+    * sources² rows. */
+  def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val src = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"))
+    ngramJaccardPairs(spark, dir)
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")),
+        "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")),
+        "doc_b")
+      .select(least(col("sa"), col("sb")).as("src_a"),
+        greatest(col("sa"), col("sb")).as("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("near_dup_pairs"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
   /** Shared-shingle pair statistics (PPJoin-style): for every doc
     * pair sharing at least one shingle, the exact Jaccard — computed
     * from the inverted index as |A∩B| = COUNT over the shared-shingle
@@ -542,6 +568,8 @@ object Dedup {
   val oracle: Map[String, String] = Map(
     "dedup_exact_summary" ->
       """SELECT COUNT(*) AS total_docs, COUNT(DISTINCT md5(lower(trim(text)))) AS distinct_fingerprints, COUNT(*) - COUNT(DISTINCT md5(lower(trim(text)))) AS duplicate_docs FROM documents""",
+    "dedup_source_overlap" ->
+      s"""WITH p AS ($ngramPairsSql), s AS (SELECT doc_id, source FROM documents) SELECT least(x.source, y.source) AS src_a, greatest(x.source, y.source) AS src_b, COUNT(*) AS near_dup_pairs FROM p JOIN s x ON p.doc_a = x.doc_id JOIN s y ON p.doc_b = y.doc_id GROUP BY 1, 2 ORDER BY 1, 2""",
     // inverted-index candidate join (same pairs as all-pairs: sharing
     // a shingle is necessary for jaccard > 0) — keeps the oracle
     // feasible for DuckDB at larger scale factors too
@@ -569,6 +597,7 @@ object Dedup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact_summary" -> exactSummary _,
+    "dedup_source_overlap" -> sourceOverlap _,
     "dedup_ngram_jaccard" -> ngramJaccardPairs _,
     "dedup_ngram_prefix" -> ngramJaccardPrefixPairs _,
     "dedup_minhash_lsh" -> minhashLshPairs _,

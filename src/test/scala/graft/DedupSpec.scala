@@ -13,6 +13,25 @@ class DedupSpec extends SparkSpec {
     assert(lsh.subsetOf(exact), s"LSH found pairs exact missed: ${lsh -- exact}")
   }
 
+  test("source overlap matrix reconciles with the near-dup pair set") {
+    val src = Tables.documents(spark, sf)
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expected = Dedup.ngramJaccardPairs(spark, sf)
+      .select("doc_a", "doc_b").collect()
+      .map { r =>
+        val (a, b) = (src(r.getLong(0)), src(r.getLong(1)))
+        (if (a <= b) (a, b) else (b, a))
+      }
+      .groupBy(identity).map { case (k, xs) => k -> xs.length.toLong }
+    val got = Dedup.sourceOverlap(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == expected)
+    assert(got.nonEmpty, "planted near-dups should span sources")
+    assert(got.keys.exists { case (a, b) => a != b },
+      "planted near-dups should include cross-source pairs")
+  }
+
   test("LSH recall is 100% on strong near-duplicates (jaccard ≥ 0.8)") {
     val strong = Dedup.ngramJaccardPairs(spark, sf)
       .filter(col("jaccard") >= 0.8)
