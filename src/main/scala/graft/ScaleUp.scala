@@ -184,7 +184,8 @@ object ScaleUp {
       // fingerprints (pure map), SimHash banded pairs, n-gram Jaccard
       // inverted index — closing the unmeasured dedup rows
       for (q <- Seq("dedup_exact_summary", "text_fingerprint",
-          "dedup_simhash", "dedup_ngram_jaccard")) {
+          "dedup_simhash", "dedup_ngram_jaccard",
+          "dedup_source_overlap")) {
         time(q, src, 1); time(q, dst, 1)
       }
     }

@@ -243,6 +243,35 @@ object Sampling {
       .orderBy(col("epoch"), col("shard"), col("position"))
   }
 
+  /** Deterministic training-shard manifest: per (epoch, shard) the
+    * document count and an order-sensitive checksum (md5 over doc_ids
+    * in shard position order) — the artifact a trainer verifies
+    * before consuming a shard, and the contract that makes the
+    * [[epochShuffle]] layout reproducible end-to-end: any reordering,
+    * dropped doc, or duplicate changes the fingerprint.
+    *
+    * Shape at scale: one partial-agg shuffle keyed by (epoch, shard);
+    * each group collects its own shard's doc list (size = corpus /
+    * ShuffleShards — the deployment scales the shard count, same
+    * argument as [[epochShuffle]] / [[Curation.packSequences]]), and
+    * the checksum is one md5 over the joined ids per GROUP, not per
+    * row. */
+  def shardManifest(spark: SparkSession, dir: String): DataFrame = {
+    val core = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(sequence(lit(0L), lit(ShuffleEpochs - 1))).as("epoch"))
+      .withColumn("shuffle_hash",
+        mixHash(col("doc_id") * ShuffleEpochs + col("epoch")))
+      .withColumn("shard", col("shuffle_hash") % ShuffleShards)
+    core.groupBy(col("epoch"), col("shard"))
+      .agg(count(lit(1)).as("docs"),
+        md5(array_join(transform(
+          sort_array(collect_list(struct(col("shuffle_hash"), col("doc_id")))),
+          s => s.getField("doc_id").cast("string")), ",").cast("binary"))
+          .as("manifest_fp"))
+      .orderBy(col("epoch"), col("shard"))
+  }
+
   /** Leakage-safe train/validation/test split: the split is assigned
     * by hashing the near-dup CLUSTER id (the component's minimum
     * doc_id from [[Dedup.nearDupClusters]]), not the document id — so
@@ -335,7 +364,12 @@ object Sampling {
     // the epoch permutation replayed: same (doc_id·E + epoch) hash,
     // same shard mod, same within-shard rank
     "mix_epoch_shuffle" ->
-      s"""WITH x AS (SELECT doc_id, unnest(range(0, $ShuffleEpochs)) AS epoch FROM documents), h AS (SELECT doc_id, epoch, ((((doc_id * $ShuffleEpochs + epoch) % $P) * $A + $B) % $P) AS sh FROM x) SELECT epoch, sh % $ShuffleShards AS shard, row_number() OVER (PARTITION BY epoch, sh % $ShuffleShards ORDER BY sh, doc_id) AS position, doc_id FROM h ORDER BY epoch, shard, position"""
+      s"""WITH x AS (SELECT doc_id, unnest(range(0, $ShuffleEpochs)) AS epoch FROM documents), h AS (SELECT doc_id, epoch, ((((doc_id * $ShuffleEpochs + epoch) % $P) * $A + $B) % $P) AS sh FROM x) SELECT epoch, sh % $ShuffleShards AS shard, row_number() OVER (PARTITION BY epoch, sh % $ShuffleShards ORDER BY sh, doc_id) AS position, doc_id FROM h ORDER BY epoch, shard, position""",
+    // same permutation, checksummed per shard: ordered string_agg of
+    // doc_ids = the sort_array(collect_list(struct)) join on the
+    // Spark side
+    "mix_shard_manifest" ->
+      s"""WITH x AS (SELECT doc_id, unnest(range(0, $ShuffleEpochs)) AS epoch FROM documents), h AS (SELECT doc_id, epoch, ((((doc_id * $ShuffleEpochs + epoch) % $P) * $A + $B) % $P) AS sh FROM x) SELECT epoch, sh % $ShuffleShards AS shard, COUNT(*) AS docs, md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY sh, doc_id)) AS manifest_fp FROM h GROUP BY 1, 2 ORDER BY epoch, shard"""
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -345,6 +379,7 @@ object Sampling {
     "split_train_test" -> trainTestSplit _,
     "mix_epoch_repeat" -> epochRepeat _,
     "mix_temperature_weights" -> temperatureWeights _,
-    "mix_epoch_shuffle" -> epochShuffle _
+    "mix_epoch_shuffle" -> epochShuffle _,
+    "mix_shard_manifest" -> shardManifest _
   )
 }

@@ -158,6 +158,29 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("shard manifest checksums the epoch-shuffle layout exactly") {
+    val layout = Sampling.epochShuffle(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    val expected = layout.groupBy(r => (r._1, r._2)).map { case (k, rows) =>
+      val joined = rows.sortBy(_._3).map(_._4).mkString(",")
+      k -> (rows.length.toLong,
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(joined.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString)
+    }
+    val got = Sampling.shardManifest(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getString(3))).toMap
+    assert(got == expected)
+    // the checksum is order-sensitive: perturbing the order changes it
+    val (k, (_, fp)) = expected.head
+    val perturbed = layout.filter(r => (r._1, r._2) == k)
+      .sortBy(-_._3).map(_._4).mkString(",")
+    val pfp = java.security.MessageDigest.getInstance("MD5")
+      .digest(perturbed.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(pfp != fp)
+  }
+
   test("train/test split never separates a near-dup pair (no leakage)") {
     val split = Sampling.trainTestSplit(spark, sf)
       .select("doc_id", "split")
