@@ -175,7 +175,16 @@ object ScaleUp {
       for (q <- Seq("text_pack_sequences", "sample_fixed_count",
           "text_vocab_topk", "text_repetition", "text_oov_rate",
           "mix_temperature_weights", "mix_epoch_shuffle",
-          "text_boilerplate")) {
+          "mix_shard_manifest", "text_boilerplate")) {
+        time(q, src, 1); time(q, dst, 1)
+      }
+    }
+    if (on("mm")) {
+      // multimodal plumbing at 100×: binary metadata (pure map),
+      // mapPartitions stub decode (the Dataset encoder round-trip is
+      // the cost being measured — a real codec adds per-row decode on
+      // top), and the bounded frame-index expansion
+      for (q <- Seq("mm_metadata", "mm_features", "mm_frame_sample")) {
         time(q, src, 1); time(q, dst, 1)
       }
     }

@@ -309,7 +309,9 @@ object Curation {
     * and lint-checked at its definition. */
   def curationPipeline(spark: SparkSession, dir: String): DataFrame =
     pipelineWith(spark, dir,
-      Sampling.trainTestSplitCore(spark, dir))
+      Sampling.trainTestSplitCore(spark, dir),
+      Dedup.nearDupClusters(spark, dir)
+        .select(col("doc_id"), col("keep").as("nd_keep")))
 
   /** [[curationPipeline]] fed from the persisted split-label artifact
     * ([[Sampling.writeSplitLabels]]) instead of re-running the
@@ -317,15 +319,22 @@ object Curation {
     * runs on every invocation after the corpus build. Identical
     * output (CurationSpec asserts artifact-fed == live). */
   def curationPipelineFrom(spark: SparkSession, dir: String,
-      labelsDir: String): DataFrame =
-    pipelineWith(spark, dir, Sampling.trainTestSplitFrom(spark, labelsDir))
+      labelsDir: String): DataFrame = {
+    // the label artifact carries BOTH steady-state products of the
+    // CC fixpoint: the split AND the cluster id (keep = doc_id ==
+    // cluster_id, the component minimum keeps) — so the artifact-fed
+    // pipeline runs NO near-dup pair join and no fixpoint at all
+    val labels = Sampling.trainTestSplitFrom(spark, labelsDir)
+    pipelineWith(spark, dir,
+      labels.select(col("doc_id"), col("split")),
+      labels.select(col("doc_id"),
+        (col("doc_id") === col("cluster_id")).as("nd_keep")))
+  }
 
   private def pipelineWith(spark: SparkSession, dir: String,
-      split: DataFrame): DataFrame = {
+      split: DataFrame, clus: DataFrame): DataFrame = {
     val flt = TextOps.corpusFilter(spark, dir)
       .select(col("doc_id"), col("reason"))
-    val clus = Dedup.nearDupClusters(spark, dir)
-      .select(col("doc_id"), col("keep").as("nd_keep"))
     val dec = decontaminate(spark, dir)
       .select(col("doc_id"), col("contaminated"))
     val spl = split
