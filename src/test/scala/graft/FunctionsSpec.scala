@@ -56,6 +56,22 @@ class FunctionsSpec extends SparkSpec {
     assert(math.abs(r - 0.6) < 1e-15)
   }
 
+  test("nearest centroid breaks exact ties to the lower centroid id") {
+    val df = Seq(Tuple1(Seq(1.0, 0.0))).toDF("v")
+    // centroids 0 and 1 are identical → both at distance 0; first wins
+    val dup = Seq(Seq(1.0, 0.0), Seq(1.0, 0.0), Seq(0.0, 1.0))
+    assert(df.select(graft.functions.NearestCentroid(col("v"), dup))
+      .head.getInt(0) == 0)
+    // an exact-match centroid at a higher id still wins over ties
+    val equi = Seq(Seq(0.0, 1.0), Seq(2.0, 1.0), Seq(1.0, 0.0))
+    assert(df.select(graft.functions.NearestCentroid(col("v"), equi))
+      .head.getInt(0) == 2)
+    // equidistant non-identical centroids (both at d²=2) → lower id
+    val equiOnly = Seq(Seq(0.0, 1.0), Seq(2.0, 1.0))
+    assert(df.select(graft.functions.NearestCentroid(col("v"), equiOnly))
+      .head.getInt(0) == 0, "tie at d²=2 must keep the lower id")
+  }
+
   test("vec_stats is SQL-callable after registration") {
     graft.functions.GraftExtensions.register(spark)
     val r = spark.sql(
