@@ -114,6 +114,13 @@ class PlanLintSpec extends SparkSpec {
       s"sampling must stay a pure scan+filter projection:\n$plan")
   }
 
+  test("bloom decontamination plans no join operator at all") {
+    val plan = graft.ext.Curation.decontaminateBloom(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"),
+      s"the bitmask probe must be pure map + agg, no join:\n$plan")
+  }
+
   test("decontamination probes the eval gram set via broadcast join") {
     val plan = graft.ext.Curation.decontaminate(spark, sf)
       .queryExecution.executedPlan.toString

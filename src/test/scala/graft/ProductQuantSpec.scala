@@ -103,6 +103,22 @@ class ProductQuantSpec extends SparkSpec {
     assert(got.toSeq == live.toSeq)
   }
 
+  test("ADC over codes plans one exchange only (the final top-k gather)") {
+    val cbs = ProductQuant.codebooks(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("pq_plan").toString
+    ProductQuant.encodeWith(spark, sf, cbs)
+      .write.mode("overwrite").parquet(dir)
+    val (qid, dt) = ProductQuant.queryTable(spark, sf, cbs)
+    val plan = ProductQuant.adcOverCodes(spark.read.parquet(dir), dt, qid)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must be a per-partition take, not a global sort:\n$plan")
+    assert(!plan.contains("Join"), s"ADC must not join:\n$plan")
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges <= 1,
+      s"expected at most the final K-row gather exchange, got $exchanges:\n$plan")
+  }
+
   test("adc top-k recalls some of the exact same-metric (L2) top-k") {
     val vs = Tables.embeddings(spark, sf)
       .select(col("vec_id"), col("embedding").cast("array<double>"))
