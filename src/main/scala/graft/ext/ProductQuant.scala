@@ -169,6 +169,37 @@ object ProductQuant {
       .limit(TopK)
   }
 
+  /** Multi-probe IVF-PQ top-k: ADC over the P nearest coarse cells
+    * instead of one — the recall/latency knob (FAISS `nprobe`)
+    * composed with the compressed-codes scan. Work scales with P/K of
+    * the codes table (still partition-prunable per probed cell); P
+    * fixed at 2 keeps the oracle an `rn <= 2` extension of the
+    * single-probe CTE, and recall is monotonically ≥ single-probe
+    * (ProductQuantSpec). */
+  def ivfPqTopKMultiProbe(spark: SparkSession, dir: String,
+      probes: Int = 2): DataFrame = {
+    val coarse = KMeans.train(spark, dir)
+    val cbs = codebooks(spark, dir)
+    val e = KMeans.vecs(spark, dir)
+    val qrow = e.orderBy(col("vec_id")).limit(1)
+      .select(col("vec_id"), col("v")).head()
+    val qid = qrow.getLong(0)
+    val qv = qrow.getSeq[Double](1)
+    val probeCids = coarse.map { case (cid, cv) =>
+      (qv.zip(cv).foldLeft(0.0) { case (acc, (x, c)) =>
+        acc + (x - c) * (x - c) }, cid)
+    }.sorted.take(probes).map(_._2)
+    val dt = distTable(qv, cbs)
+    val adc = (0 until M).map { m =>
+      element_at(array(dt(m).map(lit): _*), codeCol(cbs, m) + lit(1))
+    }.reduceLeft(_ + _)
+    e.filter(KMeans.assignOn(col("v"), coarse).isin(probeCids: _*) &&
+        col("vec_id") =!= qid)
+      .select(col("vec_id"), col("label"), adc.as("adc_dist"))
+      .orderBy(col("adc_dist"), col("vec_id"))
+      .limit(TopK)
+  }
+
   // ---- DuckDB replay: M parallel sub-chains over dimension slices ----
 
   private def lo(m: Int) = m * SubDim + 1
@@ -215,12 +246,20 @@ object ProductQuant {
     // the same rn=1 CTE sim_kmeans_topk uses — and ADC ranks within it
     "sim_ivfpq_topk" ->
       s"""WITH $pqCtes, ${KMeans.trainChain("q", "", 64, KMeans.K)}, $qrowCte, qa AS (SELECT cid FROM (SELECT c.cid, row_number() OVER (ORDER BY ${KMeans
-        .distSqlN("r.qv", "c.cv", 64)}, c.cid) AS rn FROM qrow r CROSS JOIN c2 c) WHERE rn = 1) SELECT vec_id, label, adc_dist FROM (SELECT q.vec_id, q.label, $adcSql AS adc_dist FROM q JOIN af USING (vec_id) $codesJoin $cbJoins CROSS JOIN qrow r CROSS JOIN qa WHERE af.cid = qa.cid AND q.vec_id <> r.qid) ORDER BY adc_dist, vec_id LIMIT $TopK"""
+        .distSqlN("r.qv", "c.cv", 64)}, c.cid) AS rn FROM qrow r CROSS JOIN c2 c) WHERE rn = 1) SELECT vec_id, label, adc_dist FROM (SELECT q.vec_id, q.label, $adcSql AS adc_dist FROM q JOIN af USING (vec_id) $codesJoin $cbJoins CROSS JOIN qrow r CROSS JOIN qa WHERE af.cid = qa.cid AND q.vec_id <> r.qid) ORDER BY adc_dist, vec_id LIMIT $TopK""",
+    // multi-probe: qa keeps the TWO nearest coarse cells (rn <= 2) and
+    // the probe filter becomes an IN — the same extension
+    // sim_kmeans_topk_p2 applies to the uncompressed IVF
+    "sim_ivfpq_topk_p2" ->
+      s"""WITH $pqCtes, ${KMeans.trainChain("q", "", 64, KMeans.K)}, $qrowCte, qa AS (SELECT cid FROM (SELECT c.cid, row_number() OVER (ORDER BY ${KMeans
+        .distSqlN("r.qv", "c.cv", 64)}, c.cid) AS rn FROM qrow r CROSS JOIN c2 c) WHERE rn <= 2) SELECT vec_id, label, adc_dist FROM (SELECT q.vec_id, q.label, $adcSql AS adc_dist FROM q JOIN af USING (vec_id) $codesJoin $cbJoins CROSS JOIN qrow r WHERE af.cid IN (SELECT cid FROM qa) AND q.vec_id <> r.qid) ORDER BY adc_dist, vec_id LIMIT $TopK"""
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_pq_codes" -> pqCodes _,
     "sim_pq_topk" -> pqTopK _,
-    "sim_ivfpq_topk" -> ivfPqTopK _
+    "sim_ivfpq_topk" -> ivfPqTopK _,
+    "sim_ivfpq_topk_p2" ->
+      ((s: SparkSession, dir: String) => ivfPqTopKMultiProbe(s, dir))
   )
 }

@@ -103,6 +103,27 @@ class ProductQuantSpec extends SparkSpec {
     assert(got.toSeq == live.toSeq)
   }
 
+  test("multi-probe IVF-PQ recall is at least single-probe recall") {
+    val vs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    val qv = vs.head._2
+    def d2(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).foldLeft(0.0) { case (acc, (x, c)) => acc + (x - c) * (x - c) }
+    val exact = vs.tail.map { case (id, v) => (d2(v, qv), id) }
+      .sortBy(identity).take(ProductQuant.TopK).map(_._2).toSet
+    val p1 = ProductQuant.ivfPqTopK(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    val p2 = ProductQuant.ivfPqTopKMultiProbe(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    assert((p2 intersect exact).size >= (p1 intersect exact).size,
+      s"probing 2 cells must not lose exact-neighbour recall")
+    assert(p1.subsetOf(p2) || p2.size == ProductQuant.TopK,
+      "multi-probe candidates extend the single-probe cell")
+  }
+
   test("ADC over codes plans one exchange only (the final top-k gather)") {
     val cbs = ProductQuant.codebooks(spark, sf)
     val dir = java.nio.file.Files.createTempDirectory("pq_plan").toString
