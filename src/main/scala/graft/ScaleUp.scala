@@ -151,6 +151,15 @@ object ScaleUp {
       timed("decontam_bloom_const_eval", dst, 1)(
         graft.ext.Curation.decontaminateBloomWith(spark, dst,
           graft.ext.Curation.EvalModulus * copies))
+      // the fully-sketched composed pipeline: label artifact for split
+      // + nd_keep, bloom bitmask for decontam — every corpus-sized
+      // stage map-shaped or artifact-fed (compare
+      // curation_pipeline_artifact, whose decontam is the broadcast
+      // join). Requires the curation tier's labels build to have run.
+      if (new java.io.File(s"$dst/curated").exists())
+        timed("curation_pipeline_sketch", dst, 2)(
+          graft.ext.Curation.curationPipelineSketch(spark, dst,
+            s"$dst/curated"))
     }
     if (on("curation")) {
       // composed curation pipeline: live (embeds the CC-fixpoint split —

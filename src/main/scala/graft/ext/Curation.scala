@@ -331,12 +331,34 @@ object Curation {
         (col("doc_id") === col("cluster_id")).as("nd_keep")))
   }
 
+  /** The fully-sketched steady state: label artifact for split AND
+    * near-dup keep (like [[curationPipelineFrom]]) plus the Bloom
+    * bitmask probe for decontamination — every corpus-sized stage in
+    * the composed pipeline is now map-shaped or artifact-fed. Same
+    * dispositions as the exact pipeline except where a Bloom false
+    * positive flags an extra doc contaminated (none at test SF —
+    * CurationSpec asserts outright equality there; production treats
+    * this as the sketch tier next to the exact form, same contract as
+    * the approx-quantile registry split). */
+  def curationPipelineSketch(spark: SparkSession, dir: String,
+      labelsDir: String): DataFrame = {
+    val labels = Sampling.trainTestSplitFrom(spark, labelsDir)
+    pipelineWith(spark, dir,
+      labels.select(col("doc_id"), col("split")),
+      labels.select(col("doc_id"),
+        (col("doc_id") === col("cluster_id")).as("nd_keep")),
+      decontaminateBloom(spark, dir)
+        .select(col("doc_id"), col("flagged").as("contaminated")))
+  }
+
   private def pipelineWith(spark: SparkSession, dir: String,
-      split: DataFrame, clus: DataFrame): DataFrame = {
+      split: DataFrame, clus: DataFrame,
+      decOverride: DataFrame = null): DataFrame = {
     val flt = TextOps.corpusFilter(spark, dir)
       .select(col("doc_id"), col("reason"))
-    val dec = decontaminate(spark, dir)
-      .select(col("doc_id"), col("contaminated"))
+    val dec = Option(decOverride).getOrElse(
+      decontaminate(spark, dir)
+        .select(col("doc_id"), col("contaminated")))
     val spl = split
       .select(col("doc_id"), col("split"))
     val smp = Sampling.withMixColumns(Tables.documents(spark, dir))

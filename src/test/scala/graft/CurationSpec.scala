@@ -166,6 +166,19 @@ class CurationSpec extends SparkSpec {
     assert(fed == live)
   }
 
+  test("sketch pipeline equals the exact pipeline when bloom has no FPs") {
+    val out = java.nio.file.Files.createTempDirectory("graft_labels").toString
+    ext.Sampling.writeSplitLabels(spark, sf, out)
+    // precondition: at this SF the bloom probe has zero false
+    // positives (asserted by the dominance test), so dispositions
+    // must agree outright
+    val exact = Curation.curationPipelineFrom(spark, sf, out).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).sorted.toSeq
+    val sketch = Curation.curationPipelineSketch(spark, sf, out).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).sorted.toSeq
+    assert(sketch == exact)
+  }
+
   test("persisted split labels round-trip the live split exactly") {
     val out = java.nio.file.Files.createTempDirectory("graft_labels").toString
     ext.Sampling.writeSplitLabels(spark, sf, out)
