@@ -9,7 +9,7 @@ import graft.Tables
   * [[TextOps]]) and dataset assembly ([[Sampling]]): eval-set
   * decontamination and fixed-size chunk packing. Reference analog:
   * the reference's corpus is assembled once per run
-  * (`/root/reference/elt/transform_pipeline.ipynb`); these are the
+  * (`/root/reference/elt/transforms.ipynb`); these are the
   * curation stages a training-data pipeline adds on top, graded as
   * first-class LLM-pipeline operators.
   */

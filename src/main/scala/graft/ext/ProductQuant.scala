@@ -5,11 +5,11 @@ import org.apache.spark.sql.functions._
 
 /** Product quantization (PQ) with asymmetric-distance (ADC) search over
   * the embeddings table — the memory-compression tier of the ANN
-  * ladder (brute → LSH → IVF → multi-probe → PQ). Reference analog:
-  * the similarity-search surface its notebooks drive over embedding
-  * exports (/root/reference/notebooks — nearest-neighbour lookups);
-  * the PQ formulation itself is Jégou et al., "Product Quantization
-  * for Nearest Neighbor Search", TPAMI 2011.
+  * ladder (brute → LSH → IVF → multi-probe → PQ). Extension — the
+  * reference has no similarity-search surface; this tier exists for
+  * the training-data-pipeline mandate. The PQ formulation is Jégou
+  * et al., "Product Quantization for Nearest Neighbor Search",
+  * TPAMI 2011.
   *
   * The 64-dim space splits into [[M]] contiguous subspaces of
   * [[SubDim]] dims; each gets its own [[Ks]]-centroid codebook from

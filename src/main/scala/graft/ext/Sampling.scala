@@ -8,7 +8,7 @@ import graft.Tables
 /** Deterministic corpus sampling and leakage-safe dataset splitting —
   * the two selection steps a training-data pipeline runs after
   * cleaning/dedup (reference analog: the corpus is assembled once per
-  * run in `/root/reference/elt/transform_pipeline.ipynb`; sampling and
+  * run in `/root/reference/elt/transforms.ipynb`; sampling and
   * split assignment are the natural next stage and are graded as
   * first-class LLM-pipeline operators here).
   *
