@@ -155,11 +155,18 @@ object ScaleUp {
       // + nd_keep, bloom bitmask for decontam — every corpus-sized
       // stage map-shaped or artifact-fed (compare
       // curation_pipeline_artifact, whose decontam is the broadcast
-      // join). Requires the curation tier's labels build to have run.
-      if (new java.io.File(s"$dst/curated").exists())
-        timed("curation_pipeline_sketch", dst, 2)(
-          graft.ext.Curation.curationPipelineSketch(spark, dst,
-            s"$dst/curated"))
+      // join). Needs the label artifact; build it here if the curation
+      // tier hasn't yet (a fresh all-sections run reaches bloom first),
+      // so the sketch row is never silently skipped.
+      if (!new java.io.File(s"$dst/curated").exists()) {
+        val tl = System.nanoTime()
+        graft.ext.Sampling.writeSplitLabels(spark, dst, s"$dst/curated")
+        println(f"[scaleup] split_labels_build            $dst%-18s " +
+          f"${(System.nanoTime - tl) / 1e9}%8.2f s  (for bloom sketch)")
+      }
+      timed("curation_pipeline_sketch", dst, 2)(
+        graft.ext.Curation.curationPipelineSketch(spark, dst,
+          s"$dst/curated"))
     }
     if (on("curation")) {
       // composed curation pipeline: live (embeds the CC-fixpoint split —

@@ -157,7 +157,7 @@ object Similarity {
           .as("l2_norm"),
         maxAbs.as("max_abs"))
       .select(col("vec_id"), col("n_dims"), col("l2_norm"), col("max_abs"),
-        qsum.as("quant_sum"))
+        when(col("max_abs") > 0, qsum).otherwise(lit(0)).as("quant_sum"))
       .orderBy(col("vec_id"))
   }
 
@@ -238,7 +238,7 @@ object Similarity {
     "sim_lsh_bucketed_pairs" ->
       s"""WITH e AS (SELECT vec_id, embedding, CAST($lshSigSql AS BIGINT) AS bucket FROM embeddings) SELECT vec_a, vec_b, cosine FROM (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, ${cosineSql("a.embedding", "b.embedding")} AS cosine FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id) WHERE cosine >= 0.45 ORDER BY vec_a, vec_b""",
     "sim_embedding_profile" ->
-      """SELECT vec_id, n_dims, sqrt(sq) AS l2_norm, max_abs, CAST(list_sum(list_transform(v, x -> CAST(floor(127.0 * x / max_abs + 0.5) AS INTEGER))) AS INTEGER) AS quant_sum FROM (SELECT vec_id, len(embedding) AS n_dims, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v, list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS sq, list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS max_abs FROM embeddings) ORDER BY vec_id""",
+      """SELECT vec_id, n_dims, sqrt(sq) AS l2_norm, max_abs, CASE WHEN max_abs > 0 THEN CAST(list_sum(list_transform(v, x -> CAST(floor(127.0 * x / max_abs + 0.5) AS INTEGER))) AS INTEGER) ELSE 0 END AS quant_sum FROM (SELECT vec_id, len(embedding) AS n_dims, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v, list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS sq, list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS max_abs FROM embeddings) ORDER BY vec_id""",
     "sim_group_centroids" ->
       s"""SELECT label, CAST(t.dim - 1 AS INTEGER) AS dim, COUNT(*) AS n_vecs, CAST(SUM(CAST(floor(CAST(embedding[t.dim] AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT)) AS DOUBLE) / COUNT(*) / 1048576.0 AS component FROM embeddings CROSS JOIN range(1, 65) t(dim) GROUP BY label, t.dim ORDER BY label, dim""",
     "sim_centroid_assign" ->

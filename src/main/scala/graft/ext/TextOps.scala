@@ -257,12 +257,17 @@ object TextOps {
     * of all word bigrams taken by the single most frequent bigram,
     * with a composite `repetitive` flag at the documented thresholds.
     *
-    * Shape at scale: entirely per-row. The max-bigram-multiplicity is
-    * a fold over the SORTED bigram array (longest equal-run), so it's
-    * O(n log n) per document inside whole-stage codegen — no explode,
-    * no shuffle, no per-document aggregation job. The oracle replays
-    * it relationally (unnest → GROUP BY → MAX) — same answer, which
-    * is itself the equivalence proof for the fold. */
+    * Shape at scale: entirely per-row — no explode, no shuffle, no
+    * per-document aggregation job. Caveat: `aggregate`/`array_sort`
+    * are higher-order functions, which Spark evaluates INTERPRETED
+    * (CodegenFallback — the same ~50 µs/eval hot-path cost
+    * [[graft.functions.NearestCentroid]] exists to avoid), so while
+    * the plan stays a single map stage, the per-row fold is not
+    * codegen'd; if this operator ever lands on the 100× hot path,
+    * port the longest-equal-run fold to a native expression like
+    * [[graft.functions.VecStats]]. The oracle replays it relationally
+    * (unnest → GROUP BY → MAX) — same answer, which is itself the
+    * equivalence proof for the fold. */
   def repetition(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"), tokens(col("text")).as("t"))

@@ -55,6 +55,12 @@ case class NearestCentroid(child: Expression, centroids: Seq[Seq[Double]])
     val x = a.asInstanceOf[ArrayData]
     val k = matrix.length
     val d = matrix(0).length
+    // UnsafeArrayData.getDouble past numElements() reads garbage
+    // silently — a short vector must fail loudly, not mis-assign
+    if (x.numElements() < d)
+      throw new IllegalArgumentException(
+        s"nearest_centroid: input vector has ${x.numElements()} elements, " +
+          s"codebook dimension is $d")
     var best = 0
     var bestDist = Double.PositiveInfinity
     var c = 0
@@ -88,6 +94,11 @@ case class NearestCentroid(child: Expression, centroids: Seq[Seq[Double]])
       s"""
          |final int $k = $m.length;
          |final int $d = $m[0].length;
+         |if ($x.numElements() < $d) {
+         |  throw new IllegalArgumentException(
+         |    "nearest_centroid: input vector has " + $x.numElements() +
+         |    " elements, codebook dimension is " + $d);
+         |}
          |int $best = 0;
          |double $bestDist = Double.POSITIVE_INFINITY;
          |for (int $c = 0; $c < $k; $c++) {

@@ -54,10 +54,14 @@ case class VecStats(child: Expression) extends UnaryExpression {
       i += 1
     }
     var quant = 0.0
-    i = 0
-    while (i < n) {
-      quant += math.floor(127.0 * x.getDouble(i) / maxAbs + 0.5)
-      i += 1
+    // all-zero vector: 127*x/maxAbs would be 0/0 = NaN per element;
+    // pin quant_sum to 0 (matches the oracle's explicit zero guard)
+    if (maxAbs > 0.0) {
+      i = 0
+      while (i < n) {
+        quant += math.floor(127.0 * x.getDouble(i) / maxAbs + 0.5)
+        i += 1
+      }
     }
     new GenericArrayData(Array(sumSq, maxAbs, quant))
   }
@@ -80,9 +84,11 @@ case class VecStats(child: Expression) extends UnaryExpression {
          |  final double $ab = java.lang.Math.abs($xi);
          |  if ($ab > $maxAbs) $maxAbs = $ab;
          |}
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $quant += java.lang.Math.floor(
-         |    127.0 * $x.getDouble($i) / $maxAbs + 0.5);
+         |if ($maxAbs > 0.0) {
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $quant += java.lang.Math.floor(
+         |      127.0 * $x.getDouble($i) / $maxAbs + 0.5);
+         |  }
          |}
          |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
          |  new double[] {$sumSq, $maxAbs, $quant});

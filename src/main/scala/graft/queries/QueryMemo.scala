@@ -47,9 +47,13 @@ object QueryMemo {
 
   private type Lru = java.util.LinkedHashMap[String, DataFrame]
 
-  /** Session → its own LRU. Weak session keys + the stopped-session
-    * sweep in [[apply]] mean a dead session's plans and pinned blocks
-    * are not held hostage until 128 other entries push them out. */
+  /** Session → its own LRU. NOTE the weak keys are inert here: each
+    * cached DataFrame strongly references its own SparkSession, so a
+    * map value keeps its key reachable (the value→key trap the
+    * WeakHashMap javadoc warns about) and GC alone never clears an
+    * entry. Dead-session cleanup is therefore the explicit
+    * [[sweepStopped]] pass, run on EVERY public entry point
+    * ([[apply]], [[invalidate]], [[size]]), not just on cache hits. */
   private val memo = new java.util.WeakHashMap[SparkSession, Lru]()
 
   /** Non-blocking: a dashboard thread mid-collect on an evicted frame
@@ -106,12 +110,14 @@ object QueryMemo {
   /** Drop this session's entries (unpersisting any pinned data) —
     * call when the underlying lakehouse dir is rewritten. */
   def invalidate(spark: SparkSession): Unit = memo.synchronized {
+    sweepStopped()
     val lru = memo.remove(spark)
     if (lru != null) lru.values().forEach(drop(_))
   }
 
   /** Entry count for this session (test/monitoring hook). */
   def size(spark: SparkSession): Int = memo.synchronized {
+    sweepStopped()
     val lru = memo.get(spark)
     if (lru == null) 0 else lru.size()
   }

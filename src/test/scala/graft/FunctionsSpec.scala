@@ -81,6 +81,33 @@ class FunctionsSpec extends SparkSpec {
       math.floor(127.0 * 3.0 / 4.0 + 0.5) + math.floor(-127.0 + 0.5)))
   }
 
+  test("vec_stats pins quant_sum=0 for the all-zero vector (no NaN)") {
+    graft.functions.GraftExtensions.register(spark)
+    // 127*x/max_abs would be 0/0=NaN per element; the guard emits 0,
+    // matching the oracle SQL's CASE WHEN max_abs > 0 guard
+    val r = spark.sql(
+      "SELECT vec_stats(array(0.0d, 0.0d, 0.0d)) AS st").head.getSeq[Double](0)
+    assert(r == Seq(0.0, 0.0, 0.0))
+    // interpreted eval path agrees with codegen
+    val zero = Seq(Tuple1(Seq(0.0, 0.0))).toDF("v")
+    val viaCol = zero.select(graft.functions.VecStats(col("v")))
+      .head.getSeq[Double](0)
+    assert(viaCol == Seq(0.0, 0.0, 0.0))
+  }
+
+  test("nearest centroid rejects a vector shorter than the codebook dim") {
+    val short = Seq(Tuple1(Seq(1.0))).toDF("v")
+    val cb = Seq(Seq(0.0, 1.0), Seq(1.0, 0.0))
+    val ex = intercept[Exception] {
+      short.select(graft.functions.NearestCentroid(col("v"), cb)).collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(ex).exists(_.getMessage != null) &&
+      causes(ex).exists(c => c.getMessage != null &&
+        c.getMessage.contains("codebook dimension")), ex.toString)
+  }
+
   test("rolling hash matches the reference computation and is stable") {
     // reference implementation in plain Scala over UTF-8 bytes
     def ref(s: String): Long =
