@@ -151,6 +151,12 @@ object ScaleUp {
       timed("decontam_bloom_const_eval", dst, 1)(
         graft.ext.Curation.decontaminateBloomWith(spark, dst,
           graft.ext.Curation.EvalModulus * copies))
+      // two-phase: bloom prefilter + exact confirm on flagged docs —
+      // exact output, expected to land between the bloom row above
+      // and the broadcast-join exact row (decontam_const_eval)
+      timed("decontam_two_phase_const_eval", dst, 1)(
+        graft.ext.Curation.decontaminateTwoPhaseWith(spark, dst,
+          graft.ext.Curation.EvalModulus * copies))
       // the fully-sketched composed pipeline: label artifact for split
       // + nd_keep, bloom bitmask for decontam — every corpus-sized
       // stage map-shaped or artifact-fed (compare
@@ -266,6 +272,22 @@ object ScaleUp {
         graft.ext.ProductQuant.adcOverCodes(
           spark.read.parquet(s"$dst/pq_codes_cells.parquet")
             .filter(col("cell") === qCell), dt2, qid2))
+      // residual IVF-PQ: codes mean residual-to-centroid offsets, but
+      // the table layout and ADC scan are byte-identical — this row
+      // exists to show the recall upgrade costs nothing at query time
+      val rcbs = graft.ext.ProductQuant.residualCodebooks(spark, src, coarse)
+      val t2 = System.nanoTime()
+      graft.ext.ProductQuant.encodeWithCellsResidual(spark, dst, coarse, rcbs)
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$dst/pq_codes_resid.parquet")
+      println(f"[scaleup] pq_encode_resid_build        $dst%-18s " +
+        f"${(System.nanoTime - t2) / 1e9}%8.2f s")
+      val (qid3, qCell3, dt3) =
+        graft.ext.ProductQuant.queryPrepResidual(spark, src, coarse, rcbs)
+      timed("sim_ivfpq_resid_partitioned", dst, 2)(
+        graft.ext.ProductQuant.adcOverCodes(
+          spark.read.parquet(s"$dst/pq_codes_resid.parquet")
+            .filter(col("cell") === qCell3), dt3, qid3))
       // per-row profile (fused VecStats loop) and the exact group
       // mean (posexplode + integer partial agg) — the two vector
       // kernels that read every element of every vector

@@ -177,8 +177,19 @@ object Curation {
   /** [[decontaminateBloom]] with an explicit eval modulus — same
     * constant-eval-set scaling knob as [[decontaminateWith]]. */
   def decontaminateBloomWith(spark: SparkSession, dir: String,
-      evalModulus: Long): DataFrame = {
-    val g = gramSets(Tables.documents(spark, dir))
+      evalModulus: Long): DataFrame =
+    bloomHitsPerDoc(gramSets(Tables.documents(spark, dir)), evalModulus)
+      .select(col("doc_id"), col("bloom_hits"),
+        (col("bloom_hits") > 0).as("flagged"))
+      .orderBy(col("doc_id"))
+
+  /** Shared Bloom probe core: per-train-doc count of grams whose
+    * [[BloomHashes]] bit positions all hit the eval bitmask. The eval
+    * side collapses to a 128 KB long[] literal on the driver; the
+    * corpus probe is join-free map work (3 codegen bit tests per
+    * gram). Used by [[decontaminateBloom]] (report the sketch counts)
+    * and [[decontaminateTwoPhase]] (prefilter before exact confirm). */
+  private def bloomHitsPerDoc(g: DataFrame, evalModulus: Long): DataFrame = {
     val evalPos = g.filter(col("doc_id") % evalModulus === 0)
       .select(explode(col("sh")).as("s")).distinct()
       .select(explode(array(
@@ -194,12 +205,54 @@ object Curation {
         .bitwiseAND(lit(1L)) === lit(1L)
     val hit = (0 until BloomHashes)
       .map(i => isSet(bloomPos(i, col("s")))).reduce(_ && _)
-    val train = g.filter(col("doc_id") % evalModulus =!= 0)
-    train.select(col("doc_id"), explode_outer(col("sh")).as("s"))
+    g.filter(col("doc_id") % evalModulus =!= 0)
+      .select(col("doc_id"), explode_outer(col("sh")).as("s"))
       .groupBy(col("doc_id"))
       .agg(sum(when(hit, 1L).otherwise(0L)).as("bloom_hits"))
-      .select(col("doc_id"), col("bloom_hits"),
-        (col("bloom_hits") > 0).as("flagged"))
+  }
+
+  /** Two-phase decontamination: Bloom prefilter + exact confirmation —
+    * EXACT output at near-sketch cost, the production default the
+    * one-sided sketch and the broadcast-join exact form bracket.
+    *
+    *  1. '''flag''' ([[bloomHitsPerDoc]]): the whole corpus is probed
+    *     with the join-free 128 KB bitmask — map work, one row per
+    *     doc out.
+    *  2. '''confirm''': ONLY docs with ≥1 bloom hit re-run the exact
+    *     broadcast-gram probe. Bloom error is one-sided (no false
+    *     negatives), so unflagged docs are provably clean — their
+    *     shared_evalgrams is exactly 0 without touching a gram; false
+    *     positives get their true count (possibly 0) from the exact
+    *     probe.
+    *
+    * Output is column-for-column identical to [[decontaminate]] (the
+    * registry checks it against the SAME exact oracle SQL). At scale
+    * the expensive broadcast-join probe runs over the contaminated
+    * fraction of the corpus (typically ≪1%) instead of all of it —
+    * the exact-join stage's input is bounded by the bloom flag rate. */
+  def decontaminateTwoPhase(spark: SparkSession, dir: String): DataFrame =
+    decontaminateTwoPhaseWith(spark, dir, EvalModulus)
+
+  /** [[decontaminateTwoPhase]] with the explicit eval-modulus knob. */
+  def decontaminateTwoPhaseWith(spark: SparkSession, dir: String,
+      evalModulus: Long): DataFrame = {
+    val g = gramSets(Tables.documents(spark, dir))
+    val candidates = bloomHitsPerDoc(g, evalModulus)
+      .filter(col("bloom_hits") > 0).select(col("doc_id"))
+    val evalGrams = broadcast(
+      g.filter(col("doc_id") % evalModulus === 0)
+        .select(explode(col("sh")).as("s"))
+        .distinct())
+    val hits = g.join(candidates, "doc_id")
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+      .join(evalGrams, "s")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n"))
+    g.filter(col("doc_id") % evalModulus =!= 0).select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n"), lit(0L)).as("shared_evalgrams"),
+        (coalesce(col("n"), lit(0L)) > 0).as("contaminated"))
       .orderBy(col("doc_id"))
   }
 
@@ -461,6 +514,11 @@ object Curation {
     // all BloomHashes positions (with multiplicity) join
     "decontam_bloom" ->
       s"""WITH g AS (SELECT doc_id, $gramSql AS sh FROM (SELECT doc_id, ${TextOps.toksSql} AS t FROM documents)), ev AS (SELECT DISTINCT unnest(sh) AS s FROM g WHERE doc_id % $EvalModulus = 0), bits AS (SELECT DISTINCT p FROM (SELECT unnest(${bloomPosListSql("s")}) AS p FROM ev)), tr AS (SELECT doc_id, unnest(sh) AS s FROM g WHERE doc_id % $EvalModulus <> 0), trp AS (SELECT doc_id, s, unnest(${bloomPosListSql("s")}) AS p FROM tr), hitg AS (SELECT doc_id, s FROM trp JOIN bits USING (p) GROUP BY doc_id, s HAVING COUNT(*) = $BloomHashes), per AS (SELECT doc_id, COUNT(*) AS n FROM hitg GROUP BY doc_id) SELECT d.doc_id, CAST(COALESCE(per.n, 0) AS BIGINT) AS bloom_hits, COALESCE(per.n, 0) > 0 AS flagged FROM (SELECT doc_id FROM g WHERE doc_id % $EvalModulus <> 0) d LEFT JOIN per USING (doc_id) ORDER BY doc_id""",
+    // two-phase = bloom prefilter + exact confirm; its CONTRACT is
+    // exactness, so the oracle is the exact probe's SQL verbatim —
+    // the gate itself proves two_phase == exact at every SF
+    "decontam_two_phase" ->
+      s"""WITH g AS (SELECT doc_id, $gramSql AS sh FROM (SELECT doc_id, ${TextOps.toksSql} AS t FROM documents)), ev AS (SELECT DISTINCT unnest(sh) AS s FROM g WHERE doc_id % $EvalModulus = 0), tr AS (SELECT doc_id, unnest(sh) AS s FROM g WHERE doc_id % $EvalModulus <> 0), hits AS (SELECT doc_id, COUNT(*) AS n FROM tr JOIN ev USING (s) GROUP BY doc_id) SELECT d.doc_id, CAST(COALESCE(h.n, 0) AS BIGINT) AS shared_evalgrams, COALESCE(h.n, 0) > 0 AS contaminated FROM (SELECT doc_id FROM documents WHERE doc_id % $EvalModulus <> 0) d LEFT JOIN hits h USING (doc_id) ORDER BY doc_id""",
     "text_boilerplate" ->
       s"""WITH g0 AS (SELECT doc_id, unnest($gramsPosSql) AS s FROM (SELECT doc_id, ${TextOps.toksSql} AS t FROM documents)), g AS (SELECT doc_id, ${gramFpSql("s")} AS fp FROM g0), occ AS (SELECT doc_id, fp, COUNT(*) AS occ FROM g GROUP BY doc_id, fp), w AS (SELECT doc_id, occ, COUNT(*) OVER (PARTITION BY fp) AS df FROM occ), per AS (SELECT doc_id, SUM(occ) AS n_grams, SUM(CASE WHEN df >= $BoilerMinDocs THEN occ ELSE 0 END) AS b FROM w GROUP BY doc_id) SELECT d.doc_id, d.source, CAST(COALESCE(p.n_grams, 0) AS BIGINT) AS n_grams, CAST(COALESCE(p.b, 0) AS BIGINT) AS boiler_grams, CASE WHEN COALESCE(p.n_grams, 0) = 0 THEN 0.0 ELSE CAST(p.b AS DOUBLE) / p.n_grams END AS boiler_frac, CASE WHEN COALESCE(p.n_grams, 0) = 0 THEN 0.0 ELSE CAST(p.b AS DOUBLE) / p.n_grams END >= $BoilerHeavyFrac AS boiler_heavy FROM documents d LEFT JOIN per p USING (doc_id) ORDER BY doc_id""",
     "text_pack_sequences" -> s"$packDetailSql ORDER BY source, pack_shard, doc_id, chunk_idx",
@@ -487,6 +545,7 @@ object Curation {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "decontam_eval_overlap" -> decontaminate _,
     "decontam_bloom" -> decontaminateBloom _,
+    "decontam_two_phase" -> decontaminateTwoPhase _,
     "text_boilerplate" -> boilerplate _,
     "text_chunk_pack" -> chunkPack _,
     "text_pack_sequences" -> packSequences _,

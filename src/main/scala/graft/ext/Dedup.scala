@@ -306,54 +306,111 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** Near-dup cluster resolution: connected components over the
-    * [[ngramJaccardPairs]] edge set via iterative min-label
-    * propagation (each round, every doc takes the minimum cluster id
-    * among itself and its neighbors; fixpoint = components labeled by
-    * their minimum doc_id). `keep` marks the canonical representative
-    * — the decision step that turns near-dup PAIRS into actual corpus
-    * dedup. Each iteration is one equi-join + groupBy (shuffle on
-    * doc_id) and `localCheckpoint` truncates the growing lineage;
-    * rounds needed = component diameter (near-dup clusters are
-    * shallow — bounded here at 20 with a loud failure, not a silent
-    * wrong answer). Docs in no pair are their own singleton cluster.
+  /** Large-star operation (Kiveris et al., "Connected Components in
+    * MapReduce and Beyond", SoCC 2014): for every node u, connect each
+    * strictly-LARGER neighbor to min(N(u) ∪ {u}). One groupBy + one
+    * join over the edge set; output stays canonical (u > v). */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val sym = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+    val mins = sym.groupBy(col("u")).agg(min(col("v")).as("mn"))
+      .select(col("u"), least(col("u"), col("mn")).as("m"))
+    sym.join(mins, Seq("u"))
+      .filter(col("v") > col("u"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .distinct()
+  }
+
+  /** Small-star operation: for every node u (over edges directed
+    * larger→smaller), connect each smaller neighbor AND u itself to
+    * min(N(u)) — the contraction step that flattens chains into
+    * stars. Input and output canonical (u > v). */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val mins = e.groupBy(col("u")).agg(min(col("v")).as("m"))
+    e.join(mins, Seq("u"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .unionByName(mins.select(col("u"), col("m").as("v")))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+  }
+
+  /** Connected components over an undirected (doc_a, doc_b) edge list
+    * via alternating large-star/small-star contraction — the bounded-
+    * round MapReduce CC algorithm (Kiveris et al., SoCC 2014), which
+    * converges in O(log² n) rounds worst-case and a small constant in
+    * practice, vs component-DIAMETER rounds for plain min-label
+    * propagation.
     *
-    * Note: like any driver-loop graph algorithm (GraphFrames-style),
-    * the fixpoint runs EAGERLY when this function is called and the
-    * returned frame is a checkpoint-truncated plan — plan-inspection
-    * tools (Explain, PlanLintSpec) see only the final scan, and the
-    * per-round join shapes are covered by this scaladoc + the
-    * DedupSpec invariants instead. */
-  def nearDupClusters(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir).select(col("doc_id"))
-    val edges = ngramJaccardPairs(spark, dir)
-      .select(col("doc_a"), col("doc_b"))
-    val sym = edges.unionByName(edges.select(col("doc_b").as("doc_a"),
-      col("doc_a").as("doc_b"))).localCheckpoint()
-    var labels = docs.select(col("doc_id"), col("doc_id").as("cluster_id"))
-      .localCheckpoint()
-    var converged = false
+    * Scale shape: every round touches ONLY the edge set (two
+    * groupBy+join passes over |E| skinny rows) — the corpus-sized doc
+    * table is never joined inside the loop, which is what makes this
+    * the 100-TB form (the previous label-propagation fixpoint shuffled
+    * a corpus-sized label table per round: 4.9 GB at 100× vs edge-set
+    * megabytes here). `localCheckpoint` truncates lineage per round.
+    *
+    * Termination is checked structurally, not probabilistically: the
+    * loop exits when a full (large, small) round leaves the edge set
+    * unchanged, the round count is bounded by 2·log₂|E|+4 with a loud
+    * failure, and the final edge set is ASSERTED to be a star forest
+    * (every satellite has exactly one center; no center is a
+    * satellite). Both operations preserve connectivity and only ever
+    * decrease endpoint ids, so the star centers are exactly the
+    * component minima.
+    *
+    * Returns (labels = (doc_id, cluster_id) for every node that
+    * appears in an edge, rounds executed). Runs EAGERLY when called
+    * (driver-coordinated loop, like any MapReduce-CC implementation);
+    * the returned frame is checkpoint-truncated. */
+  def connectedComponents(edges: DataFrame): (DataFrame, Int) = {
+    var e = edges.toDF("doc_a", "doc_b")
+      .select(greatest(col("doc_a"), col("doc_b")).as("u"),
+        least(col("doc_a"), col("doc_b")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct().localCheckpoint()
+    var count = e.count()
+    val bound = 2 * (64 - java.lang.Long.numberOfLeadingZeros(count max 1)) + 4
     var rounds = 0
+    var converged = count == 0
     while (!converged) {
-      require(rounds < 20, "component diameter exceeded propagation bound")
-      val neighborMin = sym.join(labels, sym("doc_a") === labels("doc_id"))
-        .groupBy(col("doc_b").as("doc_id"))
-        .agg(min(col("cluster_id")).as("nmin"))
-      // the moved flag rides on the same join, so each round is ONE
-      // join + one materialization (no second convergence join)
-      val next = labels.join(neighborMin, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id")))
-            .as("next_cid"),
-          (coalesce(col("nmin"), col("cluster_id")) < col("cluster_id"))
-            .as("moved"))
-        .localCheckpoint()
-      converged = next.filter(col("moved")).count() == 0
-      labels = next.select(col("doc_id"), col("next_cid").as("cluster_id"))
+      require(rounds < bound,
+        s"large-star/small-star did not converge in $bound rounds " +
+          s"($count edges) — not a star forest; investigate the edge set")
+      val next = smallStar(largeStar(e)).localCheckpoint()
+      val nextCount = next.count()
+      converged = nextCount == count && next.exceptAll(e).isEmpty
+      e = next
+      count = nextCount
       rounds += 1
     }
-    labels.select(col("doc_id"), col("cluster_id"),
-        (col("doc_id") === col("cluster_id")).as("keep"))
+    // structural star-forest check: satellites have exactly one center
+    // and no center is itself a satellite — with connectivity
+    // preservation this certifies center = component min
+    require(e.groupBy(col("u")).agg(countDistinct(col("v")).as("k"))
+      .filter(col("k") > 1).isEmpty,
+      "converged edge set has a satellite with two centers")
+    require(e.select(col("u")).intersect(e.select(col("v"))).isEmpty,
+      "converged edge set has a center that is also a satellite")
+    val labels = e.select(col("u").as("doc_id"), col("v").as("cluster_id"))
+      .unionByName(e.select(col("v").as("doc_id"), col("v").as("cluster_id")))
+      .distinct()
+    (labels, rounds)
+  }
+
+  /** Near-dup cluster resolution: connected components over the
+    * [[ngramJaccardPairs]] edge set via [[connectedComponents]]
+    * (bounded-round large-star/small-star); components are labeled by
+    * their minimum doc_id. `keep` marks the canonical representative —
+    * the decision step that turns near-dup PAIRS into actual corpus
+    * dedup. Docs in no pair are their own singleton cluster via ONE
+    * left join of the corpus against the (edge-node-sized) label set —
+    * the corpus is touched exactly once, outside the iteration. */
+  def nearDupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"))
+    val (labels, _) = connectedComponents(
+      ngramJaccardPairs(spark, dir).select(col("doc_a"), col("doc_b")))
+    docs.join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+      .withColumn("keep", col("doc_id") === col("cluster_id"))
       .orderBy(col("doc_id"))
   }
 

@@ -71,9 +71,14 @@ object KMeans {
     * min-vec_id init, argmin assignment with low-cid ties,
     * quantized-integer mean update, fixed rounds. */
   private[ext] def trainOn(spark: SparkSession, dir: String,
-      lo: Int, len: Int, k: Int): Seq[(Int, Seq[Double])] = {
-    val e = vecs(spark, dir)
-      .select(col("vec_id"), slice(col("v"), lo, len).as("v"))
+      lo: Int, len: Int, k: Int): Seq[(Int, Seq[Double])] =
+    trainFrame(vecs(spark, dir)
+      .select(col("vec_id"), slice(col("v"), lo, len).as("v")), k)
+
+  /** [[trainOn]] over an arbitrary (vec_id, v) frame — the entry point
+    * residual PQ uses to train sub-quantizers on residual slices
+    * instead of raw dimension slices. Same deterministic discipline. */
+  private[ext] def trainFrame(e: DataFrame, k: Int): Seq[(Int, Seq[Double])] = {
     var cents: Seq[(Int, Seq[Double])] =
       e.orderBy(col("vec_id")).limit(k)
         .select(col("vec_id"), col("v")).collect()

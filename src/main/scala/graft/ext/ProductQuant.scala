@@ -169,6 +169,97 @@ object ProductQuant {
       .limit(TopK)
   }
 
+  /** Literal K×64 coarse-centroid matrix for per-row centroid lookup
+    * by assigned cell (array-of-array literal; element_at is
+    * codegen'd). */
+  private def coarseLit(coarse: Seq[(Int, Seq[Double])]): Column =
+    array(coarse.map { case (_, cv) => array(cv.map(lit): _*) }: _*)
+
+  /** Residual of `v` w.r.t. its assigned coarse cell — one fused
+    * [[graft.functions.VecSub]] loop (codegen; `zip_with` would put an
+    * interpreted HOF seam in the corpus-sized encode). */
+  private def residualCol(coarse: Seq[(Int, Seq[Double])]): Column =
+    graft.functions.VecSub(col("v"),
+      element_at(coarseLit(coarse),
+        KMeans.assignOn(col("v"), coarse) + lit(1)))
+
+  /** Residual sub-quantizer codebooks — true FAISS `IVF,PQ`: each
+    * subspace trains on RESIDUALS to the coarse centroid instead of
+    * raw vector slices. Residual magnitudes are much smaller than raw
+    * coordinates (the coarse quantizer has already explained the
+    * cell-level structure), so the same Ks centroids resolve finer
+    * detail — this is where IVF-PQ's recall at high compression comes
+    * from (Jégou et al. §IV). Same deterministic trainer
+    * ([[KMeans.trainFrame]]), so the whole chain still replays in
+    * DuckDB. */
+  def residualCodebooks(spark: SparkSession, dir: String,
+      coarse: Seq[(Int, Seq[Double])]): Seq[Seq[(Int, Seq[Double])]] = {
+    val res = KMeans.vecs(spark, dir)
+      .select(col("vec_id"), residualCol(coarse).as("v"))
+    (0 until M).map(m => KMeans.trainFrame(
+      res.select(col("vec_id"),
+        slice(col("v"), m * SubDim + 1, SubDim).as("v")), Ks))
+  }
+
+  /** Residual encode with coarse cells — the production residual
+    * IVF-PQ table layout (write `partitionBy("cell")`). Map-only:
+    * coarse assign → fused residual subtract → M residual sub-assigns,
+    * all inside one codegen span. ADC scans of this table are
+    * byte-identical in shape to [[encodeWithCells]]' (same M small
+    * codes per row) — the residual step changes WHAT the codes mean,
+    * not what the scan reads. */
+  def encodeWithCellsResidual(spark: SparkSession, dir: String,
+      coarse: Seq[(Int, Seq[Double])],
+      rcbs: Seq[Seq[(Int, Seq[Double])]]): DataFrame =
+    KMeans.vecs(spark, dir)
+      .select(col("vec_id"), col("label"),
+        KMeans.assignOn(col("v"), coarse).as("cell"),
+        residualCol(coarse).as("rv"))
+      .select(col("vec_id") +: col("label") +: col("cell") +:
+        (0 until M).map(m => KMeans.assignOn(
+          slice(col("rv"), m * SubDim + 1, SubDim), rcbs(m))
+          .as(s"code$m")): _*)
+
+  /** Driver-side query prep for the residual layout: query id, coarse
+    * cell, and the ADC table built from the query's RESIDUAL to that
+    * cell's centroid (dt[m][j] = ‖(q − c_cell)_m − rc_{m,j}‖²). */
+  def queryPrepResidual(spark: SparkSession, dir: String,
+      coarse: Seq[(Int, Seq[Double])],
+      rcbs: Seq[Seq[(Int, Seq[Double])]]): (Long, Int, Seq[Seq[Double]]) = {
+    val qrow = KMeans.vecs(spark, dir).orderBy(col("vec_id")).limit(1)
+      .select(col("vec_id"), col("v")).head()
+    val qv = qrow.getSeq[Double](1)
+    val qCid = coarse.map { case (cid, cv) =>
+      (qv.zip(cv).foldLeft(0.0) { case (acc, (x, c)) =>
+        acc + (x - c) * (x - c) }, cid)
+    }.min._2
+    val qres = qv.zip(coarse(qCid)._2).map { case (x, c) => x - c }
+    (qrow.getLong(0), qCid, distTable(qres, rcbs))
+  }
+
+  /** Residual IVF-PQ top-k: prune to the query's coarse cell, ADC over
+    * residual codes with the query-residual distance table. Scan cost
+    * is IDENTICAL to [[ivfPqTopK]] (M lookups per row — the residual
+    * arithmetic happened at encode/query-prep time); the win is
+    * fidelity, asserted as recall ≥ the raw-quantizing form in
+    * ProductQuantSpec. */
+  def ivfPqResidualTopK(spark: SparkSession, dir: String): DataFrame = {
+    val coarse = KMeans.train(spark, dir)
+    val rcbs = residualCodebooks(spark, dir, coarse)
+    val (qid, qCid, dt) = queryPrepResidual(spark, dir, coarse, rcbs)
+    val rv = residualCol(coarse)
+    val adc = (0 until M).map { m =>
+      element_at(array(dt(m).map(lit): _*),
+        KMeans.assignOn(slice(rv, m * SubDim + 1, SubDim), rcbs(m)) + lit(1))
+    }.reduceLeft(_ + _)
+    KMeans.vecs(spark, dir)
+      .filter(KMeans.assignOn(col("v"), coarse) === qCid &&
+        col("vec_id") =!= qid)
+      .select(col("vec_id"), col("label"), adc.as("adc_dist"))
+      .orderBy(col("adc_dist"), col("vec_id"))
+      .limit(TopK)
+  }
+
   /** Multi-probe IVF-PQ top-k: ADC over the P nearest coarse cells
     * instead of one — the recall/latency knob (FAISS `nprobe`)
     * composed with the compressed-codes scan. Work scales with P/K of
@@ -235,7 +326,39 @@ object ProductQuant {
     (0 until M).map(m => s"(${KMeans.distSqlN(s"r.qv$m", s"g$m.cv", SubDim)})")
       .reduceLeft((a, b) => s"($a + $b)")
 
+  // Residual chain: rq = per-vector residual to the assigned coarse
+  // centroid (same c2/af coarse CTEs), re-quantized; each subspace
+  // trains on rq slices. qres = the query's residual to its probed
+  // cell, pre-sliced per subspace.
+  private val residCtes: String = {
+    val rq = "rq AS (SELECT q.vec_id, " +
+      "list_transform(range(1, 65), i -> q.v[i] - c.cv[i]) AS v, " +
+      "list_transform(range(1, 65), i -> CAST(floor((q.v[i] - c.cv[i]) * 1048576.0 + 0.5) AS BIGINT)) AS vi " +
+      "FROM q JOIN af USING (vec_id) JOIN c2 c ON af.cid = c.cid)"
+    val subs = (0 until M).map { m =>
+      s"rq_$m AS (SELECT vec_id, list_slice(v, ${lo(m)}, ${hi(m)}) AS v, " +
+        s"list_slice(vi, ${lo(m)}, ${hi(m)}) AS vi FROM rq), " +
+        KMeans.trainChain(s"rq_$m", s"_r$m", SubDim, Ks)
+    }.mkString(", ")
+    s"q AS (${KMeans.qSql}), ${KMeans.trainChain("q", "", 64, KMeans.K)}, $rq, $subs"
+  }
+
+  private val residQresCte =
+    s"""qres AS (SELECT r.qid, ${(0 until M).map(m =>
+      s"list_slice(list_transform(range(1, 65), i -> r.qv[i] - c.cv[i]), ${lo(m)}, ${hi(m)}) AS rv$m").mkString(", ")} FROM qrow r JOIN c2 c ON c.cid = (SELECT cid FROM qa))"""
+
+  private val residCodesJoin =
+    (0 until M).map(m => s"JOIN af_r$m USING (vec_id)").mkString(" ")
+  private val residCbJoins =
+    (0 until M).map(m => s"JOIN c2_r$m g$m ON g$m.cid = af_r$m.cid").mkString(" ")
+  private val residAdcSql =
+    (0 until M).map(m => s"(${KMeans.distSqlN(s"s.rv$m", s"g$m.cv", SubDim)})")
+      .reduceLeft((a, b) => s"($a + $b)")
+
   val oracle: Map[String, String] = Map(
+    "sim_ivfpq_residual_topk" ->
+      s"""WITH $residCtes, qrow AS (SELECT vec_id AS qid, v AS qv FROM q ORDER BY vec_id LIMIT 1), qa AS (SELECT cid FROM (SELECT c.cid, row_number() OVER (ORDER BY ${KMeans
+        .distSqlN("r.qv", "c.cv", 64)}, c.cid) AS rn FROM qrow r CROSS JOIN c2 c) WHERE rn = 1), $residQresCte SELECT vec_id, label, adc_dist FROM (SELECT q.vec_id, q.label, $residAdcSql AS adc_dist FROM q $residCodesJoin $residCbJoins JOIN af USING (vec_id) CROSS JOIN qres s CROSS JOIN qa WHERE af.cid = qa.cid AND q.vec_id <> s.qid) ORDER BY adc_dist, vec_id LIMIT $TopK""",
     "sim_pq_codes" ->
       s"""WITH $pqCtes SELECT q.vec_id, q.label, ${(0 until M)
         .map(m => s"CAST(af_$m.cid AS INTEGER) AS code$m").mkString(", ")} FROM q $codesJoin ORDER BY vec_id""",
@@ -259,6 +382,7 @@ object ProductQuant {
     "sim_pq_codes" -> pqCodes _,
     "sim_pq_topk" -> pqTopK _,
     "sim_ivfpq_topk" -> ivfPqTopK _,
+    "sim_ivfpq_residual_topk" -> ivfPqResidualTopK _,
     "sim_ivfpq_topk_p2" ->
       ((s: SparkSession, dir: String) => ivfPqTopKMultiProbe(s, dir))
   )

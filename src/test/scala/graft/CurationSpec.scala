@@ -94,6 +94,15 @@ class CurationSpec extends SparkSpec {
     info(s"bloom false-positive gram hits beyond exact: $fpGrams")
   }
 
+  test("two-phase decontamination equals the exact probe row-for-row") {
+    val exact = Curation.decontaminate(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    val twoPhase = Curation.decontaminateTwoPhase(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    assert(twoPhase == exact,
+      "bloom-prefiltered exact confirm must reproduce the exact output")
+  }
+
   test("pipeline assigns every document exactly one disposition") {
     val rows = Curation.curationPipeline(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getString(1))

@@ -85,6 +85,32 @@ class DedupSpec extends SparkSpec {
     assert(byCluster.size < clusters.size, "planted dups should merge")
   }
 
+  test("star-contraction CC: log-bounded rounds on a path graph") {
+    val ss = SparkSpec.spark
+    import ss.implicits._
+    // a 64-node path is the adversarial case for min-label propagation
+    // (needs diameter=63 rounds); star contraction must do it in
+    // O(log n) — plus a disjoint triangle and an isolated pair
+    val path = (0L until 63L).map(i => (i, i + 1))
+    val extra = Seq((100L, 101L), (101L, 102L), (100L, 102L), (200L, 201L))
+    val (labels, rounds) =
+      Dedup.connectedComponents((path ++ extra).toDF("doc_a", "doc_b"))
+    assert(rounds <= 8, s"path graph took $rounds rounds (not log-bounded)")
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L to 63L).forall(got(_) == 0L), "path must collapse to min id")
+    assert(Seq(100L, 101L, 102L).forall(got(_) == 100L))
+    assert(got(200L) == 200L && got(201L) == 200L)
+    assert(got.size == 64 + 3 + 2, "exactly the edge-touched nodes labeled")
+  }
+
+  test("star-contraction CC: corpus edge set converges in few rounds") {
+    val edges = Dedup.ngramJaccardPairs(spark, sf)
+      .select(col("doc_a"), col("doc_b"))
+    val (_, rounds) = Dedup.connectedComponents(edges)
+    assert(rounds <= 6,
+      s"near-dup graph took $rounds rounds — clusters should be shallow")
+  }
+
   test("md5 simhash: near-dup pair shares bands; identical texts agree") {
     val md5Sigs = Dedup.simhashSignaturesMd5(spark, sf)
     // bands are 16-bit values

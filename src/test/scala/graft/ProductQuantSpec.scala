@@ -124,6 +124,47 @@ class ProductQuantSpec extends SparkSpec {
       "multi-probe candidates extend the single-probe cell")
   }
 
+  test("residual IVF-PQ: recall >= raw IVF-PQ at equal M/Ks; same scan shape") {
+    val vs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    val qv = vs.head._2
+    def d2(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).foldLeft(0.0) { case (acc, (x, c)) => acc + (x - c) * (x - c) }
+    val exact = vs.tail.map { case (id, v) => (d2(v, qv), id) }
+      .sortBy(identity).take(ProductQuant.TopK).map(_._2).toSet
+    val raw = ProductQuant.ivfPqTopK(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    val resid = ProductQuant.ivfPqResidualTopK(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    val rawRecall = (raw intersect exact).size
+    val residRecall = (resid intersect exact).size
+    info(s"recall@${ProductQuant.TopK}: raw=$rawRecall residual=$residRecall")
+    assert(residRecall >= rawRecall,
+      s"residual encoding must not lose recall: $residRecall < $rawRecall")
+  }
+
+  test("residual codes table: ADC equals the live residual IVF-PQ and prunes") {
+    val coarse = KMeans.train(spark, sf)
+    val rcbs = ProductQuant.residualCodebooks(spark, sf, coarse)
+    val dir = java.nio.file.Files.createTempDirectory("pq_resid").toString
+    ProductQuant.encodeWithCellsResidual(spark, sf, coarse, rcbs)
+      .write.mode("overwrite").partitionBy("cell").parquet(dir)
+    val (qid, qCell, dt) =
+      ProductQuant.queryPrepResidual(spark, sf, coarse, rcbs)
+    val pruned = ProductQuant.adcOverCodes(
+      spark.read.parquet(dir).filter(col("cell") === qCell), dt, qid)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"),
+      s"expected partition pruning in:\n$plan")
+    val live = ProductQuant.ivfPqResidualTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(2)))
+    val got = pruned.collect().map(r => (r.getLong(0), r.getDouble(2)))
+    assert(got.toSeq == live.toSeq)
+  }
+
   test("ADC over codes plans one exchange only (the final top-k gather)") {
     val cbs = ProductQuant.codebooks(spark, sf)
     val dir = java.nio.file.Files.createTempDirectory("pq_plan").toString
