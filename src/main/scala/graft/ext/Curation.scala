@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.pipeline.GoldLayout
 
 /** Corpus curation steps that sit between cleaning/dedup ([[Dedup]],
   * [[TextOps]]) and dataset assembly ([[Sampling]]): eval-set
@@ -53,8 +54,17 @@ object Curation {
     * constant (ScaleUp passes modulus·copies) — otherwise the 100×
     * ratio overstates the production broadcast cost. */
   def decontaminateWith(spark: SparkSession, dir: String,
-      evalModulus: Long): DataFrame = {
-    val g = gramSets(Tables.documents(spark, dir))
+      evalModulus: Long): DataFrame =
+    decontaminateOn(Tables.documents(spark, dir), evalModulus)
+      .orderBy(col("doc_id"))
+
+  /** [[decontaminateWith]] over an explicit documents frame,
+    * unordered — every stage (gram explode, broadcast probe, hit
+    * count, hit join) preserves the input's doc_id partitioning, so
+    * fed from the doc_id-bucketed gold scan the whole probe plans
+    * with zero exchange. */
+  def decontaminateOn(docs: DataFrame, evalModulus: Long): DataFrame = {
+    val g = gramSets(docs)
     val evalGrams = broadcast(
       g.filter(col("doc_id") % evalModulus === 0)
         .select(explode(col("sh")).as("s"))
@@ -71,7 +81,6 @@ object Curation {
       .select(col("doc_id"),
         coalesce(col("n"), lit(0L)).as("shared_evalgrams"),
         (coalesce(col("n"), lit(0L)) > 0).as("contaminated"))
-      .orderBy(col("doc_id"))
   }
 
   /** A gram is boilerplate when it appears in at least this many
@@ -178,10 +187,17 @@ object Curation {
     * constant-eval-set scaling knob as [[decontaminateWith]]. */
   def decontaminateBloomWith(spark: SparkSession, dir: String,
       evalModulus: Long): DataFrame =
-    bloomHitsPerDoc(gramSets(Tables.documents(spark, dir)), evalModulus)
+    decontaminateBloomOn(Tables.documents(spark, dir), evalModulus)
+      .orderBy(col("doc_id"))
+
+  /** [[decontaminateBloomWith]] over an explicit documents frame,
+    * unordered — the join-free bitmask probe is pure map work plus a
+    * doc_id groupBy, so fed from the doc_id-bucketed gold scan it
+    * plans with zero exchange. */
+  def decontaminateBloomOn(docs: DataFrame, evalModulus: Long): DataFrame =
+    bloomHitsPerDoc(gramSets(docs), evalModulus)
       .select(col("doc_id"), col("bloom_hits"),
         (col("bloom_hits") > 0).as("flagged"))
-      .orderBy(col("doc_id"))
 
   /** Shared Bloom probe core: per-train-doc count of grams whose
     * [[BloomHashes]] bit positions all hit the eval bitmask. The eval
@@ -361,7 +377,7 @@ object Curation {
     * one exchange each; every stage's own scale shape is documented
     * and lint-checked at its definition. */
   def curationPipeline(spark: SparkSession, dir: String): DataFrame =
-    pipelineWith(spark, dir,
+    pipelineWith(Tables.documents(spark, dir),
       Sampling.trainTestSplitCore(spark, dir),
       Dedup.nearDupClusters(spark, dir)
         .select(col("doc_id"), col("keep").as("nd_keep")))
@@ -376,9 +392,14 @@ object Curation {
     // the label artifact carries BOTH steady-state products of the
     // CC fixpoint: the split AND the cluster id (keep = doc_id ==
     // cluster_id, the component minimum keeps) — so the artifact-fed
-    // pipeline runs NO near-dup pair join and no fixpoint at all
+    // pipeline runs NO near-dup pair join and no fixpoint at all.
+    // The corpus is read through its doc_id-bucketed gold layout:
+    // labels and corpus share key and bucket count, so every doc_id
+    // join in the pipeline is co-located — the only doc_id exchange
+    // left is corpusFilter's return leg from its content-fingerprint
+    // window (asserted in CurationSpec).
     val labels = Sampling.trainTestSplitFrom(spark, labelsDir)
-    pipelineWith(spark, dir,
+    pipelineWith(GoldLayout.documentsBucketed(spark, dir),
       labels.select(col("doc_id"), col("split")),
       labels.select(col("doc_id"),
         (col("doc_id") === col("cluster_id")).as("nd_keep")))
@@ -396,25 +417,26 @@ object Curation {
   def curationPipelineSketch(spark: SparkSession, dir: String,
       labelsDir: String): DataFrame = {
     val labels = Sampling.trainTestSplitFrom(spark, labelsDir)
-    pipelineWith(spark, dir,
+    val docs = GoldLayout.documentsBucketed(spark, dir)
+    pipelineWith(docs,
       labels.select(col("doc_id"), col("split")),
       labels.select(col("doc_id"),
         (col("doc_id") === col("cluster_id")).as("nd_keep")),
-      decontaminateBloom(spark, dir)
+      decontaminateBloomOn(docs, EvalModulus)
         .select(col("doc_id"), col("flagged").as("contaminated")))
   }
 
-  private def pipelineWith(spark: SparkSession, dir: String,
+  private def pipelineWith(docs: DataFrame,
       split: DataFrame, clus: DataFrame,
       decOverride: DataFrame = null): DataFrame = {
-    val flt = TextOps.corpusFilter(spark, dir)
+    val flt = TextOps.corpusFilterOn(docs)
       .select(col("doc_id"), col("reason"))
     val dec = Option(decOverride).getOrElse(
-      decontaminate(spark, dir)
+      decontaminateOn(docs, EvalModulus)
         .select(col("doc_id"), col("contaminated")))
     val spl = split
       .select(col("doc_id"), col("split"))
-    val smp = Sampling.withMixColumns(Tables.documents(spark, dir))
+    val smp = Sampling.withMixColumns(docs)
       .select(col("doc_id"), col("mix_bucket"), col("mix_threshold"))
     flt.join(clus, "doc_id")
       .join(dec, Seq("doc_id"), "left")

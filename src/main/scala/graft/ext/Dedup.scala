@@ -434,7 +434,13 @@ object Dedup {
     * can replay the split; [[incrementalAgainstIndex]] is the same
     * logic against a persisted index, asserted equal in DedupSpec. */
   def incrementalNearDups(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir)
+    // gold and fresh both slice the doc_id-bucketed gold corpus
+    // (build-once per source fingerprint): the fresh side's
+    // doc_id-keyed survivor join and final verdict join then need no
+    // exchange on the corpus-derived side — shingling/fingerprinting
+    // are map work, so the bucketed scan's partitioning survives to
+    // the join
+    val d = graft.pipeline.GoldLayout.documentsBucketed(spark, dir)
     val cutoff = d.agg(floor(max(col("doc_id")) * 0.8).cast("long"))
       .head().getLong(0)
     incrementalSplit(d.filter(col("doc_id") <= cutoff),

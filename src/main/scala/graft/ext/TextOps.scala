@@ -143,8 +143,14 @@ object TextOps {
     * and quality-score gates, with the first failing rule recorded as
     * the drop reason. One window pass (dedup rank over the content
     * hash) + per-row expressions — no joins, scales linearly. */
-  def corpusFilter(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir)
+  def corpusFilter(spark: SparkSession, dir: String): DataFrame =
+    corpusFilterOn(Tables.documents(spark, dir)).orderBy(col("doc_id"))
+
+  /** [[corpusFilter]] over an explicit documents frame, unordered —
+    * the form pipelines compose (the artifact-fed curation tiers pass
+    * the doc_id-bucketed gold scan here, so the downstream doc_id
+    * join needs no exchange on the other side). */
+  def corpusFilterOn(d: DataFrame): DataFrame = {
     val toks = tokens(col("text"))
     val nTok = size(toks)
     val nChar = length(col("text"))
@@ -163,7 +169,6 @@ object TextOps {
     d.select(col("doc_id"), col("source"), nTok.as("token_count"),
         reason.as("reason"))
       .withColumn("keep", col("reason") === "keep")
-      .orderBy(col("doc_id"))
   }
 
   /** Per-source yield report over [[corpusFilter]]: docs in, docs

@@ -110,6 +110,20 @@ object GoldLayout {
       name
     }
 
+  /** The documents corpus served through its doc_id-bucketed gold
+    * layout — the read path every doc_id-keyed steady-state join
+    * should take. Build-once per source fingerprint (the first call
+    * pays one corpus rewrite — part of the corpus build, amortized
+    * exactly like [[graft.ext.Sampling.writeSplitLabels]]); after
+    * that, any join or groupBy on doc_id over frames derived from
+    * this scan plans with NO Exchange on this side, because the scan
+    * reports hash partitioning on doc_id. The label artifact is
+    * bucketed with the same key and bucket count, so label⋈corpus
+    * joins are fully co-located — on a 1000-executor cluster each
+    * bucket pair is an independent local task with zero network. */
+  def documentsBucketed(spark: SparkSession, dir: String): DataFrame =
+    spark.table(ensureBucketedTable(spark, dir, "documents", "doc_id"))
+
   /** The shipped default layout: lineitem + orders co-bucketed on the
     * order key (q8's fact-fact pair). */
   def ensureBucketed(spark: SparkSession, dir: String,

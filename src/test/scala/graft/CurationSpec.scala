@@ -175,6 +175,36 @@ class CurationSpec extends SparkSpec {
     assert(fed == live)
   }
 
+  test("artifact-fed pipeline: bucketed corpus leaves one doc_id exchange") {
+    // broadcast + AQE off = the 100-TB sort-merge regime. The corpus
+    // and the label artifact are co-bucketed on doc_id, so of the
+    // pipeline's five doc_id-keyed joins plus the decontam groupBy,
+    // the ONLY hash exchange on doc_id allowed is corpusFilter's
+    // return leg from its content-fingerprint window (that reshuffle
+    // is information-theoretically required: the dup rank is keyed by
+    // content, not doc_id). Everything else must ride the bucketing.
+    val out = java.nio.file.Files.createTempDirectory("graft_labels").toString
+    ext.Sampling.writeSplitLabels(spark, sf, out)
+    val saved = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.enabled").map(k => k -> spark.conf.get(k))
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      for (df <- Seq(Curation.curationPipelineFrom(spark, sf, out),
+          Curation.curationPipelineSketch(spark, sf, out))) {
+        val exchanges = df.queryExecution.executedPlan.collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+            if e.outputPartitioning.isInstanceOf[
+              org.apache.spark.sql.catalyst.plans.physical.HashPartitioning]
+              && e.outputPartitioning.toString.contains("doc_id") => e
+        }
+        assert(exchanges.size == 1,
+          s"expected exactly one doc_id hash exchange, got " +
+            s"${exchanges.size}:\n${df.queryExecution.executedPlan}")
+      }
+    } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("sketch pipeline equals the exact pipeline when bloom has no FPs") {
     val out = java.nio.file.Files.createTempDirectory("graft_labels").toString
     ext.Sampling.writeSplitLabels(spark, sf, out)
