@@ -6,6 +6,11 @@ import org.apache.spark.sql.functions._
 /** Benchmark main (driver contract): runs the headline queries — the
   * reference's own q1–q8 workload plus the dashboard query surface
   * (BASELINE.md) — in one shared session and prints ONE JSON line.
+  * The line carries two tiers: `queries` (fresh-plan latency, the
+  * gated cross-round comparison) and `serving` (QueryMemo plan-reuse
+  * and pinned latencies, the steady-state dashboard case — recorded
+  * after the gated loop so it cannot perturb the verdict; the gate
+  * ignores it by design).
   *
   * A warm-up pass runs every headline query once untimed first: the
   * reference baseline numbers are steady-state MySQL timings, so the
@@ -216,6 +221,38 @@ object Bench {
           f"ovh $calibOvh%.3f/$calibOvhPost%.3f), " +
           (if (attempt < MaxAttempts) "retrying" else "giving up"))
     }
+    // Serving tier (recorded AFTER the fresh-tier attempt loop and its
+    // post-calibrations, so it cannot perturb the gated verdict): the
+    // steady-state dashboard latencies QueryMemo provides. Two levels,
+    // each primed untimed then min-of-3 timed collects on the SAME
+    // DataFrame instance:
+    //  - memo: plan reuse — Catalyst runs once at prime time, repeat
+    //    collects skip analyze/optimize/codegen but re-execute;
+    //  - pinned: plan reuse + persist() — repeat collects serve from
+    //    the block manager, skipping execution too (the full
+    //    @st.cache_data analog, QueryMemo scaladoc).
+    // The fresh tier above deliberately re-plans every collect (the
+    // cold-cache case the regression gate compares across rounds);
+    // this tier is the serving claim as a recorded, same-session
+    // artifact next to it. Guarded like the fresh loop.
+    def servedMin(df: org.apache.spark.sql.DataFrame): Double = {
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        try df.collect() catch { case _: Throwable => () }
+        (System.nanoTime() - t0) / 1e9
+      }
+      once() // prime: plan (and for pinned, materialize blocks)
+      Seq(once(), once(), once()).min
+    }
+    val memoTier = qs.map { n =>
+      n -> servedMin(queries.QueryMemo.of(spark, n, sfDir))
+    }
+    val pinTier = qs.map { n =>
+      n -> servedMin(queries.QueryMemo.pinned(spark, s"bench:$n@$sfDir")(
+        SparkEntry.queries(n)(spark, sfDir)))
+    }
+    def tierJson(t: Seq[(String, Double)]): String =
+      t.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val qjson = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
@@ -233,7 +270,7 @@ object Bench {
     val regressions = softRegressions(results, total, calib, calibPost,
       calibOvh, calibOvhPost, sfDir, cpus)
     val regJson = regressions.mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"sf":"$sfDir","cpus":$cpus,"calib":$calib,"calib_post":$calibPost,"calib_ovh":$calibOvh,"calib_ovh_post":$calibOvhPost,"attempts":$attempt,"regressions":$regJson,"note":"$note"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"serving":{"memo":${tierJson(memoTier)},"pinned":${tierJson(pinTier)}},"sf":"$sfDir","cpus":$cpus,"calib":$calib,"calib_post":$calibPost,"calib_ovh":$calibOvh,"calib_ovh_post":$calibOvhPost,"attempts":$attempt,"regressions":$regJson,"note":"$note"}""")
     spark.stop()
   }
 

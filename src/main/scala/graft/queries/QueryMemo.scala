@@ -30,10 +30,13 @@ import org.apache.spark.storage.StorageLevel
   * stopped session's entries are swept on the next access instead of
   * lingering, and one session's filter churn cannot evict another
   * session's pins. Eviction unpersists non-blocking: a thread
-  * mid-collect on an evicted frame completes rather than stalling. The BENCH
-  * harness deliberately does NOT use this layer — it measures
-  * fresh-plan latency by design (Bench.scala pins table data but
-  * re-plans every query, the cold-cache serving case).
+  * mid-collect on an evicted frame completes rather than stalling.
+  * The BENCH fresh tier deliberately does NOT use this layer — it
+  * measures fresh-plan latency by design (the cold-cache case the
+  * regression gate compares across rounds); since round 9 Bench ALSO
+  * records a separate `serving` section (memo + pinned per headline
+  * query, after the gated loop) so the steady-state claim is a
+  * recorded artifact rather than probe prose.
   *
   * Reference: C6 dashboard surface, `/root/reference/dashboard/app.py:36`.
   */
