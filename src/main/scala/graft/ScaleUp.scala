@@ -75,6 +75,18 @@ object ScaleUp {
     SparkEntry.queries("q6_revenue_per_region_year")(spark, src).collect()
     SparkEntry.queries("q6_revenue_per_region_year")(spark, dst).collect()
 
+    // doc_id-bucketed gold corpus: built BEFORE any timed row, because
+    // several steady-state consumers read it (dedup_incremental, the
+    // artifact/sketch curation tiers) and the first one to run would
+    // otherwise absorb the one-time corpus rewrite into its timing
+    for (d <- Seq(src, dst)) {
+      val tb = System.nanoTime()
+      graft.pipeline.GoldLayout.ensureBucketedTable(
+        spark, d, "documents", "doc_id")
+      println(f"[scaleup] gold_docs_bucket_build       $d%-18s " +
+        f"${(System.nanoTime - tb) / 1e9}%8.2f s")
+    }
+
     def timed(n: String, dir: String, reps: Int)(
         body: => org.apache.spark.sql.DataFrame): Unit =
       (1 to reps).foreach { _ =>
@@ -170,15 +182,6 @@ object ScaleUp {
         println(f"[scaleup] split_labels_build            $dst%-18s " +
           f"${(System.nanoTime - tl) / 1e9}%8.2f s  (for bloom sketch)")
       }
-      // the sketch tier reads the corpus through its doc_id-bucketed
-      // gold layout; build it here (build-once, ~0 s when the curation
-      // tier already did) so the steady-state row isn't charged the
-      // one-time corpus rewrite
-      val tbk = System.nanoTime()
-      graft.pipeline.GoldLayout.ensureBucketedTable(
-        spark, dst, "documents", "doc_id")
-      println(f"[scaleup] gold_docs_bucket_build         $dst%-18s " +
-        f"${(System.nanoTime - tbk) / 1e9}%8.2f s")
       timed("curation_pipeline_sketch", dst, 2)(
         graft.ext.Curation.curationPipelineSketch(spark, dst,
           s"$dst/curated"))
@@ -195,11 +198,6 @@ object ScaleUp {
       graft.ext.Sampling.writeSplitLabels(spark, dst, labelsDir)
       println(f"[scaleup] split_labels_build            $dst%-18s " +
         f"${(System.nanoTime - t0) / 1e9}%8.2f s")
-      val tbd = System.nanoTime()
-      graft.pipeline.GoldLayout.ensureBucketedTable(
-        spark, dst, "documents", "doc_id")
-      println(f"[scaleup] gold_docs_bucket_build         $dst%-18s " +
-        f"${(System.nanoTime - tbd) / 1e9}%8.2f s")
       timed("curation_pipeline_artifact", dst, 2)(
         graft.ext.Curation.curationPipelineFrom(spark, dst, labelsDir))
     }

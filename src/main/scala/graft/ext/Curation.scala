@@ -71,8 +71,15 @@ object Curation {
         .distinct())
     val train = g.filter(col("doc_id") % evalModulus =!= 0)
     // sh is array_distinct'd and evalGrams is distinct, so each
-    // (doc_id, s) match is unique: count(*) = distinct shared grams
-    val hits = train.select(col("doc_id"), explode(col("sh")).as("s"))
+    // (doc_id, s) match is unique: count(*) = distinct shared grams.
+    // explode_OUTER, deliberately: plain explode makes Catalyst infer
+    // a `size(sh) > 0` filter (InferFiltersFromGenerate) and push it
+    // below this projection — duplicating the whole tokenize+shingle
+    // expression into a Filter that re-evaluates it per document as
+    // interpreted HOFs (measured ~2× the probe's cost at 100×). The
+    // outer explode infers nothing; its null-gram rows are dropped by
+    // the inner join on s, so the hit counts are identical.
+    val hits = train.select(col("doc_id"), explode_outer(col("sh")).as("s"))
       .join(evalGrams, "s")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n"))
@@ -121,8 +128,14 @@ object Curation {
     val docs = Tables.documents(spark, dir)
     val gramFp = conv(substring(md5(col("s").cast("binary")), 1, 15),
       16, 10).cast("long")
+    // explode_outer (InferFiltersFromGenerate — see decontaminateOn):
+    // plain explode pushes an inferred size(grams) > 0 filter below
+    // the projection, re-evaluating the 8-gram expression per doc as
+    // an interpreted Filter. Null grams fingerprint to null and drop
+    // at the inner df join (null ≠ null); gramless docs were already
+    // served by the final left join.
     val grams = docs.select(col("doc_id"),
-        explode(TextOps.shinglesN(TextOps.tokens(col("text")), ShingleK))
+        explode_outer(TextOps.shinglesN(TextOps.tokens(col("text")), ShingleK))
           .as("s"))
       .select(col("doc_id"), gramFp.as("g"))
     val occ = grams.groupBy(col("doc_id"), col("g"))
@@ -199,20 +212,40 @@ object Curation {
       .select(col("doc_id"), col("bloom_hits"),
         (col("bloom_hits") > 0).as("flagged"))
 
-  /** Shared Bloom probe core: per-train-doc count of grams whose
-    * [[BloomHashes]] bit positions all hit the eval bitmask. The eval
-    * side collapses to a 128 KB long[] literal on the driver; the
-    * corpus probe is join-free map work (3 codegen bit tests per
-    * gram). Used by [[decontaminateBloom]] (report the sketch counts)
-    * and [[decontaminateTwoPhase]] (prefilter before exact confirm). */
-  private def bloomHitsPerDoc(g: DataFrame, evalModulus: Long): DataFrame = {
-    val evalPos = g.filter(col("doc_id") % evalModulus === 0)
+  /** Distinct eval-side gram strings, collected to the driver ONCE.
+    * The eval side is benchmark-sized by definition (same driver-side
+    * discipline as the bitmask positions — thousands of docs at any
+    * corpus scale, a few MB of grams), and collecting the strings
+    * lets every downstream eval artifact (the Bloom bitmask, the
+    * exact-confirm broadcast) derive from this ONE corpus scan —
+    * [[decontaminateTwoPhase]] previously ran a separate distributed
+    * eval extraction per artifact, each re-scanning the corpus text
+    * column. */
+  private def evalGramStrings(g: DataFrame, evalModulus: Long): Seq[String] =
+    g.filter(col("doc_id") % evalModulus === 0)
       .select(explode(col("sh")).as("s")).distinct()
+      .collect().map(_.getString(0)).toSeq
+
+  /** 128 KB long[] Bloom bitmask over eval grams. Positions are
+    * computed by the SAME [[bloomPos]] Column expressions the probe
+    * uses — just over a LOCAL relation of the collected strings — so
+    * driver and executor hashing can never diverge. */
+  private def bloomBitmask(spark: SparkSession,
+      evalGrams: Seq[String]): Array[Long] = {
+    import spark.implicits._
+    val evalPos = evalGrams.toDF("s")
       .select(explode(array(
         (0 until BloomHashes).map(i => bloomPos(i, col("s"))): _*)).as("p"))
       .distinct().collect().map(_.getLong(0))
     val words = new Array[Long](BloomBits / 64)
     evalPos.foreach(p => words((p >> 6).toInt) |= (1L << (p & 63).toInt))
+    words
+  }
+
+  /** Join-free corpus probe against a prebuilt bitmask: 3 codegen bit
+    * tests per gram, one output row per train doc. */
+  private def bloomProbe(g: DataFrame, evalModulus: Long,
+      words: Array[Long]): DataFrame = {
     val bits = lit(words)
     def isSet(p: Column): Column =
       call_function("shiftright",
@@ -226,6 +259,16 @@ object Curation {
       .groupBy(col("doc_id"))
       .agg(sum(when(hit, 1L).otherwise(0L)).as("bloom_hits"))
   }
+
+  /** Shared Bloom probe core: per-train-doc count of grams whose
+    * [[BloomHashes]] bit positions all hit the eval bitmask. The eval
+    * side collapses to a 128 KB long[] literal on the driver; the
+    * corpus probe is join-free map work. Used by [[decontaminateBloom]]
+    * (report the sketch counts) and [[decontaminateTwoPhase]]
+    * (prefilter before exact confirm). */
+  private def bloomHitsPerDoc(g: DataFrame, evalModulus: Long): DataFrame =
+    bloomProbe(g, evalModulus,
+      bloomBitmask(g.sparkSession, evalGramStrings(g, evalModulus)))
 
   /** Two-phase decontamination: Bloom prefilter + exact confirmation —
     * EXACT output at near-sketch cost, the production default the
@@ -252,19 +295,44 @@ object Curation {
   /** [[decontaminateTwoPhase]] with the explicit eval-modulus knob. */
   def decontaminateTwoPhaseWith(spark: SparkSession, dir: String,
       evalModulus: Long): DataFrame = {
-    val g = gramSets(Tables.documents(spark, dir))
-    val candidates = bloomHitsPerDoc(g, evalModulus)
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val g = gramSets(docs)
+    // ONE eval-side corpus scan feeds both eval artifacts: the Bloom
+    // bitmask for the flag pass and the exact-confirm broadcast (a
+    // LOCAL relation of the same collected strings — building it with
+    // a second distributed eval extraction re-scanned the corpus text
+    // column for ~3 s of pure waste at 100×)
+    val evalG = evalGramStrings(g, evalModulus)
+    val candidates = bloomProbe(g, evalModulus,
+        bloomBitmask(spark, evalG))
       .filter(col("bloom_hits") > 0).select(col("doc_id"))
-    val evalGrams = broadcast(
-      g.filter(col("doc_id") % evalModulus === 0)
-        .select(explode(col("sh")).as("s"))
-        .distinct())
-    val hits = g.join(candidates, "doc_id")
-      .select(col("doc_id"), explode(col("sh")).as("s"))
+    val evalGrams = broadcast(evalG.toDF("s"))
+    // Confirm-pass discipline — the whole point of two-phase is that
+    // this stage's cost tracks the FLAGGED fraction, not the corpus:
+    //  - broadcast LEFT-SEMI on the candidate ids (bounded by the
+    //    contamination rate, ≪1% in production; 8 bytes per id), not
+    //    a shuffle join: shuffling the gram frame to meet candidates
+    //    measured 1.2 GB / 21 s at 100× — slower than the exact probe
+    //    it was meant to undercut;
+    //  - the semi-join applies to the RAW documents scan, below gram
+    //    computation, so only flagged docs are re-tokenized: filtering
+    //    gramSets(docs) instead re-grammed all 500k docs and pushed
+    //    the composite to 29 s (worse than one-phase exact) even with
+    //    the broadcast in place. Tokenization IS the corpus-sized
+    //    cost here; the bloom pass must remain the only stage paying it.
+    val flagged = docs.join(broadcast(candidates), Seq("doc_id"), "leftsemi")
+    // explode_outer for the same InferFiltersFromGenerate reason as
+    // [[decontaminateOn]] — with plain explode the inferred
+    // size(sh) > 0 filter is pushed below the SEMI-JOIN onto the full
+    // corpus scan, re-tokenizing all 500k docs (measured 13.6 s of
+    // the confirm's cost at 100× for 306 flagged docs)
+    val hits = gramSets(flagged)
+      .select(col("doc_id"), explode_outer(col("sh")).as("s"))
       .join(evalGrams, "s")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n"))
-    g.filter(col("doc_id") % evalModulus =!= 0).select(col("doc_id"))
+    docs.filter(col("doc_id") % evalModulus =!= 0).select(col("doc_id"))
       .join(hits, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n"), lit(0L)).as("shared_evalgrams"),

@@ -99,7 +99,14 @@ object Dedup {
     * step if shingle frequency skews further. */
   private def sharedPairJaccard(t: DataFrame): DataFrame = {
     val sizes = t.select(col("doc_id"), size(col("sh")).as("n"))
-    val inv = t.select(col("doc_id"), explode(col("sh")).as("s"))
+    // explode_OUTER: plain explode makes InferFiltersFromGenerate push
+    // a size(sh) > 0 filter below the projection, duplicating the
+    // whole tokenize+shingle expression into a per-doc interpreted
+    // Filter — on BOTH sides of the self-join (Curation.decontaminateOn
+    // documents the measured cost). Null-shingle rows from the outer
+    // form never match the s-equi-join (null ≠ null in SQL), so the
+    // pair set is identical.
+    val inv = t.select(col("doc_id"), explode_outer(col("sh")).as("s"))
     inv.as("x").join(inv.as("y"),
         col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
@@ -136,7 +143,9 @@ object Dedup {
     * cross-checks the prefix theorem end to end. */
   def ngramJaccardPrefixPairs(spark: SparkSession, dir: String): DataFrame = {
     val t = docShingles(spark, dir)
-    val inv = t.select(col("doc_id"), explode(col("sh")).as("s"))
+    // explode_outer for the same InferFiltersFromGenerate reason as
+    // sharedPairJaccard; null rows drop at the freq/ranked inner joins
+    val inv = t.select(col("doc_id"), explode_outer(col("sh")).as("s"))
     val freq = inv.groupBy(col("s")).agg(count(lit(1)).as("df"))
     val ranked = inv.join(freq, Seq("s"))
       .withColumn("rk", row_number().over(

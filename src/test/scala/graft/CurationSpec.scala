@@ -101,6 +101,13 @@ class CurationSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
     assert(twoPhase == exact,
       "bloom-prefiltered exact confirm must reproduce the exact output")
+    // the confirm stage must BROADCAST the (contamination-bounded)
+    // candidate ids as a semi-join — shuffling the corpus gram arrays
+    // to meet them measured 1.2 GB / slower-than-exact at 100×
+    val plan = Curation.decontaminateTwoPhase(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"expected broadcast left-semi candidate filter in:\n$plan")
   }
 
   test("pipeline assigns every document exactly one disposition") {
