@@ -212,24 +212,48 @@ object Curation {
       .select(col("doc_id"), col("bloom_hits"),
         (col("bloom_hits") > 0).as("flagged"))
 
-  /** Distinct eval-side gram strings, collected to the driver ONCE.
-    * The eval side is benchmark-sized by definition (same driver-side
-    * discipline as the bitmask positions — thousands of docs at any
-    * corpus scale, a few MB of grams), and collecting the strings
-    * lets every downstream eval artifact (the Bloom bitmask, the
-    * exact-confirm broadcast) derive from this ONE corpus scan —
-    * [[decontaminateTwoPhase]] previously ran a separate distributed
-    * eval extraction per artifact, each re-scanning the corpus text
-    * column. */
+  /** Distinct eval-side gram strings, collected to the driver ONCE —
+    * for [[decontaminateTwoPhase]] ONLY, which genuinely needs the
+    * strings (the exact-confirm broadcast joins on them). The eval
+    * side is benchmark-sized by definition (thousands of docs at any
+    * corpus scale, a few MB of grams), so this collect is bounded by
+    * eval text volume; the pure-bloom path deliberately does NOT use
+    * it — see [[evalBloomPositions]], whose driver-side bound is a
+    * CONSTANT of the filter geometry instead. Collecting the strings
+    * once lets both two-phase eval artifacts (the Bloom bitmask and
+    * the exact-confirm broadcast) derive from ONE corpus scan. */
   private def evalGramStrings(g: DataFrame, evalModulus: Long): Seq[String] =
     g.filter(col("doc_id") % evalModulus === 0)
       .select(explode(col("sh")).as("s")).distinct()
       .collect().map(_.getString(0)).toSeq
 
-  /** 128 KB long[] Bloom bitmask over eval grams. Positions are
-    * computed by the SAME [[bloomPos]] Column expressions the probe
-    * uses — just over a LOCAL relation of the collected strings — so
-    * driver and executor hashing can never diverge. */
+  /** Distinct eval-side Bloom BIT POSITIONS, computed distributed and
+    * collected as longs — the pure-bloom eval artifact. Its driver
+    * bound is a constant of the geometry, not of the eval set: at
+    * most [[BloomBits]] = 2^20 distinct rows (~8 MB) can exist no
+    * matter how much eval text feeds it, which is what makes
+    * [[decontaminateBloom]] "the scale path when even the broadcast
+    * gram set is too big" — gram STRINGS (~60 B each, unbounded
+    * count) never land on the driver here. */
+  private def evalBloomPositions(g: DataFrame, evalModulus: Long): Array[Long] =
+    g.filter(col("doc_id") % evalModulus === 0)
+      .select(explode(col("sh")).as("s"))
+      .select(explode(array(
+        (0 until BloomHashes).map(i => bloomPos(i, col("s"))): _*)).as("p"))
+      .distinct().collect().map(_.getLong(0))
+
+  /** Pack distinct bit positions into the 128 KB long[] mask. */
+  private def bitmaskFromPositions(evalPos: Array[Long]): Array[Long] = {
+    val words = new Array[Long](BloomBits / 64)
+    evalPos.foreach(p => words((p >> 6).toInt) |= (1L << (p & 63).toInt))
+    words
+  }
+
+  /** 128 KB long[] Bloom bitmask over collected eval gram strings
+    * (two-phase path). Positions are computed by the SAME [[bloomPos]]
+    * Column expressions the probe uses — just over a LOCAL relation of
+    * the collected strings — so driver and executor hashing can never
+    * diverge. */
   private def bloomBitmask(spark: SparkSession,
       evalGrams: Seq[String]): Array[Long] = {
     import spark.implicits._
@@ -237,9 +261,7 @@ object Curation {
       .select(explode(array(
         (0 until BloomHashes).map(i => bloomPos(i, col("s"))): _*)).as("p"))
       .distinct().collect().map(_.getLong(0))
-    val words = new Array[Long](BloomBits / 64)
-    evalPos.foreach(p => words((p >> 6).toInt) |= (1L << (p & 63).toInt))
-    words
+    bitmaskFromPositions(evalPos)
   }
 
   /** Join-free corpus probe against a prebuilt bitmask: 3 codegen bit
@@ -268,7 +290,7 @@ object Curation {
     * (prefilter before exact confirm). */
   private def bloomHitsPerDoc(g: DataFrame, evalModulus: Long): DataFrame =
     bloomProbe(g, evalModulus,
-      bloomBitmask(g.sparkSession, evalGramStrings(g, evalModulus)))
+      bitmaskFromPositions(evalBloomPositions(g, evalModulus)))
 
   /** Two-phase decontamination: Bloom prefilter + exact confirmation —
     * EXACT output at near-sketch cost, the production default the

@@ -358,8 +358,12 @@ object Dedup {
     *
     * Termination is checked structurally, not probabilistically: the
     * loop exits when a full (large, small) round leaves the edge set
-    * unchanged, the round count is bounded by 2·log₂|E|+4 with a loud
-    * failure, and the final edge set is ASSERTED to be a star forest
+    * unchanged, the round count is bounded by the PROVEN worst case —
+    * O(log²|E|), concretely 2·⌈log₂|E|⌉²+8, overridable via
+    * `maxRounds` — with a loud failure (a tighter 2·log₂|E|+4 bound
+    * matched practice but could falsely abort a legitimately-slow
+    * adversarial edge set), and the final edge set is ASSERTED to be
+    * a star forest
     * (every satellite has exactly one center; no center is a
     * satellite). Both operations preserve connectivity and only ever
     * decrease endpoint ids, so the star centers are exactly the
@@ -369,14 +373,16 @@ object Dedup {
     * appears in an edge, rounds executed). Runs EAGERLY when called
     * (driver-coordinated loop, like any MapReduce-CC implementation);
     * the returned frame is checkpoint-truncated. */
-  def connectedComponents(edges: DataFrame): (DataFrame, Int) = {
+  def connectedComponents(edges: DataFrame,
+      maxRounds: Int = 0): (DataFrame, Int) = {
     var e = edges.toDF("doc_a", "doc_b")
       .select(greatest(col("doc_a"), col("doc_b")).as("u"),
         least(col("doc_a"), col("doc_b")).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct().localCheckpoint()
     var count = e.count()
-    val bound = 2 * (64 - java.lang.Long.numberOfLeadingZeros(count max 1)) + 4
+    val log2e = 64 - java.lang.Long.numberOfLeadingZeros(count max 1)
+    val bound = if (maxRounds > 0) maxRounds else 2 * log2e * log2e + 8
     var rounds = 0
     var converged = count == 0
     while (!converged) {

@@ -103,11 +103,20 @@ class CurationSpec extends SparkSpec {
       "bloom-prefiltered exact confirm must reproduce the exact output")
     // the confirm stage must BROADCAST the (contamination-bounded)
     // candidate ids as a semi-join — shuffling the corpus gram arrays
-    // to meet them measured 1.2 GB / slower-than-exact at 100×
-    val plan = Curation.decontaminateTwoPhase(spark, sf)
-      .queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
-      s"expected broadcast left-semi candidate filter in:\n$plan")
+    // to meet them measured 1.2 GB / slower-than-exact at 100×.
+    // Assert the join TYPE on the broadcast-hash node itself (the
+    // exact-confirm gram join is also a BroadcastHashJoin, so mere
+    // substring co-occurrence would pass even if the candidate
+    // semi-join regressed to a shuffle join).
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    import org.apache.spark.sql.catalyst.plans.LeftSemi
+    val executed = Curation.decontaminateTwoPhase(spark, sf)
+      .queryExecution.executedPlan
+    val semiBroadcasts = executed.collect {
+      case j: BroadcastHashJoinExec if j.joinType == LeftSemi => j
+    }
+    assert(semiBroadcasts.nonEmpty,
+      s"expected a BroadcastHashJoinExec with joinType=LeftSemi in:\n$executed")
   }
 
   test("pipeline assigns every document exactly one disposition") {
