@@ -234,15 +234,31 @@ object Bench {
     // The fresh tier above deliberately re-plans every collect (the
     // cold-cache case the regression gate compares across rounds);
     // this tier is the serving claim as a recorded, same-session
-    // artifact next to it. Guarded like the fresh loop.
-    def servedMin(df: org.apache.spark.sql.DataFrame): Double = {
-      def once(): Double = {
+    // artifact next to it. NOT silently guarded (round-9 verdict): the
+    // fresh tier's failures surface through the CORRECTNESS gate, but
+    // nothing cross-checks the serving tier — a broken QueryMemo path
+    // that swallowed its exception here would record a bogus
+    // near-zero latency and present as a ~25× serving win. A failure
+    // is recorded as a per-query entry in `serving.errs` (and the
+    // query is omitted from its tier), so breakage is visible in the
+    // artifact and diffable across rounds.
+    def servedMin(df: => org.apache.spark.sql.DataFrame): Either[String, Double] = {
+      def once(d: org.apache.spark.sql.DataFrame): Double = {
         val t0 = System.nanoTime()
-        try df.collect() catch { case _: Throwable => () }
+        d.collect()
         (System.nanoTime() - t0) / 1e9
       }
-      once() // prime: plan (and for pinned, materialize blocks)
-      Seq(once(), once(), once()).min
+      try {
+        val d = df
+        once(d) // prime: plan (and for pinned, materialize blocks)
+        Right(Seq(once(d), once(d), once(d)).min)
+      } catch {
+        case e: Throwable =>
+          val first = Option(e.getMessage).getOrElse("")
+            .linesIterator.toSeq.headOption.getOrElse("")
+          Left((e.getClass.getSimpleName + ": " + first).take(160)
+            .replaceAll("[\"\\\\\\p{Cntrl}]", " "))
+      }
     }
     val memoTier = qs.map { n =>
       n -> servedMin(queries.QueryMemo.of(spark, n, sfDir))
@@ -251,8 +267,13 @@ object Bench {
       n -> servedMin(queries.QueryMemo.pinned(spark, s"bench:$n@$sfDir")(
         SparkEntry.queries(n)(spark, sfDir)))
     }
-    def tierJson(t: Seq[(String, Double)]): String =
-      t.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    def tierJson(t: Seq[(String, Either[String, Double])]): String =
+      t.collect { case (k, Right(v)) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+    val servingErrs =
+      (memoTier.collect { case (k, Left(e)) => s""""memo:$k":"$e"""" } ++
+        pinTier.collect { case (k, Left(e)) => s""""pinned:$k":"$e"""" })
+        .mkString("{", ",", "}")
     val qjson = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
@@ -270,7 +291,7 @@ object Bench {
     val regressions = softRegressions(results, total, calib, calibPost,
       calibOvh, calibOvhPost, sfDir, cpus)
     val regJson = regressions.mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"serving":{"memo":${tierJson(memoTier)},"pinned":${tierJson(pinTier)}},"sf":"$sfDir","cpus":$cpus,"calib":$calib,"calib_post":$calibPost,"calib_ovh":$calibOvh,"calib_ovh_post":$calibOvhPost,"attempts":$attempt,"regressions":$regJson,"note":"$note"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"serving":{"memo":${tierJson(memoTier)},"pinned":${tierJson(pinTier)},"errs":$servingErrs},"sf":"$sfDir","cpus":$cpus,"calib":$calib,"calib_post":$calibPost,"calib_ovh":$calibOvh,"calib_ovh_post":$calibOvhPost,"attempts":$attempt,"regressions":$regJson,"note":"$note"}""")
     spark.stop()
   }
 

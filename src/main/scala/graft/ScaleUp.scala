@@ -225,12 +225,41 @@ object ScaleUp {
     if (on("dedup8")) {
       // the rest of the dedup ladder at 100×: exact-hash summary,
       // fingerprints (pure map), SimHash banded pairs, n-gram Jaccard
-      // inverted index — closing the unmeasured dedup rows
+      // inverted index — closing the unmeasured dedup rows. The
+      // prefix-filtered variant rides the same tier so the two
+      // candidate-generation shapes (full inverted index vs PPJoin
+      // prefix) are directly comparable as the CC edge feeder
+      // (round-9 verdict task 7).
       for (q <- Seq("dedup_exact_summary", "text_fingerprint",
-          "dedup_simhash", "dedup_ngram_jaccard",
+          "dedup_simhash", "dedup_ngram_jaccard", "dedup_ngram_prefix",
           "dedup_source_overlap")) {
         time(q, src, 1); time(q, dst, 1)
       }
+    }
+    if (on("merge")) {
+      // incremental label maintenance at 100×: gold = copies 0..98,
+      // batch = the last copy (one base-corpus-sized append). The
+      // gold-only label build is the one-time corpus cost the
+      // artifact amortizes; the MERGE row is the steady-state append
+      // cost and must track the batch, not the corpus — compare it
+      // against the full-rebuild row below.
+      val dDocs = Tables.documents(spark, dst)
+      val maxDoc = Tables.documents(spark, src)
+        .agg(max(col("doc_id"))).head().getLong(0) + 1
+      val batchCut = (copies - 1).toLong * maxDoc
+      val gold = dDocs.filter(col("doc_id") < batchCut)
+      val batch = dDocs.filter(col("doc_id") >= batchCut)
+      val tg = System.nanoTime()
+      val goldLabels = graft.ext.Sampling.splitFromClusters(
+        graft.ext.Dedup.nearDupClustersOn(gold)).localCheckpoint()
+      println(f"[scaleup] merge_gold_labels_build      $dst%-18s " +
+        f"${(System.nanoTime - tg) / 1e9}%8.2f s  " +
+        f"(one-time build over ${copies - 1} copies)")
+      timed("split_merge_batch_100x", dst, 1)(
+        graft.ext.Sampling.mergeBatchLabels(goldLabels, gold, batch))
+      timed("split_rebuild_full_100x", dst, 1)(
+        graft.ext.Sampling.splitFromClusters(
+          graft.ext.Dedup.nearDupClustersOn(dDocs)))
     }
     if (on("ann")) {
       // ANN tier at a corpus that actually stresses the scan: the base

@@ -101,7 +101,8 @@ object StreamScaleUp {
       f.delete(); ()
     }
     for (d <- Seq("ckpt_hourly", "ckpt_sessionize", "ckpt_dedup",
-        "dedup_index", "gold_docs"))
+        "dedup_index", "gold_docs", "ckpt_curation", "cur_index",
+        "cur_gold", "cur_disp"))
       rmrf(new java.io.File(s"$base/$d"))
 
     // ---- per-batch progress listener ----
@@ -128,11 +129,12 @@ object StreamScaleUp {
       }
     })
 
-    def rawEvents: DataFrame = spark.readStream
-      .schema(EventStreams.rawSchema)
-      .option("maxFilesPerTrigger", 1)
-      .parquet(eventsDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val onDiskTs = spark.read.parquet(eventsDir).schema("ts").dataType
+    def rawEvents: DataFrame = EventStreams.normalizeStreamTs(
+      spark.readStream
+        .schema(EventStreams.rawSchemaFor(onDiskTs))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(eventsDir))
 
     // ---- 1. watermarked windowed agg (low-cardinality state) ----
     locally {
@@ -166,6 +168,41 @@ object StreamScaleUp {
       val goldRows = spark.read.parquet(s"$base/gold_docs").count()
       println(f"[streamscale] dedup sink total " +
         f"${(System.nanoTime() - t0) / 1e9}%.1f s, gold rows $goldRows%d")
+      // compaction economics: the file count the micro-batch appends
+      // left behind, and what one full rebuild (= the compaction op)
+      // costs at this store size — the policy's threshold trades the
+      // rebuild against ~threshold appends of fragmentation
+      val frag = graft.ext.Dedup.indexFileCount(s"$base/dedup_index")
+      val t1 = System.nanoTime()
+      graft.ext.Dedup.rebuildIndex(spark, s"$base/gold_docs",
+        s"$base/dedup_index")
+      println(f"[streamscale] index compaction: $frag%d part files -> " +
+        f"${graft.ext.Dedup.indexFileCount(s"$base/dedup_index")}%d, " +
+        f"rebuild ${(System.nanoTime() - t1) / 1e9}%.1f s")
+    }
+
+    // ---- 4. streaming curation sink (full sketch pipeline per batch) ----
+    locally {
+      val docsSchema = spark.read.parquet(docsDir).schema
+      // the eval bitmask is built ONCE from the reference corpus — the
+      // 128 KB artifact every batch probes (eval docs in the copies
+      // carry shifted ids, so the base-corpus mask is the right state)
+      val bitmask = graft.ext.Curation.evalBitmask(spark, src)
+      val t0 = System.nanoTime()
+      val q = EventStreams.streamingCurationSink(
+        spark.readStream.schema(docsSchema)
+          .option("maxFilesPerTrigger", 1).parquet(docsDir),
+        bitmask, s"$base/cur_index", s"$base/cur_gold",
+        s"$base/cur_disp", s"$base/ckpt_curation")
+      q.stop()
+      val accepted = spark.read.parquet(s"$base/cur_gold").count()
+      val disp = spark.read.parquet(s"$base/cur_disp")
+      println(f"[streamscale] curation sink total " +
+        f"${(System.nanoTime() - t0) / 1e9}%.1f s, accepted $accepted%d " +
+        f"of ${disp.count()}%d dispositioned")
+      disp.groupBy(col("disposition")).count().orderBy(col("disposition"))
+        .collect().foreach(r =>
+          println(f"[streamscale]   ${r.getString(0)}%-16s ${r.getLong(1)}%9d"))
     }
 
     val rocksDirs = Option(new java.io.File(

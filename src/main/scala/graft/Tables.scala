@@ -34,19 +34,34 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark rejects by
-    * default. The session must be built with the nanos legacy flag
-    * ([[GraftSession.builder]] sets it) so the column surfaces as raw
-    * Long nanos; here it converts to microsecond TIMESTAMP_NTZ with
-    * integer floor-division — the same truncation DuckDB applies
-    * natively, so oracles agree. The flag is asserted, not set: a
+  /** `events.ts` normalizes to microsecond TIMESTAMP_NTZ regardless of
+    * how the generator wrote it — the column has shipped as both
+    * parquet TIMESTAMP(NANOS) (surfaced as raw Long nanos under the
+    * legacy flag [[GraftSession.builder]] sets; converted here with
+    * integer floor-division, the same ns→us truncation DuckDB applies
+    * natively) and plain TIMESTAMP(MICROS) (already NTZ micros — used
+    * as is). Branching on the ON-DISK type keeps every downstream
+    * query and oracle byte-identical across generator versions; an
+    * unrecognized type fails loudly rather than silently shifting
+    * event-time semantics. The nanos flag is asserted, not set: a
     * loader must not mutate session conf as a side effect. */
   def events(s: SparkSession, d: String): DataFrame = {
-    GraftSession.requireNanosFlag(s)
-    load(s, d, "events").withColumn("ts",
-      org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000"))
-        .cast("timestamp_ntz"))
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType => // TIMESTAMP(NANOS) read as raw Long nanos
+        GraftSession.requireNanosFlag(s)
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts div 1000"))
+            .cast("timestamp_ntz"))
+      case TimestampNTZType => raw
+      case TimestampType => // tz-adjusted micros; session tz is UTC
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast("timestamp_ntz"))
+      case t => throw new IllegalStateException(
+        s"events.ts has unsupported parquet type $t")
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

@@ -140,20 +140,34 @@ object Curation {
       .select(col("doc_id"), gramFp.as("g"))
     val occ = grams.groupBy(col("doc_id"), col("g"))
       .agg(count(lit(1)).as("occ"))
-    val df_ = occ.groupBy(col("g")).agg(count(lit(1)).as("df"))
-    val withDf = occ.join(df_, "g")
-    val per = withDf.groupBy(col("doc_id"))
-      .agg(sum(col("occ")).as("n_grams"),
-        sum(when(col("df") >= BoilerMinDocs, col("occ")).otherwise(0L))
-          .as("boiler_grams"))
-    val frac = when(coalesce(col("n_grams"), lit(0L)) === 0, lit(0.0))
+    // Singleton-gram prefilter (round-9 verdict): a df=1 gram can
+    // never reach BoilerMinDocs=2, and singletons dominate real gram
+    // frequency distributions — so the df side keeps ONLY multi-doc
+    // grams before the join back. Exactness is conservative by
+    // construction: dropped grams contribute 0 boiler positions
+    // either way, and the per-doc TOTAL moved out of the join
+    // entirely (n_grams = the gram-array length, computed map-only at
+    // the scan — the old formulation shuffled every (doc, gram) row a
+    // second time keyed by gram just to count totals it already had).
+    // The multi-doc gram table is typically tiny (boilerplate is the
+    // exception, not the rule), so AQE turns the occ⋈df2 join into a
+    // broadcast and the only corpus-sized shuffle left is the one
+    // inherent (doc_id, gram) combine; in the adversarial
+    // all-boilerplate corpus df2 is large and the join degrades to
+    // the OLD sort-merge shape, never worse.
+    val df2 = occ.groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= BoilerMinDocs)
+    val boilerPer = occ.join(df2, "g")
+      .groupBy(col("doc_id")).agg(sum(col("occ")).as("boiler_grams"))
+    val nGrams = docs.select(col("doc_id"), col("source"),
+      coalesce(size(TextOps.shinglesN(TextOps.tokens(col("text")), ShingleK))
+        .cast("long"), lit(0L)).as("n_grams"))
+    val frac = when(col("n_grams") === 0, lit(0.0))
       .otherwise(col("boiler_grams").cast("double") / col("n_grams"))
-    docs.select(col("doc_id"), col("source"))
-      .join(per, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("source"),
-        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
-        coalesce(col("boiler_grams"), lit(0L)).as("boiler_grams"),
-        frac.as("boiler_frac"),
+    nGrams.join(boilerPer, Seq("doc_id"), "left")
+      .withColumn("boiler_grams", coalesce(col("boiler_grams"), lit(0L)))
+      .select(col("doc_id"), col("source"), col("n_grams"),
+        col("boiler_grams"), frac.as("boiler_frac"),
         (frac >= BoilerHeavyFrac).as("boiler_heavy"))
       .orderBy(col("doc_id"))
   }
@@ -224,7 +238,14 @@ object Curation {
     * the exact-confirm broadcast) derive from ONE corpus scan. */
   private def evalGramStrings(g: DataFrame, evalModulus: Long): Seq[String] =
     g.filter(col("doc_id") % evalModulus === 0)
-      .select(explode(col("sh")).as("s")).distinct()
+      // explode_outer, not explode: plain explode lets Catalyst's
+      // InferFiltersFromGenerate duplicate the tokenize+shingle
+      // expression into an interpreted per-row size()>0 Filter on the
+      // eval scan (same fix as the corpus-side probes, measured 2× on
+      // the exact decontam path); the null row an empty array emits is
+      // dropped explicitly.
+      .select(explode_outer(col("sh")).as("s"))
+      .filter(col("s").isNotNull).distinct()
       .collect().map(_.getString(0)).toSeq
 
   /** Distinct eval-side Bloom BIT POSITIONS, computed distributed and
@@ -237,7 +258,12 @@ object Curation {
     * count) never land on the driver here. */
   private def evalBloomPositions(g: DataFrame, evalModulus: Long): Array[Long] =
     g.filter(col("doc_id") % evalModulus === 0)
-      .select(explode(col("sh")).as("s"))
+      // explode_outer + null-drop for the same InferFiltersFromGenerate
+      // reason as [[evalGramStrings]]; the inner explode is over a
+      // constant-arity array of already-computed hash positions, where
+      // the inferred filter costs nothing.
+      .select(explode_outer(col("sh")).as("s"))
+      .filter(col("s").isNotNull)
       .select(explode(array(
         (0 until BloomHashes).map(i => bloomPos(i, col("s"))): _*)).as("p"))
       .distinct().collect().map(_.getLong(0))
@@ -291,6 +317,86 @@ object Curation {
   private def bloomHitsPerDoc(g: DataFrame, evalModulus: Long): DataFrame =
     bloomProbe(g, evalModulus,
       bitmaskFromPositions(evalBloomPositions(g, evalModulus)))
+
+  /** The eval-side Bloom bitmask as a REUSABLE ARTIFACT: built once
+    * from a reference corpus dir (128 KB regardless of eval-set size),
+    * then any later frame — in particular each arriving micro-batch of
+    * the streaming curation tier — probes against it with
+    * [[bloomFlagsWith]] without ever touching the eval documents
+    * again. This is the decontamination state a streaming deployment
+    * ships to executors per batch. */
+  def evalBitmask(spark: SparkSession, dir: String): Array[Long] =
+    bitmaskFromPositions(evalBloomPositions(
+      gramSets(Tables.documents(spark, dir)), EvalModulus))
+
+  /** Join-free Bloom flags of an arbitrary documents frame against a
+    * prebuilt bitmask (the public probe the streaming tier scores each
+    * batch with; eval-modulus docs are excluded as always). */
+  def bloomFlagsWith(docs: DataFrame, words: Array[Long]): DataFrame =
+    bloomProbe(gramSets(docs), EvalModulus, words)
+      .select(col("doc_id"), col("bloom_hits"),
+        (col("bloom_hits") > 0).as("flagged"))
+
+  /** Split rule for docs ACCEPTED by the streaming tier: an accepted
+    * doc was `unique` at accept time, i.e. its own (singleton) cluster
+    * — so its split is the [[Sampling]] decile of its OWN id, which is
+    * exactly what the batch pipeline assigns to kept cluster
+    * representatives (cluster_id = min = own id). Deterministic and
+    * stateless, so a crash-replayed or repaired doc always lands in
+    * the same split. */
+  def streamSplit(id: Column): Column = {
+    val decile = Sampling.mixHash(id) % 10L
+    when(decile < 8, "train")
+      .when(decile === 8, "validation")
+      .otherwise("test")
+  }
+
+  /** One micro-batch through the streaming curation tier: every stage
+    * of the sketch pipeline re-expressed against ACCUMULATED state
+    * instead of the whole corpus —
+    *
+    *   - eval holdout, quality filter, mixture sampling: per-doc map
+    *     work, identical to the batch pipeline;
+    *   - exact-dup / near-dup: the batch's docs verdict against the
+    *     persisted gold dedup index ([[Dedup.incrementalAgainstIndex]]
+    *     — fingerprint probe, LSH band probe, candidate verification),
+    *     the same greedy online-dedup semantics as `dedup_incremental`
+    *     (first arrival keeps; global-CC transitive chains that only
+    *     materialize later are the documented batch-vs-online delta);
+    *   - decontamination: [[bloomFlagsWith]] against the prebuilt
+    *     eval bitmask — map-only;
+    *   - split: [[streamSplit]] on the surviving docs.
+    *
+    * Returns (doc_id, disposition); precedence order matches the
+    * batch pipeline. Everything is batch-sized except the index
+    * probes, which are the incremental-dedup scale shape. */
+  def curateBatch(spark: SparkSession, fresh: DataFrame,
+      words: Array[Long], indexDir: String): DataFrame = {
+    val flt = TextOps.corpusFilterOn(fresh).select(col("doc_id"), col("reason"))
+    val hasIndex = Option(
+      new java.io.File(s"$indexDir/fingerprints").listFiles())
+      .exists(_.exists(_.getName.endsWith(".parquet")))
+    val verdicts =
+      if (hasIndex)
+        Dedup.incrementalAgainstIndex(spark, fresh, indexDir)
+          .select(col("doc_id"), col("verdict"))
+      else fresh.select(col("doc_id"), lit("unique").as("verdict"))
+    val dec = bloomFlagsWith(fresh, words)
+      .select(col("doc_id"), col("flagged"))
+    val smp = Sampling.withMixColumns(fresh)
+      .select(col("doc_id"), col("mix_bucket"), col("mix_threshold"))
+    flt.join(verdicts, Seq("doc_id"), "left")
+      .join(dec, Seq("doc_id"), "left")
+      .join(smp, Seq("doc_id"))
+      .select(col("doc_id"),
+        when(col("doc_id") % EvalModulus === 0, "eval_holdout")
+          .when(col("reason") =!= "keep", col("reason"))
+          .when(col("verdict") === "exact_dup", "duplicate")
+          .when(col("verdict") === "near_dup", "near_duplicate")
+          .when(coalesce(col("flagged"), lit(false)), "contaminated")
+          .when(col("mix_bucket") >= col("mix_threshold"), "not_sampled")
+          .otherwise(streamSplit(col("doc_id"))).as("disposition"))
+  }
 
   /** Two-phase decontamination: Bloom prefilter + exact confirmation —
     * EXACT output at near-sketch cost, the production default the

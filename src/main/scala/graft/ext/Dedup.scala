@@ -125,9 +125,16 @@ object Dedup {
     * to the naive all-pairs formulation, which the DuckDB oracle
     * uses (|∩|/|∪| from the same integer counts). */
   def ngramJaccardPairs(spark: SparkSession, dir: String): DataFrame =
-    sharedPairJaccard(docShingles(spark, dir))
-      .filter(col("jaccard") >= JaccardThreshold)
+    ngramJaccardPairsOn(Tables.documents(spark, dir))
       .orderBy(col("doc_a"), col("doc_b"))
+
+  /** [[ngramJaccardPairs]] over an explicit documents frame,
+    * unordered — the edge feeder for per-subset cluster builds
+    * ([[nearDupClustersOn]], [[batchNearDupEdges]]'s rebuild
+    * baseline). */
+  def ngramJaccardPairsOn(docs: DataFrame): DataFrame =
+    sharedPairJaccard(shingleSets(docs))
+      .filter(col("jaccard") >= JaccardThreshold)
 
   /** Prefix-filtered exact Jaccard pairs — the hot-shingle scale path
     * flagged in [[sharedPairJaccard]]'s scaladoc. Standard prefix
@@ -166,18 +173,11 @@ object Dedup {
   /** Exact-Jaccard verification of a candidate pair set: attach both
     * shingle sets, intersect, threshold — work proportional to the
     * candidate count (shared by the prefix and LSH paths). */
-  private def verifyCandidates(t: DataFrame, cand: DataFrame): DataFrame = {
-    val sa = t.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-    val sb = t.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-    cand.join(sa, Seq("doc_a")).join(sb, Seq("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          (size(col("sh_a")) + size(col("sh_b"))
-            - size(array_intersect(col("sh_a"), col("sh_b")))))
-          .as("jaccard"))
-      .filter(col("jaccard") >= JaccardThreshold)
+  private def verifyCandidates(t: DataFrame, cand: DataFrame): DataFrame =
+    exactJaccardPairs(cand,
+        t.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")),
+        t.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")))
       .orderBy(col("doc_a"), col("doc_b"))
-  }
 
   /** MinHash signature columns mh0..mh7 over the shingle set. */
   private def withMinhashes(t: DataFrame): DataFrame =
@@ -418,16 +418,78 @@ object Dedup {
     * dedup. Docs in no pair are their own singleton cluster via ONE
     * left join of the corpus against the (edge-node-sized) label set —
     * the corpus is touched exactly once, outside the iteration. */
-  def nearDupClusters(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir).select(col("doc_id"))
+  def nearDupClusters(spark: SparkSession, dir: String): DataFrame =
+    nearDupClustersOn(Tables.documents(spark, dir)).orderBy(col("doc_id"))
+
+  /** [[nearDupClusters]] over an explicit documents frame, unordered —
+    * what the incremental label-merge path uses to build the initial
+    * gold-only label set. */
+  def nearDupClustersOn(docs: DataFrame): DataFrame = {
+    val ids = docs.select(col("doc_id"))
     val (labels, _) = connectedComponents(
-      ngramJaccardPairs(spark, dir).select(col("doc_a"), col("doc_b")))
-    docs.join(labels, Seq("doc_id"), "left")
+      ngramJaccardPairsOn(docs).select(col("doc_a"), col("doc_b")))
+    ids.join(labels, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
       .withColumn("keep", col("doc_id") === col("cluster_id"))
-      .orderBy(col("doc_id"))
   }
+
+  /** Near-dup edges INTRODUCED by appending `batch` to `gold`: every
+    * n-gram-Jaccard qualifying pair (same shingles, same threshold as
+    * [[ngramJaccardPairs]]) with at least one batch endpoint —
+    * gold×batch plus batch×batch. Gold-internal pairs cannot change
+    * when documents are appended, so this edge set is exactly the
+    * DELTA between the full-corpus near-dup graph and the gold-only
+    * one — the input [[Sampling.mergeBatchLabels]] needs to refresh
+    * cluster labels without a corpus-level rebuild.
+    *
+    * Shape at scale: the batch's inverted index and shingle sets are
+    * BROADCAST (a batch is micro-batch-sized by definition; the gold
+    * corpus is the 100-TB side), so the gold side is pure scan + map
+    * probe work — no corpus-sized shuffle anywhere: candidate
+    * generation, verification, and the output all track the batch. */
+  def batchNearDupEdges(gold: DataFrame, batch: DataFrame): DataFrame = {
+    val goldSh = shingleSets(gold)
+    val batchSh = shingleSets(batch)
+    // explode_outer + null-drop: the InferFiltersFromGenerate
+    // double-tokenize discipline (see sharedPairJaccard)
+    val invG = goldSh.select(col("doc_id"), explode_outer(col("sh")).as("s"))
+    val invB = batchSh.select(col("doc_id"), explode_outer(col("sh")).as("s"))
+      .filter(col("s").isNotNull)
+    val candGB = invG.as("g")
+      .join(broadcast(invB).as("nb"), col("g.s") === col("nb.s"))
+      .select(col("g.doc_id").as("doc_a"), col("nb.doc_id").as("doc_b"))
+      .distinct()
+    val candBB = invB.as("x")
+      .join(broadcast(invB).as("y"),
+        col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    // the candidate set is batch-bounded (near-dup density × batch),
+    // so it BROADCASTS into the gold shingle attach — without the hint
+    // the static planner sees an unknown-size distinct and would
+    // shuffle the corpus-sized gold side to meet it
+    val gb = exactJaccardPairs(broadcast(candGB),
+      goldSh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")),
+      broadcast(batchSh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))))
+    val bb = exactJaccardPairs(candBB,
+      broadcast(batchSh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))),
+      broadcast(batchSh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))))
+    gb.unionByName(bb).select(col("doc_a"), col("doc_b"))
+  }
+
+  /** Exact-Jaccard filter of a candidate pair set against explicit
+    * (doc_a, sh_a) / (doc_b, sh_b) shingle frames — the shared core of
+    * [[verifyCandidates]] and [[batchNearDupEdges]]. */
+  private def exactJaccardPairs(cand: DataFrame, sa: DataFrame,
+      sb: DataFrame): DataFrame =
+    cand.join(sa, Seq("doc_a")).join(sb, Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          (size(col("sh_a")) + size(col("sh_b"))
+            - size(array_intersect(col("sh_a"), col("sh_b")))))
+          .as("jaccard"))
+      .filter(col("jaccard") >= JaccardThreshold)
 
   /** Incremental dedup of a new batch against an existing gold
     * corpus — the production shape: each incoming batch is checked
@@ -532,6 +594,43 @@ object Dedup {
         .parquet(s"$path/bands")
       sh.write.mode("append").parquet(s"$path/shingles")
     } finally sh.unpersist()
+  }
+
+  /** Part-file count past which [[maybeCompactIndex]] rebuilds the
+    * store. Each [[appendGoldIndex]] adds one task's worth of part
+    * files per component per micro-batch; past a few dozen files the
+    * scan's file-listing and footer overhead starts to dominate small
+    * probes, and the fix is the same full rebuild crash recovery uses.
+    * Deployments tune this with their micro-batch cadence (the
+    * trade: rebuild cost ≈ initial index build, amortized over
+    * ~threshold appends). */
+  val CompactFileThreshold = 64
+
+  /** Total parquet part files across the three index components —
+    * the fragmentation measure the compaction policy watches. */
+  def indexFileCount(path: String): Int =
+    Seq("fingerprints", "bands", "shingles").map { c =>
+      def walk(f: java.io.File): Int =
+        if (f.isDirectory)
+          Option(f.listFiles()).getOrElse(Array.empty).map(walk).sum
+        else if (f.getName.endsWith(".parquet")) 1
+        else 0
+      walk(new java.io.File(s"$path/$c"))
+    }.sum
+
+  /** Compaction policy for the append-mode index store: when
+    * [[appendGoldIndex]] has fragmented the store past `threshold`
+    * part files, rebuild it from the gold corpus ([[rebuildIndex]] —
+    * gold is the source of truth, the index is derived state, so the
+    * compacted store is exactly the one a single build would have
+    * produced). Returns whether a rebuild ran. The streaming sinks
+    * call this once per micro-batch (a file listing when under
+    * threshold — cheap); batch deployments can call it on a schedule. */
+  def maybeCompactIndex(spark: SparkSession, goldDir: String,
+      indexDir: String, threshold: Int = CompactFileThreshold): Boolean = {
+    val n = indexFileCount(indexDir)
+    if (n > threshold) { rebuildIndex(spark, goldDir, indexDir); true }
+    else false
   }
 
   /** Incremental dedup of `fresh` against a [[writeGoldIndex]] store —

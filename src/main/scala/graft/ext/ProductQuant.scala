@@ -260,6 +260,105 @@ object ProductQuant {
       .limit(TopK)
   }
 
+  /** Candidate multiplier for the exact re-rank rung: the ADC pass
+    * keeps k′ = [[RerankFactor]]·[[TopK]] candidates, the re-rank
+    * touches exactly k′ raw vectors. */
+  val RerankFactor = 4
+
+  /** Exact squared-L2 of the row vector `v` to a LITERAL query vector,
+    * as one left-to-right 64-term codegen chain — the same IEEE order
+    * as [[distTable]] and the oracle's `list_sum(list_transform(...))`. */
+  private def exactDistCol(qv: Seq[Double]): Column =
+    qv.zipWithIndex.map { case (q, i) =>
+      val d = element_at(col("v"), i + 1) - lit(q)
+      d * d
+    }.reduceLeft(_ + _)
+
+  /** Residual IVF-PQ with an exact re-rank rung (FAISS `refine`): the
+    * ADC scan keeps the top k′ = [[RerankFactor]]·[[TopK]] candidates
+    * by approximate distance, then ONLY those k′ rows' raw vectors are
+    * fetched and ranked by exact L2 to the query. This is the standard
+    * final rung of the ANN ladder — it turns "recall ≥ the raw-
+    * quantizing form" into "recall ≈ exact at k" while the scan still
+    * never reads a float vector (the k′ raw fetches are point lookups,
+    * partition-prunable in a real layout; the candidate set is
+    * broadcast to the vector side).
+    *
+    * Cost at scale: the ADC cell scan (unchanged — codes only, one
+    * codegen span) + k′ row fetches + a k′-row sort. The re-rank side
+    * is constant-size no matter the corpus. */
+  def ivfPqRerankTopK(spark: SparkSession, dir: String): DataFrame = {
+    val coarse = KMeans.train(spark, dir)
+    val rcbs = residualCodebooks(spark, dir, coarse)
+    val (qid, qCid, dt) = queryPrepResidual(spark, dir, coarse, rcbs)
+    val qv = KMeans.vecs(spark, dir).orderBy(col("vec_id")).limit(1)
+      .select(col("v")).head().getSeq[Double](0)
+    val rv = residualCol(coarse)
+    val adc = (0 until M).map { m =>
+      element_at(array(dt(m).map(lit): _*),
+        KMeans.assignOn(slice(rv, m * SubDim + 1, SubDim), rcbs(m)) + lit(1))
+    }.reduceLeft(_ + _)
+    val cand = KMeans.vecs(spark, dir)
+      .filter(KMeans.assignOn(col("v"), coarse) === qCid &&
+        col("vec_id") =!= qid)
+      .select(col("vec_id"), adc.as("adc_dist"))
+      .orderBy(col("adc_dist"), col("vec_id"))
+      .limit(RerankFactor * TopK)
+    KMeans.vecs(spark, dir)
+      .join(broadcast(cand.select(col("vec_id"))), Seq("vec_id"))
+      .select(col("vec_id"), col("label"),
+        exactDistCol(qv).as("exact_dist"))
+      .orderBy(col("exact_dist"), col("vec_id"))
+      .limit(TopK)
+  }
+
+  /** Residual IVF-PQ with nprobe=2 — the multi-probe knob composed
+    * with the residual layout. The one subtlety vs the raw multi-probe
+    * ([[ivfPqTopKMultiProbe]]): under residual encoding the distance
+    * table is PER PROBED CELL, because the query's residual is taken
+    * to each cell's centroid — so each probed cell gets its own
+    * driver-built table and a row is scored with the table of the cell
+    * it lives in (one CASE over the assigned cell, still map-only;
+    * per-cell tables are how FAISS implements `nprobe` over `IVF,PQ`).
+    * Work still scales with P/K of the codes table; recall is
+    * monotonically ≥ both the residual single-probe and the raw
+    * two-probe form (ProductQuantSpec). */
+  def ivfPqResidualTopKMultiProbe(spark: SparkSession, dir: String,
+      probes: Int = 2): DataFrame = {
+    val coarse = KMeans.train(spark, dir)
+    val rcbs = residualCodebooks(spark, dir, coarse)
+    val qrow = KMeans.vecs(spark, dir).orderBy(col("vec_id")).limit(1)
+      .select(col("vec_id"), col("v")).head()
+    val qid = qrow.getLong(0)
+    val qv = qrow.getSeq[Double](1)
+    val probeCids = coarse.map { case (cid, cv) =>
+      (qv.zip(cv).foldLeft(0.0) { case (acc, (x, c)) =>
+        acc + (x - c) * (x - c) }, cid)
+    }.sorted.take(probes).map(_._2)
+    val rv = residualCol(coarse)
+    val codeCols = (0 until M).map(m =>
+      KMeans.assignOn(slice(rv, m * SubDim + 1, SubDim), rcbs(m)))
+    val cellCol = KMeans.assignOn(col("v"), coarse)
+    // per-cell ADC: the query residual (and so the distance table)
+    // depends on which cell a row lives in
+    val adcByCell = probeCids.map { cid =>
+      val qres = qv.zip(coarse(cid)._2).map { case (x, c) => x - c }
+      val dtc = distTable(qres, rcbs)
+      cid -> (0 until M).map { m =>
+        element_at(array(dtc(m).map(lit): _*), codeCols(m) + lit(1))
+      }.reduceLeft(_ + _)
+    }
+    val adc = adcByCell.tail.foldLeft(
+      when(cellCol === adcByCell.head._1, adcByCell.head._2)) {
+      case (acc, (cid, d)) => acc.when(cellCol === cid, d)
+    }
+    KMeans.vecs(spark, dir)
+      .filter(cellCol.isin(probeCids: _*) && col("vec_id") =!= qid)
+      .select(col("vec_id"), col("label"), adc.as("adc_dist"))
+      .orderBy(col("adc_dist"), col("vec_id"))
+      .limit(TopK)
+  }
+
   /** Multi-probe IVF-PQ top-k: ADC over the P nearest coarse cells
     * instead of one — the recall/latency knob (FAISS `nprobe`)
     * composed with the compressed-codes scan. Work scales with P/K of
@@ -355,10 +454,33 @@ object ProductQuant {
     (0 until M).map(m => s"(${KMeans.distSqlN(s"s.rv$m", s"g$m.cv", SubDim)})")
       .reduceLeft((a, b) => s"($a + $b)")
 
+  /** Per-probed-cell query residual slices for the multi-probe
+    * residual replay: one row per probed cell, the query's residual to
+    * THAT cell's centroid — rows join on their own cell. */
+  private val residQresMultiCte =
+    s"""qresp AS (SELECT a.cid, ${(0 until M).map(m =>
+      s"list_slice(list_transform(range(1, 65), i -> r.qv[i] - c.cv[i]), ${lo(m)}, ${hi(m)}) AS rv$m")
+      .mkString(", ")} FROM qrow r CROSS JOIN qa a JOIN c2 c ON c.cid = a.cid)"""
+
   val oracle: Map[String, String] = Map(
     "sim_ivfpq_residual_topk" ->
       s"""WITH $residCtes, qrow AS (SELECT vec_id AS qid, v AS qv FROM q ORDER BY vec_id LIMIT 1), qa AS (SELECT cid FROM (SELECT c.cid, row_number() OVER (ORDER BY ${KMeans
         .distSqlN("r.qv", "c.cv", 64)}, c.cid) AS rn FROM qrow r CROSS JOIN c2 c) WHERE rn = 1), $residQresCte SELECT vec_id, label, adc_dist FROM (SELECT q.vec_id, q.label, $residAdcSql AS adc_dist FROM q $residCodesJoin $residCbJoins JOIN af USING (vec_id) CROSS JOIN qres s CROSS JOIN qa WHERE af.cid = qa.cid AND q.vec_id <> s.qid) ORDER BY adc_dist, vec_id LIMIT $TopK""",
+    // re-rank rung: the residual-ADC candidate list (rn over
+    // (adc_dist, vec_id)) is cut at k' = RerankFactor·TopK, then those
+    // k' rows re-rank by EXACT L2 to the raw query vector — the same
+    // exact-distance list_sum the brute-force oracle uses
+    "sim_ivfpq_rerank" ->
+      s"""WITH $residCtes, qrow AS (SELECT vec_id AS qid, v AS qv FROM q ORDER BY vec_id LIMIT 1), qa AS (SELECT cid FROM (SELECT c.cid, row_number() OVER (ORDER BY ${KMeans
+        .distSqlN("r.qv", "c.cv", 64)}, c.cid) AS rn FROM qrow r CROSS JOIN c2 c) WHERE rn = 1), $residQresCte, cand AS (SELECT vec_id, row_number() OVER (ORDER BY adc_dist, vec_id) AS crn FROM (SELECT q.vec_id, $residAdcSql AS adc_dist FROM q $residCodesJoin $residCbJoins JOIN af USING (vec_id) CROSS JOIN qres s CROSS JOIN qa WHERE af.cid = qa.cid AND q.vec_id <> s.qid)) SELECT vec_id, label, exact_dist FROM (SELECT q.vec_id, q.label, ${KMeans
+        .distSqlN("r.qv", "q.v", 64)} AS exact_dist FROM q JOIN cand c ON q.vec_id = c.vec_id CROSS JOIN qrow r WHERE c.crn <= ${RerankFactor * TopK}) ORDER BY exact_dist, vec_id LIMIT $TopK""",
+    // residual × multi-probe: qa keeps TWO cells (rn <= 2) and qresp
+    // carries a PER-CELL query residual — each row scores against the
+    // table of the cell it lives in (af.cid = s.cid), the composition
+    // subtlety the Spark side implements as a CASE over the cell
+    "sim_ivfpq_residual_topk_p2" ->
+      s"""WITH $residCtes, qrow AS (SELECT vec_id AS qid, v AS qv FROM q ORDER BY vec_id LIMIT 1), qa AS (SELECT cid FROM (SELECT c.cid, row_number() OVER (ORDER BY ${KMeans
+        .distSqlN("r.qv", "c.cv", 64)}, c.cid) AS rn FROM qrow r CROSS JOIN c2 c) WHERE rn <= 2), $residQresMultiCte SELECT vec_id, label, adc_dist FROM (SELECT q.vec_id, q.label, $residAdcSql AS adc_dist FROM q $residCodesJoin $residCbJoins JOIN af USING (vec_id) JOIN qresp s ON af.cid = s.cid CROSS JOIN qrow r WHERE q.vec_id <> r.qid) ORDER BY adc_dist, vec_id LIMIT $TopK""",
     "sim_pq_codes" ->
       s"""WITH $pqCtes SELECT q.vec_id, q.label, ${(0 until M)
         .map(m => s"CAST(af_$m.cid AS INTEGER) AS code$m").mkString(", ")} FROM q $codesJoin ORDER BY vec_id""",
@@ -383,7 +505,10 @@ object ProductQuant {
     "sim_pq_topk" -> pqTopK _,
     "sim_ivfpq_topk" -> ivfPqTopK _,
     "sim_ivfpq_residual_topk" -> ivfPqResidualTopK _,
+    "sim_ivfpq_rerank" -> ivfPqRerankTopK _,
     "sim_ivfpq_topk_p2" ->
-      ((s: SparkSession, dir: String) => ivfPqTopKMultiProbe(s, dir))
+      ((s: SparkSession, dir: String) => ivfPqTopKMultiProbe(s, dir)),
+    "sim_ivfpq_residual_topk_p2" ->
+      ((s: SparkSession, dir: String) => ivfPqResidualTopKMultiProbe(s, dir))
   )
 }

@@ -284,15 +284,101 @@ object Sampling {
 
   /** Unordered split frame — the form pipelines consume (the sort in
     * [[trainTestSplit]] exists only for the oracle dump). */
-  private[ext] def trainTestSplitCore(spark: SparkSession, dir: String): DataFrame = {
-    val labels = Dedup.nearDupClusters(spark, dir)
-      .select(col("doc_id"), col("cluster_id"))
+  private[ext] def trainTestSplitCore(spark: SparkSession, dir: String): DataFrame =
+    assignSplit(Dedup.nearDupClusters(spark, dir)
+      .select(col("doc_id"), col("cluster_id")))
+
+  /** The 80/10/10 split rule: hash the near-dup CLUSTER id (never the
+    * document id) into deciles — shared by the full build and the
+    * incremental merge so both derive the split from cluster_id alone
+    * (which is what makes merge == rebuild provable: equal cluster
+    * labels imply equal splits). */
+  private def assignSplit(labels: DataFrame): DataFrame = {
     val decile = mixHash(col("cluster_id")) % 10L
-    labels
-      .withColumn("split",
-        when(decile < 8, "train")
-          .when(decile === 8, "validation")
-          .otherwise("test"))
+    labels.withColumn("split",
+      when(decile < 8, "train")
+        .when(decile === 8, "validation")
+        .otherwise("test"))
+  }
+
+  /** Public form of the split rule over a (doc_id, cluster_id, ...)
+    * cluster frame — what a pipeline bootstrapping an incremental
+    * label store calls on its initial gold-only cluster build. */
+  def splitFromClusters(clusters: DataFrame): DataFrame =
+    assignSplit(clusters.select(col("doc_id"), col("cluster_id")))
+
+  /** Incremental label maintenance: merge a new batch of documents
+    * into an existing (doc_id, cluster_id, split) label set WITHOUT a
+    * corpus-level connected-components rebuild — the last full-corpus
+    * job in the steady-state append story (incremental dedup verdicts
+    * existed, [[Dedup.incrementalNearDups]]; their cluster/split
+    * continuation did not).
+    *
+    * Correctness argument (asserted merge == rebuild in SamplingSpec):
+    * appending documents cannot change gold-internal near-dup edges,
+    * so the full graph is (old edges ∪ batch edges) and only
+    * components REACHED by a batch edge can change. The stored labels
+    * are exactly the old graph's star forest (doc → component min),
+    * and a star forest preserves connectivity within each component —
+    * so running bounded-round CC over (touched components' star edges
+    * ∪ new batch edges) yields the same merged components and minima
+    * as a full rebuild, while untouched components keep their stored
+    * labels verbatim. Splits re-derive from cluster_id ([[assignSplit]]),
+    * so they too match the rebuild — including docs whose cluster min
+    * changed because components merged (the leakage-safety rule: a
+    * merged component must land in ONE split).
+    *
+    * Shape at scale: batch edges come from [[Dedup.batchNearDupEdges]]
+    * (gold side scan-only, batch side broadcast); the touched-label
+    * pull is two broadcast semi/anti probes against the label store
+    * (endpoint set and touched-cluster set are batch-bounded); the CC
+    * fixpoint runs over a subgraph sized by the batch's neighborhoods,
+    * not the corpus. Everything downstream of the gold scan tracks the
+    * batch. */
+  def mergeBatchLabels(oldLabels: DataFrame, gold: DataFrame,
+      batch: DataFrame): DataFrame = {
+    val edges = Dedup.batchNearDupEdges(gold, batch)
+    val endpoints = edges.select(col("doc_a").as("doc_id"))
+      .unionByName(edges.select(col("doc_b").as("doc_id"))).distinct()
+    val touchedClusters = oldLabels
+      .join(broadcast(endpoints), Seq("doc_id"), "left_semi")
+      .select(col("cluster_id")).distinct()
+    val touched = oldLabels
+      .join(broadcast(touchedClusters), Seq("cluster_id"), "left_semi")
+    // star edges of the touched components stand in for ALL their old
+    // edges (connectivity-preserving by the star-forest invariant
+    // connectedComponents asserts on every build)
+    val starEdges = touched.filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id").as("doc_a"), col("cluster_id").as("doc_b"))
+    val (merged, _) = Dedup.connectedComponents(
+      starEdges.unionByName(edges.select(col("doc_a"), col("doc_b"))))
+    val untouched = oldLabels
+      .join(broadcast(touchedClusters), Seq("cluster_id"), "left_anti")
+      .select(col("doc_id"), col("cluster_id"), col("split"))
+    val batchSingletons = batch.select(col("doc_id"))
+      .join(merged, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("doc_id").as("cluster_id"))
+    untouched.unionByName(
+      assignSplit(merged.unionByName(batchSingletons))
+        .select(col("doc_id"), col("cluster_id"), col("split")))
+  }
+
+  /** Registered form of the incremental merge, replayable by the
+    * oracle: gold = docs at or below the 80%-of-max doc_id cutoff
+    * (same deterministic split as `dedup_incremental`), batch = the
+    * rest; gold labels are built live, then the batch is MERGED. The
+    * oracle is the full-corpus `split_train_test` SQL verbatim — the
+    * correctness gate itself proves merge == rebuild hash-exact. */
+  def mergeBatchSplit(spark: SparkSession, dir: String): DataFrame = {
+    val d = graft.pipeline.GoldLayout.documentsBucketed(spark, dir)
+    val cutoff = d.agg(floor(max(col("doc_id")) * 0.8).cast("long"))
+      .head().getLong(0)
+    val gold = d.filter(col("doc_id") <= cutoff)
+    val batch = d.filter(col("doc_id") > cutoff)
+    val goldLabels = splitFromClusters(Dedup.nearDupClustersOn(gold))
+    mergeBatchLabels(goldLabels, gold, batch)
+      .select(col("doc_id"), col("cluster_id"), col("split"))
+      .orderBy(col("doc_id"))
   }
 
   /** Table name for the persisted split-label artifact under a
@@ -315,9 +401,16 @@ object Sampling {
     * label joins against a doc_id-partitioned corpus need no
     * exchange on the label side. Returns the bucketed catalog name. */
   def writeSplitLabels(spark: SparkSession, dir: String,
+      outDir: String): String =
+    writeLabelArtifact(spark, trainTestSplitCore(spark, dir), outDir)
+
+  /** Persist an explicit (doc_id, cluster_id, split) label frame as
+    * the artifact — shared by [[writeSplitLabels]] (full build) and
+    * incremental bootstrap (write gold-only labels once, then
+    * [[mergeSplitLabelsArtifact]] per batch). */
+  def writeLabelArtifact(spark: SparkSession, labels: DataFrame,
       outDir: String): String = {
-    trainTestSplitCore(spark, dir)
-      .write.mode("overwrite")
+    labels.write.mode("overwrite")
       .parquet(s"$outDir/$SplitLabelsTable.parquet")
     graft.pipeline.GoldLayout.ensureBucketedTable(
       spark, outDir, SplitLabelsTable, "doc_id")
@@ -331,6 +424,31 @@ object Sampling {
   def trainTestSplitFrom(spark: SparkSession, labelsDir: String): DataFrame =
     spark.table(graft.pipeline.GoldLayout.ensureBucketedTable(
       spark, labelsDir, SplitLabelsTable, "doc_id"))
+
+  /** Merge a batch into the PERSISTED label artifact
+    * ([[writeSplitLabels]]): read the stored labels, run
+    * [[mergeBatchLabels]], and atomically replace the artifact
+    * (write-aside to a temp dir, then swap — the merged frame is fully
+    * materialized into the temp dir BEFORE the old path is touched, so
+    * a crash mid-merge leaves the previous artifact intact). The
+    * bucketed catalog layout re-derives on next read because
+    * [[graft.pipeline.GoldLayout.ensureBucketedTable]] fingerprints
+    * the source files — a stale layout is never served. */
+  def mergeSplitLabelsArtifact(spark: SparkSession, labelsDir: String,
+      gold: DataFrame, batch: DataFrame): Unit = {
+    val live = s"$labelsDir/$SplitLabelsTable.parquet"
+    val tmp = s"$live.merging"
+    mergeBatchLabels(spark.read.parquet(live), gold, batch)
+      .write.mode("overwrite").parquet(tmp)
+    def rmTree(f: java.io.File): Unit = {
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
+      f.delete(); ()
+    }
+    rmTree(new java.io.File(live))
+    java.nio.file.Files.move(java.nio.file.Paths.get(tmp),
+      java.nio.file.Paths.get(live))
+  }
 
   // ---------------------------------------------------------------
   // DuckDB oracle replays — same integer arithmetic, same recipe rule.
@@ -351,6 +469,12 @@ object Sampling {
     // dedup_clusters oracle uses (component min-id), then the split
     // replays the cluster-id hash decile
     "split_train_test" ->
+      s"""WITH clusters AS (SELECT doc_id, cluster_id FROM (${Dedup.oracle("dedup_clusters")})) SELECT doc_id, cluster_id, CASE WHEN d < 8 THEN 'train' WHEN d = 8 THEN 'validation' ELSE 'test' END AS split FROM (SELECT doc_id, cluster_id, (((cluster_id % $P) * $A + $B) % $P) % 10 AS d FROM clusters) ORDER BY doc_id""",
+    // the incremental merge must equal the full rebuild, so its oracle
+    // IS the full-corpus split replay verbatim — DuckDB rebuilds from
+    // scratch, Spark merges a batch into gold-only labels, and the
+    // hash gate proves them identical
+    "split_merge_batch" ->
       s"""WITH clusters AS (SELECT doc_id, cluster_id FROM (${Dedup.oracle("dedup_clusters")})) SELECT doc_id, cluster_id, CASE WHEN d < 8 THEN 'train' WHEN d = 8 THEN 'validation' ELSE 'test' END AS split FROM (SELECT doc_id, cluster_id, (((cluster_id % $P) * $A + $B) % $P) % 10 AS d FROM clusters) ORDER BY doc_id""",
     "sample_fixed_count" ->
       s"""SELECT doc_id, source, sample_hash, sample_rank FROM (SELECT doc_id, source, $hashSql AS sample_hash, row_number() OVER (PARTITION BY source ORDER BY $hashSql, doc_id) AS sample_rank FROM documents) WHERE sample_rank <= $FixedSampleK ORDER BY source, sample_rank""",
@@ -377,6 +501,7 @@ object Sampling {
     "sample_stratified_summary" -> stratifiedSampleSummary _,
     "sample_fixed_count" -> fixedCountSample _,
     "split_train_test" -> trainTestSplit _,
+    "split_merge_batch" -> mergeBatchSplit _,
     "mix_epoch_repeat" -> epochRepeat _,
     "mix_temperature_weights" -> temperatureWeights _,
     "mix_epoch_shuffle" -> epochShuffle _,

@@ -24,15 +24,30 @@ import org.apache.spark.sql.types._
   */
 object EventStreams {
 
-  /** Schema of the events stream after timestamp normalization
-    * (nanos parquet read as long, converted in [[eventsStream]]). */
-  val rawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType), // nanos
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
+  /** Streaming-source schema for the events parquet, parameterized on
+    * the on-disk `ts` type — a file stream needs its schema up front,
+    * and the generator has shipped `ts` as both TIMESTAMP(NANOS)
+    * (surfacing as Long under the legacy flag) and TIMESTAMP(MICROS)
+    * (surfacing as TIMESTAMP_NTZ). [[eventsStream]] sniffs the actual
+    * type from the files via a one-off batch schema read and
+    * normalizes to session-zone TIMESTAMP (watermarks reject NTZ). */
+  def rawSchemaFor(tsType: org.apache.spark.sql.types.DataType): StructType =
+    StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", tsType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("props", StringType)))
+
+  /** Normalize a raw events stream's `ts` to session-zone TIMESTAMP
+    * micros, branching on the source type like [[graft.Tables.events]]. */
+  def normalizeStreamTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case LongType => // nanos as Long
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => df.withColumn("ts", col("ts").cast("timestamp"))
+    }
 
   /** File-source stream over the events parquet. Event time stays
     * TIMESTAMP (with the session's UTC zone): watermarks reject
@@ -47,7 +62,6 @@ object EventStreams {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
-    graft.GraftSession.requireNanosFlag(spark)
     val src = java.nio.file.Paths.get(dir, "events.parquet")
     val streamDir =
       if (java.nio.file.Files.isDirectory(src)) src.toString
@@ -61,10 +75,10 @@ object EventStreams {
         link.toFile.deleteOnExit()
         tmp.toString
       })
-    spark.readStream
-      .schema(rawSchema)
-      .parquet(streamDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val onDiskTs = spark.read.parquet(streamDir).schema("ts").dataType
+    normalizeStreamTs(spark.readStream
+      .schema(rawSchemaFor(onDiskTs))
+      .parquet(streamDir))
   }
 
   /** Tumbling 1-hour windowed aggregate with a 2-hour watermark —
@@ -237,12 +251,13 @@ object EventStreams {
     * judge fresh docs against gold only); compose a batch-local
     * keep-first on the fingerprint upstream if within-batch dedup is
     * wanted. */
+  private def hasParquet(dir: String): Boolean =
+    Option(new java.io.File(dir).listFiles())
+      .exists(_.exists(f => f.getName.endsWith(".parquet")))
+
   def incrementalDedupSink(docs: DataFrame, indexDir: String,
       goldDir: String, checkpointDir: String): StreamingQuery = {
     import org.apache.spark.sql.functions.col
-    def hasParquet(dir: String): Boolean =
-      Option(new java.io.File(dir).listFiles())
-        .exists(_.exists(f => f.getName.endsWith(".parquet")))
     val q = docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -269,11 +284,95 @@ object EventStreams {
         ).localCheckpoint()
         uniques.write.mode("append").parquet(goldDir)
         graft.ext.Dedup.appendGoldIndex(uniques, indexDir)
+        // compaction policy: many small appends fragment the store;
+        // past the file-count threshold the batch's tail rebuilds it
+        // from gold (sequential per micro-batch, so race-free)
+        graft.ext.Dedup.maybeCompactIndex(spark, goldDir, indexDir)
         ()
       }
       .start()
     q.processAllAvailable()
     q
+  }
+
+  /** Streaming curation — the sketch pipeline run over ARRIVING
+    * document batches (round-8/9 stretch, landed here): every stage of
+    * [[graft.ext.Curation.curationPipelineSketch]] re-expressed
+    * against accumulated state via
+    * [[graft.ext.Curation.curateBatch]], wired into the same
+    * idempotent gold-before-index sink discipline as
+    * [[incrementalDedupSink]]. Per micro-batch:
+    *
+    *  1. replay guard: docs already in the accepted gold corpus OR the
+    *     disposition log are dropped (a checkpoint-recovered batch
+    *     becomes a no-op);
+    *  2. dispositions computed ([[graft.ext.Curation.curateBatch]]:
+    *     holdout/quality/sampling map work, dedup verdicts against the
+    *     persisted index, Bloom decontamination against the prebuilt
+    *     eval bitmask, split by own-id decile) and EAGERLY pinned —
+    *     their lineage reads the very dirs the appends below write;
+    *  3. accepted docs (disposition ∈ train/validation/test) append to
+    *     gold, THEN the dedup index extends with them, THEN the full
+    *     disposition log appends.
+    *
+    * Write order = recoverability order: gold is the source of truth;
+    * the index is derived (rebuildable — [[graft.ext.Dedup.rebuildIndex]]);
+    * the disposition log is last so a crash can only lose rows that
+    * [[repairCurationDispositions]] re-derives deterministically (a
+    * gold doc without a disposition row was accepted, and its split
+    * re-derives from its id). Replayed docs that were fully recorded
+    * are dropped by guard 1 either way. */
+  def streamingCurationSink(docs: DataFrame, evalBitmask: Array[Long],
+      indexDir: String, goldDir: String, dispDir: String,
+      checkpointDir: String): StreamingQuery = {
+    import org.apache.spark.sql.functions.col
+    val q = docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val fresh = Seq(goldDir, dispDir).filter(hasParquet)
+          .map(d => spark.read.parquet(d).select("doc_id"))
+          .foldLeft(batch)((b, seen) => b.join(seen, Seq("doc_id"), "left_anti"))
+        val disp = graft.ext.Curation
+          .curateBatch(spark, fresh, evalBitmask, indexDir)
+          .localCheckpoint()
+        val accepted = fresh.join(
+          disp.filter(col("disposition")
+              .isin("train", "validation", "test"))
+            .select("doc_id"),
+          Seq("doc_id")).localCheckpoint()
+        accepted.write.mode("append").parquet(goldDir)
+        graft.ext.Dedup.appendGoldIndex(accepted, indexDir)
+        disp.write.mode("append").parquet(dispDir)
+        graft.ext.Dedup.maybeCompactIndex(spark, goldDir, indexDir)
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q
+  }
+
+  /** Close [[streamingCurationSink]]'s crash window between the gold
+    * append and the disposition append: any gold doc with no
+    * disposition row was accepted (write order guarantees it), and an
+    * accepted doc's split re-derives deterministically from its id —
+    * so the repair appends exactly the lost rows and a repaired log
+    * equals the crash-free one. */
+  def repairCurationDispositions(spark: SparkSession, goldDir: String,
+      dispDir: String): Unit = {
+    import org.apache.spark.sql.functions.col
+    if (!hasParquet(goldDir)) return
+    val gold = spark.read.parquet(goldDir).select("doc_id")
+    val missing =
+      if (hasParquet(dispDir))
+        gold.join(spark.read.parquet(dispDir).select("doc_id"),
+          Seq("doc_id"), "left_anti")
+      else gold
+    missing
+      .select(col("doc_id"),
+        graft.ext.Curation.streamSplit(col("doc_id")).as("disposition"))
+      .localCheckpoint()
+      .write.mode("append").parquet(dispDir)
   }
 
   /** Run a streaming frame to completion into an in-memory table

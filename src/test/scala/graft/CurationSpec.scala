@@ -112,7 +112,7 @@ class CurationSpec extends SparkSpec {
     import org.apache.spark.sql.catalyst.plans.LeftSemi
     val executed = Curation.decontaminateTwoPhase(spark, sf)
       .queryExecution.executedPlan
-    val semiBroadcasts = executed.collect {
+    val semiBroadcasts = collectPlan(executed) {
       case j: BroadcastHashJoinExec if j.joinType == LeftSemi => j
     }
     assert(semiBroadcasts.nonEmpty,

@@ -196,6 +196,48 @@ class DedupSpec extends SparkSpec {
     assert(recovered.nonEmpty)
   }
 
+  test("index compaction: threshold triggers a rebuild that shrinks files, " +
+      "verdicts unchanged") {
+    val d = graft.Tables.documents(spark, sf)
+    val maxId = d.agg(max(col("doc_id"))).head().getLong(0)
+    val base = java.nio.file.Files.createTempDirectory("gold_compact").toString
+    val gold0 = d.filter(col("doc_id") <= maxId / 2)
+    gold0.write.parquet(s"$base/gold")
+    Dedup.writeGoldIndex(gold0, s"$base/index")
+    // fragment the store with several small appends (each append adds
+    // part files per component, like the streaming sink's micro-batches)
+    val probe = d.filter(col("doc_id") > maxId * 9 / 10)
+    (0 until 4).foreach { i =>
+      val b = d.filter(col("doc_id") > maxId * (5 + i) / 10
+        && col("doc_id") <= maxId * (6 + i) / 10)
+      // uniques-only appends (the appendGoldIndex contract, and what
+      // the streaming sink does) keep the fingerprint probe key-unique
+      val uniques = b.join(
+        Dedup.incrementalAgainstIndex(spark, b, s"$base/index")
+          .filter(col("verdict") === "unique").select("doc_id"),
+        Seq("doc_id")).localCheckpoint()
+      uniques.write.mode("append").parquet(s"$base/gold")
+      Dedup.appendGoldIndex(uniques, s"$base/index")
+    }
+    val fragmented = Dedup.indexFileCount(s"$base/index")
+    val before = Dedup.incrementalAgainstIndex(spark, probe, s"$base/index")
+      .collect().toSeq
+    // under-threshold: a no-op
+    assert(!Dedup.maybeCompactIndex(spark, s"$base/gold", s"$base/index",
+      threshold = fragmented + 1))
+    assert(Dedup.indexFileCount(s"$base/index") == fragmented)
+    // over-threshold: rebuild runs and the store shrinks
+    assert(Dedup.maybeCompactIndex(spark, s"$base/gold", s"$base/index",
+      threshold = fragmented - 1))
+    val compacted = Dedup.indexFileCount(s"$base/index")
+    assert(compacted < fragmented,
+      s"rebuild should compact: $compacted vs $fragmented part files")
+    // derived state: the compacted index judges probes identically
+    val after = Dedup.incrementalAgainstIndex(spark, probe, s"$base/index")
+      .collect().toSeq
+    assert(after == before)
+  }
+
   test("all-pairs embedding baseline refuses to run past its row guard") {
     val ex = intercept[IllegalArgumentException] {
       Dedup.embeddingCosinePairs(spark, sf, maxRows = 10)

@@ -331,6 +331,93 @@ class EventStreamsSpec extends SparkSpec {
     assert(spark.read.parquet(s"$base/gold").count() == expected.size)
   }
 
+  test("streaming curation: exactly-once dispositions, parity with batch " +
+      "pipeline outside the online-dedup delta") {
+    import java.nio.file.{Files, Paths}
+    val base = Files.createTempDirectory("graft_stream_cur")
+    val srcDir = s"$base/src"; Files.createDirectories(Paths.get(srcDir))
+    val docs = Tables.documents(spark, sf)
+    val ids = docs.select(col("doc_id")).orderBy(col("doc_id"))
+      .collect().map(_.getLong(0))
+    val cut = ids(ids.length / 2)
+    val bitmask = graft.ext.Curation.evalBitmask(spark, sf)
+
+    def stageFile(part: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory("graft_cur_batch")
+      part.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val f = new java.io.File(tmp.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(f.toPath, Paths.get(srcDir, name))
+    }
+    def runOnce(): Unit =
+      EventStreams.streamingCurationSink(
+        spark.readStream.schema(docs.schema).parquet(srcDir), bitmask,
+        s"$base/index", s"$base/gold", s"$base/disp", s"$base/chk").stop()
+
+    // two batches in doc_id order with a restart boundary between them
+    stageFile(docs.filter(col("doc_id") <= cut), "b1.parquet")
+    runOnce()
+    stageFile(docs.filter(col("doc_id") > cut), "b2.parquet")
+    runOnce()
+
+    // exactly-once: every doc dispositioned exactly once
+    val disp = spark.read.parquet(s"$base/disp")
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    assert(disp.length == ids.length, "one disposition row per document")
+    assert(disp.map(_._1).distinct.length == disp.length)
+    val dispMap = disp.toMap
+
+    // accepted gold corpus == docs with a split disposition
+    val gold = spark.read.parquet(s"$base/gold")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val splits = Set("train", "validation", "test")
+    assert(gold == dispMap.collect {
+      case (id, d) if splits(d) => id }.toSet)
+
+    // replayed batch after completion is a no-op (idempotent sink)
+    stageFile(docs.filter(col("doc_id") > cut), "b2_replay.parquet")
+    runOnce()
+    assert(spark.read.parquet(s"$base/disp").count() == ids.length.toLong)
+    assert(spark.read.parquet(s"$base/gold").count() == gold.size.toLong)
+
+    // parity with the batch pipeline everywhere the two tiers share
+    // semantics: the dedup stages differ by design (global CC vs
+    // greedy online first-arrival — the dedup_incremental contract),
+    // so docs either tier calls duplicate/near_duplicate are the
+    // documented delta; every other disposition must agree exactly.
+    val batchD = graft.ext.Curation.curationPipeline(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val dedupClasses = Set("duplicate", "near_duplicate")
+    ids.foreach { id =>
+      if (!dedupClasses(batchD(id)) && !dedupClasses(dispMap(id)))
+        assert(dispMap(id) == batchD(id),
+          s"doc $id: stream ${dispMap(id)} vs batch ${batchD(id)}")
+    }
+    // the strictly per-doc classes agree as exact SETS
+    Seq("eval_holdout", "short", "low_quality").foreach { c =>
+      assert(dispMap.filter(_._2 == c).keySet ==
+        batchD.filter(_._2 == c).keySet, s"class $c")
+    }
+  }
+
+  test("curation disposition repair closes the gold-before-log crash window") {
+    import java.nio.file.Files
+    val base = Files.createTempDirectory("graft_cur_repair")
+    val accepted = Tables.documents(spark, sf).limit(20)
+    accepted.write.mode("overwrite").parquet(s"$base/gold")
+    // crash before the disposition append: log dir empty
+    EventStreams.repairCurationDispositions(spark, s"$base/gold", s"$base/disp")
+    val repaired = spark.read.parquet(s"$base/disp")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expected = accepted.select(col("doc_id"),
+        graft.ext.Curation.streamSplit(col("doc_id")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(repaired == expected)
+    // idempotent: a second repair appends nothing
+    EventStreams.repairCurationDispositions(spark, s"$base/gold", s"$base/disp")
+    assert(spark.read.parquet(s"$base/disp").count() == 20L)
+  }
+
   test("stream-stream interval join matches the batch join") {
     val stream = EventStreams.eventsStream(spark, sf)
     val q = EventStreams.runToMemory(

@@ -148,7 +148,7 @@ class PlanLintSpec extends SparkSpec {
     val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
       if (allowGlobalWindow(name)) None
       else {
-        val globalWindows = fn(spark, sf).queryExecution.executedPlan.collect {
+        val globalWindows = collectPlan(fn(spark, sf).queryExecution.executedPlan) {
           case w: org.apache.spark.sql.execution.window.WindowExec
               if w.partitionSpec.isEmpty => w
         }

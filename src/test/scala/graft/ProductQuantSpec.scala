@@ -165,6 +165,62 @@ class ProductQuantSpec extends SparkSpec {
     assert(got.toSeq == live.toSeq)
   }
 
+  test("exact re-rank rung: recall >= residual ADC; distances exact and ordered") {
+    val vs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    val byId = vs.toMap
+    val qv = vs.head._2
+    def d2(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).foldLeft(0.0) { case (acc, (x, c)) => acc + (x - c) * (x - c) }
+    val exact = vs.tail.map { case (id, v) => (d2(v, qv), id) }
+      .sortBy(identity).take(ProductQuant.TopK).map(_._2).toSet
+    val resid = ProductQuant.ivfPqResidualTopK(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    val rerank = ProductQuant.ivfPqRerankTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(2)))
+    val rerankRecall = (rerank.map(_._1).toSet intersect exact).size
+    val residRecall = (resid intersect exact).size
+    info(s"recall@${ProductQuant.TopK}: residual=$residRecall rerank=$rerankRecall")
+    assert(rerankRecall >= residRecall,
+      s"exact re-rank must not lose recall: $rerankRecall < $residRecall")
+    // every reported distance is the TRUE exact L2 (same left-to-right
+    // IEEE fold), and the output is (dist, vec_id)-sorted — the two
+    // properties that make this rung "exact on its candidate set"
+    rerank.foreach { case (id, d) =>
+      assert(d == d2(byId(id), qv), s"vec $id: $d != exact ${d2(byId(id), qv)}")
+    }
+    assert(rerank.sortBy { case (id, d) => (d, id) }.toSeq == rerank.toSeq)
+  }
+
+  test("residual multi-probe: recall >= residual single-probe and >= raw multi-probe") {
+    val vs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    val qv = vs.head._2
+    def d2(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).foldLeft(0.0) { case (acc, (x, c)) => acc + (x - c) * (x - c) }
+    val exact = vs.tail.map { case (id, v) => (d2(v, qv), id) }
+      .sortBy(identity).take(ProductQuant.TopK).map(_._2).toSet
+    def recall(ids: Set[Long]) = (ids intersect exact).size
+    val residP1 = ProductQuant.ivfPqResidualTopK(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    val rawP2 = ProductQuant.ivfPqTopKMultiProbe(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    val residP2 = ProductQuant.ivfPqResidualTopKMultiProbe(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    info(s"recall@${ProductQuant.TopK}: residP1=${recall(residP1)} " +
+      s"rawP2=${recall(rawP2)} residP2=${recall(residP2)}")
+    assert(recall(residP2) >= recall(residP1),
+      "probing a second cell must not lose residual recall")
+    assert(recall(residP2) >= recall(rawP2),
+      "residual encoding must not lose recall vs raw at the same nprobe")
+  }
+
   test("ADC over codes plans one exchange only (the final top-k gather)") {
     val cbs = ProductQuant.codebooks(spark, sf)
     val dir = java.nio.file.Files.createTempDirectory("pq_plan").toString

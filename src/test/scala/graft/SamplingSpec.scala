@@ -207,4 +207,59 @@ class SamplingSpec extends SparkSpec {
     assert(labels.subsetOf(Set("train", "validation", "test")))
     assert(labels.contains("train"), "80% decile mass must land in train")
   }
+
+  test("incremental batch merge equals the full-corpus label rebuild") {
+    // gold = 80% cutoff, batch = the appended rest (the same split the
+    // registered query and dedup_incremental replay)
+    val merged = Sampling.mergeBatchSplit(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    val rebuilt = Sampling.trainTestSplit(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(merged == rebuilt,
+      "merge-into-star-forest must reproduce the full CC rebuild exactly")
+    // sanity: the merge actually exercises cross-boundary edges at
+    // this SF (otherwise the test proves nothing)
+    val d = Tables.documents(spark, sf)
+    val cutoff = d.agg(floor(max(col("doc_id")) * 0.8).cast("long"))
+      .head().getLong(0)
+    val crossEdges = Dedup.batchNearDupEdges(
+      d.filter(col("doc_id") <= cutoff), d.filter(col("doc_id") > cutoff))
+    assert(crossEdges.count() > 0,
+      "test corpus should plant near-dups across the 80% boundary")
+  }
+
+  test("artifact merge: write gold labels, merge batch, read == rebuild") {
+    val out = java.nio.file.Files.createTempDirectory("graft_merge").toString
+    val d = Tables.documents(spark, sf)
+    val cutoff = d.agg(floor(max(col("doc_id")) * 0.8).cast("long"))
+      .head().getLong(0)
+    val gold = d.filter(col("doc_id") <= cutoff)
+    val batch = d.filter(col("doc_id") > cutoff)
+    Sampling.writeLabelArtifact(spark,
+      Sampling.splitFromClusters(Dedup.nearDupClustersOn(gold)), out)
+    Sampling.mergeSplitLabelsArtifact(spark, out, gold, batch)
+    val fed = Sampling.trainTestSplitFrom(spark, out).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted.toSeq
+    val rebuilt = Sampling.trainTestSplit(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted.toSeq
+    assert(fed == rebuilt,
+      "persisted artifact after merge must equal the full rebuild")
+  }
+
+  test("batch edge generation plans broadcast-only joins (gold side never shuffles)") {
+    val d = Tables.documents(spark, sf)
+    val cutoff = d.agg(floor(max(col("doc_id")) * 0.8).cast("long"))
+      .head().getLong(0)
+    val edges = Dedup.batchNearDupEdges(
+      d.filter(col("doc_id") <= cutoff), d.filter(col("doc_id") > cutoff))
+    edges.collect() // materialize so AQE's FINAL plan is inspected
+    import org.apache.spark.sql.execution.joins.{SortMergeJoinExec, ShuffledHashJoinExec}
+    val shuffledJoins = collectPlan(edges.queryExecution.executedPlan) {
+      case j: SortMergeJoinExec => j
+      case j: ShuffledHashJoinExec => j
+    }
+    assert(shuffledJoins.isEmpty,
+      s"batch-edge candidate/verify joins must broadcast the batch side:\n" +
+        s"${edges.queryExecution.executedPlan}")
+  }
 }

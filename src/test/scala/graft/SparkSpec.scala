@@ -23,4 +23,18 @@ trait SparkSpec extends AnyFunSuite {
     s
   }
   def sf: String = SparkSpec.sf
+
+  /** Collect over a physical plan, descending through AQE wrappers.
+    * `AdaptiveSparkPlanExec` is a LeafExecNode, so a plain
+    * `plan.collect` over an AQE-enabled query never sees the inner
+    * join/window/exchange nodes — every structural plan assertion
+    * must go through this helper (or disable AQE) or it is vacuous. */
+  def collectPlan[A](plan: org.apache.spark.sql.execution.SparkPlan)(
+      pf: PartialFunction[org.apache.spark.sql.execution.SparkPlan, A]): Seq[A] = {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val nested = plan.collect {
+      case a: AdaptiveSparkPlanExec => collectPlan(a.executedPlan)(pf)
+    }.flatten
+    plan.collect(pf) ++ nested
+  }
 }

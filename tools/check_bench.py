@@ -172,11 +172,34 @@ def main() -> int:
     if total_reg:
         print(f"REGRESSION total: {total:.3f}s vs drift-adjusted baseline "
               f"{base_total * drift:.3f}s (> {TOTAL_THRESHOLD}x)")
+    # Serving tier (round-9 verdict follow-up). Two checks:
+    #  - serving.errs (recorded per-query failures — Bench no longer
+    #    swallows serving-tier exceptions) is a HARD failure: a broken
+    #    QueryMemo path must fail the bench visibly, not present as a
+    #    near-zero "win";
+    #  - memo-tier drift vs baseline is a SOFT warning only (the
+    #    fresh-tier gate stays primary; memo latencies are tiny and
+    #    noisy, so a hard gate would false-flag).
+    serving_errs = (bench.get("serving") or {}).get("errs") or {}
+    for k, msg in serving_errs.items():
+        print(f"SERVING ERROR {k}: {msg}")
+    memo = (bench.get("serving") or {}).get("memo") or {}
+    base_memo = (base.get("serving") or {}).get("memo") or {}
+    memo_shared = [n for n in memo if n in base_memo]
+    if memo_shared:
+        memo_total = sum(memo[n] for n in memo_shared)
+        base_memo_total = sum(base_memo[n] for n in memo_shared)
+        ratio = memo_total / (base_memo_total * drift)
+        if ratio > TOTAL_THRESHOLD:
+            print(f"WARNING memo-tier total {memo_total:.3f}s vs "
+                  f"drift-adjusted baseline {base_memo_total * drift:.3f}s "
+                  f"({ratio:.2f}x > {TOTAL_THRESHOLD}x) — soft check, "
+                  f"investigate QueryMemo but not a gate failure")
     ok = len(bench["queries"]) - len(regressions)
     print(f"{ok} within bound, {len(regressions)} regressed, total "
           f"{'REGRESSED' if total_reg else 'ok'} (baseline round "
           f"{base.get('round')}, cpus {base.get('cpus')})")
-    return 1 if (regressions or total_reg) else 0
+    return 1 if (regressions or total_reg or serving_errs) else 0
 
 
 if __name__ == "__main__":
