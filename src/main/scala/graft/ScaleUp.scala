@@ -236,6 +236,16 @@ object ScaleUp {
         time(q, src, 1); time(q, dst, 1)
       }
     }
+    if (on("r11")) {
+      // round-11 re-measure: the boilerplate singleton-gram prefilter
+      // (totals now arithmetic on the token count — no second shingle
+      // build) and the prefix-vs-inverted candidate comparison rows
+      // the timed-out dedup8 pass didn't reach
+      for (q <- Seq("text_boilerplate", "dedup_ngram_prefix",
+          "dedup_source_overlap")) {
+        time(q, src, 1); time(q, dst, 1)
+      }
+    }
     if (on("merge")) {
       // incremental label maintenance at 100×: gold = copies 0..98,
       // batch = the last copy (one base-corpus-sized append). The

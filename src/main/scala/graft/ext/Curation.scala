@@ -159,9 +159,15 @@ object Curation {
       .filter(col("df") >= BoilerMinDocs)
     val boilerPer = occ.join(df2, "g")
       .groupBy(col("doc_id")).agg(sum(col("occ")).as("boiler_grams"))
+    // total gram POSITIONS per doc = max(tokens − K + 1, 0): pure
+    // arithmetic on the token count, so this scan branch never builds
+    // the shingle strings a second time (the first cut of this rewrite
+    // re-evaluated tokenize+shingle here and measured ~2× the old
+    // wall at 100× — concatenating ~190 8-gram strings per doc twice
+    // costs more than the join leg it saved)
     val nGrams = docs.select(col("doc_id"), col("source"),
-      coalesce(size(TextOps.shinglesN(TextOps.tokens(col("text")), ShingleK))
-        .cast("long"), lit(0L)).as("n_grams"))
+      greatest(size(TextOps.tokens(col("text"))) - lit(ShingleK - 1), lit(0))
+        .cast("long").as("n_grams"))
     val frac = when(col("n_grams") === 0, lit(0.0))
       .otherwise(col("boiler_grams").cast("double") / col("n_grams"))
     nGrams.join(boilerPer, Seq("doc_id"), "left")

@@ -147,7 +147,20 @@ object Dedup {
     * (high-df) shingles never enter the index. Exact — the spec
     * asserts pair-for-pair equality with [[ngramJaccardPairs]], and
     * the oracle runs the full inverted-index formulation, so DuckDB
-    * cross-checks the prefix theorem end to end. */
+    * cross-checks the prefix theorem end to end.
+    *
+    * WHEN TO USE (measured, round 11): on this corpus the inverted
+    * index stays the default — at t = 0.2 the prefix keeps
+    * ⌈0.8·|S|⌉+1 of every doc's shingles (barely prunes), and the df
+    * join + per-doc rank window sort the full inverted index, which
+    * at 100× spilled past the machine's disk and aborted while
+    * [[ngramJaccardPairs]] completed the same pair set at 4.9 GB
+    * shuffle (base-scale walls: 15–20 s vs 6 s). The prefix form is
+    * the HOT-SHINGLE remedy: it wins when individual grams' postings
+    * explode (real vocabularies, boilerplate-heavy corpora, higher
+    * thresholds where the prefix actually prunes), not as a wholesale
+    * replacement — so the CC edge feeder and [[sourceOverlap]] ride
+    * the inverted index. */
   def ngramJaccardPrefixPairs(spark: SparkSession, dir: String): DataFrame = {
     val t = docShingles(spark, dir)
     // explode_outer for the same InferFiltersFromGenerate reason as

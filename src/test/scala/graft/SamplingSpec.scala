@@ -228,6 +228,31 @@ class SamplingSpec extends SparkSpec {
       "test corpus should plant near-dups across the 80% boundary")
   }
 
+  test("sequential merges compose: two appends == one full rebuild") {
+    // the merge's output must itself be a valid star forest (doc →
+    // component min) or the SECOND merge would start from a broken
+    // invariant — this is the induction step that makes per-batch
+    // label maintenance sound over an unbounded append sequence
+    val d = Tables.documents(spark, sf)
+    val ids = d.select(col("doc_id")).orderBy(col("doc_id"))
+      .collect().map(_.getLong(0))
+    val c0 = ids(ids.length * 3 / 5); val c1 = ids(ids.length * 4 / 5)
+    val gold0 = d.filter(col("doc_id") <= c0)
+    val batch1 = d.filter(col("doc_id") > c0 && col("doc_id") <= c1)
+    val batch2 = d.filter(col("doc_id") > c1)
+    val labels0 = Sampling.splitFromClusters(Dedup.nearDupClustersOn(gold0))
+    val labels1 = Sampling.mergeBatchLabels(labels0, gold0, batch1)
+      .localCheckpoint()
+    val gold1 = gold0.unionByName(batch1)
+    val labels2 = Sampling.mergeBatchLabels(labels1, gold1, batch2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .sorted.toSeq
+    val rebuilt = Sampling.trainTestSplit(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted.toSeq
+    assert(labels2 == rebuilt,
+      "two sequential batch merges must equal the one-shot rebuild")
+  }
+
   test("artifact merge: write gold labels, merge batch, read == rebuild") {
     val out = java.nio.file.Files.createTempDirectory("graft_merge").toString
     val d = Tables.documents(spark, sf)
