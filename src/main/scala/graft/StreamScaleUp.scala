@@ -175,7 +175,8 @@ object StreamScaleUp {
       val frag = graft.ext.Dedup.indexFileCount(s"$base/dedup_index")
       val t1 = System.nanoTime()
       graft.ext.Dedup.rebuildIndex(spark, s"$base/gold_docs",
-        s"$base/dedup_index")
+        s"$base/dedup_index",
+        outFiles = graft.ext.Dedup.CompactFileThreshold / 2)
       println(f"[streamscale] index compaction: $frag%d part files -> " +
         f"${graft.ext.Dedup.indexFileCount(s"$base/dedup_index")}%d, " +
         f"rebuild ${(System.nanoTime() - t1) / 1e9}%.1f s")

@@ -10,6 +10,7 @@ object Verify {
     val spark = GraftSession.builder(s"local[$cpus]", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    val errs = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries.foreach { case (name, fn) =>
       // coalesce(1) keeps one file AND preserves the query's ORDER BY
       // in the written rows (a repartition would shuffle them away)
@@ -17,6 +18,8 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        errs(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+          .linesIterator.toSeq.headOption.getOrElse("")
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -34,6 +37,16 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Failed queries as a MANIFEST, not just a stderr line: round 10's
+    // correctness report silently lost 11 entries because per-query
+    // failures left no artifact — a missing dump looked identical to a
+    // never-registered query. The errors file makes breakage diffable.
+    Files.writeString(Paths.get(s"$outDir/verify_errors.json"),
+      errs.map { case (k, v) => s"${q(k)}: ${q(v)}" }
+        .mkString("{", ",", "}"))
+    if (errs.nonEmpty)
+      System.err.println(s"[verify] ${errs.size} queries failed: " +
+        errs.keys.mkString(", "))
     spark.stop()
   }
 }

@@ -555,19 +555,31 @@ object Dedup {
     * table (partitioned by band_idx so a band probe prunes to one
     * directory), and shingle sets for candidate verification. This is
     * the state an incremental pipeline accumulates batch over batch. */
-  def writeGoldIndex(gold: DataFrame, path: String): Unit = {
-    gold.select(fingerprint(col("text")).as("fp"), col("doc_id"))
-      .groupBy(col("fp")).agg(min(col("doc_id")).as("exact_match"))
+  /** `outFiles` > 0 shapes the write to roughly that many part files
+    * total (key-hashed repartitions, so probe-side pruning semantics
+    * are unchanged) — the COMPACTION form [[maybeCompactIndex]] uses.
+    * The default 0 writes at plan parallelism: full throughput for
+    * the initial corpus-scale build, where file counts are already
+    * proportional to data, not to append history. */
+  def writeGoldIndex(gold: DataFrame, path: String,
+      outFiles: Int = 0): Unit = {
+    val n = math.max(1, outFiles / 6)
+    def shaped(df: DataFrame, keys: org.apache.spark.sql.Column*) =
+      if (outFiles > 0) df.repartition(n, keys: _*) else df
+    shaped(gold.select(fingerprint(col("text")).as("fp"), col("doc_id"))
+        .groupBy(col("fp")).agg(min(col("doc_id")).as("exact_match")),
+        col("fp"))
       .write.mode("overwrite").parquet(s"$path/fingerprints")
     // cache(): the band write and the shingle write are two ACTIONS
     // over the same tokenize+shingle pass — without it the corpus is
     // re-tokenized and re-minhashed once per write
     val goldSh = shingleSets(gold).cache()
     try {
-      bandTable(goldSh)
+      shaped(bandTable(goldSh), col("band_val"))
         .write.mode("overwrite").partitionBy("band_idx")
         .parquet(s"$path/bands")
-      goldSh.write.mode("overwrite").parquet(s"$path/shingles")
+      shaped(goldSh, col("doc_id"))
+        .write.mode("overwrite").parquet(s"$path/shingles")
     } finally goldSh.unpersist()
   }
 
@@ -587,8 +599,8 @@ object Dedup {
     * it the compaction path for a store fragmented by many small
     * appends. */
   def rebuildIndex(spark: SparkSession, goldDir: String,
-      indexDir: String): Unit =
-    writeGoldIndex(spark.read.parquet(goldDir), indexDir)
+      indexDir: String, outFiles: Int = 0): Unit =
+    writeGoldIndex(spark.read.parquet(goldDir), indexDir, outFiles)
 
   /** Extend a [[writeGoldIndex]] store with newly-accepted docs
     * (append-mode writes of the same three components). Callers add
@@ -642,8 +654,16 @@ object Dedup {
   def maybeCompactIndex(spark: SparkSession, goldDir: String,
       indexDir: String, threshold: Int = CompactFileThreshold): Boolean = {
     val n = indexFileCount(indexDir)
-    if (n > threshold) { rebuildIndex(spark, goldDir, indexDir); true }
-    else false
+    // compact to ~half the threshold, so the next compaction is
+    // ~threshold/2 appends away instead of immediate — without the
+    // file target the rebuild writes at plan parallelism and can
+    // REPRODUCE the fragmentation it was asked to fix (measured: an
+    // 81-file store "compacted" to 81 files)
+    if (n > threshold) {
+      rebuildIndex(spark, goldDir, indexDir,
+        outFiles = math.max(6, threshold / 2))
+      true
+    } else false
   }
 
   /** Incremental dedup of `fresh` against a [[writeGoldIndex]] store —

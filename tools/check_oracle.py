@@ -38,6 +38,15 @@ def main():
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    # graft.Verify records per-query failures as a manifest (the dump
+    # dir is simply missing otherwise, which reads as "unregistered"):
+    # surface the actual exceptions next to the FAIL rows they cause.
+    try:
+        for name, msg in json.load(
+                open(f"{out_dir}/verify_errors.json")).items():
+            print(f"VERIFY-ERROR {name}: {msg}")
+    except FileNotFoundError:
+        pass  # pre-round-11 dump
     n_ok = n_bad = 0
     for name, sql in sorted(oracle.items()):
         try:
