@@ -339,6 +339,23 @@ object ScaleUp {
         graft.ext.ProductQuant.adcOverCodes(
           spark.read.parquet(s"$dst/pq_codes_resid.parquet")
             .filter(col("cell") === qCell3), dt3, qid3))
+      // re-rank rung steady state: the SAME partition-pruned ADC scan
+      // keeps k' candidates, then k' point fetches (pushed In filter,
+      // row-group prunable) against the raw vectors — the row that
+      // shows the exactness upgrade costs the ADC scan plus a
+      // constant-size fetch at any corpus size
+      val qv = Tables.embeddings(spark, src)
+        .select(col("vec_id"), col("embedding").cast("array<double>"))
+        .orderBy(col("vec_id")).limit(1).head().getSeq[Double](1)
+      timed("sim_ivfpq_rerank_steady", dst, 2) {
+        val cand = graft.ext.ProductQuant.adcOverCodes(
+          spark.read.parquet(s"$dst/pq_codes_resid.parquet")
+            .filter(col("cell") === qCell3), dt3, qid3,
+          k = graft.ext.ProductQuant.RerankFactor *
+            graft.ext.ProductQuant.TopK)
+          .collect().map(_.getLong(0)).toSeq
+        graft.ext.ProductQuant.exactRerankTopK(spark, dst, qv, cand)
+      }
       // per-row profile (fused VecStats loop) and the exact group
       // mean (posexplode + integer partial agg) — the two vector
       // kernels that read every element of every vector

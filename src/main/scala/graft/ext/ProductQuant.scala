@@ -92,15 +92,31 @@ object ProductQuant {
     * distance table, the float vectors never read. Same values as
     * [[pqTopK]] under the same codebooks (ProductQuantSpec). */
   def adcOverCodes(codes: DataFrame, dt: Seq[Seq[Double]],
-      qid: Long): DataFrame = {
+      qid: Long, k: Int = TopK): DataFrame = {
     val adc = (0 until M).map { m =>
       element_at(array(dt(m).map(lit): _*), col(s"code$m") + lit(1))
     }.reduceLeft(_ + _)
     codes.filter(col("vec_id") =!= qid)
       .select(col("vec_id"), col("label"), adc.as("adc_dist"))
       .orderBy(col("adc_dist"), col("vec_id"))
-      .limit(TopK)
+      .limit(k)
   }
+
+  /** Exact-L2 re-rank of an explicit candidate id set against the raw
+    * vectors of `dir` — the steady-state second leg of
+    * [[ivfPqRerankTopK]], factored so a deployment can run it against
+    * a PERSISTED codes table's ADC output ([[adcOverCodes]] with
+    * k = [[RerankFactor]]·[[TopK]]). The ids arrive as a literal
+    * pushed-down In predicate: k′ row fetches, row-group-prunable on a
+    * vec_id-sorted layout, never a join against a full vector scan. */
+  def exactRerankTopK(spark: SparkSession, dir: String, qv: Seq[Double],
+      candIds: Seq[Long]): DataFrame =
+    KMeans.vecs(spark, dir)
+      .filter(col("vec_id").isin(candIds: _*))
+      .select(col("vec_id"), col("label"),
+        exactDistCol(qv).as("exact_dist"))
+      .orderBy(col("exact_dist"), col("vec_id"))
+      .limit(TopK)
 
   /** ADC top-k for the min-vec_id query vector: per-row distance is M
     * lookups into the driver-computed distance table, summed
@@ -298,18 +314,20 @@ object ProductQuant {
       element_at(array(dt(m).map(lit): _*),
         KMeans.assignOn(slice(rv, m * SubDim + 1, SubDim), rcbs(m)) + lit(1))
     }.reduceLeft(_ + _)
-    val cand = KMeans.vecs(spark, dir)
+    // candidate ids COLLECT to the driver (k′ = 40 longs) and return
+    // as a pushed-down In filter — a broadcast join would still scan
+    // the whole raw-vector table to find 40 rows, while the literal
+    // predicate reaches the parquet reader (PushedFilters, asserted in
+    // ProductQuantSpec) and prunes row groups on a vec_id-sorted
+    // layout: the re-rank leg is k′ point fetches at any corpus size
+    val candIds = KMeans.vecs(spark, dir)
       .filter(KMeans.assignOn(col("v"), coarse) === qCid &&
         col("vec_id") =!= qid)
       .select(col("vec_id"), adc.as("adc_dist"))
       .orderBy(col("adc_dist"), col("vec_id"))
       .limit(RerankFactor * TopK)
-    KMeans.vecs(spark, dir)
-      .join(broadcast(cand.select(col("vec_id"))), Seq("vec_id"))
-      .select(col("vec_id"), col("label"),
-        exactDistCol(qv).as("exact_dist"))
-      .orderBy(col("exact_dist"), col("vec_id"))
-      .limit(TopK)
+      .collect().map(_.getLong(0))
+    exactRerankTopK(spark, dir, qv, candIds.toSeq)
   }
 
   /** Residual IVF-PQ with nprobe=2 — the multi-probe knob composed

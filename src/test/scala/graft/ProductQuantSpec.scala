@@ -193,6 +193,13 @@ class ProductQuantSpec extends SparkSpec {
       assert(d == d2(byId(id), qv), s"vec $id: $d != exact ${d2(byId(id), qv)}")
     }
     assert(rerank.sortBy { case (id, d) => (d, id) }.toSeq == rerank.toSeq)
+    // the k′ raw-vector fetches must reach the scan as a pushed-down
+    // In predicate (row-group prunable), not a join against a full scan
+    val plan = ProductQuant.ivfPqRerankTopK(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [In(vec_id"),
+      s"expected the candidate ids pushed into the parquet scan:\n$plan")
+    assert(!plan.contains("Join"), s"re-rank must not join:\n$plan")
   }
 
   test("residual multi-probe: recall >= residual single-probe and >= raw multi-probe") {
