@@ -719,14 +719,6 @@ object Curation {
   private def bloomPosListSql(s: String): String =
     (0 until BloomHashes).map(bloomPosSql(_, s)).mkString("[", ", ", "]")
 
-  /** DuckDB replay of [[boilerplate]]'s 60-bit gram fingerprint: the
-    * first 15 hex chars of md5(s) as a BIGINT, nibble by nibble. */
-  private def gramFpSql(s: String): String = {
-    def nib(n: Int) =
-      s"(strpos('0123456789abcdef', substr(md5($s), $n, 1)) - 1)"
-    (1 to 15).map(n => s"${nib(n)} * ${java.lang.Long
-      .toString(1L << (4 * (15 - n)))}").mkString("(", " + ", ")")
-  }
 
   val oracle: Map[String, String] = Map(
     "decontam_eval_overlap" ->
@@ -744,7 +736,7 @@ object Curation {
     "decontam_two_phase" ->
       s"""WITH g AS (SELECT doc_id, $gramSql AS sh FROM (SELECT doc_id, ${TextOps.toksSql} AS t FROM documents)), ev AS (SELECT DISTINCT unnest(sh) AS s FROM g WHERE doc_id % $EvalModulus = 0), tr AS (SELECT doc_id, unnest(sh) AS s FROM g WHERE doc_id % $EvalModulus <> 0), hits AS (SELECT doc_id, COUNT(*) AS n FROM tr JOIN ev USING (s) GROUP BY doc_id) SELECT d.doc_id, CAST(COALESCE(h.n, 0) AS BIGINT) AS shared_evalgrams, COALESCE(h.n, 0) > 0 AS contaminated FROM (SELECT doc_id FROM documents WHERE doc_id % $EvalModulus <> 0) d LEFT JOIN hits h USING (doc_id) ORDER BY doc_id""",
     "text_boilerplate" ->
-      s"""WITH g0 AS (SELECT doc_id, unnest($gramsPosSql) AS s FROM (SELECT doc_id, ${TextOps.toksSql} AS t FROM documents)), g AS (SELECT doc_id, ${gramFpSql("s")} AS fp FROM g0), occ AS (SELECT doc_id, fp, COUNT(*) AS occ FROM g GROUP BY doc_id, fp), w AS (SELECT doc_id, occ, COUNT(*) OVER (PARTITION BY fp) AS df FROM occ), per AS (SELECT doc_id, SUM(occ) AS n_grams, SUM(CASE WHEN df >= $BoilerMinDocs THEN occ ELSE 0 END) AS b FROM w GROUP BY doc_id) SELECT d.doc_id, d.source, CAST(COALESCE(p.n_grams, 0) AS BIGINT) AS n_grams, CAST(COALESCE(p.b, 0) AS BIGINT) AS boiler_grams, CASE WHEN COALESCE(p.n_grams, 0) = 0 THEN 0.0 ELSE CAST(p.b AS DOUBLE) / p.n_grams END AS boiler_frac, CASE WHEN COALESCE(p.n_grams, 0) = 0 THEN 0.0 ELSE CAST(p.b AS DOUBLE) / p.n_grams END >= $BoilerHeavyFrac AS boiler_heavy FROM documents d LEFT JOIN per p USING (doc_id) ORDER BY doc_id""",
+      s"""WITH g0 AS (SELECT doc_id, unnest($gramsPosSql) AS s FROM (SELECT doc_id, ${TextOps.toksSql} AS t FROM documents)), g AS (SELECT doc_id, ${TextOps.gramFpSql("s")} AS fp FROM g0), occ AS (SELECT doc_id, fp, COUNT(*) AS occ FROM g GROUP BY doc_id, fp), w AS (SELECT doc_id, occ, COUNT(*) OVER (PARTITION BY fp) AS df FROM occ), per AS (SELECT doc_id, SUM(occ) AS n_grams, SUM(CASE WHEN df >= $BoilerMinDocs THEN occ ELSE 0 END) AS b FROM w GROUP BY doc_id) SELECT d.doc_id, d.source, CAST(COALESCE(p.n_grams, 0) AS BIGINT) AS n_grams, CAST(COALESCE(p.b, 0) AS BIGINT) AS boiler_grams, CASE WHEN COALESCE(p.n_grams, 0) = 0 THEN 0.0 ELSE CAST(p.b AS DOUBLE) / p.n_grams END AS boiler_frac, CASE WHEN COALESCE(p.n_grams, 0) = 0 THEN 0.0 ELSE CAST(p.b AS DOUBLE) / p.n_grams END >= $BoilerHeavyFrac AS boiler_heavy FROM documents d LEFT JOIN per p USING (doc_id) ORDER BY doc_id""",
     "text_pack_sequences" -> s"$packDetailSql ORDER BY source, pack_shard, doc_id, chunk_idx",
     "text_pack_summary" ->
       s"""WITH s AS (SELECT source, pack_shard, seq_id, COUNT(*) AS seq_chunks, SUM(chunk_len) AS seq_tokens FROM ($packDetailSql) GROUP BY 1, 2, 3) SELECT source, COUNT(*) AS sequences, CAST(SUM(seq_chunks) AS BIGINT) AS chunks, CAST(SUM(seq_tokens) AS BIGINT) AS tokens, CAST(SUM(CASE WHEN seq_tokens >= $PackBudget THEN 1 ELSE 0 END) AS BIGINT) AS full_sequences FROM s GROUP BY 1 ORDER BY 1"""

@@ -60,6 +60,146 @@ object Dedup {
       (count(lit(1)) - countDistinct(fp)).as("duplicate_docs"))
   }
 
+  /** Exact-substring span dedup window: a token run is duplicated
+    * when its [[SpanGram]]-token gram occurs at least [[SpanMinOcc]]
+    * times anywhere in the corpus (including twice within one
+    * document). Lee et al., "Deduplicating Training Data Makes
+    * Language Models Better" (ACL 2022) — the span-level complement
+    * to the document-level near-dup operators: boilerplate and
+    * licence blocks repeat VERBATIM inside otherwise-unique
+    * documents, which document-level Jaccard never flags. 15 tokens
+    * is proportionate to this corpus's ~54-token documents (the
+    * paper's 50-token threshold assumes web-page-length text). */
+  val SpanGram = 15
+
+  /** Minimum corpus-wide occurrences for a gram to mark its span
+    * duplicated. */
+  val SpanMinOcc = 2
+
+  /** 60-bit gram fingerprint (first 15 md5 hex chars as a long) —
+    * same compaction as Curation.boilerplate: the shuffle key is 8
+    * bytes instead of a ~100-char gram string, and the DuckDB oracle
+    * replays it nibble-by-nibble ([[TextOps.gramFpSql]]). */
+  private def spanFp(s: Column): Column =
+    conv(substring(md5(s.cast("binary")), 1, 15), 16, 10).cast("long")
+
+  /** Duplicated (doc_id, pos) gram positions: every position whose
+    * [[SpanGram]]-gram fingerprint occurs ≥ [[SpanMinOcc]] times
+    * corpus-wide. Shape at scale (the boilerplate-prefilter shape,
+    * not a count window): the gram-count groupBy moves only (g,
+    * count) partial-agg rows — never doc_id/pos — and the surviving
+    * multi-occurrence gram set is typically tiny (verbatim repeats
+    * are the exception), so AQE broadcasts it back against the
+    * position scan; the worst case degrades to a sort-merge join,
+    * never an all-positions sort. */
+  private def dupPositions(docs: DataFrame): DataFrame = {
+    // posexplode_OUTER: plain explode lets InferFiltersFromGenerate
+    // push a size(grams) > 0 filter below the projection, duplicating
+    // the tokenize+shingle expression per row as an interpreted
+    // Filter (see sharedPairJaccard). Null grams from gramless docs
+    // fingerprint to null and drop at the inner g join (null ≠ null).
+    val occ = docs.select(col("doc_id"),
+        posexplode_outer(
+          TextOps.shinglesN(TextOps.tokens(col("text")), SpanGram))
+          .as(Seq("p", "s")))
+      .select(col("doc_id"), (col("p") + 1).cast("long").as("pos"),
+        spanFp(col("s")).as("g"))
+    val dupG = occ.groupBy(col("g")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= SpanMinOcc)
+      .select(col("g"))
+    occ.join(dupG, "g").select(col("doc_id"), col("pos"))
+  }
+
+  /** Maximal duplicated token spans per document: duplicated gram
+    * positions merge into islands (two [[SpanGram]]-wide spans
+    * overlap or touch when their starts differ by ≤ [[SpanGram]]),
+    * reported as 1-based [span_start, span_end] with the island's
+    * token count. The island windows run over ONLY the duplicated
+    * positions (a small fraction of the corpus), partitioned by
+    * doc_id — row-keyed, group size bounded by document length. */
+  def substringSpans(spark: SparkSession, dir: String): DataFrame = {
+    val dup = dupPositions(Tables.documents(spark, dir))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val isl = dup
+      .withColumn("prev", lag(col("pos"), 1).over(w))
+      .withColumn("new_isl",
+        when(col("prev").isNull || col("pos") - col("prev") > SpanGram, 1)
+          .otherwise(0))
+      .withColumn("island", sum(col("new_isl"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    isl.groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + lit(SpanGram - 1)).as("span_end"),
+        (max(col("pos")) + lit(SpanGram) - min(col("pos")))
+          .as("span_tokens"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        col("span_tokens"))
+      .orderBy(col("doc_id"), col("span_start"))
+  }
+
+  /** Per-source substring-duplication report: how many documents
+    * carry duplicated spans and what fraction of each source's tokens
+    * they cover — the corpus-report row that decides whether a source
+    * needs span-level dedup before training. */
+  def substringSpanSummary(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val perDoc = substringSpans(spark, dir)
+      .groupBy(col("doc_id")).agg(sum(col("span_tokens")).as("dup_tokens"))
+    docs.select(col("doc_id"), col("source"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("docs"),
+        count(col("dup_tokens")).as("docs_with_dup_spans"),
+        sum(coalesce(col("dup_tokens"), lit(0L))).as("dup_tokens"),
+        sum(col("n_tokens")).as("total_tokens"))
+      .orderBy(col("source"))
+  }
+
+  /** Cosine threshold for [[semanticDedup]] — deliberately the SAME
+    * bar as [[embeddingCosinePairs]] so the two operators are exact
+    * baseline vs scale path over one signal: any same-cluster pair
+    * the all-pairs baseline flags, SemDeDup flags too, and the only
+    * misses are cross-cluster pairs (the documented recall trade of
+    * cluster-then-prune). */
+  val SemThreshold = 0.45
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * deduplication by clustering embeddings (the deterministic
+    * [[KMeans]] trainer) and pruning near-identical pairs WITHIN each
+    * cluster — all-pairs cosine runs per cell, never corpus-wide, so
+    * compare cost is Σ|cell|² instead of n². A vector is a semantic
+    * duplicate when a lower-id member of its cluster sits within
+    * [[SemThreshold]] cosine; keep = lowest id per duplicate group
+    * (deterministic stand-in for the paper's keep-farthest-from-
+    * centroid rule, which ties to floating argmax order).
+    *
+    * Shape at scale: assignment is the map-only codegen'd
+    * [[KMeans.assignOn]] loop; the intra-cell join is an equi-join on
+    * cluster id. K scales with the corpus (cells of ~10³ vectors at
+    * any size), so per-cell products stay bounded and the join
+    * parallelizes across K — the exact argument of the paper's
+    * pre-clustering. */
+  def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    val cents = KMeans.train(spark, dir)
+    val e = KMeans.vecs(spark, dir)
+      .select(col("vec_id"), KMeans.assignOn(col("v"), cents).as("cluster"),
+        col("v"))
+    val a = e.select(col("cluster"), col("vec_id").as("cand"),
+      col("v").as("va"))
+    val b = e.select(col("cluster"), col("vec_id"), col("v").as("vb"))
+    val dupOf = a.join(b, Seq("cluster"))
+      .filter(col("cand") < col("vec_id") &&
+        graft.functions.CosineSimilarity(col("va"), col("vb"))
+          >= SemThreshold)
+      .groupBy(col("vec_id")).agg(min(col("cand")).as("dup_of"))
+    e.select(col("vec_id"), col("cluster"))
+      .join(dupOf, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"),
+        col("dup_of").isNotNull.as("is_dup"), col("dup_of"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Cross-source duplication matrix: near-duplicate pair counts per
     * (canonical) source pair — the "which feeds copy from each other"
     * report a multi-source corpus build runs before weighting sources
@@ -775,7 +915,25 @@ object Dedup {
   private val ngramPairsSql =
     s"""WITH shing AS ($docShinglesSql), inv AS (SELECT doc_id, unnest(sh) AS s FROM shing), cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM inv x JOIN inv y ON x.s = y.s AND x.doc_id < y.doc_id) SELECT doc_a, doc_b, jaccard FROM (SELECT a AS doc_a, b AS doc_b, $jaccardSql AS jaccard FROM cand JOIN (SELECT doc_id, sh AS sh_a FROM shing) sa ON cand.a = sa.doc_id JOIN (SELECT doc_id, sh AS sh_b FROM shing) sb ON cand.b = sb.doc_id) WHERE jaccard >= $JaccardThreshold ORDER BY doc_a, doc_b"""
 
+  // DuckDB replay of the substring-span pipeline: position-indexed
+  // 15-gram fingerprints (same 60-bit md5 compaction, nibble replay),
+  // multi-occurrence grams via GROUP BY ... HAVING, islands via
+  // lag + running-sum windows
+  private val spanOccSql =
+    s"""SELECT doc_id, u.pos AS pos, ${TextOps.gramFpSql("u.gram")} AS g FROM (SELECT doc_id, unnest(list_transform(range(1, len(t)-$SpanGram+2), i -> {'pos': i, 'gram': list_aggregate(t[i:i+${SpanGram - 1}], 'string_agg', ' ')})) AS u FROM (SELECT doc_id, ${TextOps.toksSql} AS t FROM documents) WHERE len(t) >= $SpanGram)"""
+  private val spanSql =
+    s"""WITH occ AS ($spanOccSql), dupg AS (SELECT g FROM occ GROUP BY g HAVING COUNT(*) >= $SpanMinOcc), dup AS (SELECT doc_id, pos FROM occ JOIN dupg USING (g)), isl AS (SELECT doc_id, pos, SUM(CASE WHEN prev IS NULL OR pos - prev > $SpanGram THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island FROM (SELECT doc_id, pos, lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev FROM dup)), spans AS (SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + ${SpanGram - 1} AS span_end, MAX(pos) + $SpanGram - MIN(pos) AS span_tokens FROM isl GROUP BY doc_id, island)"""
+
   val oracle: Map[String, String] = Map(
+    // SemDeDup: the kmeans train chain (KMeans.trainCtes) feeds a
+    // same-cluster self-join; keep = min lower-id neighbor above the
+    // cosine bar
+    "dedup_semantic" ->
+      s"""WITH ${KMeans.trainCtes}, m AS (SELECT af.vec_id, af.cid, q.v FROM af JOIN q USING (vec_id)), p AS (SELECT b.vec_id, MIN(a.vec_id) AS dup_of FROM m a JOIN m b ON a.cid = b.cid AND a.vec_id < b.vec_id AND ${KMeans.cosSql("a.v", "b.v")} >= $SemThreshold GROUP BY b.vec_id) SELECT m.vec_id, CAST(m.cid AS INTEGER) AS cluster, p.dup_of IS NOT NULL AS is_dup, p.dup_of FROM m LEFT JOIN p USING (vec_id) ORDER BY m.vec_id""",
+    "dedup_substring_spans" ->
+      s"""$spanSql SELECT doc_id, span_start, span_end, span_tokens FROM spans ORDER BY doc_id, span_start""",
+    "dedup_substring_summary" ->
+      s"""$spanSql, per_doc AS (SELECT doc_id, SUM(span_tokens) AS dup_tokens FROM spans GROUP BY doc_id) SELECT t.source, COUNT(*) AS docs, COUNT(p.doc_id) AS docs_with_dup_spans, CAST(COALESCE(SUM(p.dup_tokens), 0) AS BIGINT) AS dup_tokens, CAST(SUM(len(t.t)) AS BIGINT) AS total_tokens FROM (SELECT doc_id, source, ${TextOps.toksSql} AS t FROM documents) t LEFT JOIN per_doc p USING (doc_id) GROUP BY t.source ORDER BY t.source""",
     "dedup_exact_summary" ->
       """SELECT COUNT(*) AS total_docs, COUNT(DISTINCT md5(lower(trim(text)))) AS distinct_fingerprints, COUNT(*) - COUNT(DISTINCT md5(lower(trim(text)))) AS duplicate_docs FROM documents""",
     "dedup_source_overlap" ->
@@ -806,6 +964,9 @@ object Dedup {
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_semantic" -> semanticDedup _,
+    "dedup_substring_spans" -> substringSpans _,
+    "dedup_substring_summary" -> substringSpanSummary _,
     "dedup_exact_summary" -> exactSummary _,
     "dedup_source_overlap" -> sourceOverlap _,
     "dedup_ngram_jaccard" -> ngramJaccardPairs _,

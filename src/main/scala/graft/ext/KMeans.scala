@@ -172,6 +172,65 @@ object KMeans {
       .limit(5)
   }
 
+  /** Batch size for [[ivfBatchTopK]] — small enough that the query
+    * block ships as plan literals, large enough to exercise multiple
+    * probe cells. Declared before the oracle map (object init order —
+    * see TextOps.VocabK). */
+  val BatchQueries = 4
+
+  /** Batched IVF top-5: the [[BatchQueries]] min-vec_id vectors as a
+    * QUERY BLOCK answered in ONE corpus pass — the serving shape that
+    * matters in production, where queries arrive in batches and a
+    * scan per query would multiply cost by the batch size. Each query
+    * probes its assigned cell; the per-cell query lists ship as plan
+    * literals (queries × 64 doubles — no join, no shuffle to meet
+    * them), each scanned row fans out only to the queries probing its
+    * cell, and per-query top-k rides the salted two-phase rank
+    * ([[graft.ops.SkewOps.topKPerGroup]]) so no single task sorts a
+    * whole cell. Work = probed-cells scan + |cell|·queries-per-cell
+    * cosines — batch size multiplies only the fan-out leg, never the
+    * scan. */
+  def ivfBatchTopK(spark: SparkSession, dir: String): DataFrame = {
+    val cents = train(spark, dir)
+    val e = vecs(spark, dir)
+    val qrows = e.orderBy(col("vec_id")).limit(BatchQueries)
+      .select(col("vec_id"), col("v")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+    def cellOf(qv: Seq[Double]): Int = cents.map { case (cid, cv) =>
+      (qv.zip(cv).foldLeft(0.0) { case (acc, (x, c)) =>
+        acc + (x - c) * (x - c) }, cid)
+    }.min._2
+    val byCell = qrows.map { case (qid, qv) => (cellOf(qv), qid, qv) }
+      .groupBy(_._1)
+    val probed = byCell.keys.toSeq
+    val qArr = byCell.foldLeft(
+      lit(null).cast("array<struct<qid:bigint,qv:array<double>>>")) {
+      case (acc, (cell, qs)) =>
+        when(col("cluster") === cell,
+          array(qs.map { case (_, qid, qv) =>
+            struct(lit(qid).as("qid"),
+              array(qv.map(lit): _*).as("qv")) }.toIndexedSeq: _*))
+          .otherwise(acc)
+    }
+    // explode_OUTER (InferFiltersFromGenerate — Dedup.sharedPairJaccard):
+    // the inferred size(qArr) > 0 filter would re-evaluate the
+    // CASE-over-NearestCentroid chain per row as an interpreted
+    // Filter; outer-form nulls drop at the qid filter below
+    val scored = e.select(col("vec_id"), col("label"), col("v"),
+        assignCol(cents).as("cluster"))
+      .filter(col("cluster").isin(probed: _*))
+      .withColumn("q", explode_outer(qArr))
+      .filter(col("q.qid") =!= col("vec_id"))
+      .select(col("q.qid").as("query_id"), col("vec_id"), col("label"),
+        graft.functions.CosineSimilarity(col("v"), col("q.qv"))
+          .as("cosine"))
+    graft.ops.SkewOps.topKPerGroup(scored, col("query_id"),
+      Seq(col("cosine").desc, col("vec_id")), 5, col("vec_id"))
+      .select(col("query_id"), col("vec_id"), col("label"), col("cosine"),
+        col("rk"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
   // ---- DuckDB replay of the training loop as a CTE chain ----
 
   private[ext] val qSql =
@@ -198,11 +257,11 @@ object KMeans {
     s"c0$sfx AS ($c0), a1$sfx AS (${assign(s"c0$sfx")}), c1$sfx AS (${update(s"a1$sfx", s"c0$sfx")}), a2$sfx AS (${assign(s"c1$sfx")}), c2$sfx AS (${update(s"a2$sfx", s"c1$sfx")}), af$sfx AS (${assign(s"c2$sfx")})"
   }
 
-  private val trainCtes = s"q AS ($qSql), ${trainChain("q", "", 64, K)}"
+  private[ext] val trainCtes = s"q AS ($qSql), ${trainChain("q", "", 64, K)}"
 
   private def dotSql(a: String, b: String): String =
     s"list_sum(list_transform(range(1, len($a)+1), i -> $a[i] * $b[i]))"
-  private def cosSql(a: String, b: String): String =
+  private[ext] def cosSql(a: String, b: String): String =
     s"${dotSql(a, b)} / sqrt(${dotSql(a, a)} * ${dotSql(b, b)})"
 
   val oracle: Map[String, String] = Map(
@@ -213,13 +272,18 @@ object KMeans {
     // multi-probe: the qa CTE keeps the TWO nearest centroids (rn <= 2)
     // and the probe filter becomes an IN over them
     "sim_kmeans_topk_p2" ->
-      s"""WITH $trainCtes, qrow AS (SELECT vec_id AS qid, v AS qv FROM q ORDER BY vec_id LIMIT 1), qa AS (SELECT cid FROM (SELECT c.cid, row_number() OVER (ORDER BY ${distSql("qrow.qv", "c.cv")}, c.cid) AS rn FROM qrow CROSS JOIN c2 c) WHERE rn <= 2) SELECT vec_id, label, cosine FROM (SELECT af.vec_id, q.label, ${cosSql("q.v", "r.qv")} AS cosine FROM af JOIN q USING (vec_id) CROSS JOIN qrow r WHERE af.cid IN (SELECT cid FROM qa) AND af.vec_id <> r.qid) ORDER BY cosine DESC, vec_id LIMIT 5"""
+      s"""WITH $trainCtes, qrow AS (SELECT vec_id AS qid, v AS qv FROM q ORDER BY vec_id LIMIT 1), qa AS (SELECT cid FROM (SELECT c.cid, row_number() OVER (ORDER BY ${distSql("qrow.qv", "c.cv")}, c.cid) AS rn FROM qrow CROSS JOIN c2 c) WHERE rn <= 2) SELECT vec_id, label, cosine FROM (SELECT af.vec_id, q.label, ${cosSql("q.v", "r.qv")} AS cosine FROM af JOIN q USING (vec_id) CROSS JOIN qrow r WHERE af.cid IN (SELECT cid FROM qa) AND af.vec_id <> r.qid) ORDER BY cosine DESC, vec_id LIMIT 5""",
+    // batch form: the qa CTE assigns a cell PER query (partition by
+    // qid), candidates join on cell, per-query rank replaces LIMIT
+    "sim_ivf_batch_topk" ->
+      s"""WITH $trainCtes, qrows AS (SELECT vec_id AS qid, v AS qv FROM q ORDER BY vec_id LIMIT $BatchQueries), qa AS (SELECT qid, qv, cid FROM (SELECT r.qid, r.qv, c.cid, row_number() OVER (PARTITION BY r.qid ORDER BY ${distSql("r.qv", "c.cv")}, c.cid) AS rn FROM qrows r CROSS JOIN c2 c) WHERE rn = 1), scored AS (SELECT qa.qid AS query_id, af.vec_id, q.label, ${cosSql("q.v", "qa.qv")} AS cosine FROM af JOIN q USING (vec_id) JOIN qa ON af.cid = qa.cid AND af.vec_id <> qa.qid) SELECT query_id, vec_id, label, cosine, CAST(rn AS INTEGER) AS rk FROM (SELECT query_id, vec_id, label, cosine, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rn FROM scored) WHERE rn <= 5 ORDER BY query_id, rn"""
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_kmeans_assign" -> kmeansAssign _,
     "sim_kmeans_topk" -> ivfTrainedTopK _,
     "sim_kmeans_topk_p2" ->
-      ((s: SparkSession, dir: String) => ivfTrainedTopKMultiProbe(s, dir))
+      ((s: SparkSession, dir: String) => ivfTrainedTopKMultiProbe(s, dir)),
+    "sim_ivf_batch_topk" -> ivfBatchTopK _
   )
 }

@@ -177,6 +177,59 @@ object Sampling {
       .orderBy(col("source"))
   }
 
+  /** Corpus-wide TOKEN budget [[tokenBudgetMix]] distributes across
+    * sources by temperature weight (tokens, not docs — the unit a
+    * training run actually buys). */
+  val MixBudgetTokens = 10000L
+
+  /** Parallelism shards for the per-source running-token cut — same
+    * discipline as Curation.packSequences: each (source, shard) gets
+    * an equal budget slice and its own running sum, so the cut is
+    * deterministic AND parallel (a single per-source running sum
+    * would serialize each source into one task). */
+  val MixTokenShards = 8L
+
+  /** Token-budget mixing: fill a [[MixBudgetTokens]] training budget
+    * with documents, allocating per-source token quotas by the same
+    * α=1/2 temperature weights as [[temperatureWeights]] and taking
+    * docs in deterministic [[mixHash]] priority order until each
+    * quota is spent. This is the composition step of a mixture
+    * recipe: weights say how many TOKENS each source contributes;
+    * this operator picks WHICH documents those are.
+    *
+    * Exactness: quotas are integer arithmetic over the quantized
+    * weights (see [[temperatureWeights]]); the running token sum is
+    * integer; a document is kept iff its shard's cumulative total
+    * stays within the shard's quota slice. Shape at scale: one
+    * source-domain agg (broadcast back), running-sum windows
+    * partitioned (source, doc_id-shard) — parallelism scales with
+    * shards × sources, and no corpus-sized sort happens in one task. */
+  def tokenBudgetMix(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+    val quota = toks.groupBy(col("source")).agg(count(lit(1)).as("docs"))
+      .withColumn("w_scaled",
+        floor(sqrt(col("docs").cast("double")) * MixWeightScale).cast("long"))
+      .withColumn("total_w", sum(col("w_scaled")).over(Window.partitionBy()))
+      .select(col("source"),
+        expr(s"CAST(w_scaled * ${MixBudgetTokens}L div total_w " +
+          s"div ${MixTokenShards}L AS BIGINT)").as("shard_budget"))
+    val cum = toks
+      .withColumn("pack_shard", col("doc_id") % MixTokenShards)
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(
+        Window.partitionBy(col("source"), col("pack_shard"))
+          .orderBy(mixHash(col("doc_id")), col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    cum.join(broadcast(quota), "source")
+      .filter(col("cum_tokens") <= col("shard_budget"))
+      .select(col("doc_id"), col("source"), col("pack_shard"),
+        col("n_tokens"), col("cum_tokens"))
+      .orderBy(col("source"), col("pack_shard"), col("cum_tokens"),
+        col("doc_id"))
+  }
+
   /** Epoch-repetition mixing — the upsampling half of a mixture
     * recipe (weights above 1.0 repeat a source across training
     * epochs; below 1.0 degrade to the stratified down-sample). A
@@ -493,7 +546,11 @@ object Sampling {
     // doc_ids = the sort_array(collect_list(struct)) join on the
     // Spark side
     "mix_shard_manifest" ->
-      s"""WITH x AS (SELECT doc_id, unnest(range(0, $ShuffleEpochs)) AS epoch FROM documents), h AS (SELECT doc_id, epoch, ((((doc_id * $ShuffleEpochs + epoch) % $P) * $A + $B) % $P) AS sh FROM x) SELECT epoch, sh % $ShuffleShards AS shard, COUNT(*) AS docs, md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY sh, doc_id)) AS manifest_fp FROM h GROUP BY 1, 2 ORDER BY epoch, shard"""
+      s"""WITH x AS (SELECT doc_id, unnest(range(0, $ShuffleEpochs)) AS epoch FROM documents), h AS (SELECT doc_id, epoch, ((((doc_id * $ShuffleEpochs + epoch) % $P) * $A + $B) % $P) AS sh FROM x) SELECT epoch, sh % $ShuffleShards AS shard, COUNT(*) AS docs, md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY sh, doc_id)) AS manifest_fp FROM h GROUP BY 1, 2 ORDER BY epoch, shard""",
+    // per-source token quotas from the quantized temperature weights,
+    // then the sharded running-sum cut in mixHash priority order
+    "mix_token_budget" ->
+      s"""WITH toks AS (SELECT doc_id, source, CAST(len(${TextOps.toksSql}) AS BIGINT) AS n_tokens FROM documents), per AS (SELECT source, CAST(floor(sqrt(CAST(COUNT(*) AS DOUBLE)) * $MixWeightScale) AS BIGINT) AS w_scaled FROM toks GROUP BY source), t AS (SELECT CAST(SUM(w_scaled) AS BIGINT) AS total_w FROM per), b AS (SELECT source, CAST((w_scaled * $MixBudgetTokens) // total_w // $MixTokenShards AS BIGINT) AS shard_budget FROM per, t), r AS (SELECT doc_id, source, doc_id % $MixTokenShards AS pack_shard, n_tokens, CAST(SUM(n_tokens) OVER (PARTITION BY source, doc_id % $MixTokenShards ORDER BY $hashSql, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens FROM toks) SELECT doc_id, source, pack_shard, n_tokens, cum_tokens FROM r JOIN b USING (source) WHERE cum_tokens <= shard_budget ORDER BY source, pack_shard, cum_tokens, doc_id"""
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -505,6 +562,7 @@ object Sampling {
     "mix_epoch_repeat" -> epochRepeat _,
     "mix_temperature_weights" -> temperatureWeights _,
     "mix_epoch_shuffle" -> epochShuffle _,
-    "mix_shard_manifest" -> shardManifest _
+    "mix_shard_manifest" -> shardManifest _,
+    "mix_token_budget" -> tokenBudgetMix _
   )
 }

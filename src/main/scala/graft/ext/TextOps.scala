@@ -196,6 +196,18 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** DuckDB replay of the 60-bit gram fingerprint (first 15 hex
+    * chars of md5(s) as a BIGINT, nibble by nibble) — lives here, in
+    * the dependency-root object, so Curation and Dedup can both
+    * interpolate it at <clinit> time without an init cycle (Curation's
+    * initializer reads Dedup.oracle). */
+  private[ext] def gramFpSql(s: String): String = {
+    def nib(n: Int) =
+      s"(strpos('0123456789abcdef', substr(md5($s), $n, 1)) - 1)"
+    (1 to 15).map(n => s"${nib(n)} * ${java.lang.Long
+      .toString(1L << (4 * (15 - n)))}").mkString("(", " + ", ")")
+  }
+
   private[ext] val toksSql =
     """CASE WHEN length(trim(text)) = 0 THEN [] ELSE regexp_split_to_array(trim(text), '\s+') END"""
   private def hitsSql(words: Seq[String]): String =

@@ -238,6 +238,80 @@ class DedupSpec extends SparkSpec {
     assert(after == before)
   }
 
+  test("substring spans: engine output matches an independent local recompute") {
+    val L = Dedup.SpanGram
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    // plain-string recompute (no fingerprinting — a 60-bit fp
+    // collision in the engine would surface here as a mismatch)
+    val occ = docs.flatMap { case (id, text) =>
+      val t = text.trim
+      val toks = if (t.isEmpty) Array.empty[String] else t.split("\\s+")
+      (0 to toks.length - L).map(i =>
+        (id, i + 1L, toks.slice(i, i + L).mkString(" ")))
+    }
+    val counts = occ.groupBy(_._3).map { case (g, xs) => g -> xs.length }
+    val expected = occ.filter(o => counts(o._3) >= Dedup.SpanMinOcc)
+      .groupBy(_._1).toSeq.flatMap { case (id, os) =>
+        val ps = os.map(_._2).distinct.sorted
+        // island merge: starts within L tokens overlap or touch
+        val islands = ps.foldLeft(List.empty[(Long, Long)]) {
+          case (acc, p) => acc match {
+            case (s, e) :: rest if p - e <= L => (s, p) :: rest
+            case _ => (p, p) :: acc
+          }
+        }.reverse
+        islands.map { case (s, e) => (id, s, e + L - 1, e + L - s) }
+      }.sortBy(x => (x._1, x._2))
+    val got = Dedup.substringSpans(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expected)
+    assert(got.nonEmpty, "test corpus should contain duplicated spans")
+    assert(got.exists(_._4 > L),
+      "island merge should produce at least one span longer than one gram")
+  }
+
+  test("substring summary reconciles with the span rows") {
+    val perDoc = Dedup.substringSpans(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(3))
+      .groupBy(_._1).map { case (k, xs) => k -> xs.map(_._2).sum }
+    val rows = Dedup.substringSpanSummary(spark, sf).collect()
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val bySrc = docs.groupBy(_._2)
+    for (r <- rows) {
+      val src = r.getString(0)
+      val ids = bySrc(src).map(_._1)
+      assert(r.getLong(1) == ids.length.toLong)
+      assert(r.getLong(2) == ids.count(perDoc.contains).toLong)
+      assert(r.getLong(3) == ids.flatMap(perDoc.get).sum)
+    }
+    assert(rows.map(_.getLong(2)).sum == perDoc.size.toLong)
+  }
+
+  test("semantic dedup flags exactly the same-cluster pairs of the " +
+    "all-pairs cosine baseline") {
+    val rows = Dedup.semanticDedup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))
+    val cl = rows.map(r => r._1 -> r._2).toMap
+    val pairs = Dedup.embeddingCosinePairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val sameCluster = pairs.filter { case (a, b) => cl(a) == cl(b) }
+    val expected = sameCluster.groupBy(_._2)
+      .map { case (b, xs) => b -> xs.map(_._1).min }
+    for ((id, _, isDup, dupOf) <- rows) {
+      assert(isDup == expected.contains(id), s"vec $id flag")
+      assert(dupOf == expected.get(id), s"vec $id dup_of")
+    }
+    assert(expected.nonEmpty,
+      "corpus should contain same-cluster semantic dups")
+    assert(rows.count(_._3) <= pairs.map(_._2).distinct.length,
+      "SemDeDup flags are a subset of the all-pairs baseline's")
+  }
+
   test("all-pairs embedding baseline refuses to run past its row guard") {
     val ex = intercept[IllegalArgumentException] {
       Dedup.embeddingCosinePairs(spark, sf, maxRows = 10)

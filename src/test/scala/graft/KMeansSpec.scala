@@ -43,4 +43,25 @@ class KMeansSpec extends SparkSpec {
     val cosines = t.map(_.getDouble(2)).toSeq
     assert(cosines == cosines.sortBy(-_), "results must be cosine-descending")
   }
+
+  test("batched IVF: every query gets a ranked block; the min-id " +
+    "query's block equals the single-query operator") {
+    val batch = KMeans.ivfBatchTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3), r.getInt(4)))
+    val qids = batch.map(_._1).distinct.sorted.toSeq
+    assert(qids.length == KMeans.BatchQueries)
+    for (q <- qids) {
+      val rows = batch.filter(_._1 == q).sortBy(_._4).toSeq
+      assert(rows.map(_._4) == (1 to 5), s"query $q ranks: ${rows.map(_._4)}")
+      val cos = rows.map(_._3)
+      assert(cos == cos.sortBy(-_), s"query $q not cosine-descending")
+      assert(rows.forall(_._2 != q), s"query $q returned itself")
+    }
+    val single = KMeans.ivfTrainedTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    val q0 = batch.filter(_._1 == qids.head).sortBy(_._4)
+      .map(r => (r._2, r._3)).toSeq
+    assert(q0 == single,
+      "batch block for the min-id query must equal ivfTrainedTopK")
+  }
 }

@@ -58,6 +58,9 @@ class PlanLintSpec extends SparkSpec {
     "elt_dedup_keep_first", "elt_union_dedup_sources",
     "elt_processed_pipeline", "etl_transform_sales",
     "dedup_ngram_prefix", "dedup_incremental", "sim_centroid_assign",
+    // island-merge windows partitioned by doc_id over ONLY the
+    // duplicated gram positions (group size bounded by doc length)
+    "dedup_substring_spans", "dedup_substring_summary",
     // partitioned by the md5 content fingerprint — NDV ~ doc count
     "text_corpus_filter", "text_corpus_filter_summary",
     // inherit corpusFilter's fingerprint-keyed dedup window
@@ -75,13 +78,20 @@ class PlanLintSpec extends SparkSpec {
   // SkewOps.topKPerGroup: stage-1 window is (key, salt)-partitioned,
   // stage-2 input bounded at groups·salts·k by construction
   private val saltedTwoPhaseWindow =
-    Set("window_top3_per_region", "sample_fixed_count")
+    Set("window_top3_per_region", "sample_fixed_count",
+      // per-query top-k over the batch's probed cells rides
+      // SkewOps.topKPerGroup (stage-2 bounded at queries·salts·k)
+      "sim_ivf_batch_topk")
   // running-sum/rank windows partitioned by (source or epoch,
   // doc_id-shard): parallelism = groups × shards, and a deployment
   // scales the shard count with the corpus (Curation.packSequences /
   // Sampling.epochShuffle scaladocs)
   private val shardedWindow = Set("text_pack_sequences", "text_pack_summary",
-    "mix_epoch_shuffle")
+    "mix_epoch_shuffle",
+    // (source, doc_id-shard) running-sum cut + the sources-frame
+    // quota window (same post-agg justification as
+    // mix_temperature_weights)
+    "mix_token_budget")
 
   test("every rank window is classified: row-keyed, entity-keyed, or guarded") {
     // built with AQE off: AdaptiveSparkPlanExec is a leaf node, so

@@ -271,6 +271,41 @@ class SamplingSpec extends SparkSpec {
       "persisted artifact after merge must equal the full rebuild")
   }
 
+  test("token-budget mix keeps exactly the maximal prefix per " +
+    "(source, shard) quota") {
+    val rows = Sampling.tokenBudgetMix(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def ntok(t: String): Long = {
+      val s = t.trim; if (s.isEmpty) 0L else s.split("\\s+").length.toLong
+    }
+    val wScaled = docs.groupBy(_._2).map { case (s, xs) =>
+      s -> math.floor(math.sqrt(xs.length.toDouble) *
+        Sampling.MixWeightScale).toLong
+    }
+    val totalW = wScaled.values.sum
+    val budget = wScaled.map { case (s, w) =>
+      s -> w * Sampling.MixBudgetTokens / totalW / Sampling.MixTokenShards
+    }
+    val expected = docs
+      .groupBy(d => (d._2, d._1 % Sampling.MixTokenShards)).toSeq
+      .flatMap { case ((src, shard), xs) =>
+        val ordered = xs.sortBy(d => (Sampling.mixHashLocal(d._1), d._1))
+        var cum = 0L
+        ordered.flatMap { d =>
+          cum += ntok(d._3)
+          if (cum <= budget(src)) Some((d._1, src, shard, ntok(d._3), cum))
+          else None
+        }
+      }.toSet
+    assert(rows == expected)
+    assert(rows.nonEmpty, "budget should admit some documents")
+    assert(rows.size < docs.length, "budget should cut some documents")
+  }
+
   test("batch edge generation plans broadcast-only joins (gold side never shuffles)") {
     val d = Tables.documents(spark, sf)
     val cutoff = d.agg(floor(max(col("doc_id")) * 0.8).cast("long"))
