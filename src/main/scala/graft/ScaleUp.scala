@@ -246,6 +246,53 @@ object ScaleUp {
         time(q, src, 1); time(q, dst, 1)
       }
     }
+    if (on("spans")) {
+      // round-11 text/mix additions over the 100× documents corpus:
+      // span-level substring dedup (positions shuffle once as 60-bit
+      // fingerprints for the gram-count agg; islands run over only
+      // the duplicated positions) and the token-budget cut (one
+      // source-domain agg + sharded running sums)
+      for (q <- Seq("dedup_substring_spans", "dedup_substring_summary",
+          "mix_token_budget")) {
+        time(q, src, 1); time(q, dst, 1)
+      }
+    }
+    if (on("sem")) {
+      // SemDeDup at 100× embeddings. The ann tier's copies are
+      // bit-IDENTICAL (scan cost doesn't depend on values), but an
+      // all-duplicates corpus is adversarial for ANY pairwise-verify
+      // dedup — every cross-copy pair qualifies and the intra-cell
+      // candidate set goes quadratic in the copy count by
+      // construction. So this tier builds its own 100× table with a
+      // per-copy perturbation on dimension 0: dup structure stays
+      // (copies of a base vector remain near-identical — a 100-copy
+      // dup group per base vector), while the work measured is the
+      // honest per-cell pairwise pass, Σ|cell|² ≈ N²/K cosines.
+      val semDir = s"$dst/sem"
+      if (!new java.io.File(s"$semDir/embeddings.parquet").exists()) {
+        val e0 = Tables.embeddings(spark, src)
+        val maxVec = e0.agg(max(col("vec_id"))).head().getLong(0) + 1
+        e0.crossJoin(spark.range(copies).toDF("copy"))
+          .select((col("vec_id") + col("copy") * lit(maxVec)).as("vec_id"),
+            col("label"),
+            transform(col("embedding"),
+              (x, i) => when(i === 0,
+                x + col("copy").cast("float") * lit(1e-3f)).otherwise(x))
+              .as("embedding"))
+          .write.mode("overwrite").parquet(s"$semDir/embeddings.parquet")
+        println(s"[scaleup] built $semDir/embeddings.parquet (${copies}x, perturbed)")
+      }
+      timed("dedup_semantic_100x", semDir, 1)(
+        graft.ext.Dedup.semanticDedup(spark, semDir))
+      // the batched serving shape against the ann tier's 20M-vector
+      // corpus under base-trained centroids: one scan of the probed
+      // cells answers the whole query block
+      if (new java.io.File(s"$dst/embeddings.parquet").exists()) {
+        val coarseB = graft.ext.KMeans.train(spark, src)
+        timed("sim_ivf_batch_topk_20m", dst, 2)(
+          graft.ext.KMeans.ivfBatchTopKWith(spark, dst, coarseB))
+      }
+    }
     if (on("merge")) {
       // incremental label maintenance at 100×: gold = copies 0..98,
       // batch = the last copy (one base-corpus-sized append). The

@@ -190,8 +190,14 @@ object KMeans {
     * whole cell. Work = probed-cells scan + |cell|·queries-per-cell
     * cosines — batch size multiplies only the fan-out leg, never the
     * scan. */
-  def ivfBatchTopK(spark: SparkSession, dir: String): DataFrame = {
-    val cents = train(spark, dir)
+  def ivfBatchTopK(spark: SparkSession, dir: String): DataFrame =
+    ivfBatchTopKWith(spark, dir, train(spark, dir))
+
+  /** [[ivfBatchTopK]] under pre-trained centroids — the production
+    * split (train once on a sample, serve batches against the full
+    * corpus) and what the 100× tier times. */
+  def ivfBatchTopKWith(spark: SparkSession, dir: String,
+      cents: Seq[(Int, Seq[Double])]): DataFrame = {
     val e = vecs(spark, dir)
     val qrows = e.orderBy(col("vec_id")).limit(BatchQueries)
       .select(col("vec_id"), col("v")).collect()

@@ -227,7 +227,18 @@ object ProductQuant {
   def encodeWithCellsResidual(spark: SparkSession, dir: String,
       coarse: Seq[(Int, Seq[Double])],
       rcbs: Seq[Seq[(Int, Seq[Double])]]): DataFrame =
-    KMeans.vecs(spark, dir)
+    encodeFrameResidual(KMeans.vecs(spark, dir), coarse, rcbs)
+
+  /** Residual encode over an arbitrary (vec_id, label, v) frame — the
+    * micro-batch entry point the streaming vector sink appends with.
+    * Codebooks are FROZEN inputs (trained once on a sample): the
+    * FAISS production contract — an index retrain is a rebuild, not
+    * an append — which is exactly what makes the encode a
+    * deterministic per-row map and append == re-encode exact. */
+  def encodeFrameResidual(vecs: DataFrame,
+      coarse: Seq[(Int, Seq[Double])],
+      rcbs: Seq[Seq[(Int, Seq[Double])]]): DataFrame =
+    vecs
       .select(col("vec_id"), col("label"),
         KMeans.assignOn(col("v"), coarse).as("cell"),
         residualCol(coarse).as("rv"))
@@ -235,6 +246,46 @@ object ProductQuant {
         (0 until M).map(m => KMeans.assignOn(
           slice(col("rv"), m * SubDim + 1, SubDim), rcbs(m))
           .as(s"code$m")): _*)
+
+  /** Part-file count of a cell-partitioned codes store. */
+  def codesFileCount(codesDir: String): Int = {
+    def walk(f: java.io.File): Int =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).map(walk).sum
+      else if (f.getName.endsWith(".parquet")) 1
+      else 0
+    walk(new java.io.File(codesDir))
+  }
+
+  /** Codes-store compaction — same policy as
+    * [[graft.ext.Dedup.maybeCompactIndex]]: past `threshold` part
+    * files (micro-batch appends write one file per cell per batch),
+    * rebuild the store from the gold vector corpus. Codes are DERIVED
+    * state (a deterministic map of gold under frozen codebooks), so
+    * the rebuild is also the crash-recovery path for the gold→codes
+    * append window. The rebuild repartitions by cell before the
+    * partitioned write — one task per cell → ~K part files, the
+    * compact layout the ADC partition-pruned scan wants (without the
+    * file target the rebuild writes at plan parallelism and can
+    * reproduce the fragmentation — the round-11 compaction lesson). */
+  def maybeCompactCodes(spark: SparkSession, goldDir: String,
+      codesDir: String, coarse: Seq[(Int, Seq[Double])],
+      rcbs: Seq[Seq[(Int, Seq[Double])]],
+      threshold: Int = Dedup.CompactFileThreshold): Boolean = {
+    if (codesFileCount(codesDir) > threshold) {
+      val gold = spark.read.parquet(goldDir)
+        .select(col("vec_id"), col("label"),
+          col("embedding").cast("array<double>").as("v"))
+      // materialize BEFORE the overwrite: the plan reads goldDir, not
+      // codesDir, but an eager pin keeps the rebuild one atomic job
+      val rebuilt = encodeFrameResidual(gold, coarse, rcbs)
+        .repartition(coarse.size, col("cell"))
+        .localCheckpoint()
+      rebuilt.write.mode("overwrite").partitionBy("cell")
+        .parquet(codesDir)
+      true
+    } else false
+  }
 
   /** Driver-side query prep for the residual layout: query id, coarse
     * cell, and the ADC table built from the query's RESIDUAL to that

@@ -295,6 +295,60 @@ object EventStreams {
     q
   }
 
+  /** Streaming vector ingest — the ANN-index counterpart of
+    * [[incrementalDedupSink]]: micro-batches of (vec_id, label,
+    * embedding) extend the gold vector corpus and its residual IVF-PQ
+    * codes store. Codebooks are FROZEN inputs (trained once on a
+    * sample — the FAISS production contract: retraining is an index
+    * REBUILD, not an append), which is what makes the per-batch
+    * encode a deterministic map and streamed-store == full-re-encode
+    * exact ([[graft.ext.ProductQuant.encodeFrameResidual]]).
+    *
+    * Per micro-batch:
+    *  1. replay guard: vec_ids already in gold drop (a checkpoint-
+    *     recovered batch becomes a no-op);
+    *  2. fresh vectors append to gold (source of truth), THEN their
+    *     codes append to the cell-partitioned store — codes are
+    *     DERIVED state, so the crash window between the two writes
+    *     loses nothing: a rebuild from gold
+    *     ([[graft.ext.ProductQuant.maybeCompactCodes]]) restores it;
+    *  3. past the part-file threshold (appends write one file per
+    *     touched cell per batch) the store compacts by rebuilding
+    *     from gold to ~one file per cell. */
+  def incrementalVectorIndexSink(vectors: DataFrame,
+      coarse: Seq[(Int, Seq[Double])],
+      rcbs: Seq[Seq[(Int, Seq[Double])]],
+      codesDir: String, goldDir: String,
+      checkpointDir: String): StreamingQuery = {
+    import org.apache.spark.sql.functions.col
+    val q = vectors.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        // localCheckpoint (EAGER): the fresh set's lineage reads the
+        // gold dir this batch appends to — same re-execution hazard
+        // as incrementalDedupSink's accepted set
+        val fresh = (
+          if (hasParquet(goldDir)) {
+            val seen = spark.read.parquet(goldDir).select("vec_id")
+            batch.join(seen, Seq("vec_id"), "left_anti")
+          } else batch
+        ).localCheckpoint()
+        fresh.write.mode("append").parquet(goldDir)
+        graft.ext.ProductQuant.encodeFrameResidual(
+          fresh.select(col("vec_id"), col("label"),
+            col("embedding").cast("array<double>").as("v")),
+          coarse, rcbs)
+          .write.mode("append").partitionBy("cell").parquet(codesDir)
+        graft.ext.ProductQuant.maybeCompactCodes(
+          spark, goldDir, codesDir, coarse, rcbs)
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q
+  }
+
   /** Streaming curation — the sketch pipeline run over ARRIVING
     * document batches (round-8/9 stretch, landed here): every stage of
     * [[graft.ext.Curation.curationPipelineSketch]] re-expressed

@@ -449,4 +449,90 @@ class EventStreamsSpec extends SparkSpec {
       assert(n > 0 && hours > 1)
     } finally q.stop()
   }
+
+  test("streaming vector ingest: streamed codes == full re-encode, " +
+      "replay no-op, ADC parity, compaction preserves the store") {
+    import java.nio.file.{Files, Paths}
+    import graft.ext.{KMeans, ProductQuant}
+    val base = Files.createTempDirectory("graft_vec_stream").toString
+    val srcDir = s"$base/src"; Files.createDirectories(Paths.get(srcDir))
+    val e = Tables.embeddings(spark, sf)
+    val ids = e.select(col("vec_id")).orderBy(col("vec_id"))
+      .collect().map(_.getLong(0))
+    val c0 = ids(ids.length * 3 / 5); val c1 = ids(ids.length * 4 / 5)
+    val seed = e.filter(col("vec_id") <= c0)
+    val b1 = e.filter(col("vec_id") > c0 && col("vec_id") <= c1)
+    val b2 = e.filter(col("vec_id") > c1)
+    // codebooks train ONCE on the base sample and stay frozen
+    val coarse = KMeans.train(spark, sf)
+    val rcbs = ProductQuant.residualCodebooks(spark, sf, coarse)
+    def cast(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+    seed.write.mode("overwrite").parquet(s"$base/gold")
+    ProductQuant.encodeFrameResidual(cast(seed), coarse, rcbs)
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$base/codes")
+
+    def stageFile(part: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory("graft_vec_batch")
+      part.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val f = new java.io.File(tmp.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(f.toPath, Paths.get(srcDir, name))
+    }
+    def runOnce(): Unit =
+      EventStreams.incrementalVectorIndexSink(
+        spark.readStream.schema(e.schema).parquet(srcDir),
+        coarse, rcbs, s"$base/codes", s"$base/gold", s"$base/chk").stop()
+
+    stageFile(b1, "b1.parquet")
+    runOnce()
+    // restart boundary: second batch arrives while the query is down
+    stageFile(b2, "b2.parquet")
+    runOnce()
+
+    def codeRows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("vec_id"), col("label").cast("long"),
+          col("cell").cast("int"),
+          col("code0"), col("code1"), col("code2"), col("code3"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+          r.getInt(3), r.getInt(4), r.getInt(5), r.getInt(6))).toSet
+    val streamedGold = spark.read.parquet(s"$base/gold")
+    assert(streamedGold.count() == ids.length.toLong)
+    val streamed = codeRows(spark.read.parquet(s"$base/codes"))
+    val full = codeRows(
+      ProductQuant.encodeFrameResidual(cast(streamedGold), coarse, rcbs))
+    assert(streamed == full,
+      "streamed codes store must equal a full re-encode of gold")
+
+    // a replayed batch is a no-op (idempotent sink)
+    stageFile(b2, "b2_replay.parquet")
+    runOnce()
+    assert(codeRows(spark.read.parquet(s"$base/codes")) == full)
+
+    // ADC search served from the streamed store == from a fresh encode
+    val (qid, qCell, dt) =
+      ProductQuant.queryPrepResidual(spark, sf, coarse, rcbs)
+    def top(codes: org.apache.spark.sql.DataFrame) =
+      ProductQuant.adcOverCodes(
+        codes.filter(col("cell") === qCell), dt, qid)
+        .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(top(spark.read.parquet(s"$base/codes")) ==
+      top(ProductQuant.encodeFrameResidual(cast(streamedGold), coarse, rcbs)))
+
+    // compaction: a tiny threshold forces the rebuild; the store
+    // shrinks toward one file per cell and content is unchanged
+    val before = ProductQuant.codesFileCount(s"$base/codes")
+    assert(ProductQuant.maybeCompactCodes(spark, s"$base/gold",
+      s"$base/codes", coarse, rcbs, threshold = 1))
+    val after = ProductQuant.codesFileCount(s"$base/codes")
+    assert(after <= before && after <= coarse.size + 2,
+      s"compaction should shrink toward one file per cell ($before -> $after)")
+    assert(codeRows(spark.read.parquet(s"$base/codes")) == full)
+    // and below threshold it is a no-op
+    assert(!ProductQuant.maybeCompactCodes(spark, s"$base/gold",
+      s"$base/codes", coarse, rcbs, threshold = 10000))
+  }
 }

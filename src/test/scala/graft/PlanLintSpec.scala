@@ -18,8 +18,9 @@ class PlanLintSpec extends SparkSpec {
     // WindowAnalytics scaladoc)
     "window_moving_average", "window_month_over_month",
     // normalizing-total window over the POST-AGGREGATION per-source
-    // frame (rows = sources — Sampling.temperatureWeights scaladoc)
-    "mix_temperature_weights")
+    // frame (rows = sources — Sampling.temperatureWeights scaladoc);
+    // tokenBudgetMix's quota subplan carries the same window
+    "mix_temperature_weights", "mix_token_budget")
 
   // intentional exceptions: exactness baselines over bounded inputs,
   // kept next to their scale paths (IVF/LSH) — see Dedup scaladoc —
