@@ -284,6 +284,12 @@ object ScaleUp {
       }
       timed("dedup_semantic_100x", semDir, 1)(
         graft.ext.Dedup.semanticDedup(spark, semDir))
+      // the K knob: sub-clustered cells cut the in-cell pairwise
+      // pass ~SubK× — the row that answers the fixed-K wall above
+      timed("dedup_semantic_scaled_100x", semDir, 1)(
+        graft.ext.Dedup.semanticDedupScaled(spark, semDir))
+    }
+    if (on("annbatch")) {
       // the batched serving shape against the ann tier's 20M-vector
       // corpus under base-trained centroids: one scan of the probed
       // cells answers the whole query block
@@ -291,6 +297,10 @@ object ScaleUp {
         val coarseB = graft.ext.KMeans.train(spark, src)
         timed("sim_ivf_batch_topk_20m", dst, 2)(
           graft.ext.KMeans.ivfBatchTopKWith(spark, dst, coarseB))
+        // the amortization reference: ONE query costs the same scan,
+        // so the 4-query block above is ~4 answers for 1 pass
+        timed("sim_ivf_batch_topk_q1_20m", dst, 2)(
+          graft.ext.KMeans.ivfBatchTopKWith(spark, dst, coarseB, nq = 1))
       }
     }
     if (on("merge")) {

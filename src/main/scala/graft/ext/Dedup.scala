@@ -200,6 +200,66 @@ object Dedup {
       .orderBy(col("vec_id"))
   }
 
+  /** Sub-clusters per coarse cell for [[semanticDedupScaled]] —
+    * effective cell count = KMeans.K · SubK. Declared before the
+    * oracle map (object init order). */
+  val SubK = 5
+
+  /** Per-cell sub-centroids: the deterministic trainer
+    * ([[KMeans.trainFrame]]) run on each coarse cell's members —
+    * two-level clustering, the same shape as FAISS's coarse+fine
+    * quantizer split. Trained once per corpus build; cells are
+    * well-balanced on this data (CellProbe: 43–55 members at
+    * sf0.01), and trainFrame fails loudly if a cell ever has fewer
+    * than [[SubK]] members rather than silently shrinking. */
+  private def subCentroids(e: DataFrame): Seq[Seq[(Int, Seq[Double])]] =
+    (0 until KMeans.K).map { c =>
+      KMeans.trainFrame(
+        e.filter(col("cluster") === c).select(col("vec_id"), col("v")),
+        SubK)
+    }
+
+  /** [[semanticDedup]] with the K knob turned: cells are split again
+    * by per-cell sub-quantizers, so the effective cell count is
+    * KMeans.K · [[SubK]] and the in-cell pairwise cost drops ~SubK×
+    * (Σ|cell|² ≈ N²/(K·SubK)). This is the answer to the measured
+    * fixed-K wall (336 s at 200k vectors, PLANS.md): cluster-then-
+    * prune is only as scalable as the cell count, and production
+    * SemDeDup grows K with N — here via a second level, keeping every
+    * trainer the oracle-replayable fixed-round Lloyd loop. The recall
+    * trade is the same kind, one level deeper: pairs straddling a
+    * SUB-cell boundary are missed (scaled flags ⊆ coarse flags,
+    * asserted in DedupSpec). */
+  def semanticDedupScaled(spark: SparkSession, dir: String): DataFrame = {
+    val coarse = KMeans.train(spark, dir)
+    val e = KMeans.vecs(spark, dir)
+      .select(col("vec_id"), col("v"),
+        KMeans.assignOn(col("v"), coarse).as("cluster"))
+    val subs = subCentroids(e)
+    // one CASE over the coarse cell picks the sub-quantizer; codegen
+    // evaluates only the matched branch, so per-row work is one
+    // K-loop plus one SubK-loop
+    val fine = (0 until KMeans.K).foldLeft(lit(-1)) { (acc, c) =>
+      when(col("cluster") === c, KMeans.assignOn(col("v"), subs(c)))
+        .otherwise(acc)
+    }
+    val g = e.select(col("vec_id"), col("v"),
+      (col("cluster") * SubK + fine).as("cell"))
+    val a = g.select(col("cell"), col("vec_id").as("cand"),
+      col("v").as("va"))
+    val b = g.select(col("cell"), col("vec_id"), col("v").as("vb"))
+    val dupOf = a.join(b, Seq("cell"))
+      .filter(col("cand") < col("vec_id") &&
+        graft.functions.CosineSimilarity(col("va"), col("vb"))
+          >= SemThreshold)
+      .groupBy(col("vec_id")).agg(min(col("cand")).as("dup_of"))
+    g.select(col("vec_id"), col("cell"))
+      .join(dupOf, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        col("dup_of").isNotNull.as("is_dup"), col("dup_of"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Cross-source duplication matrix: near-duplicate pair counts per
     * (canonical) source pair — the "which feeds copy from each other"
     * report a multi-source corpus build runs before weighting sources
@@ -924,7 +984,23 @@ object Dedup {
   private val spanSql =
     s"""WITH occ AS ($spanOccSql), dupg AS (SELECT g FROM occ GROUP BY g HAVING COUNT(*) >= $SpanMinOcc), dup AS (SELECT doc_id, pos FROM occ JOIN dupg USING (g)), isl AS (SELECT doc_id, pos, SUM(CASE WHEN prev IS NULL OR pos - prev > $SpanGram THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island FROM (SELECT doc_id, pos, lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev FROM dup)), spans AS (SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + ${SpanGram - 1} AS span_end, MAX(pos) + $SpanGram - MIN(pos) AS span_tokens FROM isl GROUP BY doc_id, island)"""
 
+  // two-level replay: the coarse chain (trainCtes' q/af), then one
+  // fixed-round sub-train chain PER coarse cell over that cell's
+  // members (same trainChain generator the PQ sub-quantizers use),
+  // fine cells unioned, and the same same-cell self-join
+  private val semScaledSql = {
+    val cellChains = (0 until KMeans.K).map { c =>
+      s"qs$c AS (SELECT q.vec_id, q.label, q.v, q.vi FROM q JOIN af USING (vec_id) WHERE af.cid = $c), " +
+        KMeans.trainChain(s"qs$c", s"x$c", 64, SubK)
+    }.mkString(", ")
+    val fineUnion = (0 until KMeans.K).map { c =>
+      s"SELECT vec_id, $c * $SubK + cid AS cell FROM afx$c"
+    }.mkString(" UNION ALL ")
+    s"""WITH ${KMeans.trainCtes}, $cellChains, fine AS ($fineUnion), m AS (SELECT f.vec_id, f.cell, q.v FROM fine f JOIN q USING (vec_id)), p AS (SELECT b.vec_id, MIN(a.vec_id) AS dup_of FROM m a JOIN m b ON a.cell = b.cell AND a.vec_id < b.vec_id AND ${KMeans.cosSql("a.v", "b.v")} >= $SemThreshold GROUP BY b.vec_id) SELECT m.vec_id, CAST(m.cell AS INTEGER) AS cell, p.dup_of IS NOT NULL AS is_dup, p.dup_of FROM m LEFT JOIN p USING (vec_id) ORDER BY m.vec_id"""
+  }
+
   val oracle: Map[String, String] = Map(
+    "dedup_semantic_scaled" -> semScaledSql,
     // SemDeDup: the kmeans train chain (KMeans.trainCtes) feeds a
     // same-cluster self-join; keep = min lower-id neighbor above the
     // cosine bar
@@ -965,6 +1041,7 @@ object Dedup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_semantic" -> semanticDedup _,
+    "dedup_semantic_scaled" -> semanticDedupScaled _,
     "dedup_substring_spans" -> substringSpans _,
     "dedup_substring_summary" -> substringSpanSummary _,
     "dedup_exact_summary" -> exactSummary _,

@@ -197,9 +197,10 @@ object KMeans {
     * split (train once on a sample, serve batches against the full
     * corpus) and what the 100× tier times. */
   def ivfBatchTopKWith(spark: SparkSession, dir: String,
-      cents: Seq[(Int, Seq[Double])]): DataFrame = {
+      cents: Seq[(Int, Seq[Double])],
+      nq: Int = BatchQueries): DataFrame = {
     val e = vecs(spark, dir)
-    val qrows = e.orderBy(col("vec_id")).limit(BatchQueries)
+    val qrows = e.orderBy(col("vec_id")).limit(nq)
       .select(col("vec_id"), col("v")).collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1)))
     def cellOf(qv: Seq[Double]): Int = cents.map { case (cid, cv) =>

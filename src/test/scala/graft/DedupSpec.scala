@@ -312,6 +312,24 @@ class DedupSpec extends SparkSpec {
       "SemDeDup flags are a subset of the all-pairs baseline's")
   }
 
+  test("scaled semantic dedup: fine cells nest in coarse cells and " +
+    "flags are a subset of the coarse form's") {
+    val coarse = Dedup.semanticDedup(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getBoolean(2))).toMap
+    val scaled = Dedup.semanticDedupScaled(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2)))
+    assert(scaled.length == coarse.size)
+    for ((id, cell, _) <- scaled)
+      assert(cell / Dedup.SubK == coarse(id)._1,
+        s"vec $id: fine cell $cell outside coarse cluster ${coarse(id)._1}")
+    val coarseFlags = coarse.filter(_._2._2).keySet
+    val scaledFlags = scaled.filter(_._3).map(_._1).toSet
+    assert(scaledFlags.subsetOf(coarseFlags),
+      s"sub-splitting can only LOSE pairs: ${scaledFlags -- coarseFlags}")
+    assert(scaledFlags.nonEmpty,
+      "tight duplicate pairs should survive the sub-split")
+  }
+
   test("all-pairs embedding baseline refuses to run past its row guard") {
     val ex = intercept[IllegalArgumentException] {
       Dedup.embeddingCosinePairs(spark, sf, maxRows = 10)
