@@ -54,6 +54,11 @@ object StreamScaleUp {
         EventStreams.RocksDbStateStoreConf._2)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // section selector: SPARK_GRAFT_STREAMSCALE_SECTIONS=vec reruns
+    // just that tier (unset = everything) — same knob as ScaleUp
+    val sections = sys.env.get("SPARK_GRAFT_STREAMSCALE_SECTIONS")
+      .map(_.split(",").map(_.trim).toSet)
+    def on(sec: String): Boolean = sections.forall(_.contains(sec))
     val src = "/root/testdata/sf0.1"
     val base = s"/tmp/streamscale$copies"
     val eventsDir = s"$base/events.parquet"
@@ -102,7 +107,7 @@ object StreamScaleUp {
     }
     for (d <- Seq("ckpt_hourly", "ckpt_sessionize", "ckpt_dedup",
         "dedup_index", "gold_docs", "ckpt_curation", "cur_index",
-        "cur_gold", "cur_disp"))
+        "cur_gold", "cur_disp", "ckpt_vec", "vec_gold", "vec_codes"))
       rmrf(new java.io.File(s"$base/$d"))
 
     // ---- per-batch progress listener ----
@@ -137,7 +142,7 @@ object StreamScaleUp {
         .parquet(eventsDir))
 
     // ---- 1. watermarked windowed agg (low-cardinality state) ----
-    locally {
+    if (on("events")) locally {
       val q = EventStreams.hourlyWindowed(rawEvents)
         .writeStream.outputMode("update").format("noop")
         .queryName("hourly100x")
@@ -147,7 +152,7 @@ object StreamScaleUp {
     }
 
     // ---- 2. flatMapGroupsWithState sessionization (state ∝ users) ----
-    locally {
+    if (on("events")) locally {
       val q = EventStreams.sessionize(spark, rawEvents)
         .writeStream.outputMode("update").format("noop")
         .queryName("sessionize100x")
@@ -157,7 +162,7 @@ object StreamScaleUp {
     }
 
     // ---- 3. incremental dedup sink (gold + LSH index grow per batch) ----
-    locally {
+    if (on("dedup")) locally {
       val docsSchema = spark.read.parquet(docsDir).schema
       val t0 = System.nanoTime()
       val q = EventStreams.incrementalDedupSink(
@@ -183,7 +188,7 @@ object StreamScaleUp {
     }
 
     // ---- 4. streaming curation sink (full sketch pipeline per batch) ----
-    locally {
+    if (on("curation")) locally {
       val docsSchema = spark.read.parquet(docsDir).schema
       // the eval bitmask is built ONCE from the reference corpus — the
       // 128 KB artifact every batch probes (eval docs in the copies
@@ -204,6 +209,68 @@ object StreamScaleUp {
       disp.groupBy(col("disposition")).count().orderBy(col("disposition"))
         .collect().foreach(r =>
           println(f"[streamscale]   ${r.getString(0)}%-16s ${r.getLong(1)}%9d"))
+    }
+
+    // ---- 5. streaming vector ingest (gold + IVF-PQ codes per batch) ----
+    if (on("vec")) locally {
+      val vecDir = s"$base/vectors.parquet"
+      if (!new java.io.File(vecDir).exists()) {
+        // key-shifted AND dimension-perturbed copies (bit-identical
+        // vectors would be the adversarial all-duplicates corpus — see
+        // ScaleUp's sem tier); 10 landing files = 10 micro-batches
+        new java.io.File(vecDir).mkdirs()
+        val e0 = Tables.embeddings(spark, src)
+        val maxVec = e0.agg(max(col("vec_id"))).head().getLong(0) + 1
+        val per = math.max(1, copies / 10)
+        for (g <- 0 until (copies + per - 1) / per) {
+          val span = (g * per) until math.min((g + 1) * per, copies)
+          val tmp = s"$base/_tmp_vec_$g"
+          span.map { i =>
+            e0.select((col("vec_id") + lit(i * maxVec)).as("vec_id"),
+              col("label"),
+              transform(col("embedding"),
+                (x, idx) => when(idx === 0,
+                  x + lit(i.toFloat * 1e-3f)).otherwise(x))
+                .as("embedding"))
+          }.reduce(_ unionByName _)
+            .coalesce(1).write.mode("overwrite").parquet(tmp)
+          moveSinglePart(tmp, f"$vecDir/g$g%02d.parquet")
+        }
+        println(s"[streamscale] staged $vecDir (${copies}x, perturbed)")
+      }
+      // codebooks train ONCE on the base sample and stay frozen — the
+      // sink's whole premise (retrain = rebuild)
+      val coarse = graft.ext.KMeans.train(spark, src)
+      val rcbs = graft.ext.ProductQuant.residualCodebooks(spark, src, coarse)
+      val schema = spark.read.parquet(vecDir).schema
+      val t0 = System.nanoTime()
+      val q = EventStreams.incrementalVectorIndexSink(
+        spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(vecDir),
+        coarse, rcbs, s"$base/vec_codes", s"$base/vec_gold",
+        s"$base/ckpt_vec")
+      q.stop()
+      val goldRows = spark.read.parquet(s"$base/vec_gold").count()
+      println(f"[streamscale] vector sink total " +
+        f"${(System.nanoTime() - t0) / 1e9}%.1f s, gold vectors $goldRows%d")
+      // fragmentation left by per-batch appends, and the compaction
+      // rebuild's cost at this store size
+      val frag = graft.ext.ProductQuant.codesFileCount(s"$base/vec_codes")
+      val t1 = System.nanoTime()
+      graft.ext.ProductQuant.maybeCompactCodes(spark, s"$base/vec_gold",
+        s"$base/vec_codes", coarse, rcbs, threshold = 1)
+      println(f"[streamscale] codes compaction: $frag%d part files -> " +
+        f"${graft.ext.ProductQuant.codesFileCount(s"$base/vec_codes")}%d, " +
+        f"rebuild ${(System.nanoTime() - t1) / 1e9}%.1f s")
+      // steady-state ADC probe against the streamed store
+      val (qid, qCell, dt) = graft.ext.ProductQuant.queryPrepResidual(
+        spark, src, coarse, rcbs)
+      val t2 = System.nanoTime()
+      val topRows = graft.ext.ProductQuant.adcOverCodes(
+        spark.read.parquet(s"$base/vec_codes")
+          .filter(col("cell") === qCell), dt, qid).collect().length
+      println(f"[streamscale] adc probe over streamed codes " +
+        f"${(System.nanoTime() - t2) / 1e9}%.2f s ($topRows%d rows)")
     }
 
     val rocksDirs = Option(new java.io.File(

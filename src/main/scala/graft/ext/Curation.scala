@@ -486,6 +486,22 @@ object Curation {
         md5(concat_ws(" ", col("c")).cast("binary")).as("chunk_fp"))
       .orderBy(col("doc_id"), col("chunk_idx"))
 
+  /** Retrieval composite (the RAG serving read): the IVF top-k
+    * documents for the min-id query vector (embeddings align 1:1
+    * with doc_id in this corpus), joined to their fingerprinted
+    * chunks — what a retrieval layer hands a generator. The k
+    * retrieved ids broadcast against the chunk explosion; both legs
+    * are the already-oracle-gated `sim_kmeans_topk` and
+    * `text_chunk_pack` plans, composed verbatim. */
+  def ragTopkChunks(spark: SparkSession, dir: String): DataFrame = {
+    val topk = graft.ext.KMeans.ivfTrainedTopK(spark, dir)
+      .select(col("vec_id").as("doc_id"), col("cosine"))
+    chunkPack(spark, dir).join(broadcast(topk), "doc_id")
+      .select(col("doc_id"), col("cosine"), col("chunk_idx"),
+        col("chunk_len"), col("chunk_fp"))
+      .orderBy(col("cosine").desc, col("doc_id"), col("chunk_idx"))
+  }
+
   /** Shared chunk explosion: (doc_id, source, chunk_idx, c) with `c`
     * the token slice — [[chunkPack]] fingerprints it,
     * [[packSequences]] packs it. */
@@ -720,11 +736,20 @@ object Curation {
     (0 until BloomHashes).map(bloomPosSql(_, s)).mkString("[", ", ", "]")
 
 
+  // chunk SQL shared by text_chunk_pack and rag_topk_chunks
+  private val chunkPackSql =
+    s"""SELECT doc_id, chunk_idx, len(c) AS chunk_len, md5(array_to_string(c, ' ')) AS chunk_fp FROM (SELECT doc_id, chunk_idx, list_slice(t, chunk_idx*$ChunkSize+1, chunk_idx*$ChunkSize+$ChunkSize) AS c FROM (SELECT doc_id, t, unnest(range(0, CAST(ceil(len(t) / ${ChunkSize}.0) AS BIGINT))) AS chunk_idx FROM (SELECT doc_id, ${TextOps.toksSql} AS t FROM documents) WHERE len(t) > 0))"""
+
   val oracle: Map[String, String] = Map(
     "decontam_eval_overlap" ->
       s"""WITH g AS (SELECT doc_id, $gramSql AS sh FROM (SELECT doc_id, ${TextOps.toksSql} AS t FROM documents)), ev AS (SELECT DISTINCT unnest(sh) AS s FROM g WHERE doc_id % $EvalModulus = 0), tr AS (SELECT doc_id, unnest(sh) AS s FROM g WHERE doc_id % $EvalModulus <> 0), hits AS (SELECT doc_id, COUNT(*) AS n FROM tr JOIN ev USING (s) GROUP BY doc_id) SELECT d.doc_id, CAST(COALESCE(h.n, 0) AS BIGINT) AS shared_evalgrams, COALESCE(h.n, 0) > 0 AS contaminated FROM (SELECT doc_id FROM documents WHERE doc_id % $EvalModulus <> 0) d LEFT JOIN hits h USING (doc_id) ORDER BY doc_id""",
-    "text_chunk_pack" ->
-      s"""WITH tk AS (SELECT doc_id, ${TextOps.toksSql} AS t FROM documents), e AS (SELECT doc_id, t, unnest(range(0, CAST(ceil(len(t) / ${ChunkSize}.0) AS BIGINT))) AS chunk_idx FROM tk WHERE len(t) > 0) SELECT doc_id, chunk_idx, len(c) AS chunk_len, md5(array_to_string(c, ' ')) AS chunk_fp FROM (SELECT doc_id, chunk_idx, list_slice(t, chunk_idx*$ChunkSize+1, chunk_idx*$ChunkSize+$ChunkSize) AS c FROM e) ORDER BY doc_id, chunk_idx""",
+    "text_chunk_pack" -> s"$chunkPackSql ORDER BY doc_id, chunk_idx",
+    // retrieval composite: the IVF top-k oracle picks the documents
+    // (vec_id aligns 1:1 with doc_id in the testdata), the chunk
+    // oracle supplies their fingerprinted chunks — both subqueries
+    // VERBATIM, so the composite inherits their proven parity
+    "rag_topk_chunks" ->
+      s"""WITH topk AS (${KMeans.oracle("sim_kmeans_topk")}), ch AS ($chunkPackSql) SELECT ch.doc_id, t.cosine, ch.chunk_idx, ch.chunk_len, ch.chunk_fp FROM ch JOIN topk t ON ch.doc_id = t.vec_id ORDER BY t.cosine DESC, ch.doc_id, ch.chunk_idx""",
     // bitmask membership == set membership of positions, so the oracle
     // replays the filter as a distinct-position CTE; a gram hits iff
     // all BloomHashes positions (with multiplicity) join
@@ -764,6 +789,7 @@ object Curation {
     "decontam_two_phase" -> decontaminateTwoPhase _,
     "text_boilerplate" -> boilerplate _,
     "text_chunk_pack" -> chunkPack _,
+    "rag_topk_chunks" -> ragTopkChunks _,
     "text_pack_sequences" -> packSequences _,
     "text_pack_summary" -> packSequencesSummary _,
     "curation_pipeline" -> curationPipeline _,

@@ -335,4 +335,19 @@ class CurationSpec extends SparkSpec {
       }
     }
   }
+
+  test("rag composite returns exactly the retrieved docs' chunks " +
+    "with their retrieval cosines") {
+    val topk = graft.ext.KMeans.ivfTrainedTopK(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val rag = Curation.ragTopkChunks(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getString(4)))
+    assert(rag.map(_._1).toSet == topk.keySet)
+    for ((d, c, _, _) <- rag) assert(c == topk(d), s"doc $d cosine")
+    val chunks = Curation.chunkPack(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(3)))
+      .filter(x => topk.contains(x._1)).toSet
+    assert(rag.map(x => (x._1, x._3, x._4)).toSet == chunks)
+    assert(rag.nonEmpty)
+  }
 }
