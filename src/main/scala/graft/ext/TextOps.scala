@@ -101,7 +101,7 @@ object TextOps {
   /** Quality scoring: length/stopword/punctuation/avg-token-length
     * signals and a composite score — the standard cheap pre-filters
     * for web-scale corpus cleaning. */
-  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+  private def scoredDocs(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
     val toks = tokens(col("text"))
     val nTok = size(toks)
@@ -110,13 +110,51 @@ object TextOps {
     val punct = (nChar - length(regexp_replace(col("text"), "[.,;:!?]", "")))
       .cast("double") / nChar
     val avgTokLen = (nChar - (nTok - lit(1))).cast("double") / nTok
-    d.select(col("doc_id"), nTok.as("token_count"),
+    d.select(col("doc_id"), col("source"), nTok.as("token_count"),
         stopRatio.as("stopword_ratio"),
         punct.as("punct_ratio"),
         avgTokLen.as("avg_token_len"),
         (stopRatio * 0.5 + (lit(1.0) - punct) * 0.3
           + least(nTok.cast("double") / 100.0, lit(1.0)) * 0.2)
           .as("quality_score"))
+  }
+
+  def qualityScore(spark: SparkSession, dir: String): DataFrame =
+    scoredDocs(spark, dir).drop("source").orderBy(col("doc_id"))
+
+  /** Per-source quality-quantile cut fraction: documents below their
+    * OWN source's p25 quality are dropped. A single corpus-wide
+    * threshold would wipe out entire low-scoring sources; the
+    * per-source quantile keeps every source's best 75% — the adaptive
+    * form quality filtering takes in multi-source corpus builds. */
+  val QualityCutFrac = 0.25
+
+  /** Per-source adaptive quality filter: each source's cutoff is its
+    * own exact p25 quality score (k-th order statistic, k =
+    * ceil(0.25·n)), and a document is kept iff its score clears its
+    * source's cutoff. The rank window is partitioned by source — a
+    * LOW-NDV key, so it carries the same loud rows-per-group guard as
+    * the other exact order statistics
+    * ([[graft.ops.StatsOps.requireGroupsSortable]]); at scale the
+    * cutoffs come from `percentile_approx` instead (the documented
+    * exact-with-guard / sketch split). Cutoffs are a sources-sized
+    * table broadcast back against the scored scan. */
+  def qualitySourceCut(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = scoredDocs(spark, dir)
+      .select(col("doc_id"), col("source"), col("quality_score"))
+    graft.ops.StatsOps.requireGroupsSortable(s, col("source"))
+    val w = Window.partitionBy(col("source"))
+    val cut = s
+      .withColumn("rn", row_number().over(
+        w.orderBy(col("quality_score"), col("doc_id"))))
+      .withColumn("cnt", count(lit(1)).over(w))
+      .filter(col("rn") === ceil(col("cnt") * QualityCutFrac))
+      .select(col("source"), col("quality_score").as("source_cutoff"))
+    s.join(broadcast(cut), "source")
+      .select(col("doc_id"), col("source"), col("quality_score"),
+        col("source_cutoff"),
+        (col("quality_score") >= col("source_cutoff")).as("kept"))
       .orderBy(col("doc_id"))
   }
 
@@ -224,6 +262,8 @@ object TextOps {
   val oracle: Map[String, String] = Map(
     "text_token_count" ->
       s"""SELECT doc_id, len($toksSql) AS token_count, len(regexp_extract_all(lower(text), ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s]+')) AS bpe_token_count, length(text) AS char_count FROM documents ORDER BY doc_id""",
+    "text_quality_source_cut" ->
+      s"""WITH sc AS (SELECT doc_id, source, stopword_ratio * 0.5 + (1.0 - punct_ratio) * 0.3 + least(CAST(token_count AS DOUBLE) / 100.0, 1.0) * 0.2 AS quality_score FROM (SELECT doc_id, source, len(t) AS token_count, CAST(${hitsSql(stopEn)} AS DOUBLE) / len(t) AS stopword_ratio, CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE) / length(text) AS punct_ratio FROM (SELECT doc_id, source, text, $toksSql AS t FROM documents))), r AS (SELECT doc_id, source, quality_score, row_number() OVER (PARTITION BY source ORDER BY quality_score, doc_id) AS rn, COUNT(*) OVER (PARTITION BY source) AS cnt FROM sc), cut AS (SELECT source, quality_score AS source_cutoff FROM r WHERE rn = CAST(ceil(cnt * $QualityCutFrac) AS BIGINT)) SELECT sc.doc_id, sc.source, sc.quality_score, c.source_cutoff, sc.quality_score >= c.source_cutoff AS kept FROM sc JOIN cut c USING (source) ORDER BY sc.doc_id""",
     "text_quality_score" ->
       s"""SELECT doc_id, token_count, stopword_ratio, punct_ratio, avg_token_len, stopword_ratio * 0.5 + (1.0 - punct_ratio) * 0.3 + least(CAST(token_count AS DOUBLE) / 100.0, 1.0) * 0.2 AS quality_score FROM (SELECT doc_id, len(t) AS token_count, CAST(${hitsSql(stopEn)} AS DOUBLE) / len(t) AS stopword_ratio, CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE) / length(text) AS punct_ratio, CAST(length(text) - (len(t) - 1) AS DOUBLE) / len(t) AS avg_token_len FROM (SELECT doc_id, text, $toksSql AS t FROM documents)) ORDER BY doc_id""",
     "text_lang_id" ->
@@ -364,6 +404,7 @@ object TextOps {
     "text_corpus_filter_summary" -> corpusFilterSummary _,
     "text_token_count" -> tokenCount _,
     "text_quality_score" -> qualityScore _,
+    "text_quality_source_cut" -> qualitySourceCut _,
     "text_lang_id" -> langId _,
     "text_fingerprint" -> fingerprint _,
     "text_vocab_topk" -> vocabTopK _,

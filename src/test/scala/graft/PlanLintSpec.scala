@@ -71,7 +71,10 @@ class PlanLintSpec extends SparkSpec {
   private val entityKeyedWindow = Set(
     "events_sessionize", "events_asof_purchase_click")
   private val guardedLowNdvWindow = Set(
-    "elt_boxplot", "events_grouped_quantiles")
+    "elt_boxplot", "events_grouped_quantiles",
+    // per-source exact p25 cutoffs: requireGroupsSortable guard +
+    // percentile_approx as the documented scale path
+    "text_quality_source_cut")
   // rank over a POST-AGGREGATION frame bounded by the calendar
   // (years × 12 rows), same justification as the allowGlobalWindow
   // time-series entries

@@ -71,4 +71,30 @@ class TextSignalsSpec extends SparkSpec {
     // mass must be out-of-vocabulary
     assert(got.values.exists(_._2 > 0))
   }
+
+  test("per-source quality cut keeps exactly the docs at or above " +
+    "their source's exact p25 score") {
+    import graft.ext.TextOps
+    val scores = TextOps.qualityScore(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(5)).toMap
+    val srcOf = Tables.documents(spark, sf)
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val cutoffs = srcOf.toSeq.groupBy(_._2).map { case (src, xs) =>
+      val sorted = xs.map(x => (scores(x._1), x._1)).sorted
+      val k = math.ceil(sorted.length * TextOps.QualityCutFrac).toInt
+      src -> sorted(k - 1)._1
+    }
+    val rows = TextOps.qualitySourceCut(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        r.getDouble(3), r.getBoolean(4)))
+    assert(rows.length == srcOf.size)
+    for ((id, src, score, cutoff, kept) <- rows) {
+      assert(score == scores(id), s"doc $id score")
+      assert(cutoff == cutoffs(src), s"source $src cutoff")
+      assert(kept == (score >= cutoff), s"doc $id kept flag")
+    }
+    assert(rows.exists(!_._5), "the cut should drop someone")
+    assert(rows.count(_._5) > rows.length / 2, "p25 cut keeps most docs")
+  }
 }
