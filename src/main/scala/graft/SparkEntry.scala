@@ -26,6 +26,7 @@ object SparkEntry {
       graft.pipeline.GoldLayout.queries ++
       graft.pipeline.EtlPipeline.queries ++
       graft.ext.TextOps.queries ++
+      graft.ext.Selection.queries ++
       graft.ext.Dedup.queries ++
       graft.ext.Similarity.queries ++
       graft.ext.KMeans.queries ++
@@ -47,6 +48,7 @@ object SparkEntry {
       graft.pipeline.GoldLayout.oracle ++
       graft.pipeline.EtlPipeline.oracle ++
       graft.ext.TextOps.oracle ++
+      graft.ext.Selection.oracle ++
       graft.ext.Dedup.oracle ++
       graft.ext.Similarity.oracle ++
       graft.ext.KMeans.oracle ++

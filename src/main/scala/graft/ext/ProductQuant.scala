@@ -381,6 +381,88 @@ object ProductQuant {
     exactRerankTopK(spark, dir, qv, candIds.toSeq)
   }
 
+  /** Per-query residual prep for a QUERY BLOCK: each of the `nq`
+    * min-vec_id queries gets its coarse cell and the ADC distance
+    * table built from its residual to THAT cell — the batch analog of
+    * [[queryPrepResidual]] (nq × M × [[Ks]] doubles of driver work,
+    * independent of corpus size). */
+  def batchQueryPrepResidual(spark: SparkSession, dir: String,
+      coarse: Seq[(Int, Seq[Double])],
+      rcbs: Seq[Seq[(Int, Seq[Double])]],
+      nq: Int = KMeans.BatchQueries): Seq[(Long, Int, Seq[Seq[Double]])] =
+    KMeans.vecs(spark, dir).orderBy(col("vec_id")).limit(nq)
+      .select(col("vec_id"), col("v")).collect().toSeq
+      .map { r =>
+        val qid = r.getLong(0)
+        val qv = r.getSeq[Double](1)
+        val qCid = coarse.map { case (cid, cv) =>
+          (qv.zip(cv).foldLeft(0.0) { case (acc, (x, c)) =>
+            acc + (x - c) * (x - c) }, cid)
+        }.min._2
+        val qres = qv.zip(coarse(qCid)._2).map { case (x, c) => x - c }
+        (qid, qCid, distTable(qres, rcbs))
+      }
+
+  /** Batched residual-ADC top-k over an already-ENCODED frame
+    * (vec_id, label, cell, code0..M−1) — the composition of
+    * [[KMeans.ivfBatchTopKWith]]'s query-block fan-out with the
+    * compressed codes layout, and the true production serving shape:
+    * on a cell-PARTITIONED codes store the per-row assignment pass
+    * that dominates the raw-vector batch path disappears entirely
+    * (the cell filter is parquet partition pruning), so a batch costs
+    * one pruned scan of probed-cell CODES + |cell|·queries-per-cell
+    * table lookups. Per-query distance tables and the per-cell query
+    * lists ship as plan literals (nq × M × [[Ks]] doubles — no join);
+    * each row fans out only to the queries probing its cell and is
+    * scored by ONE CASE over qid, M lookups each; per-query top-k
+    * rides the salted two-phase rank so no single task sorts a whole
+    * cell. */
+  def adcBatchTopKOverCoded(coded: DataFrame,
+      prepped: Seq[(Long, Int, Seq[Seq[Double]])]): DataFrame = {
+    require(prepped.nonEmpty, "empty query block")
+    val byCell = prepped.groupBy(_._2)
+    val probed = byCell.keys.toSeq
+    // explode_OUTER (InferFiltersFromGenerate — KMeans.ivfBatchTopKWith):
+    // null rows drop at the self-pair filter below
+    val qArr = byCell.foldLeft(lit(null).cast("array<bigint>")) {
+      case (acc, (cell, qs)) =>
+        when(col("cell") === cell,
+          array(qs.map(q => lit(q._1)).toIndexedSeq: _*)).otherwise(acc)
+    }
+    def adcFor(dt: Seq[Seq[Double]]): Column =
+      (0 until M).map { m =>
+        element_at(array(dt(m).map(lit): _*), col(s"code$m") + lit(1))
+      }.reduceLeft(_ + _)
+    val adc = prepped.tail.foldLeft(
+      when(col("qid") === prepped.head._1, adcFor(prepped.head._3))) {
+      case (acc, (qid, _, dt)) => acc.when(col("qid") === qid, adcFor(dt))
+    }
+    val scored = coded
+      .filter(col("cell").isin(probed: _*))
+      .withColumn("qid", explode_outer(qArr))
+      .filter(col("qid") =!= col("vec_id"))
+      .select(col("qid").as("query_id"), col("vec_id"), col("label"),
+        adc.as("adc_dist"))
+    graft.ops.SkewOps.topKPerGroup(scored, col("query_id"),
+      Seq(col("adc_dist"), col("vec_id")), TopK, col("vec_id"))
+      .select(col("query_id"), col("vec_id"), col("label"),
+        col("adc_dist"), col("rk"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  /** Oracle-gated live form of the batched residual-ADC top-k: train,
+    * encode, answer the [[KMeans.BatchQueries]]-query block in one
+    * pass. The steady-state form feeds [[adcBatchTopKOverCoded]] the
+    * persisted cell-partitioned codes scan instead (parity-asserted in
+    * ProductQuantSpec; the 100× tier times it). */
+  def adcBatchTopK(spark: SparkSession, dir: String): DataFrame = {
+    val coarse = KMeans.train(spark, dir)
+    val rcbs = residualCodebooks(spark, dir, coarse)
+    val prepped = batchQueryPrepResidual(spark, dir, coarse, rcbs)
+    adcBatchTopKOverCoded(
+      encodeWithCellsResidual(spark, dir, coarse, rcbs), prepped)
+  }
+
   /** Residual IVF-PQ with nprobe=2 — the multi-probe knob composed
     * with the residual layout. The one subtlety vs the raw multi-probe
     * ([[ivfPqTopKMultiProbe]]): under residual encoding the distance
@@ -550,6 +632,13 @@ object ProductQuant {
     "sim_ivfpq_residual_topk_p2" ->
       s"""WITH $residCtes, qrow AS (SELECT vec_id AS qid, v AS qv FROM q ORDER BY vec_id LIMIT 1), qa AS (SELECT cid FROM (SELECT c.cid, row_number() OVER (ORDER BY ${KMeans
         .distSqlN("r.qv", "c.cv", 64)}, c.cid) AS rn FROM qrow r CROSS JOIN c2 c) WHERE rn <= 2), $residQresMultiCte SELECT vec_id, label, adc_dist FROM (SELECT q.vec_id, q.label, $residAdcSql AS adc_dist FROM q $residCodesJoin $residCbJoins JOIN af USING (vec_id) JOIN qresp s ON af.cid = s.cid CROSS JOIN qrow r WHERE q.vec_id <> r.qid) ORDER BY adc_dist, vec_id LIMIT $TopK""",
+    // batched residual ADC: qrow LIMITs to the query BLOCK, qa/qres go
+    // per-qid (PARTITION BY r.qid), rows meet every query probing
+    // their cell (af.cid = s.cid) and rank within their query
+    "sim_adc_batch_topk" ->
+      s"""WITH $residCtes, qrow AS (SELECT vec_id AS qid, v AS qv FROM q ORDER BY vec_id LIMIT ${KMeans.BatchQueries}), qa AS (SELECT qid, cid FROM (SELECT r.qid, c.cid, row_number() OVER (PARTITION BY r.qid ORDER BY ${KMeans
+        .distSqlN("r.qv", "c.cv", 64)}, c.cid) AS rn FROM qrow r CROSS JOIN c2 c) WHERE rn = 1), qres AS (SELECT r.qid, a.cid, ${(0 until M).map(m =>
+        s"list_slice(list_transform(range(1, 65), i -> r.qv[i] - c.cv[i]), ${lo(m)}, ${hi(m)}) AS rv$m").mkString(", ")} FROM qrow r JOIN qa a USING (qid) JOIN c2 c ON c.cid = a.cid), scored AS (SELECT s.qid AS query_id, q.vec_id, q.label, $residAdcSql AS adc_dist FROM q $residCodesJoin $residCbJoins JOIN af USING (vec_id) JOIN qres s ON af.cid = s.cid WHERE q.vec_id <> s.qid) SELECT query_id, vec_id, label, adc_dist, CAST(rn AS INTEGER) AS rk FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc_dist, vec_id) AS rn FROM scored) WHERE rn <= $TopK ORDER BY query_id, rn""",
     "sim_pq_codes" ->
       s"""WITH $pqCtes SELECT q.vec_id, q.label, ${(0 until M)
         .map(m => s"CAST(af_$m.cid AS INTEGER) AS code$m").mkString(", ")} FROM q $codesJoin ORDER BY vec_id""",
@@ -575,6 +664,7 @@ object ProductQuant {
     "sim_ivfpq_topk" -> ivfPqTopK _,
     "sim_ivfpq_residual_topk" -> ivfPqResidualTopK _,
     "sim_ivfpq_rerank" -> ivfPqRerankTopK _,
+    "sim_adc_batch_topk" -> adcBatchTopK _,
     "sim_ivfpq_topk_p2" ->
       ((s: SparkSession, dir: String) => ivfPqTopKMultiProbe(s, dir)),
     "sim_ivfpq_residual_topk_p2" ->

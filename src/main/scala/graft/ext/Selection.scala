@@ -1,0 +1,279 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Model-based data-selection operators — the scoring tier a training-
+  * data pipeline runs AFTER the cheap heuristics ([[TextOps]]) and
+  * BEFORE sampling ([[Sampling]]):
+  *
+  *  - a corpus-trained bigram language model scoring every document's
+  *    negative log-likelihood (the cheap stand-in for the KenLM
+  *    perplexity filter of CCNet, Wenzek et al. 2020), with CCNet's
+  *    per-language tercile bucketing (head/middle/tail) on top;
+  *  - DSIR importance weighting (Xie et al. 2023, arXiv:2302.03169):
+  *    hashed-n-gram likelihood ratios between a target distribution
+  *    (here: the curated source `src0`) and the raw pool, plus the
+  *    deterministic top-k selection those weights drive.
+  *
+  * Both are float-free where it matters for the oracle: per-feature
+  * log terms are quantized to integer MICRO-NATS (`floor(1e6·ln p)`)
+  * before any summation, so document scores are exact BIGINT sums and
+  * the DuckDB replay is hash-exact — transcendental rounding can only
+  * disagree if two engines' `ln` straddle a 1e-6-nat boundary, and
+  * each engine sums identical integers regardless of order.
+  *
+  * Reference scope: the reference app (csv → pandas → MySQL ETL,
+  * e.g. /root/reference/etl_pipeline/transform.py) has no model-based
+  * selection; this is extension-tier depth for the 100 TB
+  * training-data story.
+  */
+object Selection {
+
+  /** Log-quantization scale: scores are integer micro-nats. */
+  val QuantNats = 1000000.0
+
+  /** DSIR hashed-feature bucket count. The λ table the scorer
+    * broadcasts is bounded by THIS CONSTANT, not by vocabulary — the
+    * importance model stays 256 rows whether the corpus has 31 tokens
+    * or 31 million. */
+  val DsirBuckets = 256L
+
+  /** DSIR target distribution: documents from this source play the
+    * "high-quality target" corpus; all other sources are the raw pool
+    * being scored. */
+  val DsirTargetSource = "src0"
+
+  /** Fraction of the raw pool the DSIR selection keeps. */
+  val DsirKeepFrac = 0.2
+
+  private def toks: Column = TextOps.tokens(col("text"))
+
+  /** Exploded (doc_id, bigram) stream — explode_outer + null-drop so
+    * InferFiltersFromGenerate cannot duplicate the tokenize+shingle
+    * expression into an interpreted per-row Filter (the measured-2×
+    * lesson from the decontamination probes). */
+  private def bigramStream(d: DataFrame): DataFrame =
+    d.select(col("doc_id"),
+        explode_outer(TextOps.shinglesN(toks, 2)).as("b"))
+      .filter(col("b").isNotNull)
+
+  /** Per-bigram quantized log-probability under an add-one-smoothed
+    * bigram LM trained on the corpus itself:
+    * `lp(w1 w2) = floor(1e6 · ln((C(w1,w2)+1) / (C(w1·)+V)))` where
+    * `C(w1·)` is the bigram-context count and `V` the distinct-token
+    * vocabulary size.
+    *
+    * Shape at scale: the model is an aggregate over the exploded
+    * bigram stream — partial (map-side combined), so the shuffle
+    * carries one row per DISTINCT bigram per task, bounded by
+    * vocabulary², not corpus size. On a web-scale vocabulary the
+    * broadcast back to the scorer degrades to a shuffle hash join (or
+    * a count-min sketch of the counts — the [[Curation]] bloom
+    * pattern); at this corpus's 31-token vocabulary it is a ≤961-row
+    * broadcast. */
+  private def bigramModel(bg: DataFrame, d: DataFrame): DataFrame = {
+    // vocabulary size is a driver-side SCALAR (the StatsOps.orderStat
+    // discipline — a literal in the plan, not a BNLJ cross join)
+    val v = d.select(explode_outer(toks).as("tok"))
+      .filter(col("tok").isNotNull)
+      .agg(countDistinct(col("tok"))).head().getLong(0)
+    val c2 = bg.groupBy(col("b")).agg(count(lit(1)).as("c2"))
+      .withColumn("w1", substring_index(col("b"), " ", 1))
+    val c1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+    c2.join(c1, "w1")
+      .select(col("b"),
+        floor(log((col("c2") + 1).cast("double") /
+          (col("c1") + lit(v)).cast("double")) * QuantNats)
+          .cast("long").as("lp"))
+  }
+
+  /** Per-document bigram-LM negative log-likelihood: total and
+    * per-bigram average micro-nats. High avg = the LM finds the text
+    * surprising — the perplexity-filter signal. One corpus-sized
+    * explode, one broadcast-hash-join against the λ-table, one
+    * map-side-combinable doc_id aggregation. */
+  def bigramNll(spark: SparkSession, dir: String): DataFrame =
+    bigramNllOn(Tables.documents(spark, dir)).orderBy(col("doc_id"))
+
+  /** [[bigramNll]] over an explicit documents frame, unordered — the
+    * composable form ([[pplBuckets]] feeds it straight into the
+    * tercile window). */
+  def bigramNllOn(d: DataFrame): DataFrame = {
+    val bg = bigramStream(d)
+    val model = bigramModel(bg, d)
+    val per = bg.join(broadcast(model), "b")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("bigram_count"),
+        (-sum(col("lp"))).as("nll_micronats"))
+    d.select(col("doc_id")).join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("bigram_count"), lit(0L)).as("bigram_count"),
+        coalesce(col("nll_micronats"), lit(0L)).as("nll_micronats"),
+        when(col("bigram_count").isNull, lit(null).cast("double"))
+          .otherwise(col("nll_micronats").cast("double") / col("bigram_count"))
+          .as("avg_nll"))
+  }
+
+  /** CCNet-style perplexity bucketing: within each LANGUAGE, exact
+    * tercile cutoffs of the per-doc average NLL split documents into
+    * `head` (most fluent third), `middle`, `tail`. Per-language, not
+    * global — a global cut would label whole low-resource languages
+    * "tail", the exact failure CCNet's per-language split avoids.
+    *
+    * Shape at scale: the tercile cutoffs ride a rank window
+    * partitioned by language — a LOW-NDV key, guarded by
+    * [[graft.ops.StatsOps.requireGroupsSortable]] like every other
+    * exact order statistic here (percentile_approx is the documented
+    * sketch alternative); the cutoffs are a languages-sized table
+    * broadcast back against the scored stream. Buckets compare
+    * VALUES against the cutoffs (not ranks), so tie handling is
+    * engine-independent. */
+  def pplBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val s = bigramNllOn(d)
+      .join(d.select(col("doc_id"), col("lang")), "doc_id")
+      .select(col("doc_id"), col("lang"), col("avg_nll"))
+    graft.ops.StatsOps.requireGroupsSortable(s, col("lang"))
+    val w = Window.partitionBy(col("lang"))
+    val ranked = s
+      .withColumn("rn", row_number().over(
+        w.orderBy(col("avg_nll"), col("doc_id"))))
+      .withColumn("cnt", count(lit(1)).over(w))
+    val cuts = ranked
+      .filter(col("rn") === ceil(col("cnt") / 3.0) ||
+        col("rn") === ceil(col("cnt") * 2.0 / 3.0))
+      .groupBy(col("lang"))
+      .agg(min(col("avg_nll")).as("cut1"), max(col("avg_nll")).as("cut2"))
+    s.join(broadcast(cuts), "lang")
+      .select(col("doc_id"), col("lang"), col("avg_nll"),
+        when(col("avg_nll") <= col("cut1"), "head")
+          .when(col("avg_nll") <= col("cut2"), "middle")
+          .otherwise("tail").as("ppl_bucket"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** 60-bit md5 token fingerprint → DSIR feature bucket. Same
+    * engine-independent hash family as the dedup fingerprints
+    * ([[TextOps.gramFpSql]] replays it nibble-by-nibble). */
+  private def bucketOf(tok: Column): Column =
+    pmod(conv(substring(md5(tok.cast("binary")), 1, 15), 16, 10)
+      .cast("long"), lit(DsirBuckets))
+
+  /** DSIR importance weights + deterministic top-k selection.
+    *
+    * Per Xie et al.: hash every token into [[DsirBuckets]] buckets,
+    * estimate bucket unigram distributions for the TARGET (source
+    * `src0`) and the RAW pool (every other source), and weight each
+    * raw document by the summed log-likelihood ratio of its tokens:
+    * `w(doc) = Σ_tok λ(bucket(tok))`,
+    * `λ(b) = qln((T_b+1)/(T+B)) − qln((R_b+1)/(R+B))` with each log
+    * term independently quantized to micro-nats ([[QuantNats]]).
+    * Documents most target-like get the highest weight; the top
+    * `ceil(DsirKeepFrac · |raw|)` (ties broken by doc_id) are marked
+    * `selected` — the deterministic counterpart of DSIR's importance
+    * resampling step.
+    *
+    * Shape at scale: ONE corpus-sized token explode feeds both
+    * distribution estimates (map-side-combined aggs bounded by
+    * [[DsirBuckets]] rows) and the scoring join — the λ table is a
+    * CONSTANT-size broadcast (that is DSIR's point: hashing bounds
+    * the model, not the vocabulary); per-doc weights are one
+    * map-side-combinable doc_id aggregation. The selection threshold
+    * is a TakeOrdered limit(k) → 1-row broadcast — no global rank
+    * window ever runs over the corpus (the oracle replays selection
+    * with a window, DuckDB being single-node). The only driver-side
+    * values are two scalars (the raw-pool doc count for k, the
+    * threshold row). */
+  def dsirWeights(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val tok = d.select(col("doc_id"), col("source"),
+        explode_outer(toks).as("tok"))
+      .filter(col("tok").isNotNull)
+      .withColumn("bk", bucketOf(col("tok")))
+    val isTarget = col("source") === DsirTargetSource
+    // ONE conditional aggregation yields both distributions — no
+    // two-sided join to build the model, and the totals derive from
+    // the 256-row aggregate (AQE reuses its shuffle — the corpus is
+    // scanned once for the whole model)
+    val counts = tok.groupBy(col("bk")).agg(
+      sum(isTarget.cast("long")).as("tcnt"),
+      sum((!isTarget).cast("long")).as("rcnt"))
+    val totRow = counts.agg(sum(col("tcnt")), sum(col("rcnt"))).head()
+    val (tTot, rTot) = (totRow.getLong(0), totRow.getLong(1))
+    def qln(num: Column, den: Column): Column =
+      floor(log(num.cast("double") / den.cast("double")) * QuantNats)
+        .cast("long")
+    val lam = counts.select(col("bk"),
+      (qln(col("tcnt") + 1, lit(tTot + DsirBuckets)) -
+        qln(col("rcnt") + 1, lit(rTot + DsirBuckets))).as("lam"))
+    val scored = tok.filter(!isTarget)
+      .join(broadcast(lam), "bk")
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("token_count"),
+        sum(col("lam")).as("weight_micronats"))
+    val k = math.ceil(DsirKeepFrac * scored.count()).toLong
+    // the selection threshold is the k-th (weight desc, doc_id) pair —
+    // two TakeOrdered limits, collected as ONE driver-side row and
+    // compared as literals (no global rank window over the corpus)
+    val thRow = scored
+      .orderBy(col("weight_micronats").desc, col("doc_id"))
+      .limit(k.toInt)
+      .orderBy(col("weight_micronats"), col("doc_id").desc)
+      .limit(1)
+      .select(col("weight_micronats"), col("doc_id")).head()
+    val (wth, idth) = (thRow.getLong(0), thRow.getLong(1))
+    scored
+      .select(col("doc_id"), col("source"), col("token_count"),
+        col("weight_micronats"),
+        (col("weight_micronats") > wth ||
+          (col("weight_micronats") === wth &&
+            col("doc_id") <= idth)).as("selected"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val tkSql =
+    s"SELECT doc_id, source, lang, ${TextOps.toksSql} AS t FROM documents"
+  private val bgSql =
+    s"SELECT doc_id, unnest(${TextOps.bigramsSql}) AS b FROM ($tkSql)"
+  private val modelSql =
+    s"""c2 AS (SELECT b, COUNT(*) AS c2 FROM bg GROUP BY b),
+       c1 AS (SELECT split_part(b, ' ', 1) AS w1, SUM(c2) AS c1 FROM c2 GROUP BY 1),
+       v AS (SELECT COUNT(DISTINCT u) AS v FROM (SELECT unnest(t) AS u FROM ($tkSql))),
+       model AS (SELECT b, CAST(floor(ln(CAST(c2.c2 + 1 AS DOUBLE) / CAST(c1.c1 + v.v AS DOUBLE)) * $QuantNats) AS BIGINT) AS lp FROM c2 JOIN c1 ON split_part(c2.b, ' ', 1) = c1.w1 CROSS JOIN v),
+       per AS (SELECT doc_id, COUNT(*) AS bigram_count, -SUM(lp) AS nll FROM bg JOIN model USING (b) GROUP BY doc_id)"""
+
+  private val nllSql =
+    s"""WITH bg AS ($bgSql), $modelSql
+       SELECT d.doc_id, CAST(COALESCE(p.bigram_count, 0) AS BIGINT) AS bigram_count, CAST(COALESCE(p.nll, 0) AS BIGINT) AS nll_micronats, CASE WHEN p.doc_id IS NULL THEN NULL ELSE CAST(p.nll AS DOUBLE) / p.bigram_count END AS avg_nll
+       FROM documents d LEFT JOIN per p USING (doc_id)"""
+
+  private val dsirSql =
+    s"""WITH tk AS (SELECT doc_id, source, unnest(t) AS tok FROM ($tkSql)),
+       bkt AS (SELECT doc_id, source, ${TextOps.gramFpSql("tok")} % $DsirBuckets AS bk FROM tk),
+       cnts AS (SELECT bk, CAST(SUM(CASE WHEN source = '$DsirTargetSource' THEN 1 ELSE 0 END) AS BIGINT) AS tcnt, CAST(SUM(CASE WHEN source <> '$DsirTargetSource' THEN 1 ELSE 0 END) AS BIGINT) AS rcnt FROM bkt GROUP BY bk),
+       tot AS (SELECT CAST(SUM(tcnt) AS BIGINT) AS t, CAST(SUM(rcnt) AS BIGINT) AS r FROM cnts),
+       lam AS (SELECT bk, CAST(floor(ln(CAST(tcnt + 1 AS DOUBLE) / CAST(t + $DsirBuckets AS DOUBLE)) * $QuantNats) AS BIGINT) - CAST(floor(ln(CAST(rcnt + 1 AS DOUBLE) / CAST(r + $DsirBuckets AS DOUBLE)) * $QuantNats) AS BIGINT) AS lam FROM cnts CROSS JOIN tot),
+       per AS (SELECT doc_id, source, COUNT(*) AS token_count, SUM(lam) AS w FROM bkt JOIN lam USING (bk) WHERE source <> '$DsirTargetSource' GROUP BY doc_id, source),
+       rk AS (SELECT *, row_number() OVER (ORDER BY w DESC, doc_id) AS rn, COUNT(*) OVER () AS n FROM per)
+       SELECT doc_id, source, CAST(token_count AS BIGINT) AS token_count, CAST(w AS BIGINT) AS weight_micronats, rn <= CAST(ceil($DsirKeepFrac * n) AS BIGINT) AS selected FROM rk ORDER BY doc_id"""
+
+  val oracle: Map[String, String] = Map(
+    "text_bigram_nll" -> s"$nllSql ORDER BY doc_id",
+    "text_ppl_buckets" ->
+      s"""WITH bg AS ($bgSql), $modelSql,
+         s AS (SELECT d.doc_id, d.lang, CASE WHEN p.doc_id IS NULL THEN NULL ELSE CAST(p.nll AS DOUBLE) / p.bigram_count END AS avg_nll FROM documents d LEFT JOIN per p USING (doc_id)),
+         r AS (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY avg_nll, doc_id) AS rn, COUNT(*) OVER (PARTITION BY lang) AS cnt FROM s),
+         cuts AS (SELECT lang, MIN(avg_nll) AS cut1, MAX(avg_nll) AS cut2 FROM r WHERE rn = CAST(ceil(cnt / 3.0) AS BIGINT) OR rn = CAST(ceil(cnt * 2.0 / 3.0) AS BIGINT) GROUP BY lang)
+         SELECT s.doc_id, s.lang, s.avg_nll, CASE WHEN s.avg_nll <= c.cut1 THEN 'head' WHEN s.avg_nll <= c.cut2 THEN 'middle' ELSE 'tail' END AS ppl_bucket FROM s JOIN cuts c USING (lang) ORDER BY s.doc_id""",
+    "text_dsir_weight" -> dsirSql
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_bigram_nll" -> bigramNll _,
+    "text_ppl_buckets" -> pplBuckets _,
+    "text_dsir_weight" -> dsirWeights _
+  )
+}

@@ -252,7 +252,7 @@ object TextOps {
     s"""len(list_filter(t, x -> x IN (${words.map(w => s"'$w'").mkString(",")})))"""
   private val shinglesSql =
     """CASE WHEN len(t) >= 3 THEN list_transform(range(1, len(t)-1), i -> t[i]||' '||t[i+1]||' '||t[i+2]) ELSE [] END"""
-  private val bigramsSql =
+  private[ext] val bigramsSql =
     """CASE WHEN len(t) >= 2 THEN list_transform(range(1, len(t)), i -> t[i]||' '||t[i+1]) ELSE [] END"""
   private val dupFracSql =
     "CASE WHEN len(t) = 0 THEN 0.0 ELSE 1.0 - CAST(len(list_distinct(t)) AS DOUBLE) / len(t) END"

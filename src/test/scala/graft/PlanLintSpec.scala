@@ -74,7 +74,10 @@ class PlanLintSpec extends SparkSpec {
     "elt_boxplot", "events_grouped_quantiles",
     // per-source exact p25 cutoffs: requireGroupsSortable guard +
     // percentile_approx as the documented scale path
-    "text_quality_source_cut")
+    "text_quality_source_cut",
+    // per-language tercile cutoffs (CCNet buckets): same
+    // requireGroupsSortable guard + percentile_approx scale path
+    "text_ppl_buckets")
   // rank over a POST-AGGREGATION frame bounded by the calendar
   // (years × 12 rows), same justification as the allowGlobalWindow
   // time-series entries
@@ -85,7 +88,7 @@ class PlanLintSpec extends SparkSpec {
     Set("window_top3_per_region", "sample_fixed_count",
       // per-query top-k over the batch's probed cells rides
       // SkewOps.topKPerGroup (stage-2 bounded at queries·salts·k)
-      "sim_ivf_batch_topk")
+      "sim_ivf_batch_topk", "sim_adc_batch_topk")
   // running-sum/rank windows partitioned by (source or epoch,
   // doc_id-shard): parallelism = groups × shards, and a deployment
   // scales the shard count with the corpus (Curation.packSequences /

@@ -266,4 +266,42 @@ class ProductQuantSpec extends SparkSpec {
     assert(ranks.min < ProductQuant.TopK,
       s"no true top-${ProductQuant.TopK} neighbour recalled (ranks ${ranks.toSeq})")
   }
+
+  test("batched residual ADC: block slice equals single-query form; codes-fed prunes") {
+    val coarse = KMeans.train(spark, sf)
+    val rcbs = ProductQuant.residualCodebooks(spark, sf, coarse)
+    val prepped = ProductQuant.batchQueryPrepResidual(spark, sf, coarse, rcbs)
+    val live = ProductQuant.adcBatchTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3),
+        r.getInt(4)))
+    // every query answers exactly TopK ranked rows, ascending distance
+    val byQ = live.groupBy(_._1)
+    assert(byQ.keySet == prepped.map(_._1).toSet)
+    byQ.values.foreach { rs =>
+      assert(rs.length == ProductQuant.TopK)
+      assert(rs.map(_._5).sorted.toSeq == (1 to ProductQuant.TopK))
+      val sorted = rs.sortBy(_._5)
+      assert(sorted.map(r => (r._4, r._2)).toSeq ==
+        sorted.map(r => (r._4, r._2)).sortBy(identity).toSeq)
+    }
+    // the min-id query's block slice IS the single-query residual ADC
+    val q0 = prepped.map(_._1).min
+    val single = ProductQuant.ivfPqResidualTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(2)))
+    assert(live.filter(_._1 == q0).sortBy(_._5)
+      .map(r => (r._2, r._4)).toSeq == single.toSeq)
+    // codes-store-fed form: identical rows, partition-pruned scan
+    val dir = java.nio.file.Files.createTempDirectory("pq_batch").toString
+    ProductQuant.encodeWithCellsResidual(spark, sf, coarse, rcbs)
+      .write.mode("overwrite").partitionBy("cell").parquet(dir)
+    val fed = ProductQuant.adcBatchTopKOverCoded(
+      spark.read.parquet(dir), prepped)
+    val plan = fed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"),
+      s"expected partition pruning in:\n$plan")
+    val got = fed.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3),
+        r.getInt(4)))
+    assert(got.toSeq == live.toSeq)
+  }
 }

@@ -1,0 +1,122 @@
+package graft
+
+import graft.ext.Selection
+import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+
+/** Independent-recompute checks for the model-based selection tier:
+  * plain-Scala bigram-LM and DSIR reimplementations over collected
+  * text (not the Column expressions under test), compared exactly —
+  * both engines sum identical quantized-integer log terms, so the
+  * scores admit exact equality, no epsilon. */
+class SelectionSpec extends SparkSpec {
+
+  private def toks(text: String): Array[String] = {
+    val t = text.trim
+    if (t.isEmpty) Array.empty[String] else t.split("\\s+")
+  }
+  private def bigrams(t: Array[String]): Seq[String] =
+    t.sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSeq
+
+  private def docsRaw: Array[(Long, String, String, String)] =
+    Tables.documents(spark, sf)
+      .select("doc_id", "source", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+
+  test("bigram-LM NLL matches an independent quantized recomputation") {
+    val docs = docsRaw
+    val allBg = docs.flatMap(d => bigrams(toks(d._4)))
+    val c2 = allBg.groupBy(identity).map { case (b, xs) => b -> xs.length.toLong }
+    val c1 = c2.groupBy(_._1.split(" ")(0)).map { case (w, xs) => w -> xs.values.sum }
+    val v = docs.flatMap(d => toks(d._4)).distinct.length.toLong
+    def lp(b: String): Long =
+      math.floor(math.log((c2(b) + 1).toDouble / (c1(b.split(" ")(0)) + v)) * Selection.QuantNats).toLong
+    val expected = docs.map { case (id, _, _, text) =>
+      val bg = bigrams(toks(text))
+      (id, bg.size.toLong, -bg.map(lp).sum)
+    }.sortBy(_._1)
+    val got = Selection.bigramNll(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.length == expected.length)
+    got.zip(expected).foreach { case (g, e) =>
+      assert((g._1, g._2, g._3) == e, s"$g vs $e")
+      assert(g._4 == e._3.toDouble / e._2, s"avg mismatch: $g vs $e")
+    }
+    // the signal must vary, or the perplexity filter is vacuous
+    assert(got.map(_._4).distinct.length > 10, "avg_nll is near-constant")
+  }
+
+  test("perplexity buckets are per-language terciles against independent cutoffs") {
+    val rows = Selection.pplBuckets(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getString(3)))
+    assert(rows.length == docsRaw.length)
+    rows.groupBy(_._2).foreach { case (lang, rs) =>
+      val sorted = rs.sortBy(r => (r._3, r._1))
+      val c1 = sorted(math.ceil(sorted.length / 3.0).toInt - 1)._3
+      val c2 = sorted(math.ceil(sorted.length * 2.0 / 3.0).toInt - 1)._3
+      rs.foreach { case (id, _, avg, bucket) =>
+        val exp = if (avg <= c1) "head" else if (avg <= c2) "middle" else "tail"
+        assert(bucket == exp, s"doc $id in $lang: $bucket != $exp")
+      }
+      // terciles must actually split every language's documents
+      assert(Set("head", "middle", "tail").subsetOf(rs.map(_._4).toSet),
+        s"$lang buckets degenerate: ${rs.map(_._4).toSet}")
+    }
+  }
+
+  test("DSIR weights and selection match an independent recomputation") {
+    val docs = docsRaw
+    val spark2 = spark
+    import spark2.implicits._
+    // bucket via the engine's own md5 fingerprint (the hash family is
+    // the engine-independent part; the spec checks the arithmetic)
+    val distinctToks = docs.flatMap(d => toks(d._4)).distinct.toSeq
+    val bkOf = distinctToks.toDF("tok")
+      .select($"tok", org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.conv(
+          org.apache.spark.sql.functions.substring(
+            org.apache.spark.sql.functions.md5($"tok".cast("binary")), 1, 15),
+          16, 10).cast("long"),
+        org.apache.spark.sql.functions.lit(Selection.DsirBuckets)).as("bk"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val target = docs.filter(_._2 == Selection.DsirTargetSource)
+    val raw = docs.filter(_._2 != Selection.DsirTargetSource)
+    val tCounts = target.flatMap(d => toks(d._4)).groupBy(bkOf)
+      .map { case (b, xs) => b -> xs.length.toLong }
+    val rCounts = raw.flatMap(d => toks(d._4)).groupBy(bkOf)
+      .map { case (b, xs) => b -> xs.length.toLong }
+    val tTot = tCounts.values.sum; val rTot = rCounts.values.sum
+    def qln(num: Long, den: Long): Long =
+      math.floor(math.log(num.toDouble / den) * Selection.QuantNats).toLong
+    def lam(b: Long): Long =
+      qln(tCounts.getOrElse(b, 0L) + 1, tTot + Selection.DsirBuckets) -
+        qln(rCounts.getOrElse(b, 0L) + 1, rTot + Selection.DsirBuckets)
+    val expected = raw.map { case (id, src, _, text) =>
+      val ts = toks(text)
+      (id, src, ts.length.toLong, ts.map(t => lam(bkOf(t))).sum)
+    }.sortBy(_._1)
+    val got = Selection.dsirWeights(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))
+    assert(got.length == expected.length)
+    got.zip(expected).foreach { case (g, e) =>
+      assert((g._1, g._2, g._3, g._4) == e, s"$g vs $e")
+    }
+    // selection = exactly the top ceil(frac·n) by (weight desc, id)
+    val k = math.ceil(Selection.DsirKeepFrac * got.length).toLong
+    val topIds = got.sortBy(r => (-r._4, r._1)).take(k.toInt).map(_._1).toSet
+    assert(got.count(_._5) == k)
+    got.foreach(r => assert(r._5 == topIds.contains(r._1), s"selected flag wrong: $r"))
+    // weights must separate target-like docs from the rest
+    assert(got.map(_._4).distinct.length > 10, "DSIR weights are near-constant")
+  }
+
+  test("DSIR scorer joins the λ table by broadcast, no corpus-sized shuffle join") {
+    val plan = Selection.dsirWeights(spark, sf).queryExecution.executedPlan
+    val bhj = collectPlan(plan) { case j: BroadcastHashJoinExec => j }
+    assert(bhj.nonEmpty, "expected broadcast hash join(s) in the DSIR plan")
+    val smj = collectPlan(plan) {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }
+    assert(smj.isEmpty, s"unexpected sort-merge join(s): $smj")
+  }
+}
