@@ -31,6 +31,7 @@ object SparkEntry {
       graft.ext.Similarity.queries ++
       graft.ext.KMeans.queries ++
       graft.ext.ProductQuant.queries ++
+      graft.ext.ScalarQuant.queries ++
       graft.ext.Multimodal.queries ++
       graft.ext.EventOps.queries ++
       graft.ext.Sampling.queries ++
@@ -53,6 +54,7 @@ object SparkEntry {
       graft.ext.Similarity.oracle ++
       graft.ext.KMeans.oracle ++
       graft.ext.ProductQuant.oracle ++
+      graft.ext.ScalarQuant.oracle ++
       graft.ext.Multimodal.oracle ++
       graft.ext.EventOps.oracle ++
       graft.ext.Sampling.oracle ++

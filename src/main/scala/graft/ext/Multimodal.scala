@@ -84,6 +84,67 @@ object Multimodal {
           .as("frame_idx"))
       .orderBy(col("doc_id"), col("frame_idx"))
 
+  /** Perceptual-hash near-dup banding parameters: [[PHashBits]]-bit
+    * signatures split into [[PHashBands]] bands of [[PHashBandBits]]
+    * bits. Pigeonhole guarantee: a pair within Hamming distance
+    * [[PHashHamT]] differs in at most [[PHashHamT]] bands, so with
+    * Bands = HamT + 1 at least one band matches exactly — the banded
+    * equi-join loses NO true pair (same argument as the 4×16-bit
+    * SimHash bands in [[Dedup]]). */
+  val PHashBits = 25
+  val PHashBands = 5
+  val PHashBandBits = 5
+  val PHashHamT = 4
+
+  /** Perceptual-hash near-duplicate detection over media payloads —
+    * the image-dedup stage of a multimodal training-data pipeline
+    * (detect visually-near-identical images before they flood the
+    * training mix). A real deployment computes pHash from the decoded
+    * pixels (downsample → DCT → sign bits); here the hash packs the
+    * STUB decoder's deterministic stats (width, height, frame count —
+    * themselves functions of byte length) into a [[PHashBits]]-bit
+    * signature, which preserves the property that matters for the
+    * plumbing: payloads with NEAR stats land at small Hamming
+    * distance, not only exact copies (bit-packed small integers are
+    * locality-ish in Hamming space), so the threshold semantics are
+    * exercised non-trivially and the whole operator stays
+    * oracle-checkable.
+    *
+    * Shape at scale: signature is map-only; candidate generation is a
+    * banded self-equi-join (shuffle keyed on (band_idx, band_val) —
+    * never an all-pairs product); the Hamming confirm is one
+    * codegen'd `bit_count(xor)` per candidate. Band width is the
+    * selectivity knob: at larger corpora, extend the signature with
+    * more feature bits and widen each band (band-match probability
+    * halves per added bit) to keep per-bucket group sizes bounded —
+    * the same knob the SimHash and MinHash banding paths document. */
+  def phashNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val l = length(col("payload"))
+    val phash = ((lit(64) + l % 1216) * lit(16384L) +
+      (lit(64) + (l * 7) % 656) * lit(16L) + (l % 16)).as("phash")
+    val sigs = payloads(spark, dir).select(col("doc_id"), phash)
+    val bands = sigs.select(col("doc_id"), col("phash"),
+      explode(array((0 until PHashBands).map(i =>
+        struct(lit(i).as("band_idx"),
+          shiftright(col("phash"), i * PHashBandBits)
+            .bitwiseAND(lit((1 << PHashBandBits) - 1)).as("band_val"))): _*))
+        .as("b"))
+      .select(col("doc_id"), col("phash"), col("b.band_idx"), col("b.band_val"))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band_idx") === col("y.band_idx")
+          && col("x.band_val") === col("y.band_val")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.phash").as("pa"), col("y.phash").as("pb"))
+      .distinct()
+    cand
+      .withColumn("hamming",
+        bit_count(col("pa").bitwiseXOR(col("pb"))).cast("int"))
+      .filter(col("hamming") <= PHashHamT)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   val oracle: Map[String, String] = Map(
     "mm_metadata" ->
       """SELECT doc_id, octet_length(CAST(text AS BLOB)) AS byte_len, md5(text) AS content_md5, source FROM documents ORDER BY doc_id""",
@@ -91,12 +152,17 @@ object Multimodal {
     "mm_features" ->
       """SELECT doc_id, l AS byte_len, 64 + l % 1216 AS width, 64 + (l * 7) % 656 AS height, 3 AS channels, 1 + l % 16 AS frame_count FROM (SELECT doc_id, octet_length(CAST(text AS BLOB)) AS l FROM documents) ORDER BY doc_id""",
     "mm_frame_sample" ->
-      """SELECT doc_id, frame_count, CAST(unnest(range(0, frame_count, greatest(1, CAST(floor(frame_count / 4) AS INTEGER)))) AS INTEGER) AS frame_idx FROM (SELECT doc_id, 1 + octet_length(CAST(text AS BLOB)) % 16 AS frame_count FROM documents) ORDER BY doc_id, frame_idx"""
+      """SELECT doc_id, frame_count, CAST(unnest(range(0, frame_count, greatest(1, CAST(floor(frame_count / 4) AS INTEGER)))) AS INTEGER) AS frame_idx FROM (SELECT doc_id, 1 + octet_length(CAST(text AS BLOB)) % 16 AS frame_count FROM documents) ORDER BY doc_id, frame_idx""",
+    // phash packs the stub stats (width<<14 | height<<4 | frame_count-1);
+    // bands are 5×5-bit slices, the confirm is bit_count(xor) <= 4
+    "mm_phash_neardup" ->
+      s"""WITH ph AS (SELECT doc_id, (64 + l % 1216) * 16384 + (64 + (l * 7) % 656) * 16 + (l % 16) AS phash FROM (SELECT doc_id, octet_length(CAST(text AS BLOB)) AS l FROM documents)), bands AS (SELECT doc_id, phash, t.i AS band_idx, (phash >> CAST(5 * t.i AS INTEGER)) & 31 AS band_val FROM ph CROSS JOIN range(0, $PHashBands) t(i)), cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.phash AS pa, b.phash AS pb FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id) SELECT doc_a, doc_b, hamming FROM (SELECT doc_a, doc_b, CAST(bit_count(xor(pa, pb)) AS INTEGER) AS hamming FROM cand) WHERE hamming <= $PHashHamT ORDER BY doc_a, doc_b"""
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_metadata" -> metadata _,
     "mm_features" -> features _,
-    "mm_frame_sample" -> frameSample _
+    "mm_frame_sample" -> frameSample _,
+    "mm_phash_neardup" -> phashNearDup _
   )
 }

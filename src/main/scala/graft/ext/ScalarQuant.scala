@@ -1,0 +1,169 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scalar quantization (SQ8) over the embeddings table — the
+  * memory-compression rung BELOW product quantization on the ANN
+  * ladder (brute → LSH → IVF → PQ → SQ8): each float dimension
+  * compresses independently to an 8-bit code against per-dimension
+  * corpus [min, max] bounds (the formulation FAISS ships as
+  * `ScalarQuantizer(QT_8bit)`). Extension — the reference has no
+  * similarity-search surface; this tier exists for the
+  * training-data-pipeline mandate.
+  *
+  * Compared to PQ ([[ProductQuant]]): SQ8 needs NO codebook training
+  * (the "codebook" is 64 (min, max) pairs from one aggregation pass),
+  * decode is a multiply-add instead of a table lookup, and the
+  * compression ratio is fixed at 4× from float32 (PQ reaches 32–64×).
+  * It is the standard first stop when recall must stay near-exact and
+  * training a codebook per corpus refresh is operationally unwanted.
+  *
+  *  - '''stats''' ([[dimStats]]): per-dimension (min, max). Shape:
+  *    posexplode → partial hash aggregate — the shuffle carries at
+  *    most dims × tasks rows (order-independent min/max, so no
+  *    fixed-point quantization is needed for hash-exactness, unlike
+  *    the mean in `sim_group_centroids`).
+  *  - '''encode''' ([[codes]]): map-only — the 64 (min, span) pairs
+  *    ride as literal arrays in one projection; no join, no shuffle.
+  *  - '''search''' ([[topK]]): SYMMETRIC distance in pure integer
+  *    space — the query quantizes through the same bounds and the
+  *    distance is Σ(codeᵈ − qcodeᵈ)², an exact BIGINT. Integer
+  *    arithmetic makes the scan hash-exact by construction (no IEEE
+  *    fold-order discipline needed) and SIMD-friendly in a columnar
+  *    engine. Scan → TakeOrderedAndProject; the floats are never
+  *    read at query time.
+  *
+  * Scale shape: at 100 TB the codes table is 4× smaller than the raw
+  * vectors and the stats pass is one bounded aggregation; encode
+  * parallelizes trivially. Compose with the IVF cell filter
+  * ([[KMeans.ivfTrainedTopK]]) the same way PQ does for a pruned
+  * probe. Quantization error is bounded per dimension by span/255,
+  * so SQ8 recall dominates PQ's at the same probe set (asserted in
+  * ScalarQuantSpec against the exact-L2 oracle ranking).
+  */
+object ScalarQuant {
+
+  val Dim = 64
+  val Levels = 255 // codes span 0..255 (256 levels)
+  val TopK = 10
+
+  /** Per-dimension (min, max) over the corpus, dim-indexed 0..63.
+    * One partial-agg pass; the collected result is 64 rows. */
+  def dimStats(spark: SparkSession, dir: String): Seq[(Double, Double)] =
+    KMeans.vecs(spark, dir)
+      .select(posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy(col("dim"))
+      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .orderBy(col("dim"))
+      .collect()
+      .map(r => (r.getDouble(1), r.getDouble(2)))
+      .toSeq
+
+  /** Quantize one double against (min, max) — the single formula
+    * shared (operation for operation, left to right) by the Spark
+    * encode column, the driver-side query encode, and the DuckDB
+    * oracle replay: floor((x − min) / (max − min) · 255), clamped. */
+  def quantize(x: Double, mn: Double, mx: Double): Int =
+    if (mx == mn) 0
+    else math.min(Levels, math.floor((x - mn) / (mx - mn) * 255.0).toInt)
+
+  /** Map-only encode column: per-dim codes from literal bounds. The
+    * index-aware `transform` lambda touches only its bound variables
+    * plus two literal arrays, so the bounds are evaluated once, not
+    * per element (the [[TextOps.shingles3]] discipline). Interpreted
+    * HOF — 64 integer ops per row off the codegen path; the
+    * [[graft.functions.NearestCentroid]] port is the documented
+    * escape hatch if encode ever dominates a profile. */
+  def codeCol(stats: Seq[(Double, Double)]): Column = {
+    val mnA = array(stats.map { case (mn, _) => lit(mn) }: _*)
+    val mxA = array(stats.map { case (_, mx) => lit(mx) }: _*)
+    transform(col("v"), (x, i) => {
+      val mn = element_at(mnA, i + 1)
+      val mx = element_at(mxA, i + 1)
+      when(mx === mn, lit(0))
+        .otherwise(least(lit(Levels),
+          floor((x - mn) / (mx - mn) * 255.0).cast("int")))
+    })
+  }
+
+  /** SQ8 codes for the corpus as a canonical CSV string per vector
+    * (64 codes would not fit as columns; the joined form keeps the
+    * dump one scalar per vector and still pins every code). */
+  def sq8Codes(spark: SparkSession, dir: String): DataFrame = {
+    val stats = dimStats(spark, dir)
+    KMeans.vecs(spark, dir)
+      .select(col("vec_id"), col("label"),
+        array_join(transform(codeCol(stats), c => c.cast("string")), ",")
+          .as("codes_csv"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** Symmetric SQ8 top-k for the min-vec_id query: integer distance
+    * Σ(codeᵈ − qcodeᵈ)² over the on-the-fly encode, TakeOrdered. */
+  def sq8TopK(spark: SparkSession, dir: String): DataFrame = {
+    val stats = dimStats(spark, dir)
+    val qrow = KMeans.vecs(spark, dir).orderBy(col("vec_id")).limit(1)
+      .select(col("vec_id"), col("v")).head()
+    val qid = qrow.getLong(0)
+    val qcodes = qrow.getSeq[Double](1).zip(stats).map {
+      case (x, (mn, mx)) => quantize(x, mn, mx)
+    }
+    val qA = array(qcodes.map(c => lit(c.toLong)): _*)
+    val dist = aggregate(
+      zip_with(codeCol(stats), qA, (a, b) => (a.cast("long") - b) * (a.cast("long") - b)),
+      lit(0L), (acc, d) => acc + d)
+    KMeans.vecs(spark, dir)
+      .filter(col("vec_id") =!= qid)
+      .select(col("vec_id"), col("label"), dist.as("sq_dist"))
+      .orderBy(col("sq_dist"), col("vec_id"))
+      .limit(TopK)
+  }
+
+  /** IVF × SQ8 composition: probe only the query's coarse partition
+    * (the `label` cell, as [[Similarity.ivfTopK]]), scored by the
+    * integer SQ8 distance — the standard FAISS `IVF,SQ8` layout. At
+    * scale the codes table is cell-partitioned (as the PQ codes store
+    * is), so the cell filter is partition pruning and the scan reads
+    * cell-size × 64 bytes, never the corpus. */
+  def ivfSq8TopK(spark: SparkSession, dir: String): DataFrame = {
+    val stats = dimStats(spark, dir)
+    val qrow = KMeans.vecs(spark, dir).orderBy(col("vec_id")).limit(1)
+      .select(col("vec_id"), col("v"), col("label")).head()
+    val qid = qrow.getLong(0)
+    val qcodes = qrow.getSeq[Double](1).zip(stats).map {
+      case (x, (mn, mx)) => quantize(x, mn, mx)
+    }
+    val qLabel = qrow.getInt(2)
+    val qA = array(qcodes.map(c => lit(c.toLong)): _*)
+    val dist = aggregate(
+      zip_with(codeCol(stats), qA, (a, b) => (a.cast("long") - b) * (a.cast("long") - b)),
+      lit(0L), (acc, d) => acc + d)
+    KMeans.vecs(spark, dir)
+      .filter(col("label") === qLabel && col("vec_id") =!= qid)
+      .select(col("vec_id"), col("label"), dist.as("sq_dist"))
+      .orderBy(col("sq_dist"), col("vec_id"))
+      .limit(TopK)
+  }
+
+  /** Shared oracle CTE: per-dim bounds + per-(vec, dim) codes, the
+    * relational replay of [[codeCol]] (DuckDB lists are 1-indexed;
+    * dim is kept 1-based here and shifted where exposed). */
+  private val codesCte =
+    s"""st AS (SELECT t.dim AS dim, MIN(CAST(embedding[t.dim] AS DOUBLE)) AS mn, MAX(CAST(embedding[t.dim] AS DOUBLE)) AS mx FROM embeddings CROSS JOIN range(1, ${Dim + 1}) t(dim) GROUP BY t.dim), codes AS (SELECT vec_id, label, t.dim AS dim, CASE WHEN st.mx = st.mn THEN 0 ELSE least($Levels, CAST(floor((CAST(embedding[t.dim] AS DOUBLE) - st.mn) / (st.mx - st.mn) * 255.0) AS BIGINT)) END AS code FROM embeddings CROSS JOIN range(1, ${Dim + 1}) t(dim) JOIN st ON st.dim = t.dim)"""
+
+  val oracle: Map[String, String] = Map(
+    "sim_sq8_codes" ->
+      s"""WITH $codesCte SELECT vec_id, label, string_agg(CAST(code AS VARCHAR), ',' ORDER BY dim) AS codes_csv FROM codes GROUP BY vec_id, label ORDER BY vec_id""",
+    "sim_sq8_topk" ->
+      s"""WITH $codesCte, q AS (SELECT vec_id AS qid FROM embeddings ORDER BY vec_id LIMIT 1), qc AS (SELECT c.dim, c.code FROM codes c JOIN q ON c.vec_id = q.qid) SELECT c.vec_id, c.label, CAST(SUM((c.code - qc.code) * (c.code - qc.code)) AS BIGINT) AS sq_dist FROM codes c JOIN qc ON c.dim = qc.dim CROSS JOIN q WHERE c.vec_id <> q.qid GROUP BY c.vec_id, c.label ORDER BY sq_dist, c.vec_id LIMIT $TopK""",
+    "sim_ivfsq8_topk" ->
+      s"""WITH $codesCte, q AS (SELECT vec_id AS qid, label AS qlabel FROM embeddings ORDER BY vec_id LIMIT 1), qc AS (SELECT c.dim, c.code FROM codes c CROSS JOIN q WHERE c.vec_id = q.qid) SELECT c.vec_id, c.label, CAST(SUM((c.code - qc.code) * (c.code - qc.code)) AS BIGINT) AS sq_dist FROM codes c JOIN qc ON c.dim = qc.dim CROSS JOIN q WHERE c.vec_id <> q.qid AND c.label = q.qlabel GROUP BY c.vec_id, c.label ORDER BY sq_dist, c.vec_id LIMIT $TopK"""
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_sq8_codes" -> sq8Codes _,
+    "sim_sq8_topk" -> sq8TopK _,
+    "sim_ivfsq8_topk" -> ivfSq8TopK _
+  )
+}

@@ -33,6 +33,24 @@ object TextOps {
   val RepTopBigramFrac = 0.08
   val RepDupTokenFrac = 0.65
 
+  /** Gopher-rule thresholds for [[gopherRules]] (Rae et al. 2021,
+    * "Scaling Language Models: ... Gopher", Table A1 quality
+    * filters), re-calibrated to this synthetic corpus's measured
+    * distributions (word count p5≈16/p95≈94, mean word length
+    * p1≈3.96/p99≈5.04, ~7% of docs have zero stopword hits) so each
+    * rule splits the corpus instead of passing or failing everything;
+    * the max-word-length rule keeps Gopher's structural intent and is
+    * documented non-binding here (corpus max token length is 8).
+    * Symbol-ratio and bullet/ellipsis line rules are omitted: the
+    * corpus is pure alphanumeric-plus-space (measured symbol fraction
+    * is 0 at every scale factor), so they cannot discriminate. */
+  val GopherMinWords = 16
+  val GopherMaxWords = 90
+  val GopherMinMeanLen = 4.0
+  val GopherMaxMeanLen = 5.0
+  val GopherMinStopHits = 1
+  val GopherMaxWordLen = 12
+
   /** Whitespace tokenization with empty-input guard. */
   def tokens(text: Column): Column =
     when(length(trim(text)) === 0, array().cast("array<string>"))
@@ -286,6 +304,8 @@ object TextOps {
     // relationally: unnest → per-bigram counts → MAX
     "text_repetition" ->
       s"""WITH tk AS (SELECT doc_id, $toksSql AS t FROM documents), bg AS (SELECT doc_id, t, $bigramsSql AS b FROM tk), m AS (SELECT doc_id, MAX(c) AS top FROM (SELECT doc_id, u, COUNT(*) AS c FROM (SELECT doc_id, unnest(b) AS u FROM bg) GROUP BY doc_id, u) GROUP BY doc_id) SELECT doc_id, len(t) AS token_count, len(list_distinct(t)) AS distinct_tokens, $dupFracSql AS dup_token_frac, len(b) AS bigram_count, COALESCE(m.top, 0) AS top_bigram_count, $topBgFracSql AS top_bigram_frac, ($topBgFracSql > $RepTopBigramFrac OR $dupFracSql > $RepDupTokenFrac) AS repetitive FROM bg LEFT JOIN m USING (doc_id) ORDER BY doc_id""",
+    "text_gopher_rules" ->
+      s"""WITH s AS (SELECT doc_id, source, len(t) AS word_count, CASE WHEN len(t) = 0 THEN NULL ELSE CAST(length(text) - (len(t) - 1) AS DOUBLE) / len(t) END AS mean_word_len, list_max(list_transform(t, x -> length(x))) AS max_word_len, ${hitsSql(stopEn)} AS stop_hits FROM (SELECT doc_id, source, text, $toksSql AS t FROM documents)) SELECT doc_id, source, word_count, mean_word_len, max_word_len, stop_hits, reason, reason = 'keep' AS kept FROM (SELECT *, CASE WHEN word_count < $GopherMinWords OR word_count > $GopherMaxWords THEN 'word_count' WHEN mean_word_len < $GopherMinMeanLen OR mean_word_len > $GopherMaxMeanLen THEN 'mean_word_len' WHEN stop_hits < $GopherMinStopHits THEN 'stopword' WHEN max_word_len > $GopherMaxWordLen THEN 'max_word_len' ELSE 'keep' END AS reason FROM s) ORDER BY doc_id""",
     "text_oov_rate" ->
       s"""WITH tk AS (SELECT source, $toksSql AS t FROM documents), v AS (SELECT u AS token FROM (SELECT unnest(t) AS u FROM tk) GROUP BY u ORDER BY COUNT(*) DESC, u LIMIT $OovVocabK), tok AS (SELECT source, unnest(t) AS token FROM tk) SELECT source, COUNT(*) AS tokens, CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS oov_tokens, CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS oov_rate FROM tok LEFT JOIN v ON tok.token = v.token GROUP BY source ORDER BY source"""
   )
@@ -387,6 +407,46 @@ object TextOps {
       .orderBy(col("source"))
   }
 
+  /** Gopher-style rule-based document filter (Rae et al. 2021,
+    * Table A1): per-document signal columns, the FIRST failing rule
+    * as the drop reason (fixed evaluation order — word count, mean
+    * word length, stopword presence, max word length), and a `kept`
+    * verdict. This is the rule-list complement of the score-threshold
+    * filters ([[qualityScore]]/[[corpusFilter]]): rules give
+    * per-document explainability (which specific property failed),
+    * which is what corpus-curation dashboards and ablation studies
+    * consume.
+    *
+    * Shape at scale: entirely per-row — no explode, no join, no
+    * shuffle beyond the final presentation sort (dropped when
+    * composed into a pipeline). `array_max(transform(...))` is a
+    * higher-order function (interpreted, same documented caveat as
+    * [[repetition]]); everything else is codegen'd string/length
+    * arithmetic, so the operator scans at I/O speed. */
+  def gopherRules(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val toks = tokens(col("text"))
+    val nTok = size(toks)
+    val nChar = length(col("text"))
+    val meanLen = when(nTok === 0, lit(null).cast("double"))
+      .otherwise((nChar - (nTok - lit(1))).cast("double") / nTok)
+    val maxLen = array_max(transform(toks, t => length(t)))
+    val reason = when(
+      col("word_count") < GopherMinWords ||
+        col("word_count") > GopherMaxWords, "word_count")
+      .when(col("mean_word_len") < GopherMinMeanLen ||
+        col("mean_word_len") > GopherMaxMeanLen, "mean_word_len")
+      .when(col("stop_hits") < GopherMinStopHits, "stopword")
+      .when(col("max_word_len") > GopherMaxWordLen, "max_word_len")
+      .otherwise("keep")
+    d.select(col("doc_id"), col("source"), nTok.as("word_count"),
+        meanLen.as("mean_word_len"), maxLen.as("max_word_len"),
+        hits(toks, stopEn).as("stop_hits"))
+      .withColumn("reason", reason)
+      .withColumn("kept", col("reason") === "keep")
+      .orderBy(col("doc_id"))
+  }
+
   /** Rolling-hash (Karp–Rabin) content fingerprints via the native
     * codegen'd expression — engine-hash-independent (pure arithmetic),
     * so even this custom-Expression path is oracle-checked: DuckDB
@@ -409,6 +469,7 @@ object TextOps {
     "text_fingerprint" -> fingerprint _,
     "text_vocab_topk" -> vocabTopK _,
     "text_repetition" -> repetition _,
+    "text_gopher_rules" -> gopherRules _,
     "text_oov_rate" -> oovRate _
   )
 }

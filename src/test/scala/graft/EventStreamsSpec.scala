@@ -438,6 +438,47 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dropDuplicatesWithinWatermark collapses in-watermark duplicates " +
+      "arriving in a later micro-batch") {
+    import java.nio.file.Files
+    val base = Files.createTempDirectory("graft_wm_dedup").toString
+    val srcDir = s"$base/src"
+    // single file per write (coalesce(1)): with maxFilesPerTrigger=1
+    // the file source replays exactly two micro-batches in mtime
+    // order, so the duplicates genuinely arrive AFTER the state and
+    // watermark from batch 1 are in place
+    // session-zone TIMESTAMP: watermarks reject the batch loader's NTZ
+    val sample = Tables.events(spark, sf)
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .orderBy(col("ts")).limit(2000)
+      .cache()
+    val n = sample.count()
+    sample.coalesce(1).write.mode("append").parquet(srcDir)
+    Thread.sleep(1100) // distinct mtime: sample file processes first
+    val dups = sample
+      .join(sample.agg(max(col("ts")).as("mx")))
+      .filter(col("ts") >= col("mx") - expr("INTERVAL 30 MINUTES"))
+      .select(sample.columns.map(col): _*)
+    val nDups = dups.count()
+    assert(nDups > 0, "need duplicates inside the watermark horizon")
+    dups.coalesce(1).write.mode("append").parquet(srcDir)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(srcDir).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir)
+    val q = EventStreams.runToMemory(
+      EventStreams.dedupWithinWatermark(stream), "wm_dedup_out", "append")
+    try {
+      val out = spark.table("wm_dedup_out")
+      assert(out.count() == n,
+        s"expected the $nDups in-watermark duplicates suppressed")
+      assert(out.select(col("event_id")).distinct().count() == n)
+    } finally {
+      q.stop()
+      sample.unpersist()
+    }
+  }
+
   test("sliding windows produce overlapping coverage") {
     val stream = EventStreams.eventsStream(spark, sf)
     val q = EventStreams.runToMemory(EventStreams.slidingCounts(stream),

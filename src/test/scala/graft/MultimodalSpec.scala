@@ -22,4 +22,28 @@ class MultimodalSpec extends SparkSpec {
       w >= 64 && w < 1280 && h >= 64 && h < 720
     })
   }
+
+  test("phash near-dup banding loses no pair: banded join == brute-force " +
+      "all-pairs Hamming scan") {
+    // Independent recompute: signatures in plain Scala, ALL O(n²)
+    // pairs scanned (no banding) — if the operator's pigeonhole
+    // banding argument is wrong, the sets diverge here.
+    val lens = Tables.documents(spark, sf)
+      .select(col("doc_id"), length(col("text")).as("l")).collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong))
+    def phash(l: Long): Long =
+      (64 + l % 1216) * 16384L + (64 + (l * 7) % 656) * 16L + (l % 16)
+    val sigs = lens.map { case (id, l) => (id, phash(l)) }
+    val expect = (for {
+      (a, pa) <- sigs; (b, pb) <- sigs if a < b
+      ham = java.lang.Long.bitCount(pa ^ pb)
+      if ham <= Multimodal.PHashHamT
+    } yield (a, b, ham)).sortBy(p => (p._1, p._2))
+    val got = Multimodal.phashNearDup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(got == expect.toSeq)
+    assert(got.nonEmpty, "corpus should contain near signatures")
+    assert(got.exists(_._3 > 0),
+      "threshold semantics untested: only exact matches found")
+  }
 }

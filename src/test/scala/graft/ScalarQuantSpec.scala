@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.ScalarQuant
+
+/** SQ8 scalar quantization: codes and integer-space search are checked
+  * against a fully independent in-memory recompute (collected floats,
+  * plain Scala arithmetic) — the same proof shape DedupSpec uses for
+  * fingerprints. Recall is additionally pinned against the exact-L2
+  * ranking. */
+class ScalarQuantSpec extends SparkSpec {
+
+  private lazy val local: Seq[(Long, Int, Array[Double])] =
+    Tables.embeddings(spark, sf).orderBy(col("vec_id")).collect().map { r =>
+      (r.getLong(0), r.getInt(2),
+        r.getSeq[Float](1).map(_.toDouble).toArray)
+    }.toSeq
+
+  private lazy val statsLocal: Array[(Double, Double)] = {
+    val dim = local.head._3.length
+    Array.tabulate(dim) { d =>
+      val xs = local.map(_._3(d))
+      (xs.min, xs.max)
+    }
+  }
+
+  private def codesLocal(v: Array[Double]): Array[Int] =
+    v.zip(statsLocal).map { case (x, (mn, mx)) =>
+      ScalarQuant.quantize(x, mn, mx)
+    }
+
+  test("dimStats equals the collected per-dimension bounds exactly") {
+    val got = ScalarQuant.dimStats(spark, sf)
+    assert(got.length == statsLocal.length)
+    assert(got.zip(statsLocal).forall { case (a, b) => a == b })
+  }
+
+  test("sq8 codes match an independent Scala recompute for every vector") {
+    val got = ScalarQuant.sq8Codes(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(got.size == local.size)
+    local.foreach { case (id, _, v) =>
+      assert(got(id) == codesLocal(v).mkString(","), s"codes diverge at vec $id")
+    }
+  }
+
+  test("dequantization error is bounded by span/255 per dimension") {
+    local.foreach { case (_, _, v) =>
+      v.zip(statsLocal).foreach { case (x, (mn, mx)) =>
+        val span = mx - mn
+        if (span > 0) {
+          val code = ScalarQuant.quantize(x, mn, mx)
+          val deq = mn + code * span / 255.0
+          assert(math.abs(deq - x) <= span / 255.0 * (1 + 1e-12),
+            s"decode error exceeds the quantization step at x=$x")
+        }
+      }
+    }
+  }
+
+  test("sq8 top-k distances match the integer recompute; recall >= 7/10 " +
+      "vs exact L2") {
+    val (qid, _, qv) = local.minBy(_._1)
+    val qc = codesLocal(qv)
+    def sqDist(v: Array[Double]): Long =
+      codesLocal(v).zip(qc).map { case (a, b) =>
+        (a.toLong - b) * (a.toLong - b)
+      }.sum
+    val expect = local.filter(_._1 != qid)
+      .map { case (id, _, v) => (id, sqDist(v)) }
+      .sortBy { case (id, d) => (d, id) }
+      .take(ScalarQuant.TopK)
+    val got = ScalarQuant.sq8TopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    assert(got.toSeq == expect.toSeq)
+
+    val exact = local.filter(_._1 != qid)
+      .map { case (id, _, v) =>
+        val d = v.zip(qv).foldLeft(0.0) { case (acc, (a, b)) =>
+          acc + (a - b) * (a - b)
+        }
+        (id, d)
+      }
+      .sortBy { case (id, d) => (d, id) }
+      .take(ScalarQuant.TopK).map(_._1).toSet
+    val recall = got.map(_._1).count(exact.contains)
+    assert(recall >= 7, s"SQ8 recall degraded: $recall/10 vs exact L2")
+  }
+
+  test("ivf-sq8 probe returns the query cell's sq8 ranking exactly") {
+    val (qid, qLabel, qv) = local.minBy(_._1)
+    val qc = codesLocal(qv)
+    val expect = local.filter { case (id, l, _) => id != qid && l == qLabel }
+      .map { case (id, _, v) =>
+        val d = codesLocal(v).zip(qc).map { case (a, b) =>
+          (a.toLong - b) * (a.toLong - b)
+        }.sum
+        (id, d)
+      }
+      .sortBy { case (id, d) => (d, id) }
+      .take(ScalarQuant.TopK)
+    val got = ScalarQuant.ivfSq8TopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(got.forall(_._2 == qLabel), "probe escaped the query cell")
+    assert(got.map(r => (r._1, r._3)).toSeq == expect.toSeq)
+  }
+}

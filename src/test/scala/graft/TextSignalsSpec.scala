@@ -97,4 +97,49 @@ class TextSignalsSpec extends SparkSpec {
     assert(rows.exists(!_._5), "the cut should drop someone")
     assert(rows.count(_._5) > rows.length / 2, "p25 cut keeps most docs")
   }
+
+  test("gopher rules match an independent recompute; first failing rule " +
+      "wins; each binding rule fires somewhere") {
+    val stop = Set("the", "and", "of", "to", "a")
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    def expect(text: String): (Long, Option[Double], Int, Long, String) = {
+      val t = toks(text)
+      val n = t.length.toLong
+      val meanLen =
+        if (n == 0) None
+        else Some((text.length - (n - 1)).toDouble / n)
+      val maxLen = if (t.isEmpty) 0 else t.map(_.length).max
+      val hits = t.count(stop.contains).toLong
+      val reason =
+        if (n < TextOps.GopherMinWords || n > TextOps.GopherMaxWords)
+          "word_count"
+        else if (meanLen.exists(m => m < TextOps.GopherMinMeanLen ||
+            m > TextOps.GopherMaxMeanLen)) "mean_word_len"
+        else if (hits < TextOps.GopherMinStopHits) "stopword"
+        else if (maxLen > TextOps.GopherMaxWordLen) "max_word_len"
+        else "keep"
+      (n, meanLen, maxLen, hits, reason)
+    }
+    val rows = TextOps.gopherRules(spark, sf).collect()
+    assert(rows.length == docs.size)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val (n, meanLen, maxLen, hits, reason) = expect(docs(id))
+      assert(r.getInt(2) == n, s"doc $id word_count")
+      assert((if (r.isNullAt(3)) None else Some(r.getDouble(3))) == meanLen,
+        s"doc $id mean_word_len")
+      assert(r.getInt(4) == maxLen, s"doc $id max_word_len")
+      assert(r.getInt(5) == hits, s"doc $id stop_hits")
+      assert(r.getString(6) == reason, s"doc $id reason")
+      assert(r.getBoolean(7) == (reason == "keep"), s"doc $id kept")
+    }
+    val reasons = rows.map(_.getString(6)).toSet
+    assert(Set("keep", "word_count", "mean_word_len", "stopword")
+      .subsetOf(reasons), s"calibrated rules should all fire, got $reasons")
+    val keptFrac = rows.count(_.getBoolean(7)).toDouble / rows.length
+    assert(keptFrac > 0.5 && keptFrac < 0.95,
+      s"rule set should split the corpus, kept $keptFrac")
+  }
 }
