@@ -246,6 +246,90 @@ object ScaleUp {
         time(q, src, 1); time(q, dst, 1)
       }
     }
+    // ANN-tier corpus (copies×100 key-shifted embeddings copies —
+    // 20M vectors at copies=100): shared by the ann, annbatch, and
+    // r11b sections, built once on first need
+    def ensureAnnEmbeddings(): Unit =
+      if (!new java.io.File(s"$dst/embeddings.parquet").exists()) {
+        val e0 = Tables.embeddings(spark, src)
+        val maxVec = e0.agg(max(col("vec_id"))).head().getLong(0) + 1
+        e0.crossJoin(spark.range(copies * 100).toDF("copy"))
+          .select((col("vec_id") + col("copy") * lit(maxVec)).as("vec_id"),
+            col("label"), col("embedding"))
+          .write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
+        println(s"[scaleup] built $dst/embeddings.parquet (${copies * 100}x)")
+      }
+
+    if (on("r11b")) {
+      // round-11 session-2 additions over the 100× documents corpus:
+      // the Gopher rule filter (pure per-row scan) and BOTH phash
+      // banding widths — the 25-bit registered form is EXPECTED to
+      // show the birthday saturation its scaladoc documents (5-bit
+      // band values collide corpus-wide past ~2^12 docs, candidate
+      // counts go quadratic in group size), the 60-bit wide form is
+      // the production shape whose candidates stay proportional
+      time("text_gopher_rules", src, 1); time("text_gopher_rules", dst, 1)
+      // narrow (25-bit) phash measured at BASE scale only: its
+      // saturation is already visible there (500 docs → 1.9k pairs at
+      // sf0.01, 5000 docs → 199k pairs at sf0.1 — quadratic in the
+      // per-band group size exactly as the scaladoc's birthday bound
+      // predicts), and at 500k docs the candidate set is ~10ⁱ⁰ rows —
+      // a deliberate non-row: the measured evidence IS that you must
+      // widen the signature past ~2^12 docs. The wide row below is
+      // the production shape at 100×.
+      time("mm_phash_neardup", src, 1)
+      timed("mm_phash_wide", src, 1)(
+        graft.ext.Multimodal.phashNearDupWide(spark, src))
+      timed("mm_phash_wide", dst, 1)(
+        graft.ext.Multimodal.phashNearDupWide(spark, dst))
+      // SQ8 tier against the ann tier's 20M-vector corpus (built by
+      // the `ann` section; skip silently if absent): the stats pass is
+      // ONE 128-expression aggregate (no posexplode inflation), search
+      // is an integer-space scan, the IVF composition prunes to one
+      // cell. Each *_topk row re-pays the stats pass by construction
+      // (the codes/bounds are not persisted here) — at steady state
+      // the bounds are an artifact and only the scan leg remains.
+      ensureAnnEmbeddings()
+      if (new java.io.File(s"$dst/embeddings.parquet").exists()) {
+        timed("sim_sq8_stats_20m", dst, 1) {
+          val aggs = (0 until graft.ext.ScalarQuant.Dim).flatMap(d => Seq(
+            min(col("v").getItem(d)).as(s"mn$d"),
+            max(col("v").getItem(d)).as(s"mx$d")))
+          Tables.embeddings(spark, dst)
+            .select(col("embedding").cast("array<double>").as("v"))
+            .agg(aggs.head, aggs.tail: _*)
+        }
+        timed("sim_sq8_topk_20m", dst, 1)(
+          graft.ext.ScalarQuant.sq8TopK(spark, dst))
+        timed("sim_ivfsq8_topk_20m", dst, 1)(
+          graft.ext.ScalarQuant.ivfSq8TopK(spark, dst))
+        // production split: encode once (write-side, timed), then
+        // serve from the int codes store — compare this scan against
+        // the re-encoding row above
+        val sqStats = graft.ext.ScalarQuant.dimStats(spark, dst)
+        val t0 = System.nanoTime()
+        graft.ext.ScalarQuant.encodeFrame(spark, dst, sqStats)
+          .write.mode("overwrite").parquet(s"$dst/sq8_codes.parquet")
+        println(f"[scaleup] sq8_encode_build             $dst%-18s " +
+          f"${(System.nanoTime - t0) / 1e9}%8.2f s")
+        val (sqQid, sqQcodes) =
+          graft.ext.ScalarQuant.encodeQuery(spark, dst, sqStats)
+        timed("sim_sq8_codes_store_20m", dst, 2)(
+          graft.ext.ScalarQuant.sq8OverCodes(
+            spark.read.parquet(s"$dst/sq8_codes.parquet"), sqQcodes, sqQid))
+        // packed-byte layout (the FAISS uint8 store): binary decodes
+        // as one copy vs list<int>'s per-element materialization
+        val t1 = System.nanoTime()
+        graft.ext.ScalarQuant.encodeFrameBytes(spark, dst, sqStats)
+          .write.mode("overwrite").parquet(s"$dst/sq8_bytes.parquet")
+        println(f"[scaleup] sq8_bytes_encode_build       $dst%-18s " +
+          f"${(System.nanoTime - t1) / 1e9}%8.2f s")
+        timed("sim_sq8_bytes_store_20m", dst, 2)(
+          graft.ext.ScalarQuant.sq8OverBytes(
+            spark.read.parquet(s"$dst/sq8_bytes.parquet"), sqQcodes, sqQid))
+      } else println("[scaleup] r11b: no 20M embeddings at " +
+        s"$dst (run the ann section first); skipping SQ8 rows")
+    }
     if (on("spans")) {
       // round-11 text/mix additions over the 100× documents corpus:
       // span-level substring dedup (positions shuffle once as 60-bit
@@ -335,16 +419,7 @@ object ScaleUp {
       // cross-join (a unionByName of 10k frames would be a plan
       // explosion). Vector CONTENT is copy-identical — scan cost does
       // not depend on values, and ties resolve on vec_id.
-      val mult = copies * 100
-      val e0 = Tables.embeddings(spark, src)
-      if (!new java.io.File(s"$dst/embeddings.parquet").exists()) {
-        val maxVec = e0.agg(max(col("vec_id"))).head().getLong(0) + 1
-        e0.crossJoin(spark.range(mult).toDF("copy"))
-          .select((col("vec_id") + col("copy") * lit(maxVec)).as("vec_id"),
-            col("label"), col("embedding"))
-          .write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
-        println(s"[scaleup] built $dst/embeddings.parquet (${mult}x)")
-      }
+      ensureAnnEmbeddings()
       // the guarded brute-force full scan — this row records what the
       // MaxExactRows guard protects against
       timed("sim_bruteforce_full", dst, 2)(

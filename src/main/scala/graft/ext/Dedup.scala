@@ -647,6 +647,36 @@ object Dedup {
       .withColumn("keep", col("doc_id") === col("cluster_id"))
   }
 
+  /** Quality-argmax canonical selection per near-dup cluster: the
+    * member kept is the cluster's HIGHEST-quality document (composite
+    * score from [[TextOps.scoredDocs]]; ties to the lower doc_id),
+    * not the lowest id. This is the keep policy production dedup
+    * actually wants — when a boilerplate-ridden scrape and a clean
+    * article are near-dups, lowest-id keeps whichever was crawled
+    * first; quality-argmax keeps the clean one (the policy knob
+    * RefinedWeb/FineWeb-class pipelines expose on top of MinHash
+    * clusters).
+    *
+    * Shape at scale: clusters (bounded-round CC labels) join the
+    * per-doc score scan on doc_id, then ONE rank window partitioned
+    * by cluster_id — NDV ~ document count, so group sizes stay the
+    * near-dup cluster sizes (bounded by dedup quality, not corpus
+    * growth). */
+  def keepBestQuality(spark: SparkSession, dir: String): DataFrame = {
+    val clusters = nearDupClusters(spark, dir)
+      .select(col("doc_id"), col("cluster_id"))
+    val q = TextOps.scoredDocs(spark, dir)
+      .select(col("doc_id"), col("quality_score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id"))
+      .orderBy(col("quality_score").desc, col("doc_id"))
+    clusters.join(q, "doc_id")
+      .withColumn("rn", row_number().over(w))
+      .select(col("doc_id"), col("cluster_id"), col("quality_score"),
+        (col("rn") === 1).as("kept"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Near-dup edges INTRODUCED by appending `batch` to `gold`: every
     * n-gram-Jaccard qualifying pair (same shingles, same threshold as
     * [[ngramJaccardPairs]]) with at least one batch endpoint —
@@ -975,6 +1005,12 @@ object Dedup {
   private val ngramPairsSql =
     s"""WITH shing AS ($docShinglesSql), inv AS (SELECT doc_id, unnest(sh) AS s FROM shing), cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM inv x JOIN inv y ON x.s = y.s AND x.doc_id < y.doc_id) SELECT doc_a, doc_b, jaccard FROM (SELECT a AS doc_a, b AS doc_b, $jaccardSql AS jaccard FROM cand JOIN (SELECT doc_id, sh AS sh_a FROM shing) sa ON cand.a = sa.doc_id JOIN (SELECT doc_id, sh AS sh_b FROM shing) sb ON cand.b = sb.doc_id) WHERE jaccard >= $JaccardThreshold ORDER BY doc_a, doc_b"""
 
+  // reachability closure via recursive CTE = the iterative min-label
+  // propagation fixpoint (component min ids agree); shared by the
+  // dedup_clusters entry and the quality-argmax keep policy
+  private val clusterAssignSql =
+    s"""RECURSIVE pairs AS (SELECT doc_a, doc_b FROM ($ngramPairsSql)), sym AS (SELECT doc_a AS a, doc_b AS b FROM pairs UNION ALL SELECT doc_b, doc_a FROM pairs), reach(a, b) AS (SELECT a, b FROM sym UNION SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a), cl AS (SELECT d.doc_id, least(d.doc_id, COALESCE(MIN(r.b), d.doc_id)) AS cluster_id FROM documents d LEFT JOIN reach r ON r.a = d.doc_id GROUP BY d.doc_id)"""
+
   // DuckDB replay of the substring-span pipeline: position-indexed
   // 15-gram fingerprints (same 60-bit md5 compaction, nibble replay),
   // multi-occurrence grams via GROUP BY ... HAVING, islands via
@@ -1025,7 +1061,12 @@ object Dedup {
     // reachability closure via recursive CTE = the iterative
     // min-label propagation fixpoint (component min ids agree)
     "dedup_clusters" ->
-      s"""WITH RECURSIVE pairs AS (SELECT doc_a, doc_b FROM ($ngramPairsSql)), sym AS (SELECT doc_a AS a, doc_b AS b FROM pairs UNION ALL SELECT doc_b, doc_a FROM pairs), reach(a, b) AS (SELECT a, b FROM sym UNION SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a) SELECT doc_id, cluster_id, doc_id = cluster_id AS keep FROM (SELECT d.doc_id, least(d.doc_id, COALESCE(MIN(r.b), d.doc_id)) AS cluster_id FROM documents d LEFT JOIN reach r ON r.a = d.doc_id GROUP BY d.doc_id) ORDER BY doc_id""",
+      s"""WITH $clusterAssignSql SELECT doc_id, cluster_id, doc_id = cluster_id AS keep FROM cl ORDER BY doc_id""",
+    // keep policy swapped from lowest-id to quality-argmax: the
+    // canonical member is the cluster's highest-quality doc (ties to
+    // the lower doc_id)
+    "dedup_keep_best" ->
+      s"""WITH $clusterAssignSql, q AS (SELECT doc_id, quality_score FROM (${TextOps.oracle("text_quality_score")})), j AS (SELECT cl.doc_id, cl.cluster_id, q.quality_score FROM cl JOIN q USING (doc_id)) SELECT doc_id, cluster_id, quality_score, rn = 1 AS kept FROM (SELECT *, row_number() OVER (PARTITION BY cluster_id ORDER BY quality_score DESC, doc_id) AS rn FROM j) ORDER BY doc_id""",
     "dedup_minhash_lsh" ->
       s"""WITH mh AS ($minhashSql), bands AS ($bandsSql), cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b FROM bands x JOIN bands y ON x.band_idx = y.band_idx AND x.band_val = y.band_val AND x.doc_id < y.doc_id), sh_tbl AS ($docShinglesSql) SELECT doc_a, doc_b, jaccard FROM (SELECT doc_a, doc_b, $jaccardSql AS jaccard FROM cand JOIN (SELECT doc_id, sh AS sh_a FROM sh_tbl) sa ON cand.doc_a = sa.doc_id JOIN (SELECT doc_id, sh AS sh_b FROM sh_tbl) sb ON cand.doc_b = sb.doc_id) WHERE jaccard >= $JaccardThreshold ORDER BY doc_a, doc_b""",
     "dedup_simhash" ->
@@ -1051,6 +1092,7 @@ object Dedup {
     "dedup_minhash_lsh" -> minhashLshPairs _,
     "dedup_simhash" -> simhashSignaturesAgg _,
     "dedup_clusters" -> nearDupClusters _,
+    "dedup_keep_best" -> keepBestQuality _,
     "dedup_incremental" -> incrementalNearDups _,
     "dedup_embedding_cosine" ->
       ((s: SparkSession, dir: String) => embeddingCosinePairs(s, dir))

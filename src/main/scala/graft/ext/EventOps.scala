@@ -211,7 +211,60 @@ object EventOps {
       .orderBy(col("user_id"), col("session_start"))
   }
 
+  /** Temporal-split boundaries as fractions of the observed time
+    * RANGE: train ≤ 70%, validation ≤ 85%, test after. Time-based
+    * (not count-based) on purpose — count-based cutoffs are exact
+    * order statistics (a global-sort shape the quantile operators
+    * guard), while range-based cutoffs come from one min/max
+    * aggregate and keep the split map-only at any scale. */
+  val TemporalTrainPct = 70
+  val TemporalValPct = 85
+
+  /** Leakage-safe temporal train/validation/test split: models train
+    * on the PAST and validate on the FUTURE, so the assignment must
+    * cut on event time, never on a row hash (a hash split leaks
+    * future information into training — the standard failure of
+    * applying `split_train_test`'s content-hash discipline to
+    * time-series). Cutoffs are integer microsecond arithmetic on the
+    * corpus min/max, so both engines compute identical boundaries.
+    *
+    * Shape at scale: one min/max aggregate (partial, bounded), then a
+    * pure per-row CASE — no sort, no window, no shuffle beyond the
+    * presentation ordering. */
+  def temporalSplit(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val us = unix_micros(col("ts").cast("timestamp"))
+    val b = e.agg(min(us).as("mn"), max(us).as("mx")).head()
+    val (mn, mx) = (b.getLong(0), b.getLong(1))
+    val cut1 = mn + (mx - mn) * TemporalTrainPct / 100
+    val cut2 = mn + (mx - mn) * TemporalValPct / 100
+    e.select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        when(us <= cut1, "train")
+          .when(us <= cut2, "validation")
+          .otherwise("test").as("split"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Per-split audit over [[temporalSplit]]: row counts, the time
+    * range each split actually covers, and distinct users — the
+    * numbers a training run records next to the data card. */
+  def temporalSplitSummary(spark: SparkSession, dir: String): DataFrame =
+    temporalSplit(spark, dir)
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("from_ts"),
+        max(col("ts")).as("to_ts"),
+        countDistinct(col("user_id")).as("unique_users"))
+      .orderBy(col("split"))
+
+  private val temporalCaseSql =
+    s"""CASE WHEN epoch_us(ts) <= mn + (mx - mn) * $TemporalTrainPct // 100 THEN 'train' WHEN epoch_us(ts) <= mn + (mx - mn) * $TemporalValPct // 100 THEN 'validation' ELSE 'test' END"""
+
   val oracle: Map[String, String] = Map(
+    "events_split_temporal" ->
+      s"""WITH b AS (SELECT min(epoch_us(ts)) AS mn, max(epoch_us(ts)) AS mx FROM events) SELECT event_id, ts, user_id, event_type, $temporalCaseSql AS split FROM events CROSS JOIN b ORDER BY event_id""",
+    "events_split_temporal_summary" ->
+      s"""WITH b AS (SELECT min(epoch_us(ts)) AS mn, max(epoch_us(ts)) AS mx FROM events), s AS (SELECT ts, user_id, $temporalCaseSql AS split FROM events CROSS JOIN b) SELECT split, COUNT(*) AS n_events, MIN(ts) AS from_ts, MAX(ts) AS to_ts, COUNT(DISTINCT user_id) AS unique_users FROM s GROUP BY 1 ORDER BY 1""",
     "events_json_extract" ->
       """SELECT event_type, COUNT(*) AS n, CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k, CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(value) AS avg_value FROM events GROUP BY 1 ORDER BY 1""",
     "events_hourly" ->
@@ -248,6 +301,8 @@ object EventOps {
       ((s: SparkSession, dir: String) => groupedQuantiles(s, dir)),
     "events_quantile_bounds" -> groupedQuantileBounds _,
     "events_range_error_clicks" -> rangeErrorClicks _,
-    "events_session_window" -> sessionWindows _
+    "events_session_window" -> sessionWindows _,
+    "events_split_temporal" -> temporalSplit _,
+    "events_split_temporal_summary" -> temporalSplitSummary _
   )
 }

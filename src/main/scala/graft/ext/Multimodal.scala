@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -118,16 +118,31 @@ object Multimodal {
     * more feature bits and widen each band (band-match probability
     * halves per added bit) to keep per-bucket group sizes bounded —
     * the same knob the SimHash and MinHash banding paths document. */
-  def phashNearDup(spark: SparkSession, dir: String): DataFrame = {
+  def phashNearDup(spark: SparkSession, dir: String): DataFrame =
+    phashNearDupOn(payloads(spark, dir), statPhash, PHashBandBits)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  /** The 25-bit stat signature: width << 14 | height << 4 |
+    * (frame_count − 1), every field from the stub decode. */
+  private def statPhash: Column = {
     val l = length(col("payload"))
-    val phash = ((lit(64) + l % 1216) * lit(16384L) +
-      (lit(64) + (l * 7) % 656) * lit(16L) + (l % 16)).as("phash")
-    val sigs = payloads(spark, dir).select(col("doc_id"), phash)
+    (lit(64) + l % 1216) * lit(16384L) +
+      (lit(64) + (l * 7) % 656) * lit(16L) + (l % 16)
+  }
+
+  /** Banded near-dup core over an arbitrary signature column:
+    * signature → [[PHashBands]] bands of `bandBits` → self-equi-join →
+    * `bit_count(xor)` confirm at [[PHashHamT]]. Band completeness
+    * (pigeonhole over [[PHashBands]] = HamT + 1 bands) holds for ANY
+    * band width; width only sets SELECTIVITY. */
+  private[graft] def phashNearDupOn(pay: DataFrame, sig: Column,
+      bandBits: Int): DataFrame = {
+    val sigs = pay.select(col("doc_id"), sig.as("phash"))
     val bands = sigs.select(col("doc_id"), col("phash"),
       explode(array((0 until PHashBands).map(i =>
         struct(lit(i).as("band_idx"),
-          shiftright(col("phash"), i * PHashBandBits)
-            .bitwiseAND(lit((1 << PHashBandBits) - 1)).as("band_val"))): _*))
+          shiftright(col("phash"), i * bandBits)
+            .bitwiseAND(lit((1L << bandBits) - 1)).as("band_val"))): _*))
         .as("b"))
       .select(col("doc_id"), col("phash"), col("b.band_idx"), col("b.band_val"))
     val cand = bands.as("x").join(bands.as("y"),
@@ -142,6 +157,28 @@ object Multimodal {
         bit_count(col("pa").bitwiseXOR(col("pb"))).cast("int"))
       .filter(col("hamming") <= PHashHamT)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
+  /** The SCALE form of [[phashNearDup]]: a 60-bit signature (the 25
+    * stat bits << 35, plus 35 md5-derived "texture" bits standing in
+    * for pHash's DCT detail bits) in 5 × 12-bit bands. Why it exists:
+    * a 25-bit signature saturates by the birthday bound around 2¹²–2¹³
+    * documents — beyond that, unrelated payloads collide into the same
+    * 5-bit band values and candidate generation goes quadratic in the
+    * per-bucket group size (measured: the ScaleUp row). Production
+    * pHashes are 64–256 content bits, exactly this shape; band width
+    * scales group sizes down by 2× per added bit with the pigeonhole
+    * guarantee intact (bands stay HamT + 1). Not oracle-registered —
+    * the texture bits make near-miss pairs vanish on this corpus of
+    * fully-distinct texts (avalanche ⇒ far Hamming), so the dump would
+    * pin only emptiness; the completeness property is spec-tested
+    * against the brute-force scan instead, and the ScaleUp tier
+    * measures the candidate-generation cost honestly. */
+  def phashNearDupWide(spark: SparkSession, dir: String): DataFrame = {
+    val texture = conv(substring(md5(col("payload")), 1, 9), 16, 10)
+      .cast("long") % lit(1L << 35)
+    phashNearDupOn(payloads(spark, dir),
+      statPhash * lit(1L << 35) + texture, bandBits = 12)
       .orderBy(col("doc_a"), col("doc_b"))
   }
 

@@ -20,10 +20,10 @@ import org.apache.spark.sql.functions._
   * training a codebook per corpus refresh is operationally unwanted.
   *
   *  - '''stats''' ([[dimStats]]): per-dimension (min, max). Shape:
-  *    posexplode → partial hash aggregate — the shuffle carries at
-  *    most dims × tasks rows (order-independent min/max, so no
-  *    fixed-point quantization is needed for hash-exactness, unlike
-  *    the mean in `sim_group_centroids`).
+  *    one 128-expression global aggregate — the shuffle carries one
+  *    128-column partial row per task (order-independent min/max, so
+  *    no fixed-point quantization is needed for hash-exactness,
+  *    unlike the mean in `sim_group_centroids`).
   *  - '''encode''' ([[codes]]): map-only — the 64 (min, span) pairs
   *    ride as literal arrays in one projection; no join, no shuffle.
   *  - '''search''' ([[topK]]): SYMMETRIC distance in pure integer
@@ -48,17 +48,21 @@ object ScalarQuant {
   val Levels = 255 // codes span 0..255 (256 levels)
   val TopK = 10
 
-  /** Per-dimension (min, max) over the corpus, dim-indexed 0..63.
-    * One partial-agg pass; the collected result is 64 rows. */
-  def dimStats(spark: SparkSession, dir: String): Seq[(Double, Double)] =
-    KMeans.vecs(spark, dir)
-      .select(posexplode(col("v")).as(Seq("dim", "x")))
-      .groupBy(col("dim"))
-      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
-      .orderBy(col("dim"))
-      .collect()
-      .map(r => (r.getDouble(1), r.getDouble(2)))
-      .toSeq
+  /** Per-dimension (min, max) over the corpus as ONE global aggregate
+    * with 2·[[Dim]] expressions (`min(v[d]), max(v[d])`) — deliberately
+    * NOT a posexplode → groupBy(dim): the explode form inflates the
+    * stream [[Dim]]× (20M vectors become 1.28B rows) before the
+    * partial agg can shrink it, while this form keeps one row per
+    * vector through a codegen'd HashAggregate whose partial state is a
+    * single 128-column row per task. Min/max are order-independent, so
+    * the result is hash-exact regardless of partitioning. */
+  def dimStats(spark: SparkSession, dir: String): Seq[(Double, Double)] = {
+    val aggs = (0 until Dim).flatMap(d => Seq(
+      min(col("v").getItem(d)).as(s"mn$d"),
+      max(col("v").getItem(d)).as(s"mx$d")))
+    val r = KMeans.vecs(spark, dir).agg(aggs.head, aggs.tail: _*).head()
+    (0 until Dim).map(d => (r.getDouble(2 * d), r.getDouble(2 * d + 1)))
+  }
 
   /** Quantize one double against (min, max) — the single formula
     * shared (operation for operation, left to right) by the Spark
@@ -68,13 +72,12 @@ object ScalarQuant {
     if (mx == mn) 0
     else math.min(Levels, math.floor((x - mn) / (mx - mn) * 255.0).toInt)
 
-  /** Map-only encode column: per-dim codes from literal bounds. The
-    * index-aware `transform` lambda touches only its bound variables
-    * plus two literal arrays, so the bounds are evaluated once, not
-    * per element (the [[TextOps.shingles3]] discipline). Interpreted
-    * HOF — 64 integer ops per row off the codegen path; the
-    * [[graft.functions.NearestCentroid]] port is the documented
-    * escape hatch if encode ever dominates a profile. */
+  /** Composable-builtin encode column — kept as the CORRECTNESS
+    * BASELINE the fused [[graft.functions.Sq8Encode]] loop is asserted
+    * bit-equal to (ScalarQuantSpec). Interpreted HOF: at 20M vectors
+    * the HOF forms measured 383 s for the top-k scan vs ~I/O-bound for
+    * the fused expressions, which is why every production path in this
+    * object routes through [[graft.functions.Sq8]]. */
   def codeCol(stats: Seq[(Double, Double)]): Column = {
     val mnA = array(stats.map { case (mn, _) => lit(mn) }: _*)
     val mxA = array(stats.map { case (_, mx) => lit(mx) }: _*)
@@ -94,7 +97,8 @@ object ScalarQuant {
     val stats = dimStats(spark, dir)
     KMeans.vecs(spark, dir)
       .select(col("vec_id"), col("label"),
-        array_join(transform(codeCol(stats), c => c.cast("string")), ",")
+        array_join(graft.functions.Sq8.encode(col("v"), stats)
+          .cast("array<string>"), ",")
           .as("codes_csv"))
       .orderBy(col("vec_id"))
   }
@@ -109,15 +113,69 @@ object ScalarQuant {
     val qcodes = qrow.getSeq[Double](1).zip(stats).map {
       case (x, (mn, mx)) => quantize(x, mn, mx)
     }
-    val qA = array(qcodes.map(c => lit(c.toLong)): _*)
-    val dist = aggregate(
-      zip_with(codeCol(stats), qA, (a, b) => (a.cast("long") - b) * (a.cast("long") - b)),
-      lit(0L), (acc, d) => acc + d)
+    val dist = graft.functions.Sq8.dist(col("v"), stats, qcodes)
     KMeans.vecs(spark, dir)
       .filter(col("vec_id") =!= qid)
       .select(col("vec_id"), col("label"), dist.as("sq_dist"))
       .orderBy(col("sq_dist"), col("vec_id"))
       .limit(TopK)
+  }
+
+  /** Corpus encode as a persistable codes frame (vec_id, label,
+    * codes: array<int>) — the write-side of the production split:
+    * encode once under frozen bounds, serve every query from the int
+    * codes store ([[sq8OverCodes]]), floats never read again. */
+  def encodeFrame(spark: SparkSession, dir: String,
+      stats: Seq[(Double, Double)]): DataFrame =
+    KMeans.vecs(spark, dir)
+      .select(col("vec_id"), col("label"),
+        graft.functions.Sq8.encode(col("v"), stats).as("codes"))
+
+  /** Steady-state SQ8 top-k over a PERSISTED codes table
+    * ([[encodeFrame]] output): the scan reads 64 ints per row instead
+    * of 64 floats plus an encode — same integer distance, same
+    * ranking as [[sq8TopK]] under the same bounds (asserted in
+    * ScalarQuantSpec). */
+  def sq8OverCodes(codes: DataFrame, qcodes: Seq[Int], qid: Long,
+      k: Int = TopK): DataFrame = {
+    val dist = graft.functions.Sq8.codesDist(col("codes"), qcodes)
+    codes.filter(col("vec_id") =!= qid)
+      .select(col("vec_id"), col("label"), dist.as("sq_dist"))
+      .orderBy(col("sq_dist"), col("vec_id"))
+      .limit(k)
+  }
+
+  /** Corpus encode as the PACKED-byte store (vec_id, label, codes:
+    * binary — 64 bytes per vector, the FAISS uint8 layout). Parquet
+    * BINARY decodes as one array copy where list<int> materializes 64
+    * elements per row, so this is the preferred serving layout; the
+    * ScaleUp tier records both. */
+  def encodeFrameBytes(spark: SparkSession, dir: String,
+      stats: Seq[(Double, Double)]): DataFrame =
+    KMeans.vecs(spark, dir)
+      .select(col("vec_id"), col("label"),
+        graft.functions.Sq8.encodeBytes(col("v"), stats).as("codes"))
+
+  /** Steady-state SQ8 top-k over the packed-byte store — same ranking
+    * as [[sq8OverCodes]]/[[sq8TopK]] under the same bounds. */
+  def sq8OverBytes(codes: DataFrame, qcodes: Seq[Int], qid: Long,
+      k: Int = TopK): DataFrame = {
+    val dist = graft.functions.Sq8.bytesDist(col("codes"), qcodes)
+    codes.filter(col("vec_id") =!= qid)
+      .select(col("vec_id"), col("label"), dist.as("sq_dist"))
+      .orderBy(col("sq_dist"), col("vec_id"))
+      .limit(k)
+  }
+
+  /** Query-side encode under frozen bounds — the driver-side prep for
+    * [[sq8OverCodes]]. */
+  def encodeQuery(spark: SparkSession, dir: String,
+      stats: Seq[(Double, Double)]): (Long, Seq[Int]) = {
+    val qrow = KMeans.vecs(spark, dir).orderBy(col("vec_id")).limit(1)
+      .select(col("vec_id"), col("v")).head()
+    (qrow.getLong(0), qrow.getSeq[Double](1).zip(stats).map {
+      case (x, (mn, mx)) => quantize(x, mn, mx)
+    })
   }
 
   /** IVF × SQ8 composition: probe only the query's coarse partition
@@ -135,10 +193,7 @@ object ScalarQuant {
       case (x, (mn, mx)) => quantize(x, mn, mx)
     }
     val qLabel = qrow.getInt(2)
-    val qA = array(qcodes.map(c => lit(c.toLong)): _*)
-    val dist = aggregate(
-      zip_with(codeCol(stats), qA, (a, b) => (a.cast("long") - b) * (a.cast("long") - b)),
-      lit(0L), (acc, d) => acc + d)
+    val dist = graft.functions.Sq8.dist(col("v"), stats, qcodes)
     KMeans.vecs(spark, dir)
       .filter(col("label") === qLabel && col("vec_id") =!= qid)
       .select(col("vec_id"), col("label"), dist.as("sq_dist"))

@@ -234,6 +234,51 @@ object Selection {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-source Jensen–Shannon divergence from the whole-corpus token
+    * distribution — the drift monitor a corpus build runs between
+    * snapshots and across sources (JSD is symmetric and bounded at
+    * ln 2, so thresholds survive re-use across corpora; plain KL is
+    * unbounded and asymmetric). Every per-token term is quantized to
+    * micro-nats BEFORE summation, the [[bigramNll]] discipline, so
+    * the per-source score is an exact BIGINT sum.
+    *
+    * Shape at scale: one corpus-sized explode feeding a partial-agg
+    * groupBy bounded by vocabulary × sources; everything after —
+    * source totals, corpus totals, the sources × vocabulary support
+    * grid — re-aggregates or joins tables bounded by the vocabulary,
+    * never the corpus. Absent (source, token) cells matter: JSD's
+    * q-side term contributes for tokens a source never emits, which
+    * is exactly what makes a source missing half the vocabulary read
+    * as divergent. */
+  def jsDivergence(spark: SparkSession, dir: String): DataFrame = {
+    val st = Tables.documents(spark, dir)
+      .select(col("source"), explode(TextOps.tokens(col("text"))).as("t"))
+      .groupBy(col("source"), col("t"))
+      .agg(count(lit(1)).as("c_st"))
+    val s = st.groupBy(col("source")).agg(sum(col("c_st")).as("c_s"))
+    val v = st.groupBy(col("t")).agg(sum(col("c_st")).as("c_t"))
+    val tot = st.agg(sum(col("c_st")).as("c_tot"))
+    val d = s.crossJoin(v)
+      .join(st, Seq("source", "t"), "left")
+      .withColumn("c_st", coalesce(col("c_st"), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .withColumn("pd", col("c_st").cast("double") / col("c_s"))
+      .withColumn("qd", col("c_t").cast("double") / col("c_tot"))
+      .withColumn("md", (col("pd") + col("qd")) / 2)
+    val termq = floor((
+      when(col("pd") > 0, col("pd") * log(col("pd") / col("md")) * 0.5)
+        .otherwise(lit(0.0)) +
+        col("qd") * log(col("qd") / col("md")) * 0.5) * QuantNats)
+      .cast("long")
+    d.withColumn("termq", termq)
+      .groupBy(col("source"), col("c_s"))
+      .agg(sum(col("termq")).as("jsd_micronats"))
+      .select(col("source"), col("c_s").as("src_tokens"),
+        col("jsd_micronats"),
+        (col("jsd_micronats").cast("double") / QuantNats).as("jsd"))
+      .orderBy(col("source"))
+  }
+
   private val tkSql =
     s"SELECT doc_id, source, lang, ${TextOps.toksSql} AS t FROM documents"
   private val bgSql =
@@ -268,12 +313,15 @@ object Selection {
          r AS (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY avg_nll, doc_id) AS rn, COUNT(*) OVER (PARTITION BY lang) AS cnt FROM s),
          cuts AS (SELECT lang, MIN(avg_nll) AS cut1, MAX(avg_nll) AS cut2 FROM r WHERE rn = CAST(ceil(cnt / 3.0) AS BIGINT) OR rn = CAST(ceil(cnt * 2.0 / 3.0) AS BIGINT) GROUP BY lang)
          SELECT s.doc_id, s.lang, s.avg_nll, CASE WHEN s.avg_nll <= c.cut1 THEN 'head' WHEN s.avg_nll <= c.cut2 THEN 'middle' ELSE 'tail' END AS ppl_bucket FROM s JOIN cuts c USING (lang) ORDER BY s.doc_id""",
-    "text_dsir_weight" -> dsirSql
+    "text_dsir_weight" -> dsirSql,
+    "text_js_divergence" ->
+      s"""WITH tk AS (SELECT source, unnest(${TextOps.toksSql}) AS t FROM documents), st AS (SELECT source, t, COUNT(*) AS c_st FROM tk GROUP BY 1, 2), s AS (SELECT source, SUM(c_st) AS c_s FROM st GROUP BY 1), v AS (SELECT t, SUM(c_st) AS c_t FROM st GROUP BY 1), tot AS (SELECT SUM(c_st) AS c_tot FROM st), g AS (SELECT s.source, s.c_s, v.t, v.c_t, COALESCE(st.c_st, 0) AS c_st FROM s CROSS JOIN v LEFT JOIN st ON st.source = s.source AND st.t = v.t), d AS (SELECT source, c_s, CAST(c_st AS DOUBLE) / c_s AS pd, CAST(c_t AS DOUBLE) / c_tot AS qd FROM g CROSS JOIN tot), dm AS (SELECT source, c_s, pd, qd, (pd + qd) / 2 AS md FROM d), e AS (SELECT source, c_s, CAST(floor((CASE WHEN pd > 0 THEN pd * ln(pd / md) * 0.5 ELSE 0.0 END + qd * ln(qd / md) * 0.5) * $QuantNats) AS BIGINT) AS termq FROM dm) SELECT source, CAST(c_s AS BIGINT) AS src_tokens, CAST(SUM(termq) AS BIGINT) AS jsd_micronats, CAST(SUM(termq) AS DOUBLE) / $QuantNats AS jsd FROM e GROUP BY source, c_s ORDER BY source"""
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_bigram_nll" -> bigramNll _,
     "text_ppl_buckets" -> pplBuckets _,
-    "text_dsir_weight" -> dsirWeights _
+    "text_dsir_weight" -> dsirWeights _,
+    "text_js_divergence" -> jsDivergence _
   )
 }

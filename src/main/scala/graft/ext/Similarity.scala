@@ -123,6 +123,44 @@ object Similarity {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  /** Contrastive training triplets (anchor, positive, negative) mined
+    * from the corpus — the data-engineering step before training an
+    * embedding model with a triplet/InfoNCE loss: positives are the
+    * LSH near-angle pairs ([[lshBucketedPairs]] — already
+    * cosine-confirmed), and each triplet's negative is IN-BATCH: the
+    * next pair's positive in deterministic pair order, wrapping
+    * cyclically (the standard in-batch negative-sampling scheme, made
+    * deterministic so the oracle replays it). Triplets whose sampled
+    * negative collides with their own anchor or positive are dropped
+    * (the same-batch hazard in-batch sampling always filters).
+    *
+    * Shape at scale: the pair set is OUTPUT-sized (near-dup pairs,
+    * orders of magnitude smaller than the corpus), so the single
+    * unpartitioned lead() window ranks a bounded frame — same
+    * justification as the dim-sized global windows PlanLintSpec
+    * whitelists; shard the window by bucket when the pair set itself
+    * is large. */
+  def contrastivePairs(spark: SparkSession, dir: String): DataFrame =
+    contrastiveOn(lshBucketedPairs(spark, dir))
+
+  /** [[contrastivePairs]] core over an explicit (vec_a, vec_b, cosine)
+    * pair frame — factored so the triplet logic is testable on
+    * constructed pair sets (the corpus's own LSH pair set can be
+    * legitimately empty at small scale factors). */
+  private[graft] def contrastiveOn(pairs: DataFrame): DataFrame = {
+    val w = Window.orderBy(col("vec_a"), col("vec_b"))
+    val firstPos = pairs.orderBy(col("vec_a"), col("vec_b")).limit(1)
+      .select(col("vec_b")).collect().headOption.map(_.getLong(0))
+    pairs.withColumn("neg", lead(col("vec_b"), 1).over(w))
+      .withColumn("negative",
+        coalesce(col("neg"), lit(firstPos.getOrElse(-1L))))
+      .filter(col("negative") =!= col("vec_b")
+        && col("negative") =!= col("vec_a"))
+      .select(col("vec_a").as("anchor"), col("vec_b").as("positive"),
+        col("negative"), col("cosine"))
+      .orderBy(col("anchor"), col("positive"))
+  }
+
   /** Embedding preprocessing profile: L2 norm, max-|x|, and an int8
     * quantization checksum (`floor(127·x/max_abs + 0.5)` summed — the
     * storage-shrink step before ANN indexing, reported as scalars so
@@ -241,6 +279,8 @@ object Similarity {
       """SELECT vec_id, n_dims, sqrt(sq) AS l2_norm, max_abs, CASE WHEN max_abs > 0 THEN CAST(list_sum(list_transform(v, x -> CAST(floor(127.0 * x / max_abs + 0.5) AS INTEGER))) AS INTEGER) ELSE 0 END AS quant_sum FROM (SELECT vec_id, len(embedding) AS n_dims, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v, list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS sq, list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS max_abs FROM embeddings) ORDER BY vec_id""",
     "sim_group_centroids" ->
       s"""SELECT label, CAST(t.dim - 1 AS INTEGER) AS dim, COUNT(*) AS n_vecs, CAST(SUM(CAST(floor(CAST(embedding[t.dim] AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT)) AS DOUBLE) / COUNT(*) / 1048576.0 AS component FROM embeddings CROSS JOIN range(1, 65) t(dim) GROUP BY label, t.dim ORDER BY label, dim""",
+    "sim_contrastive_pairs" ->
+      s"""WITH pr AS (SELECT vec_a, vec_b, cosine FROM (WITH e AS (SELECT vec_id, embedding, CAST($lshSigSql AS BIGINT) AS bucket FROM embeddings) SELECT vec_a, vec_b, cosine FROM (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, ${cosineSql("a.embedding", "b.embedding")} AS cosine FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id) WHERE cosine >= 0.45)), ld AS (SELECT vec_a, vec_b, cosine, lead(vec_b) OVER (ORDER BY vec_a, vec_b) AS neg FROM pr), f AS (SELECT vec_b AS first_pos FROM pr ORDER BY vec_a, vec_b LIMIT 1) SELECT vec_a AS anchor, vec_b AS positive, COALESCE(neg, first_pos) AS negative, cosine FROM ld CROSS JOIN f WHERE COALESCE(neg, first_pos) <> vec_b AND COALESCE(neg, first_pos) <> vec_a ORDER BY anchor, positive""",
     "sim_centroid_assign" ->
       s"""WITH reps AS (SELECT label AS rep_label, embedding AS rep_v FROM embeddings WHERE vec_id IN (SELECT min(vec_id) FROM embeddings GROUP BY label)), scored AS (SELECT e.vec_id, e.label, r.rep_label, ${cosineSql("e.embedding", "r.rep_v")} AS cos FROM embeddings e CROSS JOIN reps r), ranked AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, rep_label) AS rk FROM scored) SELECT vec_id, label, rep_label AS assigned_label, label = rep_label AS matches_label FROM ranked WHERE rk = 1 ORDER BY vec_id"""
   )
@@ -250,6 +290,7 @@ object Similarity {
       ((s: SparkSession, dir: String) => bruteForceTopK(s, dir)),
     "sim_ivf_topk" -> ivfTopK _,
     "sim_lsh_bucketed_pairs" -> lshBucketedPairs _,
+    "sim_contrastive_pairs" -> contrastivePairs _,
     "sim_embedding_profile" -> embeddingProfile _,
     "sim_group_centroids" -> groupCentroids _,
     "sim_centroid_assign" -> centroidAssign _

@@ -51,6 +51,16 @@ object TextOps {
   val GopherMinStopHits = 1
   val GopherMaxWordLen = 12
 
+  /** Winnowing parameters: token-[[WinnowK]]-gram fingerprints, window
+    * of [[WinnowW]] consecutive hashes. The winnowing guarantee
+    * (Schleimer, Wilkerson, Aiken, SIGMOD 2003 — the MOSS algorithm):
+    * any shared token run of at least K + W − 1 = 7 tokens between two
+    * documents produces at least one IDENTICAL selected fingerprint in
+    * both, while only ~2/(W+1) of all gram hashes are kept. Declared
+    * before the oracle val (init-order discipline). */
+  val WinnowK = 4
+  val WinnowW = 4
+
   /** Whitespace tokenization with empty-input guard. */
   def tokens(text: Column): Column =
     when(length(trim(text)) === 0, array().cast("array<string>"))
@@ -119,7 +129,7 @@ object TextOps {
   /** Quality scoring: length/stopword/punctuation/avg-token-length
     * signals and a composite score — the standard cheap pre-filters
     * for web-scale corpus cleaning. */
-  private def scoredDocs(spark: SparkSession, dir: String): DataFrame = {
+  private[ext] def scoredDocs(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
     val toks = tokens(col("text"))
     val nTok = size(toks)
@@ -304,6 +314,15 @@ object TextOps {
     // relationally: unnest → per-bigram counts → MAX
     "text_repetition" ->
       s"""WITH tk AS (SELECT doc_id, $toksSql AS t FROM documents), bg AS (SELECT doc_id, t, $bigramsSql AS b FROM tk), m AS (SELECT doc_id, MAX(c) AS top FROM (SELECT doc_id, u, COUNT(*) AS c FROM (SELECT doc_id, unnest(b) AS u FROM bg) GROUP BY doc_id, u) GROUP BY doc_id) SELECT doc_id, len(t) AS token_count, len(list_distinct(t)) AS distinct_tokens, $dupFracSql AS dup_token_frac, len(b) AS bigram_count, COALESCE(m.top, 0) AS top_bigram_count, $topBgFracSql AS top_bigram_frac, ($topBgFracSql > $RepTopBigramFrac OR $dupFracSql > $RepDupTokenFrac) AS repetitive FROM bg LEFT JOIN m USING (doc_id) ORDER BY doc_id""",
+    // robust winnowing: 4-token grams → 60-bit fps, window-of-4 min
+    // with rightmost tie (the CASE tests j=3 first), DISTINCT set
+    "text_winnow" -> {
+      def h(j: Int) = s"hs[i+$j]"
+      val lm = s"least(${(0 until WinnowW).map(h).mkString(", ")})"
+      val posCase = (WinnowW - 1 to 1 by -1)
+        .map(j => s"WHEN ${h(j)} = $lm THEN i+$j").mkString(" ")
+      s"""WITH g AS (SELECT doc_id, CASE WHEN len(t) >= $WinnowK THEN list_transform(range(1, len(t) - ${WinnowK - 2}), i -> ${(0 until WinnowK).map(j => s"t[i+$j]").mkString(" || ' ' || ")}) ELSE [] END AS grams FROM (SELECT doc_id, $toksSql AS t FROM documents)), hsx AS (SELECT doc_id, list_transform(grams, g -> ${gramFpSql("g")}) AS hs FROM g), sel AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(hs) - ${WinnowW - 1}, 0) + 1), i -> {'pos': CASE $posCase ELSE i END, 'fp': $lm})) AS u FROM hsx) SELECT DISTINCT doc_id, u.pos AS pos, u.fp AS fp FROM sel ORDER BY doc_id, pos"""
+    },
     "text_gopher_rules" ->
       s"""WITH s AS (SELECT doc_id, source, len(t) AS word_count, CASE WHEN len(t) = 0 THEN NULL ELSE CAST(length(text) - (len(t) - 1) AS DOUBLE) / len(t) END AS mean_word_len, list_max(list_transform(t, x -> length(x))) AS max_word_len, ${hitsSql(stopEn)} AS stop_hits FROM (SELECT doc_id, source, text, $toksSql AS t FROM documents)) SELECT doc_id, source, word_count, mean_word_len, max_word_len, stop_hits, reason, reason = 'keep' AS kept FROM (SELECT *, CASE WHEN word_count < $GopherMinWords OR word_count > $GopherMaxWords THEN 'word_count' WHEN mean_word_len < $GopherMinMeanLen OR mean_word_len > $GopherMaxMeanLen THEN 'mean_word_len' WHEN stop_hits < $GopherMinStopHits THEN 'stopword' WHEN max_word_len > $GopherMaxWordLen THEN 'max_word_len' ELSE 'keep' END AS reason FROM s) ORDER BY doc_id""",
     "text_oov_rate" ->
@@ -447,6 +466,56 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Robust winnowing fingerprints: per document, hash every
+    * [[WinnowK]]-token gram (60-bit md5 compaction), slide a
+    * [[WinnowW]]-hash window, and keep the window MINIMUM — ties to
+    * the RIGHTMOST position ("robust" winnowing, which picks the same
+    * occurrence across overlapping windows); the kept (position,
+    * fingerprint) SET is the document's sketch. This is the
+    * fingerprint-SELECTION upgrade over [[rollingFingerprint]] /
+    * [[fingerprint]]: a content-defined, position-attributed sketch
+    * ~W/2× smaller than the full gram set that still guarantees
+    * detection of any ≥ K+W−1-token overlap — what plagiarism/copy
+    * scanners index instead of every gram.
+    *
+    * Shape at scale: entirely per-row until the final explode of the
+    * selected set (bounded at ~2·n/W rows per doc). The gram-hash
+    * array is materialized as a COLUMN before the window pass, so
+    * window lambdas touch a bound attribute, not a re-evaluated
+    * expression (the [[shingles3]] discipline); window min and
+    * rightmost-tie run UNROLLED (`least` + CASE over [[WinnowW]]
+    * fixed slots) — no nested interpreted folds. */
+  def winnowFingerprints(spark: SparkSession, dir: String): DataFrame = {
+    val fp60 = (s: Column) =>
+      conv(substring(md5(s.cast("binary")), 1, 15), 16, 10).cast("long")
+    val withHs = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        transform(shinglesN(tokens(col("text")), WinnowK), g => fp60(g))
+          .as("hs"))
+    val n = size(col("hs"))
+    def at(i: Column, j: Int): Column = element_at(col("hs"), i + lit(j))
+    // guard: Spark's sequence(1, n) DESCENDS when n < 1, so short
+    // docs must produce an empty window list explicitly
+    val wins = when(n >= WinnowW, sequence(lit(1), n - (WinnowW - 1)))
+      .otherwise(array().cast("array<int>"))
+    val sels = transform(wins,
+      i => {
+        val es = (0 until WinnowW).map(j => at(i, j))
+        val mn = least(es: _*)
+        // rightmost occurrence of the window minimum: ascending fold
+        // so the HIGHEST j's test ends up outermost and wins ties
+        val pos = (1 until WinnowW).foldLeft[Column](i) {
+          case (acc, j) => when(es(j) === mn, i + lit(j)).otherwise(acc)
+        }
+        struct(pos.as("pos"), mn.as("fp"))
+      })
+    withHs
+      .select(col("doc_id"), explode(sels).as("s"))
+      .select(col("doc_id"), col("s.pos").as("pos"), col("s.fp").as("fp"))
+      .distinct()
+      .orderBy(col("doc_id"), col("pos"))
+  }
+
   /** Rolling-hash (Karp–Rabin) content fingerprints via the native
     * codegen'd expression — engine-hash-independent (pure arithmetic),
     * so even this custom-Expression path is oracle-checked: DuckDB
@@ -470,6 +539,7 @@ object TextOps {
     "text_vocab_topk" -> vocabTopK _,
     "text_repetition" -> repetition _,
     "text_gopher_rules" -> gopherRules _,
+    "text_winnow" -> winnowFingerprints _,
     "text_oov_rate" -> oovRate _
   )
 }

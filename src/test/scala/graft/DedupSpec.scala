@@ -337,4 +337,37 @@ class DedupSpec extends SparkSpec {
     assert(ex.getMessage.contains("lshBucketedPairs"),
       "guard message should point at the scale path")
   }
+
+  test("keep-best selects exactly one member per cluster: the quality " +
+      "argmax, ties to the lower doc_id") {
+    val scores = graft.ext.TextOps.qualityScore(spark, sf)
+      .select("doc_id", "quality_score").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val clusters = Dedup.nearDupClusters(spark, sf)
+      .select("doc_id", "cluster_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val expectKept = clusters.groupBy(_._2).map { case (_, members) =>
+      members.map(_._1).minBy(id => (-scores(id), id))
+    }.toSet
+    val rows = Dedup.keepBestQuality(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getBoolean(3)))
+    assert(rows.length == clusters.length)
+    rows.foreach { case (id, cid, q, kept) =>
+      assert(q == scores(id), s"doc $id score")
+      assert(kept == expectKept(id), s"doc $id kept flag")
+    }
+    // exactly one canonical member per cluster
+    val keptPerCluster = rows.filter(_._4).groupBy(_._2)
+      .view.mapValues(_.length).toMap
+    assert(rows.map(_._2).toSet == keptPerCluster.keySet)
+    assert(keptPerCluster.values.forall(_ == 1))
+    // the policy differs from lowest-id somewhere on this corpus
+    // (otherwise the operator is indistinguishable from dedup_clusters)
+    val lowestId = clusters.groupBy(_._2).map { case (_, m) =>
+      m.map(_._1).min
+    }.toSet
+    assert(expectKept != lowestId,
+      "quality-argmax should pick a non-minimal id in some cluster")
+  }
 }

@@ -46,4 +46,50 @@ class MultimodalSpec extends SparkSpec {
     assert(got.exists(_._3 > 0),
       "threshold semantics untested: only exact matches found")
   }
+
+  test("wide (60-bit) phash banding is also complete, including injected " +
+      "duplicate payloads") {
+    import java.security.MessageDigest
+    // corpus + exact copies of the first 20 payloads under shifted ids:
+    // copies land at Hamming 0 (stat AND texture bits identical), so
+    // the wide variant has real pairs to find on this distinct-text
+    // corpus
+    val base = Tables.documents(spark, sf).select(col("doc_id"),
+      col("text").cast("binary").as("payload"))
+    val pay = base.unionByName(
+      base.filter(col("doc_id") < 20)
+        .withColumn("doc_id", col("doc_id") + 100000L)).cache()
+    def widePhash(text: String): Long = {
+      val l = text.length.toLong
+      val stat = (64 + l % 1216) * 16384L + (64 + (l * 7) % 656) * 16L +
+        (l % 16)
+      val hex = MessageDigest.getInstance("MD5")
+        .digest(text.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.take(9)
+      stat * (1L << 35) + java.lang.Long.parseLong(hex, 16) % (1L << 35)
+    }
+    val local = Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val sigs = local.map { case (id, t) => (id, widePhash(t)) } ++
+      local.filter(_._1 < 20).map { case (id, t) =>
+        (id + 100000L, widePhash(t))
+      }
+    val expect = (for {
+      (a, pa) <- sigs; (b, pb) <- sigs if a < b
+      ham = java.lang.Long.bitCount(pa ^ pb)
+      if ham <= Multimodal.PHashHamT
+    } yield (a, b, ham)).sortBy(p => (p._1, p._2))
+    assert(expect.nonEmpty, "injected copies should produce pairs")
+    val texture = conv(substring(md5(col("payload")), 1, 9), 16, 10)
+      .cast("long") % lit(1L << 35)
+    val l = length(col("payload"))
+    val stat = (lit(64) + l % 1216) * lit(16384L) +
+      (lit(64) + (l * 7) % 656) * lit(16L) + (l % 16)
+    val got = Multimodal.phashNearDupOn(pay, stat * lit(1L << 35) + texture,
+        bandBits = 12)
+      .orderBy(col("doc_a"), col("doc_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    pay.unpersist()
+    assert(got == expect.toSeq)
+  }
 }

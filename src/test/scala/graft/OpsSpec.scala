@@ -120,4 +120,37 @@ class OpsSpec extends SparkSpec {
       }
     }
   }
+
+  test("temporal split: boundaries match the recomputed 70/85% range " +
+      "cuts, splits are time-ordered, summary reconciles") {
+    import org.apache.spark.sql.functions._
+    import graft.ext.EventOps
+    val e = Tables.events(spark, sf)
+      .select(col("event_id"),
+        unix_micros(col("ts").cast("timestamp")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val mn = e.values.min; val mx = e.values.max
+    val cut1 = mn + (mx - mn) * EventOps.TemporalTrainPct / 100
+    val cut2 = mn + (mx - mn) * EventOps.TemporalValPct / 100
+    val rows = EventOps.temporalSplit(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(4)))
+    assert(rows.length == e.size)
+    rows.foreach { case (id, split) =>
+      val us = e(id)
+      val expect = if (us <= cut1) "train"
+        else if (us <= cut2) "validation" else "test"
+      assert(split == expect, s"event $id split")
+    }
+    val bySplit = rows.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(Set("train", "validation", "test").subsetOf(bySplit.keySet),
+      s"all three splits should be populated, got $bySplit")
+    // no temporal leakage: every train ts strictly precedes every
+    // validation ts, which precedes every test ts
+    def tsOf(s: String) = rows.filter(_._2 == s).map(p => e(p._1))
+    assert(tsOf("train").max <= tsOf("validation").min)
+    assert(tsOf("validation").max <= tsOf("test").min)
+    val summary = EventOps.temporalSplitSummary(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(summary == bySplit.map { case (k, v) => k -> v.toLong })
+  }
 }

@@ -20,7 +20,12 @@ class PlanLintSpec extends SparkSpec {
     // normalizing-total window over the POST-AGGREGATION per-source
     // frame (rows = sources — Sampling.temperatureWeights scaladoc);
     // tokenBudgetMix's quota subplan carries the same window
-    "mix_temperature_weights", "mix_token_budget")
+    "mix_temperature_weights", "mix_token_budget",
+    // in-batch negative sampling: one lead() over the OUTPUT-sized
+    // near-pair set (bounded by dedup structure, not corpus size;
+    // Similarity.contrastivePairs scaladoc documents the bucket-
+    // sharded form for large pair sets)
+    "sim_contrastive_pairs")
 
   // intentional exceptions: exactness baselines over bounded inputs,
   // kept next to their scale paths (IVF/LSH) — see Dedup scaladoc —
@@ -28,7 +33,13 @@ class PlanLintSpec extends SparkSpec {
   // CONSTANT-sized representative set (8 rows: work is 8× corpus,
   // not corpus², at any scale)
   private val allowProductJoin =
-    Set("dedup_embedding_cosine", "sim_centroid_assign")
+    Set("dedup_embedding_cosine", "sim_centroid_assign",
+      // the sources × vocabulary support GRID is the point: JSD's
+      // q-side term must exist for (source, token) cells the source
+      // never emitted. Both sides are aggregates bounded by the
+      // model (sources, vocabulary), never the corpus; the second
+      // cross join is against a 1-row total
+      "text_js_divergence")
 
   test("no query plans a cartesian or nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
@@ -59,6 +70,9 @@ class PlanLintSpec extends SparkSpec {
     "elt_dedup_keep_first", "elt_union_dedup_sources",
     "elt_processed_pipeline", "etl_transform_sales",
     "dedup_ngram_prefix", "dedup_incremental", "sim_centroid_assign",
+    // rank window partitioned by cluster_id — NDV ~ doc count, group
+    // sizes are near-dup cluster sizes
+    "dedup_keep_best",
     // island-merge windows partitioned by doc_id over ONLY the
     // duplicated gram positions (group size bounded by doc length)
     "dedup_substring_spans", "dedup_substring_summary",

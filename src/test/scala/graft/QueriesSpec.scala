@@ -24,7 +24,11 @@ class QueriesSpec extends SparkSpec {
     // queries whose correct answer may legitimately be empty (pair
     // finders above a similarity threshold)
     val mayBeEmpty = Set("dedup_embedding_cosine", "join_anti_customers",
-      "sim_lsh_bucketed_pairs")
+      "sim_lsh_bucketed_pairs",
+      // triplets inherit the LSH pair set's possible emptiness, and a
+      // single pair yields zero valid triplets (its cyclic negative is
+      // itself); the semantics are spec-tested on constructed pairs
+      "sim_contrastive_pairs")
     SparkEntry.queries.foreach { case (name, fn) =>
       val n = fn(spark, sf).count()
       assert(n >= 0, s"$name failed")

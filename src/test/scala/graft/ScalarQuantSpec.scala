@@ -87,6 +87,59 @@ class ScalarQuantSpec extends SparkSpec {
     assert(recall >= 7, s"SQ8 recall degraded: $recall/10 vs exact L2")
   }
 
+  test("fused Sq8 expressions are bit-equal to the composable HOF forms") {
+    import org.apache.spark.sql.functions._
+    val stats = ScalarQuant.dimStats(spark, sf)
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val (qid, qcodes) = ScalarQuant.encodeQuery(spark, sf, stats)
+    val qA = array(qcodes.map(c => lit(c.toLong)): _*)
+    val hofDist = aggregate(
+      zip_with(ScalarQuant.codeCol(stats), qA,
+        (a, b) => (a.cast("long") - b) * (a.cast("long") - b)),
+      lit(0L), (acc, d) => acc + d)
+    val both = vecs.select(col("vec_id"),
+      ScalarQuant.codeCol(stats).as("hof_codes"),
+      graft.functions.Sq8.encode(col("v"), stats).as("fused_codes"),
+      hofDist.as("hof_dist"),
+      graft.functions.Sq8.dist(col("v"), stats, qcodes).as("fused_dist"),
+      graft.functions.Sq8.codesDist(
+        graft.functions.Sq8.encode(col("v"), stats), qcodes)
+        .as("codes_dist")).collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(r.getSeq[Int](1) == r.getSeq[Int](2),
+        s"encode diverges at vec ${r.getLong(0)}")
+      assert(r.getLong(3) == r.getLong(4),
+        s"dist diverges at vec ${r.getLong(0)}")
+      assert(r.getLong(3) == r.getLong(5),
+        s"codes-dist diverges at vec ${r.getLong(0)}")
+    }
+  }
+
+  test("codes-store serving path equals the on-the-fly encode ranking") {
+    import java.nio.file.Files
+    val stats = ScalarQuant.dimStats(spark, sf)
+    val store = Files.createTempDirectory("graft_sq8").toString + "/codes"
+    ScalarQuant.encodeFrame(spark, sf, stats)
+      .write.mode("overwrite").parquet(store)
+    val (qid, qcodes) = ScalarQuant.encodeQuery(spark, sf, stats)
+    val fromStore = ScalarQuant
+      .sq8OverCodes(spark.read.parquet(store), qcodes, qid).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    val live = ScalarQuant.sq8TopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    assert(fromStore.toSeq == live.toSeq)
+    // packed-byte layout: same ranking again
+    val byteStore = store + "_bytes"
+    ScalarQuant.encodeFrameBytes(spark, sf, stats)
+      .write.mode("overwrite").parquet(byteStore)
+    val fromBytes = ScalarQuant
+      .sq8OverBytes(spark.read.parquet(byteStore), qcodes, qid).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    assert(fromBytes.toSeq == live.toSeq)
+  }
+
   test("ivf-sq8 probe returns the query cell's sq8 ranking exactly") {
     val (qid, qLabel, qv) = local.minBy(_._1)
     val qc = codesLocal(qv)

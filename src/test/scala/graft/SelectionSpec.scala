@@ -119,4 +119,42 @@ class SelectionSpec extends SparkSpec {
     }
     assert(smj.isEmpty, s"unexpected sort-merge join(s): $smj")
   }
+
+  test("JS divergence matches an independent quantized recompute; " +
+      "bounded by ln 2") {
+    val docs = Tables.documents(spark, sf).select("source", "text")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val cst = scala.collection.mutable.Map.empty[(String, String), Long]
+    docs.foreach { case (src, text) =>
+      val t = text.trim
+      if (t.nonEmpty) t.split("\\s+").foreach { tok =>
+        cst((src, tok)) = cst.getOrElse((src, tok), 0L) + 1
+      }
+    }
+    val cs = cst.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val ct = cst.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+    val cTot = cst.values.sum
+    val expect = cs.map { case (src, cS) =>
+      val terms = ct.map { case (tok, cT) =>
+        val pd = cst.getOrElse((src, tok), 0L).toDouble / cS
+        val qd = cT.toDouble / cTot
+        val md = (pd + qd) / 2
+        val term = (if (pd > 0) pd * math.log(pd / md) * 0.5 else 0.0) +
+          qd * math.log(qd / md) * 0.5
+        math.floor(term * Selection.QuantNats).toLong
+      }
+      src -> terms.sum
+    }
+    val got = Selection.jsDivergence(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.length == cs.size)
+    got.foreach { case (src, nTok, micro, jsd) =>
+      assert(nTok == cs(src), s"source $src token total")
+      assert(micro == expect(src), s"source $src jsd micronats")
+      assert(jsd == micro.toDouble / Selection.QuantNats)
+      // bounds (with quantization slack on the low side): JSD ∈ [0, ln 2]
+      assert(micro >= -ct.size && micro <= math.ceil(
+        math.log(2) * Selection.QuantNats).toLong, s"source $src out of range")
+    }
+  }
 }

@@ -64,4 +64,38 @@ class SimilaritySpec extends SparkSpec {
     assert(ex.getMessage.contains("IVF"),
       "guard message should point at the probe path")
   }
+
+  test("contrastive triplets: cyclic in-batch negatives recompute " +
+      "exactly; negatives never collide with their own pair") {
+    def recompute(pairs: Seq[(Long, Long, Double)]) = {
+      val sorted = pairs.sortBy(p => (p._1, p._2))
+      sorted.zipWithIndex.flatMap { case ((a, b, cos), i) =>
+        val neg = sorted((i + 1) % sorted.length)._2
+        if (neg != a && neg != b) Some((a, b, neg, cos)) else None
+      }
+    }
+    // constructed pair set: deterministic, non-empty, includes an
+    // adjacent-pair collision (the (1,2)/(2,3) share) so the filter
+    // is exercised
+    val pairs = Seq((1L, 2L, 0.9), (2L, 3L, 0.8), (5L, 6L, 0.7),
+      (7L, 9L, 0.6))
+    val s = spark
+    import s.implicits._
+    val df = pairs.toDF("vec_a", "vec_b", "cosine")
+    val got = Similarity.contrastiveOn(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == recompute(pairs))
+    assert(got.nonEmpty)
+    got.foreach { case (a, b, n, _) =>
+      assert(n != a && n != b, s"negative collides in triplet ($a,$b,$n)")
+    }
+    // registered query == the same recompute over the corpus's own
+    // (possibly empty at this sf) LSH pair set
+    val corpusPairs = Similarity.lshBucketedPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val gotCorpus = Similarity.contrastivePairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(gotCorpus.toSeq ==
+      (if (corpusPairs.isEmpty) Seq.empty else recompute(corpusPairs)))
+  }
 }

@@ -142,4 +142,42 @@ class TextSignalsSpec extends SparkSpec {
     assert(keptFrac > 0.5 && keptFrac < 0.95,
       s"rule set should split the corpus, kept $keptFrac")
   }
+
+  test("winnowing sketch matches an independent recompute and carries " +
+      "the MOSS guarantee on an injected overlap") {
+    import java.security.MessageDigest
+    def fp60(s: String): Long = {
+      val hex = MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    def sketch(text: String): Set[(Int, Long)] = {
+      val t = toks(text)
+      if (t.length < TextOps.WinnowK) return Set.empty
+      val hs = t.sliding(TextOps.WinnowK).map(_.mkString(" "))
+        .map(fp60).toArray
+      if (hs.length < TextOps.WinnowW) return Set.empty
+      (0 to hs.length - TextOps.WinnowW).flatMap { i0 =>
+        val win = hs.slice(i0, i0 + TextOps.WinnowW)
+        val mn = win.min
+        val j = win.lastIndexWhere(_ == mn)
+        Some((i0 + j + 1, mn)) // 1-based gram position
+      }.toSet
+    }
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val expect = docs.flatMap { case (id, text) =>
+      sketch(text).map { case (p, f) => (id, p, f) }
+    }.sortBy(t => (t._1, t._2)).toSeq
+    val got = TextOps.winnowFingerprints(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(got == expect)
+    // MOSS guarantee: two texts sharing a K+W-1-token run share a
+    // selected fingerprint
+    val shared = "alpha beta gamma delta epsilon zeta eta"
+    val a = sketch(s"one two three $shared x1 y1 z1")
+    val b = sketch(s"p q r s t u v w $shared")
+    assert(a.map(_._2).intersect(b.map(_._2)).nonEmpty,
+      "winnowing must select a common fingerprint for a 7-token overlap")
+  }
 }
