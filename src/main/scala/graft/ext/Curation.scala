@@ -777,10 +777,49 @@ object Curation {
   private def pipelineSql: String =
     s"""WITH flt AS (${TextOps.oracle("text_corpus_filter")}), clus AS (${Dedup.oracle("dedup_clusters")}), dec AS (${oracle("decontam_eval_overlap")}), spl AS (${Sampling.oracle("split_train_test")}), smp AS (SELECT doc_id, ${Sampling.bucketSql} AS mix_bucket, ${Sampling.threshSql} AS mix_threshold FROM documents) SELECT f.doc_id, CASE WHEN f.doc_id % $EvalModulus = 0 THEN 'eval_holdout' WHEN f.reason <> 'keep' THEN f.reason WHEN NOT c.keep THEN 'near_duplicate' WHEN COALESCE(dd.contaminated, FALSE) THEN 'contaminated' WHEN s.mix_bucket >= s.mix_threshold THEN 'not_sampled' ELSE p.split END AS disposition FROM flt f JOIN clus c USING (doc_id) LEFT JOIN dec dd USING (doc_id) JOIN spl p USING (doc_id) JOIN smp s USING (doc_id) ORDER BY doc_id"""
 
+  /** The data card a training run records next to the corpus: one
+    * long-format (metric, value) row per headline curation number —
+    * corpus size, filter yield, near-dup structure, contamination,
+    * split sizes, worst per-source drift. Every metric is an
+    * aggregate of an ALREADY-GATED query (the frames compose
+    * verbatim), so the card's oracle is those oracles aggregated —
+    * the completeness claim is "these numbers reconcile with the
+    * operators that produced them", not a new computation.
+    *
+    * Shape at scale: each leg is its component query's plan (all
+    * individually scale-vetted) reduced to a 1-row aggregate; the
+    * union is 9 rows. */
+  def dataCard(spark: SparkSession, dir: String): DataFrame = {
+    def m(name: String, from: DataFrame, v: Column): DataFrame =
+      from.agg(v.cast("long").as("value"))
+        .select(lit(name).as("metric"), col("value"))
+    val clusters = Dedup.nearDupClusters(spark, dir)
+    val split = Sampling.trainTestSplit(spark, dir)
+    def splitN(s: String) =
+      m(s"split_$s", split, sum((col("split") === s).cast("long")))
+    m("docs_total", graft.Tables.documents(spark, dir), count(lit(1)))
+      .unionByName(m("kept_filter", TextOps.corpusFilter(spark, dir),
+        sum(col("keep").cast("long"))))
+      .unionByName(m("nd_clusters", clusters,
+        countDistinct(col("cluster_id"))))
+      .unionByName(m("nd_dup_docs", clusters,
+        count(lit(1)) - countDistinct(col("cluster_id"))))
+      .unionByName(m("contaminated", decontaminate(spark, dir),
+        sum(col("contaminated").cast("long"))))
+      .unionByName(splitN("train"))
+      .unionByName(splitN("validation"))
+      .unionByName(splitN("test"))
+      .unionByName(m("jsd_max_micronats",
+        Selection.jsDivergence(spark, dir), max(col("jsd_micronats"))))
+      .orderBy(col("metric"))
+  }
+
   private val pipelineOracle: Map[String, String] = Map(
     "curation_pipeline" -> pipelineSql,
     "curation_pipeline_summary" ->
-      s"""SELECT disposition, COUNT(*) AS docs FROM ($pipelineSql) GROUP BY 1 ORDER BY 1"""
+      s"""SELECT disposition, COUNT(*) AS docs FROM ($pipelineSql) GROUP BY 1 ORDER BY 1""",
+    "curation_data_card" ->
+      s"""SELECT metric, value FROM (SELECT 'docs_total' AS metric, CAST(COUNT(*) AS BIGINT) AS value FROM documents UNION ALL SELECT 'kept_filter', CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) FROM (${TextOps.oracle("text_corpus_filter")}) UNION ALL SELECT 'nd_clusters', CAST(COUNT(DISTINCT cluster_id) AS BIGINT) FROM (${Dedup.oracle("dedup_clusters")}) UNION ALL SELECT 'nd_dup_docs', CAST(COUNT(*) - COUNT(DISTINCT cluster_id) AS BIGINT) FROM (${Dedup.oracle("dedup_clusters")}) UNION ALL SELECT 'contaminated', CAST(SUM(CASE WHEN contaminated THEN 1 ELSE 0 END) AS BIGINT) FROM (${oracle("decontam_eval_overlap")}) UNION ALL SELECT 'split_train', CAST(SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) FROM (${Sampling.oracle("split_train_test")}) UNION ALL SELECT 'split_validation', CAST(SUM(CASE WHEN split = 'validation' THEN 1 ELSE 0 END) AS BIGINT) FROM (${Sampling.oracle("split_train_test")}) UNION ALL SELECT 'split_test', CAST(SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT) FROM (${Sampling.oracle("split_train_test")}) UNION ALL SELECT 'jsd_max_micronats', CAST(MAX(jsd_micronats) AS BIGINT) FROM (${Selection.oracle("text_js_divergence")})) ORDER BY metric"""
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -793,7 +832,8 @@ object Curation {
     "text_pack_sequences" -> packSequences _,
     "text_pack_summary" -> packSequencesSummary _,
     "curation_pipeline" -> curationPipeline _,
-    "curation_pipeline_summary" -> curationPipelineSummary _
+    "curation_pipeline_summary" -> curationPipelineSummary _,
+    "curation_data_card" -> dataCard _
   )
 
   def allOracle: Map[String, String] = oracle ++ pipelineOracle

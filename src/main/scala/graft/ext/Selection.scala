@@ -250,11 +250,80 @@ object Selection {
     * q-side term contributes for tokens a source never emits, which
     * is exactly what makes a source missing half the vocabulary read
     * as divergent. */
-  def jsDivergence(spark: SparkSession, dir: String): DataFrame = {
-    val st = Tables.documents(spark, dir)
+  def jsDivergence(spark: SparkSession, dir: String): DataFrame =
+    jsDivergenceFromCounts(tokenCountsOn(Tables.documents(spark, dir)))
+
+  /** The (source, token) count table [[jsDivergence]] runs on — the
+    * PERSISTABLE monitoring artifact: counts are additive, so a
+    * steady-state deployment keeps this table on disk and folds each
+    * arriving batch in with [[mergeTokenCounts]] instead of
+    * re-tokenizing the corpus. Bounded at vocabulary × sources. */
+  def tokenCountsOn(docs: DataFrame): DataFrame =
+    docs
       .select(col("source"), explode(TextOps.tokens(col("text"))).as("t"))
       .groupBy(col("source"), col("t"))
       .agg(count(lit(1)).as("c_st"))
+
+  /** Fold a new batch into an existing count artifact: tokenize ONLY
+    * the batch, then one vocab-bounded re-aggregate of artifact ∪
+    * batch counts. Exactness is additivity — merge-then-score equals
+    * the full-corpus recompute bit for bit (SelectionSpec), the same
+    * artifact-maintenance contract as the dedup index and label
+    * store. */
+  def mergeTokenCounts(existing: DataFrame, batch: DataFrame): DataFrame =
+    existing.unionByName(tokenCountsOn(batch))
+      .groupBy(col("source"), col("t"))
+      .agg(sum(col("c_st")).as("c_st"))
+
+  /** On-disk layout of the drift-monitor artifact. */
+  val TokenCountsTable = "token_counts"
+
+  /** Fold a micro-batch into the PERSISTED count artifact with
+    * exactly-once semantics: the applied batch id rides INSIDE the
+    * swapped directory as an underscore-prefixed marker file (parquet
+    * readers skip `_`-files), so the marker and the counts commit in
+    * the SAME atomic rename — a crash before the swap leaves the old
+    * artifact + old marker (replay re-merges correctly), a crash
+    * after leaves the new artifact + new marker (replay no-ops).
+    * Write-aside-then-swap, the [[Sampling.mergeSplitLabelsArtifact]]
+    * idiom. Returns true when the batch was applied, false on a
+    * replay no-op. */
+  def mergeTokenCountsArtifact(spark: SparkSession, countsDir: String,
+      batch: DataFrame, batchId: Long): Boolean = {
+    val live = s"$countsDir/$TokenCountsTable.parquet"
+    val marker = new java.io.File(s"$live/_batch_id")
+    if (marker.exists() &&
+        java.nio.file.Files.readString(marker.toPath).trim.toLong >= batchId)
+      return false
+    val merged =
+      if (marker.exists())
+        mergeTokenCounts(spark.read.parquet(live), batch)
+      else tokenCountsOn(batch)
+    val tmp = s"$live.merging"
+    merged.write.mode("overwrite").parquet(tmp)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(tmp, "_batch_id"), batchId.toString)
+    def rmTree(f: java.io.File): Unit = {
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
+      f.delete(); ()
+    }
+    rmTree(new java.io.File(live))
+    java.nio.file.Files.move(java.nio.file.Paths.get(tmp),
+      java.nio.file.Paths.get(live))
+    true
+  }
+
+  /** Per-source JSD from the persisted artifact — the read side of
+    * the streaming drift monitor. */
+  def jsDivergenceFromArtifact(spark: SparkSession,
+      countsDir: String): DataFrame =
+    jsDivergenceFromCounts(
+      spark.read.parquet(s"$countsDir/$TokenCountsTable.parquet"))
+
+  /** [[jsDivergence]] over an explicit count table — the scoring leg
+    * the persisted-artifact path shares with the fresh path. */
+  def jsDivergenceFromCounts(st: DataFrame): DataFrame = {
     val s = st.groupBy(col("source")).agg(sum(col("c_st")).as("c_s"))
     val v = st.groupBy(col("t")).agg(sum(col("c_st")).as("c_t"))
     val tot = st.agg(sum(col("c_st")).as("c_tot"))

@@ -316,6 +316,31 @@ object EventStreams {
     q
   }
 
+  /** Streaming drift monitor — the corpus-monitoring counterpart of
+    * [[incrementalDedupSink]]: each micro-batch of documents folds
+    * into the persisted (source, token) count artifact
+    * ([[graft.ext.Selection.mergeTokenCountsArtifact]] — batch-sized
+    * tokenize + vocab-bounded re-aggregate, exactly-once via the
+    * in-directory batch-id marker), from which per-source JSD reads
+    * at any moment ([[graft.ext.Selection.jsDivergenceFromArtifact]]).
+    * Because counts are additive, the artifact after N batches equals
+    * the full-corpus recompute bit for bit (EventStreamsSpec), while
+    * the per-batch cost tracks the batch — the same steady-state
+    * contract as the dedup index and label store. */
+  def driftMonitorSink(docs: DataFrame, countsDir: String,
+      checkpointDir: String): StreamingQuery = {
+    val q = docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ext.Selection.mergeTokenCountsArtifact(
+          batch.sparkSession, countsDir, batch, batchId)
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q
+  }
+
   /** Streaming vector ingest — the ANN-index counterpart of
     * [[incrementalDedupSink]]: micro-batches of (vec_id, label,
     * embedding) extend the gold vector corpus and its residual IVF-PQ

@@ -350,4 +350,31 @@ class CurationSpec extends SparkSpec {
     assert(rag.map(x => (x._1, x._3, x._4)).toSet == chunks)
     assert(rag.nonEmpty)
   }
+
+  test("data card reconciles with the component queries it aggregates") {
+    import graft.ext.{Dedup, Sampling, Selection}
+    val card = Curation.dataCard(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val docs = Tables.documents(spark, sf).count()
+    assert(card("docs_total") == docs)
+    assert(card("kept_filter") ==
+      TextOps.corpusFilter(spark, sf).filter(col("keep")).count())
+    val clus = Dedup.nearDupClusters(spark, sf)
+      .select("cluster_id").collect().map(_.getLong(0))
+    assert(card("nd_clusters") == clus.distinct.length.toLong)
+    assert(card("nd_dup_docs") == (clus.length - clus.distinct.length).toLong)
+    val splits = Sampling.trainTestSplit(spark, sf)
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(card("split_train") == splits.getOrElse("train", 0L))
+    assert(card("split_validation") == splits.getOrElse("validation", 0L))
+    assert(card("split_test") == splits.getOrElse("test", 0L))
+    assert(card("jsd_max_micronats") ==
+      Selection.jsDivergence(spark, sf)
+        .agg(max(col("jsd_micronats"))).head.getLong(0))
+    assert(card.keySet.size == 9)
+    // internal consistency: splits partition the corpus
+    assert(card("split_train") + card("split_validation") +
+      card("split_test") == docs)
+  }
 }

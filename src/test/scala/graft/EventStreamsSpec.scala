@@ -479,6 +479,46 @@ class EventStreamsSpec extends SparkSpec {
     }
   }
 
+  test("streaming drift monitor: artifact equals the full recompute " +
+      "across micro-batches; replays and restarts are no-ops") {
+    import java.nio.file.Files
+    import graft.ext.Selection
+    val base = Files.createTempDirectory("graft_drift").toString
+    val docs = Tables.documents(spark, sf)
+    docs.filter(col("doc_id") < 250)
+      .coalesce(1).write.mode("append").parquet(s"$base/src")
+    Thread.sleep(1100) // distinct mtime: deterministic batch order
+    docs.filter(col("doc_id") >= 250)
+      .coalesce(1).write.mode("append").parquet(s"$base/src")
+    def stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$base/src")
+    val q = EventStreams.driftMonitorSink(stream, s"$base/counts",
+      s"$base/ckpt")
+    q.stop()
+    def counts = spark.read
+      .parquet(s"$base/counts/${Selection.TokenCountsTable}.parquet")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSet
+    val expect = Selection.tokenCountsOn(docs).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(counts == expect)
+    val full = Selection.jsDivergence(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(2))).toSeq
+    val fromArtifact = Selection
+      .jsDivergenceFromArtifact(spark, s"$base/counts").collect()
+      .map(r => (r.getString(0), r.getLong(2))).toSeq
+    assert(fromArtifact == full)
+    // direct replay of an already-applied batch id: no-op, counts keep
+    assert(!Selection.mergeTokenCountsArtifact(spark, s"$base/counts",
+      docs.filter(col("doc_id") < 250), 1L))
+    assert(counts == expect)
+    // checkpoint restart with no new files: no-op
+    val q2 = EventStreams.driftMonitorSink(stream, s"$base/counts",
+      s"$base/ckpt")
+    q2.stop()
+    assert(counts == expect)
+  }
+
   test("sliding windows produce overlapping coverage") {
     val stream = EventStreams.eventsStream(spark, sf)
     val q = EventStreams.runToMemory(EventStreams.slidingCounts(stream),

@@ -39,7 +39,10 @@ class PlanLintSpec extends SparkSpec {
       // never emitted. Both sides are aggregates bounded by the
       // model (sources, vocabulary), never the corpus; the second
       // cross join is against a 1-row total
-      "text_js_divergence")
+      "text_js_divergence",
+      // composite of already-classified queries reduced to 1-row
+      // aggregates — inherits text_js_divergence's support grid
+      "curation_data_card")
 
   test("no query plans a cartesian or nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
@@ -81,7 +84,11 @@ class PlanLintSpec extends SparkSpec {
     // inherit corpusFilter's fingerprint-keyed dedup window
     "curation_pipeline", "curation_pipeline_summary",
     // built on etl_transform_sales' orderkey-keyed dedup window
-    "etl_transform_quality")
+    "etl_transform_quality",
+    // composite: every window it contains belongs to a component
+    // query already classified here (corpus filter's fingerprint
+    // dedup, keep-best's cluster rank, the split's hash decile)
+    "curation_data_card")
   private val entityKeyedWindow = Set(
     "events_sessionize", "events_asof_purchase_click")
   private val guardedLowNdvWindow = Set(

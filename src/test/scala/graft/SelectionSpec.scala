@@ -157,4 +157,28 @@ class SelectionSpec extends SparkSpec {
         math.log(2) * Selection.QuantNats).toLong, s"source $src out of range")
     }
   }
+
+  test("incremental token-count merge scores identically to the full " +
+      "recompute, including through a persisted artifact") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf)
+    val gold = docs.filter(col("doc_id") < 400)
+    val batch = docs.filter(col("doc_id") >= 400)
+    assert(batch.count() > 0)
+    val full = Selection.jsDivergence(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val merged = Selection.jsDivergenceFromCounts(
+      Selection.mergeTokenCounts(Selection.tokenCountsOn(gold), batch))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(merged == full)
+    // persisted artifact round-trip: write gold counts, merge the
+    // batch against the on-disk table
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_tokcounts").toString + "/counts"
+    Selection.tokenCountsOn(gold).write.mode("overwrite").parquet(dir)
+    val fromDisk = Selection.jsDivergenceFromCounts(
+      Selection.mergeTokenCounts(spark.read.parquet(dir), batch))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(fromDisk == full)
+  }
 }
