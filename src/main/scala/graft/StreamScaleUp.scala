@@ -211,6 +211,32 @@ object StreamScaleUp {
           println(f"[streamscale]   ${r.getString(0)}%-16s ${r.getLong(1)}%9d"))
     }
 
+    // ---- 4b. streaming drift monitor (count artifact per batch) ----
+    if (on("drift")) locally {
+      val docsSchema = spark.read.parquet(docsDir).schema
+      val t0 = System.nanoTime()
+      val q = EventStreams.driftMonitorSink(
+        spark.readStream.schema(docsSchema)
+          .option("maxFilesPerTrigger", 1).parquet(docsDir),
+        s"$base/drift_counts", s"$base/ckpt_drift")
+      q.stop()
+      val art = spark.read.parquet(
+        s"$base/drift_counts/${graft.ext.Selection.TokenCountsTable}.parquet")
+      println(f"[streamscale] drift sink total " +
+        f"${(System.nanoTime() - t0) / 1e9}%.1f s, artifact rows " +
+        f"${art.count()}%d (vocabulary × sources bounded, never corpus)")
+      // exactness: the streamed artifact must score identically to a
+      // from-scratch recompute over everything that arrived
+      val batchJsd = graft.ext.Selection.jsDivergenceFromCounts(
+        graft.ext.Selection.tokenCountsOn(spark.read.parquet(docsDir)))
+        .collect().map(r => (r.getString(0), r.getLong(2))).toSeq
+      val artJsd = graft.ext.Selection
+        .jsDivergenceFromArtifact(spark, s"$base/drift_counts")
+        .collect().map(r => (r.getString(0), r.getLong(2))).toSeq
+      println(s"[streamscale] drift parity vs batch recompute: " +
+        (if (batchJsd == artJsd) "EXACT" else s"MISMATCH"))
+    }
+
     // ---- 5. streaming vector ingest (gold + IVF-PQ codes per batch) ----
     if (on("vec")) locally {
       val vecDir = s"$base/vectors.parquet"
