@@ -330,6 +330,24 @@ object ScaleUp {
       } else println("[scaleup] r11b: no 20M embeddings at " +
         s"$dst (run the ann section first); skipping SQ8 rows")
     }
+    if (on("r11c")) {
+      // round-11 batch 3 at 100×: winnowing (HOF-window sketch —
+      // interpreted transform per row, map-only; the row that shows
+      // whether the fused-expression port is needed), JSD (one
+      // corpus explode → model-bounded everything), keep-best
+      // (clusters CC + score join + cluster-keyed rank)
+      timed("text_winnow_cnt", src, 1)(
+        graft.ext.TextOps.winnowFingerprints(spark, src)
+          .groupBy().agg(count(lit(1)).as("sketch_rows"),
+            countDistinct(col("fp")).as("distinct_fps")))
+      timed("text_winnow_cnt", dst, 1)(
+        graft.ext.TextOps.winnowFingerprints(spark, dst)
+          .groupBy().agg(count(lit(1)).as("sketch_rows"),
+            countDistinct(col("fp")).as("distinct_fps")))
+      for (q <- Seq("text_js_divergence", "dedup_keep_best")) {
+        time(q, src, 1); time(q, dst, 1)
+      }
+    }
     if (on("spans")) {
       // round-11 text/mix additions over the 100× documents corpus:
       // span-level substring dedup (positions shuffle once as 60-bit

@@ -155,6 +155,38 @@ object Selection {
       .orderBy(col("doc_id"))
   }
 
+  /** Shards per curriculum phase — the write-parallelism knob of the
+    * curriculum manifest (a deployment scales it with the corpus, the
+    * [[Sampling.epochShuffle]] argument). */
+  val CurriculumShards = 8L
+
+  /** Curriculum-ordered training manifest: documents sequenced
+    * easy → hard (head perplexity bucket first, then middle, then
+    * tail — the standard competence-based curriculum for LM
+    * pretraining), with a deterministic (phase, shard, position)
+    * address per document so a trainer streams phases in order while
+    * shards load in parallel. Within a phase the order is ascending
+    * model NLL (easiest first), ties to doc_id.
+    *
+    * Shape at scale: the phase assignment is [[pplBuckets]] (model
+    * CTEs + language-bounded cutoffs); the position windows partition
+    * by (phase, shard) — parallelism = phases × [[CurriculumShards]],
+    * group sizes shrink as the shard count is raised with the corpus
+    * (the sharded-window class PlanLintSpec tracks). */
+  def curriculum(spark: SparkSession, dir: String): DataFrame = {
+    val phased = pplBuckets(spark, dir)
+      .withColumn("phase_idx",
+        when(col("ppl_bucket") === "head", 0)
+          .when(col("ppl_bucket") === "middle", 1)
+          .otherwise(2))
+      .withColumn("shard",
+        Sampling.mixHash(col("doc_id")) % CurriculumShards)
+    val w = Window.partitionBy(col("phase_idx"), col("shard"))
+      .orderBy(col("avg_nll"), col("doc_id"))
+    phased.withColumn("position", row_number().over(w).cast("long"))
+      .orderBy(col("doc_id"))
+  }
+
   /** 60-bit md5 token fingerprint → DSIR feature bucket. Same
     * engine-independent hash family as the dedup fingerprints
     * ([[TextOps.gramFpSql]] replays it nibble-by-nibble). */
@@ -383,6 +415,14 @@ object Selection {
          cuts AS (SELECT lang, MIN(avg_nll) AS cut1, MAX(avg_nll) AS cut2 FROM r WHERE rn = CAST(ceil(cnt / 3.0) AS BIGINT) OR rn = CAST(ceil(cnt * 2.0 / 3.0) AS BIGINT) GROUP BY lang)
          SELECT s.doc_id, s.lang, s.avg_nll, CASE WHEN s.avg_nll <= c.cut1 THEN 'head' WHEN s.avg_nll <= c.cut2 THEN 'middle' ELSE 'tail' END AS ppl_bucket FROM s JOIN cuts c USING (lang) ORDER BY s.doc_id""",
     "text_dsir_weight" -> dsirSql,
+    "mix_curriculum" ->
+      s"""WITH bg AS ($bgSql), $modelSql,
+         s AS (SELECT d.doc_id, d.lang, CASE WHEN p.doc_id IS NULL THEN NULL ELSE CAST(p.nll AS DOUBLE) / p.bigram_count END AS avg_nll FROM documents d LEFT JOIN per p USING (doc_id)),
+         r AS (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY avg_nll, doc_id) AS rn, COUNT(*) OVER (PARTITION BY lang) AS cnt FROM s),
+         cuts AS (SELECT lang, MIN(avg_nll) AS cut1, MAX(avg_nll) AS cut2 FROM r WHERE rn = CAST(ceil(cnt / 3.0) AS BIGINT) OR rn = CAST(ceil(cnt * 2.0 / 3.0) AS BIGINT) GROUP BY lang),
+         bk AS (SELECT s.doc_id, s.lang, s.avg_nll, CASE WHEN s.avg_nll <= c.cut1 THEN 'head' WHEN s.avg_nll <= c.cut2 THEN 'middle' ELSE 'tail' END AS ppl_bucket FROM s JOIN cuts c USING (lang)),
+         ph AS (SELECT *, CASE ppl_bucket WHEN 'head' THEN 0 WHEN 'middle' THEN 1 ELSE 2 END AS phase_idx, ${Sampling.hashSql} % $CurriculumShards AS shard FROM bk)
+         SELECT doc_id, lang, avg_nll, ppl_bucket, CAST(phase_idx AS INTEGER) AS phase_idx, shard, CAST(row_number() OVER (PARTITION BY phase_idx, shard ORDER BY avg_nll, doc_id) AS BIGINT) AS position FROM ph ORDER BY doc_id""",
     "text_js_divergence" ->
       s"""WITH tk AS (SELECT source, unnest(${TextOps.toksSql}) AS t FROM documents), st AS (SELECT source, t, COUNT(*) AS c_st FROM tk GROUP BY 1, 2), s AS (SELECT source, SUM(c_st) AS c_s FROM st GROUP BY 1), v AS (SELECT t, SUM(c_st) AS c_t FROM st GROUP BY 1), tot AS (SELECT SUM(c_st) AS c_tot FROM st), g AS (SELECT s.source, s.c_s, v.t, v.c_t, COALESCE(st.c_st, 0) AS c_st FROM s CROSS JOIN v LEFT JOIN st ON st.source = s.source AND st.t = v.t), d AS (SELECT source, c_s, CAST(c_st AS DOUBLE) / c_s AS pd, CAST(c_t AS DOUBLE) / c_tot AS qd FROM g CROSS JOIN tot), dm AS (SELECT source, c_s, pd, qd, (pd + qd) / 2 AS md FROM d), e AS (SELECT source, c_s, CAST(floor((CASE WHEN pd > 0 THEN pd * ln(pd / md) * 0.5 ELSE 0.0 END + qd * ln(qd / md) * 0.5) * $QuantNats) AS BIGINT) AS termq FROM dm) SELECT source, CAST(c_s AS BIGINT) AS src_tokens, CAST(SUM(termq) AS BIGINT) AS jsd_micronats, CAST(SUM(termq) AS DOUBLE) / $QuantNats AS jsd FROM e GROUP BY source, c_s ORDER BY source"""
   )
@@ -391,6 +431,7 @@ object Selection {
     "text_bigram_nll" -> bigramNll _,
     "text_ppl_buckets" -> pplBuckets _,
     "text_dsir_weight" -> dsirWeights _,
-    "text_js_divergence" -> jsDivergence _
+    "text_js_divergence" -> jsDivergence _,
+    "mix_curriculum" -> curriculum _
   )
 }

@@ -119,7 +119,11 @@ class PlanLintSpec extends SparkSpec {
     // (source, doc_id-shard) running-sum cut + the sources-frame
     // quota window (same post-agg justification as
     // mix_temperature_weights)
-    "mix_token_budget")
+    "mix_token_budget",
+    // (phase, shard) position windows — shard count is the scaling
+    // knob (epochShuffle argument); also inherits pplBuckets'
+    // guarded low-NDV lang-cutoff window
+    "mix_curriculum")
 
   test("every rank window is classified: row-keyed, entity-keyed, or guarded") {
     // built with AQE off: AdaptiveSparkPlanExec is a leaf node, so

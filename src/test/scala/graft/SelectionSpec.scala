@@ -158,6 +158,39 @@ class SelectionSpec extends SparkSpec {
     }
   }
 
+  test("curriculum manifest: phases follow the ppl buckets, shards are " +
+      "the mix hash, positions are dense easy-first ranks") {
+    import graft.ext.Sampling
+    val buckets = Selection.pplBuckets(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)), r.getString(3)))
+    val rows = Selection.curriculum(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(3), r.getInt(4), r.getLong(5),
+        r.getLong(6)))
+    assert(rows.length == buckets.length)
+    val bucketOf = buckets.map(b => b._1 -> b._4).toMap
+    val nllOf = buckets.map(b => b._1 -> b._3).toMap
+    val phaseFor = Map("head" -> 0, "middle" -> 1, "tail" -> 2)
+    rows.foreach { case (id, bucket, phase, shard, _) =>
+      assert(bucket == bucketOf(id), s"doc $id bucket")
+      assert(phase == phaseFor(bucket), s"doc $id phase")
+      assert(shard ==
+        Sampling.mixHashLocal(id) % Selection.CurriculumShards,
+        s"doc $id shard")
+    }
+    // positions: dense 1..n per (phase, shard), ordered by (nll, id)
+    rows.groupBy(r => (r._3, r._4)).foreach { case (grp, members) =>
+      val sorted = members.sortBy(_._5)
+      assert(sorted.map(_._5).toSeq == (1L to members.length).toSeq,
+        s"group $grp positions not dense")
+      val expectOrder = members
+        .sortBy(m => (nllOf(m._1).getOrElse(Double.MinValue), m._1))
+        .map(_._1).toSeq
+      assert(sorted.map(_._1).toSeq == expectOrder,
+        s"group $grp not in easy-first order")
+    }
+  }
+
   test("incremental token-count merge scores identically to the full " +
       "recompute, including through a persisted artifact") {
     import org.apache.spark.sql.functions._
