@@ -327,6 +327,35 @@ object ScaleUp {
         timed("sim_sq8_bytes_store_20m", dst, 2)(
           graft.ext.ScalarQuant.sq8OverBytes(
             spark.read.parquet(s"$dst/sq8_bytes.parquet"), sqQcodes, sqQid))
+        // random-rotation pre-transform: the rotate+encode write-side
+        // delta (one fused MatVec loop per row — d² mults); the SERVE
+        // cost is byte-identical to the un-rotated byte store, so only
+        // the build is timed separately, with a parity probe after
+        locally {
+          val rot = graft.ext.ScalarQuant.rotationMatrix()
+          val rotated = Tables.embeddings(spark, dst)
+            .select(col("vec_id"), col("label"),
+              graft.functions.MatVec(
+                col("embedding").cast("array<double>"), rot).as("v"))
+          val rStats = graft.ext.ScalarQuant.dimStatsOn(rotated)
+          val t2 = System.nanoTime()
+          rotated.select(col("vec_id"), col("label"),
+              graft.functions.Sq8.encodeBytes(col("v"), rStats).as("codes"))
+            .write.mode("overwrite").parquet(s"$dst/sq8_rr_bytes.parquet")
+          println(f"[scaleup] sq8_rr_bytes_encode_build    $dst%-18s " +
+            f"${(System.nanoTime - t2) / 1e9}%8.2f s")
+          val q0 = Tables.embeddings(spark, dst)
+            .select(col("vec_id"), col("embedding").cast("array<double>"))
+            .orderBy(col("vec_id")).limit(1).head()
+          val rq = graft.ext.ScalarQuant
+            .rotateLocal(q0.getSeq[Double](1), rot).zip(rStats)
+            .map { case (x, (mn, mx)) =>
+              graft.ext.ScalarQuant.quantize(x, mn, mx) }
+          timed("sim_sq8_rr_bytes_store_20m", dst, 2)(
+            graft.ext.ScalarQuant.sq8OverBytes(
+              spark.read.parquet(s"$dst/sq8_rr_bytes.parquet"),
+              rq, q0.getLong(0)))
+        }
       } else println("[scaleup] r11b: no 20M embeddings at " +
         s"$dst (run the ann section first); skipping SQ8 rows")
     }

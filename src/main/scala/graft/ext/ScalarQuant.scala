@@ -56,11 +56,16 @@ object ScalarQuant {
     * vector through a codegen'd HashAggregate whose partial state is a
     * single 128-column row per task. Min/max are order-independent, so
     * the result is hash-exact regardless of partitioning. */
-  def dimStats(spark: SparkSession, dir: String): Seq[(Double, Double)] = {
+  def dimStats(spark: SparkSession, dir: String): Seq[(Double, Double)] =
+    dimStatsOn(KMeans.vecs(spark, dir))
+
+  /** [[dimStats]] over an explicit (…, v: array<double>) frame — the
+    * form the rotated-space path shares. */
+  def dimStatsOn(vecs: DataFrame): Seq[(Double, Double)] = {
     val aggs = (0 until Dim).flatMap(d => Seq(
       min(col("v").getItem(d)).as(s"mn$d"),
       max(col("v").getItem(d)).as(s"mx$d")))
-    val r = KMeans.vecs(spark, dir).agg(aggs.head, aggs.tail: _*).head()
+    val r = vecs.agg(aggs.head, aggs.tail: _*).head()
     (0 until Dim).map(d => (r.getDouble(2 * d), r.getDouble(2 * d + 1)))
   }
 
@@ -201,6 +206,67 @@ object ScalarQuant {
       .limit(TopK)
   }
 
+  /** Seed of the random rotation — fixed, so the matrix is a
+    * deterministic literal shared by the Spark plan and the oracle. */
+  val RotSeed = 42L
+
+  /** Seeded random orthonormal rotation via modified Gram–Schmidt
+    * over gaussian draws — FAISS's `RandomRotationMatrix` vector
+    * pre-transform. Rotation spreads variance evenly across
+    * dimensions, which is exactly what per-dimension scalar
+    * quantization wants: a dimension with a tiny range wastes its 8
+    * bits while a dominant dimension clips precision; after a random
+    * rotation every output dimension mixes all inputs. Pure seeded
+    * Scala arithmetic → identical literal values in both engines. */
+  def rotationMatrix(dim: Int = Dim, seed: Long = RotSeed): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    val basis = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+    while (basis.size < dim) {
+      val v = Array.fill(dim)(rnd.nextGaussian())
+      basis.foreach { b =>
+        val dot = (0 until dim).foldLeft(0.0)((a, i) => a + v(i) * b(i))
+        (0 until dim).foreach(i => v(i) -= dot * b(i))
+      }
+      val n = math.sqrt(v.foldLeft(0.0)((a, x) => a + x * x))
+      if (n > 1e-8) basis += v.map(_ / n)
+    }
+    basis.map(_.toIndexedSeq).toIndexedSeq
+  }
+
+  /** Driver-side M·x with the SAME left-to-right fold as
+    * [[graft.functions.MatVec]] and the oracle's list_sum. */
+  def rotateLocal(v: Seq[Double], rot: Seq[Seq[Double]]): Seq[Double] =
+    rot.map(row => row.zip(v).foldLeft(0.0) { case (a, (m, x)) =>
+      a + m * x
+    })
+
+  /** Random-rotation SQ8 top-k (FAISS `PreTransform(RandomRotation) +
+    * SQ8`): the corpus rotates through one fused [[graft.functions.MatVec]]
+    * loop, bounds derive in ROTATED space, and search is the same
+    * integer-space scan. Rotation is orthonormal, so true L2
+    * distances are unchanged — only the quantization grid moves;
+    * recall vs exact L2 is asserted ≥ the axis-aligned form's in
+    * ScalarQuantSpec. At scale the rotated codes persist exactly like
+    * [[encodeFrameBytes]] (rotate-encode once, serve from bytes). */
+  def rrsq8TopK(spark: SparkSession, dir: String): DataFrame = {
+    val rot = rotationMatrix()
+    val rotated = KMeans.vecs(spark, dir)
+      .select(col("vec_id"), col("label"),
+        graft.functions.MatVec(col("v"), rot).as("v"))
+    val stats = dimStatsOn(rotated)
+    val qrow = KMeans.vecs(spark, dir).orderBy(col("vec_id")).limit(1)
+      .select(col("vec_id"), col("v")).head()
+    val qid = qrow.getLong(0)
+    val qcodes = rotateLocal(qrow.getSeq[Double](1), rot).zip(stats).map {
+      case (x, (mn, mx)) => quantize(x, mn, mx)
+    }
+    rotated.filter(col("vec_id") =!= qid)
+      .select(col("vec_id"), col("label"),
+        graft.functions.Sq8.dist(col("v"), stats, qcodes).as("sq_dist"))
+      .orderBy(col("sq_dist"), col("vec_id"))
+      .limit(TopK)
+  }
+
   /** Shared oracle CTE: per-dim bounds + per-(vec, dim) codes, the
     * relational replay of [[codeCol]] (DuckDB lists are 1-indexed;
     * dim is kept 1-based here and shifted where exposed). */
@@ -213,12 +279,21 @@ object ScalarQuant {
     "sim_sq8_topk" ->
       s"""WITH $codesCte, q AS (SELECT vec_id AS qid FROM embeddings ORDER BY vec_id LIMIT 1), qc AS (SELECT c.dim, c.code FROM codes c JOIN q ON c.vec_id = q.qid) SELECT c.vec_id, c.label, CAST(SUM((c.code - qc.code) * (c.code - qc.code)) AS BIGINT) AS sq_dist FROM codes c JOIN qc ON c.dim = qc.dim CROSS JOIN q WHERE c.vec_id <> q.qid GROUP BY c.vec_id, c.label ORDER BY sq_dist, c.vec_id LIMIT $TopK""",
     "sim_ivfsq8_topk" ->
-      s"""WITH $codesCte, q AS (SELECT vec_id AS qid, label AS qlabel FROM embeddings ORDER BY vec_id LIMIT 1), qc AS (SELECT c.dim, c.code FROM codes c CROSS JOIN q WHERE c.vec_id = q.qid) SELECT c.vec_id, c.label, CAST(SUM((c.code - qc.code) * (c.code - qc.code)) AS BIGINT) AS sq_dist FROM codes c JOIN qc ON c.dim = qc.dim CROSS JOIN q WHERE c.vec_id <> q.qid AND c.label = q.qlabel GROUP BY c.vec_id, c.label ORDER BY sq_dist, c.vec_id LIMIT $TopK"""
+      s"""WITH $codesCte, q AS (SELECT vec_id AS qid, label AS qlabel FROM embeddings ORDER BY vec_id LIMIT 1), qc AS (SELECT c.dim, c.code FROM codes c CROSS JOIN q WHERE c.vec_id = q.qid) SELECT c.vec_id, c.label, CAST(SUM((c.code - qc.code) * (c.code - qc.code)) AS BIGINT) AS sq_dist FROM codes c JOIN qc ON c.dim = qc.dim CROSS JOIN q WHERE c.vec_id <> q.qid AND c.label = q.qlabel GROUP BY c.vec_id, c.label ORDER BY sq_dist, c.vec_id LIMIT $TopK""",
+    // rotated-space replay: the 64×64 rotation rides as a VALUES
+    // literal; rx is the same left-to-right fold MatVec generates
+    "sim_rrsq8_topk" -> {
+      val rows = rotationMatrix().zipWithIndex.map { case (row, i) =>
+        s"(${i + 1}, [${row.mkString(", ")}])"
+      }.mkString(", ")
+      s"""WITH rot AS (SELECT * FROM (VALUES $rows) t(dim, mrow)), rv AS (SELECT e.vec_id, e.label, t.dim AS dim, list_sum(list_transform(range(1, ${Dim + 1}), j -> t.mrow[j] * CAST(e.embedding[j] AS DOUBLE))) AS rx FROM embeddings e CROSS JOIN rot t), rst AS (SELECT dim, MIN(rx) AS mn, MAX(rx) AS mx FROM rv GROUP BY dim), rcodes AS (SELECT rv.vec_id, rv.label, rv.dim, CASE WHEN rst.mx = rst.mn THEN 0 ELSE least($Levels, CAST(floor((rv.rx - rst.mn) / (rst.mx - rst.mn) * 255.0) AS BIGINT)) END AS code FROM rv JOIN rst USING (dim)), q AS (SELECT vec_id AS qid FROM embeddings ORDER BY vec_id LIMIT 1), qc AS (SELECT c.dim, c.code FROM rcodes c JOIN q ON c.vec_id = q.qid) SELECT c.vec_id, c.label, CAST(SUM((c.code - qc.code) * (c.code - qc.code)) AS BIGINT) AS sq_dist FROM rcodes c JOIN qc ON c.dim = qc.dim CROSS JOIN q WHERE c.vec_id <> q.qid GROUP BY c.vec_id, c.label ORDER BY sq_dist, c.vec_id LIMIT $TopK"""
+    }
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_sq8_codes" -> sq8Codes _,
     "sim_sq8_topk" -> sq8TopK _,
-    "sim_ivfsq8_topk" -> ivfSq8TopK _
+    "sim_ivfsq8_topk" -> ivfSq8TopK _,
+    "sim_rrsq8_topk" -> rrsq8TopK _
   )
 }

@@ -140,6 +140,56 @@ class ScalarQuantSpec extends SparkSpec {
     assert(fromBytes.toSeq == live.toSeq)
   }
 
+  test("rotation matrix is orthonormal; rotated sq8 matches an " +
+      "independent recompute and holds recall") {
+    val rot = ScalarQuant.rotationMatrix()
+    val d = rot.length
+    // R·Rᵀ = I within fp tolerance
+    for (i <- 0 until d; j <- i until d) {
+      val dot = rot(i).zip(rot(j)).map { case (a, b) => a * b }.sum
+      val expectv = if (i == j) 1.0 else 0.0
+      assert(math.abs(dot - expectv) < 1e-10, s"R not orthonormal at ($i,$j)")
+    }
+    // independent recompute of the rotated-space ranking
+    val rLocal = local.map { case (id, l, v) =>
+      (id, l, ScalarQuant.rotateLocal(v, rot).toArray)
+    }
+    val statsRot = {
+      Array.tabulate(d) { k =>
+        val xs = rLocal.map(_._3(k)); (xs.min, xs.max)
+      }
+    }
+    def codesRot(v: Array[Double]): Array[Int] =
+      v.zip(statsRot).map { case (x, (mn, mx)) =>
+        ScalarQuant.quantize(x, mn, mx)
+      }
+    val (qid, _, qv) = local.minBy(_._1)
+    val qc = codesRot(ScalarQuant.rotateLocal(qv, rot).toArray)
+    val expect = rLocal.filter(_._1 != qid)
+      .map { case (id, _, v) =>
+        (id, codesRot(v).zip(qc).map { case (a, b) =>
+          (a.toLong - b) * (a.toLong - b)
+        }.sum)
+      }
+      .sortBy { case (id, dd) => (dd, id) }
+      .take(ScalarQuant.TopK)
+    val got = ScalarQuant.rrsq8TopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    assert(got.toSeq == expect.toSeq)
+    // recall vs exact L2 (rotation preserves L2, so the target set is
+    // the same as the axis-aligned form's)
+    val exact = local.filter(_._1 != qid)
+      .map { case (id, _, v) =>
+        (id, v.zip(qv).foldLeft(0.0) { case (a, (x, y)) =>
+          a + (x - y) * (x - y)
+        })
+      }
+      .sortBy { case (id, dd) => (dd, id) }
+      .take(ScalarQuant.TopK).map(_._1).toSet
+    val recall = got.map(_._1).count(exact.contains)
+    assert(recall >= 7, s"RR-SQ8 recall degraded: $recall/10 vs exact L2")
+  }
+
   test("ivf-sq8 probe returns the query cell's sq8 ranking exactly") {
     val (qid, qLabel, qv) = local.minBy(_._1)
     val qc = codesLocal(qv)
