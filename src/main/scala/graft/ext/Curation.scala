@@ -793,22 +793,35 @@ object Curation {
     def m(name: String, from: DataFrame, v: Column): DataFrame =
       from.agg(v.cast("long").as("value"))
         .select(lit(name).as("metric"), col("value"))
+    // the near-dup CC labels feed FIVE metrics (cluster counts +
+    // three split sizes); localCheckpoint (EAGER) runs that most
+    // expensive leg ONCE — un-materialized, every union leg re-pays
+    // the full edge-build + fixpoint (measured 79.5 s at 100×)
     val clusters = Dedup.nearDupClusters(spark, dir)
-    val split = Sampling.trainTestSplit(spark, dir)
-    def splitN(s: String) =
-      m(s"split_$s", split, sum((col("split") === s).cast("long")))
+      .select(col("doc_id"), col("cluster_id")).localCheckpoint()
+    val split = Sampling.splitFromClusters(clusters)
+    // one aggregate per source frame; stack() unpivots the conditional
+    // sums into the card's long format
+    val clusterLeg = clusters
+      .agg(countDistinct(col("cluster_id")).as("c"),
+        count(lit(1)).as("n"))
+      .select(expr(
+        "stack(2, 'nd_clusters', CAST(c AS LONG), " +
+          "'nd_dup_docs', CAST(n - c AS LONG)) AS (metric, value)"))
+    val splitLeg = split
+      .agg(sum((col("split") === "train").cast("long")).as("tr"),
+        sum((col("split") === "validation").cast("long")).as("va"),
+        sum((col("split") === "test").cast("long")).as("te"))
+      .select(expr(
+        "stack(3, 'split_train', tr, 'split_validation', va, " +
+          "'split_test', te) AS (metric, value)"))
     m("docs_total", graft.Tables.documents(spark, dir), count(lit(1)))
       .unionByName(m("kept_filter", TextOps.corpusFilter(spark, dir),
         sum(col("keep").cast("long"))))
-      .unionByName(m("nd_clusters", clusters,
-        countDistinct(col("cluster_id"))))
-      .unionByName(m("nd_dup_docs", clusters,
-        count(lit(1)) - countDistinct(col("cluster_id"))))
+      .unionByName(clusterLeg)
       .unionByName(m("contaminated", decontaminate(spark, dir),
         sum(col("contaminated").cast("long"))))
-      .unionByName(splitN("train"))
-      .unionByName(splitN("validation"))
-      .unionByName(splitN("test"))
+      .unionByName(splitLeg)
       .unionByName(m("jsd_max_micronats",
         Selection.jsDivergence(spark, dir), max(col("jsd_micronats"))))
       .orderBy(col("metric"))

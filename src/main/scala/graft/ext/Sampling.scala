@@ -480,27 +480,23 @@ object Sampling {
 
   /** Merge a batch into the PERSISTED label artifact
     * ([[writeSplitLabels]]): read the stored labels, run
-    * [[mergeBatchLabels]], and atomically replace the artifact
-    * (write-aside to a temp dir, then swap — the merged frame is fully
-    * materialized into the temp dir BEFORE the old path is touched, so
-    * a crash mid-merge leaves the previous artifact intact). The
-    * bucketed catalog layout re-derives on next read because
-    * [[graft.pipeline.GoldLayout.ensureBucketedTable]] fingerprints
-    * the source files — a stale layout is never served. */
+    * [[mergeBatchLabels]], and replace the artifact through
+    * [[graft.ops.ArtifactSwap]] — the merged frame fully materializes
+    * aside, the swap is rename-rename, and every crash window rolls
+    * forward or back at the next access (a plain delete-then-move has
+    * a window where the artifact is simply GONE — the round-11 review
+    * finding). The bucketed catalog layout re-derives on next read
+    * because [[graft.pipeline.GoldLayout.ensureBucketedTable]]
+    * fingerprints the source files — a stale layout is never
+    * served. */
   def mergeSplitLabelsArtifact(spark: SparkSession, labelsDir: String,
       gold: DataFrame, batch: DataFrame): Unit = {
     val live = s"$labelsDir/$SplitLabelsTable.parquet"
-    val tmp = s"$live.merging"
-    mergeBatchLabels(spark.read.parquet(live), gold, batch)
-      .write.mode("overwrite").parquet(tmp)
-    def rmTree(f: java.io.File): Unit = {
-      if (f.isDirectory)
-        Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
-      f.delete(); ()
+    graft.ops.ArtifactSwap.recover(live)
+    val merged = mergeBatchLabels(spark.read.parquet(live), gold, batch)
+    graft.ops.ArtifactSwap.writeAndSwap(live) { tmp =>
+      merged.write.mode("overwrite").parquet(tmp)
     }
-    rmTree(new java.io.File(live))
-    java.nio.file.Files.move(java.nio.file.Paths.get(tmp),
-      java.nio.file.Paths.get(live))
   }
 
   // ---------------------------------------------------------------

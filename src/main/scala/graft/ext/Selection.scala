@@ -138,9 +138,14 @@ object Selection {
       .select(col("doc_id"), col("lang"), col("avg_nll"))
     graft.ops.StatsOps.requireGroupsSortable(s, col("lang"))
     val w = Window.partitionBy(col("lang"))
+    // asc_nulls_last EXPLICITLY: Spark's default ascending order is
+    // NULLS FIRST while DuckDB's is NULLS LAST — on a corpus with a
+    // <2-token document (avg_nll NULL) the default would shift the
+    // tercile cutoff rows between engines (latent; this corpus has
+    // none, but the ordering contract must not depend on that)
     val ranked = s
       .withColumn("rn", row_number().over(
-        w.orderBy(col("avg_nll"), col("doc_id"))))
+        w.orderBy(col("avg_nll").asc_nulls_last, col("doc_id"))))
       .withColumn("cnt", count(lit(1)).over(w))
     val cuts = ranked
       .filter(col("rn") === ceil(col("cnt") / 3.0) ||
@@ -182,7 +187,7 @@ object Selection {
       .withColumn("shard",
         Sampling.mixHash(col("doc_id")) % CurriculumShards)
     val w = Window.partitionBy(col("phase_idx"), col("shard"))
-      .orderBy(col("avg_nll"), col("doc_id"))
+      .orderBy(col("avg_nll").asc_nulls_last, col("doc_id"))
     phased.withColumn("position", row_number().over(w).cast("long"))
       .orderBy(col("doc_id"))
   }
@@ -230,9 +235,13 @@ object Selection {
     // two-sided join to build the model, and the totals derive from
     // the 256-row aggregate (AQE reuses its shuffle — the corpus is
     // scanned once for the whole model)
+    // localCheckpoint (EAGER, 256 rows): the model aggregate feeds
+    // THREE consumers (the totals row, the λ table, and — through λ —
+    // the scorer); un-materialized, each consumer re-scans the corpus
     val counts = tok.groupBy(col("bk")).agg(
       sum(isTarget.cast("long")).as("tcnt"),
       sum((!isTarget).cast("long")).as("rcnt"))
+      .localCheckpoint()
     val totRow = counts.agg(sum(col("tcnt")), sum(col("rcnt"))).head()
     val (tTot, rTot) = (totRow.getLong(0), totRow.getLong(1))
     def qln(num: Column, den: Column): Column =
@@ -246,11 +255,16 @@ object Selection {
       .groupBy(col("doc_id"), col("source"))
       .agg(count(lit(1)).as("token_count"),
         sum(col("lam")).as("weight_micronats"))
-    val k = math.ceil(DsirKeepFrac * scored.count()).toLong
+    // the driver-side count + threshold reads run over ONE
+    // materialized copy of the doc-bounded weights (localCheckpoint);
+    // the RETURNED frame keeps the live plan — SelectionSpec asserts
+    // its broadcast-join shape, which a checkpointed result would hide
+    val aux = scored.localCheckpoint()
+    val k = math.ceil(DsirKeepFrac * aux.count()).toLong
     // the selection threshold is the k-th (weight desc, doc_id) pair —
     // two TakeOrdered limits, collected as ONE driver-side row and
     // compared as literals (no global rank window over the corpus)
-    val thRow = scored
+    val thRow = aux
       .orderBy(col("weight_micronats").desc, col("doc_id"))
       .limit(k.toInt)
       .orderBy(col("weight_micronats"), col("doc_id").desc)
@@ -292,7 +306,14 @@ object Selection {
     * re-tokenizing the corpus. Bounded at vocabulary × sources. */
   def tokenCountsOn(docs: DataFrame): DataFrame =
     docs
-      .select(col("source"), explode(TextOps.tokens(col("text"))).as("t"))
+      // explode_outer + null-drop: plain explode lets Catalyst's
+      // InferFiltersFromGenerate duplicate the tokenize expression
+      // into an interpreted per-row filter (the measured-2× pattern
+      // the decontamination probes document) — this runs per
+      // micro-batch on the streaming drift path
+      .select(col("source"),
+        explode_outer(TextOps.tokens(col("text"))).as("t"))
+      .filter(col("t").isNotNull)
       .groupBy(col("source"), col("t"))
       .agg(count(lit(1)).as("c_st"))
 
@@ -323,6 +344,7 @@ object Selection {
   def mergeTokenCountsArtifact(spark: SparkSession, countsDir: String,
       batch: DataFrame, batchId: Long): Boolean = {
     val live = s"$countsDir/$TokenCountsTable.parquet"
+    graft.ops.ArtifactSwap.recover(live)
     val marker = new java.io.File(s"$live/_batch_id")
     if (marker.exists() &&
         java.nio.file.Files.readString(marker.toPath).trim.toLong >= batchId)
@@ -331,18 +353,12 @@ object Selection {
       if (marker.exists())
         mergeTokenCounts(spark.read.parquet(live), batch)
       else tokenCountsOn(batch)
-    val tmp = s"$live.merging"
-    merged.write.mode("overwrite").parquet(tmp)
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(tmp, "_batch_id"), batchId.toString)
-    def rmTree(f: java.io.File): Unit = {
-      if (f.isDirectory)
-        Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
-      f.delete(); ()
+    graft.ops.ArtifactSwap.writeAndSwap(live) { tmp =>
+      merged.write.mode("overwrite").parquet(tmp)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(tmp, "_batch_id"), batchId.toString)
+      ()
     }
-    rmTree(new java.io.File(live))
-    java.nio.file.Files.move(java.nio.file.Paths.get(tmp),
-      java.nio.file.Paths.get(live))
     true
   }
 

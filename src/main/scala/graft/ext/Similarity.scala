@@ -148,12 +148,16 @@ object Similarity {
     * constructed pair sets (the corpus's own LSH pair set can be
     * legitimately empty at small scale factors). */
   private[graft] def contrastiveOn(pairs: DataFrame): DataFrame = {
+    // the cyclic wrap (last pair's negative = FIRST pair's positive)
+    // comes from a first_value over the same window frame, NOT a
+    // separate collect() — a driver-side first-row fetch would
+    // execute the whole upstream pair pipeline twice per call
     val w = Window.orderBy(col("vec_a"), col("vec_b"))
-    val firstPos = pairs.orderBy(col("vec_a"), col("vec_b")).limit(1)
-      .select(col("vec_b")).collect().headOption.map(_.getLong(0))
+    val whole = w.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
     pairs.withColumn("neg", lead(col("vec_b"), 1).over(w))
       .withColumn("negative",
-        coalesce(col("neg"), lit(firstPos.getOrElse(-1L))))
+        coalesce(col("neg"), first(col("vec_b")).over(whole)))
       .filter(col("negative") =!= col("vec_b")
         && col("negative") =!= col("vec_a"))
       .select(col("vec_a").as("anchor"), col("vec_b").as("positive"),
@@ -280,7 +284,7 @@ object Similarity {
     "sim_group_centroids" ->
       s"""SELECT label, CAST(t.dim - 1 AS INTEGER) AS dim, COUNT(*) AS n_vecs, CAST(SUM(CAST(floor(CAST(embedding[t.dim] AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT)) AS DOUBLE) / COUNT(*) / 1048576.0 AS component FROM embeddings CROSS JOIN range(1, 65) t(dim) GROUP BY label, t.dim ORDER BY label, dim""",
     "sim_contrastive_pairs" ->
-      s"""WITH pr AS (SELECT vec_a, vec_b, cosine FROM (WITH e AS (SELECT vec_id, embedding, CAST($lshSigSql AS BIGINT) AS bucket FROM embeddings) SELECT vec_a, vec_b, cosine FROM (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, ${cosineSql("a.embedding", "b.embedding")} AS cosine FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id) WHERE cosine >= 0.45)), ld AS (SELECT vec_a, vec_b, cosine, lead(vec_b) OVER (ORDER BY vec_a, vec_b) AS neg FROM pr), f AS (SELECT vec_b AS first_pos FROM pr ORDER BY vec_a, vec_b LIMIT 1) SELECT vec_a AS anchor, vec_b AS positive, COALESCE(neg, first_pos) AS negative, cosine FROM ld CROSS JOIN f WHERE COALESCE(neg, first_pos) <> vec_b AND COALESCE(neg, first_pos) <> vec_a ORDER BY anchor, positive""",
+      s"""WITH pr AS (SELECT vec_a, vec_b, cosine FROM (WITH e AS (SELECT vec_id, embedding, CAST($lshSigSql AS BIGINT) AS bucket FROM embeddings) SELECT vec_a, vec_b, cosine FROM (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, ${cosineSql("a.embedding", "b.embedding")} AS cosine FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id) WHERE cosine >= 0.45)), ld AS (SELECT vec_a, vec_b, cosine, lead(vec_b) OVER (ORDER BY vec_a, vec_b) AS neg, first_value(vec_b) OVER (ORDER BY vec_a, vec_b ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_pos FROM pr) SELECT vec_a AS anchor, vec_b AS positive, COALESCE(neg, first_pos) AS negative, cosine FROM ld WHERE COALESCE(neg, first_pos) <> vec_b AND COALESCE(neg, first_pos) <> vec_a ORDER BY anchor, positive""",
     "sim_centroid_assign" ->
       s"""WITH reps AS (SELECT label AS rep_label, embedding AS rep_v FROM embeddings WHERE vec_id IN (SELECT min(vec_id) FROM embeddings GROUP BY label)), scored AS (SELECT e.vec_id, e.label, r.rep_label, ${cosineSql("e.embedding", "r.rep_v")} AS cos FROM embeddings e CROSS JOIN reps r), ranked AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, rep_label) AS rk FROM scored) SELECT vec_id, label, rep_label AS assigned_label, label = rep_label AS matches_label FROM ranked WHERE rk = 1 ORDER BY vec_id"""
   )

@@ -173,9 +173,11 @@ object TextOps {
       .select(col("doc_id"), col("source"), col("quality_score"))
     graft.ops.StatsOps.requireGroupsSortable(s, col("source"))
     val w = Window.partitionBy(col("source"))
+    // asc_nulls_last: Spark defaults NULLS FIRST, DuckDB NULLS LAST —
+    // a zero-token doc's NULL score would shift the cutoff row
     val cut = s
       .withColumn("rn", row_number().over(
-        w.orderBy(col("quality_score"), col("doc_id"))))
+        w.orderBy(col("quality_score").asc_nulls_last, col("doc_id"))))
       .withColumn("cnt", count(lit(1)).over(w))
       .filter(col("rn") === ceil(col("cnt") * QualityCutFrac))
       .select(col("source"), col("quality_score").as("source_cutoff"))

@@ -14,11 +14,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * [[GraftExtensions.register]] on a live session.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit = {
-    e.injectFunction(GraftExtensions.cosineSimilarityDescriptor)
-    e.injectFunction(GraftExtensions.simhashAggDescriptor)
-    e.injectFunction(GraftExtensions.vecStatsDescriptor)
-  }
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftExtensions.all.foreach(e.injectFunction)
 }
 
 object GraftExtensions {
@@ -52,10 +49,87 @@ object GraftExtensions {
       VecStats(children.head)
     })
 
+  private[functions] val rollingHashDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("rolling_hash"),
+    new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),
+    (children: Seq[Expression]) => {
+      require(children.size == 1,
+        s"rolling_hash takes 1 argument, got ${children.size}")
+      RollingHash(children.head)
+    })
+
+  private[functions] val vecSubDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("vec_sub"),
+    new ExpressionInfo(classOf[VecSub].getName, "vec_sub"),
+    (children: Seq[Expression]) => {
+      require(children.size == 2,
+        s"vec_sub takes 2 arguments, got ${children.size}")
+      VecSub(children.head, children(1))
+    })
+
+  /** Evaluate a FOLDABLE literal-array argument at resolution time —
+    * how the parameterized kernels (query codes, rotation matrices)
+    * accept their constants from SQL text. */
+  private def foldedArray(e: Expression, what: String)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    require(e.foldable, s"$what must be a literal array expression")
+    e.eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+  }
+
+  private[functions] val sq8BytesDistDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("sq8_bytes_dist"),
+    new ExpressionInfo(classOf[Sq8BytesDist].getName, "sq8_bytes_dist"),
+    (children: Seq[Expression]) => {
+      require(children.size == 2,
+        s"sq8_bytes_dist takes (codes, query_codes), got ${children.size}")
+      children(1).dataType match {
+        case org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.IntegerType, _) => ()
+        case other => throw new IllegalArgumentException(
+          s"sq8_bytes_dist query codes must be array<int> (plain " +
+            s"integer literals), got ${other.sql}")
+      }
+      val q = foldedArray(children(1), "sq8_bytes_dist query codes")
+      Sq8BytesDist(children.head,
+        (0 until q.numElements()).map(q.getInt))
+    })
+
+  private[functions] val matVecDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("mat_vec"),
+    new ExpressionInfo(classOf[MatVec].getName, "mat_vec"),
+    (children: Seq[Expression]) => {
+      require(children.size == 2,
+        s"mat_vec takes (vector, matrix_literal), got ${children.size}")
+      // SQL numeric literals with a decimal point parse as DECIMAL —
+      // demand doubles explicitly (write 1.0d / CAST(... AS DOUBLE))
+      // rather than ClassCastException-ing deep in ArrayData
+      children(1).dataType match {
+        case org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType, _), _) => ()
+        case other => throw new IllegalArgumentException(
+          s"mat_vec matrix must be array<array<double>> (suffix SQL " +
+            s"literals with 'd'), got ${other.sql}")
+      }
+      val m = foldedArray(children(1), "mat_vec matrix")
+      val rows = (0 until m.numElements()).map { i =>
+        val row = m.getArray(i)
+        (0 until row.numElements()).map(row.getDouble)
+      }
+      MatVec(children.head, rows)
+    })
+
+  private[functions] val all = Seq(cosineSimilarityDescriptor,
+    simhashAggDescriptor, vecStatsDescriptor, rollingHashDescriptor,
+    vecSubDescriptor, sq8BytesDistDescriptor, matVecDescriptor)
+
   /** Imperative registration on an existing session (tests, REPL). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
-    Seq(cosineSimilarityDescriptor, simhashAggDescriptor,
-      vecStatsDescriptor).foreach {
+    all.foreach {
       case (id, _, builder) =>
         spark.sessionState.functionRegistry.createOrReplaceTempFunction(
           id.funcName, builder, "scala_udf")

@@ -121,6 +121,45 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("ArtifactSwap closes every crash window: roll-forward, " +
+      "roll-back, debris cleanup") {
+    import java.nio.file.{Files => JF, Paths}
+    import graft.ops.ArtifactSwap
+    val s = spark
+    import s.implicits._
+    val base = JF.createTempDirectory("graft_swap").toString
+    val live = s"$base/t.parquet"
+    def write(v: Long, to: String): Unit =
+      Seq(v).toDF("x").coalesce(1).write.mode("overwrite").parquet(to)
+    def readBack: Long =
+      spark.read.parquet(live).head.getLong(0)
+    ArtifactSwap.writeAndSwap(live)(write(1L, _))
+    assert(readBack == 1L)
+    ArtifactSwap.writeAndSwap(live)(write(2L, _))
+    assert(readBack == 2L)
+    // crash window between rename(live -> old) and move(next -> live):
+    // live missing, .old = current state, .next = COMPLETE replacement
+    write(3L, s"$live.next")
+    JF.move(Paths.get(live), Paths.get(s"$live.old"))
+    ArtifactSwap.recover(live)
+    assert(readBack == 3L, "complete .next must roll FORWARD")
+    assert(!new java.io.File(s"$live.old").exists())
+    // crash with an INCOMPLETE .next (no _SUCCESS): must roll back
+    JF.createDirectories(Paths.get(s"$live.next"))
+    JF.writeString(Paths.get(s"$live.next/part-junk"), "partial")
+    JF.move(Paths.get(live), Paths.get(s"$live.old"))
+    ArtifactSwap.recover(live)
+    assert(readBack == 3L, "incomplete .next must roll BACK")
+    assert(!new java.io.File(s"$live.next").exists())
+    // healthy live + leftover staging dirs: debris removed, live kept
+    write(9L, s"$live.next")
+    JF.createDirectories(Paths.get(s"$live.old"))
+    ArtifactSwap.recover(live)
+    assert(readBack == 3L)
+    assert(!new java.io.File(s"$live.next").exists())
+    assert(!new java.io.File(s"$live.old").exists())
+  }
+
   test("temporal split: boundaries match the recomputed 70/85% range " +
       "cuts, splits are time-ordered, summary reconciles") {
     import org.apache.spark.sql.functions._

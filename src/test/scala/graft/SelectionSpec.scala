@@ -184,7 +184,7 @@ class SelectionSpec extends SparkSpec {
       assert(sorted.map(_._5).toSeq == (1L to members.length).toSeq,
         s"group $grp positions not dense")
       val expectOrder = members
-        .sortBy(m => (nllOf(m._1).getOrElse(Double.MinValue), m._1))
+        .sortBy(m => (nllOf(m._1).getOrElse(Double.MaxValue), m._1))
         .map(_._1).toSeq
       assert(sorted.map(_._1).toSeq == expectOrder,
         s"group $grp not in easy-first order")
