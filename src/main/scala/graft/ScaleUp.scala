@@ -376,6 +376,12 @@ object ScaleUp {
       for (q <- Seq("text_js_divergence", "dedup_keep_best")) {
         time(q, src, 1); time(q, dst, 1)
       }
+      // the composed data card (CC labels materialized once) and the
+      // curriculum manifest (bigram-model chain + sharded position
+      // windows) — the two heaviest round-11 composites
+      for (q <- Seq("curation_data_card", "mix_curriculum")) {
+        time(q, src, 1); time(q, dst, 1)
+      }
     }
     if (on("spans")) {
       // round-11 text/mix additions over the 100× documents corpus:
