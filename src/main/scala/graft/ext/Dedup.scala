@@ -647,6 +647,43 @@ object Dedup {
       .withColumn("keep", col("doc_id") === col("cluster_id"))
   }
 
+  /** Cross-method agreement between the TEXT near-dup signal (n-gram
+    * Jaccard pairs) and the SEMANTIC one (embedding-cosine pairs,
+    * vec_id aligned 1:1 with doc_id) — the diagnostic a pipeline runs
+    * before deciding whether semantic dedup adds coverage over text
+    * dedup or merely re-finds the same pairs: high pair-Jaccard means
+    * the embedding pass is redundant; low means each method sees dups
+    * the other misses and both belong in the pipeline.
+    *
+    * Shape at scale: a full outer join of two OUTPUT-sized pair sets
+    * (each orders of magnitude smaller than the corpus) reduced to
+    * one summary row; the inputs are the already-vetted pair
+    * operators composed verbatim (at scale, their LSH forms). */
+  def methodAgreement(spark: SparkSession, dir: String): DataFrame = {
+    val text = ngramJaccardPairs(spark, dir)
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("in_text"))
+    val sem = embeddingCosinePairs(spark, dir)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"),
+        lit(1L).as("in_sem"))
+    val j = text.join(sem, Seq("doc_a", "doc_b"), "full_outer")
+      .agg(
+        sum((col("in_text").isNotNull && col("in_sem").isNotNull)
+          .cast("long")).as("both_methods"),
+        sum((col("in_text").isNotNull && col("in_sem").isNull)
+          .cast("long")).as("text_only"),
+        sum((col("in_text").isNull && col("in_sem").isNotNull)
+          .cast("long")).as("semantic_only"))
+    j.select(
+      (col("both_methods") + col("text_only")).as("text_pairs"),
+      (col("both_methods") + col("semantic_only")).as("semantic_pairs"),
+      col("both_methods"), col("text_only"), col("semantic_only"),
+      when(col("both_methods") + col("text_only") +
+          col("semantic_only") === 0, lit(0.0))
+        .otherwise(col("both_methods").cast("double") /
+          (col("both_methods") + col("text_only") + col("semantic_only")))
+        .as("pair_jaccard"))
+  }
+
   /** Quality-argmax canonical selection per near-dup cluster: the
     * member kept is the cluster's HIGHEST-quality document (composite
     * score from [[TextOps.scoredDocs]]; ties to the lower doc_id),
@@ -1046,6 +1083,8 @@ object Dedup {
       s"""$spanSql SELECT doc_id, span_start, span_end, span_tokens FROM spans ORDER BY doc_id, span_start""",
     "dedup_substring_summary" ->
       s"""$spanSql, per_doc AS (SELECT doc_id, SUM(span_tokens) AS dup_tokens FROM spans GROUP BY doc_id) SELECT t.source, COUNT(*) AS docs, COUNT(p.doc_id) AS docs_with_dup_spans, CAST(COALESCE(SUM(p.dup_tokens), 0) AS BIGINT) AS dup_tokens, CAST(SUM(len(t.t)) AS BIGINT) AS total_tokens FROM (SELECT doc_id, source, ${TextOps.toksSql} AS t FROM documents) t LEFT JOIN per_doc p USING (doc_id) GROUP BY t.source ORDER BY t.source""",
+    "dedup_method_agreement" ->
+      s"""WITH tp AS (SELECT doc_a, doc_b, 1 AS in_text FROM ($ngramPairsSql)), sp AS (SELECT vec_a AS doc_a, vec_b AS doc_b, 1 AS in_sem FROM (SELECT vec_a, vec_b FROM (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, list_sum(list_transform(range(1, len(a.embedding)+1), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) / sqrt(list_sum(list_transform(range(1, len(a.embedding)+1), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))) * list_sum(list_transform(range(1, len(b.embedding)+1), i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))) AS cosine FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id) WHERE cosine >= 0.45)), f AS (SELECT CAST(SUM(CASE WHEN in_text IS NOT NULL AND in_sem IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS both_m, CAST(SUM(CASE WHEN in_text IS NOT NULL AND in_sem IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS text_only, CAST(SUM(CASE WHEN in_text IS NULL AND in_sem IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS semantic_only FROM tp FULL JOIN sp USING (doc_a, doc_b)) SELECT both_m + text_only AS text_pairs, both_m + semantic_only AS semantic_pairs, both_m AS both_methods, text_only, semantic_only, CASE WHEN both_m + text_only + semantic_only = 0 THEN 0.0 ELSE CAST(both_m AS DOUBLE) / (both_m + text_only + semantic_only) END AS pair_jaccard FROM f""",
     "dedup_exact_summary" ->
       """SELECT COUNT(*) AS total_docs, COUNT(DISTINCT md5(lower(trim(text)))) AS distinct_fingerprints, COUNT(*) - COUNT(DISTINCT md5(lower(trim(text)))) AS duplicate_docs FROM documents""",
     "dedup_source_overlap" ->
@@ -1093,6 +1132,7 @@ object Dedup {
     "dedup_simhash" -> simhashSignaturesAgg _,
     "dedup_clusters" -> nearDupClusters _,
     "dedup_keep_best" -> keepBestQuality _,
+    "dedup_method_agreement" -> methodAgreement _,
     "dedup_incremental" -> incrementalNearDups _,
     "dedup_embedding_cosine" ->
       ((s: SparkSession, dir: String) => embeddingCosinePairs(s, dir))

@@ -338,6 +338,25 @@ class DedupSpec extends SparkSpec {
       "guard message should point at the scale path")
   }
 
+  test("method agreement reconciles the text and semantic pair sets") {
+    val text = Dedup.ngramJaccardPairs(spark, sf)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sem = Dedup.embeddingCosinePairs(spark, sf)
+      .select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val both = text.intersect(sem)
+    val row = Dedup.methodAgreement(spark, sf).head()
+    assert(row.getLong(0) == text.size.toLong)
+    assert(row.getLong(1) == sem.size.toLong)
+    assert(row.getLong(2) == both.size.toLong)
+    assert(row.getLong(3) == (text.size - both.size).toLong)
+    assert(row.getLong(4) == (sem.size - both.size).toLong)
+    val union = text.union(sem).size
+    val expectJ = if (union == 0) 0.0 else both.size.toDouble / union
+    assert(row.getDouble(5) == expectJ)
+  }
+
   test("keep-best selects exactly one member per cluster: the quality " +
       "argmax, ties to the lower doc_id") {
     val scores = graft.ext.TextOps.qualityScore(spark, sf)

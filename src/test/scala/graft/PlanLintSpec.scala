@@ -34,6 +34,9 @@ class PlanLintSpec extends SparkSpec {
   // not corpus², at any scale)
   private val allowProductJoin =
     Set("dedup_embedding_cosine", "sim_centroid_assign",
+      // inherits dedup_embedding_cosine's guarded all-pairs baseline
+      // (its LSH form is the scale path, as that entry documents)
+      "dedup_method_agreement",
       // the sources × vocabulary support GRID is the point: JSD's
       // q-side term must exist for (source, token) cells the source
       // never emitted. Both sides are aggregates bounded by the
