@@ -205,6 +205,19 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Language-ID confusion matrix: (label, prediction) counts over
+    * [[langId]] — the classifier audit a pipeline runs before
+    * trusting per-language routing (tercile cuts, mixing quotas) to a
+    * heuristic detector; off-diagonal mass shows which languages the
+    * stopword signal confuses. One aggregation over the per-row
+    * scores, bounded at languages². */
+  def langConfusion(spark: SparkSession, dir: String): DataFrame =
+    langId(spark, dir)
+      .groupBy(col("lang_label"), col("lang_pred"))
+      .agg(count(lit(1)).as("docs"))
+      .withColumn("correct", col("lang_label") === col("lang_pred"))
+      .orderBy(col("lang_label"), col("lang_pred"))
+
   /** Composite corpus-filter pipeline — the decide-and-keep-provenance
     * shape every LLM training-data pipeline ends in: exact-dup removal
     * (first doc_id per content fingerprint survives), minimum length,
@@ -298,6 +311,8 @@ object TextOps {
       s"""SELECT doc_id, token_count, stopword_ratio, punct_ratio, avg_token_len, stopword_ratio * 0.5 + (1.0 - punct_ratio) * 0.3 + least(CAST(token_count AS DOUBLE) / 100.0, 1.0) * 0.2 AS quality_score FROM (SELECT doc_id, len(t) AS token_count, CAST(${hitsSql(stopEn)} AS DOUBLE) / len(t) AS stopword_ratio, CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE) / length(text) AS punct_ratio, CAST(length(text) - (len(t) - 1) AS DOUBLE) / len(t) AS avg_token_len FROM (SELECT doc_id, text, $toksSql AS t FROM documents)) ORDER BY doc_id""",
     "text_lang_id" ->
       s"""SELECT doc_id, lang_label, s_de, s_en, s_es, s_fr, CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de' WHEN s_en >= s_es AND s_en >= s_fr THEN 'en' WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END AS lang_pred FROM (SELECT doc_id, lang AS lang_label, ${hitsSql(stopDe)} AS s_de, ${hitsSql(stopEn)} AS s_en, ${hitsSql(stopEs)} AS s_es, ${hitsSql(stopFr)} AS s_fr FROM (SELECT doc_id, lang, $toksSql AS t FROM documents)) ORDER BY doc_id""",
+    "text_lang_confusion" ->
+      s"""SELECT lang_label, lang_pred, COUNT(*) AS docs, lang_label = lang_pred AS correct FROM (SELECT lang AS lang_label, CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de' WHEN s_en >= s_es AND s_en >= s_fr THEN 'en' WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END AS lang_pred FROM (SELECT lang, ${hitsSql(stopDe)} AS s_de, ${hitsSql(stopEn)} AS s_en, ${hitsSql(stopEs)} AS s_es, ${hitsSql(stopFr)} AS s_fr FROM (SELECT lang, $toksSql AS t FROM documents))) GROUP BY lang_label, lang_pred ORDER BY lang_label, lang_pred""",
     "text_fingerprint" ->
       s"""SELECT doc_id, md5(lower(trim(text))) AS fp_exact, md5(array_to_string(list_sort(list_distinct($shinglesSql)), '|')) AS fp_shingle FROM (SELECT doc_id, text, $toksSql AS t FROM documents) ORDER BY doc_id""",
     // Karp–Rabin h = (h*257 + byte) mod 2^61-1, re-expressed as a
@@ -537,6 +552,7 @@ object TextOps {
     "text_quality_score" -> qualityScore _,
     "text_quality_source_cut" -> qualitySourceCut _,
     "text_lang_id" -> langId _,
+    "text_lang_confusion" -> langConfusion _,
     "text_fingerprint" -> fingerprint _,
     "text_vocab_topk" -> vocabTopK _,
     "text_repetition" -> repetition _,

@@ -143,6 +143,23 @@ class TextSignalsSpec extends SparkSpec {
       s"rule set should split the corpus, kept $keptFrac")
   }
 
+  test("language confusion matrix reconciles with per-doc predictions") {
+    val preds = TextOps.langId(spark, sf).collect()
+      .map(r => (r.getString(1), r.getString(6)))
+    val expect = preds.groupBy(identity).view.mapValues(_.length.toLong)
+      .toMap
+    val rows = TextOps.langConfusion(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2),
+        r.getBoolean(3)))
+    assert(rows.map(x => x._1 -> x._2).toMap == expect)
+    rows.foreach { case ((l, p), _, c) => assert(c == (l == p)) }
+    assert(rows.map(_._2).sum == preds.length)
+    // the heuristic should be non-trivially right AND non-perfect on
+    // this corpus, otherwise the audit reads nothing
+    val correct = rows.filter(_._3).map(_._2).sum.toDouble / preds.length
+    assert(correct > 0.3 && correct < 1.0, s"degenerate accuracy $correct")
+  }
+
   test("winnowing sketch matches an independent recompute and carries " +
       "the MOSS guarantee on an injected overlap") {
     import java.security.MessageDigest
