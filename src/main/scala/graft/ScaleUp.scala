@@ -282,15 +282,16 @@ object ScaleUp {
         graft.ext.Multimodal.phashNearDupWide(spark, src))
       timed("mm_phash_wide", dst, 1)(
         graft.ext.Multimodal.phashNearDupWide(spark, dst))
-      // SQ8 tier against the ann tier's 20M-vector corpus (built by
-      // the `ann` section; skip silently if absent): the stats pass is
-      // ONE 128-expression aggregate (no posexplode inflation), search
-      // is an integer-space scan, the IVF composition prunes to one
-      // cell. Each *_topk row re-pays the stats pass by construction
-      // (the codes/bounds are not persisted here) — at steady state
-      // the bounds are an artifact and only the scan leg remains.
+      // SQ8 tier against the ann tier's 20M-vector corpus (built on
+      // first need by ensureAnnEmbeddings — so it is always present
+      // here): the stats pass is ONE 128-expression aggregate (no
+      // posexplode inflation), search is an integer-space scan, the
+      // IVF composition prunes to one cell. Each *_topk row re-pays
+      // the stats pass by construction (the codes/bounds are not
+      // persisted here) — at steady state the bounds are an artifact
+      // and only the scan leg remains.
       ensureAnnEmbeddings()
-      if (new java.io.File(s"$dst/embeddings.parquet").exists()) {
+      locally {
         timed("sim_sq8_stats_20m", dst, 1) {
           val aggs = (0 until graft.ext.ScalarQuant.Dim).flatMap(d => Seq(
             min(col("v").getItem(d)).as(s"mn$d"),
@@ -356,8 +357,7 @@ object ScaleUp {
               spark.read.parquet(s"$dst/sq8_rr_bytes.parquet"),
               rq, q0.getLong(0)))
         }
-      } else println("[scaleup] r11b: no 20M embeddings at " +
-        s"$dst (run the ann section first); skipping SQ8 rows")
+      }
     }
     if (on("r11c")) {
       // round-11 batch 3 at 100×: winnowing (HOF-window sketch —

@@ -665,14 +665,18 @@ object Dedup {
     val sem = embeddingCosinePairs(spark, dir)
       .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"),
         lit(1L).as("in_sem"))
+    // coalesce the sums: aggregating an EMPTY full-outer join yields
+    // NULL sums, which would make the ===0 guard below evaluate NULL
+    // and fall through to `otherwise` — returning NULL counts instead
+    // of the intended zeros on a pair-free corpus
     val j = text.join(sem, Seq("doc_a", "doc_b"), "full_outer")
       .agg(
-        sum((col("in_text").isNotNull && col("in_sem").isNotNull)
-          .cast("long")).as("both_methods"),
-        sum((col("in_text").isNotNull && col("in_sem").isNull)
-          .cast("long")).as("text_only"),
-        sum((col("in_text").isNull && col("in_sem").isNotNull)
-          .cast("long")).as("semantic_only"))
+        coalesce(sum((col("in_text").isNotNull && col("in_sem").isNotNull)
+          .cast("long")), lit(0L)).as("both_methods"),
+        coalesce(sum((col("in_text").isNotNull && col("in_sem").isNull)
+          .cast("long")), lit(0L)).as("text_only"),
+        coalesce(sum((col("in_text").isNull && col("in_sem").isNotNull)
+          .cast("long")), lit(0L)).as("semantic_only"))
     j.select(
       (col("both_methods") + col("text_only")).as("text_pairs"),
       (col("both_methods") + col("semantic_only")).as("semantic_pairs"),
@@ -1084,7 +1088,7 @@ object Dedup {
     "dedup_substring_summary" ->
       s"""$spanSql, per_doc AS (SELECT doc_id, SUM(span_tokens) AS dup_tokens FROM spans GROUP BY doc_id) SELECT t.source, COUNT(*) AS docs, COUNT(p.doc_id) AS docs_with_dup_spans, CAST(COALESCE(SUM(p.dup_tokens), 0) AS BIGINT) AS dup_tokens, CAST(SUM(len(t.t)) AS BIGINT) AS total_tokens FROM (SELECT doc_id, source, ${TextOps.toksSql} AS t FROM documents) t LEFT JOIN per_doc p USING (doc_id) GROUP BY t.source ORDER BY t.source""",
     "dedup_method_agreement" ->
-      s"""WITH tp AS (SELECT doc_a, doc_b, 1 AS in_text FROM ($ngramPairsSql)), sp AS (SELECT vec_a AS doc_a, vec_b AS doc_b, 1 AS in_sem FROM (SELECT vec_a, vec_b FROM (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, list_sum(list_transform(range(1, len(a.embedding)+1), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) / sqrt(list_sum(list_transform(range(1, len(a.embedding)+1), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))) * list_sum(list_transform(range(1, len(b.embedding)+1), i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))) AS cosine FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id) WHERE cosine >= 0.45)), f AS (SELECT CAST(SUM(CASE WHEN in_text IS NOT NULL AND in_sem IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS both_m, CAST(SUM(CASE WHEN in_text IS NOT NULL AND in_sem IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS text_only, CAST(SUM(CASE WHEN in_text IS NULL AND in_sem IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS semantic_only FROM tp FULL JOIN sp USING (doc_a, doc_b)) SELECT both_m + text_only AS text_pairs, both_m + semantic_only AS semantic_pairs, both_m AS both_methods, text_only, semantic_only, CASE WHEN both_m + text_only + semantic_only = 0 THEN 0.0 ELSE CAST(both_m AS DOUBLE) / (both_m + text_only + semantic_only) END AS pair_jaccard FROM f""",
+      s"""WITH tp AS (SELECT doc_a, doc_b, 1 AS in_text FROM ($ngramPairsSql)), sp AS (SELECT vec_a AS doc_a, vec_b AS doc_b, 1 AS in_sem FROM (SELECT vec_a, vec_b FROM (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, list_sum(list_transform(range(1, len(a.embedding)+1), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) / sqrt(list_sum(list_transform(range(1, len(a.embedding)+1), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))) * list_sum(list_transform(range(1, len(b.embedding)+1), i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))) AS cosine FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id) WHERE cosine >= 0.45)), f AS (SELECT CAST(COALESCE(SUM(CASE WHEN in_text IS NOT NULL AND in_sem IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS both_m, CAST(COALESCE(SUM(CASE WHEN in_text IS NOT NULL AND in_sem IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS text_only, CAST(COALESCE(SUM(CASE WHEN in_text IS NULL AND in_sem IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS semantic_only FROM tp FULL JOIN sp USING (doc_a, doc_b)) SELECT both_m + text_only AS text_pairs, both_m + semantic_only AS semantic_pairs, both_m AS both_methods, text_only, semantic_only, CASE WHEN both_m + text_only + semantic_only = 0 THEN 0.0 ELSE CAST(both_m AS DOUBLE) / (both_m + text_only + semantic_only) END AS pair_jaccard FROM f""",
     "dedup_exact_summary" ->
       """SELECT COUNT(*) AS total_docs, COUNT(DISTINCT md5(lower(trim(text)))) AS distinct_fingerprints, COUNT(*) - COUNT(DISTINCT md5(lower(trim(text)))) AS duplicate_docs FROM documents""",
     "dedup_source_overlap" ->

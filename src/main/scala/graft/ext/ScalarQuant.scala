@@ -72,10 +72,18 @@ object ScalarQuant {
   /** Quantize one double against (min, max) — the single formula
     * shared (operation for operation, left to right) by the Spark
     * encode column, the driver-side query encode, and the DuckDB
-    * oracle replay: floor((x − min) / (max − min) · 255), clamped. */
+    * oracle replay: floor((x − min) / (max − min) · 255), clamped to
+    * [0, 255] at BOTH ends (FAISS SQ8 does the same). The lower clamp
+    * matters under the production split — bounds frozen as an
+    * artifact, new vectors encoded later: a component below the
+    * stored per-dim min would otherwise yield a negative code, which
+    * the packed-byte store ([[graft.functions.Sq8EncodeBytes]]) wraps
+    * through `(byte)` (−2 → 254 after & 0xFF), silently diverging
+    * from the list<int> and raw paths. */
   def quantize(x: Double, mn: Double, mx: Double): Int =
     if (mx == mn) 0
-    else math.min(Levels, math.floor((x - mn) / (mx - mn) * 255.0).toInt)
+    else math.max(0,
+      math.min(Levels, math.floor((x - mn) / (mx - mn) * 255.0).toInt))
 
   /** Composable-builtin encode column — kept as the CORRECTNESS
     * BASELINE the fused [[graft.functions.Sq8Encode]] loop is asserted
@@ -90,8 +98,8 @@ object ScalarQuant {
       val mn = element_at(mnA, i + 1)
       val mx = element_at(mxA, i + 1)
       when(mx === mn, lit(0))
-        .otherwise(least(lit(Levels),
-          floor((x - mn) / (mx - mn) * 255.0).cast("int")))
+        .otherwise(greatest(lit(0), least(lit(Levels),
+          floor((x - mn) / (mx - mn) * 255.0).cast("int"))))
     })
   }
 
@@ -271,7 +279,7 @@ object ScalarQuant {
     * relational replay of [[codeCol]] (DuckDB lists are 1-indexed;
     * dim is kept 1-based here and shifted where exposed). */
   private val codesCte =
-    s"""st AS (SELECT t.dim AS dim, MIN(CAST(embedding[t.dim] AS DOUBLE)) AS mn, MAX(CAST(embedding[t.dim] AS DOUBLE)) AS mx FROM embeddings CROSS JOIN range(1, ${Dim + 1}) t(dim) GROUP BY t.dim), codes AS (SELECT vec_id, label, t.dim AS dim, CASE WHEN st.mx = st.mn THEN 0 ELSE least($Levels, CAST(floor((CAST(embedding[t.dim] AS DOUBLE) - st.mn) / (st.mx - st.mn) * 255.0) AS BIGINT)) END AS code FROM embeddings CROSS JOIN range(1, ${Dim + 1}) t(dim) JOIN st ON st.dim = t.dim)"""
+    s"""st AS (SELECT t.dim AS dim, MIN(CAST(embedding[t.dim] AS DOUBLE)) AS mn, MAX(CAST(embedding[t.dim] AS DOUBLE)) AS mx FROM embeddings CROSS JOIN range(1, ${Dim + 1}) t(dim) GROUP BY t.dim), codes AS (SELECT vec_id, label, t.dim AS dim, CASE WHEN st.mx = st.mn THEN 0 ELSE greatest(0, least($Levels, CAST(floor((CAST(embedding[t.dim] AS DOUBLE) - st.mn) / (st.mx - st.mn) * 255.0) AS BIGINT))) END AS code FROM embeddings CROSS JOIN range(1, ${Dim + 1}) t(dim) JOIN st ON st.dim = t.dim)"""
 
   val oracle: Map[String, String] = Map(
     "sim_sq8_codes" ->
@@ -286,7 +294,7 @@ object ScalarQuant {
       val rows = rotationMatrix().zipWithIndex.map { case (row, i) =>
         s"(${i + 1}, [${row.mkString(", ")}])"
       }.mkString(", ")
-      s"""WITH rot AS (SELECT * FROM (VALUES $rows) t(dim, mrow)), rv AS (SELECT e.vec_id, e.label, t.dim AS dim, list_sum(list_transform(range(1, ${Dim + 1}), j -> t.mrow[j] * CAST(e.embedding[j] AS DOUBLE))) AS rx FROM embeddings e CROSS JOIN rot t), rst AS (SELECT dim, MIN(rx) AS mn, MAX(rx) AS mx FROM rv GROUP BY dim), rcodes AS (SELECT rv.vec_id, rv.label, rv.dim, CASE WHEN rst.mx = rst.mn THEN 0 ELSE least($Levels, CAST(floor((rv.rx - rst.mn) / (rst.mx - rst.mn) * 255.0) AS BIGINT)) END AS code FROM rv JOIN rst USING (dim)), q AS (SELECT vec_id AS qid FROM embeddings ORDER BY vec_id LIMIT 1), qc AS (SELECT c.dim, c.code FROM rcodes c JOIN q ON c.vec_id = q.qid) SELECT c.vec_id, c.label, CAST(SUM((c.code - qc.code) * (c.code - qc.code)) AS BIGINT) AS sq_dist FROM rcodes c JOIN qc ON c.dim = qc.dim CROSS JOIN q WHERE c.vec_id <> q.qid GROUP BY c.vec_id, c.label ORDER BY sq_dist, c.vec_id LIMIT $TopK"""
+      s"""WITH rot AS (SELECT * FROM (VALUES $rows) t(dim, mrow)), rv AS (SELECT e.vec_id, e.label, t.dim AS dim, list_sum(list_transform(range(1, ${Dim + 1}), j -> t.mrow[j] * CAST(e.embedding[j] AS DOUBLE))) AS rx FROM embeddings e CROSS JOIN rot t), rst AS (SELECT dim, MIN(rx) AS mn, MAX(rx) AS mx FROM rv GROUP BY dim), rcodes AS (SELECT rv.vec_id, rv.label, rv.dim, CASE WHEN rst.mx = rst.mn THEN 0 ELSE greatest(0, least($Levels, CAST(floor((rv.rx - rst.mn) / (rst.mx - rst.mn) * 255.0) AS BIGINT))) END AS code FROM rv JOIN rst USING (dim)), q AS (SELECT vec_id AS qid FROM embeddings ORDER BY vec_id LIMIT 1), qc AS (SELECT c.dim, c.code FROM rcodes c JOIN q ON c.vec_id = q.qid) SELECT c.vec_id, c.label, CAST(SUM((c.code - qc.code) * (c.code - qc.code)) AS BIGINT) AS sq_dist FROM rcodes c JOIN qc ON c.dim = qc.dim CROSS JOIN q WHERE c.vec_id <> q.qid GROUP BY c.vec_id, c.label ORDER BY sq_dist, c.vec_id LIMIT $TopK"""
     }
   )
 

@@ -345,12 +345,21 @@ object Selection {
       batch: DataFrame, batchId: Long): Boolean = {
     val live = s"$countsDir/$TokenCountsTable.parquet"
     graft.ops.ArtifactSwap.recover(live)
+    // Existence of the LIVE DIRECTORY (not the marker) decides whether
+    // to merge: a count table seeded via the documented batch path
+    // (`tokenCountsOn(docs).write.parquet`) has no _batch_id marker,
+    // and treating that as "no artifact" would silently replace the
+    // accumulated counts with just this batch — the
+    // re-initialize-from-one-batch failure the ArtifactSwap work
+    // closed, through a different door. A missing marker on an
+    // existing table means lastApplied = -1 (merge everything).
+    val liveDir = new java.io.File(live)
     val marker = new java.io.File(s"$live/_batch_id")
     if (marker.exists() &&
         java.nio.file.Files.readString(marker.toPath).trim.toLong >= batchId)
       return false
     val merged =
-      if (marker.exists())
+      if (liveDir.exists())
         mergeTokenCounts(spark.read.parquet(live), batch)
       else tokenCountsOn(batch)
     graft.ops.ArtifactSwap.writeAndSwap(live) { tmp =>

@@ -88,8 +88,8 @@ case class Sq8Dist(child: Expression, mn: Seq[Double], mx: Seq[Double],
       val lo = mnA(i); val hi = mxA(i)
       val code =
         if (hi == lo) 0
-        else math.min(255,
-          math.floor((x.getDouble(i) - lo) / (hi - lo) * 255.0).toInt)
+        else math.max(0, math.min(255,
+          math.floor((x.getDouble(i) - lo) / (hi - lo) * 255.0).toInt))
       val t = (code - qA(i)).toLong
       acc += t * t
       i += 1
@@ -120,8 +120,8 @@ case class Sq8Dist(child: Expression, mn: Seq[Double], mx: Seq[Double],
          |for (int $i = 0; $i < $d; $i++) {
          |  final double $lo = $mnR[$i];
          |  final double $hi = $mxR[$i];
-         |  final int $code = ($hi == $lo) ? 0 : Math.min(255,
-         |    (int) Math.floor(($x.getDouble($i) - $lo) / ($hi - $lo) * 255.0));
+         |  final int $code = ($hi == $lo) ? 0 : Math.max(0, Math.min(255,
+         |    (int) Math.floor(($x.getDouble($i) - $lo) / ($hi - $lo) * 255.0)));
          |  final long $t = (long) ($code - $qR[$i]);
          |  $acc += $t * $t;
          |}
@@ -167,8 +167,8 @@ case class Sq8Encode(child: Expression, mn: Seq[Double], mx: Seq[Double])
       val lo = mnA(i); val hi = mxA(i)
       out(i) =
         if (hi == lo) 0
-        else math.min(255,
-          math.floor((x.getDouble(i) - lo) / (hi - lo) * 255.0).toInt)
+        else math.max(0, math.min(255,
+          math.floor((x.getDouble(i) - lo) / (hi - lo) * 255.0).toInt))
       i += 1
     }
     new GenericArrayData(out)
@@ -194,8 +194,8 @@ case class Sq8Encode(child: Expression, mn: Seq[Double], mx: Seq[Double])
          |for (int $i = 0; $i < $d; $i++) {
          |  final double $lo = $mnR[$i];
          |  final double $hi = $mxR[$i];
-         |  $out[$i] = ($hi == $lo) ? 0 : Math.min(255,
-         |    (int) Math.floor(($x.getDouble($i) - $lo) / ($hi - $lo) * 255.0));
+         |  $out[$i] = ($hi == $lo) ? 0 : Math.max(0, Math.min(255,
+         |    (int) Math.floor(($x.getDouble($i) - $lo) / ($hi - $lo) * 255.0)));
          |}
          |${ev.value} =
          |  new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
@@ -303,8 +303,8 @@ case class Sq8EncodeBytes(child: Expression, mn: Seq[Double], mx: Seq[Double])
       val lo = mnA(i); val hi = mxA(i)
       val code =
         if (hi == lo) 0
-        else math.min(255,
-          math.floor((x.getDouble(i) - lo) / (hi - lo) * 255.0).toInt)
+        else math.max(0, math.min(255,
+          math.floor((x.getDouble(i) - lo) / (hi - lo) * 255.0).toInt))
       out(i) = code.toByte // 0..255 stored as the unsigned byte pattern
       i += 1
     }
@@ -332,8 +332,8 @@ case class Sq8EncodeBytes(child: Expression, mn: Seq[Double], mx: Seq[Double])
          |for (int $i = 0; $i < $d; $i++) {
          |  final double $lo = $mnR[$i];
          |  final double $hi = $mxR[$i];
-         |  final int $code = ($hi == $lo) ? 0 : Math.min(255,
-         |    (int) Math.floor(($x.getDouble($i) - $lo) / ($hi - $lo) * 255.0));
+         |  final int $code = ($hi == $lo) ? 0 : Math.max(0, Math.min(255,
+         |    (int) Math.floor(($x.getDouble($i) - $lo) / ($hi - $lo) * 255.0)));
          |  $out[$i] = (byte) $code;
          |}
          |${ev.value} = $out;

@@ -190,6 +190,47 @@ class ScalarQuantSpec extends SparkSpec {
     assert(recall >= 7, s"RR-SQ8 recall degraded: $recall/10 vs exact L2")
   }
 
+  test("out-of-bounds components clamp to [0, 255] identically across " +
+      "raw, int-codes, and packed-byte layouts under frozen bounds") {
+    import org.apache.spark.sql.functions._
+    // the production split: bounds frozen as an artifact, NEW vectors
+    // encoded later — components may fall outside the stored per-dim
+    // [min, max]. An unclamped lower bound would make the (byte)
+    // store wrap (−2 → 254 after & 0xFF) and silently diverge from
+    // the list<int> and raw paths.
+    val d = ScalarQuant.Dim
+    val frozen = Seq.fill(d)((0.0, 1.0))
+    val v = Array.tabulate(d) { i =>
+      if (i % 3 == 0) -0.5 else if (i % 3 == 1) 1.5 else 0.5
+    }
+    // driver-side formula clamps both ends
+    assert(ScalarQuant.quantize(-0.5, 0.0, 1.0) == 0)
+    assert(ScalarQuant.quantize(1.5, 0.0, 1.0) == 255)
+    val qcodes = Seq.fill(d)(0)
+    val row = spark.range(1)
+      .select(array(v.map(lit): _*).as("v"))
+      .select(
+        graft.functions.Sq8.encode(col("v"), frozen).as("codes"),
+        graft.functions.Sq8.encodeBytes(col("v"), frozen).as("bytes"),
+        graft.functions.Sq8.dist(col("v"), frozen, qcodes).as("raw_d"),
+        graft.functions.Sq8.codesDist(
+          graft.functions.Sq8.encode(col("v"), frozen), qcodes).as("codes_d"),
+        graft.functions.Sq8.bytesDist(
+          graft.functions.Sq8.encodeBytes(col("v"), frozen), qcodes)
+          .as("bytes_d"))
+      .head()
+    val codes = row.getSeq[Int](0)
+    val bytes = row.getAs[Array[Byte]](1)
+    val expectCodes = v.map(x => ScalarQuant.quantize(x, 0.0, 1.0))
+    assert(codes == expectCodes.toSeq)
+    assert(codes.forall(c => c >= 0 && c <= 255))
+    assert(bytes.map(_ & 0xFF).toSeq == codes, "byte store diverges from int store")
+    val expectD = expectCodes.map(c => c.toLong * c).sum
+    assert(row.getLong(2) == expectD)
+    assert(row.getLong(3) == expectD)
+    assert(row.getLong(4) == expectD, "packed-byte distance diverges")
+  }
+
   test("ivf-sq8 probe returns the query cell's sq8 ranking exactly") {
     val (qid, qLabel, qv) = local.minBy(_._1)
     val qc = codesLocal(qv)

@@ -214,4 +214,28 @@ class SelectionSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
     assert(fromDisk == full)
   }
+
+  test("artifact merge folds into a MARKER-LESS seeded count table " +
+      "instead of replacing it") {
+    import org.apache.spark.sql.functions._
+    // seed via the documented batch path — a plain parquet write, no
+    // _batch_id marker. The merge must treat the existing DIRECTORY as
+    // the artifact (lastApplied = -1) and fold the batch in; keying on
+    // the marker would silently re-initialize from just the batch.
+    val docs = Tables.documents(spark, sf)
+    val gold = docs.filter(col("doc_id") < 400)
+    val batch = docs.filter(col("doc_id") >= 400)
+    val countsDir = java.nio.file.Files
+      .createTempDirectory("graft_seedcounts").toString
+    Selection.tokenCountsOn(gold).write.mode("overwrite")
+      .parquet(s"$countsDir/${Selection.TokenCountsTable}.parquet")
+    assert(Selection.mergeTokenCountsArtifact(spark, countsDir, batch, 0L))
+    val merged = Selection.jsDivergenceFromArtifact(spark, countsDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val full = Selection.jsDivergence(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(merged == full, "seeded artifact was replaced, not merged")
+    // replay no-op still holds once the marker exists
+    assert(!Selection.mergeTokenCountsArtifact(spark, countsDir, batch, 0L))
+  }
 }
