@@ -76,34 +76,31 @@ object Dedup {
     * duplicated. */
   val SpanMinOcc = 2
 
-  /** 60-bit gram fingerprint (first 15 md5 hex chars as a long) —
-    * same compaction as Curation.boilerplate: the shuffle key is 8
-    * bytes instead of a ~100-char gram string, and the DuckDB oracle
-    * replays it nibble-by-nibble ([[TextOps.gramFpSql]]). */
-  private def spanFp(s: Column): Column =
-    conv(substring(md5(s.cast("binary")), 1, 15), 16, 10).cast("long")
-
   /** Duplicated (doc_id, pos) gram positions: every position whose
     * [[SpanGram]]-gram fingerprint occurs ≥ [[SpanMinOcc]] times
-    * corpus-wide. Shape at scale (the boilerplate-prefilter shape,
-    * not a count window): the gram-count groupBy moves only (g,
-    * count) partial-agg rows — never doc_id/pos — and the surviving
-    * multi-occurrence gram set is typically tiny (verbatim repeats
-    * are the exception), so AQE broadcasts it back against the
-    * position scan; the worst case degrades to a sort-merge join,
-    * never an all-positions sort. */
+    * corpus-wide. The gram key is the two-level ROLLING hash
+    * ([[graft.functions.RollingGramKeys]]): each token's bytes hash
+    * once, each position is an O(1) rolling update — replacing the
+    * concat-the-gram-string + md5 key whose two string-concat passes
+    * were the measured 100× wall (47–51 s). Shape at scale (the
+    * boilerplate-prefilter shape, not a count window): the gram-count
+    * groupBy moves only (g, count) partial-agg rows — never
+    * doc_id/pos — and the surviving multi-occurrence gram set is
+    * typically tiny (verbatim repeats are the exception), so AQE
+    * broadcasts it back against the position scan; the worst case
+    * degrades to a sort-merge join, never an all-positions sort. */
   private def dupPositions(docs: DataFrame): DataFrame = {
     // posexplode_OUTER: plain explode lets InferFiltersFromGenerate
-    // push a size(grams) > 0 filter below the projection, duplicating
-    // the tokenize+shingle expression per row as an interpreted
-    // Filter (see sharedPairJaccard). Null grams from gramless docs
-    // fingerprint to null and drop at the inner g join (null ≠ null).
+    // push a size(keys) > 0 filter below the projection, duplicating
+    // the tokenize+hash expression per row as an interpreted
+    // Filter (see sharedPairJaccard). Null keys from gramless docs
+    // drop at the inner g join (null ≠ null).
     val occ = docs.select(col("doc_id"),
-        posexplode_outer(
-          TextOps.shinglesN(TextOps.tokens(col("text")), SpanGram))
-          .as(Seq("p", "s")))
+        posexplode_outer(graft.functions.RollingGramKeys(
+          TextOps.tokens(col("text")), SpanGram))
+          .as(Seq("p", "g")))
       .select(col("doc_id"), (col("p") + 1).cast("long").as("pos"),
-        spanFp(col("s")).as("g"))
+        col("g"))
     val dupG = occ.groupBy(col("g")).agg(count(lit(1)).as("c"))
       .filter(col("c") >= SpanMinOcc)
       .select(col("g"))
@@ -260,6 +257,150 @@ object Dedup {
       .orderBy(col("vec_id"))
   }
 
+  /** Per-cell training-sample cap for the PRODUCTION SemDeDup form
+    * ([[semanticDedupArtifact]]): sub-quantizers train on the cell's
+    * [[SampleCap]] min-vec_id members, never the full cell.
+    * Deliberately SMALLER than the sf0.01 cell sizes (43–55), so the
+    * oracle gate exercises real truncation, not a no-op cap. */
+  val SampleCap = 32
+
+  /** Production cell sizing: effective cell count K·SubK ≈
+    * N / [[TargetCellSize]], so the in-cell pairwise cost
+    * Σ|cell|² ≈ N·TargetCellSize stays LINEAR in the corpus — the
+    * scaling law SemDeDup needs at 100 TB (a fixed cell count is
+    * quadratic: N²/2K, the measured 336 s wall at just 200k
+    * vectors). */
+  val TargetCellSize = 500.0
+
+  /** Sub-quantizer count for a corpus of `n` vectors under
+    * [[TargetCellSize]] — the K∝N knob ([[ScaleUp]] passes the real
+    * count; the gated entry pins [[SubK]] so the oracle SQL stays
+    * static). */
+  def subKFor(n: Long, k: Int = KMeans.K): Int =
+    math.max(2, math.ceil(n / (k * TargetCellSize)).toInt)
+
+  /** Pre-sampling modulus for the per-cell cap window: a map-only
+    * `vec_id % m = 0` filter bounds the window's input to
+    * ~K·cap·8 rows BEFORE any per-cell ranking, so the corpus never
+    * meets a rank window (the dedup_ngram_prefix lesson). m = 1 means
+    * sample-from-everything — correct at gate scale, where the corpus
+    * is already sample-sized. */
+  def sampleModulusFor(n: Long, cap: Int): Long =
+    math.max(1L, n / (KMeans.K.toLong * cap * 8))
+
+  /** The (vec_id, cell, v) assignment frame under SAMPLE-TRAINED
+    * sub-quantizers — the build side of production SemDeDup, ONE
+    * corpus assignment pass total:
+    *
+    *  1. coarse centroids: [[KMeans.trainFrame]] (the shared
+    *     fixed-round trainer);
+    *  2. per-cell training SAMPLES in one bounded job — a map-only
+    *     `vec_id % sampleMod` pre-filter, then the per-cell
+    *     min-vec_id `cap` via one rank window whose INPUT is the
+    *     bounded pre-sample (never the corpus), then one collect of
+    *     ≤ K·cap rows;
+    *  3. sub-quantizers trained LOCALLY per cell
+    *     ([[KMeans.trainLocal]] — bit-identical arithmetic to the
+    *     frame trainer, asserted in DedupSpec) — zero further corpus
+    *     scans, vs the first cut's K full trainFrame re-scans
+    *     (10 · Rounds corpus-cell aggregations);
+    *  4. one map-only projection assigns every vector its fine cell
+    *     (coarse CASE over the K sub-codebooks, each a codegen'd
+    *     [[graft.functions.NearestCentroid]] loop).
+    *
+    * Callers materialize the result ONCE (localCheckpoint or the
+    * [[writeSemanticCells]] parquet artifact) and feed BOTH pairwise
+    * legs from it — assignment is never re-derived, which was the
+    * second half of the measured 1.8×-of-promised-5× gap in the
+    * first sub-clustered cut. */
+  private[ext] def semanticCellsOn(vecs: DataFrame, subK: Int,
+      cap: Int = SampleCap, sampleMod: Long = 1L): DataFrame = {
+    val cents = KMeans.trainFrame(
+      vecs.select(col("vec_id"), col("v")), KMeans.K)
+    val e = vecs.select(col("vec_id"), col("v"),
+      KMeans.assignOn(col("v"), cents).as("cluster"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster")).orderBy(col("vec_id"))
+    val sampled = e.filter(col("vec_id") % lit(sampleMod) === 0)
+      .withColumn("srn", row_number().over(w))
+      .filter(col("srn") <= cap)
+      .select(col("cluster"), col("vec_id"), col("v"))
+      .collect()
+    val byCell: Map[Int, Seq[(Long, Seq[Double])]] = sampled
+      .groupBy(_.getInt(0))
+      .map { case (c, rows) =>
+        c -> rows.map(r => (r.getLong(1), r.getSeq[Double](2))).toSeq
+      }
+    val subs: Seq[Seq[(Int, Seq[Double])]] = (0 until KMeans.K).map { c =>
+      KMeans.trainLocal(byCell.getOrElse(c,
+        sys.error(s"coarse cell $c has no sampled members " +
+          s"(cap=$cap, mod=$sampleMod) — raise the sample budget")),
+        subK)
+    }
+    val fine = (0 until KMeans.K).foldLeft(lit(-1)) { (acc, c) =>
+      when(col("cluster") === c, KMeans.assignOn(col("v"), subs(c)))
+        .otherwise(acc)
+    }
+    e.select(col("vec_id"), col("v"),
+      (col("cluster") * subK + fine).as("cell"))
+  }
+
+  /** The pairwise prune over a materialized (vec_id, cell, v) frame:
+    * in-cell equi-join, keep = min lower-id neighbor above
+    * [[SemThreshold]] — the serve side every SemDeDup variant
+    * shares. Both legs read `g` AS GIVEN (checkpointed or from the
+    * parquet artifact); nothing upstream re-runs. */
+  private[ext] def semanticDedupOverCells(g: DataFrame): DataFrame = {
+    val a = g.select(col("cell"), col("vec_id").as("cand"),
+      col("v").as("va"))
+    val b = g.select(col("cell"), col("vec_id"), col("v").as("vb"))
+    val dupOf = a.join(b, Seq("cell"))
+      .filter(col("cand") < col("vec_id") &&
+        graft.functions.CosineSimilarity(col("va"), col("vb"))
+          >= SemThreshold)
+      .groupBy(col("vec_id")).agg(min(col("cand")).as("dup_of"))
+    g.select(col("vec_id"), col("cell"))
+      .join(dupOf, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        col("dup_of").isNotNull.as("is_dup"), col("dup_of"))
+  }
+
+  /** PRODUCTION SemDeDup (the round-11 verdict's #1 task): sampled
+    * sub-quantizer training (one corpus pass + one bounded collect),
+    * the (vec_id, cell, v) assignment materialized ONCE and feeding
+    * both pairwise legs, and — via [[subKFor]] at the call sites that
+    * know N — cell count growing with the corpus so in-cell pairwise
+    * work stays linear. The gated entry pins subK = [[SubK]] and
+    * cap = [[SampleCap]] (static oracle SQL); [[ScaleUp]]'s 100× row
+    * passes subKFor(N) and sampleModulusFor(N). Flags are a subset of
+    * the coarse form's (sub-splitting only loses pairs), asserted in
+    * DedupSpec alongside trainLocal==trainFrame parity. */
+  def semanticDedupArtifact(spark: SparkSession, dir: String): DataFrame = {
+    val g = semanticCellsOn(KMeans.vecs(spark, dir), SubK)
+      .localCheckpoint()
+    semanticDedupOverCells(g).orderBy(col("vec_id"))
+  }
+
+  /** Write the assignment as a cell-partitioned parquet artifact —
+    * the `writeSplitLabels` pattern: build once, every later pairwise
+    * pass (and any per-cell re-dedup after an append) reads back with
+    * partition pruning on `cell`. */
+  def writeSemanticCells(spark: SparkSession, dir: String, out: String,
+      subK: Int = SubK, cap: Int = SampleCap, sampleMod: Long = 1L): Unit =
+    semanticCellsOn(KMeans.vecs(spark, dir), subK, cap, sampleMod)
+      .write.mode("overwrite").partitionBy("cell").parquet(out)
+
+  /** The serve side over the on-disk artifact — reads (vec_id, v,
+    * cell) back and runs only the in-cell prune; training and
+    * assignment are never re-paid. */
+  def semanticDedupFromCells(spark: SparkSession,
+      cellsDir: String): DataFrame =
+    semanticDedupOverCells(
+      spark.read.parquet(cellsDir)
+        .select(col("vec_id"), col("cell").cast("int").as("cell"),
+          col("v")))
+      .orderBy(col("vec_id"))
+
   /** Cross-source duplication matrix: near-duplicate pair counts per
     * (canonical) source pair — the "which feeds copy from each other"
     * report a multi-source corpus build runs before weighting sources
@@ -361,21 +502,43 @@ object Dedup {
     * thresholds where the prefix actually prunes), not as a wholesale
     * replacement — so the CC edge feeder and [[sourceOverlap]] ride
     * the inverted index. */
+  /** Vocabulary bound for the broadcast df dictionary — a LOUD guard,
+    * not a truncation: past this many shingle types the dictionary
+    * shouldn't ride in task closures and the inverted path (or a
+    * partitioned PPJoin) is the right regime. */
+  val MaxBroadcastVocab = 50000000
+
+  /** PPJoin-style prefix-filtered near-dup pairs — the skew remedy
+    * for hot shingles, now in its BROADCAST-rank form: the
+    * vocab-bounded df dictionary is computed once (one map-side-
+    * combinable aggregation — the only corpus-wide shuffle carries
+    * (shingle, partial-count) rows that combine down to vocabulary
+    * size) and rides into the scan as a reference object; prefix
+    * selection is then a per-document array sort inside the
+    * projection ([[graft.functions.PrefixByDf]]). The first
+    * formulation's df-JOIN + per-doc rank window sorted the entire
+    * inverted index and ABORTED at 100× (spill past disk — PLANS.md
+    * round-11); this one shuffles strictly LESS than the inverted
+    * path, because only the prefix index (a (1−t)+ε fraction of the
+    * full index) reaches the candidate self-join. Same verified pair
+    * set either way: prefix filtering is lossless for Jaccard ≥ t
+    * under any consistent global ordering. */
   def ngramJaccardPrefixPairs(spark: SparkSession, dir: String): DataFrame = {
     val t = docShingles(spark, dir)
-    // explode_outer for the same InferFiltersFromGenerate reason as
-    // sharedPairJaccard; null rows drop at the freq/ranked inner joins
     val inv = t.select(col("doc_id"), explode_outer(col("sh")).as("s"))
-    val freq = inv.groupBy(col("s")).agg(count(lit(1)).as("df"))
-    val ranked = inv.join(freq, Seq("s"))
-      .withColumn("rk", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(col("doc_id")).orderBy(col("df"), col("s"))))
-    val sizes = t.select(col("doc_id"), size(col("sh")).as("n"))
-    val prefix = ranked.join(sizes, Seq("doc_id"))
-      .filter(col("rk") <=
-        col("n") - ceil(lit(JaccardThreshold) * col("n")) + 1)
-      .select(col("doc_id"), col("s"))
+      .filter(col("s").isNotNull)
+    val dfRows = inv.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .limit(MaxBroadcastVocab + 1).collect()
+    require(dfRows.length <= MaxBroadcastVocab,
+      s"ngramJaccardPrefixPairs: shingle vocabulary exceeds " +
+        s"$MaxBroadcastVocab types — the broadcast df dictionary no " +
+        s"longer fits a task closure; use ngramJaccardPairs (inverted " +
+        s"index) at this scale")
+    val dfEntries = dfRows.map(r => (r.getString(0), r.getLong(1))).toSeq
+    val prefix = t.select(col("doc_id"),
+        explode_outer(graft.functions.PrefixByDf(col("sh"), dfEntries,
+          JaccardThreshold)).as("s"))
+      .filter(col("s").isNotNull)
     val cand = prefix.as("x").join(prefix.as("y"),
         col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
@@ -1056,8 +1219,18 @@ object Dedup {
   // 15-gram fingerprints (same 60-bit md5 compaction, nibble replay),
   // multi-occurrence grams via GROUP BY ... HAVING, islands via
   // lag + running-sum windows
-  private val spanOccSql =
-    s"""SELECT doc_id, u.pos AS pos, ${TextOps.gramFpSql("u.gram")} AS g FROM (SELECT doc_id, unnest(list_transform(range(1, len(t)-$SpanGram+2), i -> {'pos': i, 'gram': list_aggregate(t[i:i+${SpanGram - 1}], 'string_agg', ' ')})) AS u FROM (SELECT doc_id, ${TextOps.toksSql} AS t FROM documents) WHERE len(t) >= $SpanGram)"""
+  // two-level rolling-hash replay (RollingGramKeys): per-token
+  // byte-level Karp–Rabin (the text_rolling_fingerprint HUGEINT fold
+  // — valid because the corpus is pure ASCII), then a per-position
+  // base-GramBase Horner over the k token hashes. The oracle re-folds
+  // every position; the engine's O(1) rolling update is congruent mod
+  // 2^61-1, so the values match bit-for-bit.
+  private val spanMod = "2305843009213693951"
+  private val spanOccSql = {
+    val tokHash =
+      s"list_reduce(list_prepend(CAST(0 AS HUGEINT), list_transform(range(1, length(s)+1), ci -> CAST(ord(substr(s, ci, 1)) AS HUGEINT))), (h, b) -> (h * 257 + b) % $spanMod)"
+    s"""SELECT doc_id, u.pos AS pos, CAST(u.g AS BIGINT) AS g FROM (SELECT doc_id, unnest(list_transform(range(1, len(th)-$SpanGram+2), i -> {'pos': i, 'g': list_reduce(list_prepend(CAST(0 AS HUGEINT), th[i:i+${SpanGram - 1}]), (g, x) -> (g * ${graft.functions.RollingGramKeys.GramBase} + x) % $spanMod)})) AS u FROM (SELECT doc_id, list_transform(t, s -> $tokHash) AS th FROM (SELECT doc_id, ${TextOps.toksSql} AS t FROM documents) WHERE len(t) >= $SpanGram))"""
+  }
   private val spanSql =
     s"""WITH occ AS ($spanOccSql), dupg AS (SELECT g FROM occ GROUP BY g HAVING COUNT(*) >= $SpanMinOcc), dup AS (SELECT doc_id, pos FROM occ JOIN dupg USING (g)), isl AS (SELECT doc_id, pos, SUM(CASE WHEN prev IS NULL OR pos - prev > $SpanGram THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island FROM (SELECT doc_id, pos, lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev FROM dup)), spans AS (SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + ${SpanGram - 1} AS span_end, MAX(pos) + $SpanGram - MIN(pos) AS span_tokens FROM isl GROUP BY doc_id, island)"""
 
@@ -1065,6 +1238,24 @@ object Dedup {
   // fixed-round sub-train chain PER coarse cell over that cell's
   // members (same trainChain generator the PQ sub-quantizers use),
   // fine cells unioned, and the same same-cell self-join
+  // production (artifact) SemDeDup replay: per coarse cell, the
+  // training table is the cell's SampleCap min-vec_id members (the
+  // srn cap mirrors semanticCellsOn's sample window at sampleMod=1);
+  // the trained c2y$c centroids then assign ALL cell members in a
+  // separate final-assign select — training input and assignment
+  // target deliberately differ, unlike semScaledSql where they
+  // coincide
+  private val semArtifactSql = {
+    val cellChains = (0 until KMeans.K).map { c =>
+      s"ss$c AS (SELECT vec_id, label, v, vi FROM (SELECT q.vec_id, q.label, q.v, q.vi, row_number() OVER (ORDER BY q.vec_id) AS srn FROM q JOIN af USING (vec_id) WHERE af.cid = $c) WHERE srn <= $SampleCap), " +
+        KMeans.trainChain(s"ss$c", s"y$c", 64, SubK)
+    }.mkString(", ")
+    val fineUnion = (0 until KMeans.K).map { c =>
+      s"SELECT vec_id, $c * $SubK + cid AS cell FROM (SELECT t.vec_id, cc.cid, row_number() OVER (PARTITION BY t.vec_id ORDER BY ${KMeans.distSqlN("t.v", "cc.cv", 64)}, cc.cid) AS rn FROM (SELECT q.vec_id, q.v FROM q JOIN af USING (vec_id) WHERE af.cid = $c) t CROSS JOIN c2y$c cc) WHERE rn = 1"
+    }.mkString(" UNION ALL ")
+    s"""WITH ${KMeans.trainCtes}, $cellChains, fine AS ($fineUnion), m AS (SELECT f.vec_id, f.cell, q.v FROM fine f JOIN q USING (vec_id)), p AS (SELECT b.vec_id, MIN(a.vec_id) AS dup_of FROM m a JOIN m b ON a.cell = b.cell AND a.vec_id < b.vec_id AND ${KMeans.cosSql("a.v", "b.v")} >= $SemThreshold GROUP BY b.vec_id) SELECT m.vec_id, CAST(m.cell AS INTEGER) AS cell, p.dup_of IS NOT NULL AS is_dup, p.dup_of FROM m LEFT JOIN p USING (vec_id) ORDER BY m.vec_id"""
+  }
+
   private val semScaledSql = {
     val cellChains = (0 until KMeans.K).map { c =>
       s"qs$c AS (SELECT q.vec_id, q.label, q.v, q.vi FROM q JOIN af USING (vec_id) WHERE af.cid = $c), " +
@@ -1078,6 +1269,7 @@ object Dedup {
 
   val oracle: Map[String, String] = Map(
     "dedup_semantic_scaled" -> semScaledSql,
+    "dedup_semantic_artifact" -> semArtifactSql,
     // SemDeDup: the kmeans train chain (KMeans.trainCtes) feeds a
     // same-cluster self-join; keep = min lower-id neighbor above the
     // cosine bar
@@ -1126,6 +1318,7 @@ object Dedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_semantic" -> semanticDedup _,
     "dedup_semantic_scaled" -> semanticDedupScaled _,
+    "dedup_semantic_artifact" -> semanticDedupArtifact _,
     "dedup_substring_spans" -> substringSpans _,
     "dedup_substring_summary" -> substringSpanSummary _,
     "dedup_exact_summary" -> exactSummary _,

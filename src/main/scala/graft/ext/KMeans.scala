@@ -38,7 +38,7 @@ object KMeans {
   val Rounds = 2
   private val Q = 1048576.0 // 2^20 quantization step
 
-  private[ext] def vecs(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def vecs(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label"),
         col("embedding").cast("array<double>").as("v"))
@@ -50,7 +50,7 @@ object KMeans {
     * Left-to-right IEEE fold per centroid, ties to the lower cid —
     * exactly the oracle's `ORDER BY dist, cid / rn = 1`. Requires
     * cids to be their positions, which [[trainOn]] guarantees. */
-  private[ext] def assignOn(v: Column,
+  private[graft] def assignOn(v: Column,
       cents: Seq[(Int, Seq[Double])]): Column = {
     require(cents.map(_._1) == cents.indices,
       s"centroid ids must be 0..${cents.size - 1} in order")
@@ -78,7 +78,7 @@ object KMeans {
   /** [[trainOn]] over an arbitrary (vec_id, v) frame — the entry point
     * residual PQ uses to train sub-quantizers on residual slices
     * instead of raw dimension slices. Same deterministic discipline. */
-  private[ext] def trainFrame(e: DataFrame, k: Int): Seq[(Int, Seq[Double])] = {
+  private[graft] def trainFrame(e: DataFrame, k: Int): Seq[(Int, Seq[Double])] = {
     var cents: Seq[(Int, Seq[Double])] =
       e.orderBy(col("vec_id")).limit(k)
         .select(col("vec_id"), col("v")).collect()
@@ -107,6 +107,61 @@ object KMeans {
       assert(cents.size == k, s"centroid set shrank to ${cents.size}")
     }
     cents
+  }
+
+  /** [[trainFrame]] run entirely on the DRIVER over an
+    * already-collected member sample — the sampled-sub-quantizer
+    * trainer ([[Dedup.semanticDedupArtifact]]) uses after ONE bounded
+    * collect instead of per-cell corpus re-scans (FAISS practice:
+    * coarse/fine quantizers train on samples, never the corpus).
+    * Arithmetic is OPERATION-IDENTICAL to [[trainFrame]] and the
+    * DuckDB [[trainChain]] replay: min-vec_id init with ids =
+    * positions, argmin assignment as the left-to-right IEEE fold with
+    * strict-< ties to the lower cid (the [[graft.functions.NearestCentroid]]
+    * loop), quantized-integer mean update (`floor(x·2^20 + 0.5)` sums
+    * — order-independent), empty cells keep their previous centroid,
+    * [[Rounds]] fixed rounds. Parity with trainFrame is asserted in
+    * DedupSpec. */
+  private[graft] def trainLocal(members: Seq[(Long, Seq[Double])],
+      k: Int): Seq[(Int, Seq[Double])] = {
+    require(members.size >= k,
+      s"trainLocal: ${members.size} members < $k centroids")
+    val sorted = members.sortBy(_._1)
+    val vs = sorted.map(_._2.toArray).toArray
+    val vi = vs.map(_.map(x => math.floor(x * Q + 0.5).toLong))
+    val d = vs(0).length
+    var cents: Array[Array[Double]] = vs.take(k).map(_.clone())
+    (1 to Rounds).foreach { _ =>
+      val sums = Array.ofDim[Long](k, d)
+      val counts = new Array[Long](k)
+      var r = 0
+      while (r < vs.length) {
+        val v = vs(r)
+        var best = 0
+        var bestDist = Double.PositiveInfinity
+        var c = 0
+        while (c < k) {
+          val cv = cents(c)
+          var acc = 0.0
+          var i = 0
+          while (i < d) { val t = v(i) - cv(i); acc += t * t; i += 1 }
+          if (acc < bestDist) { bestDist = acc; best = c }
+          c += 1
+        }
+        counts(best) += 1
+        var i = 0
+        while (i < d) { sums(best)(i) += vi(r)(i); i += 1 }
+        r += 1
+      }
+      cents = Array.tabulate(k) { c =>
+        if (counts(c) == 0) cents(c) // empty cell keeps its centroid
+        else Array.tabulate(d)(i =>
+          sums(c)(i).toDouble / counts(c).toDouble / Q)
+      }
+    }
+    cents.toIndexedSeq.zipWithIndex.map { case (cv, i) =>
+      (i, cv.toIndexedSeq)
+    }
   }
 
   /** Final cluster assignment under the trained centroids, next to the
@@ -200,9 +255,33 @@ object KMeans {
       cents: Seq[(Int, Seq[Double])],
       nq: Int = BatchQueries): DataFrame = {
     val e = vecs(spark, dir)
-    val qrows = e.orderBy(col("vec_id")).limit(nq)
+    ivfBatchScore(
+      e.select(col("vec_id"), col("label"), col("v"),
+        assignCol(cents).as("cluster")),
+      cents, batchQueryRows(spark, dir, nq))
+  }
+
+  /** The query block: the `nq` min-vec_id vectors, collected (nq × 64
+    * doubles — driver-bounded prep, the serving contract where query
+    * batches arrive from outside the corpus anyway). */
+  def batchQueryRows(spark: SparkSession, dir: String,
+      nq: Int = BatchQueries): Seq[(Long, Seq[Double])] =
+    vecs(spark, dir).orderBy(col("vec_id")).limit(nq)
       .select(col("vec_id"), col("v")).collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+
+  /** The batched-IVF scoring core over a PRE-ASSIGNED (vec_id, label,
+    * v, cluster) frame — shared by the live form (assignment computed
+    * in the scan) and the steady-state form over the cell-partitioned
+    * store ([[ivfBatchTopKFromCells]]), where `cluster` is the
+    * PARTITION column and the probed-cells filter becomes partition
+    * PRUNING: the corpus-wide raw-vector assignment leg (the dominant
+    * cost of the live 20M row — every row pays the K·d argmin loop
+    * just to be discarded by the probe filter) disappears entirely;
+    * the scan reads probed-cells bytes only. */
+  private def ivfBatchScore(cells: DataFrame,
+      cents: Seq[(Int, Seq[Double])],
+      qrows: Seq[(Long, Seq[Double])]): DataFrame = {
     def cellOf(qv: Seq[Double]): Int = cents.map { case (cid, cv) =>
       (qv.zip(cv).foldLeft(0.0) { case (acc, (x, c)) =>
         acc + (x - c) * (x - c) }, cid)
@@ -223,8 +302,7 @@ object KMeans {
     // the inferred size(qArr) > 0 filter would re-evaluate the
     // CASE-over-NearestCentroid chain per row as an interpreted
     // Filter; outer-form nulls drop at the qid filter below
-    val scored = e.select(col("vec_id"), col("label"), col("v"),
-        assignCol(cents).as("cluster"))
+    val scored = cells
       .filter(col("cluster").isin(probed: _*))
       .withColumn("q", explode_outer(qArr))
       .filter(col("q.qid") =!= col("vec_id"))
@@ -237,6 +315,31 @@ object KMeans {
         col("rk"))
       .orderBy(col("query_id"), col("rk"))
   }
+
+  /** Write the corpus as the cell-partitioned VECTOR store — assign
+    * once, `partitionBy(cluster)`: the uncompressed-IVF analog of the
+    * residual codes store the streaming ingest maintains. Build-once;
+    * every later batch answer reads only its probed partitions. */
+  def writeCellVectors(spark: SparkSession, dir: String, out: String,
+      cents: Seq[(Int, Seq[Double])]): Unit =
+    vecs(spark, dir)
+      .select(col("vec_id"), col("label"), col("v"),
+        assignCol(cents).as("cluster"))
+      .write.mode("overwrite").partitionBy("cluster").parquet(out)
+
+  /** Steady-state batched IVF over the cell-partitioned store
+    * ([[writeCellVectors]] output): identical answers to
+    * [[ivfBatchTopKWith]] under the same centroids (parity asserted
+    * in KMeansSpec), but the probe filter is partition pruning — no
+    * corpus-wide assignment leg, scan cost = probed cells only. */
+  def ivfBatchTopKFromCells(spark: SparkSession, cellsDir: String,
+      cents: Seq[(Int, Seq[Double])],
+      qrows: Seq[(Long, Seq[Double])]): DataFrame =
+    ivfBatchScore(
+      spark.read.parquet(cellsDir)
+        .select(col("vec_id"), col("label"), col("v"),
+          col("cluster").cast("int").as("cluster")),
+      cents, qrows)
 
   // ---- DuckDB replay of the training loop as a CTE chain ----
 

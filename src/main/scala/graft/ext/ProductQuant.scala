@@ -327,6 +327,59 @@ object ProductQuant {
       .limit(TopK)
   }
 
+  /** OPQ composition — the FAISS `OPQ,IVF,PQ` chain: the seeded
+    * orthonormal rotation ([[ScalarQuant.rotationMatrix]], already
+    * proven write-side-only by the SQ8 tier) is applied BEFORE coarse
+    * training, so the coarse quantizer, the residuals, and every
+    * residual sub-quantizer all live in ROTATED space. Rotation
+    * spreads variance across the M subspace blocks — the failure mode
+    * it fixes is a dominant raw dimension concentrating all the
+    * quantization error in one sub-quantizer (Ge et al., OPQ, CVPR
+    * 2013 use a LEARNED rotation; the seeded random one is FAISS's
+    * `RandomRotationMatrix` drop-in and keeps the whole chain
+    * deterministic and oracle-replayable).
+    *
+    * Serving cost is UNCHANGED: the rotation happens at encode time
+    * (write side) and once per query on the driver ([[ScalarQuant
+    * .rotateLocal]] — d² multiplies); the cell scan still reads M
+    * small codes per row and sums M table lookups. The one
+    * composition subtlety — per-probed-cell residuals — is inherited
+    * unchanged from the residual chain because rotation is applied
+    * strictly upstream of it. */
+  def opqIvfPqTopK(spark: SparkSession, dir: String): DataFrame = {
+    val rot = ScalarQuant.rotationMatrix()
+    val rvecs = KMeans.vecs(spark, dir)
+      .select(col("vec_id"), col("label"),
+        graft.functions.MatVec(col("v"), rot).as("v"))
+    val coarse = KMeans.trainFrame(
+      rvecs.select(col("vec_id"), col("v")), KMeans.K)
+    val res = rvecs.select(col("vec_id"), residualCol(coarse).as("v"))
+    val rcbs = (0 until M).map(m => KMeans.trainFrame(
+      res.select(col("vec_id"),
+        slice(col("v"), m * SubDim + 1, SubDim).as("v")), Ks))
+    val qraw = KMeans.vecs(spark, dir).orderBy(col("vec_id")).limit(1)
+      .select(col("vec_id"), col("v")).head()
+    val qid = qraw.getLong(0)
+    val qv = ScalarQuant.rotateLocal(qraw.getSeq[Double](1), rot)
+    val qCid = coarse.map { case (cid, cv) =>
+      (qv.zip(cv).foldLeft(0.0) { case (acc, (x, c)) =>
+        acc + (x - c) * (x - c) }, cid)
+    }.min._2
+    val qres = qv.zip(coarse(qCid)._2).map { case (x, c) => x - c }
+    val dt = distTable(qres, rcbs)
+    val rv = residualCol(coarse)
+    val adc = (0 until M).map { m =>
+      element_at(array(dt(m).map(lit): _*),
+        KMeans.assignOn(slice(rv, m * SubDim + 1, SubDim), rcbs(m)) + lit(1))
+    }.reduceLeft(_ + _)
+    rvecs
+      .filter(KMeans.assignOn(col("v"), coarse) === qCid &&
+        col("vec_id") =!= qid)
+      .select(col("vec_id"), col("label"), adc.as("adc_dist"))
+      .orderBy(col("adc_dist"), col("vec_id"))
+      .limit(TopK)
+  }
+
   /** Candidate multiplier for the exact re-rank rung: the ADC pass
     * keeps k′ = [[RerankFactor]]·[[TopK]] candidates, the re-rank
     * touches exactly k′ raw vectors. */
@@ -613,7 +666,61 @@ object ProductQuant {
       s"list_slice(list_transform(range(1, 65), i -> r.qv[i] - c.cv[i]), ${lo(m)}, ${hi(m)}) AS rv$m")
       .mkString(", ")} FROM qrow r CROSS JOIN qa a JOIN c2 c ON c.cid = a.cid)"""
 
+  // OPQ replay: the 64×64 rotation as a VALUES literal (the rrsq8
+  // idiom — list_sum folds are bit-equal to MatVec, proven by that
+  // green entry), rotated vectors re-quantized into qo, then the
+  // residual chain VERBATIM one level down: coarse trainChain over
+  // qo, residuals w.r.t. c2o, per-subspace chains with _ro suffixes
+  private val opqCtes: String = {
+    // E-notation forces DOUBLE literals: a plain decimal literal in a
+    // VALUES list parses as DECIMAL(18,17) in DuckDB, silently
+    // re-rounding the rotation coefficients — the per-term products
+    // then differ from MatVec's by an ulp and the raw-double adc_dist
+    // output hash-misses (the rrsq8 entry survives the same literal
+    // because its 8-bit code quantization absorbs ulps; this chain's
+    // output is an unquantized double)
+    def dlit(x: Double): String = {
+      val s = x.toString
+      if (s.contains("E") || s.contains("e")) s else s + "E0"
+    }
+    val rotRows = ScalarQuant.rotationMatrix().zipWithIndex.map {
+      case (row, i) => s"(${i + 1}, [${row.map(dlit).mkString(", ")}])"
+    }.mkString(", ")
+    val rvl =
+      "rvlo AS (SELECT e.vec_id, e.label, t.dim AS dim, list_sum(list_transform(range(1, 65), j -> t.mrow[j] * CAST(e.embedding[j] AS DOUBLE))) AS rx FROM embeddings e CROSS JOIN roto t)"
+    val qo =
+      "qo AS (SELECT vec_id, label, list(rx ORDER BY dim) AS v, list(CAST(floor(rx * 1048576.0 + 0.5) AS BIGINT) ORDER BY dim) AS vi FROM rvlo GROUP BY vec_id, label)"
+    val rq =
+      "rqo AS (SELECT q.vec_id, list_transform(range(1, 65), i -> q.v[i] - c.cv[i]) AS v, list_transform(range(1, 65), i -> CAST(floor((q.v[i] - c.cv[i]) * 1048576.0 + 0.5) AS BIGINT)) AS vi FROM qo q JOIN afo USING (vec_id) JOIN c2o c ON afo.cid = c.cid)"
+    val subs = (0 until M).map { m =>
+      s"rq_o$m AS (SELECT vec_id, list_slice(v, ${lo(m)}, ${hi(m)}) AS v, " +
+        s"list_slice(vi, ${lo(m)}, ${hi(m)}) AS vi FROM rqo), " +
+        KMeans.trainChain(s"rq_o$m", s"_ro$m", SubDim, Ks)
+    }.mkString(", ")
+    s"roto AS (SELECT * FROM (VALUES $rotRows) t(dim, mrow)), $rvl, $qo, ${KMeans.trainChain("qo", "o", 64, KMeans.K)}, $rq, $subs"
+  }
+  private val opqCodesJoin =
+    (0 until M).map(m => s"JOIN af_ro$m USING (vec_id)").mkString(" ")
+  private val opqCbJoins =
+    (0 until M).map(m => s"JOIN c2_ro$m g$m ON g$m.cid = af_ro$m.cid")
+      .mkString(" ")
+
   val oracle: Map[String, String] = Map(
+    // every CTE of the OPQ chain is MATERIALIZED: DuckDB 1.0 INLINES
+    // CTEs by default, and this chain's base table `qo` is itself an
+    // aggregation over the 64×corpus rotation cross-join — the nested
+    // trainChains reference it (transitively, through rqo/afo/c2o)
+    // enough times that the inlined plan tree explodes past the
+    // memory limit ("bad allocation" at the gate, poisoning every
+    // later query on the shared connection). Materialization
+    // collapses each CTE to one evaluation (measured: OOM → 1.0 s).
+    // The unrotated chains get away with inlining because their base
+    // `q` is a cast of the table scan.
+    "sim_opq_ivfpq_topk" ->
+      s"""WITH $opqCtes, qrow AS (SELECT vec_id AS qid, v AS qv FROM qo ORDER BY vec_id LIMIT 1), qa AS (SELECT cid FROM (SELECT c.cid, row_number() OVER (ORDER BY ${KMeans
+        .distSqlN("r.qv", "c.cv", 64)}, c.cid) AS rn FROM qrow r CROSS JOIN c2o c) WHERE rn = 1), qres AS (SELECT r.qid, ${(0 until M).map(m =>
+        s"list_slice(list_transform(range(1, 65), i -> r.qv[i] - c.cv[i]), ${lo(m)}, ${hi(m)}) AS rv$m").mkString(", ")} FROM qrow r JOIN c2o c ON c.cid = (SELECT cid FROM qa)) SELECT vec_id, label, adc_dist FROM (SELECT q.vec_id, q.label, $residAdcSql AS adc_dist FROM qo q $opqCodesJoin $opqCbJoins JOIN afo USING (vec_id) CROSS JOIN qres s CROSS JOIN qa WHERE afo.cid = qa.cid AND q.vec_id <> s.qid) ORDER BY adc_dist, vec_id LIMIT $TopK"""
+        .replace(" AS (SELECT", " AS MATERIALIZED (SELECT"),
     "sim_ivfpq_residual_topk" ->
       s"""WITH $residCtes, qrow AS (SELECT vec_id AS qid, v AS qv FROM q ORDER BY vec_id LIMIT 1), qa AS (SELECT cid FROM (SELECT c.cid, row_number() OVER (ORDER BY ${KMeans
         .distSqlN("r.qv", "c.cv", 64)}, c.cid) AS rn FROM qrow r CROSS JOIN c2 c) WHERE rn = 1), $residQresCte SELECT vec_id, label, adc_dist FROM (SELECT q.vec_id, q.label, $residAdcSql AS adc_dist FROM q $residCodesJoin $residCbJoins JOIN af USING (vec_id) CROSS JOIN qres s CROSS JOIN qa WHERE af.cid = qa.cid AND q.vec_id <> s.qid) ORDER BY adc_dist, vec_id LIMIT $TopK""",
@@ -663,6 +770,7 @@ object ProductQuant {
     "sim_pq_topk" -> pqTopK _,
     "sim_ivfpq_topk" -> ivfPqTopK _,
     "sim_ivfpq_residual_topk" -> ivfPqResidualTopK _,
+    "sim_opq_ivfpq_topk" -> opqIvfPqTopK _,
     "sim_ivfpq_rerank" -> ivfPqRerankTopK _,
     "sim_adc_batch_topk" -> adcBatchTopK _,
     "sim_ivfpq_topk_p2" ->

@@ -330,6 +330,75 @@ class DedupSpec extends SparkSpec {
       "tight duplicate pairs should survive the sub-split")
   }
 
+  test("local sampled trainer is bit-identical to the frame trainer " +
+    "on the same member set") {
+    import org.apache.spark.sql.functions._
+    // parity proof for KMeans.trainLocal: run both trainers over one
+    // coarse cell's full membership — identical init, assignment,
+    // quantized-mean update, rounds → identical doubles
+    val cents = graft.ext.KMeans.trainFrame(
+      graft.ext.KMeans.vecs(spark, sf).select(col("vec_id"), col("v")),
+      graft.ext.KMeans.K)
+    val cell0 = graft.ext.KMeans.vecs(spark, sf)
+      .select(col("vec_id"), col("v"),
+        graft.ext.KMeans.assignOn(col("v"), cents).as("cluster"))
+      .filter(col("cluster") === 0)
+      .select(col("vec_id"), col("v"))
+    val fromFrame = graft.ext.KMeans.trainFrame(cell0, Dedup.SubK)
+    val members = cell0.collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+    val fromLocal = graft.ext.KMeans.trainLocal(members, Dedup.SubK)
+    assert(fromLocal == fromFrame,
+      "trainLocal diverges from trainFrame on identical input")
+  }
+
+  test("artifact semantic dedup: cells nest in coarse clusters, flags " +
+    "are a subset of the coarse form's, and the disk artifact serves " +
+    "the identical result") {
+    import org.apache.spark.sql.functions._
+    val coarse = Dedup.semanticDedup(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getBoolean(2))).toMap
+    val art = Dedup.semanticDedupArtifact(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))
+    assert(art.length == coarse.size)
+    for ((id, cell, _, _) <- art)
+      assert(cell / Dedup.SubK == coarse(id)._1,
+        s"vec $id: fine cell $cell outside coarse cluster ${coarse(id)._1}")
+    val coarseFlags = coarse.filter(_._2._2).keySet
+    val artFlags = art.filter(_._3).map(_._1).toSet
+    assert(artFlags.subsetOf(coarseFlags),
+      s"sub-splitting can only LOSE pairs: ${artFlags -- coarseFlags}")
+    assert(artFlags.nonEmpty,
+      "tight duplicate pairs should survive the sampled sub-split")
+    // disk artifact round-trip: write the cell-partitioned store,
+    // serve from it, identical rows — training/assignment never re-run
+    val cellsDir = java.nio.file.Files
+      .createTempDirectory("graft_semcells").toString + "/cells"
+    Dedup.writeSemanticCells(spark, sf, cellsDir)
+    val fromDisk = Dedup.semanticDedupFromCells(spark, cellsDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))
+    assert(fromDisk.toSeq == art.toSeq,
+      "artifact-served dedup diverges from the live build")
+  }
+
+  test("subKFor scales the cell count linearly with the corpus") {
+    assert(Dedup.subKFor(2000) == 2) // floor at 2 sub-cells
+    assert(Dedup.subKFor(200000) == 40)
+    assert(Dedup.subKFor(20000000) == 4000)
+    // effective cell size stays ~TargetCellSize as N grows
+    for (n <- Seq(100000L, 1000000L, 10000000L)) {
+      val cells = graft.ext.KMeans.K.toLong * Dedup.subKFor(n)
+      val per = n.toDouble / cells
+      assert(per <= Dedup.TargetCellSize * 1.1,
+        s"cell size $per drifts above target at n=$n")
+    }
+    // sample modulus keeps the window input bounded
+    assert(Dedup.sampleModulusFor(500, Dedup.SampleCap) == 1L)
+    assert(Dedup.sampleModulusFor(20000000, 320) > 1L)
+  }
+
   test("all-pairs embedding baseline refuses to run past its row guard") {
     val ex = intercept[IllegalArgumentException] {
       Dedup.embeddingCosinePairs(spark, sf, maxRows = 10)

@@ -122,6 +122,44 @@ class FunctionsSpec extends SparkSpec {
     assert(ref("abc") != ref("abd") && ref("abc") == ref("abc"))
   }
 
+  test("rolling gram keys: O(1) rolling update equals a direct " +
+      "per-position Horner refold") {
+    import graft.functions.{RollingGramKeys, RollingHash}
+    val Mod = BigInt(2).pow(61) - 1
+    // reference: per-token byte hash, then an independent (non-rolling)
+    // Horner fold per position in BigInt arithmetic
+    def ref(toks: Seq[String], k: Int): Seq[Long] = {
+      val th = toks.map(t => BigInt(
+        t.getBytes("UTF-8").foldLeft(0L)(RollingHash.step)))
+      (0 to toks.length - k).map { i =>
+        th.slice(i, i + k).foldLeft(BigInt(0)) { (g, x) =>
+          (g * RollingGramKeys.GramBase + x) mod Mod
+        }.toLong
+      }
+    }
+    val samples = Seq(
+      "a b c d e f g h", // distinct tokens
+      "x y x y x y x y x y", // periodic — rolling evictions repeat
+      "one two three", // shorter than some k
+      "t t t t t t t t t t") // all-equal tokens
+    for (s <- samples; k <- Seq(1, 2, 3, 8)) {
+      val toks = s.split(" ").toSeq
+      val got = Seq(toks).toDF("t")
+        .select(RollingGramKeys(col("t"), k))
+        .head().getSeq[Long](0)
+      val expect = if (toks.length < k) Seq.empty[Long] else ref(toks, k)
+      assert(got == expect, s"mismatch at k=$k for '$s'")
+    }
+    // shared gram ⇒ shared key (the property span dedup rests on)
+    val a = "p q r s t u v w".split(" ").toSeq
+    val b = "z z p q r s t u v w".split(" ").toSeq
+    val ka = Seq(a).toDF("t").select(RollingGramKeys(col("t"), 8))
+      .head().getSeq[Long](0)
+    val kb = Seq(b).toDF("t").select(RollingGramKeys(col("t"), 8))
+      .head().getSeq[Long](0)
+    assert(kb.contains(ka.head), "identical 8-gram must share its key")
+  }
+
   test("native cosine runs inside whole-stage codegen") {
     val e = Tables.embeddings(spark, sf)
       .select(col("embedding").cast("array<double>").as("v"))

@@ -64,4 +64,27 @@ class KMeansSpec extends SparkSpec {
     assert(q0 == single,
       "batch block for the min-id query must equal ivfTrainedTopK")
   }
+
+  test("batched IVF over the cell-partitioned store: identical answers, " +
+    "probe filter is partition pruning, no assignment in the scan") {
+    val cents = KMeans.train(spark, sf)
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_ivfcells").toString + "/cells"
+    KMeans.writeCellVectors(spark, sf, store, cents)
+    val qrows = KMeans.batchQueryRows(spark, sf)
+    val steady = KMeans.ivfBatchTopKFromCells(spark, store, cents, qrows)
+    val live = KMeans.ivfBatchTopKWith(spark, sf, cents).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3), r.getInt(4)))
+    val fed = steady.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3), r.getInt(4)))
+    assert(fed.toSeq == live.toSeq,
+      "store-served batch diverges from the live assignment form")
+    // the steady plan must carry the probe as PartitionFilters and no
+    // NearestCentroid assignment loop anywhere in the scan
+    val plan = steady.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cluster"),
+      s"probe filter did not become partition pruning:\n$plan")
+    assert(!plan.contains("nearestcentroid"),
+      s"steady scan must not re-assign raw vectors:\n$plan")
+  }
 }

@@ -75,7 +75,7 @@ class PlanLintSpec extends SparkSpec {
   private val rowKeyedWindow = Set(
     "elt_dedup_keep_first", "elt_union_dedup_sources",
     "elt_processed_pipeline", "etl_transform_sales",
-    "dedup_ngram_prefix", "dedup_incremental", "sim_centroid_assign",
+    "dedup_incremental", "sim_centroid_assign",
     // rank window partitioned by cluster_id — NDV ~ doc count, group
     // sizes are near-dup cluster sizes
     "dedup_keep_best",
@@ -102,6 +102,11 @@ class PlanLintSpec extends SparkSpec {
     // per-language tercile cutoffs (CCNet buckets): same
     // requireGroupsSortable guard + percentile_approx scale path
     "text_ppl_buckets")
+  // per-cell training-sample cap: the rank window's INPUT is the
+  // modulus-bounded pre-sample (~K·cap·8 rows by construction —
+  // Dedup.sampleModulusFor), never the corpus; at gate scale the
+  // modulus is 1 because the corpus is already sample-sized
+  private val boundedSampleWindow = Set("dedup_semantic_artifact")
   // rank over a POST-AGGREGATION frame bounded by the calendar
   // (years × 12 rows), same justification as the allowGlobalWindow
   // time-series entries
@@ -136,7 +141,8 @@ class PlanLintSpec extends SparkSpec {
     try {
       val known = rowKeyedWindow ++ entityKeyedWindow ++
         guardedLowNdvWindow ++ calendarBoundedWindow ++
-        saltedTwoPhaseWindow ++ shardedWindow ++ allowGlobalWindow
+        saltedTwoPhaseWindow ++ shardedWindow ++ allowGlobalWindow ++
+        boundedSampleWindow
       val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
         if (known(name)) None
         else {
@@ -150,6 +156,19 @@ class PlanLintSpec extends SparkSpec {
         s"unclassified rank-window queries (classify in PlanLintSpec " +
           s"and guard low-NDV keys): $offenders")
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("prefix-filtered dedup plans no window and no df join") {
+    // the broadcast-rank form: the df dictionary is a reference
+    // object, prefix selection is in-projection — the corpus-index
+    // sort that aborted the first formulation at 100x must not
+    // reappear as a WindowExec or a df-side SortMergeJoin
+    val plan = graft.ext.Dedup.ngramJaccardPrefixPairs(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"prefix path regressed to a rank window:\n$plan")
+    assert(plan.toLowerCase.contains("prefixbydf"),
+      s"prefix selection should ride the PrefixByDf expression:\n$plan")
   }
 
   test("stratified sample core plans with zero exchanges") {

@@ -146,6 +146,39 @@ class ProductQuantSpec extends SparkSpec {
       s"residual encoding must not lose recall: $residRecall < $rawRecall")
   }
 
+  test("OPQ chain: recall >= unrotated residual IVF-PQ; rotation " +
+    "preserves the exact neighbour set") {
+    val vs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    val qv = vs.head._2
+    def d2(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).foldLeft(0.0) { case (acc, (x, c)) => acc + (x - c) * (x - c) }
+    val exact = vs.tail.map { case (id, v) => (d2(v, qv), id) }
+      .sortBy(identity).take(ProductQuant.TopK).map(_._2).toSet
+    // rotation is orthonormal: the exact top-k in rotated space is
+    // the same set (distances preserved within fp tolerance), so the
+    // raw-space exact set is the valid recall target for OPQ too
+    val rot = graft.ext.ScalarQuant.rotationMatrix()
+    val exactRot = vs.tail.map { case (id, v) =>
+      (d2(graft.ext.ScalarQuant.rotateLocal(v, rot).toArray,
+        graft.ext.ScalarQuant.rotateLocal(qv, rot).toArray), id)
+    }.sortBy(identity).take(ProductQuant.TopK).map(_._2).toSet
+    assert(exactRot == exact,
+      "orthonormal rotation changed the exact neighbour set")
+    val resid = ProductQuant.ivfPqResidualTopK(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    val opq = ProductQuant.opqIvfPqTopK(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    val residRecall = (resid intersect exact).size
+    val opqRecall = (opq intersect exact).size
+    info(s"recall@${ProductQuant.TopK}: residual=$residRecall opq=$opqRecall")
+    assert(opqRecall >= residRecall,
+      s"rotated chain must not lose recall: $opqRecall < $residRecall")
+  }
+
   test("residual codes table: ADC equals the live residual IVF-PQ and prunes") {
     val coarse = KMeans.train(spark, sf)
     val rcbs = ProductQuant.residualCodebooks(spark, sf, coarse)
