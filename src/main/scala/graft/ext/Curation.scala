@@ -789,43 +789,69 @@ object Curation {
     * Shape at scale: each leg is its component query's plan (all
     * individually scale-vetted) reduced to a 1-row aggregate; the
     * union is 9 rows. */
-  def dataCard(spark: SparkSession, dir: String): DataFrame = {
+  /** The card's nine metrics over EXPLICIT label/JSD sources —
+    * shared by the live build ([[dataCard]]) and the artifact-fed
+    * steady-state form ([[dataCardFrom]]). `labels` must carry
+    * (doc_id, cluster_id, split); `jsd` must carry jsd_micronats. */
+  private def dataCardOver(spark: SparkSession, dir: String,
+      labels: DataFrame, jsd: DataFrame): DataFrame = {
     def m(name: String, from: DataFrame, v: Column): DataFrame =
       from.agg(v.cast("long").as("value"))
         .select(lit(name).as("metric"), col("value"))
+    // one aggregate per source frame; stack() unpivots the conditional
+    // sums into the card's long format. The label frame feeds FIVE
+    // metrics through ONE fused aggregate (cluster counts + split
+    // sizes) — one pass whether it is the live CC build or the
+    // artifact read.
+    val labelLeg = labels
+      .agg(countDistinct(col("cluster_id")).as("c"),
+        count(lit(1)).as("n"),
+        sum((col("split") === "train").cast("long")).as("tr"),
+        sum((col("split") === "validation").cast("long")).as("va"),
+        sum((col("split") === "test").cast("long")).as("te"))
+      .select(expr(
+        "stack(5, 'nd_clusters', CAST(c AS LONG), " +
+          "'nd_dup_docs', CAST(n - c AS LONG), " +
+          "'split_train', tr, 'split_validation', va, " +
+          "'split_test', te) AS (metric, value)"))
+    m("docs_total", graft.Tables.documents(spark, dir), count(lit(1)))
+      .unionByName(m("kept_filter", TextOps.corpusFilter(spark, dir),
+        sum(col("keep").cast("long"))))
+      .unionByName(m("contaminated", decontaminate(spark, dir),
+        sum(col("contaminated").cast("long"))))
+      .unionByName(labelLeg)
+      .unionByName(m("jsd_max_micronats", jsd, max(col("jsd_micronats"))))
+      .orderBy(col("metric"))
+  }
+
+  def dataCard(spark: SparkSession, dir: String): DataFrame = {
     // the near-dup CC labels feed FIVE metrics (cluster counts +
     // three split sizes); localCheckpoint (EAGER) runs that most
     // expensive leg ONCE — un-materialized, every union leg re-pays
     // the full edge-build + fixpoint (measured 79.5 s at 100×)
     val clusters = Dedup.nearDupClusters(spark, dir)
       .select(col("doc_id"), col("cluster_id")).localCheckpoint()
-    val split = Sampling.splitFromClusters(clusters)
-    // one aggregate per source frame; stack() unpivots the conditional
-    // sums into the card's long format
-    val clusterLeg = clusters
-      .agg(countDistinct(col("cluster_id")).as("c"),
-        count(lit(1)).as("n"))
-      .select(expr(
-        "stack(2, 'nd_clusters', CAST(c AS LONG), " +
-          "'nd_dup_docs', CAST(n - c AS LONG)) AS (metric, value)"))
-    val splitLeg = split
-      .agg(sum((col("split") === "train").cast("long")).as("tr"),
-        sum((col("split") === "validation").cast("long")).as("va"),
-        sum((col("split") === "test").cast("long")).as("te"))
-      .select(expr(
-        "stack(3, 'split_train', tr, 'split_validation', va, " +
-          "'split_test', te) AS (metric, value)"))
-    m("docs_total", graft.Tables.documents(spark, dir), count(lit(1)))
-      .unionByName(m("kept_filter", TextOps.corpusFilter(spark, dir),
-        sum(col("keep").cast("long"))))
-      .unionByName(clusterLeg)
-      .unionByName(m("contaminated", decontaminate(spark, dir),
-        sum(col("contaminated").cast("long"))))
-      .unionByName(splitLeg)
-      .unionByName(m("jsd_max_micronats",
-        Selection.jsDivergence(spark, dir), max(col("jsd_micronats"))))
-      .orderBy(col("metric"))
+    dataCardOver(spark, dir, Sampling.splitFromClusters(clusters),
+      Selection.jsDivergence(spark, dir))
   }
+
+  /** STEADY-STATE data card, fed from the two artifacts a running
+    * pipeline already maintains: the split-label store
+    * ([[Sampling.writeSplitLabels]] / [[Sampling.mergeSplitLabelsArtifact]])
+    * and the token-count store
+    * ([[Selection.mergeTokenCountsArtifact]]). The card's most
+    * expensive legs — the live CC fixpoint (61 s / 4.1 GB at 100×)
+    * and the corpus token-count pass — become two bounded artifact
+    * reads; only the per-row scans (docs_total, kept_filter,
+    * contaminated) still touch the corpus. Hash-equal to [[dataCard]]
+    * whenever the artifacts are current (asserted in CurationSpec —
+    * which is exactly the invariant the merge==rebuild oracle gates
+    * already prove for both stores). */
+  def dataCardFrom(spark: SparkSession, dir: String, labelsDir: String,
+      countsDir: String): DataFrame =
+    dataCardOver(spark, dir,
+      Sampling.trainTestSplitFrom(spark, labelsDir),
+      Selection.jsDivergenceFromArtifact(spark, countsDir))
 
   private val pipelineOracle: Map[String, String] = Map(
     "curation_pipeline" -> pipelineSql,

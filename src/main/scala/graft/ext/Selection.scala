@@ -328,6 +328,48 @@ object Selection {
       .groupBy(col("source"), col("t"))
       .agg(sum(col("c_st")).as("c_st"))
 
+  /** Per-source DRIFT score for an arriving batch: quantized JSD
+    * between the batch's token distribution for a source and the
+    * TRAILING artifact's distribution for the same source — the
+    * decision statistic the streaming drift monitor thresholds
+    * ([[graft.streaming.EventStreams.driftMonitorSink]]). This is a
+    * different comparison from [[jsDivergenceFromCounts]] (source vs
+    * whole-corpus): drift asks "did THIS source's distribution move
+    * between the accumulated history and the new batch".
+    *
+    * Only sources present in BOTH frames score (a source's first
+    * batch has no trailing history to drift from). Same micro-nat
+    * quantization discipline as [[jsDivergenceFromCounts]]; both
+    * sides of the union vocabulary can be absent, so both terms carry
+    * the p>0 guard. Bounded at vocabulary × batch-sources. */
+  def batchDriftScore(trailing: DataFrame, batch: DataFrame): DataFrame = {
+    val b = tokenCountsOn(batch)
+      .select(col("source"), col("t"), col("c_st").as("c_b"))
+    val a = trailing
+      .select(col("source"), col("t"), col("c_st").as("c_a"))
+    val sb = b.groupBy(col("source")).agg(sum(col("c_b")).as("s_b"))
+    val sa = a.groupBy(col("source")).agg(sum(col("c_a")).as("s_a"))
+    val grid = b.join(a, Seq("source", "t"), "full_outer")
+      .withColumn("c_b", coalesce(col("c_b"), lit(0L)))
+      .withColumn("c_a", coalesce(col("c_a"), lit(0L)))
+      .join(sb, Seq("source")) // inner: drops sources with no batch rows
+      .join(sa, Seq("source")) // inner: drops sources with no history
+      .withColumn("pd", col("c_b").cast("double") / col("s_b"))
+      .withColumn("qd", col("c_a").cast("double") / col("s_a"))
+      .withColumn("md", (col("pd") + col("qd")) / 2)
+    val termq = floor((
+      when(col("pd") > 0, col("pd") * log(col("pd") / col("md")) * 0.5)
+        .otherwise(lit(0.0)) +
+        when(col("qd") > 0, col("qd") * log(col("qd") / col("md")) * 0.5)
+          .otherwise(lit(0.0))) * QuantNats)
+      .cast("long")
+    grid.withColumn("termq", termq)
+      .groupBy(col("source"), col("s_b"))
+      .agg(sum(col("termq")).as("jsd_micronats"))
+      .select(col("source"), col("s_b").as("batch_tokens"),
+        col("jsd_micronats"))
+  }
+
   /** On-disk layout of the drift-monitor artifact. */
   val TokenCountsTable = "token_counts"
 

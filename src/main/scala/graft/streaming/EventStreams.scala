@@ -326,20 +326,63 @@ object EventStreams {
     * Because counts are additive, the artifact after N batches equals
     * the full-corpus recompute bit for bit (EventStreamsSpec), while
     * the per-batch cost tracks the batch — the same steady-state
-    * contract as the dedup index and label store. */
+    * contract as the dedup index and label store.
+    *
+    * The monitor also emits a DECISION per batch (round-11 stretch):
+    * before the merge, each batch source scores against the trailing
+    * artifact ([[graft.ext.Selection.batchDriftScore]] — "did this
+    * source's token distribution move?") and the thresholded verdict
+    * appends to the alert log. Alert rows are keyed by batch_id and
+    * written BEFORE the merge: a crash-replayed batch may append the
+    * same (deterministic) rows twice, which [[driftAlerts]] dedupes
+    * on read — so the decision log never silently loses a batch the
+    * counts artifact applied. */
+  val DriftThresholdMicronats = 200000L // 0.2 nats; JSD maxes at ln 2
+
   def driftMonitorSink(docs: DataFrame, countsDir: String,
-      checkpointDir: String): StreamingQuery = {
+      checkpointDir: String,
+      alertThresholdMicronats: Long = DriftThresholdMicronats)
+      : StreamingQuery = {
     val q = docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val live =
+          s"$countsDir/${graft.ext.Selection.TokenCountsTable}.parquet"
+        if (hasParquet(live)) {
+          // localCheckpoint (EAGER): the score's lineage reads the
+          // live artifact the merge below REPLACES — the same
+          // pin-before-append discipline as the dedup sink
+          graft.ext.Selection.batchDriftScore(
+              spark.read.parquet(live), batch)
+            .withColumn("batch_id", org.apache.spark.sql.functions
+              .lit(batchId))
+            .withColumn("drifted",
+              col("jsd_micronats") >= alertThresholdMicronats)
+            .localCheckpoint()
+            .write.mode("append").parquet(s"$countsDir/jsd_alerts.parquet")
+        }
         graft.ext.Selection.mergeTokenCountsArtifact(
-          batch.sparkSession, countsDir, batch, batchId)
+          spark, countsDir, batch, batchId)
         ()
       }
       .start()
     q.processAllAvailable()
     q
   }
+
+  /** The drift DECISION log: one row per (batch, source) with the
+    * batch-vs-trailing JSD and the thresholded flag. Replay-duplicated
+    * rows (identical by construction — the score is deterministic)
+    * collapse through the max-aggregate; bounded at batches ×
+    * sources. */
+  def driftAlerts(spark: SparkSession, countsDir: String): DataFrame =
+    spark.read.parquet(s"$countsDir/jsd_alerts.parquet")
+      .groupBy(col("batch_id"), col("source"))
+      .agg(max(col("batch_tokens")).as("batch_tokens"),
+        max(col("jsd_micronats")).as("jsd_micronats"),
+        max(col("drifted")).as("drifted"))
+      .orderBy(col("batch_id"), col("source"))
 
   /** Streaming vector ingest — the ANN-index counterpart of
     * [[incrementalDedupSink]]: micro-batches of (vec_id, label,

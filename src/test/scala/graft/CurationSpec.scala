@@ -377,4 +377,29 @@ class CurationSpec extends SparkSpec {
     assert(card("split_train") + card("split_validation") +
       card("split_test") == docs)
   }
+
+  test("artifact-fed data card equals the live card when the label " +
+    "and count stores are current") {
+    import graft.ext.{Sampling, Selection}
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_card").toString
+    val labelsDir = s"$base/labels"
+    val countsDir = s"$base/counts"
+    Sampling.writeSplitLabels(spark, sf, labelsDir)
+    Selection.tokenCountsOn(Tables.documents(spark, sf))
+      .write.mode("overwrite")
+      .parquet(s"$countsDir/${Selection.TokenCountsTable}.parquet")
+    val live = Curation.dataCard(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val fed = Curation.dataCardFrom(spark, sf, labelsDir, countsDir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(fed == live,
+      "artifact-fed card diverges from the live build")
+    // the steady-state plan must NOT contain the CC fixpoint's
+    // localCheckpoint scan — label metrics come from the parquet store
+    val plan = Curation.dataCardFrom(spark, sf, labelsDir, countsDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("LocalTableScan") || !plan.contains("Checkpoint"),
+      "artifact-fed card should read stores, not checkpointed CC labels")
+  }
 }

@@ -519,6 +519,65 @@ class EventStreamsSpec extends SparkSpec {
     assert(counts == expect)
   }
 
+  test("drift alerting: a synthetic drift batch trips the flag, normal " +
+      "batches do not, and counts parity stays exact") {
+    import java.nio.file.Files
+    import graft.ext.Selection
+    val base = Files.createTempDirectory("graft_driftalert").toString
+    val docs = Tables.documents(spark, sf)
+    docs.filter(col("doc_id") < 250)
+      .coalesce(1).write.mode("append").parquet(s"$base/src")
+    Thread.sleep(1100) // distinct mtime: deterministic batch order
+    docs.filter(col("doc_id") >= 250)
+      .coalesce(1).write.mode("append").parquet(s"$base/src")
+    Thread.sleep(1100)
+    // synthetic drift: one source re-emits with an ALIEN vocabulary —
+    // its token distribution shares nothing with the trailing
+    // artifact, so its JSD must approach the ln 2 ceiling
+    val srcName = docs.select(col("source")).orderBy(col("source"))
+      .head.getString(0)
+    val drifted = docs.filter(col("doc_id") < 50)
+      .withColumn("source", lit(srcName))
+      .withColumn("text", lit(Seq.fill(20)("zzdrift qqalien wwnovel")
+        .mkString(" ")))
+    drifted.coalesce(1).write.mode("append").parquet(s"$base/src")
+    def stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$base/src")
+    val q = EventStreams.driftMonitorSink(stream, s"$base/counts",
+      s"$base/ckpt")
+    q.stop()
+    val alerts = EventStreams.driftAlerts(spark, s"$base/counts")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(3),
+        r.getBoolean(4)))
+    info(s"alerts: ${alerts.mkString(", ")}")
+    // batch 0 seeds the artifact (no trailing history — no alert rows)
+    assert(!alerts.exists(_._1 == 0L))
+    // batch 1 is the same corpus's second half: same generator, no
+    // source may trip the threshold
+    val normal = alerts.filter(_._1 == 1L)
+    assert(normal.nonEmpty)
+    assert(normal.forall(!_._4),
+      s"no natural-drift batch may trip the flag: $normal")
+    // batch 2 is the alien-vocabulary source: flag trips, and its
+    // score dominates every natural score
+    val tripped = alerts.filter(a => a._1 == 2L && a._2 == srcName)
+    assert(tripped.length == 1 && tripped.head._4,
+      s"synthetic drift must trip the flag: $tripped")
+    assert(normal.forall(_._3 < tripped.head._3),
+      "the drifted score must dominate every natural score")
+    // parity through the alerting path: counts == artifact-free merge
+    val counts = spark.read
+      .parquet(s"$base/counts/${Selection.TokenCountsTable}.parquet")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSet
+    val expect = Selection.mergeTokenCounts(
+        Selection.tokenCountsOn(docs), drifted)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSet
+    assert(counts == expect, "alerting must not perturb the counts")
+  }
+
   test("sliding windows produce overlapping coverage") {
     val stream = EventStreams.eventsStream(spark, sf)
     val q = EventStreams.runToMemory(EventStreams.slidingCounts(stream),
