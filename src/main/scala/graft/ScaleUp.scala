@@ -382,6 +382,26 @@ object ScaleUp {
       for (q <- Seq("curation_data_card", "mix_curriculum")) {
         time(q, src, 1); time(q, dst, 1)
       }
+      // artifact-fed card (round-11 verdict #3): the split-label and
+      // token-count stores a running pipeline maintains anyway feed
+      // the five label metrics and the JSD leg — the live CC fixpoint
+      // (61 s / 4.1 GB above) drops out of the steady-state card; the
+      // build rows are the one-time costs the merge paths amortize
+      locally {
+        val artDir = s"$dst/card_artifacts"
+        val t0 = System.nanoTime()
+        graft.ext.Sampling.writeSplitLabels(spark, dst, artDir)
+        println(f"[scaleup] card_labels_artifact_build  $dst%-18s " +
+          f"${(System.nanoTime - t0) / 1e9}%8.2f s")
+        val t1 = System.nanoTime()
+        graft.ext.Selection.tokenCountsOn(Tables.documents(spark, dst))
+          .write.mode("overwrite").parquet(
+            s"$artDir/${graft.ext.Selection.TokenCountsTable}.parquet")
+        println(f"[scaleup] card_counts_artifact_build  $dst%-18s " +
+          f"${(System.nanoTime - t1) / 1e9}%8.2f s")
+        timed("curation_data_card_artifact", dst, 1)(
+          graft.ext.Curation.dataCardFrom(spark, dst, artDir, artDir))
+      }
     }
     if (on("spans")) {
       // round-11 text/mix additions over the 100× documents corpus:
@@ -425,6 +445,31 @@ object ScaleUp {
       // pass ~SubK× — the row that answers the fixed-K wall above
       timed("dedup_semantic_scaled_100x", semDir, 1)(
         graft.ext.Dedup.semanticDedupScaled(spark, semDir))
+      // PRODUCTION form (round-11 verdict #1): K ∝ N (subKFor — 400
+      // effective cells at 200k vectors vs the literal 50), sampled
+      // sub-quantizer training (one bounded collect, zero per-cell
+      // corpus re-scans), and the (vec_id, cell, v) assignment
+      // materialized ONCE as a cell-partitioned artifact feeding both
+      // pairwise legs. Build and serve timed separately: the build is
+      // the one-time corpus cost; the serve row is the steady-state
+      // pairwise pass and must come in ≈ (K·SubK / K)× below the
+      // coarse row's in-cell wall.
+      locally {
+        val n = Tables.embeddings(spark, semDir).count()
+        val subK = graft.ext.Dedup.subKFor(n)
+        val cap = math.max(graft.ext.Dedup.SampleCap, subK * 8)
+        val mod = graft.ext.Dedup.sampleModulusFor(n, cap)
+        println(s"[scaleup] sem artifact: n=$n subK=$subK cap=$cap mod=$mod " +
+          s"(${graft.ext.KMeans.K * subK} effective cells)")
+        val cellsDir = s"$semDir/sem_cells.parquet"
+        val t0 = System.nanoTime()
+        graft.ext.Dedup.writeSemanticCells(spark, semDir, cellsDir,
+          subK, cap, mod)
+        println(f"[scaleup] sem_cells_artifact_build    $semDir%-18s " +
+          f"${(System.nanoTime - t0) / 1e9}%8.2f s")
+        timed("dedup_semantic_artifact_100x", semDir, 1)(
+          graft.ext.Dedup.semanticDedupFromCells(spark, cellsDir))
+      }
     }
     if (on("annbatch")) {
       // the batched serving shape against the ann tier's 20M-vector
@@ -438,6 +483,22 @@ object ScaleUp {
         // so the 4-query block above is ~4 answers for 1 pass
         timed("sim_ivf_batch_topk_q1_20m", dst, 2)(
           graft.ext.KMeans.ivfBatchTopKWith(spark, dst, coarseB, nq = 1))
+        // steady state over the cell-partitioned store (round-11
+        // verdict #6): assign once at build, then the probe filter is
+        // partition PRUNING — the live rows above pay a 20M-row
+        // NearestCentroid assignment just to discard the unprobed
+        // cells; this row reads probed-cell bytes only
+        val cellStore = s"$dst/ivf_cells.parquet"
+        if (!new java.io.File(cellStore).exists()) {
+          val tb = System.nanoTime()
+          graft.ext.KMeans.writeCellVectors(spark, dst, cellStore, coarseB)
+          println(f"[scaleup] ivf_cells_store_build        $dst%-18s " +
+            f"${(System.nanoTime - tb) / 1e9}%8.2f s")
+        }
+        val qb = graft.ext.KMeans.batchQueryRows(spark, dst)
+        timed("sim_ivf_batch_topk_steady_20m", dst, 2)(
+          graft.ext.KMeans.ivfBatchTopKFromCells(
+            spark, cellStore, coarseB, qb))
       }
     }
     if (on("merge")) {

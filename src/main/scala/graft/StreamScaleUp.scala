@@ -235,6 +235,13 @@ object StreamScaleUp {
         .collect().map(r => (r.getString(0), r.getLong(2))).toSeq
       println(s"[streamscale] drift parity vs batch recompute: " +
         (if (batchJsd == artJsd) "EXACT" else s"MISMATCH"))
+      // the decision log (round-12): one row per (batch, source) —
+      // same-corpus batches must not trip the threshold
+      val alerts = EventStreams.driftAlerts(spark, s"$base/drift_counts")
+        .collect()
+      println(f"[streamscale] drift alerts ${alerts.length}%d rows, " +
+        f"tripped ${alerts.count(_.getBoolean(4))}%d " +
+        f"(same-generator batches: expect 0)")
     }
 
     // ---- 5. streaming vector ingest (gold + IVF-PQ codes per batch) ----

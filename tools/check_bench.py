@@ -65,6 +65,9 @@ import sys
 
 THRESHOLD = 1.5
 TOTAL_THRESHOLD = 1.3
+# Memo-tier hard bound (overhead-axis-normalized; see the serving
+# section below for the four-round variance calibration).
+MEMO_THRESHOLD = 1.5
 # Max/min ratio the pre- and post-loop calibrations may disagree by
 # before the run is declared unstable (exit 2, no verdict). Mirrored in
 # Bench.CalibAgreement.
@@ -177,29 +180,62 @@ def main() -> int:
     #    swallows serving-tier exceptions) is a HARD failure: a broken
     #    QueryMemo path must fail the bench visibly, not present as a
     #    near-zero "win";
-    #  - memo-tier drift vs baseline is a SOFT warning only (the
-    #    fresh-tier gate stays primary; memo latencies are tiny and
-    #    noisy, so a hard gate would false-flag).
+    #  - memo-tier TOTAL is a HARD gate since round 12 (promoted from
+    #    the round-9 soft warning after four rounds of variance data:
+    #    memo_total/calib_ovh sat in [0.65, 0.86] across r9-r12
+    #    sessions — a 1.3x residual spread — while a broken memo path
+    #    re-executing fresh plans lands at 15-25x). Memo latency is
+    #    pure per-query overhead (planning floor + collect of cached
+    #    rows), so it normalizes by the OVERHEAD drift axis alone
+    #    against the calibration snapshot of the session that recorded
+    #    the memo baseline (`memo_calib_ovh` — the fresh-tier queries
+    #    keep their round-7 record; mixing axes here would loosen the
+    #    gate whenever compute drifts high). Per-query memo times stay
+    #    ungated: 15 ms quantities are ratio-noise.
     serving_errs = (bench.get("serving") or {}).get("errs") or {}
     for k, msg in serving_errs.items():
         print(f"SERVING ERROR {k}: {msg}")
+    memo_reg = False
     memo = (bench.get("serving") or {}).get("memo") or {}
     base_memo = (base.get("serving") or {}).get("memo") or {}
     memo_shared = [n for n in memo if n in base_memo]
     if memo_shared:
         memo_total = sum(memo[n] for n in memo_shared)
         base_memo_total = sum(base_memo[n] for n in memo_shared)
-        ratio = memo_total / (base_memo_total * drift)
-        if ratio > TOTAL_THRESHOLD:
-            print(f"WARNING memo-tier total {memo_total:.3f}s vs "
-                  f"drift-adjusted baseline {base_memo_total * drift:.3f}s "
-                  f"({ratio:.2f}x > {TOTAL_THRESHOLD}x) — soft check, "
-                  f"investigate QueryMemo but not a gate failure")
+        memo_base_ovh = base.get("memo_calib_ovh")
+        if memo_base_ovh and calib_ovh is not None:
+            eff_ovh = effective_or_none(calib_ovh, calib_ovh_post,
+                                        "calib_ovh")
+            if eff_ovh is None:
+                return 2
+            memo_drift = eff_ovh / memo_base_ovh
+            memo_bound = MEMO_THRESHOLD * base_memo_total * memo_drift
+            if memo_total > memo_bound:
+                memo_reg = True
+                print(f"REGRESSION memo-tier total {memo_total:.3f}s vs "
+                      f"overhead-drift-adjusted baseline "
+                      f"{base_memo_total * memo_drift:.3f}s "
+                      f"(> {MEMO_THRESHOLD}x, ovh drift "
+                      f"{memo_drift:.2f}x)")
+            else:
+                print(f"memo-tier total {memo_total:.3f}s within "
+                      f"{MEMO_THRESHOLD}x of {base_memo_total:.3f}s "
+                      f"(ovh drift {memo_drift:.2f}x)")
+        else:
+            # baseline predates the memo record: soft warning only
+            ratio = memo_total / (base_memo_total * drift)
+            if ratio > TOTAL_THRESHOLD:
+                print(f"WARNING memo-tier total {memo_total:.3f}s vs "
+                      f"drift-adjusted baseline "
+                      f"{base_memo_total * drift:.3f}s "
+                      f"({ratio:.2f}x > {TOTAL_THRESHOLD}x) — soft check, "
+                      f"investigate QueryMemo but not a gate failure")
     ok = len(bench["queries"]) - len(regressions)
     print(f"{ok} within bound, {len(regressions)} regressed, total "
           f"{'REGRESSED' if total_reg else 'ok'} (baseline round "
           f"{base.get('round')}, cpus {base.get('cpus')})")
-    return 1 if (regressions or total_reg or serving_errs) else 0
+    return 1 if (regressions or total_reg or serving_errs
+                 or memo_reg) else 0
 
 
 if __name__ == "__main__":
