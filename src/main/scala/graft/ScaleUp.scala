@@ -240,10 +240,21 @@ object ScaleUp {
       // round-11 re-measure: the boilerplate singleton-gram prefilter
       // (totals now arithmetic on the token count — no second shingle
       // build) and the prefix-vs-inverted candidate comparison rows
-      // the timed-out dedup8 pass didn't reach
+      // the timed-out dedup8 pass didn't reach. The prefix row may
+      // REFUSE past its broadcast-vocab guard — that refusal is the
+      // measurement (the regime boundary), not a crash: record it and
+      // keep the section going.
+      // the density statistic first — one skinny aggregate per scale,
+      // so the regime boundary is a printed NUMBER either way
+      for (d <- Seq(src, dst))
+        println(s"[scaleup] prefix_candidate_volume      $d: " +
+          graft.ext.Dedup.prefixCandidateVolume(spark, d))
       for (q <- Seq("text_boilerplate", "dedup_ngram_prefix",
-          "dedup_source_overlap")) {
-        time(q, src, 1); time(q, dst, 1)
+          "dedup_source_overlap"); d <- Seq(src, dst)) {
+        try time(q, d, 1)
+        catch { case e: IllegalArgumentException =>
+          println(s"[scaleup] $q REFUSED at $d: ${e.getMessage}")
+        }
       }
     }
     // ANN-tier corpus (copies×100 key-shifted embeddings copies —
@@ -469,6 +480,31 @@ object ScaleUp {
           f"${(System.nanoTime - t0) / 1e9}%8.2f s")
         timed("dedup_semantic_artifact_100x", semDir, 1)(
           graft.ext.Dedup.semanticDedupFromCells(spark, cellsDir))
+        // steady APPEND: the last copy arrives as a batch — quantizers
+        // frozen from the gold side, the batch encodes map-only, the
+        // delta prune touches only the batch's cells (partition-pruned
+        // gold scan + broadcast batch). This is the per-append cost
+        // the artifact amortizes the build against.
+        val e0n = Tables.embeddings(spark, src)
+          .agg(max(col("vec_id"))).head().getLong(0) + 1
+        val batchCut = (copies - 1).toLong * e0n
+        val vs = graft.ext.KMeans.vecs(spark, semDir)
+        val gold = vs.filter(col("vec_id") < batchCut)
+        val sBatch = vs.filter(col("vec_id") >= batchCut)
+        val (gc, gs) = graft.ext.Dedup.trainSemanticQuantizers(
+          gold, subK, cap, mod)
+        val goldCellsDir = s"$semDir/sem_gold_cells.parquet"
+        graft.ext.Dedup.assignSemanticCells(gold, gc, gs, subK)
+          .write.mode("overwrite").partitionBy("cell")
+          .parquet(goldCellsDir)
+        timed("dedup_semantic_append_100x", semDir, 1) {
+          val bc = graft.ext.Dedup
+            .assignSemanticCells(sBatch, gc, gs, subK).localCheckpoint()
+          graft.ext.Dedup.batchSemanticDups(
+            spark.read.parquet(goldCellsDir)
+              .select(col("vec_id"), col("cell").cast("int").as("cell"),
+                col("v")), bc)
+        }
       }
     }
     if (on("annbatch")) {

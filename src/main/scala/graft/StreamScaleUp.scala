@@ -235,13 +235,19 @@ object StreamScaleUp {
         .collect().map(r => (r.getString(0), r.getLong(2))).toSeq
       println(s"[streamscale] drift parity vs batch recompute: " +
         (if (batchJsd == artJsd) "EXACT" else s"MISMATCH"))
-      // the decision log (round-12): one row per (batch, source) —
-      // same-corpus batches must not trip the threshold
+      // the decision log (round-12): one row per (batch, source). On
+      // THIS corpus every batch is a maximal-drift positive control:
+      // the copy-prefix construction gives each copy a disjoint token
+      // vocabulary, so every post-seed batch must trip (the
+      // same-generator negative control — natural batches scoring
+      // 7–16k micronats, far under the 200k threshold — lives in
+      // EventStreamsSpec over the un-prefixed corpus)
       val alerts = EventStreams.driftAlerts(spark, s"$base/drift_counts")
         .collect()
       println(f"[streamscale] drift alerts ${alerts.length}%d rows, " +
         f"tripped ${alerts.count(_.getBoolean(4))}%d " +
-        f"(same-generator batches: expect 0)")
+        f"(copy-prefixed corpus: every batch is alien vocabulary by " +
+        f"construction; expect all tripped)")
     }
 
     // ---- 5. streaming vector ingest (gold + IVF-PQ codes per batch) ----

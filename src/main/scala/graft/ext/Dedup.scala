@@ -315,6 +315,19 @@ object Dedup {
     * first sub-clustered cut. */
   private[ext] def semanticCellsOn(vecs: DataFrame, subK: Int,
       cap: Int = SampleCap, sampleMod: Long = 1L): DataFrame = {
+    val (coarse, subs) = trainSemanticQuantizers(vecs, subK, cap, sampleMod)
+    assignSemanticCells(vecs, coarse, subs, subK)
+  }
+
+  /** The training half of [[semanticCellsOn]]: coarse centroids +
+    * per-cell sampled sub-quantizers, returned as FROZEN inputs — the
+    * split that makes the append path possible (a batch encodes under
+    * the quantizers the artifact was built with; retraining is a
+    * rebuild, the FAISS contract the PQ codes store already
+    * follows). */
+  private[graft] def trainSemanticQuantizers(vecs: DataFrame, subK: Int,
+      cap: Int = SampleCap, sampleMod: Long = 1L)
+      : (Seq[(Int, Seq[Double])], Seq[Seq[(Int, Seq[Double])]]) = {
     val cents = KMeans.trainFrame(
       vecs.select(col("vec_id"), col("v")), KMeans.K)
     val e = vecs.select(col("vec_id"), col("v"),
@@ -337,12 +350,24 @@ object Dedup {
           s"(cap=$cap, mod=$sampleMod) — raise the sample budget")),
         subK)
     }
+    (cents, subs)
+  }
+
+  /** The assignment half of [[semanticCellsOn]]: map-only (vec_id, v,
+    * cell) under FROZEN quantizers — one coarse argmin + a CASE over
+    * the K sub-codebooks per row, shared verbatim by the full build
+    * and the batch append. */
+  private[graft] def assignSemanticCells(vecs: DataFrame,
+      coarse: Seq[(Int, Seq[Double])],
+      subs: Seq[Seq[(Int, Seq[Double])]], subK: Int): DataFrame = {
     val fine = (0 until KMeans.K).foldLeft(lit(-1)) { (acc, c) =>
       when(col("cluster") === c, KMeans.assignOn(col("v"), subs(c)))
         .otherwise(acc)
     }
-    e.select(col("vec_id"), col("v"),
-      (col("cluster") * subK + fine).as("cell"))
+    vecs.select(col("vec_id"), col("v"),
+        KMeans.assignOn(col("v"), coarse).as("cluster"))
+      .select(col("vec_id"), col("v"),
+        (col("cluster") * subK + fine).as("cell"))
   }
 
   /** The pairwise prune over a materialized (vec_id, cell, v) frame:
@@ -350,7 +375,7 @@ object Dedup {
     * [[SemThreshold]] — the serve side every SemDeDup variant
     * shares. Both legs read `g` AS GIVEN (checkpointed or from the
     * parquet artifact); nothing upstream re-runs. */
-  private[ext] def semanticDedupOverCells(g: DataFrame): DataFrame = {
+  private[graft] def semanticDedupOverCells(g: DataFrame): DataFrame = {
     val a = g.select(col("cell"), col("vec_id").as("cand"),
       col("v").as("va"))
     val b = g.select(col("cell"), col("vec_id"), col("v").as("vb"))
@@ -400,6 +425,78 @@ object Dedup {
         .select(col("vec_id"), col("cell").cast("int").as("cell"),
           col("v")))
       .orderBy(col("vec_id"))
+
+  /** Gold/batch cut for the gated [[semanticDedupBatch]] entry —
+    * vectors below are the standing corpus the quantizers train on,
+    * vectors at/above are the appended batch. */
+  val SemBatchCut = 400L
+
+  /** Semantic near-dup verdicts INTRODUCED by appending `batchCells`
+    * to a `goldCells` artifact (both already assigned under the SAME
+    * frozen quantizers): for each batch vector, dup_of = its cell's
+    * minimum lower-id member (gold or batch) within [[SemThreshold]]
+    * cosine. Appending vectors with HIGHER ids cannot change a gold
+    * vector's verdict (dup_of only considers lower ids — the
+    * [[Sampling.mergeBatchLabels]] append argument, one signal over),
+    * so this delta plus the standing artifact labels IS the
+    * full-corpus answer; equality with the full rebuild restricted to
+    * batch rows is asserted in DedupSpec.
+    *
+    * Shape at scale: the BATCH side broadcasts (micro-batch-sized by
+    * definition) and the gold side is a partition-PRUNED scan of only
+    * the batch's touched cells (cell ids collected — bounded by batch
+    * size — and pushed as a literal In over the store's partition
+    * column): per-append work tracks |batch| · cell-size, never the
+    * corpus. */
+  def batchSemanticDups(goldCells: DataFrame,
+      batchCells: DataFrame): DataFrame = {
+    val touched = batchCells.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val gold = goldCells.filter(col("cell").isin(touched: _*))
+    val b = batchCells.select(col("cell"), col("vec_id"),
+      col("v").as("vb"))
+    val cand = gold.select(col("cell"), col("vec_id").as("cand"),
+        col("v").as("va"))
+      .unionByName(batchCells.select(col("cell"),
+        col("vec_id").as("cand"), col("v").as("va")))
+    val dupOf = cand.join(broadcast(b), Seq("cell"))
+      .filter(col("cand") < col("vec_id") &&
+        graft.functions.CosineSimilarity(col("va"), col("vb"))
+          >= SemThreshold)
+      .groupBy(col("vec_id")).agg(min(col("cand")).as("dup_of"))
+    batchCells.select(col("vec_id"), col("cell"))
+      .join(dupOf, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        col("dup_of").isNotNull.as("is_dup"), col("dup_of"))
+  }
+
+  /** Append a batch to the cell-partitioned semantic artifact under
+    * frozen quantizers: map-only encode, partition-local append —
+    * the write side of the steady-state SemDeDup append story
+    * (encode → [[batchSemanticDups]] delta → append). */
+  def appendSemanticCells(cellsDir: String, batch: DataFrame,
+      coarse: Seq[(Int, Seq[Double])],
+      subs: Seq[Seq[(Int, Seq[Double])]], subK: Int): Unit =
+    assignSemanticCells(batch, coarse, subs, subK)
+      .write.mode("append").partitionBy("cell").parquet(cellsDir)
+
+  /** Gated form of the append story: quantizers train on the GOLD
+    * side only (vec_id < [[SemBatchCut]] — frozen before the batch
+    * exists, the production ordering), both sides assign under them,
+    * and the output is the batch's delta verdicts. The oracle replays
+    * gold-only training chains with a separate assign-everyone step
+    * and restricts the pair join to batch right-endpoints. */
+  def semanticDedupBatch(spark: SparkSession, dir: String): DataFrame = {
+    val vecs = KMeans.vecs(spark, dir)
+    val gold = vecs.filter(col("vec_id") < SemBatchCut)
+    val batch = vecs.filter(col("vec_id") >= SemBatchCut)
+    val (coarse, subs) = trainSemanticQuantizers(gold, SubK)
+    val goldCells = assignSemanticCells(gold, coarse, subs, SubK)
+      .localCheckpoint()
+    val batchCells = assignSemanticCells(batch, coarse, subs, SubK)
+      .localCheckpoint()
+    batchSemanticDups(goldCells, batchCells).orderBy(col("vec_id"))
+  }
 
   /** Cross-source duplication matrix: near-duplicate pair counts per
     * (canonical) source pair — the "which feeds copy from each other"
@@ -502,11 +599,26 @@ object Dedup {
     * thresholds where the prefix actually prunes), not as a wholesale
     * replacement — so the CC edge feeder and [[sourceOverlap]] ride
     * the inverted index. */
-  /** Vocabulary bound for the broadcast df dictionary — a LOUD guard,
-    * not a truncation: past this many shingle types the dictionary
-    * shouldn't ride in task closures and the inverted path (or a
-    * partitioned PPJoin) is the right regime. */
-  val MaxBroadcastVocab = 50000000
+  /** Bound for the broadcast df dictionary — a LOUD guard, not a
+    * truncation: past this many SHARED shingle types (df ≥ 2; see
+    * [[ngramJaccardPrefixPairs]] for why df-1 types never need to
+    * ride) the dictionary no longer fits an 8 GB driver / the
+    * per-stage task broadcast, and the inverted path is the right
+    * regime. Sized to the collect: ~4M entries ≈ 1 GB of strings +
+    * map overhead on the default 8 GB driver (the 100× corpus's
+    * 2.7M shared types fit; its FULL vocabulary — ~100× more, every
+    * token copy-prefixed by construction — is what blew the first
+    * unguarded cut). */
+  val MaxBroadcastVocab = 4000000
+
+  /** Candidate-pair bound for the prefix path's exact verification,
+    * sized to what each candidate COSTS there: the verify attaches
+    * both shingle sets (~2 KB) per candidate through two joins, so
+    * 10⁷ candidates ≈ 20 GB of array traffic — the measured 100×
+    * volume (the copy corpus is pair-dense by construction) spilled
+    * past a 76 GB disk. Past the bound the operator refuses — see
+    * the density guard in [[ngramJaccardPrefixPairs]]. */
+  val MaxPrefixCandidates = 10000000L
 
   /** PPJoin-style prefix-filtered near-dup pairs — the skew remedy
     * for hot shingles, now in its BROADCAST-rank form: the
@@ -523,22 +635,71 @@ object Dedup {
     * full index) reaches the candidate self-join. Same verified pair
     * set either way: prefix filtering is lossless for Jaccard ≥ t
     * under any consistent global ordering. */
-  def ngramJaccardPrefixPairs(spark: SparkSession, dir: String): DataFrame = {
-    val t = docShingles(spark, dir)
+  /** The prefix INDEX (doc_id, s — each doc's ⌈(1−t)|S|⌉+1 rarest
+    * shingles under the broadcast df ordering), shared by the
+    * operator and the [[prefixCandidateVolume]] diagnostic. The
+    * dictionary carries ONLY df ≥ 2 (shared) shingles; absent
+    * shingles rank as df = 0. The candidate set is IDENTICAL to the
+    * full-df ordering, not merely conservative: all df-1 shingles
+    * form one tie group either way (keyed (0, s) instead of (1, s) —
+    * same internal string order, same boundary below every df ≥ 2
+    * key), so each document selects the same prefix members. What
+    * the restriction buys is the scaling law — shared-shingle types
+    * are bounded by corpus repetition (the near-dup signal itself),
+    * not by raw vocabulary, which is what made the full dictionary
+    * blow the driver at 100× (this corpus's vocab grows ∝ copies by
+    * construction). The count guard runs BEFORE any collect. */
+  private def prefixIndex(spark: SparkSession, t: DataFrame): DataFrame = {
     val inv = t.select(col("doc_id"), explode_outer(col("sh")).as("s"))
       .filter(col("s").isNotNull)
-    val dfRows = inv.groupBy(col("s")).agg(count(lit(1)).as("df"))
-      .limit(MaxBroadcastVocab + 1).collect()
-    require(dfRows.length <= MaxBroadcastVocab,
-      s"ngramJaccardPrefixPairs: shingle vocabulary exceeds " +
-        s"$MaxBroadcastVocab types — the broadcast df dictionary no " +
-        s"longer fits a task closure; use ngramJaccardPairs (inverted " +
-        s"index) at this scale")
-    val dfEntries = dfRows.map(r => (r.getString(0), r.getLong(1))).toSeq
-    val prefix = t.select(col("doc_id"),
-        explode_outer(graft.functions.PrefixByDf(col("sh"), dfEntries,
-          JaccardThreshold)).as("s"))
+    val freq = inv.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2)
+    val nShared = freq.count()
+    require(nShared <= MaxBroadcastVocab,
+      s"ngramJaccardPrefixPairs: $nShared shared shingle types exceed " +
+        s"the $MaxBroadcastVocab broadcast bound — the df dictionary " +
+        s"no longer fits the driver/task broadcast; use " +
+        s"ngramJaccardPairs (inverted index) at this scale")
+    val dfEntries = freq.collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    t.select(col("doc_id"),
+        explode_outer(graft.functions.PrefixByDf(spark, col("sh"),
+          dfEntries, JaccardThreshold)).as("s"))
       .filter(col("s").isNotNull)
+  }
+
+  /** Σ df_p·(df_p−1)/2 over a prefix index — the exact candidate-pair
+    * volume the verify step would face, from one skinny aggregate. */
+  private def candVolumeOf(prefix: DataFrame): Long =
+    prefix.groupBy(col("s")).agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum(col("c") * (col("c") - 1)), lit(0L)))
+      .head.getLong(0) / 2
+
+  /** The density guard's statistic WITHOUT running the operator —
+    * regime diagnosis (the 100× tier prints it next to the timed
+    * row or the refusal). */
+  def prefixCandidateVolume(spark: SparkSession, dir: String): Long =
+    candVolumeOf(prefixIndex(spark, docShingles(spark, dir)))
+
+  def ngramJaccardPrefixPairs(spark: SparkSession, dir: String): DataFrame = {
+    val t = docShingles(spark, dir)
+    val prefix = prefixIndex(spark, t)
+    // Candidate-DENSITY guard: prefix filtering only pays when
+    // candidates ≪ all shared-shingle pairs, and the exact verify
+    // attaches two ~KB shingle arrays per candidate — the cost that
+    // actually exploded at 100× was candidates × arrays through the
+    // verification joins (spill past disk), NOT the skinny candidate
+    // join itself. The bound is therefore sized to the verify leg
+    // (~2 KB per candidate); past it this operator REFUSES and names
+    // the inverted count join, whose cost never depends on candidate
+    // density.
+    val candVolume = candVolumeOf(prefix)
+    require(candVolume <= MaxPrefixCandidates,
+      s"ngramJaccardPrefixPairs: ~$candVolume candidate pairs from the " +
+        s"prefix index exceed the $MaxPrefixCandidates verification " +
+        s"bound — this corpus is pair-dense and prefix filtering " +
+        s"cannot pay for itself; use ngramJaccardPairs (inverted count " +
+        s"join) at this density")
     val cand = prefix.as("x").join(prefix.as("y"),
         col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
@@ -1256,6 +1417,25 @@ object Dedup {
     s"""WITH ${KMeans.trainCtes}, $cellChains, fine AS ($fineUnion), m AS (SELECT f.vec_id, f.cell, q.v FROM fine f JOIN q USING (vec_id)), p AS (SELECT b.vec_id, MIN(a.vec_id) AS dup_of FROM m a JOIN m b ON a.cell = b.cell AND a.vec_id < b.vec_id AND ${KMeans.cosSql("a.v", "b.v")} >= $SemThreshold GROUP BY b.vec_id) SELECT m.vec_id, CAST(m.cell AS INTEGER) AS cell, p.dup_of IS NOT NULL AS is_dup, p.dup_of FROM m LEFT JOIN p USING (vec_id) ORDER BY m.vec_id"""
   }
 
+  // append-delta SemDeDup replay: coarse chain and per-cell sampled
+  // sub-chains train over the GOLD subset only (vec_id < SemBatchCut
+  // — frozen-before-the-batch, the production ordering), a separate
+  // assign-everyone step (aca + per-cell fine assigns) places gold
+  // AND batch under those quantizers, and the pair join keeps only
+  // batch right-endpoints — the delta the append path must produce
+  private val semBatchSql = {
+    val aca =
+      s"aca AS (SELECT vec_id, cid FROM (SELECT t.vec_id, c.cid, row_number() OVER (PARTITION BY t.vec_id ORDER BY ${KMeans.distSqlN("t.v", "c.cv", 64)}, c.cid) AS rn FROM q t CROSS JOIN c2g c) WHERE rn = 1)"
+    val cellChains = (0 until KMeans.K).map { c =>
+      s"sb$c AS (SELECT vec_id, label, v, vi FROM (SELECT g.vec_id, g.label, g.v, g.vi, row_number() OVER (ORDER BY g.vec_id) AS srn FROM qg g JOIN afg ON g.vec_id = afg.vec_id WHERE afg.cid = $c) WHERE srn <= $SampleCap), " +
+        KMeans.trainChain(s"sb$c", s"z$c", 64, SubK)
+    }.mkString(", ")
+    val fineUnion = (0 until KMeans.K).map { c =>
+      s"SELECT vec_id, $c * $SubK + cid AS cell FROM (SELECT t.vec_id, cc.cid, row_number() OVER (PARTITION BY t.vec_id ORDER BY ${KMeans.distSqlN("t.v", "cc.cv", 64)}, cc.cid) AS rn FROM (SELECT q.vec_id, q.v FROM q JOIN aca USING (vec_id) WHERE aca.cid = $c) t CROSS JOIN c2z$c cc) WHERE rn = 1"
+    }.mkString(" UNION ALL ")
+    s"""WITH q AS (${KMeans.qSql}), qg AS (SELECT * FROM q WHERE vec_id < $SemBatchCut), ${KMeans.trainChain("qg", "g", 64, KMeans.K)}, $aca, $cellChains, fine AS ($fineUnion), m AS (SELECT f.vec_id, f.cell, q.v FROM fine f JOIN q USING (vec_id)), p AS (SELECT b.vec_id, MIN(a.vec_id) AS dup_of FROM m a JOIN m b ON a.cell = b.cell AND a.vec_id < b.vec_id AND ${KMeans.cosSql("a.v", "b.v")} >= $SemThreshold WHERE b.vec_id >= $SemBatchCut GROUP BY b.vec_id) SELECT m.vec_id, CAST(m.cell AS INTEGER) AS cell, p.dup_of IS NOT NULL AS is_dup, p.dup_of FROM m LEFT JOIN p USING (vec_id) WHERE m.vec_id >= $SemBatchCut ORDER BY m.vec_id"""
+  }
+
   private val semScaledSql = {
     val cellChains = (0 until KMeans.K).map { c =>
       s"qs$c AS (SELECT q.vec_id, q.label, q.v, q.vi FROM q JOIN af USING (vec_id) WHERE af.cid = $c), " +
@@ -1270,6 +1450,7 @@ object Dedup {
   val oracle: Map[String, String] = Map(
     "dedup_semantic_scaled" -> semScaledSql,
     "dedup_semantic_artifact" -> semArtifactSql,
+    "dedup_semantic_batch" -> semBatchSql,
     // SemDeDup: the kmeans train chain (KMeans.trainCtes) feeds a
     // same-cluster self-join; keep = min lower-id neighbor above the
     // cosine bar
@@ -1319,6 +1500,7 @@ object Dedup {
     "dedup_semantic" -> semanticDedup _,
     "dedup_semantic_scaled" -> semanticDedupScaled _,
     "dedup_semantic_artifact" -> semanticDedupArtifact _,
+    "dedup_semantic_batch" -> semanticDedupBatch _,
     "dedup_substring_spans" -> substringSpans _,
     "dedup_substring_summary" -> substringSpanSummary _,
     "dedup_exact_summary" -> exactSummary _,

@@ -22,14 +22,17 @@ import org.apache.spark.unsafe.types.UTF8String
   * inverted index against the df table and ranked per doc with a
   * row_number window — the join + per-partition SORT of the whole
   * index spilled past disk and ABORTED at 100× (PLANS.md round-11).
-  * Here the df dictionary rides as a reference object (the vocabulary
-  * is corpus-BOUNDED — shingle types, not occurrences — the same
-  * boundedness argument as the broadcast df-rank table in the
-  * PPJoin literature), and prefix selection is one per-document sort
-  * of |S| elements inside the scan projection: NO df-join, NO
-  * corpus-wide window, nothing shuffles until the prefix inverted
-  * index — which is strictly smaller than the full one the inverted
-  * path joins.
+  * Here the df dictionary rides as a TRUE Spark broadcast — NOT a
+  * plan reference object: task binaries deserialize PER TASK, so a
+  * multi-million-entry dictionary as a reference object multiplies
+  * by the task concurrency (32 × ~2 GB OOMed a 24 GB JVM at 100×;
+  * the NearestCentroid codebook pattern is only right for
+  * kilobyte-scale state), while a Broadcast handle resolves through
+  * `.value` to ONE shared map per executor JVM. Prefix selection is
+  * then one per-document sort of |S| elements inside the scan
+  * projection: NO df-join, NO corpus-wide window, nothing shuffles
+  * until the prefix inverted index — which is strictly smaller than
+  * the full one the inverted path joins.
   *
   * Codegen: the generated code calls [[computePrefix]] through a
   * reference object — the per-row work is an intrinsic O(|S| log |S|)
@@ -41,7 +44,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * as df = 0 — rarest, which keeps the filter conservative: a prefix
   * can only GAIN members, never lose a qualifying pair.
   */
-case class PrefixByDf(child: Expression, dfEntries: Seq[(String, Long)],
+case class PrefixByDf(child: Expression,
+    dfBc: org.apache.spark.broadcast.Broadcast[
+      java.util.HashMap[UTF8String, Long]],
     threshold: Double) extends UnaryExpression {
 
   require(threshold > 0.0 && threshold <= 1.0,
@@ -61,13 +66,8 @@ case class PrefixByDf(child: Expression, dfEntries: Seq[(String, Long)],
     ArrayType(StringType, containsNull = false)
   override def nullable: Boolean = child.nullable
 
-  // UTF8String keys: lookups hit the scan's native representation,
-  // no per-row String decode
-  @transient private lazy val dfMap: java.util.HashMap[UTF8String, Long] = {
-    val m = new java.util.HashMap[UTF8String, Long](dfEntries.size * 2)
-    dfEntries.foreach { case (s, c) => m.put(UTF8String.fromString(s), c) }
-    m
-  }
+  // one .value resolution per eval: the per-JVM shared map
+  private def dfMap: java.util.HashMap[UTF8String, Long] = dfBc.value
 
   def computePrefix(a: ArrayData): ArrayData = {
     val n = a.numElements()
@@ -121,8 +121,15 @@ case class PrefixByDf(child: Expression, dfEntries: Seq[(String, Long)],
 }
 
 object PrefixByDf {
-  def apply(sh: Column, dfEntries: Seq[(String, Long)],
-      threshold: Double): Column =
+  /** Build + broadcast the dictionary (UTF8String keys — lookups hit
+    * the scan's native representation, no per-row String decode),
+    * then wrap the expression around the handle. */
+  def apply(spark: org.apache.spark.sql.SparkSession, sh: Column,
+      dfEntries: Seq[(String, Long)], threshold: Double): Column = {
+    val m = new java.util.HashMap[UTF8String, Long](dfEntries.size * 2)
+    dfEntries.foreach { case (s, c) => m.put(UTF8String.fromString(s), c) }
     GraftSqlBridge.column(PrefixByDf(
-      GraftSqlBridge.expression(sh), dfEntries, threshold))
+      GraftSqlBridge.expression(sh), spark.sparkContext.broadcast(m),
+      threshold))
+  }
 }

@@ -376,13 +376,29 @@ object EventStreams {
     * rows (identical by construction — the score is deterministic)
     * collapse through the max-aggregate; bounded at batches ×
     * sources. */
-  def driftAlerts(spark: SparkSession, countsDir: String): DataFrame =
-    spark.read.parquet(s"$countsDir/jsd_alerts.parquet")
+  def driftAlerts(spark: SparkSession, countsDir: String): DataFrame = {
+    val path = s"$countsDir/jsd_alerts.parquet"
+    if (!hasParquet(path)) {
+      // no alert has ever fired (e.g. only the seeding batch ran, or
+      // a checkpoint replay processed zero new batches) — an empty
+      // decision log, not an error
+      import org.apache.spark.sql.types._
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(
+          StructField("batch_id", LongType),
+          StructField("source", StringType),
+          StructField("batch_tokens", LongType),
+          StructField("jsd_micronats", LongType),
+          StructField("drifted", BooleanType))))
+    }
+    spark.read.parquet(path)
       .groupBy(col("batch_id"), col("source"))
       .agg(max(col("batch_tokens")).as("batch_tokens"),
         max(col("jsd_micronats")).as("jsd_micronats"),
         max(col("drifted")).as("drifted"))
       .orderBy(col("batch_id"), col("source"))
+  }
 
   /** Streaming vector ingest — the ANN-index counterpart of
     * [[incrementalDedupSink]]: micro-batches of (vec_id, label,

@@ -383,6 +383,45 @@ class DedupSpec extends SparkSpec {
       "artifact-served dedup diverges from the live build")
   }
 
+  test("semantic batch delta equals the full frozen-quantizer dedup " +
+    "restricted to batch rows; batch side broadcasts") {
+    import org.apache.spark.sql.functions._
+    val vecs = graft.ext.KMeans.vecs(spark, sf)
+    val gold = vecs.filter(col("vec_id") < Dedup.SemBatchCut)
+    val batch = vecs.filter(col("vec_id") >= Dedup.SemBatchCut)
+    assert(batch.count() > 0)
+    val (coarse, subs) =
+      Dedup.trainSemanticQuantizers(gold, Dedup.SubK)
+    // ground truth: assign EVERYONE under the frozen quantizers, run
+    // the full in-cell prune, keep batch rows
+    val all = Dedup.assignSemanticCells(vecs, coarse, subs, Dedup.SubK)
+      .localCheckpoint()
+    val full = Dedup.semanticDedupOverCells(all)
+      .filter(col("vec_id") >= Dedup.SemBatchCut)
+      .orderBy(col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))
+    val delta = Dedup.semanticDedupBatch(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))
+    assert(delta.toSeq == full.toSeq,
+      "append delta diverges from the full rebuild's batch rows")
+    assert(delta.exists(_._3), "batch should contain semantic dups")
+    // gold verdicts are untouched by construction: batch ids are all
+    // higher, and dup_of only looks at lower ids
+    assert(batch.agg(min(col("vec_id"))).head.getLong(0) >
+      gold.agg(max(col("vec_id"))).head.getLong(0))
+    // the delta's pairwise join must broadcast the batch side
+    val goldCells = Dedup.assignSemanticCells(gold, coarse, subs,
+      Dedup.SubK).localCheckpoint()
+    val batchCells = Dedup.assignSemanticCells(batch, coarse, subs,
+      Dedup.SubK).localCheckpoint()
+    val plan = Dedup.batchSemanticDups(goldCells, batchCells)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"batch side must broadcast:\n$plan")
+  }
+
   test("subKFor scales the cell count linearly with the corpus") {
     assert(Dedup.subKFor(2000) == 2) // floor at 2 sub-cells
     assert(Dedup.subKFor(200000) == 40)
