@@ -412,6 +412,10 @@ object ScaleUp {
           f"${(System.nanoTime - t1) / 1e9}%8.2f s")
         timed("curation_data_card_artifact", dst, 1)(
           graft.ext.Curation.dataCardFrom(spark, dst, artDir, artDir))
+        // keep-best from the same label store: the live form's CC
+        // fixpoint (the 64 s row above) drops out too
+        timed("dedup_keep_best_artifact", dst, 1)(
+          graft.ext.Dedup.keepBestQualityFrom(spark, dst, artDir))
       }
     }
     if (on("spans")) {

@@ -1027,9 +1027,24 @@ object Dedup {
     * by cluster_id — NDV ~ document count, so group sizes stay the
     * near-dup cluster sizes (bounded by dedup quality, not corpus
     * growth). */
-  def keepBestQuality(spark: SparkSession, dir: String): DataFrame = {
-    val clusters = nearDupClusters(spark, dir)
-      .select(col("doc_id"), col("cluster_id"))
+  def keepBestQuality(spark: SparkSession, dir: String): DataFrame =
+    keepBestOver(spark, dir, nearDupClusters(spark, dir)
+      .select(col("doc_id"), col("cluster_id")))
+
+  /** [[keepBestQuality]] fed from the persisted split-label artifact
+    * ([[Sampling.writeSplitLabels]] — its rows carry cluster_id): the
+    * live CC fixpoint (64 s / 3.9 GB at 100×) drops out, leaving the
+    * per-doc score scan + the cluster-keyed rank window. Same
+    * artifact-currency contract as [[Curation.dataCardFrom]];
+    * equality with the live form asserted in DedupSpec. */
+  def keepBestQualityFrom(spark: SparkSession, dir: String,
+      labelsDir: String): DataFrame =
+    keepBestOver(spark, dir,
+      Sampling.trainTestSplitFrom(spark, labelsDir)
+        .select(col("doc_id"), col("cluster_id")))
+
+  private def keepBestOver(spark: SparkSession, dir: String,
+      clusters: DataFrame): DataFrame = {
     val q = TextOps.scoredDocs(spark, dir)
       .select(col("doc_id"), col("quality_score"))
     val w = org.apache.spark.sql.expressions.Window

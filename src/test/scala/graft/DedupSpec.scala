@@ -422,6 +422,17 @@ class DedupSpec extends SparkSpec {
       s"batch side must broadcast:\n$plan")
   }
 
+  test("artifact-fed keep-best equals the live CC-built form") {
+    val labelsDir = java.nio.file.Files
+      .createTempDirectory("graft_kb_labels").toString
+    graft.ext.Sampling.writeSplitLabels(spark, sf, labelsDir)
+    val live = Dedup.keepBestQuality(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(3))).toSeq
+    val fed = Dedup.keepBestQualityFrom(spark, sf, labelsDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(3))).toSeq
+    assert(fed == live, "artifact-fed keep-best diverges from live")
+  }
+
   test("subKFor scales the cell count linearly with the corpus") {
     assert(Dedup.subKFor(2000) == 2) // floor at 2 sub-cells
     assert(Dedup.subKFor(200000) == 40)
