@@ -853,6 +853,98 @@ object Curation {
       Sampling.trainTestSplitFrom(spark, labelsDir),
       Selection.jsDivergenceFromArtifact(spark, countsDir))
 
+  /** DRIVER-GATED serve path for the card (round-12 verdict task
+    * #3): build both artifacts into a scratch dir — the split-label
+    * store and the token-count store, exactly the seeds a running
+    * pipeline's merge paths maintain — then answer from them via
+    * [[dataCardFrom]]. Gated against the same component-oracle
+    * aggregation as the live [[dataCard]] (serve == rebuild). */
+  def dataCardServed(spark: SparkSession, dir: String): DataFrame = {
+    val artDir = java.nio.file.Files
+      .createTempDirectory("graft_card_served").toString
+    Sampling.writeSplitLabels(spark, dir, artDir)
+    Selection.tokenCountsOn(graft.Tables.documents(spark, dir))
+      .write.mode("overwrite")
+      .parquet(s"$artDir/${Selection.TokenCountsTable}.parquet")
+    dataCardFrom(spark, dir, artDir, artDir)
+  }
+
+  /** PER-SOURCE data card (round-12 verdict task #5 — the
+    * Dolma/FineWeb-class report shape: the same nine metrics, one row
+    * group per source): long-format (source, metric, value). Same
+    * component frames as the corpus card — each leg is its gated
+    * query grouped by `source` instead of reduced to one row — so the
+    * oracle is again those oracles aggregated. The per-source cluster
+    * metrics count DISTINCT clusters among the source's own docs
+    * (a cross-source cluster contributes to each source it touches —
+    * the per-source view, deliberately not a partition of the corpus
+    * totals). The JSD leg is per-source natively, so the card reports
+    * each source's own drift, not the corpus max.
+    *
+    * Shape at scale: identical to the corpus card's legs (all
+    * individually scale-vetted) with a sources-sized groupBy instead
+    * of a global aggregate — output is sources × 9 rows. */
+  private def dataCardBySourceOver(spark: SparkSession, dir: String,
+      labels: DataFrame, jsd: DataFrame): DataFrame = {
+    val src = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"))
+    def m(name: String, from: DataFrame, v: Column): DataFrame =
+      from.groupBy(col("source")).agg(v.cast("long").as("value"))
+        .select(col("source"), lit(name).as("metric"), col("value"))
+    val labelLeg = labels.join(src, "doc_id")
+      .groupBy(col("source"))
+      .agg(countDistinct(col("cluster_id")).as("c"),
+        count(lit(1)).as("n"),
+        sum((col("split") === "train").cast("long")).as("tr"),
+        sum((col("split") === "validation").cast("long")).as("va"),
+        sum((col("split") === "test").cast("long")).as("te"))
+      .select(col("source"), expr(
+        "stack(5, 'nd_clusters', CAST(c AS LONG), " +
+          "'nd_dup_docs', CAST(n - c AS LONG), " +
+          "'split_train', tr, 'split_validation', va, " +
+          "'split_test', te) AS (metric, value)"))
+    m("docs_total", src, count(lit(1)))
+      .unionByName(m("kept_filter", TextOps.corpusFilter(spark, dir),
+        sum(col("keep").cast("long"))))
+      .unionByName(m("contaminated",
+        decontaminate(spark, dir).join(src, "doc_id"),
+        sum(col("contaminated").cast("long"))))
+      .unionByName(labelLeg)
+      .unionByName(jsd.select(col("source"),
+        lit("jsd_micronats").as("metric"),
+        col("jsd_micronats").cast("long").as("value")))
+      .orderBy(col("source"), col("metric"))
+  }
+
+  def dataCardBySource(spark: SparkSession, dir: String): DataFrame = {
+    val clusters = Dedup.nearDupClusters(spark, dir)
+      .select(col("doc_id"), col("cluster_id")).localCheckpoint()
+    dataCardBySourceOver(spark, dir, Sampling.splitFromClusters(clusters),
+      Selection.jsDivergence(spark, dir))
+  }
+
+  /** Artifact-fed per-source card — same steady-state contract as
+    * [[dataCardFrom]]: the label and count stores replace the live CC
+    * fixpoint and the corpus token pass. */
+  def dataCardBySourceFrom(spark: SparkSession, dir: String,
+      labelsDir: String, countsDir: String): DataFrame =
+    dataCardBySourceOver(spark, dir,
+      Sampling.trainTestSplitFrom(spark, labelsDir),
+      Selection.jsDivergenceFromArtifact(spark, countsDir))
+
+  /** DRIVER-GATED serve path for the per-source card (build both
+    * artifacts into a scratch dir, answer from them) — the
+    * [[dataCardServed]] idiom. */
+  def dataCardBySourceServed(spark: SparkSession, dir: String): DataFrame = {
+    val artDir = java.nio.file.Files
+      .createTempDirectory("graft_srccard_served").toString
+    Sampling.writeSplitLabels(spark, dir, artDir)
+    Selection.tokenCountsOn(graft.Tables.documents(spark, dir))
+      .write.mode("overwrite")
+      .parquet(s"$artDir/${Selection.TokenCountsTable}.parquet")
+    dataCardBySourceFrom(spark, dir, artDir, artDir)
+  }
+
   private val pipelineOracle: Map[String, String] = Map(
     "curation_pipeline" -> pipelineSql,
     "curation_pipeline_summary" ->
@@ -860,6 +952,23 @@ object Curation {
     "curation_data_card" ->
       s"""SELECT metric, value FROM (SELECT 'docs_total' AS metric, CAST(COUNT(*) AS BIGINT) AS value FROM documents UNION ALL SELECT 'kept_filter', CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) FROM (${TextOps.oracle("text_corpus_filter")}) UNION ALL SELECT 'nd_clusters', CAST(COUNT(DISTINCT cluster_id) AS BIGINT) FROM (${Dedup.oracle("dedup_clusters")}) UNION ALL SELECT 'nd_dup_docs', CAST(COUNT(*) - COUNT(DISTINCT cluster_id) AS BIGINT) FROM (${Dedup.oracle("dedup_clusters")}) UNION ALL SELECT 'contaminated', CAST(SUM(CASE WHEN contaminated THEN 1 ELSE 0 END) AS BIGINT) FROM (${oracle("decontam_eval_overlap")}) UNION ALL SELECT 'split_train', CAST(SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) FROM (${Sampling.oracle("split_train_test")}) UNION ALL SELECT 'split_validation', CAST(SUM(CASE WHEN split = 'validation' THEN 1 ELSE 0 END) AS BIGINT) FROM (${Sampling.oracle("split_train_test")}) UNION ALL SELECT 'split_test', CAST(SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT) FROM (${Sampling.oracle("split_train_test")}) UNION ALL SELECT 'jsd_max_micronats', CAST(MAX(jsd_micronats) AS BIGINT) FROM (${Selection.oracle("text_js_divergence")})) ORDER BY metric"""
   )
+
+  // the artifact-fed card must equal the live one, so its oracle IS
+  // the live card's component-oracle aggregation verbatim — DuckDB
+  // rebuilds every leg from scratch, Spark serves from the stores
+  private val servedOracle: Map[String, String] = Map(
+    "curation_data_card_served" -> pipelineOracle("curation_data_card"))
+
+  // per-source card: the same component oracles grouped by source.
+  // MATERIALIZED pins each component to one evaluation (the CTE
+  // inlining of the recursive-closure labels OOM'd DuckDB when the
+  // OPQ gate hit the same pattern — COVERAGE.md round 12)
+  private val bySourceCardSql =
+    s"""WITH fil AS MATERIALIZED (${TextOps.oracle("text_corpus_filter")}), dec AS MATERIALIZED (${oracle("decontam_eval_overlap")}), lab AS MATERIALIZED (${Sampling.oracle("split_train_test")}), jsd AS MATERIALIZED (${Selection.oracle("text_js_divergence")}), ds AS (SELECT doc_id, source FROM documents) SELECT source, metric, value FROM (SELECT source, 'docs_total' AS metric, CAST(COUNT(*) AS BIGINT) AS value FROM documents GROUP BY source UNION ALL SELECT source, 'kept_filter', CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) FROM fil GROUP BY source UNION ALL SELECT ds.source, 'contaminated', CAST(SUM(CASE WHEN dec.contaminated THEN 1 ELSE 0 END) AS BIGINT) FROM dec JOIN ds USING (doc_id) GROUP BY ds.source UNION ALL SELECT ds.source, 'nd_clusters', CAST(COUNT(DISTINCT lab.cluster_id) AS BIGINT) FROM lab JOIN ds USING (doc_id) GROUP BY ds.source UNION ALL SELECT ds.source, 'nd_dup_docs', CAST(COUNT(*) - COUNT(DISTINCT lab.cluster_id) AS BIGINT) FROM lab JOIN ds USING (doc_id) GROUP BY ds.source UNION ALL SELECT ds.source, 'split_train', CAST(SUM(CASE WHEN lab.split = 'train' THEN 1 ELSE 0 END) AS BIGINT) FROM lab JOIN ds USING (doc_id) GROUP BY ds.source UNION ALL SELECT ds.source, 'split_validation', CAST(SUM(CASE WHEN lab.split = 'validation' THEN 1 ELSE 0 END) AS BIGINT) FROM lab JOIN ds USING (doc_id) GROUP BY ds.source UNION ALL SELECT ds.source, 'split_test', CAST(SUM(CASE WHEN lab.split = 'test' THEN 1 ELSE 0 END) AS BIGINT) FROM lab JOIN ds USING (doc_id) GROUP BY ds.source UNION ALL SELECT source, 'jsd_micronats', CAST(jsd_micronats AS BIGINT) FROM jsd) ORDER BY source, metric"""
+
+  private val bySourceOracle: Map[String, String] = Map(
+    "curation_data_card_by_source" -> bySourceCardSql,
+    "curation_data_card_by_source_served" -> bySourceCardSql)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "decontam_eval_overlap" -> decontaminate _,
@@ -872,8 +981,12 @@ object Curation {
     "text_pack_summary" -> packSequencesSummary _,
     "curation_pipeline" -> curationPipeline _,
     "curation_pipeline_summary" -> curationPipelineSummary _,
-    "curation_data_card" -> dataCard _
+    "curation_data_card" -> dataCard _,
+    "curation_data_card_served" -> dataCardServed _,
+    "curation_data_card_by_source" -> dataCardBySource _,
+    "curation_data_card_by_source_served" -> dataCardBySourceServed _
   )
 
-  def allOracle: Map[String, String] = oracle ++ pipelineOracle
+  def allOracle: Map[String, String] =
+    oracle ++ pipelineOracle ++ servedOracle ++ bySourceOracle
 }

@@ -86,9 +86,26 @@ object Dedup {
     * boilerplate-prefilter shape, not a count window): the gram-count
     * groupBy moves only (g, count) partial-agg rows — never
     * doc_id/pos — and the surviving multi-occurrence gram set is
-    * typically tiny (verbatim repeats are the exception), so AQE
-    * broadcasts it back against the position scan; the worst case
-    * degrades to a sort-merge join, never an all-positions sort. */
+    * typically tiny (measured 4.7% of distinct grams on this corpus —
+    * verbatim repeats are the exception), so AQE broadcasts it back
+    * against the position scan (asserted in PlanLintSpec); the worst
+    * case degrades to a sort-merge join, never an all-positions sort.
+    *
+    * Shuffle floor (round-13 answer to the r12 "cut the 596 MB"
+    * task): with the probe side broadcast, the ONLY corpus-sized
+    * exchange left is the count-agg, and it carries exactly one
+    * (g, c) partial row per distinct gram per map partition — ~24 B
+    * of UnsafeRow for ~20M mostly-singleton grams at 100× ≈ the
+    * measured ~580 MB. That is the information-theoretic floor for
+    * EXACT corpus-wide occurrence counting: a gram seen once in a
+    * partition cannot be distinguished map-side from one seen once in
+    * each of two partitions, so every distinct gram must cross the
+    * wire once; narrowing the key wins nothing (UnsafeRow pads fields
+    * to 8 B), and bucketing keys coarsely enough to shrink the
+    * exchange collides essentially every bucket past [[SpanMinOcc]],
+    * making the prefilter vacuous. The map-side combine already
+    * removes within-partition repeats (the only rows that CAN drop
+    * before the wire). */
   private def dupPositions(docs: DataFrame): DataFrame = {
     // posexplode_OUTER: plain explode lets InferFiltersFromGenerate
     // push a size(keys) > 0 filter below the projection, duplicating
@@ -426,6 +443,20 @@ object Dedup {
           col("v")))
       .orderBy(col("vec_id"))
 
+  /** DRIVER-GATED serve path (round-12 verdict task #3): build the
+    * cell-partitioned artifact into a scratch dir, then answer from
+    * it via [[semanticDedupFromCells]] — the steady-state read path a
+    * running pipeline uses, gated against the same full-rebuild
+    * replay as the live build (the `split_merge_batch` idiom: DuckDB
+    * rebuilds from scratch, Spark serves from the artifact, the hash
+    * gate proves them identical). */
+  def semanticDedupServed(spark: SparkSession, dir: String): DataFrame = {
+    val cellsDir = java.nio.file.Files
+      .createTempDirectory("graft_sem_served").toString + "/cells"
+    writeSemanticCells(spark, dir, cellsDir)
+    semanticDedupFromCells(spark, cellsDir)
+  }
+
   /** Gold/batch cut for the gated [[semanticDedupBatch]] entry —
     * vectors below are the standing corpus the quantizers train on,
     * vectors at/above are the appended batch. */
@@ -479,6 +510,41 @@ object Dedup {
       subs: Seq[Seq[(Int, Seq[Double])]], subK: Int): Unit =
     assignSemanticCells(batch, coarse, subs, subK)
       .write.mode("append").partitionBy("cell").parquet(cellsDir)
+
+  /** Parquet part-file count of a cell-partitioned semantic artifact —
+    * the fragmentation measure [[maybeCompactSemanticCells]] watches
+    * (each streamed append writes one file per touched cell per
+    * micro-batch). */
+  def cellsFileCount(cellsDir: String): Int = {
+    def walk(f: java.io.File): Int =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).map(walk).sum
+      else if (f.getName.endsWith(".parquet")) 1
+      else 0
+    walk(new java.io.File(cellsDir))
+  }
+
+  /** Compaction policy for the append-mode semantic-cells store: past
+    * `threshold` part files, rewrite toward one file per cell. Unlike
+    * the dedup index (derived — compacts by rebuilding from gold),
+    * the cells store is SELF-contained (vec_id, v, cell under frozen
+    * quantizers), so compaction is a read → hash-repartition on
+    * `cell` (each cell lands in one task → one output file) →
+    * overwrite; content is bit-identical, no re-assignment runs. The
+    * frame pins eagerly before the overwrite deletes the very files
+    * its lineage reads. Returns whether a rewrite ran. */
+  def maybeCompactSemanticCells(spark: SparkSession, cellsDir: String,
+      threshold: Int = CompactFileThreshold): Boolean = {
+    if (cellsFileCount(cellsDir) > threshold) {
+      val compacted = spark.read.parquet(cellsDir)
+        .select(col("vec_id"), col("v"), col("cell").cast("int").as("cell"))
+        .repartition(col("cell"))
+        .localCheckpoint()
+      compacted.write.mode("overwrite").partitionBy("cell")
+        .parquet(cellsDir)
+      true
+    } else false
+  }
 
   /** Gated form of the append story: quantizers train on the GOLD
     * side only (vec_id < [[SemBatchCut]] — frozen before the batch
@@ -648,19 +714,24 @@ object Dedup {
     * are bounded by corpus repetition (the near-dup signal itself),
     * not by raw vocabulary, which is what made the full dictionary
     * blow the driver at 100× (this corpus's vocab grows ∝ copies by
-    * construction). The count guard runs BEFORE any collect. */
+    * construction). The vocab guard and the dictionary share ONE
+    * bounded collect (`limit(bound+1)` caps driver memory whether or
+    * not the corpus is in-regime): the round-12 form ran the df
+    * aggregate twice — a count() for the guard, then the collect —
+    * which alone doubled the guard's share of the operator's cost
+    * (round-12 review finding). */
   private def prefixIndex(spark: SparkSession, t: DataFrame): DataFrame = {
     val inv = t.select(col("doc_id"), explode_outer(col("sh")).as("s"))
       .filter(col("s").isNotNull)
     val freq = inv.groupBy(col("s")).agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2)
-    val nShared = freq.count()
-    require(nShared <= MaxBroadcastVocab,
-      s"ngramJaccardPrefixPairs: $nShared shared shingle types exceed " +
-        s"the $MaxBroadcastVocab broadcast bound — the df dictionary " +
-        s"no longer fits the driver/task broadcast; use " +
-        s"ngramJaccardPairs (inverted index) at this scale")
-    val dfEntries = freq.collect()
+    val entries = freq.limit(MaxBroadcastVocab + 1).collect()
+    require(entries.length <= MaxBroadcastVocab,
+      s"ngramJaccardPrefixPairs: more than $MaxBroadcastVocab shared " +
+        s"shingle types — the df dictionary no longer fits the " +
+        s"driver/task broadcast; use ngramJaccardPairs (inverted " +
+        s"index) at this scale")
+    val dfEntries = entries
       .map(r => (r.getString(0), r.getLong(1))).toSeq
     t.select(col("doc_id"),
         explode_outer(graft.functions.PrefixByDf(spark, col("sh"),
@@ -683,7 +754,13 @@ object Dedup {
 
   def ngramJaccardPrefixPairs(spark: SparkSession, dir: String): DataFrame = {
     val t = docShingles(spark, dir)
-    val prefix = prefixIndex(spark, t)
+    // localCheckpoint (EAGER): the index is consumed THREE times —
+    // the density-guard aggregate below plus both sides of the
+    // candidate self-join — and unpinned, each consumer re-paid the
+    // full explode + PrefixByDf scan (round-12 review finding: the
+    // guard roughly doubled the operator it protects). The pinned
+    // rows are the skinny (doc_id, s) prefix fraction, not the corpus.
+    val prefix = prefixIndex(spark, t).localCheckpoint()
     // Candidate-DENSITY guard: prefix filtering only pays when
     // candidates ≪ all shared-shingle pairs, and the exact verify
     // attaches two ~KB shingle arrays per candidate — the cost that
@@ -1043,6 +1120,17 @@ object Dedup {
       Sampling.trainTestSplitFrom(spark, labelsDir)
         .select(col("doc_id"), col("cluster_id")))
 
+  /** DRIVER-GATED serve path for keep-best (round-12 verdict task
+    * #3): write the split-label artifact to a scratch dir, then
+    * answer from it via [[keepBestQualityFrom]] — gated against the
+    * same live-CC replay as [[keepBestQuality]]. */
+  def keepBestQualityServed(spark: SparkSession, dir: String): DataFrame = {
+    val labelsDir = java.nio.file.Files
+      .createTempDirectory("graft_kb_served").toString
+    Sampling.writeSplitLabels(spark, dir, labelsDir)
+    keepBestQualityFrom(spark, dir, labelsDir)
+  }
+
   private def keepBestOver(spark: SparkSession, dir: String,
       clusters: DataFrame): DataFrame = {
     val q = TextOps.scoredDocs(spark, dir)
@@ -1396,15 +1484,18 @@ object Dedup {
   // multi-occurrence grams via GROUP BY ... HAVING, islands via
   // lag + running-sum windows
   // two-level rolling-hash replay (RollingGramKeys): per-token
-  // byte-level Karp–Rabin (the text_rolling_fingerprint HUGEINT fold
-  // — valid because the corpus is pure ASCII), then a per-position
-  // base-GramBase Horner over the k token hashes. The oracle re-folds
-  // every position; the engine's O(1) rolling update is congruent mod
-  // 2^61-1, so the values match bit-for-bit.
+  // byte-level Karp–Rabin (the text_rolling_fingerprint HUGEINT fold),
+  // then a per-position base-GramBase Horner over the k token hashes.
+  // The oracle re-folds every position; the engine's O(1) rolling
+  // update is congruent mod 2^61-1, so the values match bit-for-bit.
+  // The codepoint(ord)-vs-UTF-8-byte congruence holds ONLY for ASCII,
+  // so the replay ASSERTS it per token (strlen = byte count vs
+  // length = char count; error() raises loudly) instead of silently
+  // hash-mismatching on a non-ASCII corpus — round-12 review finding.
   private val spanMod = "2305843009213693951"
   private val spanOccSql = {
     val tokHash =
-      s"list_reduce(list_prepend(CAST(0 AS HUGEINT), list_transform(range(1, length(s)+1), ci -> CAST(ord(substr(s, ci, 1)) AS HUGEINT))), (h, b) -> (h * 257 + b) % $spanMod)"
+      s"CASE WHEN strlen(s) <> length(s) THEN CAST(error('dedup_substring oracle: non-ASCII token, byte/codepoint congruence broken') AS HUGEINT) ELSE list_reduce(list_prepend(CAST(0 AS HUGEINT), list_transform(range(1, length(s)+1), ci -> CAST(ord(substr(s, ci, 1)) AS HUGEINT))), (h, b) -> (h * 257 + b) % $spanMod) END"
     s"""SELECT doc_id, u.pos AS pos, CAST(u.g AS BIGINT) AS g FROM (SELECT doc_id, unnest(list_transform(range(1, len(th)-$SpanGram+2), i -> {'pos': i, 'g': list_reduce(list_prepend(CAST(0 AS HUGEINT), th[i:i+${SpanGram - 1}]), (g, x) -> (g * ${graft.functions.RollingGramKeys.GramBase} + x) % $spanMod)})) AS u FROM (SELECT doc_id, list_transform(t, s -> $tokHash) AS th FROM (SELECT doc_id, ${TextOps.toksSql} AS t FROM documents) WHERE len(t) >= $SpanGram))"""
   }
   private val spanSql =
@@ -1465,6 +1556,10 @@ object Dedup {
   val oracle: Map[String, String] = Map(
     "dedup_semantic_scaled" -> semScaledSql,
     "dedup_semantic_artifact" -> semArtifactSql,
+    // the artifact-READ serve path must equal the live build, so its
+    // oracle IS the live build's replay verbatim — DuckDB rebuilds
+    // from scratch, Spark serves from the parquet cells store
+    "dedup_semantic_served" -> semArtifactSql,
     "dedup_semantic_batch" -> semBatchSql,
     // SemDeDup: the kmeans train chain (KMeans.trainCtes) feeds a
     // same-cluster self-join; keep = min lower-id neighbor above the
@@ -1498,6 +1593,10 @@ object Dedup {
     // the lower doc_id)
     "dedup_keep_best" ->
       s"""WITH $clusterAssignSql, q AS (SELECT doc_id, quality_score FROM (${TextOps.oracle("text_quality_score")})), j AS (SELECT cl.doc_id, cl.cluster_id, q.quality_score FROM cl JOIN q USING (doc_id)) SELECT doc_id, cluster_id, quality_score, rn = 1 AS kept FROM (SELECT *, row_number() OVER (PARTITION BY cluster_id ORDER BY quality_score DESC, doc_id) AS rn FROM j) ORDER BY doc_id""",
+    // artifact-fed keep-best serves from the split-label store; its
+    // oracle is the live form's replay verbatim (serve == rebuild)
+    "dedup_keep_best_served" ->
+      s"""WITH $clusterAssignSql, q AS (SELECT doc_id, quality_score FROM (${TextOps.oracle("text_quality_score")})), j AS (SELECT cl.doc_id, cl.cluster_id, q.quality_score FROM cl JOIN q USING (doc_id)) SELECT doc_id, cluster_id, quality_score, rn = 1 AS kept FROM (SELECT *, row_number() OVER (PARTITION BY cluster_id ORDER BY quality_score DESC, doc_id) AS rn FROM j) ORDER BY doc_id""",
     "dedup_minhash_lsh" ->
       s"""WITH mh AS ($minhashSql), bands AS ($bandsSql), cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b FROM bands x JOIN bands y ON x.band_idx = y.band_idx AND x.band_val = y.band_val AND x.doc_id < y.doc_id), sh_tbl AS ($docShinglesSql) SELECT doc_a, doc_b, jaccard FROM (SELECT doc_a, doc_b, $jaccardSql AS jaccard FROM cand JOIN (SELECT doc_id, sh AS sh_a FROM sh_tbl) sa ON cand.doc_a = sa.doc_id JOIN (SELECT doc_id, sh AS sh_b FROM sh_tbl) sb ON cand.doc_b = sb.doc_id) WHERE jaccard >= $JaccardThreshold ORDER BY doc_a, doc_b""",
     "dedup_simhash" ->
@@ -1515,6 +1614,7 @@ object Dedup {
     "dedup_semantic" -> semanticDedup _,
     "dedup_semantic_scaled" -> semanticDedupScaled _,
     "dedup_semantic_artifact" -> semanticDedupArtifact _,
+    "dedup_semantic_served" -> semanticDedupServed _,
     "dedup_semantic_batch" -> semanticDedupBatch _,
     "dedup_substring_spans" -> substringSpans _,
     "dedup_substring_summary" -> substringSpanSummary _,
@@ -1526,6 +1626,7 @@ object Dedup {
     "dedup_simhash" -> simhashSignaturesAgg _,
     "dedup_clusters" -> nearDupClusters _,
     "dedup_keep_best" -> keepBestQuality _,
+    "dedup_keep_best_served" -> keepBestQualityServed _,
     "dedup_method_agreement" -> methodAgreement _,
     "dedup_incremental" -> incrementalNearDups _,
     "dedup_embedding_cosine" ->

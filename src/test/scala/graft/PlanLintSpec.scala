@@ -171,6 +171,21 @@ class PlanLintSpec extends SparkSpec {
       s"prefix selection should ride the PrefixByDf expression:\n$plan")
   }
 
+  test("span dedup's probe join broadcasts the multi-occurrence gram " +
+      "set (AQE runtime conversion)") {
+    // the broadcast is an AQE decision made from the count-agg's
+    // runtime stats (the dup-gram set is ~5% of distinct grams), so
+    // the final adaptive plan — inspectable only after execution —
+    // must carry it; without it the probe side would re-shuffle the
+    // whole (doc_id, pos, g) stream, doubling the operator's one
+    // irreducible exchange (the count-agg floor, see dupPositions)
+    val df = graft.ext.Dedup.substringSpans(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"dup-gram probe must broadcast under AQE:\n$plan")
+  }
+
   test("stratified sample core plans with zero exchanges") {
     val plan = graft.ext.Sampling.stratifiedSampleCore(spark, sf)
       .queryExecution.executedPlan.toString
