@@ -245,18 +245,75 @@ object ScaleUp {
       // measurement (the regime boundary), not a crash: record it and
       // keep the section going.
       // the density statistic first — one skinny aggregate per scale,
-      // so the regime boundary is a printed NUMBER either way
-      for (d <- Seq(src, dst))
-        println(s"[scaleup] prefix_candidate_volume      $d: " +
+      // so the regime boundary is a printed NUMBER either way. The
+      // volume probe itself rides prefixIndex, whose broadcast-vocab
+      // guard can refuse — that refusal is ALSO a measurement, so it
+      // gets the same handler instead of aborting the section
+      // (round-12 review finding).
+      for (d <- Seq(src, dst)) {
+        try println(s"[scaleup] prefix_candidate_volume      $d: " +
           graft.ext.Dedup.prefixCandidateVolume(spark, d))
-      for (q <- Seq("text_boilerplate", "dedup_ngram_prefix",
-          "dedup_source_overlap"); d <- Seq(src, dst)) {
-        try time(q, d, 1)
         catch { case e: IllegalArgumentException =>
-          println(s"[scaleup] $q REFUSED at $d: ${e.getMessage}")
+          println(s"[scaleup] prefix_candidate_volume REFUSED at $d: " +
+            e.getMessage)
         }
       }
+      for (q <- Seq("text_boilerplate", "dedup_ngram_prefix",
+          "dedup_source_overlap"); d <- Seq(src, dst)) {
+        // only the prefix path HAS refusal guards; an
+        // IllegalArgumentException from the other two would be a real
+        // bug and must propagate, not be recorded as "REFUSED"
+        // (round-12 review finding)
+        if (q == "dedup_ngram_prefix") {
+          try time(q, d, 1)
+          catch { case e: IllegalArgumentException =>
+            println(s"[scaleup] $q REFUSED at $d: ${e.getMessage}")
+          }
+        } else time(q, d, 1)
+      }
     }
+    if (on("sparse")) {
+      // round-12 verdict task #6: the prefix path's WIN regime,
+      // measured — completing the regime table. The density guard
+      // proved where prefix filtering LOSES (the copy corpus is
+      // pair-dense by construction: 85.6M candidates at 100×,
+      // refusal); this corpus is its mirror: every token is
+      // doc_id-prefixed (real-vocabulary-like — every content shingle
+      // df-1), plus ONE universal boilerplate footer. The footer's
+      // hot shingles give every doc pair a shared shingle, so the
+      // inverted join must grind ~8·C(5000,2) ≈ 100M candidate
+      // partials — while the canonical df-ascending prefix order
+      // ranks exactly those shingles LAST and keeps them out of
+      // essentially every prefix, so the prefix path's candidate set
+      // collapses to the handful of short docs whose prefix window
+      // reaches the footer. Same verified pair set either way
+      // (prefix filtering is lossless; DedupSpec asserts it).
+      val sdir = s"$dst/sparse"
+      if (!new java.io.File(s"$sdir/documents.parquet").exists()) {
+        Tables.documents(spark, src).orderBy(col("doc_id")).limit(5000)
+          .select(col("doc_id"), col("source"),
+            concat(
+              concat_ws(" ", transform(split(col("text"), "\\s+"),
+                t => concat(col("doc_id").cast("string"), lit("x"), t))),
+              lit(" shared boilerplate footer sentence repeated " +
+                "verbatim on every single document"))
+              .as("text"))
+          .write.mode("overwrite").parquet(s"$sdir/documents.parquet")
+        println(s"[scaleup] built $sdir (5000 uniquified docs + " +
+          "universal footer)")
+      }
+      try println(s"[scaleup] prefix_candidate_volume      $sdir: " +
+        graft.ext.Dedup.prefixCandidateVolume(spark, sdir))
+      catch { case e: IllegalArgumentException =>
+        println(s"[scaleup] prefix_candidate_volume REFUSED at $sdir: " +
+          e.getMessage)
+      }
+      timed("dedup_ngram_prefix_sparse", sdir, 1)(
+        graft.ext.Dedup.ngramJaccardPrefixPairs(spark, sdir))
+      timed("dedup_ngram_jaccard_sparse", sdir, 1)(
+        graft.ext.Dedup.ngramJaccardPairs(spark, sdir))
+    }
+
     // ANN-tier corpus (copies×100 key-shifted embeddings copies —
     // 20M vectors at copies=100): shared by the ann, annbatch, and
     // r11b sections, built once on first need

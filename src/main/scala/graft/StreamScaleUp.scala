@@ -107,7 +107,8 @@ object StreamScaleUp {
     }
     for (d <- Seq("ckpt_hourly", "ckpt_sessionize", "ckpt_dedup",
         "dedup_index", "gold_docs", "ckpt_curation", "cur_index",
-        "cur_gold", "cur_disp", "ckpt_vec", "vec_gold", "vec_codes"))
+        "cur_gold", "cur_disp", "ckpt_vec", "vec_gold", "vec_codes",
+        "ckpt_sem", "sem_cells", "sem_verdicts"))
       rmrf(new java.io.File(s"$base/$d"))
 
     // ---- per-batch progress listener ----
@@ -250,9 +251,9 @@ object StreamScaleUp {
         f"construction; expect all tripped)")
     }
 
-    // ---- 5. streaming vector ingest (gold + IVF-PQ codes per batch) ----
-    if (on("vec")) locally {
-      val vecDir = s"$base/vectors.parquet"
+    // ---- staged vector landing files (shared by vec + sem tiers) ----
+    val vecDir = s"$base/vectors.parquet"
+    def ensureVecStaged(): Unit =
       if (!new java.io.File(vecDir).exists()) {
         // key-shifted AND dimension-perturbed copies (bit-identical
         // vectors would be the adversarial all-duplicates corpus — see
@@ -277,6 +278,10 @@ object StreamScaleUp {
         }
         println(s"[streamscale] staged $vecDir (${copies}x, perturbed)")
       }
+
+    // ---- 5. streaming vector ingest (gold + IVF-PQ codes per batch) ----
+    if (on("vec")) locally {
+      ensureVecStaged()
       // codebooks train ONCE on the base sample and stay frozen — the
       // sink's whole premise (retrain = rebuild)
       val coarse = graft.ext.KMeans.train(spark, src)
@@ -310,6 +315,71 @@ object StreamScaleUp {
           .filter(col("cell") === qCell), dt, qid).collect().length
       println(f"[streamscale] adc probe over streamed codes " +
         f"${(System.nanoTime() - t2) / 1e9}%.2f s ($topRows%d rows)")
+    }
+
+    // ---- 5b. streaming SemDeDup (cells + delta verdicts per batch) ----
+    if (on("sem")) locally {
+      ensureVecStaged()
+      // quantizers FREEZE on the base corpus (the sink's premise:
+      // retrain = rebuild), cells sized for the EXPECTED streamed
+      // corpus via subKFor — cap raised to 2·subK so each coarse
+      // cell's training sample can seat subK sub-centroids
+      val total = Tables.embeddings(spark, src).count() * copies
+      val subK = graft.ext.Dedup.subKFor(total)
+      val (coarse, subs) = graft.ext.Dedup.trainSemanticQuantizers(
+        graft.ext.KMeans.vecs(spark, src), subK, cap = 2 * subK)
+      val schema = spark.read.parquet(vecDir).schema
+      val t0 = System.nanoTime()
+      val q = EventStreams.semanticDedupSink(
+        spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(vecDir),
+        coarse, subs, subK, s"$base/sem_cells", s"$base/sem_verdicts",
+        s"$base/ckpt_sem")
+      q.stop()
+      val cells = spark.read.parquet(s"$base/sem_cells")
+      val verdicts = spark.read.parquet(s"$base/sem_verdicts")
+      println(f"[streamscale] sem sink total " +
+        f"${(System.nanoTime() - t0) / 1e9}%.1f s, " +
+        f"${cells.count()}%d vectors in cells, " +
+        f"${verdicts.count()}%d verdicts " +
+        f"(${verdicts.filter(col("is_dup")).count()}%d dups)")
+      // per-batch trigger rows print above via the progress listener;
+      // expected shape: cost tracks |batch| · cell-size (the gold side
+      // is pruned to touched cells), so it grows with the store like
+      // the dedup sink's index probe — never with history² — and the
+      // batch side stays broadcast
+      // parity: streamed store == one-shot assignment under the same
+      // frozen quantizers, and the accumulated verdict log == the
+      // full-store recompute (monotone ingest ids)
+      def sig(df: DataFrame, cs: Seq[String]): Long =
+        df.agg(sum(xxhash64(cs.map(col): _*))).head().getLong(0)
+      val oneShot = graft.ext.Dedup.assignSemanticCells(
+        spark.read.parquet(vecDir).select(col("vec_id"),
+          col("embedding").cast("array<double>").as("v")),
+        coarse, subs, subK)
+      val cellsPar = sig(cells.select(col("vec_id"),
+          col("cell").cast("int").as("cell")), Seq("vec_id", "cell")) ==
+        sig(oneShot.select(col("vec_id"), col("cell")),
+          Seq("vec_id", "cell"))
+      val full = graft.ext.Dedup
+        .semanticDedupFromCells(spark, s"$base/sem_cells")
+      val verdictCols = Seq("vec_id", "cell", "is_dup", "dup_of")
+      val verdictPar = sig(verdicts.select(col("vec_id"),
+          col("cell").cast("int").as("cell"), col("is_dup"),
+          col("dup_of")), verdictCols) ==
+        sig(full.select(col("vec_id"), col("cell"), col("is_dup"),
+          col("dup_of")), verdictCols)
+      println(s"[streamscale] sem parity: cells " +
+        (if (cellsPar) "EXACT" else "MISMATCH") + ", verdicts " +
+        (if (verdictPar) "EXACT" else "MISMATCH"))
+      // compaction economics, same policy row as the codes store
+      val frag = graft.ext.Dedup.cellsFileCount(s"$base/sem_cells")
+      val t1 = System.nanoTime()
+      graft.ext.Dedup.maybeCompactSemanticCells(spark,
+        s"$base/sem_cells", threshold = 1)
+      println(f"[streamscale] cells compaction: $frag%d part files -> " +
+        f"${graft.ext.Dedup.cellsFileCount(s"$base/sem_cells")}%d, " +
+        f"rewrite ${(System.nanoTime() - t1) / 1e9}%.1f s")
     }
 
     val rocksDirs = Option(new java.io.File(

@@ -333,10 +333,16 @@ object EventStreams {
     * artifact ([[graft.ext.Selection.batchDriftScore]] — "did this
     * source's token distribution move?") and the thresholded verdict
     * appends to the alert log. Alert rows are keyed by batch_id and
-    * written BEFORE the merge: a crash-replayed batch may append the
-    * same (deterministic) rows twice, which [[driftAlerts]] dedupes
-    * on read — so the decision log never silently loses a batch the
-    * counts artifact applied. */
+    * written BEFORE the merge; a batch the counts artifact has
+    * ALREADY applied (the `_batch_id` marker is at or past this id —
+    * a checkpoint replay after a committed merge) skips the scoring
+    * entirely, because re-scoring it would run against the
+    * post-merge artifact, whose per-token floor quantization makes a
+    * near-threshold verdict replay-dependent (the round-12 review
+    * finding). The crash window that remains — alerts written, merge
+    * not committed — re-appends rows scored against the SAME
+    * pre-merge artifact, identical by determinism, and
+    * [[driftAlerts]] collapses them on read. */
   val DriftThresholdMicronats = 200000L // 0.2 nats; JSD maxes at ln 2
 
   def driftMonitorSink(docs: DataFrame, countsDir: String,
@@ -349,7 +355,14 @@ object EventStreams {
         val spark = batch.sparkSession
         val live =
           s"$countsDir/${graft.ext.Selection.TokenCountsTable}.parquet"
-        if (hasParquet(live)) {
+        // replay guard (ADVICE r12): if the merge below already
+        // committed this batch, its alert rows are already in the log
+        // and the pre-merge artifact they were scored against is gone
+        // — skip, don't re-score against the merged counts
+        val marker = new java.io.File(s"$live/_batch_id")
+        val applied = marker.exists() &&
+          java.nio.file.Files.readString(marker.toPath).trim.toLong >= batchId
+        if (hasParquet(live) && !applied) {
           // localCheckpoint (EAGER): the score's lineage reads the
           // live artifact the merge below REPLACES — the same
           // pin-before-append discipline as the dedup sink
@@ -372,10 +385,12 @@ object EventStreams {
   }
 
   /** The drift DECISION log: one row per (batch, source) with the
-    * batch-vs-trailing JSD and the thresholded flag. Replay-duplicated
-    * rows (identical by construction — the score is deterministic)
-    * collapse through the max-aggregate; bounded at batches ×
-    * sources. */
+    * batch-vs-trailing JSD and the thresholded flag. The sink's
+    * replay guard keeps already-merged batches from re-scoring, so
+    * the only duplicates that can reach the log are crash replays of
+    * an UNcommitted merge — scored against the same pre-merge
+    * artifact, hence identical by determinism — and the
+    * max-aggregate collapses them; bounded at batches × sources. */
   def driftAlerts(spark: SparkSession, countsDir: String): DataFrame = {
     val path = s"$countsDir/jsd_alerts.parquet"
     if (!hasParquet(path)) {
@@ -452,6 +467,124 @@ object EventStreams {
       .start()
     q.processAllAvailable()
     q
+  }
+
+  /** Streaming SemDeDup — the semantic-cells counterpart of
+    * [[incrementalVectorIndexSink]] (round-12 verdict task #2): each
+    * micro-batch of (vec_id, …, embedding) rows is encoded under
+    * FROZEN quantizers (trained once on a gold sample — the same
+    * retrain-is-a-rebuild contract as the PQ codes store), judged
+    * against the accumulated cell store for semantic near-dups, and
+    * appended. Per micro-batch:
+    *
+    *  1. replay guard: vec_ids already in the cells store drop (a
+    *     checkpoint-recovered batch becomes a no-op);
+    *  2. map-only assignment
+    *     ([[graft.ext.Dedup.assignSemanticCells]]) + delta verdicts
+    *     ([[graft.ext.Dedup.batchSemanticDups]] — batch broadcast,
+    *     gold side partition-PRUNED to the batch's touched cells, so
+    *     per-batch work tracks |batch| · cell-size, never the
+    *     corpus), both eagerly pinned (their lineage reads the very
+    *     store the appends below write);
+    *  3. the batch's cells append (partition-local, one file per
+    *     touched cell), THEN its verdicts — the store is the source
+    *     of truth and verdicts are DERIVED state (a vec's dup_of is
+    *     its cell's min lower-id neighbor within threshold, fully
+    *     recomputable from the store), so the crash window between
+    *     the two writes loses nothing [[repairSemanticVerdicts]]
+    *     cannot re-derive;
+    *  4. past the part-file threshold the store compacts
+    *     ([[graft.ext.Dedup.maybeCompactSemanticCells]] — in-place
+    *     rewrite toward one file per cell; self-contained store, no
+    *     gold needed).
+    *
+    * Verdict-currency contract (shared with the batch append path,
+    * [[graft.ext.Dedup.batchSemanticDups]]): vec_ids must be assigned
+    * at ingest (monotone across batches), so later batches only add
+    * HIGHER ids and can never change an already-recorded verdict —
+    * which is what makes the accumulated log equal the full-store
+    * recompute ([[graft.ext.Dedup.semanticDedupFromCells]]), asserted
+    * hash-exact in EventStreamsSpec along with streamed-store ==
+    * one-shot-assignment equality. */
+  def semanticDedupSink(vectors: DataFrame,
+      coarse: Seq[(Int, Seq[Double])],
+      subs: Seq[Seq[(Int, Seq[Double])]], subK: Int,
+      cellsDir: String, verdictsDir: String,
+      checkpointDir: String): StreamingQuery = {
+    val q = vectors.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (raw: DataFrame, _: Long) =>
+        val spark = raw.sparkSession
+        val batch = raw.select(col("vec_id"),
+          col("embedding").cast("array<double>").as("v"))
+        // the cells store is cell-PARTITIONED: its part files live
+        // under cell=N/ subdirs, so the presence probe must recurse
+        // (the flat hasParquet sees only _SUCCESS at the top level
+        // and would report an always-empty store — verified failure
+        // mode: zero gold candidates, every verdict false)
+        val storeSeeded = graft.ext.Dedup.cellsFileCount(cellsDir) > 0
+        val fresh =
+          if (storeSeeded) {
+            val seen = spark.read.parquet(cellsDir).select("vec_id")
+            batch.join(seen, Seq("vec_id"), "left_anti")
+          } else batch
+        val batchCells = graft.ext.Dedup
+          .assignSemanticCells(fresh, coarse, subs, subK)
+          .localCheckpoint()
+        if (!batchCells.isEmpty) {
+          val goldCells =
+            if (storeSeeded)
+              spark.read.parquet(cellsDir).select(col("vec_id"),
+                col("cell").cast("int").as("cell"), col("v"))
+            else emptyCells(spark)
+          val verdicts = graft.ext.Dedup
+            .batchSemanticDups(goldCells, batchCells)
+            .localCheckpoint()
+          batchCells.write.mode("append").partitionBy("cell")
+            .parquet(cellsDir)
+          verdicts.write.mode("append").parquet(verdictsDir)
+          graft.ext.Dedup.maybeCompactSemanticCells(spark, cellsDir)
+        }
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q
+  }
+
+  /** Empty (vec_id, cell, v) frame — the gold side of a first batch
+    * seeding an empty semantic-cells store. */
+  private def emptyCells(spark: SparkSession): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(
+        StructField("vec_id", LongType),
+        StructField("cell", IntegerType),
+        StructField("v", ArrayType(DoubleType)))))
+
+  /** Close [[semanticDedupSink]]'s crash window between the cells
+    * append and the verdict append: any stored vector missing a
+    * verdict row gets one re-derived from the store itself. Feeding
+    * the missing rows back through
+    * [[graft.ext.Dedup.batchSemanticDups]] against the FULL store is
+    * exact: cand = self is excluded by the strict lower-id filter,
+    * batch-side duplicates of store rows cannot move the min
+    * aggregate, and the gold side still prunes to touched cells — so
+    * a repaired log equals the crash-free one. */
+  def repairSemanticVerdicts(spark: SparkSession, cellsDir: String,
+      verdictsDir: String): Unit = {
+    if (graft.ext.Dedup.cellsFileCount(cellsDir) == 0) return
+    val stored = spark.read.parquet(cellsDir).select(col("vec_id"),
+      col("cell").cast("int").as("cell"), col("v"))
+    val missing =
+      if (hasParquet(verdictsDir))
+        stored.join(spark.read.parquet(verdictsDir).select("vec_id"),
+          Seq("vec_id"), "left_anti")
+      else stored
+    val repaired = graft.ext.Dedup
+      .batchSemanticDups(stored, missing.localCheckpoint())
+      .localCheckpoint()
+    repaired.write.mode("append").parquet(verdictsDir)
   }
 
   /** Streaming curation — the sketch pipeline run over ARRIVING

@@ -675,4 +675,100 @@ class EventStreamsSpec extends SparkSpec {
     assert(!ProductQuant.maybeCompactCodes(spark, s"$base/gold",
       s"$base/codes", coarse, rcbs, threshold = 10000))
   }
+
+  test("streaming SemDeDup sink: accumulated cells equal the one-shot " +
+      "assignment, the verdict log equals the full-store recompute, " +
+      "replays no-op, and the crash-window repair is exact") {
+    import java.nio.file.{Files, Paths}
+    import graft.ext.Dedup
+    val base = Files.createTempDirectory("graft_sem_stream").toString
+    val srcDir = s"$base/src"; Files.createDirectories(Paths.get(srcDir))
+    val cellsDir = s"$base/cells"; val verdictsDir = s"$base/verdicts"
+    val e = Tables.embeddings(spark, sf)
+    val ids = e.select(col("vec_id")).orderBy(col("vec_id"))
+      .collect().map(_.getLong(0))
+    val c0 = ids(ids.length * 3 / 5); val c1 = ids(ids.length * 4 / 5)
+    // quantizers FREEZE on the gold prefix (the production ordering:
+    // trained before the appended batches exist)
+    val gold = graft.ext.KMeans.vecs(spark, sf)
+      .filter(col("vec_id") <= c0)
+    val (coarse, subs) = Dedup.trainSemanticQuantizers(gold, Dedup.SubK)
+
+    def stageFile(lo: Long, hi: Long, name: String): Unit = {
+      val tmp = Files.createTempDirectory("graft_sem_batch")
+      e.filter(col("vec_id") > lo && col("vec_id") <= hi)
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val f = new java.io.File(tmp.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(f.toPath, Paths.get(srcDir, name))
+    }
+    def runOnce(): Unit =
+      EventStreams.semanticDedupSink(
+        spark.readStream.schema(e.schema).parquet(srcDir),
+        coarse, subs, Dedup.SubK,
+        cellsDir, verdictsDir, s"$base/chk").stop()
+
+    // batches arrive in increasing vec_id order (ingest-assigned ids —
+    // the verdict-currency contract); the first SEEDS the empty store
+    stageFile(Long.MinValue, c0, "b0.parquet"); runOnce()
+    stageFile(c0, c1, "b1.parquet"); runOnce()
+    stageFile(c1, Long.MaxValue, "b2.parquet"); runOnce()
+
+    def cellRows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("vec_id"), col("cell").cast("int"), col("v"))
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Double](2))).toSet
+    val store = spark.read.parquet(cellsDir)
+    assert(store.count() == ids.length.toLong)
+    val oneShot = Dedup.assignSemanticCells(
+      graft.ext.KMeans.vecs(spark, sf), coarse, subs, Dedup.SubK)
+    assert(cellRows(store) == cellRows(oneShot),
+      "streamed cells store must equal the one-shot assignment")
+
+    def verdictRows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("vec_id"), col("cell").cast("int"), col("is_dup"),
+          col("dup_of"))
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSet
+    val full = verdictRows(Dedup.semanticDedupFromCells(spark, cellsDir))
+    val logged = verdictRows(spark.read.parquet(verdictsDir))
+    assert(logged == full,
+      "accumulated verdict log must equal the full-store recompute")
+    assert(full.exists(_._3), "stream should surface semantic dups")
+
+    // a replayed batch is a no-op (idempotent sink) — counts too, so
+    // a double-append can't hide behind the set compare
+    stageFile(c1, Long.MaxValue, "b2_replay.parquet"); runOnce()
+    assert(spark.read.parquet(cellsDir).count() == ids.length.toLong)
+    assert(spark.read.parquet(verdictsDir).count() == ids.length.toLong)
+    assert(cellRows(spark.read.parquet(cellsDir)) == cellRows(oneShot))
+    assert(verdictRows(spark.read.parquet(verdictsDir)) == full)
+
+    // crash window: verdicts lost after the cells append — the repair
+    // re-derives them from the store, exactly
+    def rmrf(p: java.io.File): Unit = {
+      Option(p.listFiles()).getOrElse(Array.empty).foreach(rmrf)
+      p.delete(); ()
+    }
+    rmrf(new java.io.File(verdictsDir))
+    EventStreams.repairSemanticVerdicts(spark, cellsDir, verdictsDir)
+    assert(verdictRows(spark.read.parquet(verdictsDir)) == full,
+      "repaired verdict log diverges from the crash-free one")
+    // and on an intact log the repair appends nothing
+    EventStreams.repairSemanticVerdicts(spark, cellsDir, verdictsDir)
+    assert(verdictRows(spark.read.parquet(verdictsDir)) == full)
+
+    // compaction: a tiny threshold forces the in-place rewrite; the
+    // store shrinks toward one file per cell, content unchanged
+    val before = Dedup.cellsFileCount(cellsDir)
+    assert(Dedup.maybeCompactSemanticCells(spark, cellsDir, threshold = 1))
+    val after = Dedup.cellsFileCount(cellsDir)
+    val nCells = oneShot.select(col("cell")).distinct().count()
+    assert(after <= before && after <= nCells + 2,
+      s"compaction should shrink toward one file per cell ($before -> $after)")
+    assert(cellRows(spark.read.parquet(cellsDir)) == cellRows(oneShot))
+    assert(!Dedup.maybeCompactSemanticCells(spark, cellsDir,
+      threshold = 10000))
+  }
 }
