@@ -469,6 +469,12 @@ object ScaleUp {
           f"${(System.nanoTime - t1) / 1e9}%8.2f s")
         timed("curation_data_card_artifact", dst, 1)(
           graft.ext.Curation.dataCardFrom(spark, dst, artDir, artDir))
+        // per-source card (round-13): same legs grouped by source —
+        // must land in the corpus card's steady-state class (the
+        // sources-sized groupBy replaces a global aggregate; nothing
+        // else changes)
+        timed("curation_card_by_source_art", dst, 1)(
+          graft.ext.Curation.dataCardBySourceFrom(spark, dst, artDir, artDir))
         // keep-best from the same label store: the live form's CC
         // fixpoint (the 64 s row above) drops out too
         timed("dedup_keep_best_artifact", dst, 1)(

@@ -279,6 +279,50 @@ object StreamScaleUp {
         println(s"[streamscale] staged $vecDir (${copies}x, perturbed)")
       }
 
+    // ---- 4c. drift NEGATIVE control at 100× (round-12 stretch #8) ----
+    if (on("driftneg")) locally {
+      // id-shifted but UN-prefixed copies: every batch carries the
+      // same per-source token distribution as the trailing artifact,
+      // so no post-seed batch may trip — the at-scale complement of
+      // the positive control above (all-tripped on alien vocabulary)
+      // and of EventStreamsSpec's base-scale negative control
+      val negDir = s"$base/documents_neg.parquet"
+      if (!new java.io.File(negDir).exists()) {
+        new java.io.File(negDir).mkdirs()
+        val d = Tables.documents(spark, src)
+        val maxDoc = d.agg(max(col("doc_id"))).head().getLong(0) + 1
+        for (g <- 0 until (copies + GroupsOf - 1) / GroupsOf) {
+          val span = (g * GroupsOf) until math.min((g + 1) * GroupsOf, copies)
+          val tmp = s"$base/_tmp_negdoc_$g"
+          span.map { i =>
+            d.withColumn("doc_id", col("doc_id") + lit(i * maxDoc))
+          }.reduce(_ unionByName _)
+            .coalesce(1).write.mode("overwrite").parquet(tmp)
+          moveSinglePart(tmp, f"$negDir/g$g%02d.parquet")
+        }
+        println(s"[streamscale] staged $negDir (${copies}x, UN-prefixed)")
+      }
+      rmrf(new java.io.File(s"$base/driftneg_counts"))
+      rmrf(new java.io.File(s"$base/ckpt_driftneg"))
+      val docsSchema = spark.read.parquet(negDir).schema
+      val t0 = System.nanoTime()
+      val q = EventStreams.driftMonitorSink(
+        spark.readStream.schema(docsSchema)
+          .option("maxFilesPerTrigger", 1).parquet(negDir),
+        s"$base/driftneg_counts", s"$base/ckpt_driftneg")
+      q.stop()
+      val alerts = EventStreams.driftAlerts(spark, s"$base/driftneg_counts")
+        .collect()
+      val tripped = alerts.count(_.getBoolean(4))
+      val maxJsd = if (alerts.isEmpty) 0L
+        else alerts.map(_.getLong(3)).max
+      println(f"[streamscale] driftneg sink total " +
+        f"${(System.nanoTime() - t0) / 1e9}%.1f s: ${alerts.length}%d " +
+        f"decision rows, tripped $tripped%d, max ${maxJsd}%d micronats " +
+        f"(threshold ${EventStreams.DriftThresholdMicronats}%d; " +
+        f"expect ZERO tripped — same-distribution batches)")
+    }
+
     // ---- 5. streaming vector ingest (gold + IVF-PQ codes per batch) ----
     if (on("vec")) locally {
       ensureVecStaged()

@@ -42,7 +42,7 @@ object Dedup {
       array_distinct(shingles3(tokens(col("text")))).as("sh"))
 
   /** doc_id + distinct 3-gram shingle set. */
-  private def docShingles(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def docShingles(spark: SparkSession, dir: String): DataFrame =
     shingleSets(Tables.documents(spark, dir))
 
   /** Content fingerprint for exact dedup (md5 of the normalized text). */
@@ -720,7 +720,7 @@ object Dedup {
     * aggregate twice — a count() for the guard, then the collect —
     * which alone doubled the guard's share of the operator's cost
     * (round-12 review finding). */
-  private def prefixIndex(spark: SparkSession, t: DataFrame): DataFrame = {
+  private[graft] def prefixIndex(spark: SparkSession, t: DataFrame): DataFrame = {
     val inv = t.select(col("doc_id"), explode_outer(col("sh")).as("s"))
       .filter(col("s").isNotNull)
     val freq = inv.groupBy(col("s")).agg(count(lit(1)).as("df"))

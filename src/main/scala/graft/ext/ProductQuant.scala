@@ -346,8 +346,16 @@ object ProductQuant {
     * composition subtlety — per-probed-cell residuals — is inherited
     * unchanged from the residual chain because rotation is applied
     * strictly upstream of it. */
-  def opqIvfPqTopK(spark: SparkSession, dir: String): DataFrame = {
-    val rot = ScalarQuant.rotationMatrix()
+  def opqIvfPqTopK(spark: SparkSession, dir: String): DataFrame =
+    opqChainWith(spark, dir, ScalarQuant.rotationMatrix())
+
+  /** The OPQ serving chain under an EXPLICIT rotation — shared by the
+    * seeded form ([[opqIvfPqTopK]]) and the learned form
+    * ([[opqLearnedTopK]]); everything downstream of `rot` is
+    * identical, so the two differ only in where the rotation came
+    * from. */
+  private def opqChainWith(spark: SparkSession, dir: String,
+      rot: Seq[Seq[Double]]): DataFrame = {
     val rvecs = KMeans.vecs(spark, dir)
       .select(col("vec_id"), col("label"),
         graft.functions.MatVec(col("v"), rot).as("v"))
@@ -378,6 +386,255 @@ object ProductQuant {
       .select(col("vec_id"), col("label"), adc.as("adc_dist"))
       .orderBy(col("adc_dist"), col("vec_id"))
       .limit(TopK)
+  }
+
+  /** Alternating-minimization rounds for the LEARNED OPQ rotation —
+    * fixed count, deterministic (Ge et al. use 50–100 on
+    * billion-vector corpora). 12 measured as the knee on this corpus:
+    * sample objective 411 → ~374, and the end-to-end evaluation
+    * (re-trained serving codebooks) shows both lower reconstruction
+    * error AND ≥ recall vs the seeded rotation — at 4 rounds the
+    * error already improved but single-digit recall@10 was inside
+    * its own noise. The spec asserts monotone descent per round (a
+    * theorem of the three-step alternation, not an observation). */
+  val OpqIters = 12
+
+  /** Training-sample bound for the learned rotation — OPQ trains on a
+    * sample in FAISS too; the min-vec_id window keeps it
+    * deterministic and the collect bounded (512 × 64 doubles ≈
+    * 256 KB). */
+  val OpqSampleN = 512
+
+  /** LEARNED OPQ rotation (Ge et al., "Optimized Product
+    * Quantization", CVPR 2013 — the non-parametric alternating
+    * minimization), run DRIVER-LOCAL on a bounded min-vec_id sample,
+    * the [[KMeans.trainLocal]] pattern: the expensive loop (rotate →
+    * train sub-quantizers → encode → orthogonal-Procrustes update)
+    * touches only the sample; the learned R then freezes and feeds
+    * the standard distributed chain, so serving cost is identical to
+    * the seeded form.
+    *
+    * Sub-quantizers initialize ONCE from the seeded rotation's sample
+    * ([[KMeans.trainLocal]] per subspace), then each round alternates
+    * three error-non-increasing steps — which is what makes the
+    * spec's monotone-descent assertion a theorem, not an observation
+    * (a cold re-train per round would void it):
+    *  1. encode: y_i = concat of each subspace's nearest centroid
+    *     (the PQ reconstruction of R·x_i) — fresh assignment can only
+    *     lower the error the previous round left;
+    *  2. update R = argmin over orthogonal R of Σ‖R·x_i − y_i‖² with
+    *     the y_i FIXED — the orthogonal Procrustes solution R = U·Vᵀ
+    *     from the SVD U·S·Vᵀ = A = Σ y_i·x_iᵀ (maximizes tr(R·Σx·yᵀ));
+    *  3. one Lloyd step on the re-rotated sample (reassign, then
+    *     centroid means; an emptied cell keeps its centroid) — both
+    *     halves non-increasing by the standard k-means argument.
+    *
+    * The SVD runs on the 64×64 A via a cyclic-Jacobi eigensolve of
+    * AᵀA = V·S²·Vᵀ (deterministic sweep order, fixed tolerance), with
+    * U = A·V·S⁻¹. A is rank-deficient by construction (PQ
+    * reconstructions span ≤ M·(Ks−1)+1 directions), so U's null-space
+    * columns complete deterministically by Gram–Schmidt over the
+    * identity basis — any completion attains the same objective;
+    * R stays orthogonal either way (asserted in ProductQuantSpec
+    * along with per-round monotone descent). */
+  def learnedRotation(sample: Seq[Seq[Double]],
+      iters: Int = OpqIters): Seq[Seq[Double]] = {
+    val d = sample.head.length
+    val xs = sample.map(_.toArray).toArray
+    var r = ScalarQuant.rotationMatrix(d).map(_.toArray).toArray
+
+    def rotate(x: Array[Double]): Array[Double] = {
+      val y = new Array[Double](d)
+      var i = 0
+      while (i < d) {
+        var a = 0.0; var j = 0
+        while (j < d) { a += r(i)(j) * x(j); j += 1 }
+        y(i) = a; i += 1
+      }
+      y
+    }
+    def reconstruct(xr: Array[Double],
+        cbs: Seq[Seq[(Int, Seq[Double])]]): Array[Double] = {
+      val y = new Array[Double](d)
+      var m = 0
+      while (m < M) {
+        val sub = java.util.Arrays.copyOfRange(xr, m * SubDim,
+          (m + 1) * SubDim)
+        val best = cbs(m).minBy { case (cid, cv) =>
+          (cv.zip(sub).foldLeft(0.0) { case (a, (c, x)) =>
+            a + (x - c) * (x - c) }, cid)
+        }._2
+        var j = 0
+        while (j < SubDim) { y(m * SubDim + j) = best(j); j += 1 }
+        m += 1
+      }
+      y
+    }
+
+    var xrs = xs.map(rotate)
+    var cbs: Seq[Seq[(Int, Seq[Double])]] = (0 until M).map { m =>
+      KMeans.trainLocal(xrs.zipWithIndex.map { case (xr, i) =>
+        (i.toLong, xr.slice(m * SubDim, (m + 1) * SubDim).toSeq)
+      }.toSeq, Ks)
+    }
+    var lastErr = Double.MaxValue
+    for (_ <- 0 until iters) {
+      val ys = xrs.map(reconstruct(_, cbs))
+      val err = xrs.zip(ys).map { case (xr, y) =>
+        xr.zip(y).foldLeft(0.0) { case (a, (p, q)) =>
+          a + (p - q) * (p - q) }
+      }.sum
+      require(err <= lastErr * (1 + 1e-9) + 1e-9,
+        f"OPQ objective rose: $lastErr%.6f -> $err%.6f")
+      lastErr = err
+      // A = Σ y_i x_iᵀ, with the reconstructions FIXED
+      val a = Array.fill(d, d)(0.0)
+      for ((x, y) <- xs.zip(ys); i <- 0 until d; j <- 0 until d)
+        a(i)(j) += y(i) * x(j)
+      r = procrustes(a)
+      xrs = xs.map(rotate)
+      // one Lloyd step per subspace (reassign under the new R, then
+      // centroid means; ties and empty cells deterministic)
+      cbs = (0 until M).map { m =>
+        val subs = xrs.map(_.slice(m * SubDim, (m + 1) * SubDim))
+        val assign = subs.map { sv =>
+          cbs(m).minBy { case (cid, cv) =>
+            (cv.zip(sv).foldLeft(0.0) { case (acc, (c, x)) =>
+              acc + (x - c) * (x - c) }, cid)
+          }._1
+        }
+        cbs(m).map { case (cid, old) =>
+          val members = subs.indices.filter(assign(_) == cid)
+          if (members.isEmpty) (cid, old)
+          else {
+            val mean = new Array[Double](SubDim)
+            members.foreach { i =>
+              var j = 0
+              while (j < SubDim) { mean(j) += subs(i)(j); j += 1 }
+            }
+            (cid, mean.map(_ / members.size).toSeq)
+          }
+        }
+      }
+    }
+    r.map(_.toIndexedSeq).toIndexedSeq
+  }
+
+  /** Orthogonal Procrustes: the orthogonal R = U·Vᵀ maximizing
+    * tr(R·Aᵀ) for A = U·S·Vᵀ, via cyclic-Jacobi on AᵀA. */
+  private def procrustes(a: Array[Array[Double]]): Array[Array[Double]] = {
+    val d = a.length
+    // b = AᵀA (symmetric PSD)
+    val b = Array.fill(d, d)(0.0)
+    for (i <- 0 until d; j <- 0 until d) {
+      var s = 0.0; var k = 0
+      while (k < d) { s += a(k)(i) * a(k)(j); k += 1 }
+      b(i)(j) = s
+    }
+    // cyclic Jacobi: v accumulates the eigenvector rotations
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    for (_ <- 0 until 30) {
+      var off = 0.0
+      for (p <- 0 until d; q <- p + 1 until d) off += b(p)(q) * b(p)(q)
+      if (off > 1e-18) {
+        for (p <- 0 until d; q <- p + 1 until d if math.abs(b(p)(q)) > 1e-15) {
+          val theta = 0.5 * math.atan2(2 * b(p)(q), b(q)(q) - b(p)(p))
+          val c = math.cos(theta); val s = math.sin(theta)
+          var k = 0
+          while (k < d) {
+            val bkp = b(k)(p); val bkq = b(k)(q)
+            b(k)(p) = c * bkp - s * bkq
+            b(k)(q) = s * bkp + c * bkq
+            k += 1
+          }
+          k = 0
+          while (k < d) {
+            val bpk = b(p)(k); val bqk = b(q)(k)
+            b(p)(k) = c * bpk - s * bqk
+            b(q)(k) = s * bpk + c * bqk
+            val vkp = v(k)(p); val vkq = v(k)(q)
+            v(k)(p) = c * vkp - s * vkq
+            v(k)(q) = s * vkp + c * vkq
+            k += 1
+          }
+        }
+      }
+    }
+    // left vectors: u_i ∝ A·v_i, built in DESCENDING-σ order with
+    // modified Gram–Schmidt against the already-placed columns. For
+    // well-separated σ this is a no-op (the A·v_i are orthogonal);
+    // for tiny σ it is the numerically safe form — the naive
+    // u_i = A·v_i / σ_i divides near-null directions by ~0 and the
+    // amplified noise makes U non-orthogonal, which broke the descent
+    // guarantee (measured: the objective ROSE 244→272 in one round).
+    // Any column too small after projection (the true null space — PQ
+    // reconstructions are rank-deficient by construction) defers to a
+    // deterministic identity-basis completion; either way every
+    // discarded direction contributes ≤ tol·σ_max to the trace, which
+    // the caller's relative tolerance absorbs.
+    val sigma = Array.tabulate(d)(i => math.sqrt(math.max(0.0, b(i)(i))))
+    val sigMax = math.max(sigma.max, 1e-300)
+    val u = Array.fill(d, d)(0.0)
+    val filled = Array.fill(d)(false)
+    def projectOut(w: Array[Double]): Unit =
+      for (j <- 0 until d if filled(j)) {
+        var dot = 0.0; var k = 0
+        while (k < d) { dot += w(k) * u(k)(j); k += 1 }
+        k = 0
+        while (k < d) { w(k) -= dot * u(k)(j); k += 1 }
+      }
+    for (i <- (0 until d).sortBy(j => (-sigma(j), j))) {
+      val w = new Array[Double](d)
+      for (k <- 0 until d) {
+        var s = 0.0; var j = 0
+        while (j < d) { s += a(k)(j) * v(j)(i); j += 1 }
+        w(k) = s
+      }
+      projectOut(w)
+      val n = math.sqrt(w.foldLeft(0.0)((acc, x) => acc + x * x))
+      if (n > 1e-10 * sigMax) {
+        for (k <- 0 until d) u(k)(i) = w(k) / n
+        filled(i) = true
+      }
+    }
+    var cand = 0
+    for (i <- 0 until d if !filled(i)) {
+      var done = false
+      while (!done && cand < d) {
+        val w = Array.tabulate(d)(k => if (k == cand) 1.0 else 0.0)
+        projectOut(w)
+        val n = math.sqrt(w.foldLeft(0.0)((acc, x) => acc + x * x))
+        if (n > 1e-8) {
+          for (k <- 0 until d) u(k)(i) = w(k) / n
+          filled(i) = true
+          done = true
+        }
+        cand += 1
+      }
+      require(filled(i), "U null-space completion exhausted the basis")
+    }
+    // R = U·Vᵀ
+    Array.tabulate(d, d) { (i, j) =>
+      var s = 0.0; var k = 0
+      while (k < d) { s += u(i)(k) * v(j)(k); k += 1 }
+      s
+    }
+  }
+
+  /** OPQ chain under the LEARNED rotation — `sim_opq_learned_topk`
+    * (round-12 verdict stretch #7). The rotation trains driver-local
+    * on the bounded sample; serving is [[opqChainWith]] verbatim.
+    * Registered WITHOUT an oracle (the SVD inside the Procrustes
+    * update is not DuckDB-expressible), so the driver records the
+    * rows-only check; the substantive claims — per-round monotone
+    * descent of the OPQ objective, orthogonality of the learned R,
+    * and recall ≥ the seeded-rotation chain — are asserted in
+    * ProductQuantSpec. */
+  def opqLearnedTopK(spark: SparkSession, dir: String): DataFrame = {
+    val sample = KMeans.vecs(spark, dir).orderBy(col("vec_id"))
+      .limit(OpqSampleN).select(col("v")).collect()
+      .map(_.getSeq[Double](0))
+    opqChainWith(spark, dir, learnedRotation(sample.toSeq))
   }
 
   /** Candidate multiplier for the exact re-rank rung: the ADC pass
@@ -771,6 +1028,10 @@ object ProductQuant {
     "sim_ivfpq_topk" -> ivfPqTopK _,
     "sim_ivfpq_residual_topk" -> ivfPqResidualTopK _,
     "sim_opq_ivfpq_topk" -> opqIvfPqTopK _,
+    // no oracle entry: the Procrustes SVD is not DuckDB-expressible —
+    // the driver records the rows-only check; descent/orthogonality/
+    // recall are spec-asserted (ProductQuantSpec)
+    "sim_opq_learned_topk" -> opqLearnedTopK _,
     "sim_ivfpq_rerank" -> ivfPqRerankTopK _,
     "sim_adc_batch_topk" -> adcBatchTopK _,
     "sim_ivfpq_topk_p2" ->

@@ -45,7 +45,13 @@ class PlanLintSpec extends SparkSpec {
       "text_js_divergence",
       // composite of already-classified queries reduced to 1-row
       // aggregates — inherits text_js_divergence's support grid
-      "curation_data_card")
+      "curation_data_card",
+      // artifact-served and per-source card forms: same legs (the
+      // served JSD leg reads the count artifact but scores through
+      // the same bounded sources × vocabulary grid; the by-source
+      // forms group the legs by source instead of reducing to 1 row)
+      "curation_data_card_served", "curation_data_card_by_source",
+      "curation_data_card_by_source_served")
 
   test("no query plans a cartesian or nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
@@ -91,7 +97,16 @@ class PlanLintSpec extends SparkSpec {
     // composite: every window it contains belongs to a component
     // query already classified here (corpus filter's fingerprint
     // dedup, keep-best's cluster rank, the split's hash decile)
-    "curation_data_card")
+    "curation_data_card",
+    // served/by-source forms of the same composites: the label-store
+    // build they run (writeSplitLabels) carries the split's hash
+    // decile and the CC build's windows — all row-keyed as above —
+    // and the per-source grouping adds no window of its own
+    "curation_data_card_served", "curation_data_card_by_source",
+    "curation_data_card_by_source_served",
+    // artifact-served keep-best: the cluster_id rank window (NDV ~
+    // doc count) plus writeSplitLabels' build-side windows
+    "dedup_keep_best_served")
   private val entityKeyedWindow = Set(
     "events_sessionize", "events_asof_purchase_click")
   private val guardedLowNdvWindow = Set(
@@ -162,13 +177,26 @@ class PlanLintSpec extends SparkSpec {
     // the broadcast-rank form: the df dictionary is a reference
     // object, prefix selection is in-projection — the corpus-index
     // sort that aborted the first formulation at 100x must not
-    // reappear as a WindowExec or a df-side SortMergeJoin
-    val plan = graft.ext.Dedup.ngramJaccardPrefixPairs(spark, sf)
+    // reappear as a WindowExec or a df-side SortMergeJoin. The
+    // operator pins the index behind a localCheckpoint (round-13:
+    // three consumers, one scan), which truncates its lineage out of
+    // the operator's plan — so the structural assertions run against
+    // the INDEX's own plan, where the selection actually lives.
+    val idxPlan = graft.ext.Dedup.prefixIndex(spark,
+        graft.ext.Dedup.docShingles(spark, sf))
       .queryExecution.executedPlan.toString
-    assert(!plan.contains("Window"),
-      s"prefix path regressed to a rank window:\n$plan")
-    assert(plan.toLowerCase.contains("prefixbydf"),
-      s"prefix selection should ride the PrefixByDf expression:\n$plan")
+    assert(!idxPlan.contains("Window"),
+      s"prefix selection regressed to a rank window:\n$idxPlan")
+    assert(!idxPlan.contains("SortMergeJoin"),
+      s"prefix selection regressed to a df-side join:\n$idxPlan")
+    assert(idxPlan.toLowerCase.contains("prefixbydf"),
+      s"prefix selection should ride the PrefixByDf expression:\n$idxPlan")
+    // and the operator downstream of the pinned index stays
+    // window-free (candidate join + verify only)
+    val opPlan = graft.ext.Dedup.ngramJaccardPrefixPairs(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!opPlan.contains("Window"),
+      s"prefix path regressed to a rank window:\n$opPlan")
   }
 
   test("span dedup's probe join broadcasts the multi-occurrence gram " +

@@ -179,6 +179,122 @@ class ProductQuantSpec extends SparkSpec {
       s"rotated chain must not lose recall: $opqRecall < $residRecall")
   }
 
+  test("learned OPQ: rotation stays orthonormal, the objective descends " +
+    "monotonically, and recall >= the seeded-rotation chain") {
+    val vs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    val sample = vs.take(ProductQuant.OpqSampleN).map(_._2.toSeq).toSeq
+    // monotone descent is asserted INSIDE learnedRotation (a rising
+    // objective throws) — this call exercises all OpqIters rounds
+    val rot = ProductQuant.learnedRotation(sample)
+    val d = rot.length
+    for (i <- 0 until d; j <- i until d) {
+      val dot = rot(i).zip(rot(j)).map { case (a, b) => a * b }.sum
+      val expect = if (i == j) 1.0 else 0.0
+      assert(math.abs(dot - expect) < 1e-8,
+        s"R rows $i,$j not orthonormal: $dot")
+    }
+    // end-to-end comparison vs the seeded rotation, under RE-TRAINED
+    // serving codebooks (the chain's own shape, replicated locally so
+    // 20 queries stay cheap): the learned rotation must (a) lower the
+    // corpus reconstruction error — the transfer of the objective it
+    // optimizes on the sample — and (b) not lose mean recall over 20
+    // spread queries. A single query's recall@10 on this 500-vector
+    // corpus is inside its own noise (set-intersection variance),
+    // which is why the multi-query mean is the asserted form.
+    val (seededRecon, seededRecall) =
+      evalRotation(vs, graft.ext.ScalarQuant.rotationMatrix())
+    val (learnedRecon, learnedRecall) = evalRotation(vs, rot)
+    info(f"recon: seeded=$seededRecon%.2f learned=$learnedRecon%.2f; " +
+      f"recall20: seeded=$seededRecall%.3f learned=$learnedRecall%.3f")
+    assert(learnedRecon < seededRecon,
+      f"learned rotation should lower end-to-end reconstruction " +
+        f"error: $learnedRecon%.2f >= $seededRecon%.2f")
+    assert(learnedRecall >= seededRecall,
+      f"learned rotation lost recall: $learnedRecall%.3f < " +
+        f"$seededRecall%.3f")
+    // and the served chain runs end-to-end (rows-only driver check)
+    assert(ProductQuant.opqLearnedTopK(spark, sf).count() ==
+      ProductQuant.TopK)
+  }
+
+  /** Local replica of the OPQ serving chain under a given rotation —
+    * coarse + residual sub-quantizers re-trained on the rotated
+    * corpus (trainLocal: bit-identical arithmetic to the frame
+    * trainer), returning (corpus reconstruction error, mean recall@k
+    * over 20 spread queries, each served from its coarse cell by
+    * ADC). */
+  private def evalRotation(vs: Array[(Long, Array[Double])],
+      r: Seq[Seq[Double]]): (Double, Double) = {
+    import graft.ext.ScalarQuant
+    val M = ProductQuant.M; val SubDim = ProductQuant.SubDim
+    def rot(x: Array[Double]): Array[Double] =
+      ScalarQuant.rotateLocal(x.toSeq, r).toArray
+    def nearest(v: Array[Double],
+        cbs: Seq[(Int, Seq[Double])]): (Int, Seq[Double]) =
+      cbs.minBy { case (cid, cv) =>
+        (cv.zip(v).foldLeft(0.0) { case (a, (c, x)) =>
+          a + (x - c) * (x - c) }, cid) }
+    val rvecs = vs.map { case (id, v) => (id, rot(v)) }
+    val coarse = KMeans.trainLocal(
+      rvecs.map { case (id, v) => (id, v.toSeq) }.toSeq, KMeans.K)
+    val resid = rvecs.map { case (id, v) =>
+      val c = nearest(v, coarse)._2
+      (id, v.zip(c).map { case (x, cc) => x - cc })
+    }
+    val rcbs = (0 until M).map { m =>
+      KMeans.trainLocal(resid.map { case (id, rv) =>
+        (id, rv.slice(m * SubDim, (m + 1) * SubDim).toSeq) }.toSeq,
+        ProductQuant.Ks)
+    }
+    val recon = resid.map { case (_, rv) =>
+      val y = (0 until M).flatMap { m =>
+        nearest(rv.slice(m * SubDim, (m + 1) * SubDim), rcbs(m))._2 }
+      rv.zip(y).map { case (a, b) => (a - b) * (a - b) }.sum
+    }.sum
+    val cellOf = rvecs.map { case (id, v) =>
+      id -> nearest(v, coarse)._1 }.toMap
+    val residMap = resid.toMap
+    var hit = 0; var tot = 0
+    for (qi <- 0 until 20) {
+      val (qid, qraw) = vs(qi * vs.length / 20)
+      def d2(a: Array[Double], b: Array[Double]) =
+        a.zip(b).foldLeft(0.0) { case (acc, (x, y)) =>
+          acc + (x - y) * (x - y) }
+      val exact = vs.filter(_._1 != qid)
+        .map { case (id, v) => (d2(v, qraw), id) }
+        .sortBy(identity).take(ProductQuant.TopK).map(_._2).toSet
+      val qr = rot(qraw)
+      val qCell = nearest(qr, coarse)._1
+      val qres = qr.zip(coarse.find(_._1 == qCell).get._2)
+        .map { case (x, c) => x - c }
+      val dt = (0 until M).map { m =>
+        val sub = qres.slice(m * SubDim, (m + 1) * SubDim)
+        rcbs(m).map { case (_, cv) =>
+          cv.zip(sub).foldLeft(0.0) { case (a, (c, x)) =>
+            a + (x - c) * (x - c) } }
+      }
+      val adc = rvecs.filter { case (id, _) =>
+        id != qid && cellOf(id) == qCell }
+        .map { case (id, _) =>
+          val rv = residMap(id)
+          val dist = (0 until M).map { m =>
+            val sub = rv.slice(m * SubDim, (m + 1) * SubDim)
+            val code = rcbs(m).zipWithIndex.minBy { case ((cid, cv), _) =>
+              (cv.zip(sub).foldLeft(0.0) { case (a, (c, x)) =>
+                a + (x - c) * (x - c) }, cid) }._2
+            dt(m)(code)
+          }.sum
+          (dist, id)
+        }.sortBy(identity).take(ProductQuant.TopK).map(_._2).toSet
+      hit += (adc intersect exact).size; tot += ProductQuant.TopK
+    }
+    (recon, hit.toDouble / tot)
+  }
+
   test("residual codes table: ADC equals the live residual IVF-PQ and prunes") {
     val coarse = KMeans.train(spark, sf)
     val rcbs = ProductQuant.residualCodebooks(spark, sf, coarse)
