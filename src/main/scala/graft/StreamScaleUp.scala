@@ -395,8 +395,14 @@ object StreamScaleUp {
       // parity: streamed store == one-shot assignment under the same
       // frozen quantizers, and the accumulated verdict log == the
       // full-store recompute (monotone ingest ids)
-      def sig(df: DataFrame, cs: Seq[String]): Long =
-        df.agg(sum(xxhash64(cs.map(col): _*))).head().getLong(0)
+      // order-insensitive content signature: decimal(38,0) sum of the
+      // row hashes — full-range longs overflow an ANSI long sum at
+      // ~200k rows, and bit_xor would let duplicate-row PAIRS cancel
+      // (exactly the double-append failure mode the parity exists to
+      // catch)
+      def sig(df: DataFrame, cs: Seq[String]): java.math.BigDecimal =
+        df.agg(sum(xxhash64(cs.map(col): _*).cast("decimal(38,0)")))
+          .head().getDecimal(0)
       val oneShot = graft.ext.Dedup.assignSemanticCells(
         spark.read.parquet(vecDir).select(col("vec_id"),
           col("embedding").cast("array<double>").as("v")),

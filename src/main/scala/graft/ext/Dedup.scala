@@ -524,18 +524,29 @@ object Dedup {
     walk(new java.io.File(cellsDir))
   }
 
-  /** Compaction policy for the append-mode semantic-cells store: past
-    * `threshold` part files, rewrite toward one file per cell. Unlike
-    * the dedup index (derived — compacts by rebuilding from gold),
-    * the cells store is SELF-contained (vec_id, v, cell under frozen
-    * quantizers), so compaction is a read → hash-repartition on
-    * `cell` (each cell lands in one task → one output file) →
-    * overwrite; content is bit-identical, no re-assignment runs. The
-    * frame pins eagerly before the overwrite deletes the very files
-    * its lineage reads. Returns whether a rewrite ran. */
+  /** Compaction policy for the append-mode semantic-cells store:
+    * rewrite toward one file per cell once fragmentation exceeds
+    * BOTH the flat `threshold` and 2× the store's cell count — the
+    * store's natural floor IS one file per cell, so a flat threshold
+    * below the cell count would trigger a full-store rewrite on
+    * EVERY append (measured in StreamScaleUp: a 400-cell store under
+    * threshold 64 paid the 2.9 s rewrite per micro-batch, ~25% of
+    * each batch's wall). Unlike the dedup index (derived — compacts
+    * by rebuilding from gold), the cells store is SELF-contained
+    * (vec_id, v, cell under frozen quantizers), so compaction is a
+    * read → hash-repartition on `cell` (each cell lands in one
+    * task → one output file) → overwrite; content is bit-identical,
+    * no re-assignment runs. The frame pins eagerly before the
+    * overwrite deletes the very files its lineage reads. Returns
+    * whether a rewrite ran. */
   def maybeCompactSemanticCells(spark: SparkSession, cellsDir: String,
       threshold: Int = CompactFileThreshold): Boolean = {
-    if (cellsFileCount(cellsDir) > threshold) {
+    // cell count from the partition layout — a directory listing,
+    // no data read
+    val cellDirs = Option(new java.io.File(cellsDir).listFiles())
+      .getOrElse(Array.empty)
+      .count(f => f.isDirectory && f.getName.startsWith("cell="))
+    if (cellsFileCount(cellsDir) > math.max(threshold, 2 * cellDirs)) {
       val compacted = spark.read.parquet(cellsDir)
         .select(col("vec_id"), col("v"), col("cell").cast("int").as("cell"))
         .repartition(col("cell"))

@@ -759,12 +759,25 @@ class EventStreamsSpec extends SparkSpec {
     EventStreams.repairSemanticVerdicts(spark, cellsDir, verdictsDir)
     assert(verdictRows(spark.read.parquet(verdictsDir)) == full)
 
-    // compaction: a tiny threshold forces the in-place rewrite; the
-    // store shrinks toward one file per cell, content unchanged
+    // compaction policy: the floor is 2× the cell count (one file
+    // per cell is the store's NATURAL layout — a flat threshold
+    // below it caused a full rewrite on every append, measured in
+    // StreamScaleUp), so a near-floor store is a no-op even at
+    // threshold 1 …
+    val nCells = oneShot.select(col("cell")).distinct().count()
+    if (Dedup.cellsFileCount(cellsDir) <= 2 * nCells)
+      assert(!Dedup.maybeCompactSemanticCells(spark, cellsDir,
+        threshold = 1))
+    // … and a genuinely fragmented store (forced: many files per
+    // cell) rewrites back toward one file per cell, content unchanged
+    val frag = spark.read.parquet(cellsDir)
+      .select(col("vec_id"), col("v"), col("cell").cast("int").as("cell"))
+      .repartition(8).localCheckpoint()
+    frag.write.mode("overwrite").partitionBy("cell").parquet(cellsDir)
     val before = Dedup.cellsFileCount(cellsDir)
+    assert(before > 2 * nCells, s"fragmentation setup too weak: $before")
     assert(Dedup.maybeCompactSemanticCells(spark, cellsDir, threshold = 1))
     val after = Dedup.cellsFileCount(cellsDir)
-    val nCells = oneShot.select(col("cell")).distinct().count()
     assert(after <= before && after <= nCells + 2,
       s"compaction should shrink toward one file per cell ($before -> $after)")
     assert(cellRows(spark.read.parquet(cellsDir)) == cellRows(oneShot))
