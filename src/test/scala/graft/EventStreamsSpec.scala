@@ -576,6 +576,28 @@ class EventStreamsSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
       .toSet
     assert(counts == expect, "alerting must not perturb the counts")
+    // replay guard (r13 — the round-12 review finding): a replay of a
+    // batch the merge already applied must not RE-SCORE it against
+    // the post-merge artifact, so the RAW alert log's row count stays
+    // fixed (not merely deduped on read). Both replay shapes: a
+    // same-checkpoint restart (no new files) and a FRESH checkpoint
+    // (every batch replays from scratch).
+    def rawAlertRows = spark.read
+      .parquet(s"$base/counts/jsd_alerts.parquet").count()
+    val rawBefore = rawAlertRows
+    val q2 = EventStreams.driftMonitorSink(stream, s"$base/counts",
+      s"$base/ckpt")
+    q2.stop()
+    val q3 = EventStreams.driftMonitorSink(stream, s"$base/counts",
+      s"$base/ckpt_replay")
+    q3.stop()
+    assert(rawAlertRows == rawBefore,
+      "replayed applied batches must not append re-scored alert rows")
+    val countsAfter = spark.read
+      .parquet(s"$base/counts/${Selection.TokenCountsTable}.parquet")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSet
+    assert(countsAfter == expect, "replays must not perturb the counts")
   }
 
   test("sliding windows produce overlapping coverage") {
