@@ -53,6 +53,7 @@ object SparkEntry {
       graft.ext.Dedup.oracle ++
       graft.ext.Similarity.oracle ++
       graft.ext.KMeans.oracle ++
+      graft.ext.KMeans.servedOracle ++
       graft.ext.ProductQuant.oracle ++
       graft.ext.ScalarQuant.oracle ++
       graft.ext.Multimodal.oracle ++

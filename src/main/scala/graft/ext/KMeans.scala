@@ -341,6 +341,22 @@ object KMeans {
           col("cluster").cast("int").as("cluster")),
       cents, qrows)
 
+  /** DRIVER-GATED serve path for batched IVF (round-12 verdict task
+    * #3's fourth entry): build the cell-partitioned vector store into
+    * a scratch dir, answer the query batch from it via
+    * [[ivfBatchTopKFromCells]] — partition-pruned probes, zero
+    * assignment leg in the serve plan (KMeansSpec asserts it); the
+    * oracle is the live batch form's replay verbatim
+    * (serve == rebuild). */
+  def ivfBatchTopKServed(spark: SparkSession, dir: String): DataFrame = {
+    val cents = train(spark, dir)
+    val cellsDir = java.nio.file.Files
+      .createTempDirectory("graft_ivf_served").toString + "/cells"
+    writeCellVectors(spark, dir, cellsDir, cents)
+    ivfBatchTopKFromCells(spark, cellsDir, cents,
+      batchQueryRows(spark, dir))
+  }
+
   // ---- DuckDB replay of the training loop as a CTE chain ----
 
   private[ext] val qSql =
@@ -389,11 +405,17 @@ object KMeans {
       s"""WITH $trainCtes, qrows AS (SELECT vec_id AS qid, v AS qv FROM q ORDER BY vec_id LIMIT $BatchQueries), qa AS (SELECT qid, qv, cid FROM (SELECT r.qid, r.qv, c.cid, row_number() OVER (PARTITION BY r.qid ORDER BY ${distSql("r.qv", "c.cv")}, c.cid) AS rn FROM qrows r CROSS JOIN c2 c) WHERE rn = 1), scored AS (SELECT qa.qid AS query_id, af.vec_id, q.label, ${cosSql("q.v", "qa.qv")} AS cosine FROM af JOIN q USING (vec_id) JOIN qa ON af.cid = qa.cid AND af.vec_id <> qa.qid) SELECT query_id, vec_id, label, cosine, CAST(rn AS INTEGER) AS rk FROM (SELECT query_id, vec_id, label, cosine, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rn FROM scored) WHERE rn <= 5 ORDER BY query_id, rn"""
   )
 
+  // the artifact-READ serve form must equal the live batch answer, so
+  // its oracle IS the live replay verbatim (serve == rebuild)
+  val servedOracle: Map[String, String] = Map(
+    "sim_ivf_batch_topk_served" -> oracle("sim_ivf_batch_topk"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_kmeans_assign" -> kmeansAssign _,
     "sim_kmeans_topk" -> ivfTrainedTopK _,
     "sim_kmeans_topk_p2" ->
       ((s: SparkSession, dir: String) => ivfTrainedTopKMultiProbe(s, dir)),
-    "sim_ivf_batch_topk" -> ivfBatchTopK _
+    "sim_ivf_batch_topk" -> ivfBatchTopK _,
+    "sim_ivf_batch_topk_served" -> ivfBatchTopKServed _
   )
 }
