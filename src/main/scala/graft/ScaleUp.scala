@@ -711,6 +711,35 @@ object ScaleUp {
       time("sim_embedding_profile", dst, 1)
       time("sim_group_centroids", dst, 1)
     }
+    if (on("r13b")) {
+      // round-13 session-2 operators at 100×:
+      // priority sampling — per-partition top-(k+1) heaps merged at
+      // the driver (TakeOrderedAndProject), so the row should track
+      // the documents SCAN with ~zero shuffle at any corpus size
+      time("sample_weighted_priority", src, 1)
+      time("sample_weighted_priority", dst, 1)
+      // PII: the summary reduces to sources-sized rows (the map-side
+      // combinable groupBy); the redact row is the same scan-bound
+      // projection reduced to one stats row so 6M redacted texts
+      // never cross to the driver (Catalyst's EliminateSorts drops
+      // the registry form's oracle-dump orderBy under the aggregate)
+      time("text_pii_summary", src, 1)
+      time("text_pii_summary", dst, 1)
+      timed("text_pii_redact_scan", dst, 1)(
+        graft.ext.Pii.piiRedact(spark, dst)
+          .agg(count(lit(1)).as("docs"),
+            sum(length(col("redacted"))).as("chars"),
+            sum(col("n_email") + col("n_phone") + col("n_ip"))
+              .as("matches")))
+      // NB language model, train + score end-to-end through the
+      // held-out confusion reduction (langs² output rows). NOTE the
+      // copy corpus's token prefixes multiply the VOCABULARY by
+      // `copies` (real corpora grow sublinearly, Heaps' law), so the
+      // model broadcast here is a deliberate 100×-vocab stress of
+      // the model-bounded-broadcast claim, not the production shape.
+      time("text_nb_confusion", src, 1)
+      time("text_nb_confusion", dst, 1)
+    }
     spark.stop()
   }
 }

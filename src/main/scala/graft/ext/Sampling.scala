@@ -499,6 +499,52 @@ object Sampling {
     }
   }
 
+  /** Sample size for [[prioritySample]]. */
+  val PrioritySampleK = 100
+
+  /** Priority sampling (Duffield, Lund, Thorup, JACM 2007): a
+    * weight-sensitive sample WITHOUT replacement with an unbiased
+    * subset-sum estimator. Each doc draws priority w/u (u uniform in
+    * (0,1] from the deterministic [[mixHash]]); the k largest
+    * priorities are the sample, τ is the (k+1)-th priority, and the
+    * estimator max(w, τ) makes Σ estimates unbiased for Σ w over any
+    * subset — the operator a mixture designer uses to subsample a
+    * source by size while still estimating token totals.
+    *
+    * Cross-engine float discipline: the priority is
+    * CAST(w·P AS DOUBLE) / CAST(hash+1 AS DOUBLE) — w·P and hash+1
+    * are exact integers and int→double casts and a single division
+    * are IEEE correctly-rounded, so Spark and DuckDB produce
+    * BIT-IDENTICAL doubles (no ln/pow in the sort key, unlike the
+    * textbook exponential-draw formulation, which would hang the
+    * hash gate on libm ulp differences).
+    *
+    * Scale shape: `orderBy(...).limit(k+1)` compiles to
+    * TakeOrderedAndProject — a per-partition top-(k+1) heap merged at
+    * the driver, NO corpus sort and NO shuffle; τ rides back as a
+    * 1-row broadcast. u = (mixHash+1)/P never vanishes, and for
+    * doc_id < P the hash is a bijection so priorities are distinct;
+    * past that, ties break on doc_id. */
+  def prioritySample(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val k = PrioritySampleK
+    val w = docs.select(col("doc_id"), col("source"), col("n_chars"),
+      ((col("n_chars") * lit(P)).cast("double") /
+        (mixHash(col("doc_id")) + 1).cast("double")).as("priority"))
+    val top = w.orderBy(col("priority").desc, col("doc_id")).limit(k + 1)
+    // τ = the (k+1)-th priority; 0 when the corpus has ≤ k docs (then
+    // everything is sampled and the estimator must return w itself)
+    val tau = top
+      .agg(count(lit(1)).as("n"), min(col("priority")).as("mn"))
+      .select(when(col("n") === (k + 1), col("mn")).otherwise(lit(0.0))
+        .as("tau"))
+    top.orderBy(col("priority").desc, col("doc_id")).limit(k)
+      .crossJoin(broadcast(tau))
+      .select(col("doc_id"), col("source"), col("n_chars"), col("priority"),
+        greatest(col("n_chars").cast("double"), col("tau")).as("est_weight"))
+      .orderBy(col("priority").desc, col("doc_id"))
+  }
+
   // ---------------------------------------------------------------
   // DuckDB oracle replays — same integer arithmetic, same recipe rule.
   // ---------------------------------------------------------------
@@ -546,7 +592,12 @@ object Sampling {
     // per-source token quotas from the quantized temperature weights,
     // then the sharded running-sum cut in mixHash priority order
     "mix_token_budget" ->
-      s"""WITH toks AS (SELECT doc_id, source, CAST(len(${TextOps.toksSql}) AS BIGINT) AS n_tokens FROM documents), per AS (SELECT source, CAST(floor(sqrt(CAST(COUNT(*) AS DOUBLE)) * $MixWeightScale) AS BIGINT) AS w_scaled FROM toks GROUP BY source), t AS (SELECT CAST(SUM(w_scaled) AS BIGINT) AS total_w FROM per), b AS (SELECT source, CAST((w_scaled * $MixBudgetTokens) // total_w // $MixTokenShards AS BIGINT) AS shard_budget FROM per, t), r AS (SELECT doc_id, source, doc_id % $MixTokenShards AS pack_shard, n_tokens, CAST(SUM(n_tokens) OVER (PARTITION BY source, doc_id % $MixTokenShards ORDER BY $hashSql, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens FROM toks) SELECT doc_id, source, pack_shard, n_tokens, cum_tokens FROM r JOIN b USING (source) WHERE cum_tokens <= shard_budget ORDER BY source, pack_shard, cum_tokens, doc_id"""
+      s"""WITH toks AS (SELECT doc_id, source, CAST(len(${TextOps.toksSql}) AS BIGINT) AS n_tokens FROM documents), per AS (SELECT source, CAST(floor(sqrt(CAST(COUNT(*) AS DOUBLE)) * $MixWeightScale) AS BIGINT) AS w_scaled FROM toks GROUP BY source), t AS (SELECT CAST(SUM(w_scaled) AS BIGINT) AS total_w FROM per), b AS (SELECT source, CAST((w_scaled * $MixBudgetTokens) // total_w // $MixTokenShards AS BIGINT) AS shard_budget FROM per, t), r AS (SELECT doc_id, source, doc_id % $MixTokenShards AS pack_shard, n_tokens, CAST(SUM(n_tokens) OVER (PARTITION BY source, doc_id % $MixTokenShards ORDER BY $hashSql, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens FROM toks) SELECT doc_id, source, pack_shard, n_tokens, cum_tokens FROM r JOIN b USING (source) WHERE cum_tokens <= shard_budget ORDER BY source, pack_shard, cum_tokens, doc_id""",
+    // priority = w·P / (hash+1) with integer numerator/denominator and
+    // one correctly-rounded division — bit-identical across engines;
+    // τ is the (k+1)-th priority (0 when the corpus fits in k)
+    "sample_weighted_priority" ->
+      s"""WITH w AS (SELECT doc_id, source, n_chars, CAST(n_chars * $P AS DOUBLE) / CAST($hashSql + 1 AS DOUBLE) AS priority FROM documents), r AS (SELECT *, row_number() OVER (ORDER BY priority DESC, doc_id) AS rn FROM w), t AS (SELECT COALESCE((SELECT priority FROM r WHERE rn = ${PrioritySampleK + 1}), 0) AS tau) SELECT doc_id, source, n_chars, priority, GREATEST(CAST(n_chars AS DOUBLE), tau) AS est_weight FROM r, t WHERE rn <= $PrioritySampleK ORDER BY priority DESC, doc_id"""
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -559,6 +610,7 @@ object Sampling {
     "mix_temperature_weights" -> temperatureWeights _,
     "mix_epoch_shuffle" -> epochShuffle _,
     "mix_shard_manifest" -> shardManifest _,
-    "mix_token_budget" -> tokenBudgetMix _
+    "mix_token_budget" -> tokenBudgetMix _,
+    "sample_weighted_priority" -> prioritySample _
   )
 }

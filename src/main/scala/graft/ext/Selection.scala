@@ -447,6 +447,109 @@ object Selection {
       .orderBy(col("source"))
   }
 
+  /** Train-split deciles for [[nbLangScore]]: mixHash(doc_id) % 10
+    * below this trains the model, the rest is the held-out test set
+    * the confusion matrix reports on — the same hash-decile rule the
+    * split operators use, so "train" here is a subset of the
+    * pipeline's train split. */
+  val NbTrainDeciles = 8
+
+  /** Multinomial Naive-Bayes language classifier — the TRAINED
+    * counterpart of [[TextOps]]'s hand-built stopword lang-ID
+    * heuristic, and the architecture of the fastText-style quality /
+    * language filters every CCNet-descended pipeline runs (train a
+    * cheap linear model on labeled text, score the whole corpus with
+    * it). Closed-form training: per-(lang, token) Laplace-smoothed
+    * log-probabilities counted on the train deciles, priors from the
+    * train label frequencies — no iterative fitting, so the model is
+    * exactly replayable in SQL.
+    *
+    * Float discipline: every log term (token log-prob, unseen-token
+    * default, prior) is quantized to integer micro-nats BEFORE
+    * summation ([[QuantNats]], the [[bigramNll]] rule), so document
+    * scores are exact BIGINT sums and argmax ties break
+    * deterministically on the candidate name.
+    *
+    * Shape at scale: the model (vocabulary × languages) and the
+    * per-language default/prior rows are bounded by the model, never
+    * the corpus, and ride broadcasts; the corpus-sized work is one
+    * token explode fanned out |languages|-fold (a constant ≤ the
+    * lang domain, the [[Similarity]] centroid-assign pattern) and one
+    * partial-aggregated (doc_id, lang) sum. The argmax is an
+    * aggregate over a struct ordering — no window, no second
+    * shuffle.
+    *
+    * Honesty note on the fixture corpus: the synthetic word-soup
+    * documents carry only a weak language signal, so held-out
+    * accuracy is ~34% — the same class as the hand-built stopword
+    * heuristic (36.8%), both far above the 5-class 20% chance floor
+    * and below the majority baseline. The operator's value here is
+    * the exactly-replayable train/score machinery, not this corpus's
+    * ceiling. */
+  def nbLangScore(spark: SparkSession, dir: String): DataFrame =
+    nbScoreOn(Tables.documents(spark, dir)).orderBy(col("doc_id"))
+
+  private[ext] def nbScoreOn(d: DataFrame): DataFrame = {
+    val isTrain = Sampling.mixHash(col("doc_id")) % 10 < NbTrainDeciles
+    val train = d.filter(isTrain)
+    val tk = train.select(col("lang"), explode_outer(toks).as("t"))
+      .filter(col("t").isNotNull)
+    val ct = tk.groupBy(col("lang"), col("t")).agg(count(lit(1)).as("c"))
+    val ctot = ct.groupBy(col("lang")).agg(sum(col("c")).as("ctot"))
+    // train vocabulary size: a driver-side scalar (orderStat
+    // discipline — a literal in the plan, not a cross join)
+    val v = tk.agg(countDistinct(col("t"))).head().getLong(0)
+    val model = ct.join(ctot, "lang")
+      .select(col("lang").as("cand"), col("t"),
+        floor(log((col("c") + 1).cast("double") /
+          (col("ctot") + lit(v)).cast("double")) * QuantNats)
+          .cast("long").as("lp"))
+    val priors = train.groupBy(col("lang")).agg(count(lit(1)).as("nd"))
+    val nTrain = lit(train.count())
+    // candidate domain: languages with ≥1 train token AND ≥1 train
+    // doc (identical in practice; the inner join makes it explicit)
+    val cands = ctot.join(priors, "lang")
+      .select(col("lang").as("cand"),
+        floor(log(lit(1.0) / (col("ctot") + lit(v)).cast("double"))
+          * QuantNats).cast("long").as("lp0"),
+        floor(log(col("nd").cast("double") / nTrain.cast("double"))
+          * QuantNats).cast("long").as("prior"))
+    val dt = d.select(col("doc_id"), explode_outer(toks).as("t"))
+      .filter(col("t").isNotNull)
+    val sums = dt
+      .crossJoin(broadcast(cands.select(col("cand"), col("lp0"))))
+      .join(broadcast(model), Seq("cand", "t"), "left")
+      .select(col("doc_id"), col("cand"),
+        coalesce(col("lp"), col("lp0")).as("term"))
+      .groupBy(col("doc_id"), col("cand"))
+      .agg(sum(col("term")).as("tok_score"))
+    val base = d.select(col("doc_id"), col("lang").as("lang_label"))
+      .crossJoin(broadcast(cands.select(col("cand"), col("prior"))))
+    val scored = base.join(sums, Seq("doc_id", "cand"), "left")
+      .select(col("doc_id"), col("lang_label"), col("cand"),
+        (coalesce(col("tok_score"), lit(0L)) + col("prior")).as("score"))
+    scored
+      .groupBy(col("doc_id"), col("lang_label"))
+      .agg(min(struct((-col("score")).as("ns"), col("cand").as("c")))
+        .as("m"))
+      .select(col("doc_id"), col("lang_label"),
+        col("m.c").as("nb_pred"), (-col("m.ns")).as("nb_score_micronats"),
+        (Sampling.mixHash(col("doc_id")) % 10 >= NbTrainDeciles)
+          .as("is_test"))
+  }
+
+  /** Held-out confusion matrix for [[nbLangScore]] — the
+    * trained-model counterpart of `text_lang_confusion`, computed on
+    * the test deciles only (the train rows would flatter it). */
+  def nbConfusion(spark: SparkSession, dir: String): DataFrame =
+    nbScoreOn(Tables.documents(spark, dir))
+      .filter(col("is_test"))
+      .groupBy(col("lang_label"), col("nb_pred"))
+      .agg(count(lit(1)).as("docs"))
+      .select(col("lang_label"), col("nb_pred"), col("docs"),
+        (col("lang_label") === col("nb_pred")).as("correct"))
+      .orderBy(col("lang_label"), col("nb_pred"))
+
   private val tkSql =
     s"SELECT doc_id, source, lang, ${TextOps.toksSql} AS t FROM documents"
   private val bgSql =
@@ -473,7 +576,32 @@ object Selection {
        rk AS (SELECT *, row_number() OVER (ORDER BY w DESC, doc_id) AS rn, COUNT(*) OVER () AS n FROM per)
        SELECT doc_id, source, CAST(token_count AS BIGINT) AS token_count, CAST(w AS BIGINT) AS weight_micronats, rn <= CAST(ceil($DsirKeepFrac * n) AS BIGINT) AS selected FROM rk ORDER BY doc_id"""
 
+  // NB replay: same counts, same micro-nat quantization, same
+  // argmax tie-break (score DESC, cand ASC). Heavy CTEs are
+  // MATERIALIZED (the DuckDB-1.0 CTE-inlining lesson from the OPQ
+  // and by-source-card gates); SUM(BIGINT) is HUGEINT in DuckDB, so
+  // every summed score is cast back to BIGINT.
+  private val nbDecSql = s"(${Sampling.hashSql}) % 10"
+  private val nbSql =
+    s"""WITH tr AS MATERIALIZED (SELECT doc_id, lang, text FROM documents WHERE $nbDecSql < $NbTrainDeciles),
+       ntk AS MATERIALIZED (SELECT lang, unnest(${TextOps.toksSql}) AS t FROM tr),
+       nct AS (SELECT lang, t, COUNT(*) AS c FROM ntk GROUP BY 1, 2),
+       nctot AS MATERIALIZED (SELECT lang, CAST(SUM(c) AS BIGINT) AS ctot FROM nct GROUP BY 1),
+       nv AS (SELECT COUNT(DISTINCT t) AS v FROM ntk),
+       nmodel AS MATERIALIZED (SELECT nct.lang AS cand, nct.t, CAST(floor(ln(CAST(nct.c + 1 AS DOUBLE) / CAST(nctot.ctot + nv.v AS DOUBLE)) * $QuantNats) AS BIGINT) AS lp FROM nct JOIN nctot USING (lang) CROSS JOIN nv),
+       npr AS (SELECT lang, COUNT(*) AS nd FROM tr GROUP BY 1),
+       nnt AS (SELECT CAST(SUM(nd) AS BIGINT) AS nt FROM npr),
+       ncands AS MATERIALIZED (SELECT nctot.lang AS cand, CAST(floor(ln(1.0 / CAST(nctot.ctot + nv.v AS DOUBLE)) * $QuantNats) AS BIGINT) AS lp0, CAST(floor(ln(CAST(npr.nd AS DOUBLE) / CAST(nnt.nt AS DOUBLE)) * $QuantNats) AS BIGINT) AS prior FROM nctot JOIN npr USING (lang) CROSS JOIN nv CROSS JOIN nnt),
+       ndt AS (SELECT doc_id, unnest(${TextOps.toksSql}) AS t FROM documents),
+       nsums AS MATERIALIZED (SELECT ndt.doc_id, c.cand, CAST(SUM(COALESCE(m.lp, c.lp0)) AS BIGINT) AS tok_score FROM ndt CROSS JOIN ncands c LEFT JOIN nmodel m ON m.cand = c.cand AND m.t = ndt.t GROUP BY 1, 2),
+       nscored AS (SELECT d.doc_id, d.lang AS lang_label, c.cand, COALESCE(s.tok_score, 0) + c.prior AS score FROM documents d CROSS JOIN ncands c LEFT JOIN nsums s ON s.doc_id = d.doc_id AND s.cand = c.cand),
+       nbest AS MATERIALIZED (SELECT doc_id, lang_label, cand, score, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cand) AS rn FROM nscored)"""
+
   val oracle: Map[String, String] = Map(
+    "text_nb_lang_score" ->
+      s"""$nbSql SELECT doc_id, lang_label, cand AS nb_pred, CAST(score AS BIGINT) AS nb_score_micronats, $nbDecSql >= $NbTrainDeciles AS is_test FROM nbest WHERE rn = 1 ORDER BY doc_id""",
+    "text_nb_confusion" ->
+      s"""$nbSql SELECT lang_label, nb_pred, COUNT(*) AS docs, lang_label = nb_pred AS correct FROM (SELECT doc_id, lang_label, cand AS nb_pred FROM nbest WHERE rn = 1) WHERE $nbDecSql >= $NbTrainDeciles GROUP BY 1, 2 ORDER BY 1, 2""",
     "text_bigram_nll" -> s"$nllSql ORDER BY doc_id",
     "text_ppl_buckets" ->
       s"""WITH bg AS ($bgSql), $modelSql,
@@ -499,6 +627,8 @@ object Selection {
     "text_ppl_buckets" -> pplBuckets _,
     "text_dsir_weight" -> dsirWeights _,
     "text_js_divergence" -> jsDivergence _,
-    "mix_curriculum" -> curriculum _
+    "mix_curriculum" -> curriculum _,
+    "text_nb_lang_score" -> nbLangScore _,
+    "text_nb_confusion" -> nbConfusion _
   )
 }

@@ -322,4 +322,38 @@ class SamplingSpec extends SparkSpec {
       s"batch-edge candidate/verify joins must broadcast the batch side:\n" +
         s"${edges.queryExecution.executedPlan}")
   }
+
+  test("priority sample matches an independent local replay (sample, τ, estimator)") {
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val k = Sampling.PrioritySampleK
+    assert(docs.length > k + 1, "fixture must exceed the sample size")
+    // local replay: priority = (w·P as double) / (hash+1 as double)
+    val pri = docs.map { case (id, w) =>
+      (id, w, (w * 1000003L).toDouble /
+        (Sampling.mixHashLocal(id) + 1L).toDouble)
+    }.sortBy { case (id, _, p) => (-p, id) }
+    val tau = pri(k)._3
+    val expected = pri.take(k).map { case (id, w, p) =>
+      (id, w, p, math.max(w.toDouble, tau))
+    }.toSeq
+    val got = Sampling.prioritySample(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+      .toSeq
+    assert(got == expected)
+    // estimator structure: est ≥ w everywhere, and any item with
+    // w ≥ τ is estimated by its own weight (the DLT certainty region)
+    got.foreach { case (id, w, _, est) =>
+      assert(est >= w.toDouble, s"doc $id")
+      if (w.toDouble >= tau) assert(est == w.toDouble, s"doc $id")
+    }
+  }
+
+  test("priority sample plans a TakeOrdered top-k, not a corpus sort") {
+    val df = Sampling.prioritySample(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
 }

@@ -238,4 +238,60 @@ class SelectionSpec extends SparkSpec {
     // replay no-op still holds once the marker exists
     assert(!Selection.mergeTokenCountsArtifact(spark, countsDir, batch, 0L))
   }
+
+  test("NB lang scores match an independent local closed-form replay") {
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def toksOf(s: String): Seq[String] =
+      if (s.trim.isEmpty) Seq.empty else s.trim.split("\\s+").toSeq
+    val train = docs.filter { case (id, _, _) =>
+      graft.ext.Sampling.mixHashLocal(id) % 10 < Selection.NbTrainDeciles }
+    val ct = train.flatMap { case (_, l, t) => toksOf(t).map((l, _)) }
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val ctot = ct.groupBy(_._1._1).map { case (l, m) => l -> m.values.sum }
+    val v = ct.keys.map(_._2).toSet.size.toLong
+    val nTrain = train.length.toLong
+    val priors = train.groupBy(_._2).map { case (l, d) =>
+      l -> math.floor(
+        math.log(d.length.toDouble / nTrain.toDouble) * 1e6).toLong }
+    def q(x: Double): Long = math.floor(math.log(x) * 1e6).toLong
+    val lp0 = ctot.map { case (l, c) => l -> q(1.0 / (c + v).toDouble) }
+    val cands = lp0.keySet.intersect(priors.keySet).toSeq.sorted
+    val expected = docs.map { case (id, lang, text) =>
+      val scores = cands.map { c =>
+        val tokSum = toksOf(text).map { t =>
+          ct.get((c, t)) match {
+            case Some(n) => q((n + 1).toDouble / (ctot(c) + v).toDouble)
+            case None => lp0(c)
+          }
+        }.sum
+        c -> (tokSum + priors(c))
+      }
+      val (pred, s) = scores.minBy { case (c, sc) => (-sc, c) }
+      (id, lang, pred, s,
+        graft.ext.Sampling.mixHashLocal(id) % 10 >= Selection.NbTrainDeciles)
+    }.sortBy(_._1).toSeq
+    val got = Selection.nbLangScore(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getBoolean(4))).toSeq
+    assert(got == expected)
+  }
+
+  test("NB confusion covers exactly the held-out docs and beats the prior") {
+    val scored = Selection.nbLangScore(spark, sf).collect()
+    val test = scored.filter(_.getBoolean(4))
+    val conf = Selection.nbConfusion(spark, sf).collect()
+    assert(conf.map(_.getLong(2)).sum == test.length.toLong)
+    val correct = conf.filter(_.getBoolean(3)).map(_.getLong(2)).sum
+    // on this synthetic word-soup corpus the lang signal is weak:
+    // the hand-built stopword heuristic scores 36.8% and NB lands in
+    // the same class (~34%), both far above the 5-class 20% chance
+    // floor — assert the chance floor with a 1.25× margin, not
+    // majority (which neither classifier reaches here)
+    val nCands = scored.map(_.getString(1)).distinct.length
+    assert(correct * nCands * 4 > test.length.toLong * 5,
+      s"NB ($correct/${test.length}, $nCands classes) should beat " +
+        "1.25x the uniform-chance floor")
+  }
 }
