@@ -740,6 +740,32 @@ object ScaleUp {
       time("text_nb_confusion", src, 1)
       time("text_nb_confusion", dst, 1)
     }
+    if (on("r13c")) {
+      // BM25 lexical retrieval: live (matched-postings scan per
+      // answer — the broadcast term filter cuts the corpus explosion
+      // before any exchange) vs the inverted-index store (build once,
+      // then every answer partition-prunes to the query terms'
+      // buckets). The hybrid fusion runs at base only: embeddings
+      // don't scale with the copy corpus, and the dense leg is the
+      // guarded brute-force rung by design (the fusion is
+      // rung-agnostic — see Retrieval.hybridRrf).
+      time("rag_bm25_topk", src, 1); time("rag_bm25_topk", dst, 1)
+      time("rag_bm25_batch", src, 1); time("rag_bm25_batch", dst, 1)
+      val ixStore = s"$dst/bm25_ix"
+      if (!new java.io.File(ixStore).exists()) {
+        val t0 = System.nanoTime()
+        graft.ext.Retrieval.writeBm25Index(
+          Tables.documents(spark, dst)
+            .select(col("doc_id"),
+              graft.ext.TextOps.tokens(col("text")).as("t"))
+            .filter(size(col("t")) > 0), ixStore)
+        println(f"[scaleup] bm25_index_build             $dst%-18s " +
+          f"${(System.nanoTime - t0) / 1e9}%8.2f s")
+      }
+      timed("rag_bm25_batch_served", dst, 2)(
+        graft.ext.Retrieval.bm25BatchFromIndex(spark, dst, ixStore))
+      time("rag_hybrid_rrf", src, 1)
+    }
     spark.stop()
   }
 }

@@ -35,6 +35,8 @@ object SparkEntry {
       graft.ext.Multimodal.queries ++
       graft.ext.EventOps.queries ++
       graft.ext.Sampling.queries ++
+      graft.ext.Pii.queries ++
+      graft.ext.Retrieval.queries ++
       graft.ext.Curation.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -59,5 +61,7 @@ object SparkEntry {
       graft.ext.Multimodal.oracle ++
       graft.ext.EventOps.oracle ++
       graft.ext.Sampling.oracle ++
+      graft.ext.Pii.oracle ++
+      graft.ext.Retrieval.oracle ++
       graft.ext.Curation.allOracle
 }

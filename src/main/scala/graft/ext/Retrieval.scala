@@ -1,0 +1,365 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.SkewOps
+
+/** Lexical retrieval (BM25) and hybrid lexical+vector fusion — the
+  * search surface the ANN ladder lacks. A training-data platform
+  * serves retrieval two ways: dense (the `sim_*` IVF/PQ rungs) and
+  * sparse lexical (BM25 over an inverted index — what Elasticsearch/
+  * Lucene/Anserini run); production RAG stacks fuse both lists with
+  * reciprocal-rank fusion (Cormack, Clarke, Büttcher, SIGIR 2009).
+  * This module adds the sparse rung and the fusion on top of the
+  * already-gated dense rung.
+  *
+  * Query model: a "query" is the first [[QueryTerms]] distinct tokens
+  * (by first position, token-ascending tie-break) of a query
+  * document — the [[Similarity.queryVec]] min-id convention extended
+  * to a deterministic BATCH of the [[BatchQueries]] lowest doc_ids,
+  * so the oracle can replay query construction exactly.
+  *
+  * Scoring discipline (the [[Selection.QuantNats]] rule): BM25's only
+  * transcendental, ln in the idf, is quantized to integer micro-nats
+  * per TERM; the tf/length part is a fixed tree of correctly-rounded
+  * IEEE ops over exact integers (tf, dl) and shared double literals
+  * (k1=1.2, b=0.75, avgdl — itself one exact-int division), floored
+  * to BIGINT per (term, doc) BEFORE the document sum, so scores are
+  * exact integer sums and ranks are engine-independent.
+  *
+  * Shape at scale — the reason BM25 is cheap at 100 TB: query terms
+  * are a BOUNDED set (queries × [[QueryTerms]]), so the corpus-sized
+  * token explosion is filtered by a broadcast semi-join BEFORE any
+  * exchange. Everything downstream of the scan is matched-postings
+  * sized: tf is one partial-aggregated groupBy over matched postings,
+  * df/idf is a terms-sized aggregate riding the same rows, and the
+  * per-query top-k is the salted two-phase rank
+  * ([[SkewOps.topKPerGroup]]). Corpus stats (N, avgdl) are one skinny
+  * scan-reduce collected as plan literals (the orderStat discipline).
+  * No corpus-sized shuffle ever forms: the scan → filter → narrow
+  * aggregate is the same plan an inverted-index SERVE would answer,
+  * with the index build amortized away (see the `rag_bm25_index`
+  * store for the materialized form).
+  */
+object Retrieval {
+
+  /** Distinct leading tokens per query document. */
+  val QueryTerms = 8
+
+  /** Query batch: the BatchQueries lowest doc_ids. */
+  val BatchQueries = 20
+
+  /** Results per query. */
+  val BmK = 10
+
+  /** Candidate-list depth each side of the RRF fusion reads. */
+  val RrfDepth = 20
+
+  /** RRF dampening constant (the SIGIR'09 paper's k=60). */
+  val RrfK = 60
+
+  import Selection.QuantNats
+
+  /** (doc_id, t) token arrays for non-empty docs. */
+  private def toksOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+      .filter(size(col("t")) > 0)
+
+  private def toksD(spark: SparkSession, dir: String): DataFrame =
+    toksOf(Tables.documents(spark, dir))
+
+  /** Query-term table (query_id, term) for the nq lowest doc_ids:
+    * first-position rank with token tie-break, top [[QueryTerms]] per
+    * query via the salted two-phase rank (stage-2 input bounded at
+    * nq · salts · QueryTerms). */
+  private def queryTerms(td: DataFrame, nq: Int): DataFrame = {
+    val qd = td.orderBy(col("doc_id")).limit(nq)
+      .select(col("doc_id").as("query_id"), posexplode(col("t")))
+      .select(col("query_id"), col("col").as("term"), col("pos"))
+      .groupBy(col("query_id"), col("term"))
+      .agg(min(col("pos")).as("mp"))
+    SkewOps.topKPerGroup(qd, col("query_id"),
+        Seq(col("mp").asc, col("term").asc), QueryTerms,
+        spreadBy = col("term"), salts = 32)
+      .select(col("query_id"), col("term"))
+  }
+
+  /** Scoring core over MATCHED per-(doc, term) frequencies: `tf` must
+    * carry (doc_id, dl, term, tf) restricted to query terms (the live
+    * path restricts before the combine; the serve path restricts the
+    * pruned store scan). df/idf are terms-sized aggregates riding the
+    * same rows; contributions are floored to micro-nats BEFORE the
+    * document sum (exact BIGINT totals; see object scaladoc). */
+  private def scoreMatched(tf: DataFrame, qt: DataFrame, n: Long,
+      avgdl: Double): DataFrame = {
+    val idf = tf.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
+      .select(col("term"),
+        floor(log((lit(n) - col("df") + lit(0.5)) /
+          (col("df") + lit(0.5)) + lit(1.0)) * lit(QuantNats))
+          .cast("long").as("idf"))
+    val contrib = floor(col("idf").cast("double") *
+      ((col("tf").cast("double") * lit(2.2)) /
+        (col("tf").cast("double") + lit(1.2) *
+          (lit(0.25) + lit(0.75) *
+            (col("dl").cast("double") / lit(avgdl)))))).cast("long")
+    tf.join(broadcast(qt), "term")
+      .join(broadcast(idf), "term")
+      .filter(col("doc_id") =!= col("query_id"))
+      .select(col("query_id"), col("doc_id"), contrib.as("c"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("matched_terms"),
+        sum(col("c")).as("bm25_micronats"))
+  }
+
+  /** Scored (query_id, doc_id, matched_terms, bm25_micronats) for the
+    * nq-query batch — the shared core of every public form. */
+  private[ext] def bm25Scores(spark: SparkSession, dir: String,
+      nq: Int): DataFrame = {
+    val td = toksD(spark, dir)
+    // corpus stats: one skinny scan-reduce → plan literals
+    val st = td.agg(count(lit(1)).as("n"),
+      sum(size(col("t")).cast("long")).as("s")).head()
+    val n = st.getLong(0)
+    val avgdl = st.getLong(1).toDouble / n.toDouble
+    val qt = queryTerms(td, nq)
+    // matched postings: the corpus explosion is cut by the broadcast
+    // term set BEFORE the (doc, term) combine — shuffle ∝ matches
+    val tf = td
+      .select(col("doc_id"), size(col("t")).as("dl"),
+        explode(col("t")).as("term"))
+      .join(broadcast(qt.select(col("term")).distinct()), "term")
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    scoreMatched(tf, qt, n, avgdl)
+  }
+
+  private def bm25TopPerQuery(scores: DataFrame, k: Int): DataFrame =
+    SkewOps.topKPerGroup(scores, col("query_id"),
+      Seq(col("bm25_micronats").desc, col("doc_id").asc), k,
+      spreadBy = col("doc_id"), rankCol = "rank")
+
+  /** Single-query BM25 top-[[BmK]] (the min-doc_id query). */
+  def bm25TopK(spark: SparkSession, dir: String): DataFrame =
+    bm25TopPerQuery(bm25Scores(spark, dir, 1), BmK)
+      .select(col("doc_id"), col("matched_terms"),
+        col("bm25_micronats"), col("rank").cast("long").as("rank"))
+      .orderBy(col("rank"))
+
+  /** Batch BM25: [[BatchQueries]] queries through ONE shared
+    * matched-postings pass ([[bm25Scores]] — the postings filter
+    * carries the union of all query terms, so batch cost grows with
+    * matches, not with queries × corpus). */
+  def bm25Batch(spark: SparkSession, dir: String): DataFrame =
+    bm25TopPerQuery(bm25Scores(spark, dir, BatchQueries), BmK)
+      .select(col("query_id"), col("doc_id"), col("matched_terms"),
+        col("bm25_micronats"), col("rank").cast("long").as("rank"))
+      .orderBy(col("query_id"), col("rank"))
+
+  /** Hybrid retrieval: reciprocal-rank fusion of the lexical
+    * ([[bm25TopK]] at depth [[RrfDepth]]) and dense
+    * ([[Similarity]] cosine, same query document, same depth)
+    * candidate lists. rrf = Σ 1/([[RrfK]] + rank) over the lists the
+    * doc appears in — ranks are engine-exact integers (the lexical
+    * side by the micro-nat discipline, the dense side because the
+    * fixed-fold cosine is already hash-gated in
+    * `sim_bruteforce_topk`), and the two reciprocal terms are added
+    * in a fixed order, so the fused score is bit-identical across
+    * engines. Both legs are TakeOrdered-bounded at RrfDepth rows, so
+    * the fusion join and final sort are constant-sized.
+    *
+    * The dense leg is the guarded brute-force rung here (refuses past
+    * [[Dedup.MaxExactRows]] like [[Similarity.bruteForceTopK]]); at
+    * scale the same fusion reads `sim_ivf_batch_topk`'s
+    * partition-pruned list instead — the fusion is rung-agnostic,
+    * it only consumes (doc_id, rank). */
+  def hybridRrf(spark: SparkSession, dir: String): DataFrame = {
+    val lex = bm25TopPerQuery(bm25Scores(spark, dir, 1), RrfDepth)
+      .select(col("doc_id"), col("rank").as("lex_rank"))
+    val e = Tables.embeddings(spark, dir)
+    val nVec = e.count()
+    require(nVec <= Dedup.MaxExactRows,
+      s"hybridRrf's dense leg scans the corpus per query ($nVec rows > " +
+        s"limit ${Dedup.MaxExactRows}); compose the IVF batch list at scale")
+    val (qid, q) = Similarity.queryVec(spark, dir)
+    val vecTop = e.filter(col("vec_id") =!= qid)
+      .select(col("vec_id").as("doc_id"),
+        Similarity.cosine(col("embedding").cast("array<double>"), q)
+          .as("cosine"))
+      .orderBy(col("cosine").desc, col("doc_id"))
+      .limit(RrfDepth)
+    // rank the RrfDepth-row frame (bounded by the limit above — the
+    // global window never sees more than RrfDepth rows)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cosine").desc, col("doc_id"))
+    val vec = vecTop.select(col("doc_id"),
+      row_number().over(w).as("vec_rank"))
+    lex.join(vec, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        col("lex_rank").cast("long").as("lex_rank"),
+        col("vec_rank").cast("long").as("vec_rank"),
+        (coalesce(lit(1.0) / (lit(RrfK) + col("lex_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(RrfK) + col("vec_rank")), lit(0.0)))
+          .as("rrf_score"))
+      .orderBy(col("rrf_score").desc, col("doc_id"))
+      .limit(BmK)
+  }
+
+  // ---------------------------------------------------------------
+  // Inverted-index store: build → serve → append (the artifact
+  // lifecycle every other expensive family already has)
+  // ---------------------------------------------------------------
+
+  /** Term-hash partitions of the postings store — a query's serve
+    * scan prunes to its terms' buckets. */
+  val TermBuckets = 64
+
+  private def postingsOf(td: DataFrame): DataFrame =
+    td.select(col("doc_id"), size(col("t")).as("dl"),
+        explode(col("t")).as("term"))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("tbucket", pmod(hash(col("term")), lit(TermBuckets)))
+
+  /** Build the lexical index: `postings/` = (doc_id, dl, term, tf)
+    * partitioned by term-hash bucket (a serve prunes to the query
+    * terms' buckets — the inverted-index read), `meta/` = the EXACT
+    * integer corpus stats (n_docs, sum_dl). avgdl is divided out at
+    * SERVE time from the integers, so an append merges stats by
+    * summation and stays bit-identical to a rebuild. */
+  def writeBm25Index(td: DataFrame, out: String): Unit = {
+    td.agg(count(lit(1)).as("n_docs"),
+        sum(size(col("t")).cast("long")).as("sum_dl"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$out/meta")
+    postingsOf(td).write.mode("overwrite").partitionBy("tbucket")
+      .parquet(s"$out/postings")
+  }
+
+  /** Append a document batch to the index: new postings rows land in
+    * their term buckets, meta becomes the summed integers. Postings
+    * rows are per-(doc, term) and doc-local (dl, tf depend only on
+    * the doc), and idf/avgdl re-derive from the merged store at serve
+    * time, so append(store, batch) answers EXACTLY like a rebuild on
+    * the union — gated by `rag_bm25_index_append`. Meta is rewritten
+    * AFTER the postings append lands (a crash between the two leaves
+    * stats stale by one batch, never wrong-shaped; the streaming
+    * sinks' batch_id marker pattern applies if this rides a stream). */
+  def appendBm25Index(spark: SparkSession, batchTd: DataFrame,
+      store: String): Unit = {
+    val old = spark.read.parquet(s"$store/meta").head()
+    val add = batchTd.agg(count(lit(1)).cast("long"),
+      sum(size(col("t")).cast("long"))).head()
+    postingsOf(batchTd).write.mode("append").partitionBy("tbucket")
+      .parquet(s"$store/postings")
+    spark.range(1)
+      .select(lit(old.getLong(0) + add.getLong(0)).as("n_docs"),
+        lit(old.getLong(1) + add.getLong(1)).as("sum_dl"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$store/meta")
+  }
+
+  /** Serve the nq-query batch from the index store: corpus stats are
+    * two integers from `meta/`, and the postings scan carries a
+    * PARTITION filter on the query terms' buckets (RetrievalSpec
+    * asserts PartitionFilters) — scan cost is the probed buckets,
+    * never the corpus. The in-bucket non-query terms are cut by the
+    * same broadcast term join as the live path. */
+  def bm25FromIndex(spark: SparkSession, store: String,
+      docsDir: String, nq: Int): DataFrame = {
+    val meta = spark.read.parquet(s"$store/meta").head()
+    val n = meta.getLong(0)
+    val avgdl = meta.getLong(1).toDouble / n.toDouble
+    val qt = queryTerms(toksD(spark, docsDir), nq).localCheckpoint()
+    // bounded collect (≤ nq · QueryTerms rows): bucket literals for
+    // the pruning filter, computed by the same Spark hash
+    val buckets = qt
+      .select(pmod(hash(col("term")), lit(TermBuckets))).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val tf = spark.read.parquet(s"$store/postings")
+      .filter(col("tbucket").isin(buckets: _*))
+      .join(broadcast(qt.select(col("term")).distinct()), "term")
+      .select(col("doc_id"), col("dl"), col("term"), col("tf"))
+    scoreMatched(tf, qt, n, avgdl)
+  }
+
+  /** The standard query batch answered from an existing index store
+    * (the steady-state serve form ScaleUp times). */
+  def bm25BatchFromIndex(spark: SparkSession, dir: String,
+      store: String): DataFrame = servedBatch(spark, dir, store)
+
+  private def servedBatch(spark: SparkSession, dir: String,
+      store: String): DataFrame =
+    bm25TopPerQuery(bm25FromIndex(spark, store, dir, BatchQueries), BmK)
+      .select(col("query_id"), col("doc_id"), col("matched_terms"),
+        col("bm25_micronats"), col("rank").cast("long").as("rank"))
+      .orderBy(col("query_id"), col("rank"))
+
+  /** DRIVER-GATED serve path: build the index into a scratch dir,
+    * answer the query batch from it — oracle = `rag_bm25_batch`'s
+    * replay verbatim (serve == rebuild). */
+  def bm25Served(spark: SparkSession, dir: String): DataFrame = {
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_bm25_served").toString + "/ix"
+    writeBm25Index(toksD(spark, dir), store)
+    servedBatch(spark, dir, store)
+  }
+
+  /** DRIVER-GATED append path: build the index from the ~90% gold
+    * slice (doc_id % 10 ≠ 0), append the held-out tenth as a batch,
+    * serve the standard query batch from the merged store — oracle =
+    * `rag_bm25_batch` on the FULL corpus verbatim, so the gate proves
+    * append == rebuild through real score arithmetic (idf and avgdl
+    * both shift with the merged stats). */
+  def bm25IndexAppend(spark: SparkSession, dir: String): DataFrame = {
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_bm25_append").toString + "/ix"
+    val td = toksD(spark, dir)
+    writeBm25Index(td.filter(col("doc_id") % 10 =!= 0), store)
+    appendBm25Index(spark, td.filter(col("doc_id") % 10 === 0), store)
+    servedBatch(spark, dir, store)
+  }
+
+  // ---------------------------------------------------------------
+  // DuckDB replays — same query construction, same quantized
+  // arithmetic, same tie-breaks. Heavy CTEs MATERIALIZED (the
+  // DuckDB-1.0 CTE-inlining lesson).
+  // ---------------------------------------------------------------
+
+  private def bmSql(nq: Int, k: Int): String =
+    s"""WITH td AS MATERIALIZED (SELECT doc_id, t FROM (SELECT doc_id, ${TextOps.toksSql} AS t FROM documents) WHERE len(t) > 0),
+       st AS (SELECT COUNT(*) AS n, CAST(SUM(len(t)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl FROM td),
+       qd AS (SELECT doc_id AS query_id, t FROM td ORDER BY doc_id LIMIT $nq),
+       qp AS (SELECT query_id, unnest(t) AS term, unnest(range(1, len(t) + 1)) AS pos FROM qd),
+       qt0 AS (SELECT query_id, term, MIN(pos) AS mp FROM qp GROUP BY 1, 2),
+       qt AS MATERIALIZED (SELECT query_id, term FROM (SELECT query_id, term, row_number() OVER (PARTITION BY query_id ORDER BY mp, term) AS rn FROM qt0) WHERE rn <= $QueryTerms),
+       pt AS (SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM td),
+       tf AS MATERIALIZED (SELECT doc_id, dl, term, COUNT(*) AS tf FROM pt WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY 1, 2, 3),
+       idf AS (SELECT term, CAST(floor(ln((st.n - df + 0.5) / (df + 0.5) + 1.0) * $QuantNats) AS BIGINT) AS idf FROM (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1) CROSS JOIN st),
+       sc AS (SELECT q.query_id, f.doc_id, COUNT(*) AS matched_terms, CAST(SUM(CAST(floor(CAST(i.idf AS DOUBLE) * ((CAST(f.tf AS DOUBLE) * 2.2) / (CAST(f.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(f.dl AS DOUBLE) / st.avgdl))))) AS BIGINT)) AS BIGINT) AS bm25_micronats FROM tf f JOIN qt q USING (term) JOIN idf i USING (term) CROSS JOIN st WHERE f.doc_id <> q.query_id GROUP BY 1, 2),
+       tk AS (SELECT query_id, doc_id, matched_terms, bm25_micronats, row_number() OVER (PARTITION BY query_id ORDER BY bm25_micronats DESC, doc_id) AS rank FROM sc)"""
+
+  val oracle: Map[String, String] = Map(
+    "rag_bm25_topk" ->
+      s"""${bmSql(1, BmK)} SELECT doc_id, matched_terms, bm25_micronats, CAST(rank AS BIGINT) AS rank FROM tk WHERE rank <= $BmK ORDER BY rank""",
+    "rag_bm25_batch" ->
+      s"""${bmSql(BatchQueries, BmK)} SELECT query_id, doc_id, matched_terms, bm25_micronats, CAST(rank AS BIGINT) AS rank FROM tk WHERE rank <= $BmK ORDER BY query_id, rank""",
+    // serve == rebuild: the store-fed forms must answer exactly like
+    // the live batch form on the same corpus
+    "rag_bm25_served" ->
+      s"""${bmSql(BatchQueries, BmK)} SELECT query_id, doc_id, matched_terms, bm25_micronats, CAST(rank AS BIGINT) AS rank FROM tk WHERE rank <= $BmK ORDER BY query_id, rank""",
+    "rag_bm25_index_append" ->
+      s"""${bmSql(BatchQueries, BmK)} SELECT query_id, doc_id, matched_terms, bm25_micronats, CAST(rank AS BIGINT) AS rank FROM tk WHERE rank <= $BmK ORDER BY query_id, rank""",
+    "rag_hybrid_rrf" ->
+      s"""${bmSql(1, RrfDepth)}, lex AS (SELECT doc_id, CAST(rank AS BIGINT) AS lex_rank FROM tk WHERE rank <= $RrfDepth),
+         q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id = (SELECT min(vec_id) FROM embeddings)),
+         vt AS (SELECT vec_id AS doc_id, ${Similarity.cosineSql("embedding", "qe")} AS cosine FROM embeddings, q WHERE vec_id <> qid ORDER BY cosine DESC, doc_id LIMIT $RrfDepth),
+         vec AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY cosine DESC, doc_id) AS BIGINT) AS vec_rank FROM vt)
+         SELECT doc_id, lex_rank, vec_rank, COALESCE(1.0 / ($RrfK + lex_rank), 0.0) + COALESCE(1.0 / ($RrfK + vec_rank), 0.0) AS rrf_score FROM lex FULL OUTER JOIN vec USING (doc_id) ORDER BY rrf_score DESC, doc_id LIMIT $BmK""")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rag_bm25_topk" -> bm25TopK _,
+    "rag_bm25_batch" -> bm25Batch _,
+    "rag_bm25_served" -> bm25Served _,
+    "rag_bm25_index_append" -> bm25IndexAppend _,
+    "rag_hybrid_rrf" -> hybridRrf _)
+}

@@ -34,11 +34,11 @@ object Similarity {
 
   /** Hot path: native codegen'd expression (single fused loop, no
     * intermediate arrays) — bit-identical to the builtin form. */
-  private def cosine(a: Column, b: Column): Column =
+  private[ext] def cosine(a: Column, b: Column): Column =
     graft.functions.CosineSimilarity(a, b)
 
   /** Collect the query vector (row with min vec_id) as a literal. */
-  private def queryVec(spark: SparkSession, dir: String): (Long, Column) = {
+  private[ext] def queryVec(spark: SparkSession, dir: String): (Long, Column) = {
     val e = Tables.embeddings(spark, dir)
     val row = e.orderBy(col("vec_id")).limit(1)
       .select(col("vec_id"), col("embedding")).head()
@@ -261,7 +261,7 @@ object Similarity {
 
   private val dotSql = (a: String, b: String) =>
     s"""list_sum(list_transform(range(1, len($a)+1), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"""
-  private def cosineSql(a: String, b: String) =
+  private[ext] def cosineSql(a: String, b: String) =
     s"""${dotSql(a, b)} / sqrt(${dotSql(a, a)} * ${dotSql(b, b)})"""
 
   // DuckDB replay of lshSignature: the same seeded planes as SQL

@@ -25,7 +25,11 @@ class PlanLintSpec extends SparkSpec {
     // near-pair set (bounded by dedup structure, not corpus size;
     // Similarity.contrastivePairs scaladoc documents the bucket-
     // sharded form for large pair sets)
-    "sim_contrastive_pairs")
+    "sim_contrastive_pairs",
+    // RRF fusion: the dense leg's rank window runs over a frame
+    // TakeOrdered-bounded at RrfDepth rows (Retrieval.hybridRrf);
+    // the lexical leg's windows are the salted two-phase rank
+    "rag_hybrid_rrf")
 
   // intentional exceptions: exactness baselines over bounded inputs,
   // kept next to their scale paths (IVF/LSH) — see Dedup scaladoc —
@@ -51,7 +55,15 @@ class PlanLintSpec extends SparkSpec {
       // the same bounded sources × vocabulary grid; the by-source
       // forms group the legs by source instead of reducing to 1 row)
       "curation_data_card_served", "curation_data_card_by_source",
-      "curation_data_card_by_source_served")
+      "curation_data_card_by_source_served",
+      // τ (a 1-row aggregate of the top-(k+1) heap) broadcast against
+      // the k-row sample — both sides bounded by the constant k,
+      // never the corpus (Sampling.prioritySample scaladoc)
+      "sample_weighted_priority",
+      // the NB candidate fan-out: token stream × the LANGUAGE domain
+      // (a model-bounded constant, the sim_centroid_assign pattern —
+      // work is |langs|× corpus, never corpus²)
+      "text_nb_lang_score", "text_nb_confusion")
 
   test("no query plans a cartesian or nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
@@ -131,8 +143,17 @@ class PlanLintSpec extends SparkSpec {
   private val saltedTwoPhaseWindow =
     Set("window_top3_per_region", "sample_fixed_count",
       // per-query top-k over the batch's probed cells rides
-      // SkewOps.topKPerGroup (stage-2 bounded at queries·salts·k)
-      "sim_ivf_batch_topk", "sim_adc_batch_topk")
+      // SkewOps.topKPerGroup (stage-2 bounded at queries·salts·k);
+      // the served form answers from the cell-partitioned store
+      // through the same two-phase rank
+      "sim_ivf_batch_topk", "sim_ivf_batch_topk_served",
+      "sim_adc_batch_topk",
+      // BM25: per-query top-k AND per-query query-term selection both
+      // ride SkewOps.topKPerGroup (stage-2 bounded at
+      // queries·salts·k — Retrieval scaladoc); the store-fed forms
+      // answer through the same two-phase rank
+      "rag_bm25_topk", "rag_bm25_batch", "rag_bm25_served",
+      "rag_bm25_index_append")
   // running-sum/rank windows partitioned by (source or epoch,
   // doc_id-shard): parallelism = groups × shards, and a deployment
   // scales the shard count with the corpus (Curation.packSequences /

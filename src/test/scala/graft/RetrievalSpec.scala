@@ -1,0 +1,140 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.Retrieval
+
+class RetrievalSpec extends SparkSpec {
+
+  /** Independent local BM25: same tokenization, same micro-nat
+    * arithmetic, straight Scala collections — no Spark in the
+    * re-derivation. */
+  private def localBm25(k: Int): Seq[(Long, Long, Long, Long)] = {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .map { case (id, tx) =>
+        val t = tx.trim
+        (id, if (t.isEmpty) Array.empty[String] else t.split("\\s+"))
+      }
+      .filter(_._2.nonEmpty).sortBy(_._1)
+    val n = docs.length.toLong
+    val avgdl = docs.map(_._2.length.toLong).sum.toDouble / n.toDouble
+    val (qid, qtoks) = docs.head
+    val qterms = qtoks.zipWithIndex
+      .groupBy(_._1).map { case (t, ps) => (t, ps.map(_._2).min) }
+      .toSeq.sortBy { case (t, p) => (p, t) }.take(Retrieval.QueryTerms)
+      .map(_._1).toSet
+    val tf = docs.map { case (id, t) =>
+      (id, t.length, t.filter(qterms).groupBy(identity)
+        .map { case (w, o) => (w, o.length.toLong) })
+    }
+    val df = qterms.map(t => (t, tf.count(_._3.contains(t)).toLong)).toMap
+    val idf = df.map { case (t, d) =>
+      (t, math.floor(math.log((n - d + 0.5) / (d + 0.5) + 1.0) *
+        1000000.0).toLong)
+    }
+    val scored = tf.filter(_._1 != qid).flatMap { case (id, dl, tfs) =>
+      if (tfs.isEmpty) None
+      else {
+        val s = tfs.toSeq.map { case (t, f) =>
+          math.floor(idf(t).toDouble *
+            ((f.toDouble * 2.2) / (f.toDouble + 1.2 *
+              (0.25 + 0.75 * (dl.toDouble / avgdl))))).toLong
+        }.sum
+        Some((id, tfs.size.toLong, s))
+      }
+    }
+    scored.sortBy { case (id, _, s) => (-s, id) }.take(k).zipWithIndex
+      .map { case ((id, m, s), i) => (id, m, s, i + 1L) }.toSeq
+  }
+
+  test("bm25 top-k matches the independent local reimplementation") {
+    val got = Retrieval.bm25TopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    val want = localBm25(Retrieval.BmK)
+    assert(got.nonEmpty)
+    assert(got == want)
+  }
+
+  test("batch form agrees with the single-query form on the shared query") {
+    val single = Retrieval.bm25TopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val qid = Tables.documents(spark, sf).agg(min(col("doc_id")))
+      .head().getLong(0)
+    val fromBatch = Retrieval.bm25Batch(spark, sf)
+      .filter(col("query_id") === qid).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    // df/idf per term depend only on the term, not on the batch, so
+    // the shared query's list must be identical in both forms
+    assert(single == fromBatch)
+  }
+
+  test("batch covers the BatchQueries lowest ids with contiguous ranks") {
+    val rows = Retrieval.bm25Batch(spark, sf).collect()
+    val wantQ = Tables.documents(spark, sf)
+      .select(col("doc_id")).orderBy(col("doc_id"))
+      .limit(Retrieval.BatchQueries).collect().map(_.getLong(0)).toSet
+    assert(rows.map(_.getLong(0)).toSet == wantQ)
+    rows.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      val ranks = rs.map(_.getLong(4)).sorted.toSeq
+      assert(ranks == (1L to ranks.length).toSeq, s"query $q ranks")
+      assert(ranks.length <= Retrieval.BmK)
+      // no result is the query document itself
+      assert(!rs.exists(_.getLong(1) == q))
+    }
+  }
+
+  test("rrf fusion scores re-derive from the two rank lists") {
+    val rows = Retrieval.hybridRrf(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= Retrieval.BmK)
+    rows.foreach { r =>
+      val lex = if (r.isNullAt(1)) None else Some(r.getLong(1))
+      val vec = if (r.isNullAt(2)) None else Some(r.getLong(2))
+      assert(lex.nonEmpty || vec.nonEmpty)
+      lex.foreach(x => assert(x >= 1 && x <= Retrieval.RrfDepth))
+      vec.foreach(x => assert(x >= 1 && x <= Retrieval.RrfDepth))
+      val want = lex.map(x => 1.0 / (Retrieval.RrfK + x)).getOrElse(0.0) +
+        vec.map(x => 1.0 / (Retrieval.RrfK + x)).getOrElse(0.0)
+      assert(r.getDouble(3) == want, s"doc ${r.getLong(0)}")
+    }
+    // descending by fused score with doc_id tie-break
+    val s = rows.map(r => (r.getDouble(3), r.getLong(0)))
+    assert(s.sortBy { case (v, id) => (-v, id) }.toSeq == s.toSeq)
+  }
+
+  test("matched postings are cut by a broadcast term join before any " +
+      "corpus-sized exchange") {
+    val plan = Retrieval.bm25TopK(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"query-term filter must broadcast:\n$plan")
+  }
+
+  test("index serve answers like the live batch and prunes to the " +
+      "query terms' buckets") {
+    val live = Retrieval.bm25Batch(spark, sf).collect().toSeq
+    val served = Retrieval.bm25Served(spark, sf).collect().toSeq
+    assert(live.nonEmpty && served == live)
+    // the store scan must carry a tbucket PARTITION filter (the
+    // inverted-index read: probed buckets, never the whole store)
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_bm25_spec").toString + "/ix"
+    val td = Tables.documents(spark, sf)
+      .select(col("doc_id"), graft.ext.TextOps.tokens(col("text")).as("t"))
+      .filter(size(col("t")) > 0)
+    Retrieval.writeBm25Index(td, store)
+    val plan = Retrieval.bm25FromIndex(spark, store, sf, 1)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("tbucket"),
+      s"store scan must prune term buckets:\n$plan")
+  }
+
+  test("append == rebuild: the split-built store answers identically") {
+    val live = Retrieval.bm25Batch(spark, sf).collect().toSeq
+    val appended = Retrieval.bm25IndexAppend(spark, sf).collect().toSeq
+    assert(appended == live)
+  }
+}
