@@ -108,7 +108,8 @@ object StreamScaleUp {
     for (d <- Seq("ckpt_hourly", "ckpt_sessionize", "ckpt_dedup",
         "dedup_index", "gold_docs", "ckpt_curation", "cur_index",
         "cur_gold", "cur_disp", "ckpt_vec", "vec_gold", "vec_codes",
-        "ckpt_sem", "sem_cells", "sem_verdicts"))
+        "ckpt_sem", "sem_cells", "sem_verdicts",
+        "ckpt_lex", "bm25_ix", "bm25_rebuild"))
       rmrf(new java.io.File(s"$base/$d"))
 
     // ---- per-batch progress listener ----
@@ -430,6 +431,52 @@ object StreamScaleUp {
       println(f"[streamscale] cells compaction: $frag%d part files -> " +
         f"${graft.ext.Dedup.cellsFileCount(s"$base/sem_cells")}%d, " +
         f"rewrite ${(System.nanoTime() - t1) / 1e9}%.1f s")
+    }
+
+    // ---- 6. streaming lexical-index sink (BM25 postings per batch) ----
+    if (on("lex")) locally {
+      val docsSchema = spark.read.parquet(docsDir).schema
+      val t0 = System.nanoTime()
+      val q = EventStreams.lexicalIndexSink(
+        spark.readStream.schema(docsSchema)
+          .option("maxFilesPerTrigger", 1).parquet(docsDir),
+        s"$base/bm25_ix", s"$base/ckpt_lex")
+      q.stop()
+      val meta = spark.read.parquet(s"$base/bm25_ix/meta").head()
+      println(f"[streamscale] lexical sink total " +
+        f"${(System.nanoTime() - t0) / 1e9}%.1f s, " +
+        f"indexed docs ${meta.getLong(0)}%d, sum_dl ${meta.getLong(1)}%d")
+      // parity: the stream-accumulated store must answer the standard
+      // query batch EXACTLY like a one-shot rebuild over everything
+      // that arrived (append == rebuild through live idf/avgdl
+      // arithmetic — the rag_bm25_index_append gate argument, at 100×)
+      def tdOf(df: DataFrame): DataFrame = df
+        .select(col("doc_id"),
+          graft.ext.TextOps.tokens(col("text")).as("t"))
+        .filter(size(col("t")) > 0)
+      val t1 = System.nanoTime()
+      graft.ext.Retrieval.writeBm25Index(
+        tdOf(spark.read.parquet(docsDir)), s"$base/bm25_rebuild")
+      println(f"[streamscale] bm25 one-shot rebuild " +
+        f"${(System.nanoTime() - t1) / 1e9}%.1f s")
+      val t2 = System.nanoTime()
+      val streamed = graft.ext.Retrieval
+        .bm25BatchFromIndex(spark, base, s"$base/bm25_ix").collect().toSeq
+      println(f"[streamscale] bm25 serve from streamed store " +
+        f"${(System.nanoTime() - t2) / 1e9}%.1f s (${streamed.length}%d rows)")
+      val rebuilt = graft.ext.Retrieval
+        .bm25BatchFromIndex(spark, base, s"$base/bm25_rebuild")
+        .collect().toSeq
+      println(s"[streamscale] bm25 parity vs rebuild: " +
+        (if (streamed == rebuilt) "EXACT" else "MISMATCH"))
+      // compaction economics, same policy row as the other stores
+      val frag = graft.ext.Dedup.cellsFileCount(s"$base/bm25_ix/postings")
+      val t3 = System.nanoTime()
+      graft.ext.Retrieval.maybeCompactPostings(spark, s"$base/bm25_ix",
+        threshold = 1)
+      println(f"[streamscale] postings compaction: $frag%d part files -> " +
+        f"${graft.ext.Dedup.cellsFileCount(s"$base/bm25_ix/postings")}%d, " +
+        f"rewrite ${(System.nanoTime() - t3) / 1e9}%.1f s")
     }
 
     val rocksDirs = Option(new java.io.File(

@@ -258,6 +258,33 @@ object Retrieval {
       .coalesce(1).write.mode("overwrite").parquet(s"$store/meta")
   }
 
+  /** Compaction policy for the append-mode postings store — the
+    * [[Dedup.maybeCompactSemanticCells]] policy applied to term
+    * buckets: rewrite toward one file per bucket once fragmentation
+    * exceeds BOTH the flat threshold and 2× the bucket count (one
+    * file per bucket is the store's natural floor; a flat threshold
+    * below it would rewrite the whole store on every append). The
+    * store is self-contained, so compaction is read →
+    * hash-repartition on tbucket → overwrite; meta is untouched.
+    * Returns whether a rewrite ran. */
+  def maybeCompactPostings(spark: SparkSession, store: String,
+      threshold: Int = 256): Boolean = {
+    val dir = s"$store/postings"
+    val buckets = Option(new java.io.File(dir).listFiles())
+      .getOrElse(Array.empty)
+      .count(f => f.isDirectory && f.getName.startsWith("tbucket="))
+    if (Dedup.cellsFileCount(dir) > math.max(threshold, 2 * buckets)) {
+      val compacted = spark.read.parquet(dir)
+        .select(col("doc_id"), col("dl"), col("term"), col("tf"),
+          col("tbucket").cast("int").as("tbucket"))
+        .repartition(col("tbucket"))
+        .localCheckpoint()
+      compacted.write.mode("overwrite").partitionBy("tbucket")
+        .parquet(dir)
+      true
+    } else false
+  }
+
   /** Serve the nq-query batch from the index store: corpus stats are
     * two integers from `meta/`, and the postings scan carries a
     * PARTITION filter on the query terms' buckets (RetrievalSpec

@@ -552,6 +552,86 @@ object EventStreams {
     q
   }
 
+  /** Streaming lexical-index maintenance — the BM25 postings store
+    * ([[graft.ext.Retrieval.writeBm25Index]]) kept current over
+    * ARRIVING document batches, completing the artifact-sink family
+    * (dedup index, PQ codes, semantic cells, and now the inverted
+    * index). Per micro-batch:
+    *
+    *  1. replay guard: doc_ids already in the postings store drop (a
+    *     checkpoint-recovered batch becomes a no-op — the probe is a
+    *     doc_id-column scan of the store, pinned eagerly because the
+    *     append below writes the very dir the anti-join reads);
+    *  2. first batch SEEDS the store
+    *     ([[graft.ext.Retrieval.writeBm25Index]]); later batches
+    *     append ([[graft.ext.Retrieval.appendBm25Index]] — postings
+    *     rows are per-(doc, term) and doc-local, and meta merges the
+    *     EXACT integer stats by summation, so the accumulated store
+    *     answers bit-identically to a one-shot rebuild on the union
+    *     (the gated `rag_bm25_index_append` argument; asserted
+    *     stream-vs-live in EventStreamsSpec);
+    *  3. past the file threshold the store compacts toward one file
+    *     per term bucket
+    *     ([[graft.ext.Retrieval.maybeCompactPostings]], the
+    *     2×-bucket-floor policy the cells store uses).
+    *
+    * Crash window: meta is rewritten AFTER the postings append, so a
+    * crash between the two leaves stats stale by one batch — the
+    * replay guard then re-drops the batch's docs but meta stays
+    * short. [[repairBm25Meta]] re-derives meta from the postings
+    * store exactly (meta is DERIVED state: n_docs = distinct doc_ids,
+    * sum_dl = Σ dl over one row per doc). */
+  def lexicalIndexSink(docs: DataFrame, storeDir: String,
+      checkpointDir: String): StreamingQuery = {
+    val q = docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (raw: DataFrame, _: Long) =>
+        val spark = raw.sparkSession
+        val postingsDir = s"$storeDir/postings"
+        val batchTd = raw
+          .select(col("doc_id"),
+            graft.ext.TextOps.tokens(col("text")).as("t"))
+          .filter(size(col("t")) > 0)
+        val seeded = graft.ext.Dedup.cellsFileCount(postingsDir) > 0
+        val fresh =
+          if (seeded) {
+            val seen = spark.read.parquet(postingsDir)
+              .select("doc_id").distinct()
+            batchTd.join(seen, Seq("doc_id"), "left_anti")
+              .localCheckpoint()
+          } else batchTd.localCheckpoint()
+        if (!fresh.isEmpty) {
+          if (seeded)
+            graft.ext.Retrieval.appendBm25Index(spark, fresh, storeDir)
+          else graft.ext.Retrieval.writeBm25Index(fresh, storeDir)
+          graft.ext.Retrieval.maybeCompactPostings(spark, storeDir)
+        }
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q
+  }
+
+  /** Close [[lexicalIndexSink]]'s crash window: rebuild `meta/` from
+    * the postings store (exact — meta is fully derived: postings
+    * carry one (dl) value per doc replicated across its term rows, so
+    * n_docs = distinct docs and sum_dl sums one row per doc). A doc
+    * whose every token was appended is never half-present: the
+    * postings append is a single atomic-enough parquet job, and a
+    * torn append leaves no _SUCCESS, which the next replay guard
+    * treats as absent. */
+  def repairBm25Meta(spark: SparkSession, storeDir: String): Unit = {
+    val postingsDir = s"$storeDir/postings"
+    if (graft.ext.Dedup.cellsFileCount(postingsDir) == 0) return
+    spark.read.parquet(postingsDir)
+      .groupBy(col("doc_id")).agg(first(col("dl")).as("dl"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("dl").cast("long")).as("sum_dl"))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$storeDir/meta")
+  }
+
   /** Empty (vec_id, cell, v) frame — the gold side of a first batch
     * seeding an empty semantic-cells store. */
   private def emptyCells(spark: SparkSession): DataFrame =

@@ -806,4 +806,94 @@ class EventStreamsSpec extends SparkSpec {
     assert(!Dedup.maybeCompactSemanticCells(spark, cellsDir,
       threshold = 10000))
   }
+
+  test("streaming lexical-index sink: the accumulated store answers " +
+      "exactly like the live batch form, replays no-op, and the meta " +
+      "repair is exact") {
+    import java.nio.file.{Files, Paths}
+    import graft.ext.Retrieval
+    val base = Files.createTempDirectory("graft_bm25_stream").toString
+    val srcDir = s"$base/src"; Files.createDirectories(Paths.get(srcDir))
+    val store = s"$base/ix"
+    val d = Tables.documents(spark, sf)
+    val ids = d.select(col("doc_id")).orderBy(col("doc_id"))
+      .collect().map(_.getLong(0))
+    val c0 = ids(ids.length / 3); val c1 = ids(ids.length * 2 / 3)
+
+    def stageFile(lo: Long, hi: Long, name: String): Unit = {
+      val tmp = Files.createTempDirectory("graft_bm25_batch")
+      d.filter(col("doc_id") > lo && col("doc_id") <= hi)
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val f = new java.io.File(tmp.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(f.toPath, Paths.get(srcDir, name))
+    }
+    def runOnce(): Unit =
+      EventStreams.lexicalIndexSink(
+        spark.readStream.schema(d.schema).parquet(srcDir),
+        store, s"$base/chk").stop()
+
+    stageFile(Long.MinValue, c0, "b0.parquet"); runOnce()
+    stageFile(c0, c1, "b1.parquet"); runOnce()
+    stageFile(c1, Long.MaxValue, "b2.parquet"); runOnce()
+
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    val live = rows(Retrieval.bm25Batch(spark, sf))
+    val streamed = rows(Retrieval.bm25BatchFromIndex(spark, sf, store))
+    assert(live.nonEmpty && streamed == live,
+      "stream-accumulated index must answer like the live batch form")
+
+    // meta carries the EXACT merged integers
+    val meta = spark.read.parquet(s"$store/meta").head()
+    val wantDocs = d.filter(length(trim(col("text"))) > 0).count()
+    assert(meta.getLong(0) == wantDocs)
+
+    // a replayed batch is a no-op (idempotent sink) — postings count
+    // too, so a double-append can't hide behind the score compare
+    val nPostings = spark.read.parquet(s"$store/postings").count()
+    stageFile(c1, Long.MaxValue, "b2_replay.parquet"); runOnce()
+    assert(spark.read.parquet(s"$store/postings").count() == nPostings)
+    assert(spark.read.parquet(s"$store/meta").head().getLong(0)
+      == wantDocs)
+    assert(rows(Retrieval.bm25BatchFromIndex(spark, sf, store)) == live)
+
+    // crash window: meta lost after the postings append — the repair
+    // re-derives it from the store, exactly
+    val sumDl = meta.getLong(1)
+    def rmrf(p: java.io.File): Unit = {
+      Option(p.listFiles()).getOrElse(Array.empty).foreach(rmrf)
+      p.delete(); ()
+    }
+    rmrf(new java.io.File(s"$store/meta"))
+    EventStreams.repairBm25Meta(spark, store)
+    val repaired = spark.read.parquet(s"$store/meta").head()
+    assert(repaired.getLong(0) == wantDocs &&
+      repaired.getLong(1) == sumDl,
+      "repaired meta diverges from the crash-free one")
+
+    // compaction: no-op at the 2×-bucket floor; a forced-fragmented
+    // store rewrites toward one file per bucket, answers unchanged
+    val nBuckets = spark.read.parquet(s"$store/postings")
+      .select(col("tbucket")).distinct().count().toInt
+    if (graft.ext.Dedup.cellsFileCount(s"$store/postings")
+        <= 2 * nBuckets)
+      assert(!Retrieval.maybeCompactPostings(spark, store,
+        threshold = 1))
+    val frag = spark.read.parquet(s"$store/postings")
+      .select(col("doc_id"), col("dl"), col("term"), col("tf"),
+        col("tbucket").cast("int").as("tbucket"))
+      .repartition(8).localCheckpoint()
+    frag.write.mode("overwrite").partitionBy("tbucket")
+      .parquet(s"$store/postings")
+    val before = graft.ext.Dedup.cellsFileCount(s"$store/postings")
+    assert(before > 2 * nBuckets, s"fragmentation setup too weak: $before")
+    assert(Retrieval.maybeCompactPostings(spark, store, threshold = 1))
+    val after = graft.ext.Dedup.cellsFileCount(s"$store/postings")
+    assert(after <= before && after <= nBuckets + 2,
+      s"compaction should shrink toward one file per bucket " +
+        s"($before -> $after)")
+    assert(rows(Retrieval.bm25BatchFromIndex(spark, sf, store)) == live)
+  }
 }
