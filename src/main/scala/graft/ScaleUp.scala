@@ -718,6 +718,10 @@ object ScaleUp {
       // the documents SCAN with ~zero shuffle at any corpus size
       time("sample_weighted_priority", src, 1)
       time("sample_weighted_priority", dst, 1)
+      // per-source quota variant: salted two-phase rank instead of
+      // the global TakeOrdered; still no corpus-sized exchange
+      time("sample_priority_by_source", src, 1)
+      time("sample_priority_by_source", dst, 1)
       // PII: the summary reduces to sources-sized rows (the map-side
       // combinable groupBy); the redact row is the same scan-bound
       // projection reduced to one stats row so 6M redacted texts

@@ -177,7 +177,13 @@ object KMeans {
     * [[Similarity.ivfTopK]]'s scaladoc promises): assign the corpus to
     * trained centroids, assign the query on the driver with the same
     * fold, probe only the query's cell. */
-  def ivfTrainedTopK(spark: SparkSession, dir: String): DataFrame = {
+  def ivfTrainedTopK(spark: SparkSession, dir: String): DataFrame =
+    ivfTrainedTopKDepth(spark, dir, 5)
+
+  /** [[ivfTrainedTopK]] at caller-chosen list depth (the RRF fusion
+    * reads a deeper candidate list than the top-5 serving form). */
+  def ivfTrainedTopKDepth(spark: SparkSession, dir: String,
+      k: Int): DataFrame = {
     val cents = train(spark, dir)
     val e = vecs(spark, dir)
     val qrow = e.orderBy(col("vec_id")).limit(1)
@@ -195,7 +201,7 @@ object KMeans {
       .select(col("vec_id"), col("label"),
         graft.functions.CosineSimilarity(col("v"), qLit).as("cosine"))
       .orderBy(col("cosine").desc, col("vec_id"))
-      .limit(5)
+      .limit(k)
   }
 
   /** Multi-probe IVF top-5: probe the P nearest centroids to the

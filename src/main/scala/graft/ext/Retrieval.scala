@@ -195,15 +195,7 @@ object Retrieval {
       .orderBy(col("cosine").desc, col("doc_id"))
     val vec = vecTop.select(col("doc_id"),
       row_number().over(w).as("vec_rank"))
-    lex.join(vec, Seq("doc_id"), "full_outer")
-      .select(col("doc_id"),
-        col("lex_rank").cast("long").as("lex_rank"),
-        col("vec_rank").cast("long").as("vec_rank"),
-        (coalesce(lit(1.0) / (lit(RrfK) + col("lex_rank")), lit(0.0)) +
-          coalesce(lit(1.0) / (lit(RrfK) + col("vec_rank")), lit(0.0)))
-          .as("rrf_score"))
-      .orderBy(col("rrf_score").desc, col("doc_id"))
-      .limit(BmK)
+    fuse(lex, vec)
   }
 
   // ---------------------------------------------------------------
@@ -346,13 +338,48 @@ object Retrieval {
     servedBatch(spark, dir, store)
   }
 
+  /** [[hybridRrf]] with the dense leg on the SCALE rung: the
+    * trained-IVF probe ([[KMeans.ivfTrainedTopKDepth]] — one coarse
+    * cell scanned, never the corpus) instead of the guarded
+    * brute-force scan. Proves the fusion really is rung-agnostic by
+    * GATING both compositions: this one's oracle replays the whole
+    * kmeans training chain + single-cell probe (the `sim_kmeans_topk`
+    * CTEs) fused with the BM25 chain. The dense list may be shorter
+    * than [[RrfDepth]] (bounded by the probed cell) — RRF's
+    * missing-list zero handles it, same as a doc missing from the
+    * lexical list. */
+  def hybridRrfIvf(spark: SparkSession, dir: String): DataFrame = {
+    val lex = bm25TopPerQuery(bm25Scores(spark, dir, 1), RrfDepth)
+      .select(col("doc_id"), col("rank").as("lex_rank"))
+    val vecTop = KMeans.ivfTrainedTopKDepth(spark, dir, RrfDepth)
+      .select(col("vec_id").as("doc_id"), col("cosine"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cosine").desc, col("doc_id"))
+    val vec = vecTop.select(col("doc_id"),
+      row_number().over(w).as("vec_rank"))
+    fuse(lex, vec)
+  }
+
+  /** Shared RRF combine: full-outer on doc_id, reciprocal terms added
+    * lexical-then-dense (fixed order — see [[hybridRrf]]). */
+  private def fuse(lex: DataFrame, vec: DataFrame): DataFrame =
+    lex.join(vec, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        col("lex_rank").cast("long").as("lex_rank"),
+        col("vec_rank").cast("long").as("vec_rank"),
+        (coalesce(lit(1.0) / (lit(RrfK) + col("lex_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(RrfK) + col("vec_rank")), lit(0.0)))
+          .as("rrf_score"))
+      .orderBy(col("rrf_score").desc, col("doc_id"))
+      .limit(BmK)
+
   // ---------------------------------------------------------------
   // DuckDB replays — same query construction, same quantized
   // arithmetic, same tie-breaks. Heavy CTEs MATERIALIZED (the
   // DuckDB-1.0 CTE-inlining lesson).
   // ---------------------------------------------------------------
 
-  private def bmSql(nq: Int, k: Int): String =
+  private def bmSql(nq: Int): String =
     s"""WITH td AS MATERIALIZED (SELECT doc_id, t FROM (SELECT doc_id, ${TextOps.toksSql} AS t FROM documents) WHERE len(t) > 0),
        st AS (SELECT COUNT(*) AS n, CAST(SUM(len(t)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl FROM td),
        qd AS (SELECT doc_id AS query_id, t FROM td ORDER BY doc_id LIMIT $nq),
@@ -367,19 +394,30 @@ object Retrieval {
 
   val oracle: Map[String, String] = Map(
     "rag_bm25_topk" ->
-      s"""${bmSql(1, BmK)} SELECT doc_id, matched_terms, bm25_micronats, CAST(rank AS BIGINT) AS rank FROM tk WHERE rank <= $BmK ORDER BY rank""",
+      s"""${bmSql(1)} SELECT doc_id, matched_terms, bm25_micronats, CAST(rank AS BIGINT) AS rank FROM tk WHERE rank <= $BmK ORDER BY rank""",
     "rag_bm25_batch" ->
-      s"""${bmSql(BatchQueries, BmK)} SELECT query_id, doc_id, matched_terms, bm25_micronats, CAST(rank AS BIGINT) AS rank FROM tk WHERE rank <= $BmK ORDER BY query_id, rank""",
+      s"""${bmSql(BatchQueries)} SELECT query_id, doc_id, matched_terms, bm25_micronats, CAST(rank AS BIGINT) AS rank FROM tk WHERE rank <= $BmK ORDER BY query_id, rank""",
     // serve == rebuild: the store-fed forms must answer exactly like
     // the live batch form on the same corpus
     "rag_bm25_served" ->
-      s"""${bmSql(BatchQueries, BmK)} SELECT query_id, doc_id, matched_terms, bm25_micronats, CAST(rank AS BIGINT) AS rank FROM tk WHERE rank <= $BmK ORDER BY query_id, rank""",
+      s"""${bmSql(BatchQueries)} SELECT query_id, doc_id, matched_terms, bm25_micronats, CAST(rank AS BIGINT) AS rank FROM tk WHERE rank <= $BmK ORDER BY query_id, rank""",
     "rag_bm25_index_append" ->
-      s"""${bmSql(BatchQueries, BmK)} SELECT query_id, doc_id, matched_terms, bm25_micronats, CAST(rank AS BIGINT) AS rank FROM tk WHERE rank <= $BmK ORDER BY query_id, rank""",
+      s"""${bmSql(BatchQueries)} SELECT query_id, doc_id, matched_terms, bm25_micronats, CAST(rank AS BIGINT) AS rank FROM tk WHERE rank <= $BmK ORDER BY query_id, rank""",
     "rag_hybrid_rrf" ->
-      s"""${bmSql(1, RrfDepth)}, lex AS (SELECT doc_id, CAST(rank AS BIGINT) AS lex_rank FROM tk WHERE rank <= $RrfDepth),
+      s"""${bmSql(1)}, lex AS (SELECT doc_id, CAST(rank AS BIGINT) AS lex_rank FROM tk WHERE rank <= $RrfDepth),
          q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id = (SELECT min(vec_id) FROM embeddings)),
          vt AS (SELECT vec_id AS doc_id, ${Similarity.cosineSql("embedding", "qe")} AS cosine FROM embeddings, q WHERE vec_id <> qid ORDER BY cosine DESC, doc_id LIMIT $RrfDepth),
+         vec AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY cosine DESC, doc_id) AS BIGINT) AS vec_rank FROM vt)
+         SELECT doc_id, lex_rank, vec_rank, COALESCE(1.0 / ($RrfK + lex_rank), 0.0) + COALESCE(1.0 / ($RrfK + vec_rank), 0.0) AS rrf_score FROM lex FULL OUTER JOIN vec USING (doc_id) ORDER BY rrf_score DESC, doc_id LIMIT $BmK""",
+    // the scale-rung fusion: the dense list comes from the trained
+    // single-cell IVF probe — the kmeans training chain replayed
+    // verbatim (the sim_kmeans_topk CTEs), fused with the BM25 chain
+    "rag_hybrid_rrf_ivf" ->
+      s"""${bmSql(1)}, lex AS (SELECT doc_id, CAST(rank AS BIGINT) AS lex_rank FROM tk WHERE rank <= $RrfDepth),
+         ${KMeans.trainCtes},
+         qrow AS (SELECT vec_id AS qid, v AS qv FROM q ORDER BY vec_id LIMIT 1),
+         qa AS (SELECT cid FROM (SELECT c.cid, row_number() OVER (ORDER BY ${KMeans.distSqlN("qrow.qv", "c.cv", 64)}, c.cid) AS rn FROM qrow CROSS JOIN c2 c) WHERE rn = 1),
+         vt AS (SELECT af.vec_id AS doc_id, ${KMeans.cosSql("q.v", "r.qv")} AS cosine FROM af JOIN q USING (vec_id) CROSS JOIN qrow r CROSS JOIN qa WHERE af.cid = qa.cid AND af.vec_id <> r.qid ORDER BY cosine DESC, doc_id LIMIT $RrfDepth),
          vec AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY cosine DESC, doc_id) AS BIGINT) AS vec_rank FROM vt)
          SELECT doc_id, lex_rank, vec_rank, COALESCE(1.0 / ($RrfK + lex_rank), 0.0) + COALESCE(1.0 / ($RrfK + vec_rank), 0.0) AS rrf_score FROM lex FULL OUTER JOIN vec USING (doc_id) ORDER BY rrf_score DESC, doc_id LIMIT $BmK""")
 
@@ -388,5 +426,6 @@ object Retrieval {
     "rag_bm25_batch" -> bm25Batch _,
     "rag_bm25_served" -> bm25Served _,
     "rag_bm25_index_append" -> bm25IndexAppend _,
-    "rag_hybrid_rrf" -> hybridRrf _)
+    "rag_hybrid_rrf" -> hybridRrf _,
+    "rag_hybrid_rrf_ivf" -> hybridRrfIvf _)
 }

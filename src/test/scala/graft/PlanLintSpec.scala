@@ -28,8 +28,10 @@ class PlanLintSpec extends SparkSpec {
     "sim_contrastive_pairs",
     // RRF fusion: the dense leg's rank window runs over a frame
     // TakeOrdered-bounded at RrfDepth rows (Retrieval.hybridRrf);
-    // the lexical leg's windows are the salted two-phase rank
-    "rag_hybrid_rrf")
+    // the lexical leg's windows are the salted two-phase rank. The
+    // _ivf form swaps the dense leg to the single-cell trained probe
+    // (same bounded rank frame)
+    "rag_hybrid_rrf", "rag_hybrid_rrf_ivf")
 
   // intentional exceptions: exactness baselines over bounded inputs,
   // kept next to their scale paths (IVF/LSH) — see Dedup scaladoc —
@@ -142,6 +144,10 @@ class PlanLintSpec extends SparkSpec {
   // stage-2 input bounded at groups·salts·k by construction
   private val saltedTwoPhaseWindow =
     Set("window_top3_per_region", "sample_fixed_count",
+      // per-source priority top-(k+1) rides SkewOps.topKPerGroup
+      // (stage-2 bounded at sources·salts·k); τ joins back by
+      // broadcast (Sampling.prioritySampleBySource scaladoc)
+      "sample_priority_by_source",
       // per-query top-k over the batch's probed cells rides
       // SkewOps.topKPerGroup (stage-2 bounded at queries·salts·k);
       // the served form answers from the cell-partitioned store

@@ -137,4 +137,33 @@ class RetrievalSpec extends SparkSpec {
     val appended = Retrieval.bm25IndexAppend(spark, sf).collect().toSeq
     assert(appended == live)
   }
+
+  test("ivf-rung fusion: same lexical leg, dense leg from the probed " +
+      "cell, scores re-derive from the ranks") {
+    val rows = Retrieval.hybridRrfIvf(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= Retrieval.BmK)
+    // dense leg ⊆ the trained probe's own list at the same depth
+    val cell = graft.ext.KMeans
+      .ivfTrainedTopKDepth(spark, sf, Retrieval.RrfDepth)
+      .collect().map(_.getLong(0)).toSet
+    rows.foreach { r =>
+      val lex = if (r.isNullAt(1)) None else Some(r.getLong(1))
+      val vec = if (r.isNullAt(2)) None else Some(r.getLong(2))
+      assert(lex.nonEmpty || vec.nonEmpty)
+      vec.foreach(_ => assert(cell.contains(r.getLong(0)),
+        s"doc ${r.getLong(0)} not in the probed cell's list"))
+      val want = lex.map(x => 1.0 / (Retrieval.RrfK + x)).getOrElse(0.0) +
+        vec.map(x => 1.0 / (Retrieval.RrfK + x)).getOrElse(0.0)
+      assert(r.getDouble(3) == want, s"doc ${r.getLong(0)}")
+    }
+    // the lexical leg is identical across rungs: any doc present in
+    // both fusions carries the same lex_rank
+    val bf = Retrieval.hybridRrf(spark, sf).collect()
+      .flatMap(r => if (r.isNullAt(1)) None
+        else Some(r.getLong(0) -> r.getLong(1))).toMap
+    rows.foreach { r =>
+      if (!r.isNullAt(1) && bf.contains(r.getLong(0)))
+        assert(bf(r.getLong(0)) == r.getLong(1))
+    }
+  }
 }

@@ -356,4 +356,31 @@ class SamplingSpec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
+
+  test("per-source priority sample matches an independent local " +
+      "replay (per-source top-k, per-source τ)") {
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "source", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val k = Sampling.PrioritySamplePerSource
+    val expected = docs.groupBy(_._2).toSeq.flatMap { case (src, ds) =>
+      val pri = ds.map { case (id, _, w) =>
+        (id, w, (w * 1000003L).toDouble /
+          (Sampling.mixHashLocal(id) + 1L).toDouble)
+      }.sortBy { case (id, _, p) => (-p, id) }
+      val tau = if (pri.length > k) pri(k)._3 else 0.0
+      pri.take(k).map { case (id, w, p) =>
+        (id, src, w, p, math.max(w.toDouble, tau))
+      }
+    }.sortBy { case (id, src, _, p, _) => (src, -p, id) }
+    val got = Sampling.prioritySampleBySource(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toSeq
+    assert(got.nonEmpty && got == expected)
+    // every source with > k docs contributes exactly k rows
+    val bySource = docs.groupBy(_._2).view.mapValues(_.length)
+    got.groupBy(_._2).foreach { case (src, rs) =>
+      assert(rs.length == math.min(k, bySource(src)), src)
+    }
+  }
 }
