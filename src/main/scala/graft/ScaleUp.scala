@@ -743,6 +743,14 @@ object ScaleUp {
       // the model-bounded-broadcast claim, not the production shape.
       time("text_nb_confusion", src, 1)
       time("text_nb_confusion", dst, 1)
+      // corpus-statistics fits: vocab-bounded aggregate + bounded
+      // take + driver fit — shuffle tracks VOCABULARY (deliberately
+      // 100×-multiplied by the copy prefixes here; Heaps-sublinear
+      // in reality), never the corpus
+      time("text_zipf_fit", src, 1)
+      time("text_zipf_fit", dst, 1)
+      time("text_heaps_fit", src, 1)
+      time("text_heaps_fit", dst, 1)
     }
     if (on("r13c")) {
       // BM25 lexical retrieval: live (matched-postings scan per

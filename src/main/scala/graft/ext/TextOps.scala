@@ -302,6 +302,19 @@ object TextOps {
   private val topBgFracSql =
     "CASE WHEN len(b) = 0 THEN 0.0 ELSE CAST(COALESCE(m.top, 0) AS DOUBLE) / len(b) END"
 
+  /** Head size for [[zipfFit]] — the standard practice of fitting the
+    * rank-frequency law on the distribution's head, where Zipf holds
+    * and the fit is insensitive to the hapax tail. Declared before
+    * the oracle val (init-order discipline — an after-oracle
+    * declaration interpolates 0 into the SQL, caught by the sf0.001
+    * gate as an empty LIMIT). */
+  val ZipfFitV = 1000
+
+  /** Checkpoint count for [[heapsFit]] — the vocabulary-growth curve
+    * is sampled at this many doc_id-range prefixes. Declared before
+    * the oracle val (same init-order discipline). */
+  val HeapsPoints = 32
+
   val oracle: Map[String, String] = Map(
     "text_token_count" ->
       s"""SELECT doc_id, len($toksSql) AS token_count, len(regexp_extract_all(lower(text), ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s]+')) AS bpe_token_count, length(text) AS char_count FROM documents ORDER BY doc_id""",
@@ -327,6 +340,32 @@ object TextOps {
       s"""WITH q AS (SELECT doc_id, source, len(t) AS token_count, CAST(${hitsSql(stopEn)} AS DOUBLE) / len(t) * 0.5 + (1.0 - CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE) / length(text)) * 0.3 + least(CAST(len(t) AS DOUBLE) / 100.0, 1.0) * 0.2 AS score, row_number() OVER (PARTITION BY md5(lower(trim(text))) ORDER BY doc_id) AS rn FROM (SELECT doc_id, source, text, $toksSql AS t FROM documents)), r AS (SELECT source, CASE WHEN rn > 1 THEN 'duplicate' WHEN token_count < 30 THEN 'short' WHEN score < 0.35 THEN 'low_quality' ELSE 'keep' END AS reason FROM q) SELECT source, COUNT(*) AS docs, CAST(SUM(CASE WHEN reason = 'keep' THEN 1 ELSE 0 END) AS BIGINT) AS kept, CAST(SUM(CASE WHEN reason = 'duplicate' THEN 1 ELSE 0 END) AS BIGINT) AS dropped_duplicate, CAST(SUM(CASE WHEN reason = 'short' THEN 1 ELSE 0 END) AS BIGINT) AS dropped_short, CAST(SUM(CASE WHEN reason = 'low_quality' THEN 1 ELSE 0 END) AS BIGINT) AS dropped_low_quality FROM r GROUP BY 1 ORDER BY 1""",
     "text_vocab_topk" ->
       s"""SELECT token, COUNT(*) AS cnt FROM (SELECT unnest($toksSql) AS token FROM documents) GROUP BY token ORDER BY cnt DESC, token LIMIT $VocabK""",
+    // exact-integer least squares on the micro-nat-quantized points;
+    // HUGEINT sums/numerators (the Spark side uses BigInt), one
+    // correctly-rounded multiply+divide per coefficient, trunc toward
+    // zero (Scala's .toLong) — see zipfFit scaladoc
+    "text_zipf_fit" ->
+      s"""WITH f AS (SELECT token, COUNT(*) AS cnt FROM (SELECT unnest($toksSql) AS token FROM documents) GROUP BY 1),
+         top AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, token) AS rnk FROM (SELECT * FROM f ORDER BY cnt DESC, token LIMIT $ZipfFitV)),
+         pts AS (SELECT CAST(floor(ln(CAST(rnk AS DOUBLE)) * 1000000.0) AS BIGINT) AS x, CAST(floor(ln(CAST(cnt AS DOUBLE)) * 1000000.0) AS BIGINT) AS y FROM top),
+         s AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n, CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy, CAST(SUM(x*y) AS HUGEINT) AS sxy, CAST(SUM(x*x) AS HUGEINT) AS sxx FROM pts),
+         d AS (SELECT n, sx, sy, n*sxy - sx*sy AS num, n*sxx - sx*sx AS den FROM s)
+         SELECT CAST(d.n AS BIGINT) AS n_points, (SELECT cnt FROM top WHERE rnk = 1) AS top_freq, CAST(trunc(CAST(num AS DOUBLE) * 1000000.0 / CAST(den AS DOUBLE)) AS BIGINT) AS slope_micro, CAST(trunc(CAST(sy*den - num*sx AS DOUBLE) / CAST(n*den AS DOUBLE)) AS BIGINT) AS intercept_micro FROM d""",
+    // Heaps replay: checkpoint buckets by arithmetic (no corpus
+    // window), driver prefix sums become a 32-row window here, then
+    // the zipf fit recipe verbatim
+    "text_heaps_fit" ->
+      s"""WITH td AS MATERIALIZED (SELECT doc_id, t FROM (SELECT doc_id, $toksSql AS t FROM documents) WHERE len(t) > 0),
+         mx AS (SELECT MAX(doc_id) + 1 AS m FROM documents),
+         dj AS (SELECT CAST(floor(CAST(doc_id * $HeapsPoints AS DOUBLE) / CAST(m AS DOUBLE)) AS BIGINT) AS j, len(t) AS dl, t FROM td CROSS JOIN mx),
+         tj AS (SELECT j, CAST(SUM(dl) AS BIGINT) AS tok FROM dj GROUP BY 1),
+         vj AS (SELECT jmin, COUNT(*) AS nv FROM (SELECT term, MIN(j) AS jmin FROM (SELECT j, unnest(t) AS term FROM dj) GROUP BY 1) GROUP BY 1),
+         g AS (SELECT unnest(range(0, $HeapsPoints)) AS j),
+         c AS (SELECT g.j, SUM(COALESCE(tj.tok, 0)) OVER (ORDER BY g.j) AS cumtok, SUM(COALESCE(vj.nv, 0)) OVER (ORDER BY g.j) AS cumvoc FROM g LEFT JOIN tj USING (j) LEFT JOIN vj ON vj.jmin = g.j),
+         pts AS (SELECT CAST(floor(ln(CAST(cumtok AS DOUBLE)) * 1000000.0) AS BIGINT) AS x, CAST(floor(ln(CAST(cumvoc AS DOUBLE)) * 1000000.0) AS BIGINT) AS y FROM c WHERE cumtok > 0 AND cumvoc > 0),
+         s AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n, CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy, CAST(SUM(x*y) AS HUGEINT) AS sxy, CAST(SUM(x*x) AS HUGEINT) AS sxx FROM pts),
+         d AS (SELECT n, sx, sy, n*sxy - sx*sy AS num, n*sxx - sx*sx AS den FROM s)
+         SELECT CAST(d.n AS BIGINT) AS n_points, (SELECT CAST(SUM(dl) AS BIGINT) FROM dj) AS total_tokens, (SELECT COUNT(DISTINCT term) FROM (SELECT unnest(t) AS term FROM td)) AS vocab_size, CAST(trunc(CAST(num AS DOUBLE) * 1000000.0 / CAST(den AS DOUBLE)) AS BIGINT) AS beta_micro, CAST(trunc(CAST(sy*den - num*sx AS DOUBLE) / CAST(n*den AS DOUBLE)) AS BIGINT) AS logc_micro FROM d""",
     // the fold-over-sorted-bigrams max-multiplicity is replayed
     // relationally: unnest → per-bigram counts → MAX
     "text_repetition" ->
@@ -363,6 +402,114 @@ object TextOps {
       .agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("token"))
       .limit(VocabK)
+
+  /** Zipf rank-frequency fit — the corpus-statistics row a data card
+    * reports (natural corpora follow freq ∝ rank^s with s ≈ −1;
+    * a synthetic or badly-filtered corpus shows up as a shallow or
+    * kinked slope). Least squares of ln(freq) on ln(rank) over the
+    * top-[[ZipfFitV]] terms.
+    *
+    * Exactness discipline: each point's ln is quantized to integer
+    * micro-nats; every sum (Σx, Σy, Σxy, Σx²) and both closed-form
+    * numerators/denominators are EXACT big-integer arithmetic
+    * (BigInt here, HUGEINT in the oracle); the only floating steps
+    * are the final int→double conversions and ONE multiply + ONE
+    * divide per reported coefficient, truncated toward zero — all
+    * correctly rounded and identical across engines.
+    *
+    * Shape at scale: the distributed work is [[vocabTopK]]'s shape —
+    * explode → map-side-combined hash aggregate (shuffle bounded by
+    * vocabulary) → TakeOrdered head; the V-point fit is driver
+    * arithmetic on a bounded collect (the orderStat discipline). */
+  def zipfFit(spark: SparkSession, dir: String): DataFrame = {
+    val top = Tables.documents(spark, dir)
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token"))
+      .limit(ZipfFitV)
+      .select(col("cnt")).collect().map(_.getLong(0))
+    val n = top.length
+    require(n >= 2, s"zipf fit needs at least 2 distinct tokens, got $n")
+    val pts = top.zipWithIndex.map { case (f, i) =>
+      (math.floor(math.log((i + 1).toDouble) * 1000000.0).toLong,
+        math.floor(math.log(f.toDouble) * 1000000.0).toLong)
+    }
+    val sx = pts.iterator.map(p => BigInt(p._1)).sum
+    val sy = pts.iterator.map(p => BigInt(p._2)).sum
+    val sxy = pts.iterator.map(p => BigInt(p._1) * BigInt(p._2)).sum
+    val sxx = pts.iterator.map(p => BigInt(p._1) * BigInt(p._1)).sum
+    val nB = BigInt(n)
+    val num = nB * sxy - sx * sy
+    val den = nB * sxx - sx * sx
+    val slope = (num.toDouble * 1000000.0 / den.toDouble).toLong
+    val intercept =
+      ((sy * den - num * sx).toDouble / (nB * den).toDouble).toLong
+    spark.range(1).select(
+      lit(n.toLong).as("n_points"),
+      lit(top.head).as("top_freq"),
+      lit(slope).as("slope_micro"),
+      lit(intercept).as("intercept_micro"))
+  }
+
+  /** Heaps'-law fit — [[zipfFit]]'s companion corpus statistic: the
+    * vocabulary grows as V(n) ≈ C·n^β with β ≈ 0.4–0.6 for natural
+    * text; both ends of the spectrum are data-card flags (β → 1: an
+    * ID-ridden corpus whose "words" never repeat; β → 0: a
+    * template/word-soup corpus whose vocabulary saturates — the
+    * driver's synthetic fixture measures ≈ 0, as TextSignalsSpec
+    * records). Measured at [[HeapsPoints]] doc_id-range prefixes:
+    * checkpoint j covers doc_id < (j+1)·(maxId+1)/[[HeapsPoints]];
+    * the fit is least squares of ln V on ln n over the checkpoints
+    * with positive token mass, under the exact-integer discipline of
+    * [[zipfFit]].
+    *
+    * Shape at scale: NO corpus-sized window — each doc and each
+    * term's FIRST doc land in their checkpoint bucket by arithmetic
+    * (the term side is one vocabulary-bounded min-aggregate), the two
+    * 32-row bucket frames collect to the driver, and the prefix sums
+    * + fit are driver arithmetic (the orderStat discipline). */
+  def heapsFit(spark: SparkSession, dir: String): DataFrame = {
+    val td = Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .filter(size(col("t")) > 0)
+    val m = Tables.documents(spark, dir)
+      .agg(max(col("doc_id"))).head().getLong(0) + 1
+    val jOf = floor(col("doc_id") * lit(HeapsPoints.toLong) / lit(m))
+      .cast("long")
+    val tokJ = td.select(jOf.as("j"), size(col("t")).cast("long").as("dl"))
+      .groupBy(col("j")).agg(sum(col("dl")).as("tok"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val vocJ = td.select(jOf.as("j"), explode(col("t")).as("term"))
+      .groupBy(col("term")).agg(min(col("j")).as("jmin"))
+      .groupBy(col("jmin")).agg(count(lit(1)).as("nv"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    var cumTok = 0L; var cumVoc = 0L
+    val pts = (0L until HeapsPoints.toLong).flatMap { j =>
+      cumTok += tokJ.getOrElse(j, 0L)
+      cumVoc += vocJ.getOrElse(j, 0L)
+      if (cumTok > 0 && cumVoc > 0)
+        Some((math.floor(math.log(cumTok.toDouble) * 1000000.0).toLong,
+          math.floor(math.log(cumVoc.toDouble) * 1000000.0).toLong))
+      else None
+    }
+    val n = BigInt(pts.length)
+    require(pts.length >= 2, s"heaps fit needs ≥ 2 checkpoints")
+    val sx = pts.map(p => BigInt(p._1)).sum
+    val sy = pts.map(p => BigInt(p._2)).sum
+    val sxy = pts.map(p => BigInt(p._1) * BigInt(p._2)).sum
+    val sxx = pts.map(p => BigInt(p._1) * BigInt(p._1)).sum
+    val num = n * sxy - sx * sy
+    val den = n * sxx - sx * sx
+    val beta = (num.toDouble * 1000000.0 / den.toDouble).toLong
+    val logc =
+      ((sy * den - num * sx).toDouble / (n * den).toDouble).toLong
+    spark.range(1).select(
+      lit(pts.length.toLong).as("n_points"),
+      lit(cumTok).as("total_tokens"),
+      lit(cumVoc).as("vocab_size"),
+      lit(beta).as("beta_micro"),
+      lit(logc).as("logc_micro"))
+  }
 
   /** Repetition signals per document — the Gopher-class repetitious-
     * text filters (published web-corpus quality heuristics): the
@@ -555,6 +702,8 @@ object TextOps {
     "text_lang_confusion" -> langConfusion _,
     "text_fingerprint" -> fingerprint _,
     "text_vocab_topk" -> vocabTopK _,
+    "text_zipf_fit" -> zipfFit _,
+    "text_heaps_fit" -> heapsFit _,
     "text_repetition" -> repetition _,
     "text_gopher_rules" -> gopherRules _,
     "text_winnow" -> winnowFingerprints _,

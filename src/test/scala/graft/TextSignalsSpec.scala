@@ -197,4 +197,86 @@ class TextSignalsSpec extends SparkSpec {
     assert(a.map(_._2).intersect(b.map(_._2)).nonEmpty,
       "winnowing must select a common fingerprint for a 7-token overlap")
   }
+
+  test("zipf fit matches an independent local least squares") {
+    val docs = Tables.documents(spark, sf)
+      .select("text").collect().map(_.getString(0))
+    val freq = scala.collection.mutable.Map.empty[String, Long]
+    docs.foreach { tx =>
+      val t = tx.trim
+      if (t.nonEmpty) t.split("\\s+").foreach(w =>
+        freq(w) = freq.getOrElse(w, 0L) + 1L)
+    }
+    val top = freq.toSeq.sortBy { case (w, c) => (-c, w) }
+      .take(TextOps.ZipfFitV).map(_._2)
+    val pts = top.zipWithIndex.map { case (f, i) =>
+      (math.floor(math.log((i + 1).toDouble) * 1e6).toLong,
+        math.floor(math.log(f.toDouble) * 1e6).toLong)
+    }
+    val n = BigInt(pts.length)
+    val sx = pts.map(p => BigInt(p._1)).sum
+    val sy = pts.map(p => BigInt(p._2)).sum
+    val sxy = pts.map(p => BigInt(p._1) * BigInt(p._2)).sum
+    val sxx = pts.map(p => BigInt(p._1) * BigInt(p._1)).sum
+    val num = n * sxy - sx * sy
+    val den = n * sxx - sx * sx
+    val slope = (num.toDouble * 1e6 / den.toDouble).toLong
+    val intercept =
+      ((sy * den - num * sx).toDouble / (n * den).toDouble).toLong
+    val r = TextOps.zipfFit(spark, sf).head()
+    assert(r.getLong(0) == pts.length.toLong)
+    assert(r.getLong(1) == top.head)
+    assert(r.getLong(2) == slope && r.getLong(3) == intercept)
+    // a frequency-ranked head always slopes downward, and the
+    // intercept (ln freq at rank 1) can't sit below the fit's tail
+    assert(slope < 0L)
+    assert(r.getLong(3) > 0L)
+  }
+
+  test("heaps fit matches an independent local curve + least squares") {
+    val rows = Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val m = rows.map(_._1).max + 1
+    val pn = TextOps.HeapsPoints
+    val toks = rows.map { case (id, tx) =>
+      val t = tx.trim
+      (id, if (t.isEmpty) Array.empty[String] else t.split("\\s+"))
+    }.filter(_._2.nonEmpty)
+    def jOf(id: Long) =
+      math.floor((id * pn).toDouble / m.toDouble).toLong
+    val tokJ = toks.groupBy(t => jOf(t._1)).view
+      .mapValues(_.map(_._2.length.toLong).sum).toMap
+    val vocJ = toks.flatMap { case (id, t) => t.map(w => (w, jOf(id))) }
+      .groupBy(_._1).values.map(_.map(_._2).min)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    var cumT = 0L; var cumV = 0L
+    val pts = (0L until pn.toLong).flatMap { j =>
+      cumT += tokJ.getOrElse(j, 0L); cumV += vocJ.getOrElse(j, 0L)
+      if (cumT > 0 && cumV > 0)
+        Some((math.floor(math.log(cumT.toDouble) * 1e6).toLong,
+          math.floor(math.log(cumV.toDouble) * 1e6).toLong))
+      else None
+    }
+    val n = BigInt(pts.length)
+    val sx = pts.map(p => BigInt(p._1)).sum
+    val sy = pts.map(p => BigInt(p._2)).sum
+    val sxy = pts.map(p => BigInt(p._1) * BigInt(p._2)).sum
+    val sxx = pts.map(p => BigInt(p._1) * BigInt(p._1)).sum
+    val num = n * sxy - sx * sy
+    val den = n * sxx - sx * sx
+    val beta = (num.toDouble * 1e6 / den.toDouble).toLong
+    val logc =
+      ((sy * den - num * sx).toDouble / (n * den).toDouble).toLong
+    val r = TextOps.heapsFit(spark, sf).head()
+    assert(r.getLong(0) == pts.length.toLong)
+    assert(r.getLong(1) == cumT && r.getLong(2) == cumV)
+    assert(r.getLong(3) == beta && r.getLong(4) == logc)
+    // vocabulary growth is monotone and sublinear: 0 ≤ β ≤ 1. This
+    // fixture's fixed word list SATURATES in the first checkpoint
+    // (β ≈ 0) — the flat end of exactly the spectrum the stat
+    // screens (natural text ~0.5; ID-ridden corpora → 1)
+    assert(beta >= 0L && beta <= 1000000L, s"beta=$beta")
+    assert(cumV.toDouble <= cumT.toDouble)
+  }
 }
