@@ -114,7 +114,16 @@ object Retrieval {
   }
 
   /** Scored (query_id, doc_id, matched_terms, bm25_micronats) for the
-    * nq-query batch — the shared core of every public form. */
+    * nq-query batch — the shared core of every public form.
+    *
+    * The documents scan runs three times (stats reduce, query-doc
+    * take, postings explosion) — deliberate: each pass is a
+    * column-pruned parquet read feeding a different narrow reduction,
+    * and pinning the tokenized corpus (localCheckpoint) would
+    * materialize corpus-sized token arrays to trade three cheap scans
+    * for one expensive write. The SERVE form ([[bm25FromIndex]])
+    * removes the postings pass entirely, which is the right fix at
+    * scale. */
   private[ext] def bm25Scores(spark: SparkSession, dir: String,
       nq: Int): DataFrame = {
     val td = toksD(spark, dir)
