@@ -778,6 +778,76 @@ object ScaleUp {
         graft.ext.Retrieval.bm25BatchFromIndex(spark, dst, ixStore))
       time("rag_hybrid_rrf", src, 1)
     }
+    if (on("clu")) {
+      // embedding-cluster card + balanced sample at 100×. The tier
+      // needs documents and embeddings with ALIGNED ids at scale, so
+      // it copies the embeddings with the SAME maxDoc shift the
+      // documents build used (the sem tier's maxVec shift would
+      // misalign: sf0.1 has 5000 docs but 2000 vectors) and reuses
+      // the token-prefixed documents via a symlink. Per-copy dim-0
+      // perturbation as in the sem tier keeps cells non-degenerate.
+      val cluDir = s"$dst/clu"
+      if (!new java.io.File(s"$cluDir/embeddings.parquet").exists()) {
+        new java.io.File(cluDir).mkdirs()
+        val d0 = Tables.documents(spark, src)
+        val maxDoc = d0.agg(max(col("doc_id"))).head().getLong(0) + 1
+        val e0 = Tables.embeddings(spark, src)
+        e0.crossJoin(spark.range(copies).toDF("copy"))
+          .select((col("vec_id") + col("copy") * lit(maxDoc)).as("vec_id"),
+            col("label"),
+            transform(col("embedding"),
+              (x, i) => when(i === 0,
+                x + col("copy").cast("float") * lit(1e-3f)).otherwise(x))
+              .as("embedding"))
+          .write.mode("overwrite").parquet(s"$cluDir/embeddings.parquet")
+        java.nio.file.Files.createSymbolicLink(
+          java.nio.file.Paths.get(s"$cluDir/documents.parquet"),
+          java.nio.file.Paths.get(s"$dst/documents.parquet"))
+        println(s"[scaleup] built $cluDir (${copies}x aligned embeddings)")
+      }
+      time("curation_cluster_card", src, 1)
+      time("curation_cluster_card", cluDir, 1)
+      time("sample_cluster_balance", src, 1)
+      time("sample_cluster_balance", cluDir, 1)
+      // steady state: store build once, card answered from the store
+      // (assignment leg gone — partition column)
+      val cellStore = s"$cluDir/cells"
+      if (!new java.io.File(cellStore).exists()) {
+        val t0 = System.nanoTime()
+        graft.ext.KMeans.writeCellVectors(spark, cluDir, cellStore,
+          graft.ext.KMeans.train(spark, cluDir))
+        println(f"[scaleup] cluster_cells_build          $cluDir%-18s " +
+          f"${(System.nanoTime - t0) / 1e9}%8.2f s")
+      }
+      timed("cluster_card_served_100x", cluDir, 2)(
+        graft.ext.ClusterOps.clusterCardFrom(spark, cellStore, cluDir))
+      // kNN graph: the live coarse form at base scale; at 200k
+      // vectors the coarse in-cell pairwise is the N²/K wall (the
+      // SemDeDup lesson), so the 100× row rides the sub-quantized
+      // cell artifact (K ∝ N via subKFor) — same store discipline,
+      // and the graph inherits its finer single-probe approximation
+      time("sim_knn_graph", src, 1)
+      locally {
+        val n = Tables.embeddings(spark, cluDir).count()
+        val subK = graft.ext.Dedup.subKFor(n)
+        val cap = math.max(graft.ext.Dedup.SampleCap, subK * 8)
+        val mod = graft.ext.Dedup.sampleModulusFor(n, cap)
+        val knnCells = s"$cluDir/knn_cells"
+        if (!new java.io.File(knnCells).exists()) {
+          val t0 = System.nanoTime()
+          graft.ext.Dedup.writeSemanticCells(spark, cluDir, knnCells,
+            subK, cap, mod)
+          println(f"[scaleup] knn_cells_build              $cluDir%-18s " +
+            f"${(System.nanoTime - t0) / 1e9}%8.2f s  " +
+            f"(${graft.ext.KMeans.K * subK} effective cells)")
+        }
+        timed("sim_knn_graph_100x", cluDir, 1)(
+          graft.ext.ClusterOps.knnGraphOn(
+            spark.read.parquet(knnCells)
+              .select(col("vec_id"), col("cell").cast("int").as("cell"),
+                col("v"))))
+      }
+    }
     spark.stop()
   }
 }

@@ -37,7 +37,8 @@ object SparkEntry {
       graft.ext.Sampling.queries ++
       graft.ext.Pii.queries ++
       graft.ext.Retrieval.queries ++
-      graft.ext.Curation.queries
+      graft.ext.Curation.queries ++
+      graft.ext.ClusterOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -63,5 +64,6 @@ object SparkEntry {
       graft.ext.Sampling.oracle ++
       graft.ext.Pii.oracle ++
       graft.ext.Retrieval.oracle ++
-      graft.ext.Curation.allOracle
+      graft.ext.Curation.allOracle ++
+      graft.ext.ClusterOps.oracle
 }

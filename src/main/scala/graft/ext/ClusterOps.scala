@@ -1,0 +1,262 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Embedding-cluster corpus analysis — the topic-level report and the
+  * topic-rebalancing sample a large-scale training-data pipeline runs
+  * after clustering its corpus (the SemDeDup/DataComp-style "what is
+  * in each embedding bucket, and is any bucket drowning the mixture"
+  * step). Reference analog: the reference's per-category rollups over
+  * its sales star (`/root/reference/elt/transforms.ipynb`) play this
+  * role for BI; here the category is a LEARNED k-means cell over the
+  * embeddings table and the measures are the corpus-card metrics.
+  *
+  * Builds entirely on proven parts: the deterministic fixed-round
+  * trainer ([[KMeans.train]] — oracle-replayable as a CTE chain), the
+  * codegen'd argmin assignment ([[KMeans.assignOn]]), the
+  * cell-partitioned vector store ([[KMeans.writeCellVectors]]) for the
+  * artifact-fed serve form, and the salted two-phase rank
+  * ([[graft.ops.SkewOps.topKPerGroup]]) for the per-cluster quota.
+  *
+  * Scale shape: the embeddings→documents id join shuffles both sides
+  * on the id ONCE (fact-to-fact equi-join — on a deployment the two
+  * tables co-bucket on the id and the exchange disappears); the card's
+  * two aggregation legs are map-side-combinable groupBys whose output
+  * is bounded at K·|sources| and K·|labels| rows, and every rank
+  * window runs over those POST-AGGREGATION frames. Nothing
+  * corpus-sized crosses the wire after the partial aggregates.
+  */
+object ClusterOps {
+
+  /** Per-cluster quota for [[clusterBalanceSample]] — the cap a
+    * topic-rebalancing pass puts on every embedding cell so one dense
+    * topic cannot drown the mixture (the DataComp/SemDeDup-style
+    * cluster-rebalancing knob). */
+  val BalancePerCluster = 30
+
+  private def docMeta(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+
+  /** (vec_id, label, cluster) under freshly trained centroids —
+    * map-only assignment, one codegen'd argmin per row. */
+  private def assignedVecs(spark: SparkSession, dir: String): DataFrame = {
+    val cents = KMeans.train(spark, dir)
+    KMeans.vecs(spark, dir)
+      .select(col("vec_id"), col("label"),
+        KMeans.assignOn(col("v"), cents).as("cluster"))
+  }
+
+  /** Cluster assignments joined to document metadata (the tables are
+    * id-aligned: embeddings.vec_id == documents.doc_id). */
+  private def joinedDocs(spark: SparkSession, dir: String,
+      assigned: DataFrame): DataFrame =
+    assigned.join(docMeta(spark, dir),
+        assigned("vec_id") === col("doc_id"))
+      .select(col("doc_id"), col("cluster"), col("label"),
+        col("source"), col("n_tokens"))
+
+  /** The per-cluster corpus card over a (cluster, label, source,
+    * n_tokens) frame: docs, token total, source spread, and the modal
+    * source/label with deterministic tie-breaks (count desc, value
+    * asc) so both engines pick the same row. Two corpus-sized partial
+    * aggregates (cluster×source and cluster×label — each combines
+    * map-side to a bounded frame); the rank windows and re-aggregates
+    * run over those post-aggregation frames only. */
+  private def cardOn(j: DataFrame): DataFrame = {
+    val perSrc = j.groupBy(col("cluster"), col("source"))
+      .agg(count(lit(1)).as("sdocs"), sum(col("n_tokens")).as("stoks"))
+    val wSrc = Window.partitionBy(col("cluster"))
+      .orderBy(col("sdocs").desc, col("source").asc)
+    val topSrc = perSrc.withColumn("rn", row_number().over(wSrc))
+      .filter(col("rn") === 1)
+      .select(col("cluster"), col("source").as("top_source"),
+        col("sdocs").as("top_source_docs"))
+    val base = perSrc.groupBy(col("cluster"))
+      .agg(sum(col("sdocs")).as("docs"),
+        sum(col("stoks")).as("total_tokens"),
+        count(lit(1)).as("n_sources"))
+    val perLab = j.groupBy(col("cluster"), col("label"))
+      .agg(count(lit(1)).as("ldocs"))
+    val wLab = Window.partitionBy(col("cluster"))
+      .orderBy(col("ldocs").desc, col("label").asc)
+    val topLab = perLab.withColumn("rn", row_number().over(wLab))
+      .filter(col("rn") === 1)
+      .select(col("cluster"), col("label").as("top_label"),
+        col("ldocs").as("top_label_docs"))
+    base.join(topSrc, Seq("cluster")).join(topLab, Seq("cluster"))
+      .select(col("cluster"), col("docs"), col("total_tokens"),
+        col("n_sources"), col("top_source"), col("top_source_docs"),
+        col("top_label"), col("top_label_docs"))
+      .orderBy(col("cluster"))
+  }
+
+  /** Per-embedding-cluster corpus card: for each trained k-means cell,
+    * document count, whitespace-token total, number of distinct
+    * sources, the dominant source, and the dominant stored label (the
+    * cell's purity proxy). The report a curation pass reads to decide
+    * which topic buckets to cap, drop, or upsample. */
+  def clusterCard(spark: SparkSession, dir: String): DataFrame =
+    cardOn(joinedDocs(spark, dir, assignedVecs(spark, dir)))
+
+  /** Artifact-fed card: identical report answered from the
+    * cell-partitioned vector store ([[KMeans.writeCellVectors]]) —
+    * the assignment leg disappears (cluster is the store's partition
+    * column), so the steady-state cost is the id join + the two
+    * bounded aggregation legs. Oracle = the live form's replay
+    * verbatim (serve == rebuild, the round-12/13 discipline). */
+  def clusterCardServed(spark: SparkSession, dir: String): DataFrame = {
+    val cents = KMeans.train(spark, dir)
+    val cellsDir = java.nio.file.Files
+      .createTempDirectory("graft_cluster_card").toString + "/cells"
+    KMeans.writeCellVectors(spark, dir, cellsDir, cents)
+    clusterCardFrom(spark, cellsDir, dir)
+  }
+
+  /** The card answered from an EXISTING cell store — the steady-state
+    * read path ScaleUp times apart from the one-time store build. */
+  def clusterCardFrom(spark: SparkSession, cellsDir: String,
+      dir: String): DataFrame = {
+    val assigned = spark.read.parquet(cellsDir)
+      .select(col("vec_id"), col("label"),
+        col("cluster").cast("int").as("cluster"))
+    cardOn(joinedDocs(spark, dir, assigned))
+  }
+
+  /** Cluster-balanced sample: at most [[BalancePerCluster]] documents
+    * per embedding cell, chosen by the deterministic
+    * [[Sampling.mixHash]] order (a fixed pseudo-random permutation, so
+    * the quota is an unbiased within-cell subsample and replays
+    * exactly in the oracle). cluster is LOW-NDV (K cells), so the
+    * quota rides the salted two-phase rank
+    * ([[graft.ops.SkewOps.topKPerGroup]] — stage-2 sort bounded at
+    * K·salts·quota rows), never a single-task per-cell sort. */
+  def clusterBalanceSample(spark: SparkSession, dir: String): DataFrame = {
+    val w = joinedDocs(spark, dir, assignedVecs(spark, dir))
+      .select(col("doc_id"), col("cluster"), col("source"),
+        Sampling.mixHash(col("doc_id")).as("sample_hash"))
+    graft.ops.SkewOps.topKPerGroup(w, col("cluster"),
+        Seq(col("sample_hash").asc, col("doc_id").asc),
+        BalancePerCluster, spreadBy = col("doc_id"),
+        rankCol = "sample_rank")
+      .select(col("doc_id"), col("cluster"), col("source"),
+        col("sample_hash"), col("sample_rank"))
+      .orderBy(col("cluster"), col("sample_rank"))
+  }
+
+  /** Neighbors per vector in [[knnGraph]]. */
+  val KnnK = 3
+
+  /** IVF-approximate k-NN graph: each vector's [[KnnK]] nearest
+    * in-cell neighbors by cosine — the input artifact of graph-based
+    * corpus analysis (connected-component clustering, label
+    * propagation, graph-dedup). Approximation contract: a neighbor
+    * must share the vector's coarse cell (exactly the IVF single-probe
+    * trade the ANN ladder documents); vectors in singleton cells
+    * contribute no edges.
+    *
+    * Scale shape: the candidate pass is the SemDeDup in-cell pairwise
+    * leg — Σ|cell|² cosines, quadratic in cell size — so the
+    * production form at scale rides the sub-quantized cell artifact
+    * (K ∝ N via [[Dedup.subKFor]]; [[knnGraphOn]] takes any
+    * (vec_id, cell, v) frame, and ScaleUp times it over the SemDeDup
+    * cells store). The per-vector top-k window is row-keyed
+    * (partitioned by vec_id — NDV = corpus size). */
+  def knnGraph(spark: SparkSession, dir: String): DataFrame = {
+    val cents = KMeans.train(spark, dir)
+    knnGraphOn(KMeans.vecs(spark, dir)
+      .select(col("vec_id"),
+        KMeans.assignOn(col("v"), cents).as("cell"), col("v")))
+  }
+
+  /** [[knnGraph]] over a pre-assigned (vec_id, cell, v) frame — the
+    * steady-state form reads the cell-partitioned store so the
+    * assignment leg never re-runs. */
+  def knnGraphOn(cells: DataFrame): DataFrame = {
+    val l = cells.select(col("vec_id"), col("cell"), col("v"))
+    val r = cells.select(col("vec_id").as("nbr_id"), col("cell"),
+      col("v").as("nv"))
+    val pairs = l.join(r, Seq("cell"))
+      .filter(col("vec_id") =!= col("nbr_id"))
+      .select(col("vec_id"), col("nbr_id"),
+        graft.functions.CosineSimilarity(col("v"), col("nv"))
+          .as("cosine"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cosine").desc, col("nbr_id").asc)
+    pairs.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= KnnK)
+      .select(col("vec_id"), col("rk"), col("nbr_id"), col("cosine"))
+      .orderBy(col("vec_id"), col("rk"))
+  }
+
+  /** Embedding communities: connected components over the
+    * [[knnGraph]] edge set via the bounded-round large-star/small-star
+    * contraction ([[Dedup.connectedComponents]] — every round touches
+    * only the edge set, never the corpus), labeled by component-min
+    * vec_id; vectors with no edges (singleton cells) are their own
+    * community. The finer-than-cell grouping a curation pass uses for
+    * community-level balancing or near-dup triage — communities never
+    * cross coarse cells because the graph's edges don't. */
+  def knnCommunities(spark: SparkSession, dir: String): DataFrame = {
+    val edges = knnGraph(spark, dir)
+      .select(col("vec_id").as("doc_a"), col("nbr_id").as("doc_b"))
+    val ids = KMeans.vecs(spark, dir).select(col("vec_id"))
+    val (labels, _) = Dedup.connectedComponents(edges)
+    ids.join(labels, ids("vec_id") === labels("doc_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("cluster_id"), col("vec_id")).as("community_id"))
+      .orderBy(col("vec_id"))
+  }
+
+  // ---------------------------------------------------------------
+  // DuckDB oracle replays — the k-means training chain is
+  // KMeans.trainCtes (the proven CTE replay); the card and the quota
+  // are plain SQL over its final assignment joined to documents.
+  // ---------------------------------------------------------------
+
+  private val knnPairsSql =
+    s"""SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id, ${Similarity.cosineSql("qa.v", "qb.v")} AS cosine FROM af a JOIN af b ON a.cid = b.cid AND a.vec_id <> b.vec_id JOIN q qa ON qa.vec_id = a.vec_id JOIN q qb ON qb.vec_id = b.vec_id"""
+
+  private val knnRankedSql =
+    s"""SELECT vec_id, rk, nbr_id, cosine FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, nbr_id) AS rk FROM p) WHERE rk <= $KnnK"""
+
+  private val jdSql =
+    s"""SELECT d.doc_id, CAST(af.cid AS INTEGER) AS cluster, q.label, d.source, CAST(len(${TextOps.toksSql}) AS BIGINT) AS n_tokens FROM af JOIN q USING (vec_id) JOIN documents d ON d.doc_id = af.vec_id"""
+
+  private val cardSql =
+    s"""WITH ${KMeans.trainCtes}, jd AS MATERIALIZED ($jdSql), ps AS MATERIALIZED (SELECT cluster, source, COUNT(*) AS sdocs, CAST(SUM(n_tokens) AS BIGINT) AS stoks FROM jd GROUP BY 1, 2), base AS (SELECT cluster, CAST(SUM(sdocs) AS BIGINT) AS docs, CAST(SUM(stoks) AS BIGINT) AS total_tokens, COUNT(*) AS n_sources FROM ps GROUP BY 1), ts AS (SELECT cluster, source AS top_source, sdocs AS top_source_docs FROM (SELECT *, row_number() OVER (PARTITION BY cluster ORDER BY sdocs DESC, source) AS rn FROM ps) WHERE rn = 1), pl AS (SELECT cluster, label, COUNT(*) AS ldocs FROM jd GROUP BY 1, 2), tl AS (SELECT cluster, label AS top_label, ldocs AS top_label_docs FROM (SELECT *, row_number() OVER (PARTITION BY cluster ORDER BY ldocs DESC, label) AS rn FROM pl) WHERE rn = 1) SELECT base.cluster, docs, total_tokens, n_sources, top_source, top_source_docs, top_label, top_label_docs FROM base JOIN ts USING (cluster) JOIN tl USING (cluster) ORDER BY cluster"""
+
+  val oracle: Map[String, String] = Map(
+    "curation_cluster_card" -> cardSql,
+    // serve == rebuild: the store's assignment is the live assignment
+    // under the same centroids, so the served card's oracle IS the
+    // live card's replay verbatim
+    "curation_cluster_card_served" -> cardSql,
+    "sample_cluster_balance" ->
+      s"""WITH ${KMeans.trainCtes}, w AS (SELECT d.doc_id, CAST(af.cid AS INTEGER) AS cluster, d.source, ${Sampling.hashSql} AS sample_hash FROM af JOIN documents d ON d.doc_id = af.vec_id) SELECT doc_id, cluster, source, sample_hash, sample_rank FROM (SELECT *, row_number() OVER (PARTITION BY cluster ORDER BY sample_hash, doc_id) AS sample_rank FROM w) WHERE sample_rank <= $BalancePerCluster ORDER BY cluster, sample_rank""",
+    // in-cell pairwise cosine + per-vector rank — the IVF single-probe
+    // approximation replayed exactly (same cell join, same cosine
+    // fold, same tie-break)
+    "sim_knn_graph" ->
+      s"""WITH ${KMeans.trainCtes}, p AS ($knnPairsSql) $knnRankedSql ORDER BY vec_id, rk""",
+    // reachability closure over the knn edge set = the bounded-round
+    // large-star/small-star contraction (component-min labels agree —
+    // the dedup_clusters congruence argument over a different edge
+    // feeder)
+    "sim_knn_components" ->
+      s"""WITH RECURSIVE ${KMeans.trainCtes}, p AS MATERIALIZED ($knnPairsSql), e AS ($knnRankedSql), sym AS (SELECT vec_id AS a, nbr_id AS b FROM e UNION ALL SELECT nbr_id, vec_id FROM e), reach(a, b) AS (SELECT a, b FROM sym UNION SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a), cl AS (SELECT q.vec_id, least(q.vec_id, COALESCE(MIN(r.b), q.vec_id)) AS community_id FROM q LEFT JOIN reach r ON r.a = q.vec_id GROUP BY q.vec_id) SELECT vec_id, community_id FROM cl ORDER BY vec_id"""
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "curation_cluster_card" -> clusterCard _,
+    "curation_cluster_card_served" -> clusterCardServed _,
+    "sample_cluster_balance" -> clusterBalanceSample _,
+    "sim_knn_graph" -> knnGraph _,
+    "sim_knn_components" -> knnCommunities _
+  )
+}

@@ -1,0 +1,163 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.{ClusterOps, KMeans, TextOps}
+
+class ClusterOpsSpec extends SparkSpec {
+
+  test("cluster card partitions the corpus: docs sum to corpus size, " +
+      "token totals sum to the direct token count") {
+    val card = ClusterOps.clusterCard(spark, sf).collect()
+    val docs = Tables.documents(spark, sf)
+    assert(card.map(_.getAs[Long]("docs")).sum == docs.count())
+    val directTokens = docs
+      .select(sum(size(TextOps.tokens(col("text"))).cast("long")))
+      .head().getLong(0)
+    assert(card.map(_.getAs[Long]("total_tokens")).sum == directTokens)
+  }
+
+  test("cluster card internal consistency: modal counts bounded by " +
+      "docs, source spread at least 1, clusters in [0, K)") {
+    val card = ClusterOps.clusterCard(spark, sf).collect()
+    assert(card.nonEmpty)
+    card.foreach { r =>
+      val docs = r.getAs[Long]("docs")
+      assert(r.getAs[Int]("cluster") >= 0 &&
+        r.getAs[Int]("cluster") < KMeans.K)
+      assert(r.getAs[Long]("top_source_docs") <= docs)
+      assert(r.getAs[Long]("top_label_docs") <= docs)
+      assert(r.getAs[Long]("n_sources") >= 1L)
+      // the modal source must cover at least docs / n_sources
+      // (pigeonhole) — catches a tie-break that picks a minority row
+      assert(r.getAs[Long]("top_source_docs") * r.getAs[Long]("n_sources")
+        >= docs)
+    }
+  }
+
+  test("served card equals the live card row for row") {
+    val live = ClusterOps.clusterCard(spark, sf).collect().toSeq
+    val served = ClusterOps.clusterCardServed(spark, sf).collect().toSeq
+    assert(served == live)
+  }
+
+  test("served card plan has no assignment leg (cluster comes from " +
+      "the store's partition column)") {
+    // the live form must score centroids; the served form must not
+    val livePlan = ClusterOps.clusterCard(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(livePlan.toLowerCase.contains("nearestcentroid"))
+    val cents = KMeans.train(spark, sf)
+    val cellsDir = java.nio.file.Files
+      .createTempDirectory("graft_clu_spec").toString + "/cells"
+    KMeans.writeCellVectors(spark, sf, cellsDir, cents)
+    val servedPlan = spark.read.parquet(cellsDir)
+      .select(col("vec_id"), col("cluster").cast("int").as("cluster"))
+      .queryExecution.executedPlan.toString
+    assert(!servedPlan.toLowerCase.contains("nearestcentroid"))
+  }
+
+  test("cluster-balanced sample: per-cluster count = min(cell size, " +
+      "quota), ranks dense from 1, deterministic across runs") {
+    val sizes = ClusterOps.clusterCard(spark, sf)
+      .select(col("cluster"), col("docs")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val s = ClusterOps.clusterBalanceSample(spark, sf).collect()
+    val byCluster = s.groupBy(_.getAs[Int]("cluster"))
+    byCluster.foreach { case (c, rows) =>
+      assert(rows.length ==
+        math.min(sizes(c), ClusterOps.BalancePerCluster.toLong))
+      assert(rows.map(_.getAs[Int]("sample_rank")).sorted.toSeq ==
+        (1 to rows.length))
+    }
+    val again = ClusterOps.clusterBalanceSample(spark, sf).collect()
+    assert(again.toSeq == s.toSeq)
+  }
+
+  test("knn graph: neighbors share the cell, ranks dense from 1, " +
+      "count = min(KnnK, cell size - 1)") {
+    val cells = KMeans.kmeansAssign(spark, sf)
+      .select(col("vec_id"), col("cluster")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val sizes = cells.values.groupBy(identity).map { case (c, v) =>
+      c -> v.size
+    }
+    val g = ClusterOps.knnGraph(spark, sf).collect()
+    val byVec = g.groupBy(_.getAs[Long]("vec_id"))
+    // every vector in a cell of size >= 2 has edges
+    assert(byVec.keySet == cells.filter { case (_, c) =>
+      sizes(c) >= 2 }.keySet)
+    byVec.foreach { case (v, rows) =>
+      val expect = math.min(ClusterOps.KnnK, sizes(cells(v)) - 1)
+      assert(rows.length == expect, s"vec $v")
+      assert(rows.map(_.getAs[Int]("rk")).sorted.toSeq == (1 to expect))
+      rows.foreach(r =>
+        assert(cells(r.getAs[Long]("nbr_id")) == cells(v),
+          s"neighbor crosses cells for vec $v"))
+    }
+  }
+
+  test("knn graph top-1 matches a local in-cell argmax re-derivation") {
+    val assigned = KMeans.kmeansAssign(spark, sf)
+      .select(col("vec_id"), col("cluster")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val vs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+      .toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      d / math.sqrt(na * nb)
+    }
+    val top1 = ClusterOps.knnGraph(spark, sf)
+      .filter(col("rk") === 1).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("nbr_id")).toMap
+    // spot-check 25 vectors: the rank-1 neighbor is the in-cell argmax
+    top1.keys.toSeq.sorted.take(25).foreach { v =>
+      val cell = assigned(v)
+      val best = assigned.collect {
+        case (o, c) if c == cell && o != v => o
+      }.map(o => (-cos(vs(v), vs(o)), o)).min._2
+      assert(top1(v) == best, s"vec $v")
+    }
+  }
+
+  test("knn communities match a local union-find over the same edges") {
+    val edges = ClusterOps.knnGraph(spark, sf)
+      .select(col("vec_id"), col("nbr_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val ids = Tables.embeddings(spark, sf)
+      .select(col("vec_id")).collect().map(_.getLong(0))
+    val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x
+      else { val r = find(parent(x)); parent(x) = r; r }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expect = ids.map(i => i -> find(i)).toMap
+    val got = ClusterOps.knnCommunities(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expect)
+  }
+
+  test("cluster-balanced sample keeps the lowest-hash docs per cell") {
+    // re-derive one cell's expected quota locally from the full
+    // assignment — the salted two-phase rank must not change WHICH
+    // rows survive, only how the rank is computed
+    val assigned = KMeans.kmeansAssign(spark, sf)
+      .select(col("vec_id"), col("cluster")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1))
+    val cell = assigned.groupBy(_._2).maxBy(_._2.length)._1
+    val expect = assigned.filter(_._2 == cell).map(_._1)
+      .sortBy(id => (graft.ext.Sampling.mixHashLocal(id), id))
+      .take(ClusterOps.BalancePerCluster).toSet
+    val got = ClusterOps.clusterBalanceSample(spark, sf)
+      .filter(col("cluster") === cell)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(got == expect)
+  }
+}

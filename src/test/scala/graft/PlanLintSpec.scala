@@ -31,7 +31,11 @@ class PlanLintSpec extends SparkSpec {
     // the lexical leg's windows are the salted two-phase rank. The
     // _ivf form swaps the dense leg to the single-cell trained probe
     // (same bounded rank frame)
-    "rag_hybrid_rrf", "rag_hybrid_rrf_ivf")
+    "rag_hybrid_rrf", "rag_hybrid_rrf_ivf",
+    // modal-source/modal-label rank windows over the POST-AGGREGATION
+    // cluster×source and cluster×label frames (bounded at K·|sources|
+    // and K·|labels| rows — ClusterOps.cardOn scaladoc)
+    "curation_cluster_card", "curation_cluster_card_served")
 
   // intentional exceptions: exactness baselines over bounded inputs,
   // kept next to their scale paths (IVF/LSH) — see Dedup scaladoc —
@@ -120,7 +124,12 @@ class PlanLintSpec extends SparkSpec {
     "curation_data_card_by_source_served",
     // artifact-served keep-best: the cluster_id rank window (NDV ~
     // doc count) plus writeSplitLabels' build-side windows
-    "dedup_keep_best_served")
+    "dedup_keep_best_served",
+    // per-vector neighbor rank: partitioned by vec_id (NDV = corpus
+    // size), group bounded by cell size — ClusterOps.knnGraph; the
+    // components form builds the same edge set (the CC loop itself is
+    // window-free and checkpoint-truncated)
+    "sim_knn_graph", "sim_knn_components")
   private val entityKeyedWindow = Set(
     "events_sessionize", "events_asof_purchase_click")
   private val guardedLowNdvWindow = Set(
@@ -159,7 +168,10 @@ class PlanLintSpec extends SparkSpec {
       // queries·salts·k — Retrieval scaladoc); the store-fed forms
       // answer through the same two-phase rank
       "rag_bm25_topk", "rag_bm25_batch", "rag_bm25_served",
-      "rag_bm25_index_append")
+      "rag_bm25_index_append",
+      // per-cluster quota rides SkewOps.topKPerGroup (stage-2 bounded
+      // at K·salts·quota — ClusterOps.clusterBalanceSample scaladoc)
+      "sample_cluster_balance")
   // running-sum/rank windows partitioned by (source or epoch,
   // doc_id-shard): parallelism = groups × shards, and a deployment
   // scales the shard count with the corpus (Curation.packSequences /
