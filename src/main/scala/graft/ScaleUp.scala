@@ -821,6 +821,8 @@ object ScaleUp {
       }
       timed("cluster_card_served_100x", cluDir, 2)(
         graft.ext.ClusterOps.clusterCardFrom(spark, cellStore, cluDir))
+      timed("cluster_balance_served_100x", cluDir, 2)(
+        graft.ext.ClusterOps.clusterBalanceFrom(spark, cellStore, cluDir))
       // kNN graph: the live coarse form at base scale; at 200k
       // vectors the coarse in-cell pairwise is the N²/K wall (the
       // SemDeDup lesson), so the 100× row rides the sub-quantized

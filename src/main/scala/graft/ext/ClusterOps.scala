@@ -121,12 +121,8 @@ object ClusterOps {
   /** The card answered from an EXISTING cell store — the steady-state
     * read path ScaleUp times apart from the one-time store build. */
   def clusterCardFrom(spark: SparkSession, cellsDir: String,
-      dir: String): DataFrame = {
-    val assigned = spark.read.parquet(cellsDir)
-      .select(col("vec_id"), col("label"),
-        col("cluster").cast("int").as("cluster"))
-    cardOn(joinedDocs(spark, dir, assigned))
-  }
+      dir: String): DataFrame =
+    cardOn(joinedDocs(spark, dir, storeAssigned(spark, cellsDir)))
 
   /** Cluster-balanced sample: at most [[BalancePerCluster]] documents
     * per embedding cell, chosen by the deterministic
@@ -136,8 +132,36 @@ object ClusterOps {
     * quota rides the salted two-phase rank
     * ([[graft.ops.SkewOps.topKPerGroup]] — stage-2 sort bounded at
     * K·salts·quota rows), never a single-task per-cell sort. */
-  def clusterBalanceSample(spark: SparkSession, dir: String): DataFrame = {
-    val w = joinedDocs(spark, dir, assignedVecs(spark, dir))
+  def clusterBalanceSample(spark: SparkSession, dir: String): DataFrame =
+    balanceOn(spark, dir, assignedVecs(spark, dir))
+
+  /** The balance sample answered from an EXISTING cell store — the
+    * assignment leg is the store's partition column, so the steady
+    * cost is a pruned scan + the salted two-phase rank. */
+  def clusterBalanceFrom(spark: SparkSession, cellsDir: String,
+      dir: String): DataFrame =
+    balanceOn(spark, dir, storeAssigned(spark, cellsDir))
+
+  /** DRIVER-GATED serve path: build the cell store into a scratch
+    * dir, answer from it — oracle = the live sample's replay verbatim
+    * (serve == rebuild). */
+  def clusterBalanceServed(spark: SparkSession, dir: String): DataFrame = {
+    val cents = KMeans.train(spark, dir)
+    val cellsDir = java.nio.file.Files
+      .createTempDirectory("graft_cluster_bal").toString + "/cells"
+    KMeans.writeCellVectors(spark, dir, cellsDir, cents)
+    clusterBalanceFrom(spark, cellsDir, dir)
+  }
+
+  private def storeAssigned(spark: SparkSession,
+      cellsDir: String): DataFrame =
+    spark.read.parquet(cellsDir)
+      .select(col("vec_id"), col("label"),
+        col("cluster").cast("int").as("cluster"))
+
+  private def balanceOn(spark: SparkSession, dir: String,
+      assigned: DataFrame): DataFrame = {
+    val w = joinedDocs(spark, dir, assigned)
       .select(col("doc_id"), col("cluster"), col("source"),
         Sampling.mixHash(col("doc_id")).as("sample_hash"))
     graft.ops.SkewOps.topKPerGroup(w, col("cluster"),
@@ -194,6 +218,43 @@ object ClusterOps {
       .orderBy(col("vec_id"), col("rk"))
   }
 
+  /** Multi-probe kNN graph: each vector's candidates come from its
+    * TWO nearest cells (its own and the runner-up —
+    * [[graft.functions.NearestCentroid.second]], the per-row analog
+    * of the driver-side `nprobe=2` the query path uses), ranked by
+    * the same cosine/tie-break. Strictly dominates [[knnGraph]]'s
+    * candidate set, so recall is monotonically ≥ single-probe
+    * (asserted in ClusterOpsSpec: measured 0.278 → multi-probe
+    * recovers a large share of the cross-cell neighbors the
+    * single-probe boundary loses). Work bound doubles to
+    * ≈ 2·Σ|cell|² cosines — still artifact-shaped, never all-pairs. */
+  def knnGraphP2(spark: SparkSession, dir: String): DataFrame = {
+    val cents = KMeans.train(spark, dir)
+    val cs = cents.map(_._2)
+    val assigned = KMeans.vecs(spark, dir)
+      .select(col("vec_id"),
+        KMeans.assignOn(col("v"), cents).as("cell"),
+        graft.functions.NearestCentroid.second(col("v"), cs).as("cell2"),
+        col("v"))
+    val probes = assigned.select(col("vec_id"),
+      explode(array(col("cell"), col("cell2"))).as("pcell"), col("v"))
+    val r = assigned.select(col("vec_id").as("nbr_id"),
+      col("cell").as("pcell"), col("v").as("nv"))
+    // a candidate pair appears exactly once: cell2 != cell by
+    // construction and each neighbor has ONE primary cell
+    val pairs = probes.join(r, Seq("pcell"))
+      .filter(col("vec_id") =!= col("nbr_id"))
+      .select(col("vec_id"), col("nbr_id"),
+        graft.functions.CosineSimilarity(col("v"), col("nv"))
+          .as("cosine"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cosine").desc, col("nbr_id").asc)
+    pairs.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= KnnK)
+      .select(col("vec_id"), col("rk"), col("nbr_id"), col("cosine"))
+      .orderBy(col("vec_id"), col("rk"))
+  }
+
   /** Embedding communities: connected components over the
     * [[knnGraph]] edge set via the bounded-round large-star/small-star
     * contraction ([[Dedup.connectedComponents]] — every round touches
@@ -231,14 +292,16 @@ object ClusterOps {
   private val cardSql =
     s"""WITH ${KMeans.trainCtes}, jd AS MATERIALIZED ($jdSql), ps AS MATERIALIZED (SELECT cluster, source, COUNT(*) AS sdocs, CAST(SUM(n_tokens) AS BIGINT) AS stoks FROM jd GROUP BY 1, 2), base AS (SELECT cluster, CAST(SUM(sdocs) AS BIGINT) AS docs, CAST(SUM(stoks) AS BIGINT) AS total_tokens, COUNT(*) AS n_sources FROM ps GROUP BY 1), ts AS (SELECT cluster, source AS top_source, sdocs AS top_source_docs FROM (SELECT *, row_number() OVER (PARTITION BY cluster ORDER BY sdocs DESC, source) AS rn FROM ps) WHERE rn = 1), pl AS (SELECT cluster, label, COUNT(*) AS ldocs FROM jd GROUP BY 1, 2), tl AS (SELECT cluster, label AS top_label, ldocs AS top_label_docs FROM (SELECT *, row_number() OVER (PARTITION BY cluster ORDER BY ldocs DESC, label) AS rn FROM pl) WHERE rn = 1) SELECT base.cluster, docs, total_tokens, n_sources, top_source, top_source_docs, top_label, top_label_docs FROM base JOIN ts USING (cluster) JOIN tl USING (cluster) ORDER BY cluster"""
 
+  private val balanceSql =
+    s"""WITH ${KMeans.trainCtes}, w AS (SELECT d.doc_id, CAST(af.cid AS INTEGER) AS cluster, d.source, ${Sampling.hashSql} AS sample_hash FROM af JOIN documents d ON d.doc_id = af.vec_id) SELECT doc_id, cluster, source, sample_hash, sample_rank FROM (SELECT *, row_number() OVER (PARTITION BY cluster ORDER BY sample_hash, doc_id) AS sample_rank FROM w) WHERE sample_rank <= $BalancePerCluster ORDER BY cluster, sample_rank"""
+
   val oracle: Map[String, String] = Map(
     "curation_cluster_card" -> cardSql,
     // serve == rebuild: the store's assignment is the live assignment
     // under the same centroids, so the served card's oracle IS the
     // live card's replay verbatim
     "curation_cluster_card_served" -> cardSql,
-    "sample_cluster_balance" ->
-      s"""WITH ${KMeans.trainCtes}, w AS (SELECT d.doc_id, CAST(af.cid AS INTEGER) AS cluster, d.source, ${Sampling.hashSql} AS sample_hash FROM af JOIN documents d ON d.doc_id = af.vec_id) SELECT doc_id, cluster, source, sample_hash, sample_rank FROM (SELECT *, row_number() OVER (PARTITION BY cluster ORDER BY sample_hash, doc_id) AS sample_rank FROM w) WHERE sample_rank <= $BalancePerCluster ORDER BY cluster, sample_rank""",
+    "sample_cluster_balance" -> balanceSql,
     // in-cell pairwise cosine + per-vector rank — the IVF single-probe
     // approximation replayed exactly (same cell join, same cosine
     // fold, same tie-break)
@@ -249,7 +312,16 @@ object ClusterOps {
     // the dedup_clusters congruence argument over a different edge
     // feeder)
     "sim_knn_components" ->
-      s"""WITH RECURSIVE ${KMeans.trainCtes}, p AS MATERIALIZED ($knnPairsSql), e AS ($knnRankedSql), sym AS (SELECT vec_id AS a, nbr_id AS b FROM e UNION ALL SELECT nbr_id, vec_id FROM e), reach(a, b) AS (SELECT a, b FROM sym UNION SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a), cl AS (SELECT q.vec_id, least(q.vec_id, COALESCE(MIN(r.b), q.vec_id)) AS community_id FROM q LEFT JOIN reach r ON r.a = q.vec_id GROUP BY q.vec_id) SELECT vec_id, community_id FROM cl ORDER BY vec_id"""
+      s"""WITH RECURSIVE ${KMeans.trainCtes}, p AS MATERIALIZED ($knnPairsSql), e AS ($knnRankedSql), sym AS (SELECT vec_id AS a, nbr_id AS b FROM e UNION ALL SELECT nbr_id, vec_id FROM e), reach(a, b) AS (SELECT a, b FROM sym UNION SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a), cl AS (SELECT q.vec_id, least(q.vec_id, COALESCE(MIN(r.b), q.vec_id)) AS community_id FROM q LEFT JOIN reach r ON r.a = q.vec_id GROUP BY q.vec_id) SELECT vec_id, community_id FROM cl ORDER BY vec_id""",
+    // serve == rebuild: the store's assignment is the live assignment
+    // under the same centroids, so the served sample's oracle IS the
+    // live sample's replay verbatim
+    "sample_cluster_balance_served" -> balanceSql,
+    // multi-probe: af2 ranks every vector's two nearest final
+    // centroids (the per-row nprobe=2), candidates join neighbors'
+    // PRIMARY cell — same cosine, same tie-break, same top-k
+    "sim_knn_graph_p2" ->
+      s"""WITH ${KMeans.trainCtes}, af2 AS (SELECT vec_id, cid FROM (SELECT t.vec_id, c.cid, row_number() OVER (PARTITION BY t.vec_id ORDER BY ${KMeans.distSqlN("t.v", "c.cv", 64)}, c.cid) AS rn FROM q t CROSS JOIN c2 c) WHERE rn <= 2), p AS (SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id, ${Similarity.cosineSql("qa.v", "qb.v")} AS cosine FROM af2 a JOIN af b ON a.cid = b.cid AND a.vec_id <> b.vec_id JOIN q qa ON qa.vec_id = a.vec_id JOIN q qb ON qb.vec_id = b.vec_id) $knnRankedSql ORDER BY vec_id, rk"""
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -257,6 +329,8 @@ object ClusterOps {
     "curation_cluster_card_served" -> clusterCardServed _,
     "sample_cluster_balance" -> clusterBalanceSample _,
     "sim_knn_graph" -> knnGraph _,
-    "sim_knn_components" -> knnCommunities _
+    "sim_knn_components" -> knnCommunities _,
+    "sample_cluster_balance_served" -> clusterBalanceServed _,
+    "sim_knn_graph_p2" -> knnGraphP2 _
   )
 }

@@ -27,13 +27,28 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
   * LEFT-TO-RIGHT fold sum((x_i - c_i)^2), and the argmin keeps the
   * FIRST (lowest-id) centroid on exact ties (strict `<` update).
   * Interpreted eval and codegen use the identical loop.
+  *
+  * `rank` selects the argmin order statistic: 0 = nearest (the
+  * default — identical behavior to the original expression), 1 =
+  * second-nearest under the same (distance, cid) lexicographic order
+  * (the oracle's `row_number() ... ORDER BY dist, cid` rn = rank+1).
+  * The second-nearest is the per-ROW multi-probe enabler
+  * ([[graft.ext.ClusterOps.knnGraphP2]]): the driver-side multi-probe
+  * path ([[graft.ext.KMeans.ivfTrainedTopKMultiProbe]]) ranks cells
+  * for ONE query on the driver, which cannot work when every corpus
+  * row needs its own probe list. One pass, best + runner-up carried
+  * together.
   */
-case class NearestCentroid(child: Expression, centroids: Seq[Seq[Double]])
+case class NearestCentroid(child: Expression, centroids: Seq[Seq[Double]],
+    rank: Int = 0)
     extends UnaryExpression {
 
   require(centroids.nonEmpty, "empty codebook")
   require(centroids.forall(_.size == centroids.head.size),
     "ragged codebook")
+  require(rank == 0 || (rank == 1 && centroids.size >= 2),
+    s"rank must be 0 or 1 (with k >= 2 centroids), got $rank for " +
+      s"k=${centroids.size}")
 
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
@@ -63,6 +78,8 @@ case class NearestCentroid(child: Expression, centroids: Seq[Seq[Double]])
           s"codebook dimension is $d")
     var best = 0
     var bestDist = Double.PositiveInfinity
+    var sec = 0
+    var secDist = Double.PositiveInfinity
     var c = 0
     while (c < k) {
       val cv = matrix(c)
@@ -73,10 +90,15 @@ case class NearestCentroid(child: Expression, centroids: Seq[Seq[Double]])
         acc += t * t
         i += 1
       }
-      if (acc < bestDist) { bestDist = acc; best = c }
+      // strict < on both tiers = ties keep the earlier (lower) cid,
+      // exactly ORDER BY dist, cid
+      if (acc < bestDist) {
+        secDist = bestDist; sec = best
+        bestDist = acc; best = c
+      } else if (acc < secDist) { secDist = acc; sec = c }
       c += 1
     }
-    best
+    if (rank == 0) best else sec
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -91,6 +113,8 @@ case class NearestCentroid(child: Expression, centroids: Seq[Seq[Double]])
       val t = ctx.freshName("t")
       val best = ctx.freshName("best")
       val bestDist = ctx.freshName("bestDist")
+      val sec = ctx.freshName("sec")
+      val secDist = ctx.freshName("secDist")
       s"""
          |final int $k = $m.length;
          |final int $d = $m[0].length;
@@ -101,6 +125,8 @@ case class NearestCentroid(child: Expression, centroids: Seq[Seq[Double]])
          |}
          |int $best = 0;
          |double $bestDist = Double.POSITIVE_INFINITY;
+         |int $sec = 0;
+         |double $secDist = Double.POSITIVE_INFINITY;
          |for (int $c = 0; $c < $k; $c++) {
          |  final double[] $cv = $m[$c];
          |  double $acc = 0.0;
@@ -108,9 +134,12 @@ case class NearestCentroid(child: Expression, centroids: Seq[Seq[Double]])
          |    final double $t = $x.getDouble($i) - $cv[$i];
          |    $acc += $t * $t;
          |  }
-         |  if ($acc < $bestDist) { $bestDist = $acc; $best = $c; }
+         |  if ($acc < $bestDist) {
+         |    $secDist = $bestDist; $sec = $best;
+         |    $bestDist = $acc; $best = $c;
+         |  } else if ($acc < $secDist) { $secDist = $acc; $sec = $c; }
          |}
-         |${ev.value} = $best;
+         |${ev.value} = ${if (rank == 0) best else sec};
        """.stripMargin
     })
 
@@ -124,4 +153,10 @@ object NearestCentroid {
   def apply(v: Column, centroids: Seq[Seq[Double]]): Column =
     GraftSqlBridge.column(
       NearestCentroid(GraftSqlBridge.expression(v), centroids))
+
+  /** Second-nearest centroid index under the same (distance, cid)
+    * order — the per-row probe-2 cell. */
+  def second(v: Column, centroids: Seq[Seq[Double]]): Column =
+    GraftSqlBridge.column(
+      NearestCentroid(GraftSqlBridge.expression(v), centroids, rank = 1))
 }

@@ -72,6 +72,34 @@ class FunctionsSpec extends SparkSpec {
       .head.getInt(0) == 0, "tie at d²=2 must keep the lower id")
   }
 
+  test("second-nearest centroid = index 1 of the (dist, cid) sort, " +
+      "ties to the lower id") {
+    val df = Seq(Tuple1(Seq(1.0, 0.0))).toDF("v")
+    // centroids 0 and 1 identical at distance 0: best = 0, second = 1
+    val dup = Seq(Seq(1.0, 0.0), Seq(1.0, 0.0), Seq(0.0, 1.0))
+    assert(df.select(graft.functions.NearestCentroid.second(col("v"), dup))
+      .head.getInt(0) == 1)
+    // best is the exact match (id 2); runner-up tie at d²=2 between
+    // ids 0 and 1 keeps the lower
+    val equi = Seq(Seq(0.0, 1.0), Seq(2.0, 1.0), Seq(1.0, 0.0))
+    assert(df.select(graft.functions.NearestCentroid.second(col("v"), equi))
+      .head.getInt(0) == 0)
+    // exhaustive agreement with a local argsort on random-ish vectors
+    val cb = Seq(Seq(0.0, 0.0), Seq(1.0, 1.0), Seq(2.0, -1.0),
+      Seq(-1.0, 3.0))
+    val vs = Seq(Seq(0.4, 0.2), Seq(1.5, 0.9), Seq(-0.5, 2.0),
+      Seq(2.0, 0.0), Seq(1.0, 1.0))
+    val got = vs.map(Tuple1(_)).toDF("v")
+      .select(graft.functions.NearestCentroid.second(col("v"), cb))
+      .collect().map(_.getInt(0)).toSeq
+    val expect = vs.map { v =>
+      cb.zipWithIndex.map { case (c, i) =>
+        (v.zip(c).map { case (x, y) => (x - y) * (x - y) }.sum, i)
+      }.sorted.apply(1)._2
+    }
+    assert(got == expect)
+  }
+
   test("vec_stats is SQL-callable after registration") {
     graft.functions.GraftExtensions.register(spark)
     val r = spark.sql(

@@ -128,8 +128,9 @@ class PlanLintSpec extends SparkSpec {
     // per-vector neighbor rank: partitioned by vec_id (NDV = corpus
     // size), group bounded by cell size — ClusterOps.knnGraph; the
     // components form builds the same edge set (the CC loop itself is
-    // window-free and checkpoint-truncated)
-    "sim_knn_graph", "sim_knn_components")
+    // window-free and checkpoint-truncated); the multi-probe form
+    // doubles the candidate set, same row-keyed rank
+    "sim_knn_graph", "sim_knn_components", "sim_knn_graph_p2")
   private val entityKeyedWindow = Set(
     "events_sessionize", "events_asof_purchase_click")
   private val guardedLowNdvWindow = Set(
@@ -170,8 +171,9 @@ class PlanLintSpec extends SparkSpec {
       "rag_bm25_topk", "rag_bm25_batch", "rag_bm25_served",
       "rag_bm25_index_append",
       // per-cluster quota rides SkewOps.topKPerGroup (stage-2 bounded
-      // at K·salts·quota — ClusterOps.clusterBalanceSample scaladoc)
-      "sample_cluster_balance")
+      // at K·salts·quota — ClusterOps.clusterBalanceSample scaladoc);
+      // the served form answers through the same two-phase rank
+      "sample_cluster_balance", "sample_cluster_balance_served")
   // running-sum/rank windows partitioned by (source or epoch,
   // doc_id-shard): parallelism = groups × shards, and a deployment
   // scales the shard count with the corpus (Curation.packSequences /
