@@ -274,6 +274,38 @@ object ClusterOps {
       .orderBy(col("vec_id"))
   }
 
+  /** Community keep-best: the canonical (highest-quality, ties to the
+    * lower doc_id) document per knn community — the decision step
+    * that turns the embedding-graph structure into an actual corpus
+    * triage, mirroring [[Dedup.keepBestQuality]] with the near-dup
+    * clusters swapped for the knn communities (vec_id aligned 1:1
+    * with doc_id). The rank window is community-keyed (NDV ~ corpus
+    * size, group = community size). */
+  def knnKeepBest(spark: SparkSession, dir: String): DataFrame = {
+    val comm = knnCommunities(spark, dir)
+      .select(col("vec_id").as("doc_id"), col("community_id"))
+    val q = TextOps.scoredDocs(spark, dir)
+      .select(col("doc_id"), col("quality_score"))
+    val w = Window.partitionBy(col("community_id"))
+      .orderBy(col("quality_score").desc, col("doc_id"))
+    comm.join(q, "doc_id")
+      .withColumn("rn", row_number().over(w))
+      .select(col("doc_id"), col("community_id"), col("quality_score"),
+        (col("rn") === 1).as("kept"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Community size histogram — the dup-cluster-size distribution a
+    * dedup report shows (how much of the corpus sits in large
+    * semantic communities). Output is bounded by the number of
+    * DISTINCT community sizes, compact at any scale; both legs are
+    * map-side-combinable groupBys. */
+  def knnCommunityHistogram(spark: SparkSession, dir: String): DataFrame =
+    knnCommunities(spark, dir)
+      .groupBy(col("community_id")).agg(count(lit(1)).as("members"))
+      .groupBy(col("members")).agg(count(lit(1)).as("n_communities"))
+      .orderBy(col("members"))
+
   // ---------------------------------------------------------------
   // DuckDB oracle replays — the k-means training chain is
   // KMeans.trainCtes (the proven CTE replay); the card and the quota
@@ -285,6 +317,12 @@ object ClusterOps {
 
   private val knnRankedSql =
     s"""SELECT vec_id, rk, nbr_id, cosine FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, nbr_id) AS rk FROM p) WHERE rk <= $KnnK"""
+
+  /** The knn-communities CTE chain (training + pairs + rank +
+    * reachability closure + component-min labels) — shared by the
+    * components, keep-best, and histogram oracles. */
+  private lazy val communitiesCtes =
+    s"""RECURSIVE ${KMeans.trainCtes}, p AS MATERIALIZED ($knnPairsSql), e AS ($knnRankedSql), sym AS (SELECT vec_id AS a, nbr_id AS b FROM e UNION ALL SELECT nbr_id, vec_id FROM e), reach(a, b) AS (SELECT a, b FROM sym UNION SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a), cl AS (SELECT q.vec_id, least(q.vec_id, COALESCE(MIN(r.b), q.vec_id)) AS community_id FROM q LEFT JOIN reach r ON r.a = q.vec_id GROUP BY q.vec_id)"""
 
   private val jdSql =
     s"""SELECT d.doc_id, CAST(af.cid AS INTEGER) AS cluster, q.label, d.source, CAST(len(${TextOps.toksSql}) AS BIGINT) AS n_tokens FROM af JOIN q USING (vec_id) JOIN documents d ON d.doc_id = af.vec_id"""
@@ -312,7 +350,13 @@ object ClusterOps {
     // the dedup_clusters congruence argument over a different edge
     // feeder)
     "sim_knn_components" ->
-      s"""WITH RECURSIVE ${KMeans.trainCtes}, p AS MATERIALIZED ($knnPairsSql), e AS ($knnRankedSql), sym AS (SELECT vec_id AS a, nbr_id AS b FROM e UNION ALL SELECT nbr_id, vec_id FROM e), reach(a, b) AS (SELECT a, b FROM sym UNION SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a), cl AS (SELECT q.vec_id, least(q.vec_id, COALESCE(MIN(r.b), q.vec_id)) AS community_id FROM q LEFT JOIN reach r ON r.a = q.vec_id GROUP BY q.vec_id) SELECT vec_id, community_id FROM cl ORDER BY vec_id""",
+      s"""WITH $communitiesCtes SELECT vec_id, community_id FROM cl ORDER BY vec_id""",
+    // keep policy = quality-argmax per community (ties to the lower
+    // doc_id) — the dedup_keep_best idiom over the knn communities
+    "sim_knn_keep_best" ->
+      s"""WITH $communitiesCtes, q2 AS (SELECT doc_id, quality_score FROM (${TextOps.oracle("text_quality_score")})), j AS (SELECT cl.vec_id AS doc_id, cl.community_id, q2.quality_score FROM cl JOIN q2 ON q2.doc_id = cl.vec_id) SELECT doc_id, community_id, quality_score, rn = 1 AS kept FROM (SELECT *, row_number() OVER (PARTITION BY community_id ORDER BY quality_score DESC, doc_id) AS rn FROM j) ORDER BY doc_id""",
+    "sim_knn_community_hist" ->
+      s"""WITH $communitiesCtes, sz AS (SELECT community_id, COUNT(*) AS members FROM cl GROUP BY 1) SELECT members, COUNT(*) AS n_communities FROM sz GROUP BY 1 ORDER BY members""",
     // serve == rebuild: the store's assignment is the live assignment
     // under the same centroids, so the served sample's oracle IS the
     // live sample's replay verbatim
@@ -331,6 +375,8 @@ object ClusterOps {
     "sim_knn_graph" -> knnGraph _,
     "sim_knn_components" -> knnCommunities _,
     "sample_cluster_balance_served" -> clusterBalanceServed _,
-    "sim_knn_graph_p2" -> knnGraphP2 _
+    "sim_knn_graph_p2" -> knnGraphP2 _,
+    "sim_knn_keep_best" -> knnKeepBest _,
+    "sim_knn_community_hist" -> knnCommunityHistogram _
   )
 }

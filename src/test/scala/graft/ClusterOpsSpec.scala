@@ -201,6 +201,30 @@ class ClusterOpsSpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("community keep-best: one kept doc per community, the kept doc " +
+      "is the community's quality argmax") {
+    val kb = ClusterOps.knnKeepBest(spark, sf).collect()
+    val byComm = kb.groupBy(_.getAs[Long]("community_id"))
+    byComm.foreach { case (c, rows) =>
+      val kept = rows.filter(_.getAs[Boolean]("kept"))
+      assert(kept.length == 1, s"community $c")
+      val best = rows.map(r => (-r.getAs[Double]("quality_score"),
+        r.getAs[Long]("doc_id"))).min._2
+      assert(kept.head.getAs[Long]("doc_id") == best, s"community $c")
+    }
+    // every embedded doc is triaged exactly once
+    assert(kb.map(_.getAs[Long]("doc_id")).distinct.length ==
+      Tables.embeddings(spark, sf).count())
+  }
+
+  test("community histogram conserves the corpus: sum of members x " +
+      "n_communities equals the vector count") {
+    val h = ClusterOps.knnCommunityHistogram(spark, sf).collect()
+    val total = h.map(r =>
+      r.getAs[Long]("members") * r.getAs[Long]("n_communities")).sum
+    assert(total == Tables.embeddings(spark, sf).count())
+  }
+
   test("cluster-balanced sample keeps the lowest-hash docs per cell") {
     // re-derive one cell's expected quota locally from the full
     // assignment — the salted two-phase rank must not change WHICH

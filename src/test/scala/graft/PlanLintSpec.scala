@@ -129,8 +129,10 @@ class PlanLintSpec extends SparkSpec {
     // size), group bounded by cell size — ClusterOps.knnGraph; the
     // components form builds the same edge set (the CC loop itself is
     // window-free and checkpoint-truncated); the multi-probe form
-    // doubles the candidate set, same row-keyed rank
-    "sim_knn_graph", "sim_knn_components", "sim_knn_graph_p2")
+    // doubles the candidate set, same row-keyed rank; keep-best adds
+    // the community-keyed rank (NDV ~ corpus size, group = community)
+    "sim_knn_graph", "sim_knn_components", "sim_knn_graph_p2",
+    "sim_knn_keep_best", "sim_knn_community_hist")
   private val entityKeyedWindow = Set(
     "events_sessionize", "events_asof_purchase_click")
   private val guardedLowNdvWindow = Set(
