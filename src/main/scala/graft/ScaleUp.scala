@@ -848,6 +848,24 @@ object ScaleUp {
             spark.read.parquet(knnCells)
               .select(col("vec_id"), col("cell").cast("int").as("cell"),
                 col("v"))))
+        // community structure over the artifact graph: the CC loop is
+        // edge-set-only (600k skinny rows at 200k vectors), so the
+        // histogram's cost is the graph build + a bounded contraction
+        val t1 = System.nanoTime()
+        val edges = graft.ext.ClusterOps.knnGraphOn(
+            spark.read.parquet(knnCells)
+              .select(col("vec_id"), col("cell").cast("int").as("cell"),
+                col("v")))
+          .select(col("vec_id").as("doc_a"), col("nbr_id").as("doc_b"))
+        val (labels, rounds) =
+          graft.ext.Dedup.connectedComponents(edges)
+        val hist = labels
+          .groupBy(col("cluster_id")).agg(count(lit(1)).as("members"))
+          .groupBy(col("members")).agg(count(lit(1)).as("n_communities"))
+          .orderBy(col("members")).collect()
+        println(f"[scaleup] knn_community_hist_100x      $cluDir%-18s " +
+          f"${(System.nanoTime - t1) / 1e9}%8.2f s  " +
+          f"(cc_rounds=$rounds, sizes=${hist.length})")
       }
     }
     spark.stop()
