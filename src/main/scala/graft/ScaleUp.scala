@@ -866,6 +866,24 @@ object ScaleUp {
         println(f"[scaleup] knn_community_hist_100x      $cluDir%-18s " +
           f"${(System.nanoTime - t1) / 1e9}%8.2f s  " +
           f"(cc_rounds=$rounds, sizes=${hist.length})")
+        // steady-state graph APPEND: a 50-vector micro-batch against
+        // the gold edges artifact — recompute only the batch's cells
+        // (≤ 50 of the 400), read the rest from the store
+        val store = spark.read.parquet(knnCells)
+          .select(col("vec_id"), col("cell").cast("int").as("cell"),
+            col("v"))
+        val batchFrom = store.agg(max(col("vec_id"))).head().getLong(0) - 49
+        val goldEdgesDir = s"$cluDir/knn_gold_edges"
+        if (!new java.io.File(goldEdgesDir).exists()) {
+          val t2 = System.nanoTime()
+          graft.ext.ClusterOps.writeKnnEdges(
+            store.filter(col("vec_id") < batchFrom), goldEdgesDir)
+          println(f"[scaleup] knn_gold_edges_build         $cluDir%-18s " +
+            f"${(System.nanoTime - t2) / 1e9}%8.2f s")
+        }
+        timed("knn_graph_merge_100x", cluDir, 2)(
+          graft.ext.ClusterOps.knnGraphMergeFromEdges(spark,
+            goldEdgesDir, store, batchFrom))
       }
     }
     spark.stop()

@@ -201,19 +201,60 @@ object ClusterOps {
   /** [[knnGraph]] over a pre-assigned (vec_id, cell, v) frame — the
     * steady-state form reads the cell-partitioned store so the
     * assignment leg never re-runs. */
-  def knnGraphOn(cells: DataFrame): DataFrame = {
+  def knnGraphOn(cells: DataFrame): DataFrame =
+    knnEdgesOn(cells)
+      .select(col("vec_id"), col("rk"), col("nbr_id"), col("cosine"))
+      .orderBy(col("vec_id"), col("rk"))
+
+  /** The graph core, keeping the edge OWNER's cell — what the
+    * incremental merge prunes on. */
+  private def knnEdgesOn(cells: DataFrame): DataFrame = {
     val l = cells.select(col("vec_id"), col("cell"), col("v"))
     val r = cells.select(col("vec_id").as("nbr_id"), col("cell"),
       col("v").as("nv"))
     val pairs = l.join(r, Seq("cell"))
       .filter(col("vec_id") =!= col("nbr_id"))
-      .select(col("vec_id"), col("nbr_id"),
+      .select(col("cell"), col("vec_id"), col("nbr_id"),
         graft.functions.CosineSimilarity(col("v"), col("nv"))
           .as("cosine"))
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("cosine").desc, col("nbr_id").asc)
     pairs.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= KnnK)
+      .select(col("cell"), col("vec_id"), col("rk"), col("nbr_id"),
+        col("cosine"))
+  }
+
+  /** Incremental kNN graph maintenance: the last ~20% of vec_ids
+    * arrive as a batch against a gold graph built under GOLD-trained,
+    * then FROZEN, quantizers (the [[Dedup]] incremental idiom). Unlike
+    * append-only pair dedup, adding vectors CAN change existing
+    * vectors' top-k — but only inside cells that received batch
+    * members, because a vector's candidates are exactly its cell's
+    * members under a frozen quantizer. So the merge recomputes ONLY
+    * the touched cells (gold+batch members, partition-prunable) and
+    * carries every untouched cell's gold edges forward verbatim —
+    * provably equal to the full rebuild, which is exactly what the
+    * oracle replays (merge == rebuild, the split_merge_batch idiom).
+    * Touched-cell ids ride a broadcast (bounded by min(K·SubK,
+    * batch size)). */
+  def knnGraphBatchMerge(spark: SparkSession, dir: String): DataFrame = {
+    val vs = KMeans.vecs(spark, dir)
+    val cut = vs.agg(floor(max(col("vec_id")) * lit(0.8)).cast("long"))
+      .head().getLong(0)
+    val gold = vs.filter(col("vec_id") <= cut)
+    val cents = KMeans.trainFrame(
+      gold.select(col("vec_id"), col("v")), KMeans.K)
+    def assigned(f: DataFrame): DataFrame =
+      f.select(col("vec_id"),
+        KMeans.assignOn(col("v"), cents).as("cell"), col("v"))
+    val goldEdges = knnEdgesOn(assigned(gold)) // the existing artifact
+    val touched = assigned(vs.filter(col("vec_id") > cut))
+      .select(col("cell")).distinct()
+    val recomputed = knnEdgesOn(
+      assigned(vs).join(broadcast(touched), Seq("cell")))
+    goldEdges.join(broadcast(touched), Seq("cell"), "left_anti")
+      .unionByName(recomputed)
       .select(col("vec_id"), col("rk"), col("nbr_id"), col("cosine"))
       .orderBy(col("vec_id"), col("rk"))
   }
@@ -251,6 +292,35 @@ object ClusterOps {
       .orderBy(col("cosine").desc, col("nbr_id").asc)
     pairs.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= KnnK)
+      .select(col("vec_id"), col("rk"), col("nbr_id"), col("cosine"))
+      .orderBy(col("vec_id"), col("rk"))
+  }
+
+  /** The gold-edges artifact: [[knnEdgesOn]] written cell-partitioned,
+    * so the incremental merge can prune untouched cells statically. */
+  def writeKnnEdges(cells: DataFrame, out: String): Unit =
+    knnEdgesOn(cells).write.mode("overwrite")
+      .partitionBy("cell").parquet(out)
+
+  /** Steady-state incremental merge from the edges artifact: vectors
+    * with vec_id ≥ `batchFrom` are the batch; their cells' graphs are
+    * recomputed from the (frozen-layout) `cells` frame, every other
+    * cell's edges come from the artifact UNREAD beyond the partition
+    * listing — touched-cell ids are collected once (bounded by the
+    * quantizer's cell count, a few hundred at K ∝ N) and pushed as
+    * literal partition filters on both sides. Equal to the full
+    * rebuild by the cell-confinement argument on
+    * [[knnGraphBatchMerge]]; asserted in ClusterOpsSpec. */
+  def knnGraphMergeFromEdges(spark: SparkSession, goldEdgesDir: String,
+      cells: DataFrame, batchFrom: Long): DataFrame = {
+    val touched = cells.filter(col("vec_id") >= batchFrom)
+      .select(col("cell")).distinct().collect().map(_.getInt(0)).sorted
+    val gold = spark.read.parquet(goldEdgesDir)
+      .select(col("cell").cast("int").as("cell"), col("vec_id"),
+        col("rk"), col("nbr_id"), col("cosine"))
+    gold.filter(!col("cell").isin(touched.map(Integer.valueOf): _*))
+      .unionByName(knnEdgesOn(
+        cells.filter(col("cell").isin(touched.map(Integer.valueOf): _*))))
       .select(col("vec_id"), col("rk"), col("nbr_id"), col("cosine"))
       .orderBy(col("vec_id"), col("rk"))
   }
@@ -357,6 +427,12 @@ object ClusterOps {
       s"""WITH $communitiesCtes, q2 AS (SELECT doc_id, quality_score FROM (${TextOps.oracle("text_quality_score")})), j AS (SELECT cl.vec_id AS doc_id, cl.community_id, q2.quality_score FROM cl JOIN q2 ON q2.doc_id = cl.vec_id) SELECT doc_id, community_id, quality_score, rn = 1 AS kept FROM (SELECT *, row_number() OVER (PARTITION BY community_id ORDER BY quality_score DESC, doc_id) AS rn FROM j) ORDER BY doc_id""",
     "sim_knn_community_hist" ->
       s"""WITH $communitiesCtes, sz AS (SELECT community_id, COUNT(*) AS members FROM cl GROUP BY 1) SELECT members, COUNT(*) AS n_communities FROM sz GROUP BY 1 ORDER BY members""",
+    // merge == rebuild: DuckDB rebuilds the WHOLE graph under the
+    // gold-trained frozen quantizer (train on qg, assign everyone,
+    // rank), Spark merges untouched gold edges with recomputed
+    // touched cells — the hash gate proves them identical
+    "sim_knn_graph_merge" ->
+      s"""WITH q AS (${KMeans.qSql}), qg AS MATERIALIZED (SELECT * FROM q WHERE vec_id <= (SELECT CAST(floor(max(vec_id) * 0.8) AS BIGINT) FROM q)), ${KMeans.trainChain("qg", "g", 64, KMeans.K)}, aall AS (SELECT vec_id, cid FROM (SELECT t.vec_id, c.cid, row_number() OVER (PARTITION BY t.vec_id ORDER BY ${KMeans.distSqlN("t.v", "c.cv", 64)}, c.cid) AS rn FROM q t CROSS JOIN c2g c) WHERE rn = 1), p AS (SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id, ${Similarity.cosineSql("qa.v", "qb.v")} AS cosine FROM aall a JOIN aall b ON a.cid = b.cid AND a.vec_id <> b.vec_id JOIN q qa ON qa.vec_id = a.vec_id JOIN q qb ON qb.vec_id = b.vec_id) $knnRankedSql ORDER BY vec_id, rk""",
     // serve == rebuild: the store's assignment is the live assignment
     // under the same centroids, so the served sample's oracle IS the
     // live sample's replay verbatim
@@ -377,6 +453,7 @@ object ClusterOps {
     "sample_cluster_balance_served" -> clusterBalanceServed _,
     "sim_knn_graph_p2" -> knnGraphP2 _,
     "sim_knn_keep_best" -> knnKeepBest _,
-    "sim_knn_community_hist" -> knnCommunityHistogram _
+    "sim_knn_community_hist" -> knnCommunityHistogram _,
+    "sim_knn_graph_merge" -> knnGraphBatchMerge _
   )
 }

@@ -225,6 +225,48 @@ class ClusterOpsSpec extends SparkSpec {
     assert(total == Tables.embeddings(spark, sf).count())
   }
 
+  test("knn graph batch merge equals the frozen-quantizer full rebuild") {
+    import graft.ext.KMeans
+    val vs = KMeans.vecs(spark, sf)
+    val cut = vs.agg(floor(max(col("vec_id")) * lit(0.8)).cast("long"))
+      .head().getLong(0)
+    val cents = KMeans.trainFrame(
+      vs.filter(col("vec_id") <= cut).select(col("vec_id"), col("v")),
+      KMeans.K)
+    // the rebuild: EVERY vector assigned under the frozen gold
+    // quantizer, full graph
+    val rebuild = ClusterOps.knnGraphOn(
+      vs.select(col("vec_id"),
+        KMeans.assignOn(col("v"), cents).as("cell"), col("v")))
+      .collect().toSeq
+    val merged = ClusterOps.knnGraphBatchMerge(spark, sf).collect().toSeq
+    assert(merged == rebuild)
+    // and the merge actually covers the batch side
+    assert(merged.exists(_.getAs[Long]("vec_id") > cut))
+  }
+
+  test("store-fed knn merge equals the rebuild and prunes untouched " +
+      "cells statically") {
+    import graft.ext.KMeans
+    val vs = KMeans.vecs(spark, sf)
+    val cut = vs.agg(floor(max(col("vec_id")) * lit(0.8)).cast("long"))
+      .head().getLong(0)
+    val cents = KMeans.trainFrame(
+      vs.filter(col("vec_id") <= cut).select(col("vec_id"), col("v")),
+      KMeans.K)
+    def assigned(f: org.apache.spark.sql.DataFrame) =
+      f.select(col("vec_id"),
+        KMeans.assignOn(col("v"), cents).as("cell"), col("v"))
+    val edgesDir = java.nio.file.Files
+      .createTempDirectory("graft_knn_edges").toString + "/edges"
+    ClusterOps.writeKnnEdges(assigned(vs.filter(col("vec_id") <= cut)),
+      edgesDir)
+    val merged = ClusterOps.knnGraphMergeFromEdges(spark, edgesDir,
+      assigned(vs), cut + 1).collect().toSeq
+    val rebuild = ClusterOps.knnGraphOn(assigned(vs)).collect().toSeq
+    assert(merged == rebuild)
+  }
+
   test("cluster-balanced sample keeps the lowest-hash docs per cell") {
     // re-derive one cell's expected quota locally from the full
     // assignment — the salted two-phase rank must not change WHICH

@@ -132,7 +132,10 @@ class PlanLintSpec extends SparkSpec {
     // doubles the candidate set, same row-keyed rank; keep-best adds
     // the community-keyed rank (NDV ~ corpus size, group = community)
     "sim_knn_graph", "sim_knn_components", "sim_knn_graph_p2",
-    "sim_knn_keep_best", "sim_knn_community_hist")
+    "sim_knn_keep_best", "sim_knn_community_hist",
+    // the incremental merge runs the same row-keyed rank over the
+    // gold side and the recomputed touched cells
+    "sim_knn_graph_merge")
   private val entityKeyedWindow = Set(
     "events_sessionize", "events_asof_purchase_click")
   private val guardedLowNdvWindow = Set(
