@@ -829,6 +829,8 @@ object ScaleUp {
       // cell artifact (K ∝ N via subKFor) — same store discipline,
       // and the graph inherits its finer single-probe approximation
       time("sim_knn_graph", src, 1)
+      time("sim_knn_graph_p2", src, 1)
+      time("sim_knn_graph_merge", src, 1)
       locally {
         val n = Tables.embeddings(spark, cluDir).count()
         val subK = graft.ext.Dedup.subKFor(n)
