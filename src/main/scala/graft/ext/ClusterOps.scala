@@ -237,7 +237,15 @@ object ClusterOps {
     * provably equal to the full rebuild, which is exactly what the
     * oracle replays (merge == rebuild, the split_merge_batch idiom).
     * Touched-cell ids ride a broadcast (bounded by min(K·SubK,
-    * batch size)). */
+    * batch size)).
+    *
+    * The gold assignment scan runs twice here (gold-edges leg +
+    * touched-recompute leg) — deliberate: both are map-only
+    * column-pruned scans, and pinning the assigned frame would
+    * materialize corpus-sized vectors to save two cheap passes. The
+    * steady-state form ([[knnGraphMergeFromEdges]]) reads the edges
+    * ARTIFACT instead of re-deriving the gold leg at all, which is
+    * the right fix at scale. */
   def knnGraphBatchMerge(spark: SparkSession, dir: String): DataFrame = {
     val vs = KMeans.vecs(spark, dir)
     val cut = vs.agg(floor(max(col("vec_id")) * lit(0.8)).cast("long"))
