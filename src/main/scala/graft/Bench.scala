@@ -256,9 +256,16 @@ object Bench {
     // best attempt still carries its flags and the gate still trips.
     var best: Attempt = null
     var done = false
+    // Every attempt's (stable, flags) is recorded in the JSON line —
+    // round-13 ADVICE: the retry policy must leave a trace, so
+    // "flagged in N of M attempts" is attributable post-hoc from the
+    // artifact alone (a borderline regression that flags in 3 of 4
+    // attempts is visible even when the clean attempt is recorded).
+    val attemptLog = scala.collection.mutable.ArrayBuffer.empty[Attempt]
     while (attempt < MaxAttempts && !done) {
       attempt += 1
       val a = runAttempt()
+      attemptLog += a
       val better = best == null ||
         (a.stable && !best.stable) ||
         (a.stable == best.stable && (a.flags < best.flags ||
@@ -348,7 +355,10 @@ object Bench {
     // the driver-contract JSON line always prints; the hard gate is
     // tools/check_bench.py.
     val regJson = best.regs.mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"serving":{"memo":${tierJson(memoTier)},"pinned":${tierJson(pinTier)},"errs":$servingErrs},"sf":"$sfDir","cpus":$cpus,"calib":$calib,"calib_post":$calibPost,"calib_ovh":$calibOvh,"calib_ovh_post":$calibOvhPost,"attempts":$attempt,"load1":$load1,"regressions":$regJson,"note":"$note"}""")
+    val attemptJson = attemptLog.map(a =>
+      s"""{"stable":${a.stable},"flags":${a.flags},""" +
+        f""""total":${a.total}%.3f}""").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"serving":{"memo":${tierJson(memoTier)},"pinned":${tierJson(pinTier)},"errs":$servingErrs},"sf":"$sfDir","cpus":$cpus,"calib":$calib,"calib_post":$calibPost,"calib_ovh":$calibOvh,"calib_ovh_post":$calibOvhPost,"attempts":$attempt,"attempt_log":$attemptJson,"load1":$load1,"regressions":$regJson,"note":"$note"}""")
     spark.stop()
   }
 

@@ -837,13 +837,18 @@ object ScaleUp {
         val cap = math.max(graft.ext.Dedup.SampleCap, subK * 8)
         val mod = graft.ext.Dedup.sampleModulusFor(n, cap)
         val knnCells = s"$cluDir/knn_cells"
-        if (!new java.io.File(knnCells).exists()) {
+        // round-14: the store carries the runner-up cell from build
+        // time; a cached old-schema store rebuilds once
+        val staleSchema = new java.io.File(knnCells).exists() &&
+          !spark.read.parquet(knnCells).columns.contains("cell2")
+        if (!new java.io.File(knnCells).exists() || staleSchema) {
           val t0 = System.nanoTime()
           graft.ext.Dedup.writeSemanticCells(spark, cluDir, knnCells,
             subK, cap, mod)
           println(f"[scaleup] knn_cells_build              $cluDir%-18s " +
             f"${(System.nanoTime - t0) / 1e9}%8.2f s  " +
-            f"(${graft.ext.KMeans.K * subK} effective cells)")
+            f"(${graft.ext.KMeans.K * subK} effective cells" +
+            (if (staleSchema) ", schema refresh: +cell2)" else ")"))
         }
         timed("sim_knn_graph_100x", cluDir, 1)(
           graft.ext.ClusterOps.knnGraphOn(
@@ -886,6 +891,98 @@ object ScaleUp {
         timed("knn_graph_merge_100x", cluDir, 2)(
           graft.ext.ClusterOps.knnGraphMergeFromEdges(spark,
             goldEdgesDir, store, batchFrom))
+        // round-14 #1: the WRITE-side append — recompute the batch's
+        // touched cells and overwrite only their partitions of the
+        // edges store (the merge above still re-emits all edges to
+        // its caller; this is the production fold-in). Idempotent
+        // across reps and runs: same batch, same content.
+        (1 to 2).foreach { _ =>
+          val touched = store.filter(col("vec_id") >= batchFrom)
+            .select(col("cell")).distinct().count()
+          val total = store.select(col("cell")).distinct().count()
+          val ta = System.nanoTime()
+          graft.ext.ClusterOps.appendKnnEdges(spark, goldEdgesDir,
+            store, batchFrom)
+          println(f"[scaleup] knn_edges_append_100x        $cluDir%-18s " +
+            f"${(System.nanoTime - ta) / 1e9}%8.2f s  " +
+            f"(touched $touched%d/$total%d cells)")
+        }
+        // round-14 #2: multi-probe graph at the sub-quantized
+        // artifact — probes (cell, cell2) read straight from the
+        // store, no assignment pass
+        val storeP2 = spark.read.parquet(knnCells)
+          .select(col("vec_id"), col("cell").cast("int").as("cell"),
+            col("cell2").cast("int").as("cell2"), col("v"))
+        timed("sim_knn_graph_p2_100x", cluDir, 1)(
+          graft.ext.ClusterOps.knnGraphP2On(storeP2))
+        // recall ladder at 100×: exact top-K ground truth for a
+        // 100-vector query sample (literal query block — no
+        // cartesian), then single- vs multi-probe graph recall over
+        // the sample. Work: 100 · N cosines for truth, in-cell /
+        // two-cell candidates for the graphs.
+        locally {
+          val k = graft.ext.ClusterOps.KnnK
+          val sample = storeP2.orderBy(col("vec_id")).limit(100)
+            .select(col("vec_id"), col("v")).collect()
+            .map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+          val sampleIds = sample.map(_._1)
+          val qArr = array(sample.map { case (qid, qv) =>
+            struct(lit(qid).as("qid"),
+              array(qv.map(lit): _*).as("qv")) }: _*)
+          def topSets(scored: org.apache.spark.sql.DataFrame) =
+            graft.ops.SkewOps.topKPerGroup(scored, col("qid"),
+                Seq(col("cosine").desc, col("nbr").asc), k, col("nbr"))
+              .select(col("qid"), col("nbr")).collect()
+              .groupBy(_.getLong(0))
+              .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+          val tt = System.nanoTime()
+          val truth = topSets(storeP2
+            .withColumn("q", explode(qArr))
+            .filter(col("q.qid") =!= col("vec_id"))
+            .select(col("q.qid").as("qid"), col("vec_id").as("nbr"),
+              graft.functions.CosineSimilarity(col("v"), col("q.qv"))
+                .as("cosine")))
+          val truthSec = (System.nanoTime - tt) / 1e9
+          def graphSets(df: org.apache.spark.sql.DataFrame) = df
+            .filter(col("vec_id").isin(sampleIds.map(Long.box): _*))
+            .select(col("vec_id"), col("nbr_id")).collect()
+            .groupBy(_.getLong(0))
+            .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+          def recallOf(g: Map[Long, Set[Long]]): Double =
+            sampleIds.map(q => (g.getOrElse(q, Set.empty) &
+              truth.getOrElse(q, Set.empty)).size).sum.toDouble /
+              (sampleIds.size.toDouble * k)
+          val r1 = recallOf(graphSets(
+            graft.ext.ClusterOps.knnGraphOn(storeP2
+              .select(col("vec_id"), col("cell"), col("v")))))
+          val r2 = recallOf(graphSets(
+            graft.ext.ClusterOps.knnGraphP2On(storeP2)))
+          println(f"[scaleup] knn_recall_100x              $cluDir%-18s " +
+            f"truth $truthSec%6.2f s  p1 $r1%.3f  p2 $r2%.3f  " +
+            f"(100 queries, k=$k)")
+        }
+      }
+      // round-14 #3: batch hybrid fusion in the SERVE class — both
+      // legs from artifacts over the aligned 100× corpus (postings
+      // store pruned to query-term buckets, vector store pruned to
+      // probed cells)
+      locally {
+        val cents = graft.ext.KMeans.train(spark, cluDir)
+        val ixStore = s"$cluDir/bm25_ix"
+        if (!new java.io.File(ixStore).exists()) {
+          val t0 = System.nanoTime()
+          graft.ext.Retrieval.writeBm25Index(
+            Tables.documents(spark, cluDir)
+              .select(col("doc_id"),
+                graft.ext.TextOps.tokens(col("text")).as("t"))
+              .filter(size(col("t")) > 0), ixStore)
+          println(f"[scaleup] clu_bm25_index_build         $cluDir%-18s " +
+            f"${(System.nanoTime - t0) / 1e9}%8.2f s")
+        }
+        time("rag_hybrid_rrf_batch", src, 1)
+        timed("rag_hybrid_batch_served", cluDir, 2)(
+          graft.ext.Retrieval.hybridRrfBatchFromStores(spark, cluDir,
+            ixStore, cellStore, cents))
       }
     }
     spark.stop()

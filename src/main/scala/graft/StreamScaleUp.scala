@@ -109,7 +109,8 @@ object StreamScaleUp {
         "dedup_index", "gold_docs", "ckpt_curation", "cur_index",
         "cur_gold", "cur_disp", "ckpt_vec", "vec_gold", "vec_codes",
         "ckpt_sem", "sem_cells", "sem_verdicts",
-        "ckpt_lex", "bm25_ix", "bm25_rebuild"))
+        "ckpt_lex", "bm25_ix", "bm25_rebuild",
+        "ckpt_knn", "knn_cells", "knn_edges", "knn_rebuild"))
       rmrf(new java.io.File(s"$base/$d"))
 
     // ---- per-batch progress listener ----
@@ -477,6 +478,60 @@ object StreamScaleUp {
       println(f"[streamscale] postings compaction: $frag%d part files -> " +
         f"${graft.ext.Dedup.cellsFileCount(s"$base/bm25_ix/postings")}%d, " +
         f"rewrite ${(System.nanoTime() - t3) / 1e9}%.1f s")
+    }
+
+    // ---- 7. streaming kNN-edges sink (graph partitions per batch) ----
+    if (on("knn")) locally {
+      ensureVecStaged()
+      // quantizers FREEZE on the base corpus, cells sized for the
+      // EXPECTED streamed corpus (subKFor — the sem tier's sizing),
+      // so per-batch graph work is touched-cells only at K ∝ N
+      val total = Tables.embeddings(spark, src).count() * copies
+      val subK = graft.ext.Dedup.subKFor(total)
+      val (coarse, subs) = graft.ext.Dedup.trainSemanticQuantizers(
+        graft.ext.KMeans.vecs(spark, src), subK, cap = 2 * subK)
+      def assign(df: DataFrame): DataFrame =
+        graft.ext.Dedup.assignSemanticCells(df, coarse, subs, subK)
+          .select(col("vec_id"), col("cell"), col("v"))
+      val schema = spark.read.parquet(vecDir).schema
+      val t0 = System.nanoTime()
+      val q = EventStreams.knnEdgesSink(
+        spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(vecDir),
+        assign, s"$base/knn_cells", s"$base/knn_edges",
+        s"$base/ckpt_knn")
+      q.stop()
+      val edges = spark.read.parquet(s"$base/knn_edges")
+      println(f"[streamscale] knn sink total " +
+        f"${(System.nanoTime() - t0) / 1e9}%.1f s, " +
+        f"${spark.read.parquet(s"$base/knn_cells").count()}%d vectors, " +
+        f"${edges.count()}%d edges " +
+        f"(${graft.ext.KMeans.K * subK}%d effective cells)")
+      // per-batch trigger rows print above; expected shape: each
+      // batch pays touched-cells recompute only (batch-bound, not
+      // store-bound) — the edges store needs no compaction because
+      // every partition update is a whole-partition one-file rewrite
+      // parity: stream-accumulated edges == one-shot build under the
+      // SAME frozen quantizers
+      val t1 = System.nanoTime()
+      graft.ext.ClusterOps.writeKnnEdges(
+        assign(spark.read.parquet(vecDir).select(col("vec_id"),
+          col("embedding").cast("array<double>").as("v"))),
+        s"$base/knn_rebuild")
+      println(f"[streamscale] knn one-shot rebuild " +
+        f"${(System.nanoTime() - t1) / 1e9}%.1f s")
+      def sig(df: DataFrame): java.math.BigDecimal =
+        df.agg(sum(xxhash64(col("vec_id"), col("rk"), col("nbr_id"),
+          col("cosine").cast("string"), col("cell").cast("int"))
+          .cast("decimal(38,0)"))).head().getDecimal(0)
+      val par = sig(edges) == sig(spark.read.parquet(s"$base/knn_rebuild"))
+      println(s"[streamscale] knn parity vs rebuild: " +
+        (if (par) "EXACT" else "MISMATCH"))
+      // crash-window repair probe: a consistent store is a no-op
+      val repaired = graft.ext.ClusterOps.repairKnnEdges(spark,
+        s"$base/knn_cells", s"$base/knn_edges")
+      println(s"[streamscale] knn repair on consistent store: " +
+        s"$repaired cells recomputed (expect 0)")
     }
 
     val rocksDirs = Option(new java.io.File(

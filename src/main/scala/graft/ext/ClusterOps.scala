@@ -112,8 +112,7 @@ object ClusterOps {
     * verbatim (serve == rebuild, the round-12/13 discipline). */
   def clusterCardServed(spark: SparkSession, dir: String): DataFrame = {
     val cents = KMeans.train(spark, dir)
-    val cellsDir = java.nio.file.Files
-      .createTempDirectory("graft_cluster_card").toString + "/cells"
+    val cellsDir = graft.ops.Scratch.dir("graft_cluster_card") + "/cells"
     KMeans.writeCellVectors(spark, dir, cellsDir, cents)
     clusterCardFrom(spark, cellsDir, dir)
   }
@@ -147,8 +146,7 @@ object ClusterOps {
     * (serve == rebuild). */
   def clusterBalanceServed(spark: SparkSession, dir: String): DataFrame = {
     val cents = KMeans.train(spark, dir)
-    val cellsDir = java.nio.file.Files
-      .createTempDirectory("graft_cluster_bal").toString + "/cells"
+    val cellsDir = graft.ops.Scratch.dir("graft_cluster_bal") + "/cells"
     KMeans.writeCellVectors(spark, dir, cellsDir, cents)
     clusterBalanceFrom(spark, cellsDir, dir)
   }
@@ -280,11 +278,22 @@ object ClusterOps {
   def knnGraphP2(spark: SparkSession, dir: String): DataFrame = {
     val cents = KMeans.train(spark, dir)
     val cs = cents.map(_._2)
-    val assigned = KMeans.vecs(spark, dir)
+    knnGraphP2On(KMeans.vecs(spark, dir)
       .select(col("vec_id"),
         KMeans.assignOn(col("v"), cents).as("cell"),
         graft.functions.NearestCentroid.second(col("v"), cs).as("cell2"),
-        col("v"))
+        col("v")))
+  }
+
+  /** [[knnGraphP2]] over a pre-assigned (vec_id, cell, cell2, v)
+    * frame — the steady-state form: both cell stores now carry the
+    * runner-up cell as a build-time column
+    * ([[KMeans.writeCellVectors]] `cluster2`,
+    * [[Dedup.assignSemanticCells]] `cell2`), so the multi-probe graph
+    * reads its probe list from the artifact and never re-pays an
+    * assignment pass (round-13 verdict #2; the 100× row rides the
+    * sub-quantized store). */
+  def knnGraphP2On(assigned: DataFrame): DataFrame = {
     val probes = assigned.select(col("vec_id"),
       explode(array(col("cell"), col("cell2"))).as("pcell"), col("v"))
     val r = assigned.select(col("vec_id").as("nbr_id"),
@@ -304,11 +313,150 @@ object ClusterOps {
       .orderBy(col("vec_id"), col("rk"))
   }
 
+  /** DRIVER-GATED serve path for the multi-probe graph: build the
+    * coarse cell store (which carries `cluster2`) into a scratch dir,
+    * answer from it via [[knnGraphP2On]] — zero assignment in the
+    * serve plan; oracle = the live `sim_knn_graph_p2` replay verbatim
+    * (serve == rebuild: the store's cell/cell2 ARE the live
+    * assignment under the same centroids). */
+  def knnGraphP2Served(spark: SparkSession, dir: String): DataFrame = {
+    val cents = KMeans.train(spark, dir)
+    val cellsDir = graft.ops.Scratch.dir("graft_knn_p2_srv") + "/cells"
+    KMeans.writeCellVectors(spark, dir, cellsDir, cents)
+    knnGraphP2On(spark.read.parquet(cellsDir)
+      .select(col("vec_id"), col("cluster").cast("int").as("cell"),
+        col("cluster2").as("cell2"), col("v")))
+  }
+
   /** The gold-edges artifact: [[knnEdgesOn]] written cell-partitioned,
     * so the incremental merge can prune untouched cells statically. */
   def writeKnnEdges(cells: DataFrame, out: String): Unit =
     knnEdgesOn(cells).write.mode("overwrite")
       .partitionBy("cell").parquet(out)
+
+  /** PRODUCTION graph append (round-13 verdict #1): fold a batch into
+    * the edges ARTIFACT by recomputing only the touched cells and
+    * overwriting ONLY their `cell=N/` partitions (dynamic partition
+    * overwrite — the per-write option, so no session conf leaks).
+    * This is the write-side completion of [[knnGraphMergeFromEdges]]:
+    * the merge was compute-right but re-emitted every edge to its
+    * caller; here the untouched partitions are never read OR written,
+    * so append cost tracks the touched fraction of the store, not the
+    * store (ScaleUp row `knn_edges_append_100x`). Store-after-append
+    * equals the full rebuild by the cell-confinement argument
+    * ([[knnGraphBatchMerge]]); hash-gated via `sim_knn_graph_append`
+    * and spec-asserted (including that untouched partitions' files
+    * are bit-untouched). Idempotent: re-appending the same batch
+    * recomputes the same cells to the same content.
+    *
+    * `cells` must be the FULL corpus (gold + batch) assigned under
+    * the store's FROZEN quantizer; `batchFrom` marks the batch ids
+    * (monotone ingest, the artifact-append contract shared with
+    * [[Dedup.batchSemanticDups]]). */
+  def appendKnnEdges(spark: SparkSession, edgesDir: String,
+      cells: DataFrame, batchFrom: Long): Unit = {
+    // bounded collect: touched-cell ids, ≤ min(cell count, batch size)
+    val touched = cells.filter(col("vec_id") >= batchFrom)
+      .select(col("cell")).distinct().collect().map(_.getInt(0)).sorted
+    if (touched.isEmpty) return
+    knnEdgesOn(
+        cells.filter(col("cell").isin(touched.map(Integer.valueOf): _*)))
+      .repartition(col("cell")) // one task → one file per cell
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("cell").parquet(edgesDir)
+  }
+
+  /** Close the crash window between a cells-store append and its
+    * edges-store update ([[graft.streaming.EventStreams.knnEdgesSink]]
+    * step order): the edges artifact is DERIVED state — a cell's
+    * correct edge set is a pure function of the (frozen-quantizer)
+    * cells store — so staleness is detectable per cell from two
+    * bounded aggregates: a consistent cell of n ≥ 2 members has
+    * exactly n·min(K, n−1) edge rows owned by exactly its n members.
+    * Any cell failing either check (a torn dynamic-overwrite commit,
+    * a missing update, a half-written partition) is recomputed from
+    * the cells store and its partition overwritten. Returns the
+    * number of repaired cells. */
+  def repairKnnEdges(spark: SparkSession, cellsDir: String,
+      edgesDir: String): Int = {
+    val cells = spark.read.parquet(cellsDir)
+      .select(col("vec_id"), col("cell").cast("int").as("cell"), col("v"))
+    val expect = cells.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2)
+      .select(col("cell"),
+        (col("n") * least(lit(KnnK.toLong), col("n") - 1)).as("want_rows"),
+        col("n").as("want_owners"))
+    val got =
+      if (graft.ops.StoreFiles.parquetFileCount(edgesDir) > 0)
+        spark.read.parquet(edgesDir)
+          .groupBy(col("cell").cast("int").as("cell"))
+          .agg(count(lit(1)).as("got_rows"),
+            countDistinct(col("vec_id")).as("got_owners"))
+      else expect.select(col("cell"), lit(0L).as("got_rows"),
+        lit(0L).as("got_owners")).limit(0)
+    val stale = expect.join(got, Seq("cell"), "left")
+      .filter(col("got_rows").isNull ||
+        col("got_rows") =!= col("want_rows") ||
+        col("got_owners") =!= col("want_owners"))
+      .select(col("cell")).collect().map(_.getInt(0)).sorted
+    if (stale.nonEmpty)
+      knnEdgesOn(
+          cells.filter(col("cell").isin(stale.map(Integer.valueOf): _*)))
+        .repartition(col("cell"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("cell").parquet(edgesDir)
+    stale.length
+  }
+
+  /** Shared scaffold of the DRIVER-GATED store-fed entries: the
+    * [[knnGraphBatchMerge]] gold/batch split with the gold-trained
+    * FROZEN quantizer, a gold edges artifact in a scratch dir, and
+    * the full assignment frame. Returns (edgesDir, assignedAll,
+    * batchFrom). */
+  private def frozenGoldEdges(spark: SparkSession, dir: String,
+      prefix: String): (String, DataFrame, Long) = {
+    val vs = KMeans.vecs(spark, dir)
+    val cut = vs.agg(floor(max(col("vec_id")) * lit(0.8)).cast("long"))
+      .head().getLong(0)
+    val cents = KMeans.trainFrame(
+      vs.filter(col("vec_id") <= cut).select(col("vec_id"), col("v")),
+      KMeans.K)
+    def assigned(f: DataFrame): DataFrame =
+      f.select(col("vec_id"),
+        KMeans.assignOn(col("v"), cents).as("cell"), col("v"))
+    val edgesDir = graft.ops.Scratch.dir(prefix) + "/edges"
+    writeKnnEdges(assigned(vs.filter(col("vec_id") <= cut)), edgesDir)
+    (edgesDir, assigned(vs), cut + 1)
+  }
+
+  /** DRIVER-GATED serve path for the store-fed merge (round-13
+    * verdict #4): gold edges artifact in a scratch dir, batch merged
+    * via [[knnGraphMergeFromEdges]] — oracle = the same
+    * frozen-quantizer full rebuild `sim_knn_graph_merge` replays
+    * (merge == rebuild through the ARTIFACT read path). */
+  def knnGraphMergeServed(spark: SparkSession, dir: String): DataFrame = {
+    val (edgesDir, all, batchFrom) =
+      frozenGoldEdges(spark, dir, "graft_knn_mergesrv")
+    knnGraphMergeFromEdges(spark, edgesDir, all, batchFrom)
+  }
+
+  /** DRIVER-GATED append path (round-13 verdict #1's gate): gold
+    * edges artifact, batch folded in by [[appendKnnEdges]] (touched
+    * partitions overwritten in place), the STORE read back — the gate
+    * proves store-after-append == full rebuild, not merely that the
+    * merge's in-flight answer was right. */
+  def knnGraphAppendStore(spark: SparkSession, dir: String): DataFrame = {
+    val (edgesDir, all, batchFrom) =
+      frozenGoldEdges(spark, dir, "graft_knn_append")
+    appendKnnEdges(spark, edgesDir, all, batchFrom)
+    spark.read.parquet(edgesDir)
+      .select(col("vec_id"), col("rk").cast("int").as("rk"),
+        col("nbr_id"), col("cosine"))
+      .orderBy(col("vec_id"), col("rk"))
+  }
 
   /** Steady-state incremental merge from the edges artifact: vectors
     * with vec_id ≥ `batchFrom` are the batch; their cells' graphs are
@@ -373,6 +521,48 @@ object ClusterOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Incremental communities after a graph batch merge (round-13
+    * stretch #7): components are CONFINED within coarse cells —
+    * every edge's endpoints share a cell ([[knnEdgesOn]]), so a
+    * component can never span two cells — which makes community
+    * maintenance cell-local: the batch's touched cells rerun the
+    * bounded-round CC over their merged edges, every untouched
+    * cell's labels carry forward verbatim (here re-derived from the
+    * gold edge set, standing in for the labels artifact a deployment
+    * would read), singletons label themselves. Cell-confinement makes
+    * the union of the two labelings EQUAL the full-graph CC — proven
+    * by the hash gate against the full frozen-quantizer rebuild
+    * (`sim_knn_communities_merge`). At scale the carried side is an
+    * artifact read and the recomputed side is touched-cells work
+    * only, mirroring [[appendKnnEdges]]'s shape one level up. */
+  def knnCommunitiesMerge(spark: SparkSession, dir: String): DataFrame = {
+    val vs = KMeans.vecs(spark, dir)
+    val cut = vs.agg(floor(max(col("vec_id")) * lit(0.8)).cast("long"))
+      .head().getLong(0)
+    val cents = KMeans.trainFrame(
+      vs.filter(col("vec_id") <= cut).select(col("vec_id"), col("v")),
+      KMeans.K)
+    def assigned(f: DataFrame): DataFrame =
+      f.select(col("vec_id"),
+        KMeans.assignOn(col("v"), cents).as("cell"), col("v"))
+    val all = assigned(vs)
+    val touched = all.filter(col("vec_id") > cut)
+      .select(col("cell")).distinct()
+    val goldEdges = knnEdgesOn(assigned(vs.filter(col("vec_id") <= cut)))
+    val untouchedEdges = goldEdges
+      .join(broadcast(touched), Seq("cell"), "left_anti")
+    val touchedEdges = knnEdgesOn(all.join(broadcast(touched), Seq("cell")))
+    def ccLabels(e: DataFrame): DataFrame =
+      Dedup.connectedComponents(
+        e.select(col("vec_id").as("doc_a"), col("nbr_id").as("doc_b")))._1
+    val labels = ccLabels(untouchedEdges).unionByName(ccLabels(touchedEdges))
+    vs.select(col("vec_id"))
+      .join(labels, vs("vec_id") === labels("doc_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("cluster_id"), col("vec_id")).as("community_id"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Community size histogram — the dup-cluster-size distribution a
     * dedup report shows (how much of the corpus sits in large
     * semantic communities). Output is bounded by the number of
@@ -401,6 +591,23 @@ object ClusterOps {
     * components, keep-best, and histogram oracles. */
   private lazy val communitiesCtes =
     s"""RECURSIVE ${KMeans.trainCtes}, p AS MATERIALIZED ($knnPairsSql), e AS ($knnRankedSql), sym AS (SELECT vec_id AS a, nbr_id AS b FROM e UNION ALL SELECT nbr_id, vec_id FROM e), reach(a, b) AS (SELECT a, b FROM sym UNION SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a), cl AS (SELECT q.vec_id, least(q.vec_id, COALESCE(MIN(r.b), q.vec_id)) AS community_id FROM q LEFT JOIN reach r ON r.a = q.vec_id GROUP BY q.vec_id)"""
+
+  /** Shared CTE prefix of the frozen-quantizer rebuild replays: gold
+    * slice, gold-trained chain, assign-everyone, in-cell pairs. */
+  private lazy val mergeCtes =
+    s"""q AS (${KMeans.qSql}), qg AS MATERIALIZED (SELECT * FROM q WHERE vec_id <= (SELECT CAST(floor(max(vec_id) * 0.8) AS BIGINT) FROM q)), ${KMeans.trainChain("qg", "g", 64, KMeans.K)}, aall AS (SELECT vec_id, cid FROM (SELECT t.vec_id, c.cid, row_number() OVER (PARTITION BY t.vec_id ORDER BY ${KMeans.distSqlN("t.v", "c.cv", 64)}, c.cid) AS rn FROM q t CROSS JOIN c2g c) WHERE rn = 1), p AS MATERIALIZED (SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id, ${Similarity.cosineSql("qa.v", "qb.v")} AS cosine FROM aall a JOIN aall b ON a.cid = b.cid AND a.vec_id <> b.vec_id JOIN q qa ON qa.vec_id = a.vec_id JOIN q qb ON qb.vec_id = b.vec_id)"""
+
+  /** The frozen-quantizer full-rebuild replay — the shared oracle of
+    * the live batch merge, the store-fed merge, and the partition
+    * append (all three Spark forms must equal this rebuild). */
+  private lazy val mergeSql =
+    s"""WITH $mergeCtes $knnRankedSql ORDER BY vec_id, rk"""
+
+  /** Full-rebuild COMMUNITIES under the frozen gold quantizer — the
+    * oracle of the incremental communities merge (same reachability
+    * closure as [[communitiesCtes]], fed by the merge chain). */
+  private lazy val mergeCommunitiesSql =
+    s"""WITH RECURSIVE $mergeCtes, e AS ($knnRankedSql), sym AS (SELECT vec_id AS a, nbr_id AS b FROM e UNION ALL SELECT nbr_id, vec_id FROM e), reach(a, b) AS (SELECT a, b FROM sym UNION SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a), cl AS (SELECT q.vec_id, least(q.vec_id, COALESCE(MIN(r.b), q.vec_id)) AS community_id FROM q LEFT JOIN reach r ON r.a = q.vec_id GROUP BY q.vec_id) SELECT vec_id, community_id FROM cl ORDER BY vec_id"""
 
   private val jdSql =
     s"""SELECT d.doc_id, CAST(af.cid AS INTEGER) AS cluster, q.label, d.source, CAST(len(${TextOps.toksSql}) AS BIGINT) AS n_tokens FROM af JOIN q USING (vec_id) JOIN documents d ON d.doc_id = af.vec_id"""
@@ -439,18 +646,33 @@ object ClusterOps {
     // gold-trained frozen quantizer (train on qg, assign everyone,
     // rank), Spark merges untouched gold edges with recomputed
     // touched cells — the hash gate proves them identical
-    "sim_knn_graph_merge" ->
-      s"""WITH q AS (${KMeans.qSql}), qg AS MATERIALIZED (SELECT * FROM q WHERE vec_id <= (SELECT CAST(floor(max(vec_id) * 0.8) AS BIGINT) FROM q)), ${KMeans.trainChain("qg", "g", 64, KMeans.K)}, aall AS (SELECT vec_id, cid FROM (SELECT t.vec_id, c.cid, row_number() OVER (PARTITION BY t.vec_id ORDER BY ${KMeans.distSqlN("t.v", "c.cv", 64)}, c.cid) AS rn FROM q t CROSS JOIN c2g c) WHERE rn = 1), p AS (SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id, ${Similarity.cosineSql("qa.v", "qb.v")} AS cosine FROM aall a JOIN aall b ON a.cid = b.cid AND a.vec_id <> b.vec_id JOIN q qa ON qa.vec_id = a.vec_id JOIN q qb ON qb.vec_id = b.vec_id) $knnRankedSql ORDER BY vec_id, rk""",
+    "sim_knn_graph_merge" -> mergeSql,
     // serve == rebuild: the store's assignment is the live assignment
     // under the same centroids, so the served sample's oracle IS the
     // live sample's replay verbatim
     "sample_cluster_balance_served" -> balanceSql,
+    // the store-fed merge and the in-place partition append both
+    // answer EXACTLY like the frozen-quantizer full rebuild — their
+    // oracles ARE the merge replay verbatim (merge == rebuild,
+    // through the artifact read path / the overwritten store)
+    "sim_knn_graph_merge_served" -> mergeSql,
+    "sim_knn_graph_append" -> mergeSql,
+    // incremental communities: touched cells rerun CC, untouched
+    // carry — equal to the full rebuild by cell-confinement; the
+    // oracle IS the full frozen-quantizer communities rebuild
+    "sim_knn_communities_merge" -> mergeCommunitiesSql,
     // multi-probe: af2 ranks every vector's two nearest final
     // centroids (the per-row nprobe=2), candidates join neighbors'
     // PRIMARY cell — same cosine, same tie-break, same top-k
-    "sim_knn_graph_p2" ->
-      s"""WITH ${KMeans.trainCtes}, af2 AS (SELECT vec_id, cid FROM (SELECT t.vec_id, c.cid, row_number() OVER (PARTITION BY t.vec_id ORDER BY ${KMeans.distSqlN("t.v", "c.cv", 64)}, c.cid) AS rn FROM q t CROSS JOIN c2 c) WHERE rn <= 2), p AS (SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id, ${Similarity.cosineSql("qa.v", "qb.v")} AS cosine FROM af2 a JOIN af b ON a.cid = b.cid AND a.vec_id <> b.vec_id JOIN q qa ON qa.vec_id = a.vec_id JOIN q qb ON qb.vec_id = b.vec_id) $knnRankedSql ORDER BY vec_id, rk"""
+    "sim_knn_graph_p2" -> p2Sql,
+    // serve == rebuild: the store's (cell, cell2) are the live
+    // assignment + runner-up under the same centroids, so the served
+    // graph's oracle IS the live p2 replay verbatim
+    "sim_knn_graph_p2_served" -> p2Sql
   )
+
+  private lazy val p2Sql =
+    s"""WITH ${KMeans.trainCtes}, af2 AS (SELECT vec_id, cid FROM (SELECT t.vec_id, c.cid, row_number() OVER (PARTITION BY t.vec_id ORDER BY ${KMeans.distSqlN("t.v", "c.cv", 64)}, c.cid) AS rn FROM q t CROSS JOIN c2 c) WHERE rn <= 2), p AS (SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id, ${Similarity.cosineSql("qa.v", "qb.v")} AS cosine FROM af2 a JOIN af b ON a.cid = b.cid AND a.vec_id <> b.vec_id JOIN q qa ON qa.vec_id = a.vec_id JOIN q qb ON qb.vec_id = b.vec_id) $knnRankedSql ORDER BY vec_id, rk"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "curation_cluster_card" -> clusterCard _,
@@ -462,6 +684,10 @@ object ClusterOps {
     "sim_knn_graph_p2" -> knnGraphP2 _,
     "sim_knn_keep_best" -> knnKeepBest _,
     "sim_knn_community_hist" -> knnCommunityHistogram _,
-    "sim_knn_graph_merge" -> knnGraphBatchMerge _
+    "sim_knn_graph_merge" -> knnGraphBatchMerge _,
+    "sim_knn_graph_merge_served" -> knnGraphMergeServed _,
+    "sim_knn_graph_append" -> knnGraphAppendStore _,
+    "sim_knn_graph_p2_served" -> knnGraphP2Served _,
+    "sim_knn_communities_merge" -> knnCommunitiesMerge _
   )
 }

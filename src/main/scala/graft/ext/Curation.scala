@@ -379,9 +379,8 @@ object Curation {
   def curateBatch(spark: SparkSession, fresh: DataFrame,
       words: Array[Long], indexDir: String): DataFrame = {
     val flt = TextOps.corpusFilterOn(fresh).select(col("doc_id"), col("reason"))
-    val hasIndex = Option(
-      new java.io.File(s"$indexDir/fingerprints").listFiles())
-      .exists(_.exists(_.getName.endsWith(".parquet")))
+    val hasIndex = graft.ops.StoreFiles
+      .hasTopLevelParquet(s"$indexDir/fingerprints")
     val verdicts =
       if (hasIndex)
         Dedup.incrementalAgainstIndex(spark, fresh, indexDir)
@@ -860,8 +859,7 @@ object Curation {
     * [[dataCardFrom]]. Gated against the same component-oracle
     * aggregation as the live [[dataCard]] (serve == rebuild). */
   def dataCardServed(spark: SparkSession, dir: String): DataFrame = {
-    val artDir = java.nio.file.Files
-      .createTempDirectory("graft_card_served").toString
+    val artDir = graft.ops.Scratch.dir("graft_card_served")
     Sampling.writeSplitLabels(spark, dir, artDir)
     Selection.tokenCountsOn(graft.Tables.documents(spark, dir))
       .write.mode("overwrite")
@@ -936,8 +934,7 @@ object Curation {
     * artifacts into a scratch dir, answer from them) — the
     * [[dataCardServed]] idiom. */
   def dataCardBySourceServed(spark: SparkSession, dir: String): DataFrame = {
-    val artDir = java.nio.file.Files
-      .createTempDirectory("graft_srccard_served").toString
+    val artDir = graft.ops.Scratch.dir("graft_srccard_served")
     Sampling.writeSplitLabels(spark, dir, artDir)
     Selection.tokenCountsOn(graft.Tables.documents(spark, dir))
       .write.mode("overwrite")

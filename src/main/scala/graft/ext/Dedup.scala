@@ -371,20 +371,35 @@ object Dedup {
   }
 
   /** The assignment half of [[semanticCellsOn]]: map-only (vec_id, v,
-    * cell) under FROZEN quantizers — one coarse argmin + a CASE over
-    * the K sub-codebooks per row, shared verbatim by the full build
-    * and the batch append. */
+    * cell, cell2) under FROZEN quantizers — one coarse argmin + a
+    * CASE over the K sub-codebooks per row, shared verbatim by the
+    * full build and the batch append. `cell2` is the RUNNER-UP fine
+    * cell (round-13 verdict #2): the second-nearest SUB-centroid
+    * within the vector's coarse cell, via the
+    * [[graft.functions.NearestCentroid]] rank-1 order statistic —
+    * at K ∝ N sub-quantization most cell boundaries are
+    * sub-boundaries inside a coarse cell, so the in-coarse runner-up
+    * is the probe that recovers them; `cell2 != cell` always (strict
+    * rank order, subK ≥ 2 enforced by [[subKFor]]), which is what
+    * keeps multi-probe candidate pairs unique. Single-probe readers
+    * select their columns by name and never see it. */
   private[graft] def assignSemanticCells(vecs: DataFrame,
       coarse: Seq[(Int, Seq[Double])],
       subs: Seq[Seq[(Int, Seq[Double])]], subK: Int): DataFrame = {
-    val fine = (0 until KMeans.K).foldLeft(lit(-1)) { (acc, c) =>
-      when(col("cluster") === c, KMeans.assignOn(col("v"), subs(c)))
-        .otherwise(acc)
-    }
+    require(subK >= 2, s"subK must be >= 2 for the runner-up cell, got $subK")
+    def fineAt(rank: Int) =
+      (0 until KMeans.K).foldLeft(lit(-1)) { (acc, c) =>
+        when(col("cluster") === c,
+          if (rank == 0) KMeans.assignOn(col("v"), subs(c))
+          else graft.functions.NearestCentroid
+            .second(col("v"), subs(c).map(_._2)))
+          .otherwise(acc)
+      }
     vecs.select(col("vec_id"), col("v"),
         KMeans.assignOn(col("v"), coarse).as("cluster"))
       .select(col("vec_id"), col("v"),
-        (col("cluster") * subK + fine).as("cell"))
+        (col("cluster") * subK + fineAt(0)).as("cell"),
+        (col("cluster") * subK + fineAt(1)).as("cell2"))
   }
 
   /** The pairwise prune over a materialized (vec_id, cell, v) frame:
@@ -451,8 +466,7 @@ object Dedup {
     * rebuilds from scratch, Spark serves from the artifact, the hash
     * gate proves them identical). */
   def semanticDedupServed(spark: SparkSession, dir: String): DataFrame = {
-    val cellsDir = java.nio.file.Files
-      .createTempDirectory("graft_sem_served").toString + "/cells"
+    val cellsDir = graft.ops.Scratch.dir("graft_sem_served") + "/cells"
     writeSemanticCells(spark, dir, cellsDir)
     semanticDedupFromCells(spark, cellsDir)
   }
@@ -515,14 +529,8 @@ object Dedup {
     * the fragmentation measure [[maybeCompactSemanticCells]] watches
     * (each streamed append writes one file per touched cell per
     * micro-batch). */
-  def cellsFileCount(cellsDir: String): Int = {
-    def walk(f: java.io.File): Int =
-      if (f.isDirectory)
-        Option(f.listFiles()).getOrElse(Array.empty).map(walk).sum
-      else if (f.getName.endsWith(".parquet")) 1
-      else 0
-    walk(new java.io.File(cellsDir))
-  }
+  def cellsFileCount(cellsDir: String): Int =
+    graft.ops.StoreFiles.parquetFileCount(cellsDir)
 
   /** Compaction policy for the append-mode semantic-cells store:
     * rewrite toward one file per cell once fragmentation exceeds
@@ -543,12 +551,13 @@ object Dedup {
       threshold: Int = CompactFileThreshold): Boolean = {
     // cell count from the partition layout — a directory listing,
     // no data read
-    val cellDirs = Option(new java.io.File(cellsDir).listFiles())
-      .getOrElse(Array.empty)
-      .count(f => f.isDirectory && f.getName.startsWith("cell="))
+    val cellDirs =
+      graft.ops.StoreFiles.partitionDirCount(cellsDir, "cell=")
     if (cellsFileCount(cellsDir) > math.max(threshold, 2 * cellDirs)) {
+      // schema-preserving (keeps cell2 and any future data column):
+      // compaction must not silently drop what the build wrote
       val compacted = spark.read.parquet(cellsDir)
-        .select(col("vec_id"), col("v"), col("cell").cast("int").as("cell"))
+        .withColumn("cell", col("cell").cast("int"))
         .repartition(col("cell"))
         .localCheckpoint()
       compacted.write.mode("overwrite").partitionBy("cell")
@@ -1136,8 +1145,7 @@ object Dedup {
     * answer from it via [[keepBestQualityFrom]] — gated against the
     * same live-CC replay as [[keepBestQuality]]. */
   def keepBestQualityServed(spark: SparkSession, dir: String): DataFrame = {
-    val labelsDir = java.nio.file.Files
-      .createTempDirectory("graft_kb_served").toString
+    val labelsDir = graft.ops.Scratch.dir("graft_kb_served")
     Sampling.writeSplitLabels(spark, dir, labelsDir)
     keepBestQualityFrom(spark, dir, labelsDir)
   }
@@ -1343,14 +1351,8 @@ object Dedup {
   /** Total parquet part files across the three index components —
     * the fragmentation measure the compaction policy watches. */
   def indexFileCount(path: String): Int =
-    Seq("fingerprints", "bands", "shingles").map { c =>
-      def walk(f: java.io.File): Int =
-        if (f.isDirectory)
-          Option(f.listFiles()).getOrElse(Array.empty).map(walk).sum
-        else if (f.getName.endsWith(".parquet")) 1
-        else 0
-      walk(new java.io.File(s"$path/$c"))
-    }.sum
+    Seq("fingerprints", "bands", "shingles")
+      .map(c => graft.ops.StoreFiles.parquetFileCount(s"$path/$c")).sum
 
   /** Compaction policy for the append-mode index store: when
     * [[appendGoldIndex]] has fragmented the store past `threshold`

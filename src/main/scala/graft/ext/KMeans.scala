@@ -259,12 +259,12 @@ object KMeans {
     * corpus) and what the 100× tier times. */
   def ivfBatchTopKWith(spark: SparkSession, dir: String,
       cents: Seq[(Int, Seq[Double])],
-      nq: Int = BatchQueries): DataFrame = {
+      nq: Int = BatchQueries, k: Int = 5): DataFrame = {
     val e = vecs(spark, dir)
     ivfBatchScore(
       e.select(col("vec_id"), col("label"), col("v"),
         assignCol(cents).as("cluster")),
-      cents, batchQueryRows(spark, dir, nq))
+      cents, batchQueryRows(spark, dir, nq), k)
   }
 
   /** The query block: the `nq` min-vec_id vectors, collected (nq × 64
@@ -287,7 +287,7 @@ object KMeans {
     * the scan reads probed-cells bytes only. */
   private def ivfBatchScore(cells: DataFrame,
       cents: Seq[(Int, Seq[Double])],
-      qrows: Seq[(Long, Seq[Double])]): DataFrame = {
+      qrows: Seq[(Long, Seq[Double])], k: Int = 5): DataFrame = {
     def cellOf(qv: Seq[Double]): Int = cents.map { case (cid, cv) =>
       (qv.zip(cv).foldLeft(0.0) { case (acc, (x, c)) =>
         acc + (x - c) * (x - c) }, cid)
@@ -316,7 +316,7 @@ object KMeans {
         graft.functions.CosineSimilarity(col("v"), col("q.qv"))
           .as("cosine"))
     graft.ops.SkewOps.topKPerGroup(scored, col("query_id"),
-      Seq(col("cosine").desc, col("vec_id")), 5, col("vec_id"))
+      Seq(col("cosine").desc, col("vec_id")), k, col("vec_id"))
       .select(col("query_id"), col("vec_id"), col("label"), col("cosine"),
         col("rk"))
       .orderBy(col("query_id"), col("rk"))
@@ -325,12 +325,23 @@ object KMeans {
   /** Write the corpus as the cell-partitioned VECTOR store — assign
     * once, `partitionBy(cluster)`: the uncompressed-IVF analog of the
     * residual codes store the streaming ingest maintains. Build-once;
-    * every later batch answer reads only its probed partitions. */
+    * every later batch answer reads only its probed partitions.
+    *
+    * Carries `cluster2`, the per-row RUNNER-UP cell (round-13 verdict
+    * #2 — the [[graft.functions.NearestCentroid]] rank-1 order
+    * statistic under the SAME (distance, cid) order), as a plain data
+    * column: the multi-probe graph ([[ClusterOps.knnGraphP2On]])
+    * reads its probe list straight from the store instead of
+    * re-paying a corpus assignment pass. Best + runner-up come from
+    * one build-time pass; single-probe readers select their columns
+    * by name and are unaffected. */
   def writeCellVectors(spark: SparkSession, dir: String, out: String,
       cents: Seq[(Int, Seq[Double])]): Unit =
     vecs(spark, dir)
       .select(col("vec_id"), col("label"), col("v"),
-        assignCol(cents).as("cluster"))
+        assignCol(cents).as("cluster"),
+        graft.functions.NearestCentroid
+          .second(col("v"), cents.map(_._2)).as("cluster2"))
       .write.mode("overwrite").partitionBy("cluster").parquet(out)
 
   /** Steady-state batched IVF over the cell-partitioned store
@@ -340,12 +351,12 @@ object KMeans {
     * corpus-wide assignment leg, scan cost = probed cells only. */
   def ivfBatchTopKFromCells(spark: SparkSession, cellsDir: String,
       cents: Seq[(Int, Seq[Double])],
-      qrows: Seq[(Long, Seq[Double])]): DataFrame =
+      qrows: Seq[(Long, Seq[Double])], k: Int = 5): DataFrame =
     ivfBatchScore(
       spark.read.parquet(cellsDir)
         .select(col("vec_id"), col("label"), col("v"),
           col("cluster").cast("int").as("cluster")),
-      cents, qrows)
+      cents, qrows, k)
 
   /** DRIVER-GATED serve path for batched IVF (round-12 verdict task
     * #3's fourth entry): build the cell-partitioned vector store into
@@ -356,8 +367,7 @@ object KMeans {
     * (serve == rebuild). */
   def ivfBatchTopKServed(spark: SparkSession, dir: String): DataFrame = {
     val cents = train(spark, dir)
-    val cellsDir = java.nio.file.Files
-      .createTempDirectory("graft_ivf_served").toString + "/cells"
+    val cellsDir = graft.ops.Scratch.dir("graft_ivf_served") + "/cells"
     writeCellVectors(spark, dir, cellsDir, cents)
     ivfBatchTopKFromCells(spark, cellsDir, cents,
       batchQueryRows(spark, dir))

@@ -48,7 +48,17 @@ object Pii {
   val PhonePat = "\\b\\d{3}-\\d{4}\\b"
   val Ipv4Pat = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
 
-  /** Per-type match counts over any string column (pre-redaction). */
+  /** Per-type match counts over any string column — INDEPENDENT
+    * raw-text match counts, NOT redacted-token counts (round-13
+    * ADVICE): each pattern counts against the ORIGINAL text, while
+    * [[redactPii]] replaces sequentially, so a span consumed by an
+    * earlier replacement (e.g. the IP-shaped domain tail of
+    * `a@1.2.3.4` vanishing into `<EMAIL>`) still counts for its own
+    * type here. This is the audit-friendly semantics — "how many
+    * matches of each pattern did the raw text contain" — and the
+    * gated fixture replays it verbatim in both engines; consumers
+    * needing redacted-token counts should count tokens in the
+    * redacted output instead. */
   def piiCounts(text: Column): (Column, Column, Column) =
     (regexp_count(text, lit(EmailPat)),
       regexp_count(text, lit(PhonePat)),

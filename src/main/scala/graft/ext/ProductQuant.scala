@@ -248,14 +248,8 @@ object ProductQuant {
           .as(s"code$m")): _*)
 
   /** Part-file count of a cell-partitioned codes store. */
-  def codesFileCount(codesDir: String): Int = {
-    def walk(f: java.io.File): Int =
-      if (f.isDirectory)
-        Option(f.listFiles()).getOrElse(Array.empty).map(walk).sum
-      else if (f.getName.endsWith(".parquet")) 1
-      else 0
-    walk(new java.io.File(codesDir))
-  }
+  def codesFileCount(codesDir: String): Int =
+    graft.ops.StoreFiles.parquetFileCount(codesDir)
 
   /** Codes-store compaction — same policy as
     * [[graft.ext.Dedup.maybeCompactIndex]]: past `threshold` part

@@ -216,7 +216,7 @@ object Retrieval {
     * scan prunes to its terms' buckets. */
   val TermBuckets = 64
 
-  private def postingsOf(td: DataFrame): DataFrame =
+  private[graft] def postingsOf(td: DataFrame): DataFrame =
     td.select(col("doc_id"), size(col("t")).as("dl"),
         explode(col("t")).as("term"))
       .groupBy(col("doc_id"), col("dl"), col("term"))
@@ -226,15 +226,19 @@ object Retrieval {
   /** Build the lexical index: `postings/` = (doc_id, dl, term, tf)
     * partitioned by term-hash bucket (a serve prunes to the query
     * terms' buckets — the inverted-index read), `meta/` = the EXACT
-    * integer corpus stats (n_docs, sum_dl). avgdl is divided out at
-    * SERVE time from the integers, so an append merges stats by
-    * summation and stays bit-identical to a rebuild. */
+    * integer corpus stats (n_docs, sum_dl), `committed/` = the
+    * doc_ids whose postings fully landed (the replay-guard key —
+    * written LAST, see the commit protocol below). avgdl is divided
+    * out at SERVE time from the integers, so an append merges stats
+    * by summation and stays bit-identical to a rebuild. */
   def writeBm25Index(td: DataFrame, out: String): Unit = {
     td.agg(count(lit(1)).as("n_docs"),
         sum(size(col("t")).cast("long")).as("sum_dl"))
       .coalesce(1).write.mode("overwrite").parquet(s"$out/meta")
     postingsOf(td).write.mode("overwrite").partitionBy("tbucket")
       .parquet(s"$out/postings")
+    td.select(col("doc_id"))
+      .write.mode("overwrite").parquet(committedDir(out))
   }
 
   /** Append a document batch to the index: new postings rows land in
@@ -242,10 +246,11 @@ object Retrieval {
     * rows are per-(doc, term) and doc-local (dl, tf depend only on
     * the doc), and idf/avgdl re-derive from the merged store at serve
     * time, so append(store, batch) answers EXACTLY like a rebuild on
-    * the union — gated by `rag_bm25_index_append`. Meta is rewritten
-    * AFTER the postings append lands (a crash between the two leaves
-    * stats stale by one batch, never wrong-shaped; the streaming
-    * sinks' batch_id marker pattern applies if this rides a stream). */
+    * the union — gated by `rag_bm25_index_append`. Write order is the
+    * recoverability order: postings, then meta, then the committed
+    * marker LAST — a crash anywhere in between leaves the batch's
+    * docs uncommitted, and [[recoverBm25Store]] removes their partial
+    * rows so a replay re-appends them from scratch. */
   def appendBm25Index(spark: SparkSession, batchTd: DataFrame,
       store: String): Unit = {
     val old = spark.read.parquet(s"$store/meta").head()
@@ -257,6 +262,8 @@ object Retrieval {
       .select(lit(old.getLong(0) + add.getLong(0)).as("n_docs"),
         lit(old.getLong(1) + add.getLong(1)).as("sum_dl"))
       .coalesce(1).write.mode("overwrite").parquet(s"$store/meta")
+    batchTd.select(col("doc_id"))
+      .write.mode("append").parquet(committedDir(store))
   }
 
   /** Compaction policy for the append-mode postings store — the
@@ -271,19 +278,92 @@ object Retrieval {
   def maybeCompactPostings(spark: SparkSession, store: String,
       threshold: Int = 256): Boolean = {
     val dir = s"$store/postings"
-    val buckets = Option(new java.io.File(dir).listFiles())
-      .getOrElse(Array.empty)
-      .count(f => f.isDirectory && f.getName.startsWith("tbucket="))
+    val buckets =
+      graft.ops.StoreFiles.partitionDirCount(dir, "tbucket=")
     if (Dedup.cellsFileCount(dir) > math.max(threshold, 2 * buckets)) {
       val compacted = spark.read.parquet(dir)
         .select(col("doc_id"), col("dl"), col("term"), col("tf"),
           col("tbucket").cast("int").as("tbucket"))
         .repartition(col("tbucket"))
         .localCheckpoint()
-      compacted.write.mode("overwrite").partitionBy("tbucket")
-        .parquet(dir)
+      // rename-aside swap, not in-place overwrite: unlike the cells /
+      // codes stores (derived from a gold corpus), the postings store
+      // IS the source of truth for the lexical index — a crash inside
+      // an in-place overwrite would lose committed docs unrecoverably
+      graft.ops.ArtifactSwap.writeAndSwap(dir) { next =>
+        compacted.write.partitionBy("tbucket").parquet(next)
+      }
       true
     } else false
+  }
+
+  // ---------------------------------------------------------------
+  // Streaming-append commit protocol (round-13 ADVICE, medium): a
+  // doc's postings span multiple tbucket partition files, and
+  // FileOutputCommitter moves task files non-atomically at job
+  // commit — so "part files present" is NOT "doc fully present". A
+  // replay guard keyed on raw postings doc_ids would treat a
+  // torn-append doc as seen and never complete it. The sink therefore
+  // keys its guard on a separate COMMITTED log written strictly AFTER
+  // the postings (and meta) land, and every sink invocation first
+  // runs [[recoverBm25Store]], which deletes any posted-but-
+  // uncommitted doc's rows (torn or whole — both re-process cleanly)
+  // and re-derives meta when the removal invalidated it.
+  // ---------------------------------------------------------------
+
+  /** The committed-docs log of an append-mode index store. */
+  def committedDir(store: String): String = s"$store/committed"
+
+  /** Committed doc_ids (empty frame when the log does not exist). */
+  private def committedDocs(spark: SparkSession,
+      store: String): DataFrame =
+    if (graft.ops.StoreFiles.hasTopLevelParquet(committedDir(store)))
+      spark.read.parquet(committedDir(store)).select("doc_id").distinct()
+    else {
+      import org.apache.spark.sql.types._
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("doc_id", LongType))))
+    }
+
+  /** Close any crash window left by a torn sink batch: postings rows
+    * whose doc_id never reached the committed log are leftovers of an
+    * append that crashed mid-commit (possibly HALF a doc's term rows)
+    * — remove them so the replay guard re-processes those docs from
+    * scratch, and re-derive meta when rows were removed (the crash
+    * may have landed either side of the meta rewrite). The rewrite
+    * itself goes through [[graft.ops.ArtifactSwap.writeAndSwap]]
+    * (rename-aside), so recovery cannot introduce the very tear it
+    * repairs. Cost: one column-pruned doc_id scan per call — the same
+    * class as the old postings-keyed guard scan this protocol
+    * replaces. Returns whether a repair ran. */
+  def recoverBm25Store(spark: SparkSession, store: String): Boolean = {
+    val dir = s"$store/postings"
+    // finish/abort any half-done rename-aside swap (compaction or a
+    // previous recovery) before probing liveness
+    graft.ops.ArtifactSwap.recover(dir)
+    if (graft.ops.StoreFiles.parquetFileCount(dir) == 0) return false
+    val torn = spark.read.parquet(dir).select("doc_id").distinct()
+      .join(committedDocs(spark, store), Seq("doc_id"), "left_anti")
+      .localCheckpoint()
+    if (torn.isEmpty) return false
+    val clean = spark.read.parquet(dir)
+      .join(torn, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("dl"), col("term"), col("tf"),
+        col("tbucket").cast("int").as("tbucket"))
+      .repartition(col("tbucket"))
+      .localCheckpoint()
+    graft.ops.ArtifactSwap.writeAndSwap(dir) { next =>
+      clean.write.partitionBy("tbucket").parquet(next)
+    }
+    // meta re-derives from the clean store (n_docs = distinct docs,
+    // sum_dl = one dl per doc) — exact, whichever side of the meta
+    // rewrite the crash landed on
+    clean.groupBy(col("doc_id")).agg(first(col("dl")).as("dl"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("dl").cast("long")).as("sum_dl"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$store/meta")
+    true
   }
 
   /** Serve the nq-query batch from the index store: corpus stats are
@@ -326,8 +406,7 @@ object Retrieval {
     * answer the query batch from it — oracle = `rag_bm25_batch`'s
     * replay verbatim (serve == rebuild). */
   def bm25Served(spark: SparkSession, dir: String): DataFrame = {
-    val store = java.nio.file.Files
-      .createTempDirectory("graft_bm25_served").toString + "/ix"
+    val store = graft.ops.Scratch.dir("graft_bm25_served") + "/ix"
     writeBm25Index(toksD(spark, dir), store)
     servedBatch(spark, dir, store)
   }
@@ -339,8 +418,7 @@ object Retrieval {
     * append == rebuild through real score arithmetic (idf and avgdl
     * both shift with the merged stats). */
   def bm25IndexAppend(spark: SparkSession, dir: String): DataFrame = {
-    val store = java.nio.file.Files
-      .createTempDirectory("graft_bm25_append").toString + "/ix"
+    val store = graft.ops.Scratch.dir("graft_bm25_append") + "/ix"
     val td = toksD(spark, dir)
     writeBm25Index(td.filter(col("doc_id") % 10 =!= 0), store)
     appendBm25Index(spark, td.filter(col("doc_id") % 10 === 0), store)
@@ -367,6 +445,73 @@ object Retrieval {
     val vec = vecTop.select(col("doc_id"),
       row_number().over(w).as("vec_rank"))
     fuse(lex, vec)
+  }
+
+  /** BATCH hybrid fusion (round-13 verdict #3): the [[BatchQueries]]
+    * standard query batch through BOTH rungs — the lexical batch
+    * ([[bm25Scores]] at nq=20, depth [[RrfDepth]]) and the dense
+    * batch (the per-query-cell IVF probe,
+    * [[KMeans.ivfBatchTopKWith]] at the same nq/depth) — fused per
+    * query_id by the same fixed-order reciprocal-rank sum. Both legs
+    * are ONE corpus pass each regardless of batch size (the batch
+    * arguments already gated in `rag_bm25_batch` /
+    * `sim_ivf_batch_topk`), and the fusion join runs over
+    * nq · 2·RrfDepth bounded rows. The two query sets derive from the
+    * same min-id convention (lexical: non-empty docs; dense: vectors)
+    * — a query missing from one leg simply contributes rank-less rows
+    * there, which RRF's missing-list zero already handles per doc. */
+  def hybridRrfBatch(spark: SparkSession, dir: String): DataFrame = {
+    val lex = bm25TopPerQuery(bm25Scores(spark, dir, BatchQueries),
+        RrfDepth)
+      .select(col("query_id"), col("doc_id"),
+        col("rank").cast("long").as("lex_rank"))
+    val vec = KMeans.ivfBatchTopKWith(spark, dir,
+        KMeans.train(spark, dir), nq = BatchQueries, k = RrfDepth)
+      .select(col("query_id"), col("vec_id").as("doc_id"),
+        col("rk").cast("long").as("vec_rank"))
+    fuseBatch(lex, vec)
+  }
+
+  /** [[hybridRrfBatch]] answered entirely from artifacts — the serve
+    * class at scale: the lexical leg reads the postings store
+    * partition-pruned to the query terms' buckets
+    * ([[bm25FromIndex]]), the dense leg reads the cell-partitioned
+    * vector store pruned to the probed cells
+    * ([[KMeans.ivfBatchTopKFromCells]]); neither leg re-pays an
+    * assignment or token-explosion pass. Same fusion, same answers
+    * under the same corpus (ScaleUp row `rag_hybrid_batch_served`). */
+  def hybridRrfBatchFromStores(spark: SparkSession, dir: String,
+      ixStore: String, cellsDir: String,
+      cents: Seq[(Int, Seq[Double])]): DataFrame = {
+    val lex = bm25TopPerQuery(
+        bm25FromIndex(spark, ixStore, dir, BatchQueries), RrfDepth)
+      .select(col("query_id"), col("doc_id"),
+        col("rank").cast("long").as("lex_rank"))
+    val vec = KMeans.ivfBatchTopKFromCells(spark, cellsDir, cents,
+        KMeans.batchQueryRows(spark, dir, BatchQueries), RrfDepth)
+      .select(col("query_id"), col("vec_id").as("doc_id"),
+        col("rk").cast("long").as("vec_rank"))
+    fuseBatch(lex, vec)
+  }
+
+  /** Per-query RRF combine over two bounded (query_id, doc_id, rank)
+    * lists: full-outer on the pair key, fixed-order reciprocal sum,
+    * top [[BmK]] per query. The rank window's input is already
+    * bounded at nq · 2·[[RrfDepth]] rows — a plain window, no salting
+    * needed. */
+  private def fuseBatch(lex: DataFrame, vec: DataFrame): DataFrame = {
+    val fused = lex.join(vec, Seq("query_id", "doc_id"), "full_outer")
+      .select(col("query_id"), col("doc_id"),
+        col("lex_rank"), col("vec_rank"),
+        (coalesce(lit(1.0) / (lit(RrfK) + col("lex_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(RrfK) + col("vec_rank")), lit(0.0)))
+          .as("rrf_score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("rrf_score").desc, col("doc_id"))
+    fused.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= BmK)
+      .orderBy(col("query_id"), col("rank"))
   }
 
   /** Shared RRF combine: full-outer on doc_id, reciprocal terms added
@@ -418,6 +563,20 @@ object Retrieval {
          vt AS (SELECT vec_id AS doc_id, ${Similarity.cosineSql("embedding", "qe")} AS cosine FROM embeddings, q WHERE vec_id <> qid ORDER BY cosine DESC, doc_id LIMIT $RrfDepth),
          vec AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY cosine DESC, doc_id) AS BIGINT) AS vec_rank FROM vt)
          SELECT doc_id, lex_rank, vec_rank, COALESCE(1.0 / ($RrfK + lex_rank), 0.0) + COALESCE(1.0 / ($RrfK + vec_rank), 0.0) AS rrf_score FROM lex FULL OUTER JOIN vec USING (doc_id) ORDER BY rrf_score DESC, doc_id LIMIT $BmK""",
+    // batch fusion: the rag_bm25_batch chain (nq=20, depth RrfDepth)
+    // full-outer-joined on (query_id, doc_id) with the per-query-cell
+    // IVF batch chain (the sim_ivf_batch_topk CTEs at the same
+    // nq/depth), reciprocal terms in the same fixed order, per-query
+    // top-BmK rank
+    "rag_hybrid_rrf_batch" ->
+      s"""${bmSql(BatchQueries)}, lex AS (SELECT query_id, doc_id, CAST(rank AS BIGINT) AS lex_rank FROM tk WHERE rank <= $RrfDepth),
+         ${KMeans.trainCtes},
+         qrows AS (SELECT vec_id AS qid, v AS qv FROM q ORDER BY vec_id LIMIT $BatchQueries),
+         qa AS (SELECT qid, qv, cid FROM (SELECT r.qid, r.qv, c.cid, row_number() OVER (PARTITION BY r.qid ORDER BY ${KMeans.distSqlN("r.qv", "c.cv", 64)}, c.cid) AS rn FROM qrows r CROSS JOIN c2 c) WHERE rn = 1),
+         dscored AS (SELECT qa.qid AS query_id, af.vec_id AS doc_id, ${KMeans.cosSql("q.v", "qa.qv")} AS cosine FROM af JOIN q USING (vec_id) JOIN qa ON af.cid = qa.cid AND af.vec_id <> qa.qid),
+         vec AS (SELECT query_id, doc_id, CAST(rn AS BIGINT) AS vec_rank FROM (SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, doc_id) AS rn FROM dscored) WHERE rn <= $RrfDepth),
+         fused AS (SELECT query_id, doc_id, lex_rank, vec_rank, COALESCE(1.0 / ($RrfK + lex_rank), 0.0) + COALESCE(1.0 / ($RrfK + vec_rank), 0.0) AS rrf_score FROM lex FULL OUTER JOIN vec USING (query_id, doc_id))
+         SELECT query_id, doc_id, lex_rank, vec_rank, rrf_score, CAST(rn AS BIGINT) AS rank FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rrf_score DESC, doc_id) AS rn FROM fused) WHERE rn <= $BmK ORDER BY query_id, rank""",
     // the scale-rung fusion: the dense list comes from the trained
     // single-cell IVF probe — the kmeans training chain replayed
     // verbatim (the sim_kmeans_topk CTEs), fused with the BM25 chain
@@ -436,5 +595,6 @@ object Retrieval {
     "rag_bm25_served" -> bm25Served _,
     "rag_bm25_index_append" -> bm25IndexAppend _,
     "rag_hybrid_rrf" -> hybridRrf _,
-    "rag_hybrid_rrf_ivf" -> hybridRrfIvf _)
+    "rag_hybrid_rrf_ivf" -> hybridRrfIvf _,
+    "rag_hybrid_rrf_batch" -> hybridRrfBatch _)
 }

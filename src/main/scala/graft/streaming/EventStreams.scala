@@ -221,8 +221,7 @@ object EventStreams {
         // presence of readable part files, not just the directory: an
         // empty first batch writes only _SUCCESS, and reading a
         // part-less dir throws schema-inference errors
-        val hasData = Option(new java.io.File(goldDir).listFiles())
-          .exists(_.exists(f => f.getName.endsWith(".parquet")))
+        val hasData = graft.ops.StoreFiles.hasTopLevelParquet(goldDir)
         val fresh =
           if (hasData) {
             val existing = spark.read.parquet(goldDir).select(keyCol)
@@ -273,8 +272,7 @@ object EventStreams {
     * keep-first on the fingerprint upstream if within-batch dedup is
     * wanted. */
   private def hasParquet(dir: String): Boolean =
-    Option(new java.io.File(dir).listFiles())
-      .exists(_.exists(f => f.getName.endsWith(".parquet")))
+    graft.ops.StoreFiles.hasTopLevelParquet(dir)
 
   def incrementalDedupSink(docs: DataFrame, indexDir: String,
       goldDir: String, checkpointDir: String): StreamingQuery = {
@@ -558,29 +556,37 @@ object EventStreams {
     * (dedup index, PQ codes, semantic cells, and now the inverted
     * index). Per micro-batch:
     *
-    *  1. replay guard: doc_ids already in the postings store drop (a
-    *     checkpoint-recovered batch becomes a no-op — the probe is a
-    *     doc_id-column scan of the store, pinned eagerly because the
-    *     append below writes the very dir the anti-join reads);
-    *  2. first batch SEEDS the store
+    *  1. crash recovery ([[graft.ext.Retrieval.recoverBm25Store]]):
+    *     any postings rows whose doc never reached the COMMITTED log
+    *     are leftovers of a torn append (FileOutputCommitter moves
+    *     task files non-atomically, and a doc's postings span
+    *     multiple tbucket partition files — part-file presence is NOT
+    *     doc completeness, the round-13 ADVICE finding) and are
+    *     removed, with meta re-derived;
+    *  2. replay guard: doc_ids already in the committed log drop (a
+    *     checkpoint-recovered batch becomes a no-op) — keyed on the
+    *     commit marker, NOT raw part-file presence, so a torn doc is
+    *     re-processed instead of being treated as seen forever;
+    *  3. first batch SEEDS the store
     *     ([[graft.ext.Retrieval.writeBm25Index]]); later batches
     *     append ([[graft.ext.Retrieval.appendBm25Index]] — postings
     *     rows are per-(doc, term) and doc-local, and meta merges the
     *     EXACT integer stats by summation, so the accumulated store
     *     answers bit-identically to a one-shot rebuild on the union
     *     (the gated `rag_bm25_index_append` argument; asserted
-    *     stream-vs-live in EventStreamsSpec);
-    *  3. past the file threshold the store compacts toward one file
+    *     stream-vs-live in EventStreamsSpec); both writers mark the
+    *     batch's doc_ids committed LAST;
+    *  4. past the file threshold the store compacts toward one file
     *     per term bucket
     *     ([[graft.ext.Retrieval.maybeCompactPostings]], the
-    *     2×-bucket-floor policy the cells store uses).
+    *     2×-bucket-floor policy, now through the ArtifactSwap
+    *     rename-aside — postings are this store's source of truth).
     *
-    * Crash window: meta is rewritten AFTER the postings append, so a
-    * crash between the two leaves stats stale by one batch — the
-    * replay guard then re-drops the batch's docs but meta stays
-    * short. [[repairBm25Meta]] re-derives meta from the postings
-    * store exactly (meta is DERIVED state: n_docs = distinct doc_ids,
-    * sum_dl = Σ dl over one row per doc). */
+    * Crash windows, all closed by step 1 + the commit ordering:
+    * inside the postings append, or between postings/meta/commit —
+    * the batch's docs are uncommitted in every case, so recovery
+    * removes whatever landed (half a doc or all of it) and the replay
+    * re-processes the batch from scratch. */
   def lexicalIndexSink(docs: DataFrame, storeDir: String,
       checkpointDir: String): StreamingQuery = {
     val q = docs.writeStream
@@ -588,14 +594,20 @@ object EventStreams {
       .foreachBatch { (raw: DataFrame, _: Long) =>
         val spark = raw.sparkSession
         val postingsDir = s"$storeDir/postings"
+        graft.ext.Retrieval.recoverBm25Store(spark, storeDir)
         val batchTd = raw
           .select(col("doc_id"),
             graft.ext.TextOps.tokens(col("text")).as("t"))
           .filter(size(col("t")) > 0)
-        val seeded = graft.ext.Dedup.cellsFileCount(postingsDir) > 0
+        // post-recovery invariant: every posted doc is committed, so
+        // the committed log is the complete seen-set (and unlike raw
+        // part-file presence it can never claim a half-present doc)
+        val committed = graft.ext.Retrieval.committedDir(storeDir)
+        val seeded = graft.ext.Dedup.cellsFileCount(postingsDir) > 0 &&
+          graft.ops.StoreFiles.hasTopLevelParquet(committed)
         val fresh =
           if (seeded) {
-            val seen = spark.read.parquet(postingsDir)
+            val seen = spark.read.parquet(committed)
               .select("doc_id").distinct()
             batchTd.join(seen, Seq("doc_id"), "left_anti")
               .localCheckpoint()
@@ -613,14 +625,14 @@ object EventStreams {
     q
   }
 
-  /** Close [[lexicalIndexSink]]'s crash window: rebuild `meta/` from
-    * the postings store (exact — meta is fully derived: postings
-    * carry one (dl) value per doc replicated across its term rows, so
-    * n_docs = distinct docs and sum_dl sums one row per doc). A doc
-    * whose every token was appended is never half-present: the
-    * postings append is a single atomic-enough parquet job, and a
-    * torn append leaves no _SUCCESS, which the next replay guard
-    * treats as absent. */
+  /** Rebuild `meta/` from the postings store (exact — meta is fully
+    * derived: postings carry one (dl) value per doc replicated across
+    * its term rows, so n_docs = distinct docs and sum_dl sums one row
+    * per doc). With the committed-log protocol this is subsumed by
+    * [[graft.ext.Retrieval.recoverBm25Store]] (which also removes
+    * torn postings); kept as the standalone meta repair for stores
+    * maintained through the batch append API, where the caller owns
+    * atomicity. */
   def repairBm25Meta(spark: SparkSession, storeDir: String): Unit = {
     val postingsDir = s"$storeDir/postings"
     if (graft.ext.Dedup.cellsFileCount(postingsDir) == 0) return
@@ -641,6 +653,83 @@ object EventStreams {
         StructField("vec_id", LongType),
         StructField("cell", IntegerType),
         StructField("v", ArrayType(DoubleType)))))
+
+  /** Streaming kNN-edges maintenance (round-13 verdict #5) — the
+    * edges artifact ([[graft.ext.ClusterOps.writeKnnEdges]]) kept
+    * current over ARRIVING vector batches, closing the graph
+    * lifecycle the way [[semanticDedupSink]] closed SemDeDup's. The
+    * quantizer is a FROZEN input captured in the `assign` closure —
+    * (vec_id, v) → (vec_id, cell, v), map-only — so the same sink
+    * rides the coarse quantizer at base scale and the sub-quantized
+    * K ∝ N assignment ([[graft.ext.Dedup.assignSemanticCells]]) at
+    * 100× (the retrain-is-a-rebuild contract every artifact sink
+    * shares). Per micro-batch:
+    *
+    *  1. crash repair ([[graft.ext.ClusterOps.repairKnnEdges]]): any
+    *     cell whose edge partition disagrees with the cells store
+    *     (count + owner-set checks) recomputes — closes the window
+    *     between a cells append and its edges update, including a
+    *     torn dynamic-overwrite commit;
+    *  2. replay guard: vec_ids already in the cells store drop (the
+    *     recursive [[graft.ext.Dedup.cellsFileCount]] probe — the
+    *     store is cell-partitioned);
+    *  3. the batch assigns under the frozen quantizer (map-only,
+    *     eagerly pinned — its lineage reads the store the append
+    *     writes), appends to the cells store, THEN the batch's
+    *     touched cells' edge partitions are recomputed and
+    *     overwritten in place
+    *     ([[graft.ext.ClusterOps.appendKnnEdges]] — cost tracks the
+    *     touched fraction, never the store);
+    *  4. the CELLS store compacts past the file threshold
+    *     ([[graft.ext.Dedup.maybeCompactSemanticCells]]); the edges
+    *     store needs NO compaction — every partition update is a
+    *     whole-partition overwrite repartitioned to one file per
+    *     cell, so fragmentation cannot accumulate.
+    *
+    * Monotone-id contract (shared with every artifact append):
+    * batches carry strictly increasing vec_ids, so batchFrom = the
+    * batch's min id cleanly marks the batch inside the merged store.
+    * Stream-accumulated edges == one-shot [[graft.ext.ClusterOps.writeKnnEdges]]
+    * on the final corpus, asserted EXACT in EventStreamsSpec. */
+  def knnEdgesSink(vectors: DataFrame,
+      assign: DataFrame => DataFrame,
+      cellsDir: String, edgesDir: String,
+      checkpointDir: String): StreamingQuery = {
+    val q = vectors.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (raw: DataFrame, _: Long) =>
+        val spark = raw.sparkSession
+        val storeSeeded = graft.ext.Dedup.cellsFileCount(cellsDir) > 0
+        if (storeSeeded)
+          graft.ext.ClusterOps.repairKnnEdges(spark, cellsDir, edgesDir)
+        val batch = raw.select(col("vec_id"),
+          col("embedding").cast("array<double>").as("v"))
+        val fresh =
+          if (storeSeeded) {
+            val seen = spark.read.parquet(cellsDir).select("vec_id")
+            batch.join(seen, Seq("vec_id"), "left_anti")
+          } else batch
+        val assigned = assign(fresh)
+          .select(col("vec_id"), col("cell"), col("v"))
+          .localCheckpoint()
+        if (!assigned.isEmpty) {
+          val batchFrom = assigned.agg(min(col("vec_id")))
+            .head().getLong(0)
+          assigned.write.mode("append").partitionBy("cell")
+            .parquet(cellsDir)
+          graft.ext.ClusterOps.appendKnnEdges(spark, edgesDir,
+            spark.read.parquet(cellsDir)
+              .select(col("vec_id"), col("cell").cast("int").as("cell"),
+                col("v")),
+            batchFrom)
+          graft.ext.Dedup.maybeCompactSemanticCells(spark, cellsDir)
+        }
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q
+  }
 
   /** Close [[semanticDedupSink]]'s crash window between the cells
     * append and the verdict append: any stored vector missing a

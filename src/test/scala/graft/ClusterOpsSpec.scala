@@ -267,6 +267,83 @@ class ClusterOpsSpec extends SparkSpec {
     assert(merged == rebuild)
   }
 
+  test("edges-store append equals the full rebuild and leaves " +
+      "untouched cell partitions' files byte-identical") {
+    import graft.ext.KMeans
+    val vs = KMeans.vecs(spark, sf)
+    // a SMALL batch (the last 5 ids) so some cells stay untouched —
+    // at most 5 of the K=10 partitions can be overwritten
+    val cut = vs.agg(max(col("vec_id")).cast("long"))
+      .head().getLong(0) - 5
+    val cents = KMeans.trainFrame(
+      vs.filter(col("vec_id") <= cut).select(col("vec_id"), col("v")),
+      KMeans.K)
+    def assigned(f: org.apache.spark.sql.DataFrame) =
+      f.select(col("vec_id"),
+        KMeans.assignOn(col("v"), cents).as("cell"), col("v"))
+    val edgesDir = java.nio.file.Files
+      .createTempDirectory("graft_knn_append_spec").toString + "/edges"
+    ClusterOps.writeKnnEdges(assigned(vs.filter(col("vec_id") <= cut)),
+      edgesDir)
+    val touched = assigned(vs.filter(col("vec_id") > cut))
+      .select(col("cell")).distinct().collect().map(_.getInt(0)).toSet
+    assert(touched.nonEmpty && touched.size < graft.ext.KMeans.K,
+      s"fixture regime: batch must touch a strict subset, got $touched")
+    // snapshot (name, size, mtime) of every untouched partition file
+    def files(cellDirOk: Int => Boolean): Map[String, (Long, Long)] = {
+      val root = new java.io.File(edgesDir)
+      Option(root.listFiles()).getOrElse(Array.empty)
+        .filter(d => d.isDirectory && d.getName.startsWith("cell="))
+        .filter(d => cellDirOk(d.getName.stripPrefix("cell=").toInt))
+        .flatMap(d => Option(d.listFiles()).getOrElse(Array.empty))
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getAbsolutePath -> (f.length(), f.lastModified()))
+        .toMap
+    }
+    val beforeUntouched = files(c => !touched.contains(c))
+    ClusterOps.appendKnnEdges(spark, edgesDir, assigned(vs), cut + 1)
+    // untouched partitions: exactly the same files, untouched on disk
+    assert(files(c => !touched.contains(c)) == beforeUntouched,
+      "append must not rewrite untouched cell partitions")
+    // store content == full rebuild under the same frozen quantizer
+    val store = spark.read.parquet(edgesDir)
+      .select(col("vec_id"), col("rk").cast("int").as("rk"),
+        col("nbr_id"), col("cosine"))
+      .orderBy(col("vec_id"), col("rk")).collect().toSeq
+    val rebuild = ClusterOps.knnGraphOn(assigned(vs)).collect().toSeq
+    assert(store == rebuild)
+    // idempotent: re-appending the same batch changes nothing
+    ClusterOps.appendKnnEdges(spark, edgesDir, assigned(vs), cut + 1)
+    assert(spark.read.parquet(edgesDir)
+      .select(col("vec_id"), col("rk").cast("int").as("rk"),
+        col("nbr_id"), col("cosine"))
+      .orderBy(col("vec_id"), col("rk")).collect().toSeq == rebuild)
+  }
+
+  test("incremental communities equal the full frozen-quantizer CC " +
+      "rebuild (cell-confinement: touched rerun + untouched carry)") {
+    import graft.ext.KMeans
+    val vs = KMeans.vecs(spark, sf)
+    val cut = vs.agg(floor(max(col("vec_id")) * lit(0.8)).cast("long"))
+      .head().getLong(0)
+    val cents = KMeans.trainFrame(
+      vs.filter(col("vec_id") <= cut).select(col("vec_id"), col("v")),
+      KMeans.K)
+    val allEdges = ClusterOps.knnGraphOn(
+      vs.select(col("vec_id"),
+        KMeans.assignOn(col("v"), cents).as("cell"), col("v")))
+      .select(col("vec_id").as("doc_a"), col("nbr_id").as("doc_b"))
+    val (labels, _) = graft.ext.Dedup.connectedComponents(allEdges)
+    val rebuild = vs.select(col("vec_id"))
+      .join(labels, vs("vec_id") === labels("doc_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("cluster_id"), col("vec_id")).as("community_id"))
+      .orderBy(col("vec_id")).collect().toSeq
+    val merged = ClusterOps.knnCommunitiesMerge(spark, sf)
+      .collect().toSeq
+    assert(merged == rebuild)
+  }
+
   test("cluster-balanced sample keeps the lowest-hash docs per cell") {
     // re-derive one cell's expected quota locally from the full
     // assignment — the salted two-phase rank must not change WHICH

@@ -32,6 +32,11 @@ class PlanLintSpec extends SparkSpec {
     // _ivf form swaps the dense leg to the single-cell trained probe
     // (same bounded rank frame)
     "rag_hybrid_rrf", "rag_hybrid_rrf_ivf",
+    // batch fusion: both legs ride the salted two-phase rank, and the
+    // fusion's per-query rank window runs over their UNION — input
+    // bounded at nq · 2·RrfDepth rows by construction
+    // (Retrieval.fuseBatch)
+    "rag_hybrid_rrf_batch",
     // modal-source/modal-label rank windows over the POST-AGGREGATION
     // cluster×source and cluster×label frames (bounded at K·|sources|
     // and K·|labels| rows — ClusterOps.cardOn scaladoc)
@@ -134,8 +139,15 @@ class PlanLintSpec extends SparkSpec {
     "sim_knn_graph", "sim_knn_components", "sim_knn_graph_p2",
     "sim_knn_keep_best", "sim_knn_community_hist",
     // the incremental merge runs the same row-keyed rank over the
-    // gold side and the recomputed touched cells
-    "sim_knn_graph_merge")
+    // gold side and the recomputed touched cells; the store-fed form
+    // runs it over the recomputed touched cells only (the gold side
+    // is a partition-pruned artifact read), and the served p2 form
+    // runs the same per-vector rank with probes from the store
+    "sim_knn_graph_merge", "sim_knn_graph_merge_served",
+    "sim_knn_graph_p2_served",
+    // incremental communities: both CC legs run the same row-keyed
+    // edge ranks; the CC loop itself is window-free
+    "sim_knn_communities_merge")
   private val entityKeyedWindow = Set(
     "events_sessionize", "events_asof_purchase_click")
   private val guardedLowNdvWindow = Set(

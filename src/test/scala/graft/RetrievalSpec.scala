@@ -105,6 +105,46 @@ class RetrievalSpec extends SparkSpec {
     assert(s.sortBy { case (v, id) => (-v, id) }.toSeq == s.toSeq)
   }
 
+  test("batch rrf fusion: per-query scores re-derive from the two " +
+      "batch rank lists, and the shared query's fused list agrees " +
+      "with the single-query fusion") {
+    val rows = Retrieval.hybridRrfBatch(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.size > 1, "batch fusion should cover multiple queries")
+    byQ.foreach { case (q, rs) =>
+      assert(rs.length <= Retrieval.BmK, s"query $q")
+      assert(rs.map(_.getLong(5)).sorted.toSeq == (1L to rs.length),
+        s"query $q ranks not dense")
+      rs.foreach { r =>
+        val lex = if (r.isNullAt(2)) None else Some(r.getLong(2))
+        val vec = if (r.isNullAt(3)) None else Some(r.getLong(3))
+        assert(lex.nonEmpty || vec.nonEmpty)
+        lex.foreach(x => assert(x >= 1 && x <= Retrieval.RrfDepth))
+        vec.foreach(x => assert(x >= 1 && x <= Retrieval.RrfDepth))
+        val want = lex.map(x => 1.0 / (Retrieval.RrfK + x)).getOrElse(0.0) +
+          vec.map(x => 1.0 / (Retrieval.RrfK + x)).getOrElse(0.0)
+        assert(r.getDouble(4) == want, s"query $q doc ${r.getLong(1)}")
+      }
+      // descending fused score with doc_id tie-break, per query
+      val s = rs.sortBy(_.getLong(5)).map(r => (r.getDouble(4), r.getLong(1)))
+      assert(s.sortBy { case (v, id) => (-v, id) }.toSeq == s.toSeq)
+    }
+    // the batch's dense leg is the per-query-cell IVF probe while the
+    // single-query form's is guarded brute force — different rungs, so
+    // doc sets may differ; what must agree is the LEXICAL leg: the
+    // shared min-id query's lex ranks match the single fusion's
+    val q0 = byQ.keys.min
+    val single = Retrieval.hybridRrf(spark, sf).collect()
+      .flatMap(r => if (r.isNullAt(1)) None
+        else Some(r.getLong(0) -> r.getLong(1))).toMap
+    byQ(q0).foreach { r =>
+      if (!r.isNullAt(2) && single.contains(r.getLong(1)))
+        assert(r.getLong(2) == single(r.getLong(1)),
+          s"lex rank diverges for doc ${r.getLong(1)}")
+    }
+  }
+
   test("matched postings are cut by a broadcast term join before any " +
       "corpus-sized exchange") {
     val plan = Retrieval.bm25TopK(spark, sf)
