@@ -49,7 +49,10 @@ import org.apache.spark.sql.functions._
   * it (SPARK_GRAFT_INJECT_SLOW still trips the gate through all
   * retries); only non-reproducible contention is filtered. The
   * 1-minute load average at bench start is recorded as `load1` so a
-  * loaded session is attributable post-hoc.
+  * loaded session is attributable post-hoc, and every attempt's
+  * (stable, flags, total) is recorded in `attempt_log` (round-13
+  * ADVICE) so "flagged in N of M attempts" is readable from the
+  * artifact even when the recorded attempt is the clean one.
   *
   * Gate testability: `SPARK_GRAFT_INJECT_SLOW=1`
   * executes every timed query twice inside its timing — a

@@ -985,6 +985,88 @@ object ScaleUp {
             ixStore, cellStore, cents))
       }
     }
+    // round-14 follow-up: the edges append timed in ISOLATION (fresh
+    // session state, no cached 100× tables, no prior 600k-row
+    // collects) — the clu-session rows carry ~10 s of context cost
+    // (heap pressure from the tier's pinned tables and collected
+    // graphs) that belongs to the session, not the operator. Rides
+    // the clu tier's existing stores; skips if they're absent.
+    if (on("knnappend")) locally {
+      val cluDir = s"$dst/clu"
+      val knnCells = s"$cluDir/knn_cells"
+      val goldEdgesDir = s"$cluDir/knn_gold_edges"
+      if (new java.io.File(knnCells).exists() &&
+          new java.io.File(goldEdgesDir).exists()) {
+        val store = spark.read.parquet(knnCells)
+          .select(col("vec_id"), col("cell").cast("int").as("cell"),
+            col("v"))
+        val batchFrom = store.agg(max(col("vec_id"))).head().getLong(0) - 49
+        (1 to 3).foreach { _ =>
+          val touched = store.filter(col("vec_id") >= batchFrom)
+            .select(col("cell")).distinct().count()
+          val ta = System.nanoTime()
+          graft.ext.ClusterOps.appendKnnEdges(spark, goldEdgesDir,
+            store, batchFrom)
+          println(f"[scaleup] knn_edges_append_isolated    $cluDir%-18s " +
+            f"${(System.nanoTime - ta) / 1e9}%8.2f s  " +
+            f"(touched $touched%d cells, delta merge)")
+        }
+      } else println(s"[scaleup] knnappend: stores missing under $cluDir")
+    }
+    // round-13 stretch #8: learned OPQ at 100× — the rotation trains
+    // DRIVER-LOCAL on the bounded base sample (timed separately: the
+    // amortization claim), serving is the identical chain either way;
+    // recall of both rotations vs the exact-L2 top-K over the
+    // perturbed 200k corpus. Own section flag (`opq`) so it reruns
+    // without repaying the whole clu tier; rides the clu corpus.
+    if (on("clu") || on("opq")) locally {
+      val cluDir = s"$dst/clu"
+      if (new java.io.File(s"$cluDir/embeddings.parquet").exists())
+        locally {
+        import graft.ext.ProductQuant
+        val tl = System.nanoTime()
+        val sample = graft.ext.KMeans.vecs(spark, cluDir)
+          .orderBy(col("vec_id")).limit(ProductQuant.OpqSampleN)
+          .select(col("v")).collect().map(_.getSeq[Double](0))
+        val rot = ProductQuant.learnedRotation(sample.toSeq)
+        println(f"[scaleup] opq_learn_rotation           $cluDir%-18s " +
+          f"${(System.nanoTime - tl) / 1e9}%8.2f s  " +
+          f"(driver-local, ${sample.length}%d-vector sample, " +
+          f"${rot.size}x${rot.head.size} R)")
+        // one collect per rotation: the wall row AND the recall read
+        // the same run (the chain re-trains per call — don't pay it
+        // twice per rotation)
+        def runChain(name: String,
+            df: org.apache.spark.sql.DataFrame): Set[Long] = {
+          val t0 = System.nanoTime()
+          val ids = df.select(col("vec_id")).collect()
+            .map(_.getLong(0)).toSet
+          println(f"[scaleup] $name%-28s $cluDir%-18s " +
+            f"${(System.nanoTime - t0) / 1e9}%8.2f s  (${ids.size}%d rows)")
+          ids
+        }
+        val seededIds = runChain("sim_opq_seeded_100x",
+          ProductQuant.opqIvfPqTopK(spark, cluDir))
+        val learnedIds = runChain("sim_opq_learned_100x",
+          ProductQuant.opqLearnedTopK(spark, cluDir))
+        val vs = graft.ext.KMeans.vecs(spark, cluDir)
+        val qrow = vs.orderBy(col("vec_id")).limit(1)
+          .select(col("vec_id"), col("v")).head()
+        val qLit = array(qrow.getSeq[Double](1).map(lit): _*)
+        val truth = vs.filter(col("vec_id") =!= qrow.getLong(0))
+          .select(col("vec_id"),
+            aggregate(zip_with(col("v"), qLit, (x, y) => (x - y) * (x - y)),
+              lit(0.0), (a, x) => a + x).as("d2"))
+          .orderBy(col("d2"), col("vec_id")).limit(ProductQuant.TopK)
+          .collect().map(_.getLong(0)).toSet
+        def recallOf(ids: Set[Long]): Double =
+          ids.intersect(truth).size.toDouble / ProductQuant.TopK
+        println(f"[scaleup] opq_recall_100x              $cluDir%-18s " +
+          f"seeded ${recallOf(seededIds)}%.2f  " +
+          f"learned ${recallOf(learnedIds)}%.2f  (vs exact-L2 top-" +
+          f"${ProductQuant.TopK}%d)")
+      }
+    }
     spark.stop()
   }
 }

@@ -55,6 +55,31 @@ object StoreFiles {
       !s.isDirectory && s.getPath.getName.endsWith(".parquet"))
   }
 
+  /** Empty underscore-prefixed marker file (parquet readers skip
+    * `_` names): the cheap liveness flags the sinks use to gate
+    * expensive recovery scans — e.g. "cells and edges are in sync"
+    * dropped before a multi-store update and re-created after, so
+    * steady state pays one existence probe instead of an O(store)
+    * consistency aggregate. */
+  def markerExists(dir: String, name: String): Boolean = {
+    val (fs, p) = fsOf(dir)
+    fs.exists(new Path(p, name))
+  }
+
+  /** Create (touch) the marker, creating `dir` if needed. */
+  def createMarker(dir: String, name: String): Unit = {
+    val (fs, p) = fsOf(dir)
+    fs.mkdirs(p)
+    fs.create(new Path(p, name), true).close()
+  }
+
+  /** Remove the marker if present. */
+  def deleteMarker(dir: String, name: String): Unit = {
+    val (fs, p) = fsOf(dir)
+    fs.delete(new Path(p, name), false)
+    ()
+  }
+
   /** Number of first-level `<prefix>N/` partition directories under
     * `dir` (0 when absent) — the store's natural compaction floor is
     * one file per partition, so policies threshold at 2× this. */

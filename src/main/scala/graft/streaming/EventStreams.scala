@@ -665,21 +665,27 @@ object EventStreams {
     * 100× (the retrain-is-a-rebuild contract every artifact sink
     * shares). Per micro-batch:
     *
-    *  1. crash repair ([[graft.ext.ClusterOps.repairKnnEdges]]): any
-    *     cell whose edge partition disagrees with the cells store
-    *     (count + owner-set checks) recomputes — closes the window
-    *     between a cells append and its edges update, including a
-    *     torn dynamic-overwrite commit;
+    *  1. crash repair ([[graft.ext.ClusterOps.repairKnnEdges]]),
+    *     GATED on the `_cells_synced` marker the happy path drops
+    *     before and re-creates after its two-store update — steady
+    *     state pays one existence probe; only a batch that actually
+    *     crashed between the cells append and the edges update pays
+    *     the O(store) consistency scan (any cell whose edge
+    *     partition disagrees with the cells store on count or
+    *     owner-set recomputes, covering torn dynamic-overwrite
+    *     commits too);
     *  2. replay guard: vec_ids already in the cells store drop (the
     *     recursive [[graft.ext.Dedup.cellsFileCount]] probe — the
     *     store is cell-partitioned);
     *  3. the batch assigns under the frozen quantizer (map-only,
     *     eagerly pinned — its lineage reads the store the append
     *     writes), appends to the cells store, THEN the batch's
-    *     touched cells' edge partitions are recomputed and
-    *     overwritten in place
-    *     ([[graft.ext.ClusterOps.appendKnnEdges]] — cost tracks the
-    *     touched fraction, never the store);
+    *     touched cells' edge partitions DELTA-merge and overwrite in
+    *     place ([[graft.ext.ClusterOps.appendKnnEdges]] — stored
+    *     gold edges ∪ batch-involving pairs re-ranked, |batch|·cell
+    *     work: the first StreamScaleUp run measured the full
+    *     touched-cell recompute growing 20 → 103 s per batch as
+    *     cells accumulated, the defect the delta form removes);
     *  4. the CELLS store compacts past the file threshold
     *     ([[graft.ext.Dedup.maybeCompactSemanticCells]]); the edges
     *     store needs NO compaction — every partition update is a
@@ -700,8 +706,19 @@ object EventStreams {
       .foreachBatch { (raw: DataFrame, _: Long) =>
         val spark = raw.sparkSession
         val storeSeeded = graft.ext.Dedup.cellsFileCount(cellsDir) > 0
-        if (storeSeeded)
+        // repair is O(store) (two consistency aggregates), so it is
+        // GATED on the sync marker the happy path maintains below:
+        // steady state pays one existence probe, and only a batch
+        // that actually crashed between the cells append and the
+        // edges update (marker absent) pays the scan
+        if (storeSeeded &&
+            !graft.ops.StoreFiles.markerExists(edgesDir, "_cells_synced")) {
           graft.ext.ClusterOps.repairKnnEdges(spark, cellsDir, edgesDir)
+          // the store is consistent now; re-arm the marker so a
+          // replay whose batch fully drops (guard below) doesn't pay
+          // the scan forever
+          graft.ops.StoreFiles.createMarker(edgesDir, "_cells_synced")
+        }
         val batch = raw.select(col("vec_id"),
           col("embedding").cast("array<double>").as("v"))
         val fresh =
@@ -715,6 +732,7 @@ object EventStreams {
         if (!assigned.isEmpty) {
           val batchFrom = assigned.agg(min(col("vec_id")))
             .head().getLong(0)
+          graft.ops.StoreFiles.deleteMarker(edgesDir, "_cells_synced")
           assigned.write.mode("append").partitionBy("cell")
             .parquet(cellsDir)
           graft.ext.ClusterOps.appendKnnEdges(spark, edgesDir,
@@ -722,6 +740,7 @@ object EventStreams {
               .select(col("vec_id"), col("cell").cast("int").as("cell"),
                 col("v")),
             batchFrom)
+          graft.ops.StoreFiles.createMarker(edgesDir, "_cells_synced")
           graft.ext.Dedup.maybeCompactSemanticCells(spark, cellsDir)
         }
         ()

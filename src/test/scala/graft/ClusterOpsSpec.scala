@@ -320,6 +320,51 @@ class ClusterOpsSpec extends SparkSpec {
       .orderBy(col("vec_id"), col("rk")).collect().toSeq == rebuild)
   }
 
+  test("sub-quantized store multi-probe: cell2 is a distinct in-coarse " +
+      "runner-up and the p2 graph's recall dominates single-probe") {
+    import graft.ext.Dedup
+    val vecs = KMeans.vecs(spark, sf)
+    val (coarse, subs) = Dedup.trainSemanticQuantizers(vecs, Dedup.SubK)
+    val assigned = Dedup.assignSemanticCells(vecs, coarse, subs,
+      Dedup.SubK).localCheckpoint()
+    // cell2 != cell always, and both land in the same coarse block
+    assigned.select(col("cell"), col("cell2")).collect().foreach { r =>
+      val (c, c2) = (r.getInt(0), r.getInt(1))
+      assert(c2 != c, s"runner-up equals primary: $c")
+      assert(c / Dedup.SubK == c2 / Dedup.SubK,
+        s"runner-up leaves the coarse block: $c vs $c2")
+    }
+    val vs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      d / math.sqrt(na * nb)
+    }
+    val exact = vs.map { case (v, av) =>
+      v -> vs.collect { case (o, ao) if o != v => (-cos(av, ao), o) }
+        .sorted.take(ClusterOps.KnnK).map(_._2).toSet
+    }.toMap
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val g = df.collect().groupBy(_.getAs[Long]("vec_id"))
+        .map { case (v, rows) =>
+          v -> rows.map(_.getAs[Long]("nbr_id")).toSet }
+      g.map { case (v, nbrs) => (nbrs & exact(v)).size }.sum.toDouble /
+        (g.size.toDouble * ClusterOps.KnnK)
+    }
+    val r1 = recallOf(ClusterOps.knnGraphOn(
+      assigned.select(col("vec_id"), col("cell"), col("v"))))
+    val r2 = recallOf(ClusterOps.knnGraphP2On(assigned))
+    info(f"sub-store recall@${ClusterOps.KnnK}: p1 $r1%.3f p2 $r2%.3f")
+    // the p2 candidate set strictly contains p1's (cell2 != cell),
+    // so recall is monotone >= — the dominance claim at the
+    // artifact the 100x tier rides
+    assert(r2 >= r1, f"p2 recall $r2%.3f below single-probe $r1%.3f")
+  }
+
   test("incremental communities equal the full frozen-quantizer CC " +
       "rebuild (cell-confinement: touched rerun + untouched carry)") {
     import graft.ext.KMeans
