@@ -907,6 +907,25 @@ object ScaleUp {
             f"${(System.nanoTime - ta) / 1e9}%8.2f s  " +
             f"(touched $touched%d/$total%d cells)")
         }
+        // round-14 stretch: incremental communities from the labels
+        // artifact — carried cells are a pruned read, only touched
+        // cells re-run the CC (compare the 29-30 s full-graph
+        // community build above)
+        val labelsStore = s"$cluDir/knn_comm_labels"
+        if (!new java.io.File(labelsStore).exists()) {
+          val tl = System.nanoTime()
+          graft.ext.ClusterOps.writeKnnCommunityLabels(
+            store.filter(col("vec_id") < batchFrom), labelsStore)
+          println(f"[scaleup] knn_comm_labels_build        $cluDir%-18s " +
+            f"${(System.nanoTime - tl) / 1e9}%8.2f s")
+        }
+        (1 to 2).foreach { _ =>
+          val tc = System.nanoTime()
+          val n = graft.ext.ClusterOps.knnCommunitiesMergeFromLabels(
+            spark, labelsStore, store, batchFrom).count()
+          println(f"[scaleup] knn_communities_merge_100x   $cluDir%-18s " +
+            f"${(System.nanoTime - tc) / 1e9}%8.2f s  (labels $n%d)")
+        }
         // round-14 #2: multi-probe graph at the sub-quantized
         // artifact — probes (cell, cell2) read straight from the
         // store, no assignment pass

@@ -618,6 +618,70 @@ object ClusterOps {
       .orderBy(col("vec_id"))
   }
 
+  /** The community-labels ARTIFACT: every vector's component-min
+    * label (singletons self-labeled), cell-partitioned so the
+    * incremental merge can carry untouched cells with a pruned read
+    * instead of re-running their CC. Derived state — rebuildable from
+    * the cells frame. */
+  def writeKnnCommunityLabels(cells: DataFrame, out: String): Unit = {
+    val (labels, _) = Dedup.connectedComponents(
+      knnEdgesOn(cells)
+        .select(col("vec_id").as("doc_a"), col("nbr_id").as("doc_b")))
+    cells.select(col("vec_id"), col("cell"))
+      .join(labels, cells("vec_id") === labels("doc_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        coalesce(col("cluster_id"), col("vec_id")).as("community_id"))
+      .write.mode("overwrite").partitionBy("cell").parquet(out)
+  }
+
+  /** [[knnCommunitiesMerge]] with the carried side read from the
+    * labels ARTIFACT (partition-pruned to untouched cells) instead of
+    * re-deriving the gold CC — the steady-state form: per-merge work
+    * is the touched cells' edge build + a bounded CC over their edges
+    * + a pruned label read; nothing untouched is recomputed. Equal to
+    * the full rebuild by cell-confinement (components cannot span
+    * cells), proven by the same hash gate. */
+  def knnCommunitiesMergeFromLabels(spark: SparkSession,
+      labelsDir: String, cells: DataFrame, batchFrom: Long): DataFrame = {
+    val touched = cells.filter(col("vec_id") >= batchFrom)
+      .select(col("cell")).distinct().collect().map(_.getInt(0)).sorted
+    val touchedLits = touched.map(Integer.valueOf)
+    val carried = spark.read.parquet(labelsDir)
+      .filter(!col("cell").cast("int").isin(touchedLits: _*))
+      .select(col("vec_id"), col("community_id"))
+    val members = cells.filter(col("cell").isin(touchedLits: _*))
+    val (labels, _) = Dedup.connectedComponents(
+      knnEdgesOn(members)
+        .select(col("vec_id").as("doc_a"), col("nbr_id").as("doc_b")))
+    val recomputed = members.select(col("vec_id"))
+      .join(labels, members("vec_id") === labels("doc_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("cluster_id"), col("vec_id")).as("community_id"))
+    carried.unionByName(recomputed).orderBy(col("vec_id"))
+  }
+
+  /** DRIVER-GATED serve path for the labels-fed merge: gold labels
+    * artifact in a scratch dir, batch merged via
+    * [[knnCommunitiesMergeFromLabels]] — oracle = the full
+    * frozen-quantizer communities rebuild verbatim (the
+    * [[knnCommunitiesMerge]] oracle through the artifact read). */
+  def knnCommunitiesMergeServed(spark: SparkSession,
+      dir: String): DataFrame = {
+    val vs = KMeans.vecs(spark, dir)
+    val cut = vs.agg(floor(max(col("vec_id")) * lit(0.8)).cast("long"))
+      .head().getLong(0)
+    val cents = KMeans.trainFrame(
+      vs.filter(col("vec_id") <= cut).select(col("vec_id"), col("v")),
+      KMeans.K)
+    def assigned(f: DataFrame): DataFrame =
+      f.select(col("vec_id"),
+        KMeans.assignOn(col("v"), cents).as("cell"), col("v"))
+    val labelsDir = graft.ops.Scratch.dir("graft_knn_commsrv") + "/labels"
+    writeKnnCommunityLabels(assigned(vs.filter(col("vec_id") <= cut)),
+      labelsDir)
+    knnCommunitiesMergeFromLabels(spark, labelsDir, assigned(vs), cut + 1)
+  }
+
   /** Community size histogram — the dup-cluster-size distribution a
     * dedup report shows (how much of the corpus sits in large
     * semantic communities). Output is bounded by the number of
@@ -716,6 +780,7 @@ object ClusterOps {
     // carry — equal to the full rebuild by cell-confinement; the
     // oracle IS the full frozen-quantizer communities rebuild
     "sim_knn_communities_merge" -> mergeCommunitiesSql,
+    "sim_knn_communities_merge_served" -> mergeCommunitiesSql,
     // multi-probe: af2 ranks every vector's two nearest final
     // centroids (the per-row nprobe=2), candidates join neighbors'
     // PRIMARY cell — same cosine, same tie-break, same top-k
@@ -743,6 +808,7 @@ object ClusterOps {
     "sim_knn_graph_merge_served" -> knnGraphMergeServed _,
     "sim_knn_graph_append" -> knnGraphAppendStore _,
     "sim_knn_graph_p2_served" -> knnGraphP2Served _,
-    "sim_knn_communities_merge" -> knnCommunitiesMerge _
+    "sim_knn_communities_merge" -> knnCommunitiesMerge _,
+    "sim_knn_communities_merge_served" -> knnCommunitiesMergeServed _
   )
 }

@@ -293,6 +293,16 @@ object Retrieval {
       graft.ops.ArtifactSwap.writeAndSwap(dir) { next =>
         compacted.write.partitionBy("tbucket").parquet(next)
       }
+      // the committed log accrues one small file per batch — compact
+      // it on the same trigger (derived from nothing: it IS the
+      // guard's key, so the rewrite rides the same rename-aside)
+      if (graft.ops.StoreFiles.hasTopLevelParquet(committedDir(store))) {
+        val docs = spark.read.parquet(committedDir(store))
+          .select(col("doc_id")).distinct().coalesce(1).localCheckpoint()
+        graft.ops.ArtifactSwap.writeAndSwap(committedDir(store)) { next =>
+          docs.write.parquet(next)
+        }
+      }
       true
     } else false
   }

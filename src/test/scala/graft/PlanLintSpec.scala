@@ -146,8 +146,10 @@ class PlanLintSpec extends SparkSpec {
     "sim_knn_graph_merge", "sim_knn_graph_merge_served",
     "sim_knn_graph_p2_served",
     // incremental communities: both CC legs run the same row-keyed
-    // edge ranks; the CC loop itself is window-free
-    "sim_knn_communities_merge")
+    // edge ranks; the CC loop itself is window-free; the served form
+    // replaces the carried leg with a pruned artifact read and keeps
+    // only the touched cells' rank
+    "sim_knn_communities_merge", "sim_knn_communities_merge_served")
   private val entityKeyedWindow = Set(
     "events_sessionize", "events_asof_purchase_click")
   private val guardedLowNdvWindow = Set(

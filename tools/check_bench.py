@@ -162,8 +162,27 @@ def main() -> int:
         # flag only what is slow under both normalizations.
         drift = max(drift_c, drift_o)
         axis = f"compute {drift_c:.2f}x, overhead {drift_o:.2f}x"
+    # FLOOR at 1.0 (round 14): an environment FASTER than baseline
+    # must not manufacture regressions. Four same-code runs in one
+    # session measured totals 5.63-7.00s while the calibrations swung
+    # 0.271-0.385s (drift 0.60-1.16x) — the sf0.1 headline queries are
+    # floor-bound (scheduling + planning + cached-scan costs that do
+    # not scale down with an idle machine the way the synthetic
+    # calibrations do), so at drift < 1 the gate outcome tracked
+    # calibration luck, not code. This is the round-6 "compute calib
+    # dips" failure hitting BOTH axes at once; the clamp completes the
+    # round-7 two-axis fix. Detection power is preserved where it was
+    # ever reliable: on a same-or-slower environment (drift >= 1) the
+    # thresholds are unchanged, and INJECT_SLOW moves queries without
+    # moving either calibration, so it trips at any drift (self-test
+    # re-run green after this change).
+    gate_drift = max(drift, 1.0)
+    clamp_note = (f", clamped to {gate_drift:.2f}x for the gate"
+                  if gate_drift != drift else "")
     print(f"environment drift: {drift:.2f}x (max of {axis}; "
-          f"calib {effective:.3f}s vs baseline {base['calib']:.3f}s)")
+          f"calib {effective:.3f}s vs baseline {base['calib']:.3f}s"
+          f"{clamp_note})")
+    drift = gate_drift
     regressions = []
     for name, sec in bench["queries"].items():
         b = base["queries"].get(name)
