@@ -313,6 +313,24 @@ object ClusterOps {
       .orderBy(col("vec_id"), col("rk"))
   }
 
+  /** Multi-probe graph at the SUB-QUANTIZED quantizer — the exact
+    * form the 100× tier rides ([[Dedup.assignSemanticCells]] supplies
+    * both the fine cell and the in-coarse runner-up `cell2`), gated
+    * with the full sampled-sub-training replay: the oracle trains the
+    * coarse chain, the per-cell sampled sub-chains (the
+    * `dedup_semantic_artifact` CTEs), ranks every vector's TWO
+    * nearest sub-centroids within its coarse cell, and joins probe
+    * rows against primary-cell members — same cosine, same
+    * tie-breaks, same top-k. Pinned [[Dedup.SubK]]/[[Dedup.SampleCap]]
+    * keep the SQL static; ScaleUp's 100× row passes subKFor(N). */
+  def knnGraphP2Sub(spark: SparkSession, dir: String): DataFrame = {
+    val vecs = KMeans.vecs(spark, dir)
+    val (coarse, subs) = Dedup.trainSemanticQuantizers(vecs, Dedup.SubK)
+    knnGraphP2On(
+      Dedup.assignSemanticCells(vecs, coarse, subs, Dedup.SubK)
+        .localCheckpoint()) // pin: feeds both the probe and member legs
+  }
+
   /** DRIVER-GATED serve path for the multi-probe graph: build the
     * coarse cell store (which carries `cluster2`) into a scratch dir,
     * answer from it via [[knnGraphP2On]] — zero assignment in the
@@ -785,11 +803,27 @@ object ClusterOps {
     // centroids (the per-row nprobe=2), candidates join neighbors'
     // PRIMARY cell — same cosine, same tie-break, same top-k
     "sim_knn_graph_p2" -> p2Sql,
+    "sim_knn_graph_p2_sub" -> p2SubSql,
     // serve == rebuild: the store's (cell, cell2) are the live
     // assignment + runner-up under the same centroids, so the served
     // graph's oracle IS the live p2 replay verbatim
     "sim_knn_graph_p2_served" -> p2Sql
   )
+
+  /** The sub-quantized multi-probe replay: coarse chain + per-cell
+    * SAMPLED sub-chains (the dedup_semantic_artifact training CTEs),
+    * per-vector rn ≤ 2 over its coarse cell's sub-centroids, probes
+    * joined against primary-cell members. */
+  private lazy val p2SubSql = {
+    val cellChains = (0 until KMeans.K).map { c =>
+      s"ss$c AS (SELECT vec_id, label, v, vi FROM (SELECT q.vec_id, q.label, q.v, q.vi, row_number() OVER (ORDER BY q.vec_id) AS srn FROM q JOIN af USING (vec_id) WHERE af.cid = $c) WHERE srn <= ${Dedup.SampleCap}), " +
+        KMeans.trainChain(s"ss$c", s"y$c", 64, Dedup.SubK)
+    }.mkString(", ")
+    val fineUnion = (0 until KMeans.K).map { c =>
+      s"SELECT vec_id, $c * ${Dedup.SubK} + cid AS pcell, rn FROM (SELECT t.vec_id, cc.cid, row_number() OVER (PARTITION BY t.vec_id ORDER BY ${KMeans.distSqlN("t.v", "cc.cv", 64)}, cc.cid) AS rn FROM (SELECT q.vec_id, q.v FROM q JOIN af USING (vec_id) WHERE af.cid = $c) t CROSS JOIN c2y$c cc) WHERE rn <= 2"
+    }.mkString(" UNION ALL ")
+    s"""WITH ${KMeans.trainCtes}, $cellChains, fine AS ($fineUnion), m AS MATERIALIZED (SELECT f.vec_id, f.pcell AS cell, q.v FROM fine f JOIN q USING (vec_id) WHERE f.rn = 1), pr AS (SELECT f.vec_id, f.pcell, q.v FROM fine f JOIN q USING (vec_id)), p AS (SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id, ${Similarity.cosineSql("a.v", "b.v")} AS cosine FROM pr a JOIN m b ON a.pcell = b.cell AND a.vec_id <> b.vec_id) $knnRankedSql ORDER BY vec_id, rk"""
+  }
 
   private lazy val p2Sql =
     s"""WITH ${KMeans.trainCtes}, af2 AS (SELECT vec_id, cid FROM (SELECT t.vec_id, c.cid, row_number() OVER (PARTITION BY t.vec_id ORDER BY ${KMeans.distSqlN("t.v", "c.cv", 64)}, c.cid) AS rn FROM q t CROSS JOIN c2 c) WHERE rn <= 2), p AS (SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id, ${Similarity.cosineSql("qa.v", "qb.v")} AS cosine FROM af2 a JOIN af b ON a.cid = b.cid AND a.vec_id <> b.vec_id JOIN q qa ON qa.vec_id = a.vec_id JOIN q qb ON qb.vec_id = b.vec_id) $knnRankedSql ORDER BY vec_id, rk"""
@@ -808,6 +842,7 @@ object ClusterOps {
     "sim_knn_graph_merge_served" -> knnGraphMergeServed _,
     "sim_knn_graph_append" -> knnGraphAppendStore _,
     "sim_knn_graph_p2_served" -> knnGraphP2Served _,
+    "sim_knn_graph_p2_sub" -> knnGraphP2Sub _,
     "sim_knn_communities_merge" -> knnCommunitiesMerge _,
     "sim_knn_communities_merge_served" -> knnCommunitiesMergeServed _
   )

@@ -556,13 +556,15 @@ object EventStreams {
     * (dedup index, PQ codes, semantic cells, and now the inverted
     * index). Per micro-batch:
     *
-    *  1. crash recovery ([[graft.ext.Retrieval.recoverBm25Store]]):
-    *     any postings rows whose doc never reached the COMMITTED log
-    *     are leftovers of a torn append (FileOutputCommitter moves
-    *     task files non-atomically, and a doc's postings span
-    *     multiple tbucket partition files — part-file presence is NOT
-    *     doc completeness, the round-13 ADVICE finding) and are
-    *     removed, with meta re-derived;
+    *  1. crash recovery ([[graft.ext.Retrieval.recoverBm25Store]]),
+    *     GATED on the `_committed_synced` marker dropped before and
+    *     re-created after each append (steady state pays one
+    *     existence probe): any postings rows whose doc never reached
+    *     the COMMITTED log are leftovers of a torn append
+    *     (FileOutputCommitter moves task files non-atomically, and a
+    *     doc's postings span multiple tbucket partition files —
+    *     part-file presence is NOT doc completeness, the round-13
+    *     ADVICE finding) and are removed, with meta re-derived;
     *  2. replay guard: doc_ids already in the committed log drop (a
     *     checkpoint-recovered batch becomes a no-op) — keyed on the
     *     commit marker, NOT raw part-file presence, so a torn doc is
@@ -594,7 +596,18 @@ object EventStreams {
       .foreachBatch { (raw: DataFrame, _: Long) =>
         val spark = raw.sparkSession
         val postingsDir = s"$storeDir/postings"
-        graft.ext.Retrieval.recoverBm25Store(spark, storeDir)
+        // recovery is an O(doc_ids) scan, so it is GATED on the sync
+        // marker the happy path maintains below (the knn sink's
+        // `_cells_synced` discipline): steady state pays one
+        // existence probe; only a batch that crashed inside the
+        // postings→meta→committed sequence pays the scan. A store
+        // seeded OUTSIDE the sink has no marker yet — its first
+        // batch runs one (no-op) recovery and arms it.
+        if (!graft.ops.StoreFiles.markerExists(storeDir,
+            "_committed_synced")) {
+          graft.ext.Retrieval.recoverBm25Store(spark, storeDir)
+          graft.ops.StoreFiles.createMarker(storeDir, "_committed_synced")
+        }
         val batchTd = raw
           .select(col("doc_id"),
             graft.ext.TextOps.tokens(col("text")).as("t"))
@@ -613,9 +626,11 @@ object EventStreams {
               .localCheckpoint()
           } else batchTd.localCheckpoint()
         if (!fresh.isEmpty) {
+          graft.ops.StoreFiles.deleteMarker(storeDir, "_committed_synced")
           if (seeded)
             graft.ext.Retrieval.appendBm25Index(spark, fresh, storeDir)
           else graft.ext.Retrieval.writeBm25Index(fresh, storeDir)
+          graft.ops.StoreFiles.createMarker(storeDir, "_committed_synced")
           graft.ext.Retrieval.maybeCompactPostings(spark, storeDir)
         }
         ()

@@ -850,6 +850,10 @@ class EventStreamsSpec extends SparkSpec {
     val wantDocs = d.filter(length(trim(col("text"))) > 0).count()
     assert(meta.getLong(0) == wantDocs)
 
+    // the happy path leaves the recovery gate armed (one existence
+    // probe per steady-state batch, not an O(doc_ids) scan)
+    assert(graft.ops.StoreFiles.markerExists(store, "_committed_synced"))
+
     // a replayed batch is a no-op (idempotent sink) — postings count
     // too, so a double-append can't hide behind the score compare
     val nPostings = spark.read.parquet(s"$store/postings").count()
