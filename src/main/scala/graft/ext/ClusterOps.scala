@@ -331,6 +331,21 @@ object ClusterOps {
         .localCheckpoint()) // pin: feeds both the probe and member legs
   }
 
+  /** DRIVER-GATED serve path for the SUB-quantized multi-probe
+    * graph: build the semantic-cells store (which carries `cell2`
+    * from build time) into a scratch dir, answer from it — zero
+    * training or assignment in the serve plan; oracle = the live
+    * [[knnGraphP2Sub]] replay verbatim (serve == rebuild: the
+    * store's cell/cell2 ARE the live assignment under the same
+    * sampled quantizers). */
+  def knnGraphP2SubServed(spark: SparkSession, dir: String): DataFrame = {
+    val cellsDir = graft.ops.Scratch.dir("graft_knn_p2sub_srv") + "/cells"
+    Dedup.writeSemanticCells(spark, dir, cellsDir)
+    knnGraphP2On(spark.read.parquet(cellsDir)
+      .select(col("vec_id"), col("cell").cast("int").as("cell"),
+        col("cell2").cast("int").as("cell2"), col("v")))
+  }
+
   /** DRIVER-GATED serve path for the multi-probe graph: build the
     * coarse cell store (which carries `cluster2`) into a scratch dir,
     * answer from it via [[knnGraphP2On]] — zero assignment in the
@@ -804,6 +819,10 @@ object ClusterOps {
     // PRIMARY cell — same cosine, same tie-break, same top-k
     "sim_knn_graph_p2" -> p2Sql,
     "sim_knn_graph_p2_sub" -> p2SubSql,
+    // serve == rebuild: the semantic-cells store's (cell, cell2) are
+    // the live sampled-quantizer assignment, so the served graph's
+    // oracle IS the live sub-probe replay verbatim
+    "sim_knn_graph_p2_sub_served" -> p2SubSql,
     // serve == rebuild: the store's (cell, cell2) are the live
     // assignment + runner-up under the same centroids, so the served
     // graph's oracle IS the live p2 replay verbatim
@@ -843,6 +862,7 @@ object ClusterOps {
     "sim_knn_graph_append" -> knnGraphAppendStore _,
     "sim_knn_graph_p2_served" -> knnGraphP2Served _,
     "sim_knn_graph_p2_sub" -> knnGraphP2Sub _,
+    "sim_knn_graph_p2_sub_served" -> knnGraphP2SubServed _,
     "sim_knn_communities_merge" -> knnCommunitiesMerge _,
     "sim_knn_communities_merge_served" -> knnCommunitiesMergeServed _
   )

@@ -145,6 +145,7 @@ class PlanLintSpec extends SparkSpec {
     // runs the same per-vector rank with probes from the store
     "sim_knn_graph_merge", "sim_knn_graph_merge_served",
     "sim_knn_graph_p2_served", "sim_knn_graph_p2_sub",
+    "sim_knn_graph_p2_sub_served",
     // incremental communities: both CC legs run the same row-keyed
     // edge ranks; the CC loop itself is window-free; the served form
     // replaces the carried leg with a pruned artifact read and keeps

@@ -145,6 +145,35 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("store-fed batch fusion answers like the live batch fusion and " +
+      "prunes BOTH stores (term buckets and probed cells)") {
+    import graft.ext.KMeans
+    val live = Retrieval.hybridRrfBatch(spark, sf).collect().toSeq
+    val ixStore = java.nio.file.Files
+      .createTempDirectory("graft_hyb_spec").toString + "/ix"
+    Retrieval.writeBm25Index(
+      Tables.documents(spark, sf)
+        .select(col("doc_id"), graft.ext.TextOps.tokens(col("text")).as("t"))
+        .filter(size(col("t")) > 0), ixStore)
+    val cents = KMeans.train(spark, sf)
+    val cellsDir = java.nio.file.Files
+      .createTempDirectory("graft_hyb_spec_cells").toString + "/cells"
+    KMeans.writeCellVectors(spark, sf, cellsDir, cents)
+    val served = Retrieval.hybridRrfBatchFromStores(spark, sf, ixStore,
+      cellsDir, cents)
+    assert(served.collect().toSeq == live,
+      "store-fed fusion must answer like the live batch fusion")
+    // both artifact scans carry PARTITION filters: the postings read
+    // prunes to the query terms' buckets, the vector read to the
+    // queries' probed cells
+    val plan = served.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("tbucket"),
+      s"postings scan must prune term buckets:\n$plan")
+    assert(plan.contains("cluster#") || plan.contains("cluster IN") ||
+      plan.contains("cluster="),
+      s"vector scan must prune probed cells:\n$plan")
+  }
+
   test("matched postings are cut by a broadcast term join before any " +
       "corpus-sized exchange") {
     val plan = Retrieval.bm25TopK(spark, sf)
