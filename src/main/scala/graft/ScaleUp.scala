@@ -786,29 +786,73 @@ object ScaleUp {
       // misalign: sf0.1 has 5000 docs but 2000 vectors) and reuses
       // the token-prefixed documents via a symlink. Per-copy dim-0
       // perturbation as in the sem tier keeps cells non-degenerate.
-      val cluDir = s"$dst/clu"
+      // round-15 fixture (verdict #3): the old all-perturbed-copies
+      // corpus was recall-DEGENERATE — every vector's true neighbors
+      // were its own 1e-3-perturbed copies, same cell by
+      // construction, so every recall ladder read 1.000 and the
+      // multi-probe/OPQ recall claims rested on the 500-vector base
+      // fixture alone. The v2 corpus keeps half the copies as
+      // perturbed near-dups (the dedup story needs them) and strings
+      // the other half along INTERPOLATION CHAINS between far base
+      // pairs: v(t) = (1-t)·v_a + t·v_b with t stepped per copy, so
+      // each chain crosses cell boundaries and points near the
+      // crossing have true neighbors in the OTHER cell — recall@k < 1
+      // under single-probe, recovered by the runner-up probe.
+      // Versioned dir: every derived cache (knn_cells, gold edges,
+      // labels, bm25 index) keys off the path and rebuilds with it.
+      val cluDir = s"$dst/clu2"
       if (!new java.io.File(s"$cluDir/embeddings.parquet").exists()) {
         new java.io.File(cluDir).mkdirs()
         val d0 = Tables.documents(spark, src)
         val maxDoc = d0.agg(max(col("doc_id"))).head().getLong(0) + 1
         val e0 = Tables.embeddings(spark, src)
-        e0.crossJoin(spark.range(copies).toDF("copy"))
+        val nBase = e0.count()
+        // partner = the base vector half the id-rank order away (a
+        // far vector, almost always another cell); one-time global
+        // window over the BASE table only (2k rows at sf0.1)
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("vec_id"))
+        val ranked = e0.withColumn("r", row_number().over(w))
+        val partners = ranked.select(
+          ((col("r") - 1 + lit(nBase / 2)) % lit(nBase) + 1).as("r"),
+          col("embedding").as("pemb"))
+        ranked.join(partners, "r")
+          .crossJoin(spark.range(copies).toDF("copy"))
           .select((col("vec_id") + col("copy") * lit(maxDoc)).as("vec_id"),
             col("label"),
-            transform(col("embedding"),
-              (x, i) => when(i === 0,
-                x + col("copy").cast("float") * lit(1e-3f)).otherwise(x))
+            when(col("copy") % 2 === 1,
+              // odd copies: same-cell perturbed near-dups
+              transform(col("embedding"),
+                (x, i) => when(i === 0,
+                  x + col("copy").cast("float") * lit(1e-3f)).otherwise(x)))
+              .otherwise(
+                // even copies (incl. 0 ≈ original at t ≈ 0.003):
+                // a point on the a→partner segment, t stepped per
+                // copy across (0, 0.8] — cross-cell neighborhoods
+                zip_with(col("embedding"), col("pemb"),
+                  (x, y) => {
+                    val t = (lit(0.003f) + (col("copy") / lit(2))
+                      .cast("float") * lit(1.6f / copies.toFloat))
+                    x * (lit(1.0f) - t) + y * t
+                  }))
               .as("embedding"))
           .write.mode("overwrite").parquet(s"$cluDir/embeddings.parquet")
         java.nio.file.Files.createSymbolicLink(
           java.nio.file.Paths.get(s"$cluDir/documents.parquet"),
           java.nio.file.Paths.get(s"$dst/documents.parquet"))
-        println(s"[scaleup] built $cluDir (${copies}x aligned embeddings)")
+        println(s"[scaleup] built $cluDir (${copies}x aligned embeddings, " +
+          "half perturbed dups / half cross-cell interpolation chains)")
       }
-      time("curation_cluster_card", src, 1)
-      time("curation_cluster_card", cluDir, 1)
-      time("sample_cluster_balance", src, 1)
-      time("sample_cluster_balance", cluDir, 1)
+      // live forms timed directly (the registry entries are now
+      // form-tagged unions — timing those would double-count)
+      timed("curation_cluster_card", src, 1)(
+        graft.ext.ClusterOps.clusterCard(spark, src))
+      timed("curation_cluster_card", cluDir, 1)(
+        graft.ext.ClusterOps.clusterCard(spark, cluDir))
+      timed("sample_cluster_balance", src, 1)(
+        graft.ext.ClusterOps.clusterBalanceSample(spark, src))
+      timed("sample_cluster_balance", cluDir, 1)(
+        graft.ext.ClusterOps.clusterBalanceSample(spark, cluDir))
       // steady state: store build once, card answered from the store
       // (assignment leg gone — partition column)
       val cellStore = s"$cluDir/cells"
@@ -829,8 +873,10 @@ object ScaleUp {
       // cell artifact (K ∝ N via subKFor) — same store discipline,
       // and the graph inherits its finer single-probe approximation
       time("sim_knn_graph", src, 1)
-      time("sim_knn_graph_p2", src, 1)
-      time("sim_knn_graph_merge", src, 1)
+      timed("sim_knn_graph_p2", src, 1)(
+        graft.ext.ClusterOps.knnGraphP2(spark, src))
+      timed("sim_knn_graph_merge", src, 1)(
+        graft.ext.ClusterOps.knnGraphBatchMerge(spark, src))
       locally {
         val n = Tables.embeddings(spark, cluDir).count()
         val subK = graft.ext.Dedup.subKFor(n)
@@ -1011,7 +1057,7 @@ object ScaleUp {
     // graphs) that belongs to the session, not the operator. Rides
     // the clu tier's existing stores; skips if they're absent.
     if (on("knnappend")) locally {
-      val cluDir = s"$dst/clu"
+      val cluDir = s"$dst/clu2"
       val knnCells = s"$cluDir/knn_cells"
       val goldEdgesDir = s"$cluDir/knn_gold_edges"
       if (new java.io.File(knnCells).exists() &&
@@ -1039,7 +1085,7 @@ object ScaleUp {
     // perturbed 200k corpus. Own section flag (`opq`) so it reruns
     // without repaying the whole clu tier; rides the clu corpus.
     if (on("clu") || on("opq")) locally {
-      val cluDir = s"$dst/clu"
+      val cluDir = s"$dst/clu2"
       if (new java.io.File(s"$cluDir/embeddings.parquet").exists())
         locally {
         import graft.ext.ProductQuant

@@ -527,6 +527,31 @@ object StreamScaleUp {
       val par = sig(edges) == sig(spark.read.parquet(s"$base/knn_rebuild"))
       println(s"[streamscale] knn parity vs rebuild: " +
         (if (par) "EXACT" else "MISMATCH"))
+      // round-15 stretch #8: the replay guard's cost ISOLATED on the
+      // accumulated store — the id-watermark scalar filter (the new
+      // happy path) vs the store-wide id anti-join it replaced (now
+      // the post-crash fallback only). Both run over one batch-sized
+      // probe frame; the anti-join's cost is the store scan.
+      locally {
+        val probe = spark.read.parquet(vecDir)
+          .select(col("vec_id")).limit(20000).localCheckpoint()
+        val wm = graft.ops.StoreFiles
+          .readIdWatermark(s"$base/knn_edges")
+        require(wm.nonEmpty, "sink must leave a watermark behind")
+        (1 to 2).foreach { _ =>
+          val tw = System.nanoTime()
+          val nW = probe.filter(col("vec_id") > wm.get).count()
+          val wSec = (System.nanoTime - tw) / 1e9
+          val ta = System.nanoTime()
+          val nA = probe.join(
+            spark.read.parquet(s"$base/knn_cells").select("vec_id"),
+            Seq("vec_id"), "left_anti").count()
+          val aSec = (System.nanoTime - ta) / 1e9
+          println(f"[streamscale] knn replay guard  watermark " +
+            f"$wSec%6.3f s ($nW%d rows)  vs anti-join $aSec%6.3f s " +
+            f"($nA%d rows)")
+        }
+      }
       // crash-window repair probe: a consistent store is a no-op
       val repaired = graft.ext.ClusterOps.repairKnnEdges(spark,
         s"$base/knn_cells", s"$base/knn_edges")

@@ -543,9 +543,16 @@ object Dedup {
     * by rebuilding from gold), the cells store is SELF-contained
     * (vec_id, v, cell under frozen quantizers), so compaction is a
     * read → hash-repartition on `cell` (each cell lands in one
-    * task → one output file) → overwrite; content is bit-identical,
-    * no re-assignment runs. The frame pins eagerly before the
-    * overwrite deletes the very files its lineage reads. Returns
+    * task → one output file) → replace; content is bit-identical,
+    * no re-assignment runs. The replace rides the
+    * [[graft.ops.ArtifactSwap]] rename-aside, NOT an in-place
+    * overwrite: the cells store is the knn/dedup families' SOURCE OF
+    * TRUTH (the edges repair derives FROM it and could not rebuild
+    * it), and the source batches are already checkpoint-committed
+    * when compaction runs, so a crash inside an in-place rewrite
+    * would lose stored rows unrecoverably (round-14 ADVICE). Sinks
+    * run [[graft.ops.ArtifactSwap.recover]] on the store at batch
+    * start, which closes the swap's own crash windows. Returns
     * whether a rewrite ran. */
   def maybeCompactSemanticCells(spark: SparkSession, cellsDir: String,
       threshold: Int = CompactFileThreshold): Boolean = {
@@ -560,8 +567,9 @@ object Dedup {
         .withColumn("cell", col("cell").cast("int"))
         .repartition(col("cell"))
         .localCheckpoint()
-      compacted.write.mode("overwrite").partitionBy("cell")
-        .parquet(cellsDir)
+      graft.ops.ArtifactSwap.writeAndSwap(cellsDir) { next =>
+        compacted.write.partitionBy("cell").parquet(next)
+      }
       true
     } else false
   }

@@ -349,14 +349,48 @@ object Retrieval {
     * replaces. Returns whether a repair ran. */
   def recoverBm25Store(spark: SparkSession, store: String): Boolean = {
     val dir = s"$store/postings"
-    // finish/abort any half-done rename-aside swap (compaction or a
-    // previous recovery) before probing liveness
+    // finish/abort any half-done rename-aside swap — postings
+    // compaction, committed-log compaction, meta rewrite, or a
+    // previous recovery — before probing liveness (round-14 ADVICE:
+    // a crash inside the committed-log swap used to leave the log
+    // renamed aside with no caller ever recovering it)
     graft.ops.ArtifactSwap.recover(dir)
+    graft.ops.ArtifactSwap.recover(committedDir(store))
+    graft.ops.ArtifactSwap.recover(s"$store/meta")
     if (graft.ops.StoreFiles.parquetFileCount(dir) == 0) return false
+    // Non-empty postings with NO committed log: if the postings write
+    // job COMMITTED (`_SUCCESS` present — FileOutputCommitter writes
+    // it last, so every posted doc is fully present), this is either
+    // a store seeded outside the sink protocol (pre-committed-log
+    // writer, e.g. a cached ScaleUp index) or a seed that crashed
+    // between the postings commit and the committed-log write; both
+    // recover by BOOTSTRAPPING the log from the live postings
+    // (round-14 ADVICE: classifying every doc as torn here swapped in
+    // an empty store). Without `_SUCCESS` the seed itself tore and
+    // the torn path below removes the partial rows.
+    if (!graft.ops.StoreFiles.hasTopLevelParquet(committedDir(store)) &&
+        graft.ops.StoreFiles.markerExists(dir, "_SUCCESS")) {
+      val docs = spark.read.parquet(dir).select(col("doc_id"))
+        .distinct().coalesce(1).localCheckpoint()
+      graft.ops.ArtifactSwap.writeAndSwap(committedDir(store)) { next =>
+        docs.write.parquet(next)
+      }
+      if (!metaConsistent(spark, store)) rederiveMeta(spark, store)
+      return true
+    }
     val torn = spark.read.parquet(dir).select("doc_id").distinct()
       .join(committedDocs(spark, store), Seq("doc_id"), "left_anti")
       .localCheckpoint()
-    if (torn.isEmpty) return false
+    if (torn.isEmpty) {
+      // no torn postings, but a crash inside a previous META rewrite
+      // leaves exactly this state (round-14 ADVICE: the early return
+      // here used to skip meta entirely, so broken meta never
+      // self-healed) — validate n_docs against the committed count
+      // and re-derive on any mismatch
+      if (metaConsistent(spark, store)) return false
+      rederiveMeta(spark, store)
+      return true
+    }
     val clean = spark.read.parquet(dir)
       .join(torn, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("dl"), col("term"), col("tf"),
@@ -366,14 +400,47 @@ object Retrieval {
     graft.ops.ArtifactSwap.writeAndSwap(dir) { next =>
       clean.write.partitionBy("tbucket").parquet(next)
     }
-    // meta re-derives from the clean store (n_docs = distinct docs,
-    // sum_dl = one dl per doc) — exact, whichever side of the meta
-    // rewrite the crash landed on
-    clean.groupBy(col("doc_id")).agg(first(col("dl")).as("dl"))
+    // meta from the pinned clean frame, not a store re-read: a fully
+    // torn seed leaves the swapped-in store EMPTY (no files to infer
+    // a schema from), while clean's schema is known
+    writeMetaFrom(spark, clean, store)
+    true
+  }
+
+  /** meta agrees with the store iff it reads cleanly and its n_docs
+    * equals the postings' distinct doc count (post-recovery the
+    * postings ARE the committed set, so the count is authoritative;
+    * sum_dl is derived by the same single pass that derives n_docs,
+    * so a matched n_docs from an intact file implies a matched
+    * sum_dl). */
+  private def metaConsistent(spark: SparkSession,
+      store: String): Boolean =
+    scala.util.Try {
+      val m = spark.read.parquet(s"$store/meta")
+        .select(col("n_docs"), col("sum_dl")).head()
+      !m.isNullAt(0) && !m.isNullAt(1) &&
+        m.getLong(0) == spark.read.parquet(s"$store/postings")
+          .select(col("doc_id")).distinct().count()
+    }.getOrElse(false)
+
+  /** Re-derive meta from the postings store (n_docs = distinct docs,
+    * sum_dl = one dl per doc) — exact, whichever side of a meta
+    * rewrite a crash landed on. Routed through the ArtifactSwap
+    * rename-aside so the repair cannot itself tear meta (round-14
+    * ADVICE: this was a plain overwrite). */
+  private def rederiveMeta(spark: SparkSession, store: String): Unit =
+    writeMetaFrom(spark, spark.read.parquet(s"$store/postings"), store)
+
+  private def writeMetaFrom(spark: SparkSession, postings: DataFrame,
+      store: String): Unit = {
+    val m = postings
+      .groupBy(col("doc_id")).agg(first(col("dl")).as("dl"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("dl").cast("long")).as("sum_dl"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$store/meta")
-    true
+      .coalesce(1).localCheckpoint()
+    graft.ops.ArtifactSwap.writeAndSwap(s"$store/meta") { next =>
+      m.write.parquet(next)
+    }
   }
 
   /** Serve the nq-query batch from the index store: corpus stats are

@@ -1,16 +1,14 @@
 package graft.ops
 
-import java.io.File
-import java.nio.file.{Files, Paths}
+import org.apache.hadoop.fs.{FileSystem, Path}
 
 /** Crash-safe replace of a directory-shaped artifact (a parquet table
-  * on local disk). POSIX `rename` cannot atomically replace a
-  * NON-EMPTY directory, so a plain delete-then-move has a window
-  * where the artifact simply does not exist — and worse, a caller
-  * that treats "missing" as "fresh" silently re-initializes state
-  * from one batch (the failure the round-11 review caught in the
-  * count-artifact merge). The protocol here is rename-aside with
-  * roll-forward recovery:
+  * on a filesystem). A plain delete-then-move has a window where the
+  * artifact simply does not exist — and worse, a caller that treats
+  * "missing" as "fresh" silently re-initializes state from one batch
+  * (the failure the round-11 review caught in the count-artifact
+  * merge). The protocol here is rename-aside with roll-forward
+  * recovery:
   *
   *  1. the replacement is FULLY written to `<live>.next`;
   *  2. `<live>` renames to `<live>.old` (atomic);
@@ -24,42 +22,85 @@ import java.nio.file.{Files, Paths}
   * invoke [[recover]] before reading liveness state (a marker file,
   * table existence) and use [[writeAndSwap]] for the replace.
   *
-  * Scope: local/posix paths (the test and single-node lakehouse
-  * layout). An object-store deployment swaps via its native
-  * atomic-commit (table-format snapshot or conditional PUT) instead.
+  * ATOMIC-RENAME CONTRACT (round-14 verdict #5): steps 2 and 3 are
+  * crash-windows-free ONLY where a directory rename is a single
+  * atomic metadata operation — true on local/posix filesystems and
+  * HDFS, FALSE on S3A (a "rename" is a per-object copy+delete: a
+  * crash mid-rename leaves BOTH half-directories, which [[recover]]
+  * cannot distinguish from a completed state). Paths resolve through
+  * the Hadoop FileSystem API, and [[writeAndSwap]]/[[recover]]
+  * REFUSE schemes outside [[AtomicRenameSchemes]] rather than run a
+  * silently unsafe swap. An object-store deployment commits through
+  * its native atomic primitive instead — a table-format snapshot or
+  * a conditional-PUT pointer — or extends the whitelist explicitly
+  * via the Hadoop conf key [[AssumeAtomicKey]] after verifying its
+  * store's rename semantics (e.g. HDFS-compatible stores like
+  * Azure ABFS with hierarchical namespaces).
   */
 object ArtifactSwap {
 
-  private def rmTree(f: File): Unit = {
-    if (f.isDirectory)
-      Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
-    f.delete(); ()
+  /** Schemes whose directory rename is a single atomic metadata op.
+    * A null/absent scheme is a plain local path. */
+  val AtomicRenameSchemes: Set[String] = Set("file", "hdfs", "viewfs")
+
+  /** Hadoop conf escape hatch: set to "true" to extend the whitelist
+    * to a store whose rename atomicity the deployment has verified. */
+  val AssumeAtomicKey = "graft.artifactswap.assume.atomic.rename"
+
+  private def fsOf(dir: String): (FileSystem, Path) = {
+    val p = new Path(dir)
+    val conf = org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+    (p.getFileSystem(conf), p)
   }
+
+  /** Refuse to swap on a filesystem whose rename is not atomic —
+    * loud and early, never a silent crash window (spec-asserted). */
+  private[graft] def requireAtomicRename(fs: FileSystem): Unit = {
+    val scheme = Option(fs.getUri.getScheme).getOrElse("file")
+    require(AtomicRenameSchemes(scheme) ||
+        fs.getConf.getBoolean(AssumeAtomicKey, false),
+      s"ArtifactSwap requires ATOMIC directory rename and filesystem " +
+        s"scheme '$scheme' does not guarantee it (an S3A rename is a " +
+        s"copy+delete with a crash window recover() cannot close). " +
+        s"Commit through the store's native atomic primitive (table-" +
+        s"format snapshot / conditional-PUT pointer), or set " +
+        s"$AssumeAtomicKey=true after verifying the store's rename " +
+        s"semantics.")
+  }
+
+  private def rename(fs: FileSystem, src: Path, dst: Path): Unit =
+    require(fs.rename(src, dst), s"rename failed: $src -> $dst")
 
   /** `.next` is complete iff its parquet write finished: Spark writes
     * `_SUCCESS` last. */
-  private def complete(dir: File): Boolean =
-    dir.isDirectory && new File(dir, "_SUCCESS").exists()
+  private def complete(fs: FileSystem, dir: Path): Boolean =
+    fs.exists(dir) && fs.getFileStatus(dir).isDirectory &&
+      fs.exists(new Path(dir, "_SUCCESS"))
 
   /** Close any crash window left by a previous [[writeAndSwap]]. */
   def recover(live: String): Unit = {
-    val liveF = new File(live)
-    val next = new File(live + ".next")
-    val old = new File(live + ".old")
-    if (!liveF.exists() && complete(next)) {
+    val (fs, liveP) = fsOf(live)
+    requireAtomicRename(fs)
+    val next = new Path(live + ".next")
+    val old = new Path(live + ".old")
+    if (!fs.exists(liveP) && complete(fs, next)) {
       // crashed between steps 2 and 3: finish the swap
-      Files.move(next.toPath, liveF.toPath)
-      if (old.exists()) rmTree(old)
-    } else if (!liveF.exists() && old.exists()) {
+      rename(fs, next, liveP)
+      if (fs.exists(old)) fs.delete(old, true)
+    } else if (!fs.exists(liveP) && fs.exists(old)) {
       // crashed with an incomplete .next: restore the previous state
-      Files.move(old.toPath, liveF.toPath)
-      if (next.exists()) rmTree(next)
+      rename(fs, old, liveP)
+      if (fs.exists(next)) fs.delete(next, true)
     } else {
       // healthy live: anything else is debris from a completed or
       // abandoned swap
-      if (next.exists()) rmTree(next)
-      if (old.exists()) rmTree(old)
+      if (fs.exists(next)) fs.delete(next, true)
+      if (fs.exists(old)) fs.delete(old, true)
     }
+    ()
   }
 
   /** Write the replacement via `body` (given the staging path), then
@@ -67,13 +108,14 @@ object ArtifactSwap {
     * swap only begins after it returns. */
   def writeAndSwap(live: String)(body: String => Unit): Unit = {
     recover(live)
-    val next = live + ".next"
-    rmTree(new File(next))
-    body(next)
-    val liveF = new File(live)
-    if (liveF.exists())
-      Files.move(liveF.toPath, Paths.get(live + ".old"))
-    Files.move(Paths.get(next), liveF.toPath)
-    rmTree(new File(live + ".old"))
+    val (fs, liveP) = fsOf(live)
+    val next = new Path(live + ".next")
+    if (fs.exists(next)) fs.delete(next, true)
+    body(live + ".next")
+    if (fs.exists(liveP))
+      rename(fs, liveP, new Path(live + ".old"))
+    rename(fs, next, liveP)
+    fs.delete(new Path(live + ".old"), true)
+    ()
   }
 }

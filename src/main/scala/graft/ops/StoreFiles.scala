@@ -80,6 +80,60 @@ object StoreFiles {
     ()
   }
 
+  /** The replay-guard watermark (round-14 verdict #2): the artifact
+    * sinks' ingest contract is MONOTONE ids — later batches carry
+    * strictly higher ids — so "which batch ids are already stored"
+    * reduces to one scalar, the max stored id, instead of the
+    * per-batch store-wide id anti-join (the sinks' only store-sized
+    * read on the happy path — a real per-trigger cost at 100 TB).
+    * The scalar lives in an underscore-prefixed one-line file next to
+    * the store's sync marker and follows the marker's trust protocol:
+    * written AFTER the batch's stores are consistent and BEFORE the
+    * sync marker re-arms; deleted whenever the marker is found absent
+    * (a crashed batch), which makes the guard fall back to the exact
+    * anti-join for one batch and re-derive the scalar from it. */
+  def readIdWatermark(dir: String): Option[Long] = {
+    val (fs, p) = fsOf(dir)
+    val f = new Path(p, "_id_watermark")
+    if (!fs.exists(f)) None
+    else
+      scala.util.Try {
+        val in = fs.open(f)
+        try {
+          val s = new String(
+            org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+            java.nio.charset.StandardCharsets.UTF_8)
+          s.trim.toLong
+        } finally in.close()
+      }.toOption
+  }
+
+  /** Write (replace) the id watermark. A crash mid-write leaves a
+    * torn file that [[readIdWatermark]] fails to parse → None → the
+    * anti-join fallback, never a wrong scalar silently trusted. */
+  def writeIdWatermark(dir: String, v: Long): Unit = {
+    val (fs, p) = fsOf(dir)
+    fs.mkdirs(p)
+    val out = fs.create(new Path(p, "_id_watermark"), true)
+    try out.write(v.toString.getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Drop the watermark (the guard then falls back to the anti-join). */
+  def deleteIdWatermark(dir: String): Unit = deleteMarker(dir, "_id_watermark")
+
+  /** Recursively delete a store subdirectory (no-op when absent) —
+    * the debris-partition cleanup the edges repair uses for cells
+    * whose correct edge set is EMPTY (a dynamic partition overwrite
+    * only rewrites partitions present in the written frame, so an
+    * empty recompute cannot clean a stale partition by itself). */
+  def deleteDir(dir: String): Unit = {
+    val (fs, p) = fsOf(dir)
+    if (fs.exists(p)) fs.delete(p, true)
+    ()
+  }
+
   /** Number of first-level `<prefix>N/` partition directories under
     * `dir` (0 when absent) — the store's natural compaction floor is
     * one file per partition, so policies threshold at 2× this. */

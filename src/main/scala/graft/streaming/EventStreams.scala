@@ -281,11 +281,28 @@ object EventStreams {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
+        val goldSeeded = hasParquet(goldDir)
+        // a batch that crashed mid-sequence leaves the sync marker
+        // absent — its watermark may be stale, so drop it and fall
+        // back to the exact anti-join for this batch (round-14
+        // verdict #2)
+        if (goldSeeded &&
+            !graft.ops.StoreFiles.markerExists(goldDir, "_ids_synced"))
+          graft.ops.StoreFiles.deleteIdWatermark(goldDir)
+        // replay guard: monotone doc ids reduce the gold-wide id
+        // anti-join to one scalar on the happy path
         val fresh =
-          if (hasParquet(goldDir)) {
-            val seen = spark.read.parquet(goldDir).select("doc_id")
-            batch.join(seen, Seq("doc_id"), "left_anti")
-          } else batch
+          if (!goldSeeded) batch
+          else graft.ops.StoreFiles.readIdWatermark(goldDir) match {
+            case Some(wm) => batch.filter(col("doc_id") > wm)
+            case None =>
+              val seen = spark.read.parquet(goldDir).select("doc_id")
+              batch.join(seen, Seq("doc_id"), "left_anti")
+          }
+        // the watermark covers the WHOLE batch (duplicates too — a
+        // replayed dup would just re-judge duplicate), computed
+        // before any append invalidates fresh's gold-reading lineage
+        val batchMax = batch.agg(max(col("doc_id"))).head()
         // localCheckpoint (EAGER): the accepted set's lineage reads
         // the gold dir and the index dirs — the very paths the two
         // appends below write to. A lazily-cached plan that misses
@@ -301,8 +318,13 @@ object EventStreams {
             fresh.join(verdicts, Seq("doc_id"))
           } else fresh // empty store: the first batch seeds it
         ).localCheckpoint()
+        graft.ops.StoreFiles.deleteMarker(goldDir, "_ids_synced")
         uniques.write.mode("append").parquet(goldDir)
         graft.ext.Dedup.appendGoldIndex(uniques, indexDir)
+        if (!batchMax.isNullAt(0))
+          graft.ops.StoreFiles.writeIdWatermark(goldDir,
+            batchMax.getLong(0))
+        graft.ops.StoreFiles.createMarker(goldDir, "_ids_synced")
         // compaction policy: many small appends fragment the store;
         // past the file-count threshold the batch's tail rebuilds it
         // from gold (sequential per micro-batch, so race-free)
@@ -443,21 +465,37 @@ object EventStreams {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
+        val goldSeeded = hasParquet(goldDir)
+        // crashed batch → stale watermark possible → drop it, this
+        // batch anti-joins exactly (round-14 verdict #2)
+        if (goldSeeded &&
+            !graft.ops.StoreFiles.markerExists(goldDir, "_ids_synced"))
+          graft.ops.StoreFiles.deleteIdWatermark(goldDir)
         // localCheckpoint (EAGER): the fresh set's lineage reads the
         // gold dir this batch appends to — same re-execution hazard
         // as incrementalDedupSink's accepted set
         val fresh = (
-          if (hasParquet(goldDir)) {
-            val seen = spark.read.parquet(goldDir).select("vec_id")
-            batch.join(seen, Seq("vec_id"), "left_anti")
-          } else batch
+          if (!goldSeeded) batch
+          else graft.ops.StoreFiles.readIdWatermark(goldDir) match {
+            // monotone vec_ids: the scalar replaces the store-wide
+            // id anti-join on the happy path
+            case Some(wm) => batch.filter(col("vec_id") > wm)
+            case None =>
+              val seen = spark.read.parquet(goldDir).select("vec_id")
+              batch.join(seen, Seq("vec_id"), "left_anti")
+          }
         ).localCheckpoint()
+        graft.ops.StoreFiles.deleteMarker(goldDir, "_ids_synced")
         fresh.write.mode("append").parquet(goldDir)
         graft.ext.ProductQuant.encodeFrameResidual(
           fresh.select(col("vec_id"), col("label"),
             col("embedding").cast("array<double>").as("v")),
           coarse, rcbs)
           .write.mode("append").partitionBy("cell").parquet(codesDir)
+        val mx = fresh.agg(max(col("vec_id"))).head() // pinned frame
+        if (!mx.isNullAt(0))
+          graft.ops.StoreFiles.writeIdWatermark(goldDir, mx.getLong(0))
+        graft.ops.StoreFiles.createMarker(goldDir, "_ids_synced")
         graft.ext.ProductQuant.maybeCompactCodes(
           spark, goldDir, codesDir, coarse, rcbs)
         ()
@@ -492,9 +530,10 @@ object EventStreams {
     *     the two writes loses nothing [[repairSemanticVerdicts]]
     *     cannot re-derive;
     *  4. past the part-file threshold the store compacts
-    *     ([[graft.ext.Dedup.maybeCompactSemanticCells]] — in-place
-    *     rewrite toward one file per cell; self-contained store, no
-    *     gold needed).
+    *     ([[graft.ext.Dedup.maybeCompactSemanticCells]] — rewrite
+    *     toward one file per cell through the ArtifactSwap
+    *     rename-aside; self-contained store, no gold needed; the
+    *     sink recovers the swap at batch start).
     *
     * Verdict-currency contract (shared with the batch append path,
     * [[graft.ext.Dedup.batchSemanticDups]]): vec_ids must be assigned
@@ -515,17 +554,36 @@ object EventStreams {
         val spark = raw.sparkSession
         val batch = raw.select(col("vec_id"),
           col("embedding").cast("array<double>").as("v"))
+        // close any crash window of the compaction's rename-aside
+        // swap BEFORE probing the store (round-14 ADVICE: compaction
+        // used to rewrite the source-of-truth cells store in place —
+        // it now rides ArtifactSwap, and this recover is its other
+        // half: existence checks + renames only, cheap every batch)
+        graft.ops.ArtifactSwap.recover(cellsDir)
         // the cells store is cell-PARTITIONED: its part files live
         // under cell=N/ subdirs, so the presence probe must recurse
         // (the flat hasParquet sees only _SUCCESS at the top level
         // and would report an always-empty store — verified failure
         // mode: zero gold candidates, every verdict false)
         val storeSeeded = graft.ext.Dedup.cellsFileCount(cellsDir) > 0
+        // crashed batch → stale watermark possible → drop it and
+        // anti-join exactly this once (round-14 verdict #2). The
+        // compaction swap also clears the in-store marker files, so
+        // the first post-compaction batch pays the same one-off
+        // fallback and re-derives the scalar.
+        if (storeSeeded &&
+            !graft.ops.StoreFiles.markerExists(cellsDir, "_ids_synced"))
+          graft.ops.StoreFiles.deleteIdWatermark(cellsDir)
+        // replay guard: monotone vec_ids reduce the store-wide id
+        // anti-join to one scalar on the happy path
         val fresh =
-          if (storeSeeded) {
-            val seen = spark.read.parquet(cellsDir).select("vec_id")
-            batch.join(seen, Seq("vec_id"), "left_anti")
-          } else batch
+          if (!storeSeeded) batch
+          else graft.ops.StoreFiles.readIdWatermark(cellsDir) match {
+            case Some(wm) => batch.filter(col("vec_id") > wm)
+            case None =>
+              val seen = spark.read.parquet(cellsDir).select("vec_id")
+              batch.join(seen, Seq("vec_id"), "left_anti")
+          }
         val batchCells = graft.ext.Dedup
           .assignSemanticCells(fresh, coarse, subs, subK)
           .localCheckpoint()
@@ -538,9 +596,13 @@ object EventStreams {
           val verdicts = graft.ext.Dedup
             .batchSemanticDups(goldCells, batchCells)
             .localCheckpoint()
+          graft.ops.StoreFiles.deleteMarker(cellsDir, "_ids_synced")
           batchCells.write.mode("append").partitionBy("cell")
             .parquet(cellsDir)
           verdicts.write.mode("append").parquet(verdictsDir)
+          graft.ops.StoreFiles.writeIdWatermark(cellsDir,
+            batchCells.agg(max(col("vec_id"))).head().getLong(0))
+          graft.ops.StoreFiles.createMarker(cellsDir, "_ids_synced")
           graft.ext.Dedup.maybeCompactSemanticCells(spark, cellsDir)
         }
         ()
@@ -596,15 +658,34 @@ object EventStreams {
       .foreachBatch { (raw: DataFrame, _: Long) =>
         val spark = raw.sparkSession
         val postingsDir = s"$storeDir/postings"
-        // recovery is an O(doc_ids) scan, so it is GATED on the sync
-        // marker the happy path maintains below (the knn sink's
-        // `_cells_synced` discipline): steady state pays one
+        // rename-aside recovery runs UNCONDITIONALLY — it is only
+        // existence checks and renames, and it must not hide behind
+        // the marker: compaction runs AFTER the marker is re-created,
+        // so a crash inside either of its writeAndSwap windows
+        // (postings or committed log) leaves the marker present with
+        // a dir renamed aside; the gated path below would then skip
+        // recoverBm25Store (the only ArtifactSwap.recover caller),
+        // see the missing dir as unseeded, and overwrite-seed the
+        // source-of-truth store from one batch (round-14 ADVICE,
+        // medium — silent loss of the whole index)
+        graft.ops.ArtifactSwap.recover(postingsDir)
+        graft.ops.ArtifactSwap.recover(
+          graft.ext.Retrieval.committedDir(storeDir))
+        graft.ops.ArtifactSwap.recover(s"$storeDir/meta")
+        // the full recovery is an O(doc_ids) scan, so it is GATED on
+        // the sync marker the happy path maintains below (the knn
+        // sink's `_cells_synced` discipline): steady state pays one
         // existence probe; only a batch that crashed inside the
         // postings→meta→committed sequence pays the scan. A store
         // seeded OUTSIDE the sink has no marker yet — its first
-        // batch runs one (no-op) recovery and arms it.
+        // batch runs one recovery (which also bootstraps a missing
+        // committed log from committed postings) and arms it.
         if (!graft.ops.StoreFiles.markerExists(storeDir,
             "_committed_synced")) {
+          // a crashed batch may have committed its docs without
+          // updating the watermark — drop it so this batch's guard
+          // falls back to the exact anti-join (round-14 verdict #2)
+          graft.ops.StoreFiles.deleteIdWatermark(storeDir)
           graft.ext.Retrieval.recoverBm25Store(spark, storeDir)
           graft.ops.StoreFiles.createMarker(storeDir, "_committed_synced")
         }
@@ -618,18 +699,27 @@ object EventStreams {
         val committed = graft.ext.Retrieval.committedDir(storeDir)
         val seeded = graft.ext.Dedup.cellsFileCount(postingsDir) > 0 &&
           graft.ops.StoreFiles.hasTopLevelParquet(committed)
+        // replay guard: monotone doc ids reduce the committed-log
+        // anti-join to one scalar on the happy path; the log scan is
+        // the post-crash fallback only (round-14 verdict #2)
         val fresh =
-          if (seeded) {
-            val seen = spark.read.parquet(committed)
-              .select("doc_id").distinct()
-            batchTd.join(seen, Seq("doc_id"), "left_anti")
-              .localCheckpoint()
-          } else batchTd.localCheckpoint()
+          (if (!seeded) batchTd
+           else graft.ops.StoreFiles.readIdWatermark(storeDir) match {
+             case Some(wm) => batchTd.filter(col("doc_id") > wm)
+             case None =>
+               val seen = spark.read.parquet(committed)
+                 .select("doc_id").distinct()
+               batchTd.join(seen, Seq("doc_id"), "left_anti")
+           }).localCheckpoint()
         if (!fresh.isEmpty) {
+          val batchMax = fresh.agg(max(col("doc_id"))).head().getLong(0)
           graft.ops.StoreFiles.deleteMarker(storeDir, "_committed_synced")
           if (seeded)
             graft.ext.Retrieval.appendBm25Index(spark, fresh, storeDir)
           else graft.ext.Retrieval.writeBm25Index(fresh, storeDir)
+          // watermark strictly before the marker re-arms (a crash
+          // between them discards it at the next batch)
+          graft.ops.StoreFiles.writeIdWatermark(storeDir, batchMax)
           graft.ops.StoreFiles.createMarker(storeDir, "_committed_synced")
           graft.ext.Retrieval.maybeCompactPostings(spark, storeDir)
         }
@@ -715,11 +805,37 @@ object EventStreams {
   def knnEdgesSink(vectors: DataFrame,
       assign: DataFrame => DataFrame,
       cellsDir: String, edgesDir: String,
+      checkpointDir: String): StreamingQuery =
+    knnGraphSink(vectors, assign, cellsDir, edgesDir, None,
+      checkpointDir)
+
+  /** [[knnEdgesSink]] one level up (round-14 stretch #7): when
+    * `labelsDir` is given, each micro-batch ALSO folds the touched
+    * cells into the community-labels artifact
+    * ([[graft.ext.ClusterOps.appendKnnCommunityLabels]] — per-cell CC
+    * relabel + dynamic partition overwrite, sound by
+    * cell-confinement), closing the last live-only form in the graph
+    * family: cells → edges → communities all maintained streaming.
+    * The labels update rides the SAME `_cells_synced` window as the
+    * edges update, and the marker-gated repair extends to the labels
+    * store ([[graft.ext.ClusterOps.repairKnnCommunityLabels]] — one
+    * bounded aggregate per store). Stream labels == one-shot
+    * [[graft.ext.ClusterOps.writeKnnCommunityLabels]] rebuild,
+    * asserted EXACT in EventStreamsSpec. */
+  def knnGraphSink(vectors: DataFrame,
+      assign: DataFrame => DataFrame,
+      cellsDir: String, edgesDir: String,
+      labelsDir: Option[String],
       checkpointDir: String): StreamingQuery = {
     val q = vectors.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (raw: DataFrame, _: Long) =>
         val spark = raw.sparkSession
+        // close any crash window of the cells compaction's
+        // rename-aside swap BEFORE the seeded probe (round-14 ADVICE:
+        // the in-place rewrite this replaces could lose stored cells
+        // rows on a crash, and repairKnnEdges cannot rebuild cells)
+        graft.ops.ArtifactSwap.recover(cellsDir)
         val storeSeeded = graft.ext.Dedup.cellsFileCount(cellsDir) > 0
         // repair is O(store) (two consistency aggregates), so it is
         // GATED on the sync marker the happy path maintains below:
@@ -728,33 +844,58 @@ object EventStreams {
         // edges update (marker absent) pays the scan
         if (storeSeeded &&
             !graft.ops.StoreFiles.markerExists(edgesDir, "_cells_synced")) {
+          // a crashed batch: the watermark can be stale (e.g. the
+          // crash landed after the appends but before the watermark
+          // write), so drop it — this batch's guard falls back to the
+          // exact anti-join and re-derives it (round-14 verdict #2)
+          graft.ops.StoreFiles.deleteIdWatermark(edgesDir)
           graft.ext.ClusterOps.repairKnnEdges(spark, cellsDir, edgesDir)
-          // the store is consistent now; re-arm the marker so a
+          labelsDir.foreach(ld => graft.ext.ClusterOps
+            .repairKnnCommunityLabels(spark, cellsDir, ld))
+          // the stores are consistent now; re-arm the marker so a
           // replay whose batch fully drops (guard below) doesn't pay
           // the scan forever
           graft.ops.StoreFiles.createMarker(edgesDir, "_cells_synced")
         }
         val batch = raw.select(col("vec_id"),
           col("embedding").cast("array<double>").as("v"))
+        // replay guard: the monotone-id contract reduces "already in
+        // the cells store" to one scalar — ids at or below the max
+        // stored id drop. The store-wide id anti-join survives only
+        // as the fallback for the batch right after a crash (round-14
+        // verdict #2: the guard scan was the sinks' only store-sized
+        // read on the happy path)
         val fresh =
-          if (storeSeeded) {
-            val seen = spark.read.parquet(cellsDir).select("vec_id")
-            batch.join(seen, Seq("vec_id"), "left_anti")
-          } else batch
+          if (!storeSeeded) batch
+          else graft.ops.StoreFiles.readIdWatermark(edgesDir) match {
+            case Some(wm) => batch.filter(col("vec_id") > wm)
+            case None =>
+              val seen = spark.read.parquet(cellsDir).select("vec_id")
+              batch.join(seen, Seq("vec_id"), "left_anti")
+          }
         val assigned = assign(fresh)
           .select(col("vec_id"), col("cell"), col("v"))
           .localCheckpoint()
         if (!assigned.isEmpty) {
-          val batchFrom = assigned.agg(min(col("vec_id")))
-            .head().getLong(0)
+          val Array(batchFrom, batchMax) = assigned
+            .agg(min(col("vec_id")), max(col("vec_id"))).head() match {
+              case r => Array(r.getLong(0), r.getLong(1))
+            }
           graft.ops.StoreFiles.deleteMarker(edgesDir, "_cells_synced")
           assigned.write.mode("append").partitionBy("cell")
             .parquet(cellsDir)
+          val storeCells = spark.read.parquet(cellsDir)
+            .select(col("vec_id"), col("cell").cast("int").as("cell"),
+              col("v"))
           graft.ext.ClusterOps.appendKnnEdges(spark, edgesDir,
-            spark.read.parquet(cellsDir)
-              .select(col("vec_id"), col("cell").cast("int").as("cell"),
-                col("v")),
-            batchFrom)
+            storeCells, batchFrom)
+          labelsDir.foreach(ld => graft.ext.ClusterOps
+            .appendKnnCommunityLabels(spark, ld, storeCells, batchFrom))
+          // watermark BEFORE the marker re-arms: a crash between the
+          // two leaves the marker absent, which discards the
+          // watermark at the next batch — a stale scalar is never
+          // trusted
+          graft.ops.StoreFiles.writeIdWatermark(edgesDir, batchMax)
           graft.ops.StoreFiles.createMarker(edgesDir, "_cells_synced")
           graft.ext.Dedup.maybeCompactSemanticCells(spark, cellsDir)
         }

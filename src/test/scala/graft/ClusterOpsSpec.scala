@@ -405,4 +405,82 @@ class ClusterOpsSpec extends SparkSpec {
       .select(col("doc_id")).collect().map(_.getLong(0)).toSet
     assert(got == expect)
   }
+
+  test("card-aggregate merge equals the full frozen-quantizer card " +
+      "and leaves untouched cluster partitions' files byte-identical") {
+    import graft.ext.KMeans
+    import org.apache.spark.sql.functions._
+    val vs = KMeans.vecs(spark, sf)
+    // a SMALL batch (the last 5 ids) so some clusters stay untouched
+    val cut = vs.agg(max(col("vec_id")).cast("long"))
+      .head().getLong(0) - 5
+    val cents = KMeans.trainFrame(
+      vs.filter(col("vec_id") <= cut).select(col("vec_id"), col("v")),
+      KMeans.K)
+    val assigned = vs.select(col("vec_id"), col("label"),
+      KMeans.assignOn(col("v"), cents).as("cluster"))
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"),
+        size(graft.ext.TextOps.tokens(col("text"))).cast("long")
+          .as("n_tokens"))
+    val j = assigned.join(docs, assigned("vec_id") === docs("doc_id"))
+      .select(col("doc_id"), col("cluster"), col("label"),
+        col("source"), col("n_tokens"))
+    val aggDir = java.nio.file.Files
+      .createTempDirectory("graft_card_agg_spec").toString + "/agg"
+    ClusterOps.writeClusterCardAgg(j.filter(col("doc_id") <= cut), aggDir)
+    val touched = j.filter(col("doc_id") > cut)
+      .select(col("cluster")).distinct().collect().map(_.getInt(0)).toSet
+    assert(touched.nonEmpty && touched.size < KMeans.K,
+      s"fixture regime: batch must touch a strict subset, got $touched")
+    def files(sub: String,
+        ok: Int => Boolean): Map[String, (Long, Long)] = {
+      val root = new java.io.File(s"$aggDir/$sub")
+      Option(root.listFiles()).getOrElse(Array.empty)
+        .filter(d => d.isDirectory && d.getName.startsWith("cluster="))
+        .filter(d => ok(d.getName.stripPrefix("cluster=").toInt))
+        .flatMap(d => Option(d.listFiles()).getOrElse(Array.empty))
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getAbsolutePath -> (f.length(), f.lastModified()))
+        .toMap
+    }
+    val beforeSrc = files("src", c => !touched.contains(c))
+    val beforeLab = files("lab", c => !touched.contains(c))
+    ClusterOps.mergeClusterCardAgg(spark, aggDir,
+      j.filter(col("doc_id") > cut))
+    assert(files("src", c => !touched.contains(c)) == beforeSrc &&
+      files("lab", c => !touched.contains(c)) == beforeLab,
+      "merge must not rewrite untouched cluster partitions")
+    // store-card == the card computed directly over the full frame
+    // under the same frozen quantizer (merge == rebuild)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+    val fromStore = rows(ClusterOps.clusterCardFromAgg(spark, aggDir))
+    // the live rebuild: group the SAME joined frame the artifact
+    // accumulated (private cardOn path, reached via the public merge
+    // gate entry's oracle at the driver; here via a direct groupBy)
+    val perSrc = j.groupBy(col("cluster"), col("source"))
+      .agg(count(lit(1)).as("sdocs"), sum(col("n_tokens")).as("stoks"))
+    val srcStore = spark.read.parquet(s"$aggDir/src")
+      .select(col("cluster").cast("int").as("cluster"), col("source"),
+        col("sdocs"), col("stoks"))
+    assert(rows(srcStore.orderBy(col("cluster"), col("source"))) ==
+      rows(perSrc.orderBy(col("cluster"), col("source"))),
+      "merged src aggregate must equal the full re-aggregate")
+    assert(fromStore.nonEmpty)
+    // NOT idempotent by design: the merge is an aggregate FOLD, so a
+    // replayed batch would double-count — replay protection is the
+    // CALLER's contract (the sinks' id-watermark guard), unlike the
+    // knn append whose whole-partition overwrite self-dedups
+    ClusterOps.mergeClusterCardAgg(spark, aggDir,
+      j.filter(col("doc_id") > cut))
+    val doubled = spark.read.parquet(s"$aggDir/src")
+      .filter(col("cluster").isin(touched.toSeq.map(Integer.valueOf): _*))
+      .agg(sum(col("sdocs"))).head().getLong(0)
+    val single = perSrc
+      .filter(col("cluster").isin(touched.toSeq.map(Integer.valueOf): _*))
+      .agg(sum(col("sdocs"))).head().getLong(0)
+    assert(doubled > single,
+      "documented non-idempotence: a double-fold must be visible")
+  }
 }

@@ -1030,4 +1030,283 @@ class EventStreamsSpec extends SparkSpec {
     assert(rows(Retrieval.bm25BatchFromIndex(spark, sf, store)) ==
       rows(Retrieval.bm25Batch(spark, sf)))
   }
+
+  test("a committed store with NO committed log bootstraps the log " +
+      "from the live postings (pre-protocol store), while a torn " +
+      "seed without _SUCCESS still wipes") {
+    import java.nio.file.Files
+    import graft.ext.Retrieval
+    val store = Files.createTempDirectory("graft_bm25_boot").toString + "/ix"
+    val td = Tables.documents(spark, sf)
+      .select(col("doc_id"), graft.ext.TextOps.tokens(col("text")).as("t"))
+      .filter(size(col("t")) > 0)
+    Retrieval.writeBm25Index(td, store)
+    val nPost = spark.read.parquet(s"$store/postings").count()
+    val meta0 = spark.read.parquet(s"$store/meta").head()
+    def rmrf(p: java.io.File): Unit = {
+      Option(p.listFiles()).getOrElse(Array.empty).foreach(rmrf)
+      p.delete(); ()
+    }
+    // a store seeded OUTSIDE the sink protocol: postings + meta, no
+    // committed log (the round-14 ADVICE shape — a cached pre-log
+    // index). Recovery must BOOTSTRAP, not classify everything torn.
+    rmrf(new java.io.File(Retrieval.committedDir(store)))
+    assert(Retrieval.recoverBm25Store(spark, store),
+      "bootstrapping the missing log is a repair")
+    assert(spark.read.parquet(s"$store/postings").count() == nPost,
+      "bootstrap must not touch the postings")
+    val committedSet = spark.read.parquet(Retrieval.committedDir(store))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val postedSet = spark.read.parquet(s"$store/postings")
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(committedSet == postedSet,
+      "bootstrapped log must equal the posted doc set")
+    val metaB = spark.read.parquet(s"$store/meta").head()
+    assert(metaB.getLong(0) == meta0.getLong(0) &&
+      metaB.getLong(1) == meta0.getLong(1))
+    assert(!Retrieval.recoverBm25Store(spark, store),
+      "a bootstrapped store recovers as a no-op")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(rows(Retrieval.bm25BatchFromIndex(spark, sf, store)) ==
+      rows(Retrieval.bm25Batch(spark, sf)))
+
+    // the torn-seed shape: no committed log AND no _SUCCESS (the
+    // postings write job never committed) — doc completeness is
+    // unprovable, so recovery wipes rather than committing torn rows
+    rmrf(new java.io.File(Retrieval.committedDir(store)))
+    new java.io.File(s"$store/postings/_SUCCESS").delete()
+    assert(Retrieval.recoverBm25Store(spark, store))
+    // the wiped store holds no part files (an empty dir — unreadable
+    // as parquet by design; the sink's seeded probe counts files)
+    assert(graft.ops.StoreFiles.parquetFileCount(s"$store/postings") == 0,
+      "a torn seed must be removed, not committed")
+  }
+
+  test("broken meta self-heals on recovery even when no postings are " +
+      "torn (the crash-inside-a-meta-rewrite window)") {
+    import java.nio.file.Files
+    import graft.ext.Retrieval
+    val store = Files.createTempDirectory("graft_bm25_meta").toString + "/ix"
+    val td = Tables.documents(spark, sf)
+      .select(col("doc_id"), graft.ext.TextOps.tokens(col("text")).as("t"))
+      .filter(size(col("t")) > 0)
+    Retrieval.writeBm25Index(td, store)
+    val meta0 = spark.read.parquet(s"$store/meta").head()
+    def rmrf(p: java.io.File): Unit = {
+      Option(p.listFiles()).getOrElse(Array.empty).foreach(rmrf)
+      p.delete(); ()
+    }
+    // crash landed INSIDE a meta rewrite: postings and committed are
+    // consistent (no torn docs), meta is gone — the round-14 ADVICE
+    // window the old torn.isEmpty early-return skipped forever
+    rmrf(new java.io.File(s"$store/meta"))
+    assert(Retrieval.recoverBm25Store(spark, store),
+      "recovery must detect and re-derive broken meta")
+    val metaR = spark.read.parquet(s"$store/meta").head()
+    assert(metaR.getLong(0) == meta0.getLong(0) &&
+      metaR.getLong(1) == meta0.getLong(1),
+      "re-derived meta must equal the crash-free integers")
+    assert(!Retrieval.recoverBm25Store(spark, store))
+  }
+
+  test("a swap crash with the sync marker PRESENT heals at the next " +
+      "lexical sink batch instead of overwrite-seeding the store") {
+    import java.nio.file.{Files, Paths}
+    import graft.ext.Retrieval
+    val base = Files.createTempDirectory("graft_bm25_swapcrash").toString
+    val srcDir = s"$base/src"; Files.createDirectories(Paths.get(srcDir))
+    val store = s"$base/ix"
+    val d = Tables.documents(spark, sf)
+    val ids = d.select(col("doc_id")).orderBy(col("doc_id"))
+      .collect().map(_.getLong(0))
+    val c0 = ids(ids.length * 2 / 3)
+    def stageFile(lo: Long, hi: Long, name: String): Unit = {
+      val tmp = Files.createTempDirectory("graft_bm25_batch")
+      d.filter(col("doc_id") > lo && col("doc_id") <= hi)
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val f = new java.io.File(tmp.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(f.toPath, Paths.get(srcDir, name))
+    }
+    def runOnce(): Unit =
+      EventStreams.lexicalIndexSink(
+        spark.readStream.schema(d.schema).parquet(srcDir),
+        store, s"$base/chk").stop()
+    stageFile(Long.MinValue, c0, "b0.parquet"); runOnce()
+    val nPost0 = spark.read.parquet(s"$store/postings").count()
+    assert(graft.ops.StoreFiles.markerExists(store, "_committed_synced"))
+    // the round-14 ADVICE medium: compaction runs AFTER the marker is
+    // re-created, so a crash inside its rename-aside (live renamed to
+    // .old, .next not yet in) leaves the marker present and the store
+    // missing. The marker-gated recovery alone would then see an
+    // unseeded store and overwrite-seed from the next batch.
+    Files.move(Paths.get(s"$store/postings"),
+      Paths.get(s"$store/postings.old"))
+    stageFile(c0, Long.MaxValue, "b1.parquet"); runOnce()
+    // the unconditional batch-start recover rolled the rename back,
+    // so the store now holds BOTH batches — equal to the live answer
+    assert(spark.read.parquet(s"$store/postings").count() > nPost0,
+      "store must retain the pre-crash batch after the swap recovery")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(rows(Retrieval.bm25BatchFromIndex(spark, sf, store)) ==
+      rows(Retrieval.bm25Batch(spark, sf)))
+  }
+
+  test("knn-edges repair detects and removes a debris partition whose " +
+      "cell is absent from the cells store") {
+    import java.nio.file.Files
+    import graft.ext.{ClusterOps, KMeans}
+    val base = Files.createTempDirectory("graft_knn_debris").toString
+    val cellsDir = s"$base/cells"; val edgesDir = s"$base/edges"
+    val cents = KMeans.train(spark, sf)
+    val cells = KMeans.vecs(spark, sf).select(col("vec_id"),
+      KMeans.assignOn(col("v"), cents).as("cell"), col("v"))
+    cells.write.mode("overwrite").partitionBy("cell").parquet(cellsDir)
+    ClusterOps.writeKnnEdges(cells, edgesDir)
+    def edgeRows() = spark.read.parquet(edgesDir)
+      .select(col("vec_id"), col("rk").cast("int"), col("nbr_id"),
+        col("cosine"), col("cell").cast("int"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3), r.getInt(4))).toSet
+    val want = edgeRows()
+    assert(ClusterOps.repairKnnEdges(spark, cellsDir, edgesDir) == 0)
+    // debris of a torn dynamic overwrite: an edge partition for a
+    // cell id NO live cell has (round-14 ADVICE: the old left join
+    // could never see it, so it survived every repair)
+    spark.read.parquet(edgesDir).limit(3)
+      .withColumn("cell", lit(9999))
+      .write.mode("append").partitionBy("cell").parquet(edgesDir)
+    assert(edgeRows() != want, "debris setup failed")
+    assert(ClusterOps.repairKnnEdges(spark, cellsDir, edgesDir) >= 1,
+      "the debris cell must be detected as stale")
+    assert(edgeRows() == want,
+      "repair must remove the debris partition exactly")
+    assert(!new java.io.File(s"$edgesDir/cell=9999").exists())
+    assert(ClusterOps.repairKnnEdges(spark, cellsDir, edgesDir) == 0)
+  }
+
+  test("streaming communities: the labels artifact accumulated by the " +
+      "graph sink equals the one-shot rebuild, and the label repair " +
+      "restores a lost partition exactly") {
+    import java.nio.file.{Files, Paths}
+    import graft.ext.{ClusterOps, KMeans}
+    val base = Files.createTempDirectory("graft_comm_stream").toString
+    val srcDir = s"$base/src"; Files.createDirectories(Paths.get(srcDir))
+    val cellsDir = s"$base/cells"; val edgesDir = s"$base/edges"
+    val labelsDir = s"$base/labels"
+    val e = Tables.embeddings(spark, sf)
+    val ids = e.select(col("vec_id")).orderBy(col("vec_id"))
+      .collect().map(_.getLong(0))
+    val c0 = ids(ids.length * 3 / 5); val c1 = ids(ids.length * 4 / 5)
+    val cents = KMeans.trainFrame(
+      KMeans.vecs(spark, sf).filter(col("vec_id") <= c0)
+        .select(col("vec_id"), col("v")), KMeans.K)
+    def stageFile(lo: Long, hi: Long, name: String): Unit = {
+      val tmp = Files.createTempDirectory("graft_comm_batch")
+      e.filter(col("vec_id") > lo && col("vec_id") <= hi)
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val f = new java.io.File(tmp.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(f.toPath, Paths.get(srcDir, name))
+    }
+    def assign(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("vec_id"),
+        graft.functions.NearestCentroid(col("v"), cents.map(_._2))
+          .as("cell"), col("v"))
+    def runOnce(): Unit =
+      EventStreams.knnGraphSink(
+        spark.readStream.schema(e.schema).parquet(srcDir),
+        assign, cellsDir, edgesDir, Some(labelsDir),
+        s"$base/chk").stop()
+    stageFile(Long.MinValue, c0, "b0.parquet"); runOnce()
+    stageFile(c0, c1, "b1.parquet"); runOnce()
+    stageFile(c1, Long.MaxValue, "b2.parquet"); runOnce()
+    def labelRows(dir: String) = spark.read.parquet(dir)
+      .select(col("vec_id"), col("community_id"),
+        col("cell").cast("int"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .toSet
+    // one-shot rebuild: full corpus under the SAME frozen quantizer
+    val oneShotDir = s"$base/labels_oneshot"
+    ClusterOps.writeKnnCommunityLabels(
+      assign(KMeans.vecs(spark, sf).select(col("vec_id"), col("v"))),
+      oneShotDir)
+    val want = labelRows(oneShotDir)
+    assert(want.nonEmpty && labelRows(labelsDir) == want,
+      "stream-accumulated labels must equal the one-shot rebuild")
+    // a replayed batch is a no-op
+    stageFile(c1, Long.MaxValue, "b2_replay.parquet"); runOnce()
+    assert(labelRows(labelsDir) == want)
+    // crash-window repair: lose one multi-member cell's labels
+    // partition; the repair relabels exactly it
+    val victim = spark.read.parquet(labelsDir)
+      .groupBy(col("cell")).count().orderBy(col("count").desc)
+      .head().getAs[Any]("cell").toString
+    graft.ops.StoreFiles.deleteDir(s"$labelsDir/cell=$victim")
+    assert(labelRows(labelsDir) != want, "victim partition should be gone")
+    assert(ClusterOps.repairKnnCommunityLabels(spark, cellsDir,
+      labelsDir) >= 1)
+    assert(labelRows(labelsDir) == want,
+      "label repair must restore the lost partition exactly")
+    assert(ClusterOps.repairKnnCommunityLabels(spark, cellsDir,
+      labelsDir) == 0)
+  }
+
+  test("a cells-store swap crash heals at the next knn sink batch " +
+      "(compaction rides the rename-aside, the sink recovers it)") {
+    import java.nio.file.{Files, Paths}
+    import graft.ext.KMeans
+    val base = Files.createTempDirectory("graft_knn_swapcrash").toString
+    val srcDir = s"$base/src"; Files.createDirectories(Paths.get(srcDir))
+    val cellsDir = s"$base/cells"; val edgesDir = s"$base/edges"
+    val e = Tables.embeddings(spark, sf)
+    val ids = e.select(col("vec_id")).orderBy(col("vec_id"))
+      .collect().map(_.getLong(0))
+    val c0 = ids(ids.length * 2 / 3)
+    val cents = KMeans.trainFrame(
+      KMeans.vecs(spark, sf).filter(col("vec_id") <= c0)
+        .select(col("vec_id"), col("v")), KMeans.K)
+    def stageFile(lo: Long, hi: Long, name: String): Unit = {
+      val tmp = Files.createTempDirectory("graft_knn_batch")
+      e.filter(col("vec_id") > lo && col("vec_id") <= hi)
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val f = new java.io.File(tmp.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(f.toPath, Paths.get(srcDir, name))
+    }
+    def assign(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("vec_id"),
+        graft.functions.NearestCentroid(col("v"), cents.map(_._2))
+          .as("cell"), col("v"))
+    def runOnce(): Unit =
+      EventStreams.knnEdgesSink(
+        spark.readStream.schema(e.schema).parquet(srcDir),
+        assign, cellsDir, edgesDir, s"$base/chk").stop()
+    stageFile(Long.MinValue, c0, "b0.parquet"); runOnce()
+    val nCells0 = spark.read.parquet(cellsDir).count()
+    // crash inside the cells compaction's rename-aside: live renamed
+    // aside, .next never moved in (round-14 ADVICE: the in-place
+    // overwrite this replaces would have LOST these rows, and
+    // repairKnnEdges cannot rebuild cells)
+    Files.move(Paths.get(cellsDir), Paths.get(s"$cellsDir.old"))
+    stageFile(c0, Long.MaxValue, "b1.parquet"); runOnce()
+    assert(spark.read.parquet(cellsDir).count() > nCells0,
+      "cells store must retain the pre-crash batch after recovery")
+    // final store == one-shot build on the full corpus
+    val oneShotDir = s"$base/oneshot"
+    graft.ext.ClusterOps.writeKnnEdges(
+      assign(KMeans.vecs(spark, sf).select(col("vec_id"), col("v"))),
+      oneShotDir)
+    def edgeRows(dir: String) = spark.read.parquet(dir)
+      .select(col("vec_id"), col("rk").cast("int"), col("nbr_id"),
+        col("cosine"), col("cell").cast("int"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3), r.getInt(4))).toSet
+    assert(edgeRows(edgesDir) == edgeRows(oneShotDir),
+      "post-recovery stream must still equal the one-shot build")
+  }
 }

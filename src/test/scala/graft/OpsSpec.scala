@@ -160,6 +160,35 @@ class OpsSpec extends SparkSpec {
     assert(!new java.io.File(s"$live.old").exists())
   }
 
+  test("ArtifactSwap refuses a filesystem without atomic directory " +
+      "rename, and the verified-deployment escape hatch admits it") {
+    import graft.ops.ArtifactSwap
+    // a local fs masquerading as an object store: rename semantics
+    // are whatever the scheme implies, and s3a's is copy+delete — the
+    // swap must refuse LOUDLY instead of running with a crash window
+    // recover() cannot close (round-14 verdict #5)
+    def fakeFs(scheme: String) = {
+      val fs = new org.apache.hadoop.fs.RawLocalFileSystem() {
+        override def getUri: java.net.URI =
+          java.net.URI.create(s"$scheme://fake")
+      }
+      fs.setConf(new org.apache.hadoop.conf.Configuration())
+      fs
+    }
+    val e = intercept[IllegalArgumentException] {
+      ArtifactSwap.requireAtomicRename(fakeFs("s3a"))
+    }
+    assert(e.getMessage.contains("ATOMIC directory rename"))
+    // local/posix and HDFS-class schemes pass
+    ArtifactSwap.requireAtomicRename(fakeFs("file"))
+    ArtifactSwap.requireAtomicRename(fakeFs("hdfs"))
+    // explicit opt-in for a store whose rename the deployment
+    // verified (documented conf key)
+    val optIn = fakeFs("abfs")
+    optIn.getConf.setBoolean(ArtifactSwap.AssumeAtomicKey, true)
+    ArtifactSwap.requireAtomicRename(optIn)
+  }
+
   test("temporal split: boundaries match the recomputed 70/85% range " +
       "cuts, splits are time-ordered, summary reconciles") {
     import org.apache.spark.sql.functions._

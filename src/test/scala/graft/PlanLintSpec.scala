@@ -40,7 +40,11 @@ class PlanLintSpec extends SparkSpec {
     // modal-source/modal-label rank windows over the POST-AGGREGATION
     // cluster×source and cluster×label frames (bounded at K·|sources|
     // and K·|labels| rows — ClusterOps.cardOn scaladoc)
-    "curation_cluster_card", "curation_cluster_card_served")
+    "curation_cluster_card_forms",
+    // the artifact-merge card runs the same post-aggregation modal
+    // ranks (inputs bounded at K·|sources| / K·|labels| rows read
+    // from the aggregate store)
+    "curation_cluster_card_merge")
 
   // intentional exceptions: exactness baselines over bounded inputs,
   // kept next to their scale paths (IVF/LSH) — see Dedup scaladoc —
@@ -136,21 +140,19 @@ class PlanLintSpec extends SparkSpec {
     // window-free and checkpoint-truncated); the multi-probe form
     // doubles the candidate set, same row-keyed rank; keep-best adds
     // the community-keyed rank (NDV ~ corpus size, group = community)
-    "sim_knn_graph", "sim_knn_components", "sim_knn_graph_p2",
+    "sim_knn_graph", "sim_knn_components", "sim_knn_graph_p2_forms",
     "sim_knn_keep_best", "sim_knn_community_hist",
-    // the incremental merge runs the same row-keyed rank over the
-    // gold side and the recomputed touched cells; the store-fed form
-    // runs it over the recomputed touched cells only (the gold side
-    // is a partition-pruned artifact read), and the served p2 form
-    // runs the same per-vector rank with probes from the store
-    "sim_knn_graph_merge", "sim_knn_graph_merge_served",
-    "sim_knn_graph_p2_served", "sim_knn_graph_p2_sub",
-    "sim_knn_graph_p2_sub_served",
+    // the merge-family forms entry runs the same row-keyed rank over
+    // the gold side, the recomputed touched cells, and (served form)
+    // the partition-pruned artifact read; the sub-probe forms entry
+    // runs the same per-vector rank with probes live and from the
+    // store
+    "sim_knn_graph_merge_forms", "sim_knn_graph_p2_sub_forms",
     // incremental communities: both CC legs run the same row-keyed
     // edge ranks; the CC loop itself is window-free; the served form
     // replaces the carried leg with a pruned artifact read and keeps
     // only the touched cells' rank
-    "sim_knn_communities_merge", "sim_knn_communities_merge_served")
+    "sim_knn_communities_merge_forms")
   private val entityKeyedWindow = Set(
     "events_sessionize", "events_asof_purchase_click")
   private val guardedLowNdvWindow = Set(
@@ -193,7 +195,7 @@ class PlanLintSpec extends SparkSpec {
       // per-cluster quota rides SkewOps.topKPerGroup (stage-2 bounded
       // at K·salts·quota — ClusterOps.clusterBalanceSample scaladoc);
       // the served form answers through the same two-phase rank
-      "sample_cluster_balance", "sample_cluster_balance_served")
+      "sample_cluster_balance_forms")
   // running-sum/rank windows partitioned by (source or epoch,
   // doc_id-shard): parallelism = groups × shards, and a deployment
   // scales the shard count with the corpus (Curation.packSequences /
