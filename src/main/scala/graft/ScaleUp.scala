@@ -867,6 +867,49 @@ object ScaleUp {
         graft.ext.ClusterOps.clusterCardFrom(spark, cellStore, cluDir))
       timed("cluster_balance_served_100x", cluDir, 2)(
         graft.ext.ClusterOps.clusterBalanceFrom(spark, cellStore, cluDir))
+      // round-15 #4: the card-aggregate artifact — gold build once,
+      // a 50-doc batch folds into touched partitions only, the card
+      // answers from the store with no corpus scan. The merge is a
+      // deliberate single rep (an aggregate fold is NOT idempotent —
+      // the documented contract), into a per-run scratch store seeded
+      // from the cached cell store.
+      locally {
+        val assignedStore = spark.read.parquet(cellStore)
+          .select(col("vec_id"), col("label"),
+            col("cluster").cast("int").as("cluster"))
+        val docs = Tables.documents(spark, cluDir)
+          .select(col("doc_id"), col("source"),
+            size(graft.ext.TextOps.tokens(col("text"))).cast("long")
+              .as("n_tokens"))
+        val j = assignedStore
+          .join(docs, assignedStore("vec_id") === docs("doc_id"))
+          .select(col("doc_id"), col("cluster"), col("label"),
+            col("source"), col("n_tokens"))
+        // max over the JOINED frame: documents run to 100·maxDoc but
+        // embeddings only to ~99·maxDoc + base — a documents-side max
+        // would put the whole batch past every embedding (measured:
+        // touched 0 clusters)
+        // 5-doc batch: with K = 10 coarse clusters a 50-doc batch
+        // touches all 10 partitions (measured) and the pruning story
+        // vanishes; 5 docs touch a strict subset
+        val batchFrom = j.agg(max(col("doc_id"))).head().getLong(0) - 4
+        val aggDir = graft.ops.Scratch.dir("graft_card_agg_100x") + "/agg"
+        val tb = System.nanoTime()
+        graft.ext.ClusterOps.writeClusterCardAgg(
+          j.filter(col("doc_id") < batchFrom), aggDir)
+        println(f"[scaleup] card_agg_build_100x          $cluDir%-18s " +
+          f"${(System.nanoTime - tb) / 1e9}%8.2f s")
+        val touched = j.filter(col("doc_id") >= batchFrom)
+          .select(col("cluster")).distinct().count()
+        val tm = System.nanoTime()
+        graft.ext.ClusterOps.mergeClusterCardAgg(spark, aggDir,
+          j.filter(col("doc_id") >= batchFrom))
+        println(f"[scaleup] card_agg_merge_100x          $cluDir%-18s " +
+          f"${(System.nanoTime - tm) / 1e9}%8.2f s  " +
+          f"(touched $touched%d/${graft.ext.KMeans.K}%d clusters)")
+        timed("card_from_agg_100x", cluDir, 2)(
+          graft.ext.ClusterOps.clusterCardFromAgg(spark, aggDir))
+      }
       // kNN graph: the live coarse form at base scale; at 200k
       // vectors the coarse in-cell pairwise is the N²/K wall (the
       // SemDeDup lesson), so the 100× row rides the sub-quantized
@@ -987,7 +1030,18 @@ object ScaleUp {
         // two-cell candidates for the graphs.
         locally {
           val k = graft.ext.ClusterOps.KnnK
-          val sample = storeP2.orderBy(col("vec_id")).limit(100)
+          // round-15 #3: the sample must draw MID-CHAIN interpolated
+          // points (even copies, hash-spread across the t range) —
+          // the first-100-ids sample sat at the chains' endpoints
+          // where every neighbor shares the cell, and recall read a
+          // degenerate 1.000 for both probes
+          val maxDoc0 = Tables.documents(spark, src)
+            .agg(max(col("doc_id"))).head().getLong(0) + 1
+          val sample = storeP2
+            .filter((col("vec_id") / lit(maxDoc0)).cast("long")
+              % 2 === 0)
+            .withColumn("h", xxhash64(col("vec_id")))
+            .orderBy(col("h")).limit(100)
             .select(col("vec_id"), col("v")).collect()
             .map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
           val sampleIds = sample.map(_._1)
