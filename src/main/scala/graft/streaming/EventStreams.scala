@@ -884,9 +884,20 @@ object EventStreams {
           graft.ops.StoreFiles.deleteMarker(edgesDir, "_cells_synced")
           assigned.write.mode("append").partitionBy("cell")
             .parquet(cellsDir)
+          // touched-cells-only read (round-14 verdict nit): the
+          // appends only ever need the batch's cells' members, so the
+          // partition filter is EXPLICIT at the store read instead of
+          // relying on pushdown through the appends' internal filter
+          // — self-documenting, and the plan stays pruned even if a
+          // future store layout breaks pushdown. Bounded collect:
+          // the batch's distinct cells, ≤ min(cell count, batch size).
+          val touchedCells = assigned.select(col("cell")).distinct()
+            .collect().map(_.get(0).toString.toInt).sorted
+            .map(Integer.valueOf)
           val storeCells = spark.read.parquet(cellsDir)
             .select(col("vec_id"), col("cell").cast("int").as("cell"),
               col("v"))
+            .filter(col("cell").isin(touchedCells: _*))
           graft.ext.ClusterOps.appendKnnEdges(spark, edgesDir,
             storeCells, batchFrom)
           labelsDir.foreach(ld => graft.ext.ClusterOps
