@@ -402,4 +402,40 @@ class CurationSpec extends SparkSpec {
     assert(!plan.contains("LocalTableScan") || !plan.contains("Checkpoint"),
       "artifact-fed card should read stores, not checkpointed CC labels")
   }
+
+  test("the data card is incremental END-TO-END: gold-built label and " +
+    "count stores folded with a batch still answer the exact live card") {
+    // round-15: the card's expensive legs read two artifacts whose
+    // merge == rebuild is individually gated; this closes the loop by
+    // driving the card THROUGH both merge paths — gold build, batch
+    // fold, card from the folded stores == the live full-corpus card
+    import graft.ext.{Dedup, Sampling, Selection}
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_card_inc").toString
+    val labelsDir = s"$base/labels"
+    val countsDir = s"$base/counts"
+    val d = Tables.documents(spark, sf)
+    val cutoff = d.agg(floor(max(col("doc_id")) * 0.8).cast("long"))
+      .head().getLong(0)
+    val gold = d.filter(col("doc_id") <= cutoff)
+    val batch = d.filter(col("doc_id") > cutoff)
+    // labels: gold store, then the batch folds in (the split-label
+    // merge path, merge == rebuild gated in SamplingSpec)
+    Sampling.writeLabelArtifact(spark,
+      Sampling.splitFromClusters(Dedup.nearDupClustersOn(gold)),
+      labelsDir)
+    Sampling.mergeSplitLabelsArtifact(spark, labelsDir, gold, batch)
+    // counts: gold store, then the batch folds in (the count-artifact
+    // merge path, exactly-once via the batch-id marker)
+    Selection.tokenCountsOn(gold).write.mode("overwrite")
+      .parquet(s"$countsDir/${Selection.TokenCountsTable}.parquet")
+    assert(Selection.mergeTokenCountsArtifact(spark, countsDir,
+      batch, 0L))
+    val live = Curation.dataCard(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val fed = Curation.dataCardFrom(spark, sf, labelsDir, countsDir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(fed == live,
+      "card over merged artifacts diverges from the live full build")
+  }
 }
