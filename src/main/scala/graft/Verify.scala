@@ -17,17 +17,28 @@ object Verify {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     def keep(name: String): Boolean = only.forall(_.contains(name))
     val errs = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val t0All = System.nanoTime()
     SparkEntry.queries.filter(kv => keep(kv._1)).foreach { case (name, fn) =>
       // coalesce(1) keeps one file AND preserves the query's ORDER BY
       // in the written rows (a repartition would shuffle them away)
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        // per-entry Spark-side cost next to the DuckDB profile
+        // (tools/profile_oracle.py) — round 14's artifact was zeroed
+        // by unobserved suite growth; both sides stay visible now
+        System.err.println(f"[verify] $name took " +
+          f"${(System.nanoTime - t0) / 1e9}%.2f s")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         errs(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
           .linesIterator.toSeq.headOption.getOrElse("")
       }
     }
+    System.err.println(f"[verify] total " +
+      f"${(System.nanoTime - t0All) / 1e9}%.1f s for " +
+      f"${SparkEntry.queries.count(kv => keep(kv._1))}%d queries")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
