@@ -110,7 +110,8 @@ object StreamScaleUp {
         "cur_gold", "cur_disp", "ckpt_vec", "vec_gold", "vec_codes",
         "ckpt_sem", "sem_cells", "sem_verdicts",
         "ckpt_lex", "bm25_ix", "bm25_rebuild",
-        "ckpt_knn", "knn_cells", "knn_edges", "knn_rebuild"))
+        "ckpt_knn", "knn_cells", "knn_edges", "knn_rebuild",
+        "ckpt_card", "card_agg", "card_rebuild"))
       rmrf(new java.io.File(s"$base/$d"))
 
     // ---- per-batch progress listener ----
@@ -557,6 +558,88 @@ object StreamScaleUp {
         s"$base/knn_cells", s"$base/knn_edges")
       println(s"[streamscale] knn repair on consistent store: " +
         s"$repaired cells recomputed (expect 0)")
+    }
+
+    // ---- 8. streaming cluster-card sink (bounded store, atomic
+    // fold+watermark swap per trigger) ----
+    if (on("card")) locally {
+      // staged pre-joined landing files: the card sink's input is the
+      // embeddings↔documents join (doc_id, embedding, label, source,
+      // n_tokens); 10 files = 10 micro-batches, ids shifted per copy,
+      // dim-0 perturbed like the vec tier
+      val cardDir = s"$base/card.parquet"
+      if (!new java.io.File(cardDir).exists()) {
+        new java.io.File(cardDir).mkdirs()
+        val e0 = Tables.embeddings(spark, src)
+        val d0 = Tables.documents(spark, src)
+          .select(col("doc_id"), col("source"),
+            size(graft.ext.TextOps.tokens(col("text"))).cast("long")
+              .as("n_tokens"))
+        val j0 = e0.join(d0, e0("vec_id") === d0("doc_id"))
+          .select(col("doc_id"), col("embedding"), e0("label"),
+            col("source"), col("n_tokens"))
+          .localCheckpoint()
+        val maxVec = j0.agg(max(col("doc_id"))).head().getLong(0) + 1
+        val per = math.max(1, copies / 10)
+        for (g <- 0 until (copies + per - 1) / per) {
+          val span = (g * per) until math.min((g + 1) * per, copies)
+          val tmp = s"$base/_tmp_card_$g"
+          span.map { i =>
+            j0.select((col("doc_id") + lit(i * maxVec)).as("doc_id"),
+              transform(col("embedding"),
+                (x, idx) => when(idx === 0,
+                  x + lit(i.toFloat * 1e-3f)).otherwise(x))
+                .as("embedding"),
+              col("label"), col("source"), col("n_tokens"))
+          }.reduce(_ unionByName _)
+            .coalesce(1).write.mode("overwrite").parquet(tmp)
+          moveSinglePart(tmp, f"$cardDir/g$g%02d.parquet")
+        }
+        println(s"[streamscale] staged $cardDir (${copies}x, joined)")
+      }
+      // frozen coarse quantizer on the base corpus: the card is a
+      // K-cells TOPIC report, so K stays fixed as N grows (unlike the
+      // dedup/graph stores' K ∝ N sizing) — which is exactly why the
+      // agg store is bounded and the atomic whole-store swap is the
+      // right fold discipline
+      val cents = graft.ext.KMeans.trainFrame(
+        graft.ext.KMeans.vecs(spark, src)
+          .select(col("vec_id"), col("v")), graft.ext.KMeans.K)
+      def assign(df: DataFrame): DataFrame =
+        df.select(col("doc_id"),
+          graft.functions.NearestCentroid(
+            col("embedding").cast("array<double>"), cents.map(_._2))
+            .as("cluster"),
+          col("label"), col("source"), col("n_tokens"))
+      val schema = spark.read.parquet(cardDir).schema
+      val t0 = System.nanoTime()
+      val q = EventStreams.clusterCardSink(
+        spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(cardDir),
+        assign, s"$base/card_agg", s"$base/ckpt_card")
+      q.stop()
+      println(f"[streamscale] card sink total " +
+        f"${(System.nanoTime() - t0) / 1e9}%.1f s " +
+        f"(expected shape: per-trigger cost FLAT — the fold reads " +
+        f"batch + a bounded store, never the corpus)")
+      // parity: fold-accumulated store == one-shot rebuild over
+      // everything that arrived, under the same frozen quantizer
+      val t1 = System.nanoTime()
+      graft.ext.ClusterOps.writeClusterCardAgg(
+        assign(spark.read.parquet(cardDir)), s"$base/card_rebuild")
+      println(f"[streamscale] card one-shot rebuild " +
+        f"${(System.nanoTime() - t1) / 1e9}%.1f s")
+      def rows(aggDir: String) = graft.ext.ClusterOps
+        .clusterCardFromAgg(spark, aggDir).collect().map(_.toSeq).toSeq
+      val par = rows(s"$base/card_agg") == rows(s"$base/card_rebuild")
+      println(s"[streamscale] card parity vs rebuild: " +
+        (if (par) "EXACT" else "MISMATCH"))
+      // the steady-state report read: bounded store, no corpus scan
+      val t2 = System.nanoTime()
+      val n = graft.ext.ClusterOps
+        .clusterCardFromAgg(spark, s"$base/card_agg").collect().length
+      println(f"[streamscale] card from store " +
+        f"${(System.nanoTime() - t2) / 1e9}%.2f s ($n%d clusters)")
     }
 
     val rocksDirs = Option(new java.io.File(

@@ -258,6 +258,60 @@ object ClusterOps {
       Seq("ldocs"))
   }
 
+  /** Fold a batch into the card-aggregate artifact ATOMICALLY with
+    * its replay watermark — the streaming form of
+    * [[mergeClusterCardAgg]]. The fold is a non-idempotent aggregate
+    * (a replay double-counts) and the store holds NO ids, so replay
+    * protection cannot be re-derived from the store after a crash the
+    * way the id-bearing artifacts re-derive theirs; the only sound
+    * protocol is to commit the fold and the watermark in ONE atomic
+    * step. That is affordable here precisely because the agg store is
+    * BOUNDED (K·|sources| + K·|labels| rows, independent of corpus
+    * size): the whole store rewrites into `.next` — merged `src/` and
+    * `lab/`, the `_id_watermark` scalar, then a top-level `_SUCCESS`
+    * so [[graft.ops.ArtifactSwap]]'s roll-forward probe sees a
+    * complete staging dir — and one rename publishes fold+watermark
+    * together. Every crash shape resolves exactly-once: before the
+    * swap the watermark is unchanged and the replayed batch re-folds;
+    * after it the watermark has advanced and the replay drops.
+    * [[mergeClusterCardAgg]]'s partition-pruned dynamic overwrite
+    * remains the batch-API form where the caller owns replay. */
+  def foldClusterCardAgg(spark: SparkSession, aggDir: String,
+      batchJ: DataFrame, batchMax: Long): Unit = {
+    graft.ops.ArtifactSwap.writeAndSwap(aggDir) { next =>
+      // `live` reads lazily while `.next` materializes — safe: the
+      // live dir is untouched until the body returns
+      val seeded =
+        graft.ops.StoreFiles.parquetFileCount(s"$aggDir/src") > 0
+      def fold(sub: String, key: String, batchAgg: DataFrame,
+          sums: Seq[String]): Unit = {
+        val merged =
+          if (!seeded) batchAgg
+          else spark.read.parquet(s"$aggDir/$sub")
+            .select(col("cluster").cast("int").as("cluster") +:
+              col(key) +: sums.map(col): _*)
+            .unionByName(batchAgg)
+            .groupBy(col("cluster"), col(key))
+            .agg(sum(col(sums.head)).as(sums.head),
+              sums.tail.map(s => sum(col(s)).as(s)): _*)
+        merged.repartition(col("cluster"))
+          .write.mode("overwrite").partitionBy("cluster")
+          .parquet(s"$next/$sub")
+      }
+      fold("src", "source",
+        batchJ.groupBy(col("cluster"), col("source"))
+          .agg(count(lit(1)).as("sdocs"),
+            sum(col("n_tokens")).as("stoks")),
+        Seq("sdocs", "stoks"))
+      fold("lab", "label",
+        batchJ.groupBy(col("cluster"), col("label"))
+          .agg(count(lit(1)).as("ldocs")),
+        Seq("ldocs"))
+      graft.ops.StoreFiles.writeIdWatermark(next, batchMax)
+      graft.ops.StoreFiles.createMarker(next, "_SUCCESS")
+    }
+  }
+
   /** The card answered from the aggregate artifact alone — no corpus
     * scan, no assignment: two K·|sources| / K·|labels|-row reads plus
     * the bounded ranks. The steady-state report path. */
@@ -270,21 +324,39 @@ object ClusterOps {
         .select(col("cluster").cast("int").as("cluster"), col("label"),
           col("ldocs")))
 
-  /** DRIVER-GATED merge path: gold card-aggregate artifact under the
-    * gold-trained FROZEN quantizer, batch folded in by
-    * [[mergeClusterCardAgg]], the card read from the STORE — the gate
-    * proves store-after-merge == the full frozen-quantizer card
-    * rebuild (counts/sums merge exactly; the modal ranks re-derive
-    * from the merged frames with the same tie-breaks). */
-  def clusterCardMergeStore(spark: SparkSession, dir: String): DataFrame = {
+  /** DRIVER-GATED merge paths, BOTH fold disciplines in one
+    * form-tagged entry: gold card-aggregate artifact under the
+    * gold-trained FROZEN quantizer, the batch folded in by the
+    * partition-pruned dynamic overwrite ([[mergeClusterCardAgg]],
+    * form `merge`) and by the atomic swap commit
+    * ([[foldClusterCardAgg]], form `swap` — the streaming sink's
+    * protocol), each card read from its STORE — the gate proves
+    * store-after-fold == the full frozen-quantizer card rebuild for
+    * both (counts/sums merge exactly; the modal ranks re-derive from
+    * the merged frames with the same tie-breaks), paying the DuckDB
+    * rebuild chain once. */
+  def clusterCardMergeForms(spark: SparkSession, dir: String): DataFrame = {
     val (all, batchFrom) = frozenGoldAssigned(spark, dir)
+    // pinned: seeds two stores and folds twice below
     val j = joinedDocs(spark, dir,
-      all.select(col("vec_id"), col("label"), col("cell").as("cluster")))
-    val aggDir = graft.ops.Scratch.dir("graft_card_merge") + "/agg"
-    writeClusterCardAgg(j.filter(col("doc_id") < batchFrom), aggDir)
-    mergeClusterCardAgg(spark, aggDir,
-      j.filter(col("doc_id") >= batchFrom))
-    clusterCardFromAgg(spark, aggDir)
+        all.select(col("vec_id"), col("label"), col("cell").as("cluster")))
+      .localCheckpoint()
+    val gold = j.filter(col("doc_id") < batchFrom)
+    val batch = j.filter(col("doc_id") >= batchFrom)
+    val mergeDir = graft.ops.Scratch.dir("graft_card_merge") + "/agg"
+    writeClusterCardAgg(gold, mergeDir)
+    mergeClusterCardAgg(spark, mergeDir, batch)
+    val swapDir = graft.ops.Scratch.dir("graft_card_swap") + "/agg"
+    writeClusterCardAgg(gold, swapDir)
+    foldClusterCardAgg(spark, swapDir, batch,
+      j.agg(max(col("doc_id"))).head().getLong(0))
+    OracleForms.union(
+        "merge" -> clusterCardFromAgg(spark, mergeDir),
+        "swap" -> clusterCardFromAgg(spark, swapDir))
+      .select(col("form"), col("cluster"), col("docs"),
+        col("total_tokens"), col("n_sources"), col("top_source"),
+        col("top_source_docs"), col("top_label"), col("top_label_docs"))
+      .orderBy(col("form"), col("cluster"))
   }
 
   /** Neighbors per vector in [[knnGraph]]. */
@@ -1138,11 +1210,14 @@ object ClusterOps {
     // (form-tagged) so DuckDB pays the training chain once
     "curation_cluster_card_forms" ->
       OracleForms.sql(cardSql, Seq("live", "served")),
-    // merge == rebuild: DuckDB rebuilds the card under the
-    // gold-trained frozen quantizer; Spark folds the batch into the
-    // cluster-partitioned aggregate artifact and answers from the
-    // store (round-14 verdict #4)
-    "curation_cluster_card_merge" -> cardMergeSql,
+    // merge == rebuild for BOTH fold disciplines: DuckDB rebuilds the
+    // card under the gold-trained frozen quantizer ONCE; Spark folds
+    // the batch via the partition-pruned dynamic overwrite (`merge`)
+    // and via the atomic swap commit (`swap`, the streaming sink's
+    // exactly-once protocol) and answers each from its store
+    // (round-14 verdict #4 + the round-15 card sink)
+    "curation_cluster_card_merge_forms" ->
+      OracleForms.sql(cardMergeSql, Seq("merge", "swap")),
     "sample_cluster_balance_forms" ->
       OracleForms.sql(balanceSql, Seq("live", "served")),
     // in-cell pairwise cosine + per-vector rank — the IVF single-probe
@@ -1209,7 +1284,7 @@ object ClusterOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "curation_cluster_card_forms" -> clusterCardForms _,
-    "curation_cluster_card_merge" -> clusterCardMergeStore _,
+    "curation_cluster_card_merge_forms" -> clusterCardMergeForms _,
     "sample_cluster_balance_forms" -> clusterBalanceForms _,
     "sim_knn_graph" -> knnGraph _,
     "sim_knn_components" -> knnCommunities _,

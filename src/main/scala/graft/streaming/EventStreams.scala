@@ -917,6 +917,77 @@ object EventStreams {
     q
   }
 
+  /** Streaming cluster-card maintenance (round-15): the
+    * card-aggregate artifact
+    * ([[graft.ext.ClusterOps.writeClusterCardAgg]]) kept current over
+    * ARRIVING document batches — the last report family with no
+    * stream form. Input contract: each batch carries
+    * (doc_id, label, source, n_tokens) plus whatever `assign` needs
+    * (the embedding column) and MONOTONE doc_ids; `assign` maps the
+    * fresh batch under a FROZEN quantizer to the same columns plus
+    * `cluster` (retrain-is-a-rebuild, like every artifact sink).
+    *
+    * This sink is deliberately SIMPLER than its siblings — no sync
+    * marker, no repair scan: the card fold is a non-idempotent
+    * aggregate over a store that holds no ids, so a crashed batch
+    * cannot be detected from store contents at all. Instead the fold
+    * and the replay watermark commit ATOMICALLY
+    * ([[graft.ext.ClusterOps.foldClusterCardAgg]] — the whole bounded
+    * store swaps through the [[graft.ops.ArtifactSwap]] rename-aside
+    * with the `_id_watermark` inside), so after
+    * [[graft.ops.ArtifactSwap.recover]] at batch start the store and
+    * its watermark are always mutually consistent: a replayed batch
+    * either re-folds in full (crash before the swap — the fold was
+    * lost with it) or drops in full (crash after — the watermark
+    * advanced with the fold). Exactly-once without a repair path.
+    *
+    * A store seeded OUTSIDE the sink must carry a watermark before
+    * adoption (set [[graft.ops.StoreFiles.writeIdWatermark]] to the
+    * max folded doc_id): with no ids stored, replay protection cannot
+    * be re-derived, and the sink refuses loudly rather than risk a
+    * silent double-count. Stream-accumulated card == one-shot
+    * [[graft.ext.ClusterOps.writeClusterCardAgg]] rebuild, asserted
+    * EXACT in EventStreamsSpec. */
+  def clusterCardSink(docs: DataFrame,
+      assign: DataFrame => DataFrame,
+      aggDir: String, checkpointDir: String): StreamingQuery = {
+    val q = docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (raw: DataFrame, _: Long) =>
+        val spark = raw.sparkSession
+        // closes every swap crash window; afterwards store+watermark
+        // are the last atomically-committed pair
+        graft.ops.ArtifactSwap.recover(aggDir)
+        val seeded =
+          graft.ops.StoreFiles.parquetFileCount(s"$aggDir/src") > 0
+        val wm = graft.ops.StoreFiles.readIdWatermark(aggDir)
+        require(!seeded || wm.isDefined,
+          s"card-agg store at $aggDir has no replay watermark: the " +
+            "card fold is non-idempotent and the store holds no ids, " +
+            "so replay protection cannot be re-derived — seed through " +
+            "this sink, or set StoreFiles.writeIdWatermark to the max " +
+            "folded doc_id before adopting the store")
+        val fresh = wm match {
+          case Some(w) if seeded => raw.filter(col("doc_id") > w)
+          case _ => raw
+        }
+        // pinned: isEmpty + max + the fold's two aggregates all read it
+        val batchJ = assign(fresh)
+          .select(col("doc_id"), col("cluster"), col("label"),
+            col("source"), col("n_tokens"))
+          .localCheckpoint()
+        if (!batchJ.isEmpty) {
+          val batchMax = batchJ.agg(max(col("doc_id"))).head().getLong(0)
+          graft.ext.ClusterOps.foldClusterCardAgg(spark, aggDir,
+            batchJ, batchMax)
+        }
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q
+  }
+
   /** Close [[semanticDedupSink]]'s crash window between the cells
     * append and the verdict append: any stored vector missing a
     * verdict row gets one re-derived from the store itself. Feeding

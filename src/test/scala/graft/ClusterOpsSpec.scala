@@ -468,6 +468,19 @@ class ClusterOpsSpec extends SparkSpec {
       rows(perSrc.orderBy(col("cluster"), col("source"))),
       "merged src aggregate must equal the full re-aggregate")
     assert(fromStore.nonEmpty)
+    // the ATOMIC fold (the streaming sink's form) lands the same
+    // merged aggregates, with the replay watermark committed inside
+    // the same swap — store and watermark can never disagree
+    val swapDir = java.nio.file.Files
+      .createTempDirectory("graft_card_swap_spec").toString + "/agg"
+    ClusterOps.writeClusterCardAgg(j.filter(col("doc_id") <= cut), swapDir)
+    val maxId = j.agg(max(col("doc_id"))).head().getLong(0)
+    ClusterOps.foldClusterCardAgg(spark, swapDir,
+      j.filter(col("doc_id") > cut), maxId)
+    assert(rows(ClusterOps.clusterCardFromAgg(spark, swapDir)) == fromStore,
+      "atomic fold must equal the dynamic-overwrite merge")
+    assert(graft.ops.StoreFiles.readIdWatermark(swapDir) == Some(maxId),
+      "the watermark must be part of the swapped artifact")
     // NOT idempotent by design: the merge is an aggregate FOLD, so a
     // replayed batch would double-count — replay protection is the
     // CALLER's contract (the sinks' id-watermark guard), unlike the

@@ -1256,6 +1256,127 @@ class EventStreamsSpec extends SparkSpec {
       labelsDir) == 0)
   }
 
+  // ---- streaming cluster-card sink (round-15) -------------------
+
+  /** Shared fixture of the card-sink tests: the embeddings↔documents
+    * join with the card's measure columns, a frozen quantizer trained
+    * on the low-id gold slice, and the sink's `assign` closure. */
+  private def cardFixture(): (org.apache.spark.sql.DataFrame,
+      org.apache.spark.sql.DataFrame =>
+        org.apache.spark.sql.DataFrame, Long, Long) = {
+    import graft.ext.KMeans
+    val e = Tables.embeddings(spark, sf)
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"),
+        size(graft.ext.TextOps.tokens(col("text"))).cast("long")
+          .as("n_tokens"))
+    val jAll = e.join(docs, e("vec_id") === docs("doc_id"))
+      .select(col("doc_id"), col("embedding"), e("label"),
+        col("source"), col("n_tokens"))
+    val ids = e.select(col("vec_id")).orderBy(col("vec_id"))
+      .collect().map(_.getLong(0))
+    val c0 = ids(ids.length * 3 / 5); val c1 = ids(ids.length * 4 / 5)
+    val cents = KMeans.trainFrame(
+      KMeans.vecs(spark, sf).filter(col("vec_id") <= c0)
+        .select(col("vec_id"), col("v")), KMeans.K)
+    def assign(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"),
+        graft.functions.NearestCentroid(
+          col("embedding").cast("array<double>"), cents.map(_._2))
+          .as("cluster"),
+        col("label"), col("source"), col("n_tokens"))
+    (jAll, assign, c0, c1)
+  }
+
+  private def cardRows(aggDir: String) =
+    graft.ext.ClusterOps.clusterCardFromAgg(spark, aggDir)
+      .collect().map(_.toSeq).toSeq
+
+  test("streaming card sink: the atomically-committed card store " +
+      "equals the one-shot rebuild through a replay, staged debris, " +
+      "and a renamed-aside live store") {
+    import java.nio.file.{Files, Paths}
+    val base = Files.createTempDirectory("graft_card_stream").toString
+    val srcDir = s"$base/src"; Files.createDirectories(Paths.get(srcDir))
+    val aggDir = s"$base/agg"
+    val (jAll, assign, c0, c1) = cardFixture()
+    def stageFile(lo: Long, hi: Long, name: String): Unit = {
+      val tmp = Files.createTempDirectory("graft_card_batch")
+      jAll.filter(col("doc_id") > lo && col("doc_id") <= hi)
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val f = new java.io.File(tmp.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(f.toPath, Paths.get(srcDir, name))
+    }
+    def runOnce(): Unit =
+      EventStreams.clusterCardSink(
+        spark.readStream.schema(jAll.schema).parquet(srcDir),
+        assign, aggDir, s"$base/chk").stop()
+    stageFile(Long.MinValue, c0, "b0.parquet"); runOnce()
+    // abandoned-staging debris: a half-written .next (no _SUCCESS)
+    // must be swept by recovery, not block or corrupt the next fold
+    Files.createDirectories(Paths.get(s"$aggDir.next"))
+    Files.write(Paths.get(s"$aggDir.next/junk"), Array[Byte](1, 2, 3))
+    stageFile(c0, c1, "b1.parquet"); runOnce()
+    // crash between the swap's two renames with an incomplete .next:
+    // live sits at .old — recovery must roll it back, and because the
+    // watermark lives INSIDE the swapped dir it rolls back WITH the
+    // store, so the two can never disagree
+    Files.move(Paths.get(aggDir), Paths.get(s"$aggDir.old"))
+    stageFile(c1, Long.MaxValue, "b2.parquet"); runOnce()
+    val oneShotDir = s"$base/agg_oneshot"
+    graft.ext.ClusterOps.writeClusterCardAgg(assign(jAll), oneShotDir)
+    val want = cardRows(oneShotDir)
+    assert(want.nonEmpty && cardRows(aggDir) == want,
+      "stream-accumulated card must equal the one-shot rebuild")
+    // a replayed batch drops in full on the committed watermark (a
+    // double-fold would double-count — the non-idempotence the atomic
+    // commit exists to contain)
+    stageFile(c1, Long.MaxValue, "b2_replay.parquet"); runOnce()
+    assert(cardRows(aggDir) == want,
+      "a replayed batch must be a no-op")
+    val maxId = jAll.agg(max(col("doc_id"))).head().getLong(0)
+    assert(graft.ops.StoreFiles.readIdWatermark(aggDir)
+        .contains(maxId),
+      "the watermark must have committed atomically with the fold")
+  }
+
+  test("the card sink refuses a foreign store with no watermark, and " +
+      "adopts it once one is set") {
+    import java.nio.file.{Files, Paths}
+    val base = Files.createTempDirectory("graft_card_adopt").toString
+    val srcDir = s"$base/src"; Files.createDirectories(Paths.get(srcDir))
+    val aggDir = s"$base/agg"
+    val (jAll, assign, _, c1) = cardFixture()
+    // a store seeded OUTSIDE the sink: batch API, no watermark
+    graft.ext.ClusterOps.writeClusterCardAgg(
+      assign(jAll.filter(col("doc_id") <= c1)), aggDir)
+    val tmp = Files.createTempDirectory("graft_card_adopt_batch")
+    jAll.filter(col("doc_id") > c1)
+      .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    Files.move(
+      new java.io.File(tmp.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get.toPath,
+      Paths.get(srcDir, "b.parquet"))
+    def runOnce(): Unit =
+      EventStreams.clusterCardSink(
+        spark.readStream.schema(jAll.schema).parquet(srcDir),
+        assign, aggDir, s"$base/chk").stop()
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      runOnce()
+    }
+    assert(ex.getMessage.contains("replay watermark") ||
+      Option(ex.getCause).exists(_.getMessage.contains("replay watermark")),
+      s"must refuse loudly, got: ${ex.getMessage}")
+    // adoption: the operator asserts the store's max folded id
+    graft.ops.StoreFiles.writeIdWatermark(aggDir, c1)
+    runOnce()
+    val oneShotDir = s"$base/agg_oneshot"
+    graft.ext.ClusterOps.writeClusterCardAgg(assign(jAll), oneShotDir)
+    assert(cardRows(aggDir) == cardRows(oneShotDir),
+      "the adopted store must fold the batch exactly once")
+  }
+
   test("a cells-store swap crash heals at the next knn sink batch " +
       "(compaction rides the rename-aside, the sink recovers it)") {
     import java.nio.file.{Files, Paths}

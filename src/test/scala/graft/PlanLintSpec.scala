@@ -41,10 +41,10 @@ class PlanLintSpec extends SparkSpec {
     // cluster×source and cluster×label frames (bounded at K·|sources|
     // and K·|labels| rows — ClusterOps.cardOn scaladoc)
     "curation_cluster_card_forms",
-    // the artifact-merge card runs the same post-aggregation modal
-    // ranks (inputs bounded at K·|sources| / K·|labels| rows read
-    // from the aggregate store)
-    "curation_cluster_card_merge")
+    // the artifact-merge card forms run the same post-aggregation
+    // modal ranks (inputs bounded at K·|sources| / K·|labels| rows
+    // read from the aggregate stores)
+    "curation_cluster_card_merge_forms")
 
   // intentional exceptions: exactness baselines over bounded inputs,
   // kept next to their scale paths (IVF/LSH) — see Dedup scaladoc —
