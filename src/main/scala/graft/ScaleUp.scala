@@ -207,11 +207,18 @@ object ScaleUp {
       // window-sharded, or vocabulary-bounded; these rows are the
       // evidence
       for (q <- Seq("text_pack_sequences", "sample_fixed_count",
-          "text_vocab_topk", "text_repetition", "text_oov_rate",
+          "text_repetition", "text_oov_rate",
           "mix_temperature_weights", "mix_epoch_shuffle",
           "mix_shard_manifest", "text_boilerplate")) {
         time(q, src, 1); time(q, dst, 1)
       }
+      // the vocab LIVE leg on its own (the forms entry also builds a
+      // scratch postings store; the live explode is this row's shape
+      // claim — vocabulary-bounded shuffle)
+      timed("text_vocab_live", src, 1)(
+        graft.ext.TextOps.vocabTopK(spark, src))
+      timed("text_vocab_live", dst, 1)(
+        graft.ext.TextOps.vocabTopK(spark, dst))
     }
     if (on("mm")) {
       // multimodal plumbing at 100×: binary metadata (pure map),
@@ -747,10 +754,14 @@ object ScaleUp {
       // take + driver fit — shuffle tracks VOCABULARY (deliberately
       // 100×-multiplied by the copy prefixes here; Heaps-sublinear
       // in reality), never the corpus
-      time("text_zipf_fit", src, 1)
-      time("text_zipf_fit", dst, 1)
-      time("text_heaps_fit", src, 1)
-      time("text_heaps_fit", dst, 1)
+      timed("text_zipf_live", src, 1)(
+        graft.ext.TextOps.zipfFit(spark, src))
+      timed("text_zipf_live", dst, 1)(
+        graft.ext.TextOps.zipfFit(spark, dst))
+      timed("text_heaps_live", src, 1)(
+        graft.ext.TextOps.heapsFit(spark, src))
+      timed("text_heaps_live", dst, 1)(
+        graft.ext.TextOps.heapsFit(spark, dst))
     }
     if (on("r13c")) {
       // BM25 lexical retrieval: live (matched-postings scan per
@@ -776,6 +787,16 @@ object ScaleUp {
       }
       timed("rag_bm25_batch_served", dst, 2)(
         graft.ext.Retrieval.bm25BatchFromIndex(spark, dst, ixStore))
+      // text-stats served from the SAME store (round-15): the live
+      // legs re-tokenize the corpus (text_*_live rows); these are
+      // bounded aggregates over the postings the lexical lifecycle
+      // already maintains — the corpus text is never re-read
+      timed("text_vocab_served", dst, 2)(
+        graft.ext.TextOps.vocabTopKFromStore(spark, s"$ixStore/postings"))
+      timed("text_zipf_served", dst, 2)(
+        graft.ext.TextOps.zipfFitFromStore(spark, s"$ixStore/postings"))
+      timed("text_heaps_served", dst, 2)(
+        graft.ext.TextOps.heapsFitFromStore(spark, ixStore))
       time("rag_hybrid_rrf", src, 1)
     }
     if (on("clu")) {

@@ -338,23 +338,28 @@ object TextOps {
       s"""WITH q AS (SELECT doc_id, source, len(t) AS token_count, CAST(${hitsSql(stopEn)} AS DOUBLE) / len(t) * 0.5 + (1.0 - CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE) / length(text)) * 0.3 + least(CAST(len(t) AS DOUBLE) / 100.0, 1.0) * 0.2 AS score, row_number() OVER (PARTITION BY md5(lower(trim(text))) ORDER BY doc_id) AS rn FROM (SELECT doc_id, source, text, $toksSql AS t FROM documents)) SELECT doc_id, source, token_count, reason, reason = 'keep' AS keep FROM (SELECT doc_id, source, token_count, CASE WHEN rn > 1 THEN 'duplicate' WHEN token_count < 30 THEN 'short' WHEN score < 0.35 THEN 'low_quality' ELSE 'keep' END AS reason FROM q) ORDER BY doc_id""",
     "text_corpus_filter_summary" ->
       s"""WITH q AS (SELECT doc_id, source, len(t) AS token_count, CAST(${hitsSql(stopEn)} AS DOUBLE) / len(t) * 0.5 + (1.0 - CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE) / length(text)) * 0.3 + least(CAST(len(t) AS DOUBLE) / 100.0, 1.0) * 0.2 AS score, row_number() OVER (PARTITION BY md5(lower(trim(text))) ORDER BY doc_id) AS rn FROM (SELECT doc_id, source, text, $toksSql AS t FROM documents)), r AS (SELECT source, CASE WHEN rn > 1 THEN 'duplicate' WHEN token_count < 30 THEN 'short' WHEN score < 0.35 THEN 'low_quality' ELSE 'keep' END AS reason FROM q) SELECT source, COUNT(*) AS docs, CAST(SUM(CASE WHEN reason = 'keep' THEN 1 ELSE 0 END) AS BIGINT) AS kept, CAST(SUM(CASE WHEN reason = 'duplicate' THEN 1 ELSE 0 END) AS BIGINT) AS dropped_duplicate, CAST(SUM(CASE WHEN reason = 'short' THEN 1 ELSE 0 END) AS BIGINT) AS dropped_short, CAST(SUM(CASE WHEN reason = 'low_quality' THEN 1 ELSE 0 END) AS BIGINT) AS dropped_low_quality FROM r GROUP BY 1 ORDER BY 1""",
-    "text_vocab_topk" ->
-      s"""SELECT token, COUNT(*) AS cnt FROM (SELECT unnest($toksSql) AS token FROM documents) GROUP BY token ORDER BY cnt DESC, token LIMIT $VocabK""",
+    // serve == rebuild: the postings artifact's Σ tf per term equals
+    // the live explode-count (same tokenizer, per-doc counts summed),
+    // so ONE vocabulary chain pays for both forms
+    "text_vocab_topk_forms" -> OracleForms.sql(
+      s"""SELECT token, cnt FROM (SELECT token, COUNT(*) AS cnt FROM (SELECT unnest($toksSql) AS token FROM documents) GROUP BY token ORDER BY cnt DESC, token LIMIT $VocabK)""",
+      Seq("live", "served")),
     // exact-integer least squares on the micro-nat-quantized points;
     // HUGEINT sums/numerators (the Spark side uses BigInt), one
     // correctly-rounded multiply+divide per coefficient, trunc toward
     // zero (Scala's .toLong) — see zipfFit scaladoc
-    "text_zipf_fit" ->
+    "text_zipf_fit_forms" -> OracleForms.sql(
       s"""WITH f AS (SELECT token, COUNT(*) AS cnt FROM (SELECT unnest($toksSql) AS token FROM documents) GROUP BY 1),
          top AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, token) AS rnk FROM (SELECT * FROM f ORDER BY cnt DESC, token LIMIT $ZipfFitV)),
          pts AS (SELECT CAST(floor(ln(CAST(rnk AS DOUBLE)) * 1000000.0) AS BIGINT) AS x, CAST(floor(ln(CAST(cnt AS DOUBLE)) * 1000000.0) AS BIGINT) AS y FROM top),
          s AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n, CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy, CAST(SUM(x*y) AS HUGEINT) AS sxy, CAST(SUM(x*x) AS HUGEINT) AS sxx FROM pts),
          d AS (SELECT n, sx, sy, n*sxy - sx*sy AS num, n*sxx - sx*sx AS den FROM s)
          SELECT CAST(d.n AS BIGINT) AS n_points, (SELECT cnt FROM top WHERE rnk = 1) AS top_freq, CAST(trunc(CAST(num AS DOUBLE) * 1000000.0 / CAST(den AS DOUBLE)) AS BIGINT) AS slope_micro, CAST(trunc(CAST(sy*den - num*sx AS DOUBLE) / CAST(n*den AS DOUBLE)) AS BIGINT) AS intercept_micro FROM d""",
+      Seq("live", "served")),
     // Heaps replay: checkpoint buckets by arithmetic (no corpus
     // window), driver prefix sums become a 32-row window here, then
     // the zipf fit recipe verbatim
-    "text_heaps_fit" ->
+    "text_heaps_fit_forms" -> OracleForms.sql(
       s"""WITH td AS MATERIALIZED (SELECT doc_id, t FROM (SELECT doc_id, $toksSql AS t FROM documents) WHERE len(t) > 0),
          mx AS (SELECT MAX(doc_id) + 1 AS m FROM documents),
          dj AS (SELECT CAST(floor(CAST(doc_id * $HeapsPoints AS DOUBLE) / CAST(m AS DOUBLE)) AS BIGINT) AS j, len(t) AS dl, t FROM td CROSS JOIN mx),
@@ -366,6 +371,7 @@ object TextOps {
          s AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n, CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy, CAST(SUM(x*y) AS HUGEINT) AS sxy, CAST(SUM(x*x) AS HUGEINT) AS sxx FROM pts),
          d AS (SELECT n, sx, sy, n*sxy - sx*sy AS num, n*sxx - sx*sx AS den FROM s)
          SELECT CAST(d.n AS BIGINT) AS n_points, (SELECT CAST(SUM(dl) AS BIGINT) FROM dj) AS total_tokens, (SELECT COUNT(DISTINCT term) FROM (SELECT unnest(t) AS term FROM td)) AS vocab_size, CAST(trunc(CAST(num AS DOUBLE) * 1000000.0 / CAST(den AS DOUBLE)) AS BIGINT) AS beta_micro, CAST(trunc(CAST(sy*den - num*sx AS DOUBLE) / CAST(n*den AS DOUBLE)) AS BIGINT) AS logc_micro FROM d""",
+      Seq("live", "served")),
     // the fold-over-sorted-bigrams max-multiplicity is replayed
     // relationally: unnest → per-bigram counts → MAX
     "text_repetition" ->
@@ -396,12 +402,48 @@ object TextOps {
     * cross the wire; the top-k is a TakeOrderedAndProject over the
     * aggregated domain, not a global sort of the corpus. */
   def vocabTopK(spark: SparkSession, dir: String): DataFrame =
+    vocabOn(liveTermFreqs(spark, dir))
+
+  /** (token, cnt) term frequencies, live: one explode +
+    * map-side-combined hash aggregate over the corpus. */
+  private def liveTermFreqs(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(explode(tokens(col("text"))).as("token"))
       .groupBy(col("token"))
       .agg(count(lit(1)).as("cnt"))
-      .orderBy(col("cnt").desc, col("token"))
+
+  /** Term frequencies answered from the BM25 postings ARTIFACT
+    * ([[Retrieval.writeBm25Index]] `postings/` = (doc_id, dl, term,
+    * tf)): Σ tf per term — no re-tokenization, no corpus text scan.
+    * Exactly the live counts because postings tf is the per-doc count
+    * of the same [[tokens]] split, summed over docs. At 100 TB this
+    * is the difference between re-reading every text byte and one
+    * bounded aggregate over an already-materialized store the lexical
+    * lifecycle keeps current anyway (build → append → stream). */
+  def termFreqsFromPostings(spark: SparkSession,
+      postingsDir: String): DataFrame =
+    spark.read.parquet(postingsDir)
+      .groupBy(col("term"))
+      .agg(sum(col("tf")).cast("long").as("cnt"))
+      .select(col("term").as("token"), col("cnt"))
+
+  /** Top-[[VocabK]] cut over a (token, cnt) frame —
+    * TakeOrderedAndProject over the aggregated domain. */
+  private def vocabOn(tf: DataFrame): DataFrame =
+    tf.orderBy(col("cnt").desc, col("token"))
       .limit(VocabK)
+
+  /** [[vocabTopK]] answered from a BM25 postings store — the
+    * steady-state report path once the lexical lifecycle maintains
+    * the store. */
+  def vocabTopKFromStore(spark: SparkSession,
+      postingsDir: String): DataFrame =
+    vocabOn(termFreqsFromPostings(spark, postingsDir))
+
+  /** [[zipfFit]] answered from a BM25 postings store. */
+  def zipfFitFromStore(spark: SparkSession,
+      postingsDir: String): DataFrame =
+    zipfOn(spark, topZipfFreqs(termFreqsFromPostings(spark, postingsDir)))
 
   /** Zipf rank-frequency fit — the corpus-statistics row a data card
     * reports (natural corpora follow freq ∝ rank^s with s ≈ −1;
@@ -421,13 +463,19 @@ object TextOps {
     * explode → map-side-combined hash aggregate (shuffle bounded by
     * vocabulary) → TakeOrdered head; the V-point fit is driver
     * arithmetic on a bounded collect (the orderStat discipline). */
-  def zipfFit(spark: SparkSession, dir: String): DataFrame = {
-    val top = Tables.documents(spark, dir)
-      .select(explode(tokens(col("text"))).as("token"))
-      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
-      .orderBy(col("cnt").desc, col("token"))
+  def zipfFit(spark: SparkSession, dir: String): DataFrame =
+    zipfOn(spark, topZipfFreqs(liveTermFreqs(spark, dir)))
+
+  /** Top-[[ZipfFitV]] frequency counts of a (token, cnt) frame — the
+    * bounded collect the fit's driver arithmetic runs on. */
+  private def topZipfFreqs(tf: DataFrame): Array[Long] =
+    tf.orderBy(col("cnt").desc, col("token"))
       .limit(ZipfFitV)
       .select(col("cnt")).collect().map(_.getLong(0))
+
+  /** The exact-integer fit half of [[zipfFit]] over collected top-V
+    * counts (shared by the live and postings-served forms). */
+  private def zipfOn(spark: SparkSession, top: Array[Long]): DataFrame = {
     val n = top.length
     require(n >= 2, s"zipf fit needs at least 2 distinct tokens, got $n")
     val pts = top.zipWithIndex.map { case (f, i) =>
@@ -450,6 +498,62 @@ object TextOps {
       lit(slope).as("slope_micro"),
       lit(intercept).as("intercept_micro"))
   }
+
+  /** BOTH vocab forms (live explode / BM25-postings-served) in ONE
+    * gated entry tagged by `form` — serve == rebuild for the corpus
+    * vocabulary: the postings artifact's Σ tf per term equals the
+    * live explode-count, so the text-stats reports join the
+    * artifact-fed families (the store is maintained by the lexical
+    * lifecycle; the report stops re-tokenizing the corpus). */
+  def vocabTopKForms(spark: SparkSession, dir: String): DataFrame =
+    OracleForms.union(
+        "live" -> vocabTopK(spark, dir),
+        "served" -> vocabTopKFromStore(spark,
+          s"${scratchPostings(spark, dir)}/postings"))
+      .select(col("form"), col("token"), col("cnt"))
+      .orderBy(col("form"), col("cnt").desc, col("token"))
+
+  /** BOTH zipf-fit forms (live / postings-served) in ONE gated entry
+    * — the same exact-integer fit over the two frequency sources. */
+  def zipfFitForms(spark: SparkSession, dir: String): DataFrame =
+    OracleForms.union(
+        "live" -> zipfFit(spark, dir),
+        "served" -> zipfFitFromStore(spark,
+          s"${scratchPostings(spark, dir)}/postings"))
+      .select(col("form"), col("n_points"), col("top_freq"),
+        col("slope_micro"), col("intercept_micro"))
+      .orderBy(col("form"))
+
+  /** BOTH Heaps-fit forms (live / postings-served) in ONE gated
+    * entry — with [[vocabTopKForms]] and [[zipfFitForms]] this
+    * completes the text-stats family's artifact story: every corpus
+    * statistic the data card reports also answers from the lexical
+    * store the streaming lifecycle maintains. */
+  def heapsFitForms(spark: SparkSession, dir: String): DataFrame =
+    OracleForms.union(
+        "live" -> heapsFit(spark, dir),
+        "served" -> heapsFitFromStore(spark,
+          scratchPostings(spark, dir)))
+      .select(col("form"), col("n_points"), col("total_tokens"),
+        col("vocab_size"), col("beta_micro"), col("logc_micro"))
+      .orderBy(col("form"))
+
+  /** DRIVER-GATED scaffold: ONE scratch BM25 store per corpus dir,
+    * shared by the served text-stats forms within a session (the
+    * store is read-only once built — the shared-scratch discipline
+    * of the knn merge family, round-14 verdict #6). Memoized per
+    * dir: three gate entries read it, one build pays for all. */
+  private val scratchStores =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def scratchPostings(spark: SparkSession, dir: String): String =
+    scratchStores.computeIfAbsent(dir, _ => {
+      val store = graft.ops.Scratch.dir("graft_textstats_srv") + "/ix"
+      Retrieval.writeBm25Index(
+        Tables.documents(spark, dir)
+          .select(col("doc_id"), tokens(col("text")).as("t")),
+        store)
+      store
+    })
 
   /** Heaps'-law fit — [[zipfFit]]'s companion corpus statistic: the
     * vocabulary grows as V(n) ≈ C·n^β with β ≈ 0.4–0.6 for natural
@@ -483,6 +587,41 @@ object TextOps {
       .groupBy(col("term")).agg(min(col("j")).as("jmin"))
       .groupBy(col("jmin")).agg(count(lit(1)).as("nv"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    heapsOn(spark, tokJ, vocJ)
+  }
+
+  /** [[heapsFit]] answered from the BM25 store: the postings rows are
+    * per-(doc, term) with dl replicated, so the per-checkpoint token
+    * mass (first dl per doc, summed) and each term's FIRST checkpoint
+    * (min over its posting rows) re-derive exactly — no text re-scan,
+    * no explode. The corpus id bound comes from the store's
+    * `committed/` log; contract caveat: a store fed by the streaming
+    * sink excludes token-less docs from the log (the live fit's bound
+    * counts them), which can shift checkpoint boundaries only when
+    * the corpus max-id doc itself has no tokens. */
+  def heapsFitFromStore(spark: SparkSession, store: String): DataFrame = {
+    val m = spark.read.parquet(Retrieval.committedDir(store))
+      .agg(max(col("doc_id"))).head().getLong(0) + 1
+    val p = spark.read.parquet(s"$store/postings")
+    val jOf = floor(col("doc_id") * lit(HeapsPoints.toLong) / lit(m))
+      .cast("long")
+    val tokJ = p.groupBy(col("doc_id"))
+      .agg(first(col("dl")).cast("long").as("dl"))
+      .select(jOf.as("j"), col("dl"))
+      .groupBy(col("j")).agg(sum(col("dl")).as("tok"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val vocJ = p.select(jOf.as("j"), col("term"))
+      .groupBy(col("term")).agg(min(col("j")).as("jmin"))
+      .groupBy(col("jmin")).agg(count(lit(1)).as("nv"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    heapsOn(spark, tokJ, vocJ)
+  }
+
+  /** The cumulative-prefix + exact-integer fit half of [[heapsFit]]
+    * over the two collected checkpoint maps (shared by the live and
+    * postings-served forms). */
+  private def heapsOn(spark: SparkSession, tokJ: Map[Long, Long],
+      vocJ: Map[Long, Long]): DataFrame = {
     var cumTok = 0L; var cumVoc = 0L
     val pts = (0L until HeapsPoints.toLong).flatMap { j =>
       cumTok += tokJ.getOrElse(j, 0L)
@@ -701,9 +840,9 @@ object TextOps {
     "text_lang_id" -> langId _,
     "text_lang_confusion" -> langConfusion _,
     "text_fingerprint" -> fingerprint _,
-    "text_vocab_topk" -> vocabTopK _,
-    "text_zipf_fit" -> zipfFit _,
-    "text_heaps_fit" -> heapsFit _,
+    "text_vocab_topk_forms" -> vocabTopKForms _,
+    "text_zipf_fit_forms" -> zipfFitForms _,
+    "text_heaps_fit_forms" -> heapsFitForms _,
     "text_repetition" -> repetition _,
     "text_gopher_rules" -> gopherRules _,
     "text_winnow" -> winnowFingerprints _,

@@ -279,4 +279,26 @@ class TextSignalsSpec extends SparkSpec {
     assert(beta >= 0L && beta <= 1000000L, s"beta=$beta")
     assert(cumV.toDouble <= cumT.toDouble)
   }
+
+  test("text stats served from the BM25 postings store equal the " +
+      "live forms exactly (vocab, zipf, heaps)") {
+    import org.apache.spark.sql.functions._
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_textstats_store").toString + "/ix"
+    graft.ext.Retrieval.writeBm25Index(
+      Tables.documents(spark, sf)
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("t")),
+      store)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+    assert(rows(TextOps.vocabTopKFromStore(spark, s"$store/postings"))
+      == rows(TextOps.vocabTopK(spark, sf)),
+      "vocab from postings must equal the live explode-count")
+    assert(rows(TextOps.zipfFitFromStore(spark, s"$store/postings"))
+      == rows(TextOps.zipfFit(spark, sf)),
+      "zipf fit from postings must equal the live fit")
+    assert(rows(TextOps.heapsFitFromStore(spark, store))
+      == rows(TextOps.heapsFit(spark, sf)),
+      "heaps fit from postings must equal the live fit")
+  }
 }
