@@ -277,39 +277,67 @@ object ClusterOps {
     * [[mergeClusterCardAgg]]'s partition-pruned dynamic overwrite
     * remains the batch-API form where the caller owns replay. */
   def foldClusterCardAgg(spark: SparkSession, aggDir: String,
-      batchJ: DataFrame, batchMax: Long): Unit = {
+      batchJ: DataFrame, batchMax: Long): Unit =
     graft.ops.ArtifactSwap.writeAndSwap(aggDir) { next =>
       // `live` reads lazily while `.next` materializes — safe: the
       // live dir is untouched until the body returns
-      val seeded =
-        graft.ops.StoreFiles.parquetFileCount(s"$aggDir/src") > 0
-      def fold(sub: String, key: String, batchAgg: DataFrame,
-          sums: Seq[String]): Unit = {
-        val merged =
-          if (!seeded) batchAgg
-          else spark.read.parquet(s"$aggDir/$sub")
-            .select(col("cluster").cast("int").as("cluster") +:
-              col(key) +: sums.map(col): _*)
-            .unionByName(batchAgg)
-            .groupBy(col("cluster"), col(key))
-            .agg(sum(col(sums.head)).as(sums.head),
-              sums.tail.map(s => sum(col(s)).as(s)): _*)
-        merged.repartition(col("cluster"))
-          .write.mode("overwrite").partitionBy("cluster")
-          .parquet(s"$next/$sub")
-      }
-      fold("src", "source",
-        batchJ.groupBy(col("cluster"), col("source"))
-          .agg(count(lit(1)).as("sdocs"),
-            sum(col("n_tokens")).as("stoks")),
-        Seq("sdocs", "stoks"))
-      fold("lab", "label",
-        batchJ.groupBy(col("cluster"), col("label"))
-          .agg(count(lit(1)).as("ldocs")),
-        Seq("ldocs"))
-      graft.ops.StoreFiles.writeIdWatermark(next, batchMax)
-      graft.ops.StoreFiles.createMarker(next, "_SUCCESS")
+      writeFoldedCardAgg(spark,
+        if (graft.ops.StoreFiles.parquetFileCount(s"$aggDir/src") > 0)
+          Some(aggDir)
+        else None,
+        next, batchJ, batchMax)
     }
+
+  /** [[foldClusterCardAgg]] committed through the OBJECT-STORE-SAFE
+    * pointer protocol ([[graft.ops.PointerSwap]]) instead of the
+    * rename-aside swap: the merged store writes into the next version
+    * dir (reading the committed version, which stays live throughout)
+    * and one small-object pointer replace publishes fold + watermark
+    * together — the same exactly-once argument as the swap form, on
+    * filesystems whose directory rename [[graft.ops.ArtifactSwap]]
+    * refuses (S3-class copy+delete semantics). */
+  def foldClusterCardAggPointer(spark: SparkSession, root: String,
+      batchJ: DataFrame, batchMax: Long): Unit =
+    graft.ops.PointerSwap.writeAndCommit(root) { next =>
+      writeFoldedCardAgg(spark, graft.ops.PointerSwap.resolve(root),
+        next, batchJ, batchMax)
+    }
+
+  /** The fold body both commit disciplines share: merged `src/` and
+    * `lab/` (batch partials re-summed with the stored rows read from
+    * `from`, when seeded), the `_id_watermark` scalar, then a
+    * top-level `_SUCCESS` so the committers' completeness probes see
+    * a fully-staged artifact. */
+  private def writeFoldedCardAgg(spark: SparkSession,
+      from: Option[String], next: String, batchJ: DataFrame,
+      batchMax: Long): Unit = {
+    def fold(sub: String, key: String, batchAgg: DataFrame,
+        sums: Seq[String]): Unit = {
+      val merged = from match {
+        case None => batchAgg
+        case Some(f) => spark.read.parquet(s"$f/$sub")
+          .select(col("cluster").cast("int").as("cluster") +:
+            col(key) +: sums.map(col): _*)
+          .unionByName(batchAgg)
+          .groupBy(col("cluster"), col(key))
+          .agg(sum(col(sums.head)).as(sums.head),
+            sums.tail.map(s => sum(col(s)).as(s)): _*)
+      }
+      merged.repartition(col("cluster"))
+        .write.mode("overwrite").partitionBy("cluster")
+        .parquet(s"$next/$sub")
+    }
+    fold("src", "source",
+      batchJ.groupBy(col("cluster"), col("source"))
+        .agg(count(lit(1)).as("sdocs"),
+          sum(col("n_tokens")).as("stoks")),
+      Seq("sdocs", "stoks"))
+    fold("lab", "label",
+      batchJ.groupBy(col("cluster"), col("label"))
+        .agg(count(lit(1)).as("ldocs")),
+      Seq("ldocs"))
+    graft.ops.StoreFiles.writeIdWatermark(next, batchMax)
+    graft.ops.StoreFiles.createMarker(next, "_SUCCESS")
   }
 
   /** The card answered from the aggregate artifact alone — no corpus
@@ -324,17 +352,18 @@ object ClusterOps {
         .select(col("cluster").cast("int").as("cluster"), col("label"),
           col("ldocs")))
 
-  /** DRIVER-GATED merge paths, BOTH fold disciplines in one
+  /** DRIVER-GATED merge paths, ALL THREE fold disciplines in one
     * form-tagged entry: gold card-aggregate artifact under the
     * gold-trained FROZEN quantizer, the batch folded in by the
     * partition-pruned dynamic overwrite ([[mergeClusterCardAgg]],
-    * form `merge`) and by the atomic swap commit
+    * form `merge`), by the atomic rename-aside swap
     * ([[foldClusterCardAgg]], form `swap` — the streaming sink's
-    * protocol), each card read from its STORE — the gate proves
-    * store-after-fold == the full frozen-quantizer card rebuild for
-    * both (counts/sums merge exactly; the modal ranks re-derive from
-    * the merged frames with the same tie-breaks), paying the DuckDB
-    * rebuild chain once. */
+    * default protocol), and by the object-store-safe pointer commit
+    * ([[foldClusterCardAggPointer]], form `pointer`), each card read
+    * from its STORE — the gate proves store-after-fold == the full
+    * frozen-quantizer card rebuild for all three (counts/sums merge
+    * exactly; the modal ranks re-derive from the merged frames with
+    * the same tie-breaks), paying the DuckDB rebuild chain once. */
   def clusterCardMergeForms(spark: SparkSession, dir: String): DataFrame = {
     val (all, batchFrom) = frozenGoldAssigned(spark, dir)
     // pinned: seeds two stores and folds twice below
@@ -343,16 +372,22 @@ object ClusterOps {
       .localCheckpoint()
     val gold = j.filter(col("doc_id") < batchFrom)
     val batch = j.filter(col("doc_id") >= batchFrom)
+    val batchMax = j.agg(max(col("doc_id"))).head().getLong(0)
     val mergeDir = graft.ops.Scratch.dir("graft_card_merge") + "/agg"
     writeClusterCardAgg(gold, mergeDir)
     mergeClusterCardAgg(spark, mergeDir, batch)
     val swapDir = graft.ops.Scratch.dir("graft_card_swap") + "/agg"
     writeClusterCardAgg(gold, swapDir)
-    foldClusterCardAgg(spark, swapDir, batch,
-      j.agg(max(col("doc_id"))).head().getLong(0))
+    foldClusterCardAgg(spark, swapDir, batch, batchMax)
+    val ptrRoot = graft.ops.Scratch.dir("graft_card_ptr") + "/agg"
+    graft.ops.PointerSwap.writeAndCommit(ptrRoot)(
+      writeClusterCardAgg(gold, _))
+    foldClusterCardAggPointer(spark, ptrRoot, batch, batchMax)
     OracleForms.union(
         "merge" -> clusterCardFromAgg(spark, mergeDir),
-        "swap" -> clusterCardFromAgg(spark, swapDir))
+        "swap" -> clusterCardFromAgg(spark, swapDir),
+        "pointer" -> clusterCardFromAgg(spark,
+          graft.ops.PointerSwap.resolve(ptrRoot).get))
       .select(col("form"), col("cluster"), col("docs"),
         col("total_tokens"), col("n_sources"), col("top_source"),
         col("top_source_docs"), col("top_label"), col("top_label_docs"))
@@ -1217,7 +1252,7 @@ object ClusterOps {
     // exactly-once protocol) and answers each from its store
     // (round-14 verdict #4 + the round-15 card sink)
     "curation_cluster_card_merge_forms" ->
-      OracleForms.sql(cardMergeSql, Seq("merge", "swap")),
+      OracleForms.sql(cardMergeSql, Seq("merge", "pointer", "swap")),
     "sample_cluster_balance_forms" ->
       OracleForms.sql(balanceSql, Seq("live", "served")),
     // in-cell pairwise cosine + per-vector rank — the IVF single-probe

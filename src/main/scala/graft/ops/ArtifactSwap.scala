@@ -31,8 +31,9 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * the Hadoop FileSystem API, and [[writeAndSwap]]/[[recover]]
   * REFUSE schemes outside [[AtomicRenameSchemes]] rather than run a
   * silently unsafe swap. An object-store deployment commits through
-  * its native atomic primitive instead — a table-format snapshot or
-  * a conditional-PUT pointer — or extends the whitelist explicitly
+  * its native atomic primitive instead — [[PointerSwap]] (versioned
+  * dirs + a one-file commit pointer, in this repo) or a table-format
+  * snapshot — or extends the whitelist explicitly
   * via the Hadoop conf key [[AssumeAtomicKey]] after verifying its
   * store's rename semantics (e.g. HDFS-compatible stores like
   * Azure ABFS with hierarchical namespaces).
@@ -65,8 +66,8 @@ object ArtifactSwap {
       s"ArtifactSwap requires ATOMIC directory rename and filesystem " +
         s"scheme '$scheme' does not guarantee it (an S3A rename is a " +
         s"copy+delete with a crash window recover() cannot close). " +
-        s"Commit through the store's native atomic primitive (table-" +
-        s"format snapshot / conditional-PUT pointer), or set " +
+        s"Commit through PointerSwap (versioned dirs + one-file " +
+        s"pointer) or the store's native snapshot primitive, or set " +
         s"$AssumeAtomicKey=true after verifying the store's rename " +
         s"semantics.")
   }

@@ -947,20 +947,32 @@ object EventStreams {
     * be re-derived, and the sink refuses loudly rather than risk a
     * silent double-count. Stream-accumulated card == one-shot
     * [[graft.ext.ClusterOps.writeClusterCardAgg]] rebuild, asserted
-    * EXACT in EventStreamsSpec. */
+    * EXACT in EventStreamsSpec.
+    *
+    * `pointer = true` commits through [[graft.ops.PointerSwap]]
+    * (versioned dirs + one-file pointer) instead of the rename-aside
+    * swap — the same exactly-once protocol on object stores whose
+    * directory rename [[graft.ops.ArtifactSwap]] refuses; `aggDir`
+    * is then the pointer ROOT and readers resolve the committed
+    * version ([[graft.ops.PointerSwap.resolve]]). */
   def clusterCardSink(docs: DataFrame,
       assign: DataFrame => DataFrame,
-      aggDir: String, checkpointDir: String): StreamingQuery = {
+      aggDir: String, checkpointDir: String,
+      pointer: Boolean = false): StreamingQuery = {
     val q = docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (raw: DataFrame, _: Long) =>
         val spark = raw.sparkSession
-        // closes every swap crash window; afterwards store+watermark
+        // closes every commit crash window; afterwards store+watermark
         // are the last atomically-committed pair
-        graft.ops.ArtifactSwap.recover(aggDir)
-        val seeded =
-          graft.ops.StoreFiles.parquetFileCount(s"$aggDir/src") > 0
-        val wm = graft.ops.StoreFiles.readIdWatermark(aggDir)
+        if (pointer) graft.ops.PointerSwap.recover(aggDir)
+        else graft.ops.ArtifactSwap.recover(aggDir)
+        val store =
+          if (pointer) graft.ops.PointerSwap.resolve(aggDir)
+          else Some(aggDir)
+        val seeded = store.exists(s =>
+          graft.ops.StoreFiles.parquetFileCount(s"$s/src") > 0)
+        val wm = store.flatMap(graft.ops.StoreFiles.readIdWatermark)
         require(!seeded || wm.isDefined,
           s"card-agg store at $aggDir has no replay watermark: the " +
             "card fold is non-idempotent and the store holds no ids, " +
@@ -978,7 +990,10 @@ object EventStreams {
           .localCheckpoint()
         if (!batchJ.isEmpty) {
           val batchMax = batchJ.agg(max(col("doc_id"))).head().getLong(0)
-          graft.ext.ClusterOps.foldClusterCardAgg(spark, aggDir,
+          if (pointer)
+            graft.ext.ClusterOps.foldClusterCardAggPointer(spark,
+              aggDir, batchJ, batchMax)
+          else graft.ext.ClusterOps.foldClusterCardAgg(spark, aggDir,
             batchJ, batchMax)
         }
         ()

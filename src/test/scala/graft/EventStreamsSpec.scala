@@ -1341,6 +1341,54 @@ class EventStreamsSpec extends SparkSpec {
       "the watermark must have committed atomically with the fold")
   }
 
+  test("the card sink's pointer-commit mode accumulates the same " +
+      "card as the rebuild through orphan-version and torn-pointer " +
+      "crashes, and a replayed batch is a no-op") {
+    import java.nio.file.{Files, Paths}
+    val base = Files.createTempDirectory("graft_card_ptr_stream").toString
+    val srcDir = s"$base/src"; Files.createDirectories(Paths.get(srcDir))
+    val aggDir = s"$base/agg"
+    val (jAll, assign, c0, c1) = cardFixture()
+    def stageFile(lo: Long, hi: Long, name: String): Unit = {
+      val tmp = Files.createTempDirectory("graft_card_ptr_batch")
+      jAll.filter(col("doc_id") > lo && col("doc_id") <= hi)
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val f = new java.io.File(tmp.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(f.toPath, Paths.get(srcDir, name))
+    }
+    def runOnce(): Unit =
+      EventStreams.clusterCardSink(
+        spark.readStream.schema(jAll.schema).parquet(srcDir),
+        assign, aggDir, s"$base/chk", pointer = true).stop()
+    stageFile(Long.MinValue, c0, "b0.parquet"); runOnce()
+    // crash mid-version-write: an incomplete orphan above the
+    // committed version must be swept, never read
+    Files.createDirectories(Paths.get(s"$aggDir/v_00000002"))
+    Files.write(Paths.get(s"$aggDir/v_00000002/junk"),
+      Array[Byte](1, 2, 3))
+    stageFile(c0, c1, "b1.parquet"); runOnce()
+    // crash inside the pointer replace: torn content rolls forward to
+    // the highest complete version (the commit that was in flight)
+    Files.write(Paths.get(s"$aggDir/CURRENT"),
+      "v_0000".getBytes("UTF-8"))
+    stageFile(c1, Long.MaxValue, "b2.parquet"); runOnce()
+    val oneShotDir = s"$base/agg_oneshot"
+    graft.ext.ClusterOps.writeClusterCardAgg(assign(jAll), oneShotDir)
+    val want = cardRows(oneShotDir)
+    val resolved = graft.ops.PointerSwap.resolve(aggDir).get
+    assert(want.nonEmpty && cardRows(resolved) == want,
+      "pointer-committed stream card must equal the one-shot rebuild")
+    // a replayed batch drops in full on the committed watermark
+    stageFile(c1, Long.MaxValue, "b2_replay.parquet"); runOnce()
+    assert(cardRows(graft.ops.PointerSwap.resolve(aggDir).get) == want)
+    val maxId = jAll.agg(max(col("doc_id"))).head().getLong(0)
+    assert(graft.ops.StoreFiles
+        .readIdWatermark(graft.ops.PointerSwap.resolve(aggDir).get)
+        .contains(maxId),
+      "the watermark must ride the committed version dir")
+  }
+
   test("the card sink refuses a foreign store with no watermark, and " +
       "adopts it once one is set") {
     import java.nio.file.{Files, Paths}

@@ -189,6 +189,64 @@ class OpsSpec extends SparkSpec {
     ArtifactSwap.requireAtomicRename(optIn)
   }
 
+  test("PointerSwap: versioned commits resolve through the pointer, " +
+      "and every crash shape (incomplete orphan, complete orphan, " +
+      "torn pointer, missing pointer) recovers to the right state") {
+    import graft.ops.{PointerSwap, StoreFiles}
+    import java.nio.file.{Files => JF, Paths}
+    val root = JF.createTempDirectory("graft_ptr").toString + "/t"
+    def write(v: Long, to: String): Unit =
+      Seq(v).toDF("x").coalesce(1).write.mode("overwrite").parquet(to)
+    def readBack: Long =
+      spark.read.parquet(PointerSwap.resolve(root).get).head.getLong(0)
+    assert(PointerSwap.resolve(root).isEmpty)
+    PointerSwap.writeAndCommit(root)(write(1L, _))
+    assert(readBack == 1L)
+    PointerSwap.writeAndCommit(root)(write(2L, _))
+    assert(readBack == 2L)
+    // GC: only the committed version remains
+    assert(Option(new java.io.File(root).listFiles()).get
+      .count(_.getName.startsWith("v_")) == 1)
+    // crash BEFORE the version completed: the incomplete orphan is
+    // invisible to resolve and deleted by recover (the caller's
+    // replay re-stages it)
+    JF.createDirectories(Paths.get(s"$root/v_00000003"))
+    JF.writeString(Paths.get(s"$root/v_00000003/part-junk"), "partial")
+    assert(readBack == 2L)
+    PointerSwap.recover(root)
+    assert(!new java.io.File(s"$root/v_00000003").exists())
+    assert(readBack == 2L)
+    // crash AFTER the version completed but BEFORE the pointer
+    // replace began: a complete orphan above a VALID pointer is
+    // uncommitted work — rolled back, the replay re-runs it
+    write(3L, s"$root/v_00000003")
+    StoreFiles.createMarker(s"$root/v_00000003", "_SUCCESS")
+    assert(readBack == 2L,
+      "a valid pointer must win over a higher complete version")
+    PointerSwap.recover(root)
+    assert(!new java.io.File(s"$root/v_00000003").exists())
+    // crash INSIDE the pointer replace: torn content falls back to
+    // the highest complete version — exactly the commit in flight
+    write(3L, s"$root/v_00000003")
+    StoreFiles.createMarker(s"$root/v_00000003", "_SUCCESS")
+    JF.writeString(Paths.get(s"$root/CURRENT"), "v_000000")
+    assert(readBack == 3L, "torn pointer must roll FORWARD")
+    PointerSwap.recover(root)
+    assert(JF.readString(Paths.get(s"$root/CURRENT")).trim
+      == "v_00000003", "recover must repair the pointer")
+    assert(!new java.io.File(s"$root/v_00000002").exists(),
+      "the superseded version is GC'd on recovery")
+    // crash in the delete-then-rename gap: pointer MISSING entirely
+    write(4L, s"$root/v_00000004")
+    StoreFiles.createMarker(s"$root/v_00000004", "_SUCCESS")
+    JF.delete(Paths.get(s"$root/CURRENT"))
+    assert(readBack == 4L, "missing pointer must roll FORWARD")
+    // the next commit recovers by itself and continues the chain
+    PointerSwap.writeAndCommit(root)(write(5L, _))
+    assert(readBack == 5L)
+    assert(PointerSwap.resolve(root).get.endsWith("v_00000005"))
+  }
+
   test("temporal split: boundaries match the recomputed 70/85% range " +
       "cuts, splits are time-ordered, summary reconciles") {
     import org.apache.spark.sql.functions._
