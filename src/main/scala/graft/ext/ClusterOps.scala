@@ -1176,6 +1176,155 @@ object ClusterOps {
       .groupBy(col("members")).agg(count(lit(1)).as("n_communities"))
       .orderBy(col("members"))
 
+  /** Flag threshold: a vector is an embedding-space outlier when its
+    * residual exceeds its cell's mean by this many standard
+    * deviations. */
+  val OutlierSigmas = 3
+
+  /** Embedding-space outlier flags — the "weird vector" curation cut
+    * (mis-embedded, corrupt, or off-distribution documents show up as
+    * extreme residuals to their own topic centroid; SemDeDup-era
+    * pipelines drop or re-embed them). For each vector: its assigned
+    * cell, its squared distance to that cell's centroid
+    * ([[graft.functions.NearestCentroid.distSq]] — one codegen'd
+    * pass), and a flag for residuals more than [[OutlierSigmas]]σ
+    * above the CELL's mean.
+    *
+    * Exactness discipline (the zipfFit recipe, per cell): the
+    * per-row residual is quantized to integer micro-units, the cell
+    * moments (n, Σd, Σd²) are EXACT integer sums (decimal(38,0) —
+    * a long Σd² overflows at corpus scale, the id-hash-sum lesson),
+    * and the σ comparison is carried out in exact BigInt arithmetic:
+    * flag ⟺ n·d − s1 > 0 ∧ (n·d − s1)² > σ²·(n·s2 − s1²), which the
+    * driver folds into ONE integer threshold per cell (integer sqrt,
+    * provably the same predicate) so the distributed side is a plain
+    * long compare against a broadcast K-row frame. The oracle states
+    * the quadratic form directly in HUGEINT — both engines decide
+    * every row identically, no float tolerance anywhere.
+    *
+    * Shape at scale: one map pass (assign + residual), one
+    * map-side-combined groupBy bounded at K rows, a K-row collect
+    * (the orderStat discipline), and a broadcast join — nothing
+    * corpus-sized shuffles. */
+  def embeddingOutliers(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cents = KMeans.train(spark, dir)
+    val a = KMeans.vecs(spark, dir).select(
+      col("vec_id"),
+      KMeans.assignOn(col("v"), cents).as("cell"),
+      floor(graft.functions.NearestCentroid
+        .distSq(col("v"), cents.map(_._2)) * lit(1000000.0))
+        .cast("long").as("d2_micro"))
+    val dec = col("d2_micro").cast("decimal(38,0)")
+    // bounded collect: K cells' exact integer moments
+    val thr = a.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"), sum(dec).as("s1"),
+        sum(dec * dec).as("s2"))
+      .collect().map { r =>
+        val n = BigInt(r.getLong(1))
+        val s1 = BigInt(r.getDecimal(2).toBigInteger)
+        val s2 = BigInt(r.getDecimal(3).toBigInteger)
+        // flag ⟺ n·d ≥ s1 + isqrt(σ²·(n·s2 − s1²)) + 1 ⟺ d ≥ ceil(…/n)
+        val x = s1 + isqrt(BigInt(OutlierSigmas * OutlierSigmas) *
+          (n * s2 - s1 * s1)) + 1
+        (r.getInt(0), ((x + n - 1) / n).toLong)
+      }.toSeq.toDF("cell", "thr")
+    a.join(broadcast(thr), Seq("cell"))
+      .select(col("vec_id"), col("cell"), col("d2_micro"),
+        (col("d2_micro") >= col("thr")).as("flagged"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** Fixed rounds of label propagation ([[knnLabelSpreadForms]]). */
+  val LabelSpreadRounds = 2
+
+  /** Label propagation over the kNN graph — weak-label densification
+    * (semi-supervised label spreading): for [[LabelSpreadRounds]]
+    * fixed rounds, every vector takes the MODAL label among itself
+    * and its distinct graph neighbors (both edge directions), ties
+    * broken (count desc, label asc) so both engines pick the same
+    * winner. Fixed-round and synchronous, so the result is a pure
+    * function of the edge set — oracle-replayable without a
+    * fixpoint. Vectors in singleton cells have no edges and keep
+    * their label through every round.
+    *
+    * Shape at scale: per round, one edge-sized join against the
+    * current K-NN-bounded label frame + a map-side-combined
+    * (vec_id, label) count whose per-vector group is bounded by the
+    * vector's degree (≤ 2·[[KnnK]] + 1 votes), and a rank window
+    * over that post-aggregation frame. Rounds are a FIXED small
+    * constant — the plan depth stays bounded. */
+  def knnLabelSpread(spark: SparkSession, dir: String): DataFrame = {
+    val a = assignedWithV(spark, dir)
+    labelSpreadOn(a, knnEdgesOn(a))
+  }
+
+  /** BOTH label-spread forms (live edge derivation / edges-ARTIFACT
+    * fed) in ONE gated entry tagged by `form` — the graph family's
+    * serve==rebuild discipline extended to its newest consumer. */
+  def knnLabelSpreadForms(spark: SparkSession, dir: String): DataFrame = {
+    val a = assignedWithV(spark, dir)
+    val edgesDir = graft.ops.Scratch.dir("graft_lblspread") + "/edges"
+    writeKnnEdges(a, edgesDir)
+    OracleForms.union(
+        "live" -> labelSpreadOn(a, knnEdgesOn(a)),
+        "served" -> labelSpreadOn(a, spark.read.parquet(edgesDir)))
+      .select(col("form"), col("vec_id"), col("label"),
+        col("label_spread"), col("changed"))
+      .orderBy(col("form"), col("vec_id"))
+  }
+
+  private def assignedWithV(spark: SparkSession,
+      dir: String): DataFrame = {
+    val cents = KMeans.train(spark, dir)
+    KMeans.vecs(spark, dir).select(col("vec_id"), col("label"),
+      KMeans.assignOn(col("v"), cents).as("cell"), col("v"))
+  }
+
+  /** The propagation core over a (vec_id, label, …) frame and an
+    * edge frame carrying (vec_id, nbr_id). */
+  private def labelSpreadOn(labels0: DataFrame,
+      edges: DataFrame): DataFrame = {
+    val sym = edges.select(col("vec_id").as("a"), col("nbr_id").as("b"))
+      .unionByName(
+        edges.select(col("nbr_id").as("a"), col("vec_id").as("b")))
+      .distinct()
+    var cur = labels0.select(col("vec_id"), col("label").as("lab"))
+    for (_ <- 1 to LabelSpreadRounds) {
+      val votes = sym
+        .join(cur.withColumnRenamed("vec_id", "b"), Seq("b"))
+        .select(col("a").as("vec_id"), col("lab"))
+        .unionByName(cur)
+      val counts = votes.groupBy(col("vec_id"), col("lab"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cnt").desc, col("lab").asc)
+      cur = counts.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("lab"))
+    }
+    labels0.select(col("vec_id"), col("label"))
+      .join(cur, Seq("vec_id"))
+      .select(col("vec_id"), col("label"),
+        col("lab").as("label_spread"),
+        (col("label") =!= col("lab")).as("changed"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** Exact integer square root (floor). */
+  private def isqrt(x: BigInt): BigInt = {
+    require(x >= 0, s"isqrt of negative $x")
+    if (x < 2) x
+    else {
+      var g = BigInt(1) << ((x.bitLength + 1) / 2)
+      var prev = BigInt(-1)
+      while (g != prev) { prev = g; g = (g + x / g) >> 1 }
+      while (g * g > x) g -= 1
+      while ((g + 1) * (g + 1) <= x) g += 1
+      g
+    }
+  }
+
   // ---------------------------------------------------------------
   // DuckDB oracle replays — the k-means training chain is
   // KMeans.trainCtes (the proven CTE replay); the card and the quota
@@ -1272,6 +1421,13 @@ object ClusterOps {
       s"""WITH $communitiesCtes, q2 AS (SELECT doc_id, quality_score FROM (${TextOps.oracle("text_quality_score")})), j AS (SELECT cl.vec_id AS doc_id, cl.community_id, q2.quality_score FROM cl JOIN q2 ON q2.doc_id = cl.vec_id) SELECT doc_id, community_id, quality_score, rn = 1 AS kept FROM (SELECT *, row_number() OVER (PARTITION BY community_id ORDER BY quality_score DESC, doc_id) AS rn FROM j) ORDER BY doc_id""",
     "sim_knn_community_hist" ->
       s"""WITH $communitiesCtes, sz AS (SELECT community_id, COUNT(*) AS members FROM cl GROUP BY 1) SELECT members, COUNT(*) AS n_communities FROM sz GROUP BY 1 ORDER BY members""",
+    // per-cell σ-flag replayed in EXACT integer arithmetic: the
+    // quadratic HUGEINT form here is provably the same predicate as
+    // the Spark side's isqrt-folded per-cell threshold (see the
+    // embeddingOutliers scaladoc); the residual double is the same
+    // left-to-right fold both engines run, quantized before any sum
+    "sim_embedding_outliers" ->
+      s"""WITH ${KMeans.trainCtes}, dd AS (SELECT af.vec_id, CAST(af.cid AS INTEGER) AS cell, CAST(floor(${KMeans.distSqlN("q.v", "c.cv", 64)} * 1000000.0) AS BIGINT) AS d2_micro FROM af JOIN q USING (vec_id) JOIN c2 c ON c.cid = af.cid), st AS (SELECT cell, CAST(COUNT(*) AS HUGEINT) AS n, CAST(SUM(CAST(d2_micro AS HUGEINT)) AS HUGEINT) AS s1, CAST(SUM(CAST(d2_micro AS HUGEINT) * CAST(d2_micro AS HUGEINT)) AS HUGEINT) AS s2 FROM dd GROUP BY 1) SELECT dd.vec_id, dd.cell, dd.d2_micro, (n * d2_micro - s1 > 0 AND (n * d2_micro - s1) * (n * d2_micro - s1) > ${OutlierSigmas * OutlierSigmas} * (n * s2 - s1 * s1)) AS flagged FROM dd JOIN st USING (cell) ORDER BY dd.vec_id""",
     // merge == rebuild: DuckDB rebuilds the WHOLE graph under the
     // gold-trained frozen quantizer (train on qg, assign everyone,
     // rank) ONCE; the live merge, the store-fed merge, and the
@@ -1296,8 +1452,24 @@ object ClusterOps {
     // expensive chain in the suite (~39 s at sf0.01), now paid once
     // for both the live and the semantic-cells-store form
     "sim_knn_graph_p2_sub_forms" ->
-      OracleForms.sql(p2SubSql, Seq("live", "served"))
+      OracleForms.sql(p2SubSql, Seq("live", "served")),
+    // fixed-round synchronous propagation: per round, modal label
+    // over self + distinct symmetric neighbors with the (count desc,
+    // label asc) tie-break — a pure function of the edge set, so the
+    // live derivation and the edges-artifact form share the chain
+    "sim_knn_label_spread_forms" ->
+      OracleForms.sql(labelSpreadSql, Seq("live", "served"))
   )
+
+  /** The label-spread replay: knn chain, symmetric-distinct
+    * neighbors, [[LabelSpreadRounds]] modal-vote rounds. */
+  private lazy val labelSpreadSql = {
+    def round(curIn: String, curOut: String): String =
+      s"$curOut AS (SELECT vec_id, lab FROM (SELECT vec_id, lab, row_number() OVER (PARTITION BY vec_id ORDER BY cnt DESC, lab) AS rn FROM (SELECT vec_id, lab, COUNT(*) AS cnt FROM (SELECT n.a AS vec_id, c.lab FROM nbr n JOIN $curIn c ON c.vec_id = n.b UNION ALL SELECT vec_id, lab FROM $curIn) GROUP BY 1, 2)) WHERE rn = 1)"
+    val rounds = (1 to LabelSpreadRounds)
+      .map(i => round(s"cur${i - 1}", s"cur$i")).mkString(", ")
+    s"""WITH ${KMeans.trainCtes}, p AS ($knnPairsSql), e AS ($knnRankedSql), sym AS (SELECT vec_id AS a, nbr_id AS b FROM e UNION ALL SELECT nbr_id AS a, vec_id AS b FROM e), nbr AS (SELECT DISTINCT a, b FROM sym), cur0 AS (SELECT vec_id, label AS lab FROM q), $rounds SELECT q.vec_id, q.label, c.lab AS label_spread, q.label <> c.lab AS changed FROM q JOIN cur$LabelSpreadRounds c USING (vec_id) ORDER BY q.vec_id"""
+  }
 
   /** The sub-quantized multi-probe replay: coarse chain + per-cell
     * SAMPLED sub-chains (the dedup_semantic_artifact training CTEs),
@@ -1325,6 +1497,8 @@ object ClusterOps {
     "sim_knn_components" -> knnCommunities _,
     "sim_knn_keep_best" -> knnKeepBest _,
     "sim_knn_community_hist" -> knnCommunityHistogram _,
+    "sim_embedding_outliers" -> embeddingOutliers _,
+    "sim_knn_label_spread_forms" -> knnLabelSpreadForms _,
     "sim_knn_graph_merge_forms" -> knnGraphMergeForms _,
     "sim_knn_graph_p2_forms" -> knnGraphP2Forms _,
     "sim_knn_graph_p2_sub_forms" -> knnGraphP2SubForms _,

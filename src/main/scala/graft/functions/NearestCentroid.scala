@@ -38,9 +38,16 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
   * for ONE query on the driver, which cannot work when every corpus
   * row needs its own probe list. One pass, best + runner-up carried
   * together.
+  *
+  * `emitDist` returns the selected centroid's squared distance
+  * (DoubleType) instead of its index — the per-row residual the
+  * embedding-outlier flags z-score
+  * ([[graft.ext.ClusterOps.embeddingOutliers]]). Same loop, same
+  * fold order, so the value is bit-identical to the oracle's
+  * `distSqlN` fold over the replayed centroids.
   */
 case class NearestCentroid(child: Expression, centroids: Seq[Seq[Double]],
-    rank: Int = 0)
+    rank: Int = 0, emitDist: Boolean = false)
     extends UnaryExpression {
 
   require(centroids.nonEmpty, "empty codebook")
@@ -60,7 +67,8 @@ case class NearestCentroid(child: Expression, centroids: Seq[Seq[Double]],
           s"nearest_centroid expects array<double>, got ${other.sql}")
     }
 
-  override def dataType: DataType = IntegerType
+  override def dataType: DataType =
+    if (emitDist) DoubleType else IntegerType
   override def nullable: Boolean = child.nullable
 
   @transient private lazy val matrix: Array[Array[Double]] =
@@ -98,7 +106,9 @@ case class NearestCentroid(child: Expression, centroids: Seq[Seq[Double]],
       } else if (acc < secDist) { secDist = acc; sec = c }
       c += 1
     }
-    if (rank == 0) best else sec
+    if (emitDist) { if (rank == 0) bestDist else secDist }
+    else if (rank == 0) best
+    else sec
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -139,7 +149,10 @@ case class NearestCentroid(child: Expression, centroids: Seq[Seq[Double]],
          |    $bestDist = $acc; $best = $c;
          |  } else if ($acc < $secDist) { $secDist = $acc; $sec = $c; }
          |}
-         |${ev.value} = ${if (rank == 0) best else sec};
+         |${ev.value} = ${
+             if (emitDist) { if (rank == 0) bestDist else secDist }
+             else if (rank == 0) best
+             else sec};
        """.stripMargin
     })
 
@@ -159,4 +172,12 @@ object NearestCentroid {
   def second(v: Column, centroids: Seq[Seq[Double]]): Column =
     GraftSqlBridge.column(
       NearestCentroid(GraftSqlBridge.expression(v), centroids, rank = 1))
+
+  /** Squared distance of `v` to its NEAREST centroid — the per-row
+    * assignment residual (same left-to-right fold as the oracle's
+    * distSqlN, so the double is engine-exact). */
+  def distSq(v: Column, centroids: Seq[Seq[Double]]): Column =
+    GraftSqlBridge.column(
+      NearestCentroid(GraftSqlBridge.expression(v), centroids,
+        emitDist = true))
 }

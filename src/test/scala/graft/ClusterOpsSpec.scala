@@ -496,4 +496,68 @@ class ClusterOpsSpec extends SparkSpec {
     assert(doubled > single,
       "documented non-idempotence: a double-fold must be visible")
   }
+
+  test("label spread: the fixed-round modal votes match a local " +
+      "recompute over the same edges, and isolated vectors keep " +
+      "their label") {
+    val edges = ClusterOps.knnGraph(spark, sf)
+      .select(col("vec_id"), col("nbr_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val labels0 = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toMap
+    val nbrs = edges.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .distinct.groupBy(_._1).map { case (k, v) =>
+        k -> v.map(_._2).toSet
+      }
+    var cur = labels0
+    (1 to ClusterOps.LabelSpreadRounds).foreach { _ =>
+      val c = cur
+      cur = labels0.keys.map { v =>
+        val votes = (nbrs.getOrElse(v, Set.empty).toSeq.map(c) :+ c(v))
+          .groupBy(identity).map { case (l, o) => (l, o.size) }
+        v -> votes.toSeq.map { case (l, n) => (-n, l) }.min._2
+      }.toMap
+    }
+    val got = ClusterOps.knnLabelSpread(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getBoolean(3)))
+    assert(got.nonEmpty && got.length == labels0.size)
+    got.foreach { case (v, l0, ls, ch) =>
+      assert(l0 == labels0(v))
+      assert(ls == cur(v), s"vec $v: got $ls want ${cur(v)}")
+      assert(ch == (l0 != ls))
+    }
+    // isolated vectors (no edges either direction) keep their label
+    got.filterNot(g => nbrs.contains(g._1)).foreach { case (v, l0, ls, _) =>
+      assert(l0 == ls, s"isolated vec $v must keep its label")
+    }
+  }
+
+  test("embedding outliers: the σ-flag matches an exact BigInt " +
+      "recompute per cell, and a singleton cell never flags itself") {
+    val rows = ClusterOps.embeddingOutliers(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getBoolean(3)))
+    assert(rows.nonEmpty)
+    val s2b = BigInt(ClusterOps.OutlierSigmas.toLong *
+      ClusterOps.OutlierSigmas)
+    rows.groupBy(_._2).foreach { case (cell, rs) =>
+      val n = BigInt(rs.length)
+      val s1 = rs.iterator.map(r => BigInt(r._3)).sum
+      val s2 = rs.iterator.map(r => BigInt(r._3) * BigInt(r._3)).sum
+      rs.foreach { case (id, _, d, flagged) =>
+        val lhs = n * BigInt(d) - s1
+        val want = lhs > 0 && lhs * lhs > s2b * (n * s2 - s1 * s1)
+        assert(flagged == want, s"vec $id in cell $cell")
+      }
+      if (rs.length == 1)
+        assert(!rs.head._4, "a singleton cell cannot out-lie itself")
+    }
+    // the flag marks the tail, not the bulk
+    assert(rows.count(_._4) < rows.length / 4,
+      s"${rows.count(_._4)} of ${rows.length} flagged")
+    // every vector appears exactly once
+    assert(rows.map(_._1).distinct.length == rows.length)
+  }
 }

@@ -100,6 +100,30 @@ class FunctionsSpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("nearest_centroid distSq equals the local left-to-right fold " +
+      "to the assigned centroid, bit-exactly") {
+    val cb = Seq(Seq(0.0, 0.0), Seq(1.0, 1.0), Seq(2.0, -1.0),
+      Seq(-1.0, 3.0))
+    val vs = Seq(Seq(0.4, 0.2), Seq(1.5, 0.9), Seq(-0.5, 2.0),
+      Seq(2.0, 0.0), Seq(1.0, 1.0))
+    val got = vs.map(Tuple1(_)).toDF("v")
+      .select(graft.functions.NearestCentroid.distSq(col("v"), cb))
+      .collect().map(_.getDouble(0)).toSeq
+    val expect = vs.map { v =>
+      cb.map { c =>
+        var acc = 0.0; var i = 0
+        while (i < v.length) {
+          val t = v(i) - c(i); acc += t * t; i += 1
+        }
+        acc
+      }.min
+    }
+    // bit-exact, not approximate: the expression runs the same fold
+    assert(got == expect)
+    // the exact-match vector has residual exactly 0.0
+    assert(got.last == 0.0)
+  }
+
   test("vec_stats is SQL-callable after registration") {
     graft.functions.GraftExtensions.register(spark)
     val r = spark.sql(

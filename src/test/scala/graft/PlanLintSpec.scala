@@ -152,7 +152,13 @@ class PlanLintSpec extends SparkSpec {
     // edge ranks; the CC loop itself is window-free; the served form
     // replaces the carried leg with a pruned artifact read and keeps
     // only the touched cells' rank
-    "sim_knn_communities_merge_forms")
+    "sim_knn_communities_merge_forms",
+    // label spread: per-round modal-vote rank partitioned by vec_id
+    // (NDV ~ corpus size, group ≤ 2·KnnK + 1 votes) over the
+    // post-aggregation vote counts; the live form adds the edge
+    // derivation's row-keyed rank, the served form reads the edges
+    // artifact
+    "sim_knn_label_spread_forms")
   private val entityKeyedWindow = Set(
     "events_sessionize", "events_asof_purchase_click")
   private val guardedLowNdvWindow = Set(
