@@ -1207,6 +1207,75 @@ object ScaleUp {
           f"${ProductQuant.TopK}%d)")
       }
     }
+    if (on("bpe")) {
+      // BPE trainer's two scale axes, isolated. (a) CORPUS axis: the
+      // scaled corpus with its per-copy word prefixes stripped has the
+      // base vocabulary at 100× the rows — only the histogram build
+      // (the single corpus-sized stage) should grow, the 12 merge
+      // rounds run on the same vocabulary-sized table. (b) VOCAB axis:
+      // the prefixed corpus under a widened word model has ~100× the
+      // vocabulary — rounds now process a 100× symbol table, the
+      // histogram cost is the same scan. Encode rides axis (a): a
+      // corpus-sized stream joined to the vocabulary dimension.
+      import graft.ext.Bpe
+      def docsStripped(d: String) =
+        Tables.documents(spark, d).withColumn("text",
+          regexp_replace(col("text"), "c\\d+_", ""))
+      for ((tag, d) <- Seq(("src", src), ("dst", dst))) {
+        val t0 = System.nanoTime()
+        val hist = Bpe.wordHist(docsStripped(d)).localCheckpoint()
+        val v = hist.count()
+        println(f"[scaleup] bpe_hist_corpus_axis         $d%-18s " +
+          f"${(System.nanoTime - t0) / 1e9}%8.2f s  (vocab $v%d)")
+        val t1 = System.nanoTime()
+        val (rules, seg) = Bpe.trainOn(hist)
+        println(f"[scaleup] bpe_train_corpus_axis        $d%-18s " +
+          f"${(System.nanoTime - t1) / 1e9}%8.2f s  " +
+          f"(${rules.length}%d merges)")
+        val t2 = System.nanoTime()
+        val n = Bpe.encodeOn(docsStripped(d), seg).count()
+        println(f"[scaleup] bpe_encode_corpus_axis       $d%-18s " +
+          f"${(System.nanoTime - t2) / 1e9}%8.2f s  (rows $n%d)")
+      }
+      locally {
+        val t0 = System.nanoTime()
+        val hist = Bpe.wordHist(Tables.documents(spark, dst),
+          "^[a-z0-9_]+$").localCheckpoint()
+        val v = hist.count()
+        println(f"[scaleup] bpe_hist_vocab_axis          $dst%-18s " +
+          f"${(System.nanoTime - t0) / 1e9}%8.2f s  (vocab $v%d)")
+        val t1 = System.nanoTime()
+        val (rules, _) = Bpe.trainOn(hist)
+        println(f"[scaleup] bpe_train_vocab_axis         $dst%-18s " +
+          f"${(System.nanoTime - t1) / 1e9}%8.2f s  " +
+          f"(${rules.length}%d merges)")
+      }
+    }
+    if (on("zorder")) {
+      // layout write cost + the skipping it buys, both scales: the
+      // write is one range exchange; the probe is files touched by a
+      // second-key box (parquet footer min/max stand-in, measured on
+      // the actual written files' envelopes).
+      import graft.pipeline.ZOrderLayout
+      for (d <- Seq(src, dst)) {
+        val li = Tables.lineitem(spark, d)
+        val zDir = graft.ops.Scratch.dir("graft_zorder_scale") + "/z"
+        val t0 = System.nanoTime()
+        ZOrderLayout.zorderWrite(li, "l_partkey", "l_suppkey", zDir)
+        println(f"[scaleup] zorder_write                 $d%-18s " +
+          f"${(System.nanoTime - t0) / 1e9}%8.2f s")
+        val env = spark.read.parquet(zDir)
+          .groupBy(input_file_name())
+          .agg(min(col("l_suppkey")).as("lo"), max(col("l_suppkey")).as("hi"))
+          .collect().map(r => (r.getLong(1), r.getLong(2)))
+        val yb = li.agg(min(col("l_suppkey")), max(col("l_suppkey"))).head()
+        val (ylo, ySpan) = (yb.getLong(0), yb.getLong(1) - yb.getLong(0) + 1)
+        val (bLo, bHi) = (ylo + 3 * ySpan / 10, ylo + 4 * ySpan / 10)
+        val t = env.count { case (lo, hi) => hi >= bLo && lo <= bHi }
+        println(f"[scaleup] zorder_box_touched           $d%-18s " +
+          f"$t%d of ${env.length}%d files (y box [$bLo%d,$bHi%d])")
+      }
+    }
     spark.stop()
   }
 }

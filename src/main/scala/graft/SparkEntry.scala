@@ -38,7 +38,9 @@ object SparkEntry {
       graft.ext.Pii.queries ++
       graft.ext.Retrieval.queries ++
       graft.ext.Curation.queries ++
-      graft.ext.ClusterOps.queries
+      graft.ext.ClusterOps.queries ++
+      graft.ext.Bpe.queries ++
+      graft.pipeline.ZOrderLayout.queries
 
   /** DuckDB inlines a non-MATERIALIZED CTE, re-evaluating it once PER
     * REFERENCE — and the k-means / sub-quantizer training chains
@@ -84,5 +86,7 @@ object SparkEntry {
       graft.ext.Pii.oracle ++
       graft.ext.Retrieval.oracle ++
       graft.ext.Curation.allOracle ++
-      graft.ext.ClusterOps.oracle
+      graft.ext.ClusterOps.oracle ++
+      graft.ext.Bpe.oracle ++
+      graft.pipeline.ZOrderLayout.oracle
 }

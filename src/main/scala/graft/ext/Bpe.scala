@@ -1,0 +1,335 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Distributed BPE tokenizer training + encoding (Sennrich, Haddow,
+  * Birch 2016, arXiv:1508.07909) — the subword-vocabulary step a
+  * training-data pipeline runs between the cheap token counting
+  * ([[TextOps.tokenCount]]'s regex proxy) and the token-budget mixing
+  * tier ([[graft.ext.Sampling]]'s `mix_token_budget`): learn the
+  * merge rules ON the corpus so token counts, packing lengths, and
+  * budget math use the tokenizer the model will actually see.
+  *
+  * THE scale decision: training never touches corpus-sized data after
+  * one pass. Round 0 aggregates the corpus into its distinct-WORD
+  * histogram (one map-side-combinable `groupBy(word).count` — the
+  * only corpus-sized stage), and every merge round operates on the
+  * VOCABULARY-sized symbol table (Σ|word|+1 rows ≈ a few × distinct
+  * words): pair counting is a word-partitioned `lead` window plus a
+  * map-side-combinable sum weighted by word frequency, and applying
+  * a merge is a word-local window rewrite. At 100 TB the histogram is
+  * millions of rows where the corpus is billions — rounds cost the
+  * same whether the corpus grew 1× or 1000×, only the histogram
+  * build scales. Encoding joins the corpus word stream against the
+  * vocabulary-bounded word→token-count dimension (broadcast here;
+  * sort-merge is the automatic fallback if a vocabulary ever outgrows
+  * the broadcast threshold).
+  *
+  * Exactness: counts are integer sums; the best pair is the unique
+  * max under the total order (count DESC, a ASC, b ASC); merge
+  * application is greedy leftmost non-overlapping (the only
+  * ambiguity, equal-symbol runs like `a a a a`, is resolved by the
+  * even-offset-within-run rule both engines state identically in
+  * window algebra) — so the whole chain is engine-exact with no
+  * float anywhere.
+  *
+  * Word model: whitespace words filtered to `^[a-z]+$` (the guard
+  * that keeps initial symbols single characters and the end marker
+  * unambiguous; the driver corpus is entirely lowercase words, so
+  * nothing is dropped here), each word terminated by a SEPARATE
+  * end-of-word symbol `_` — merges may absorb it, learning suffix
+  * tokens, the [[Merges]]-round variant of Sennrich's `</w>`.
+  *
+  * Reference scope: the reference app (csv → pandas → MySQL ETL,
+  * /root/reference/etl_pipeline/transform.py) has no tokenizer tier;
+  * this is extension depth for the 100 TB training-data story.
+  */
+object Bpe {
+
+  /** Fixed merge-round count — fixed rounds make the trainer a pure
+    * function of the corpus, replayable as a finite oracle chain
+    * (the [[ClusterOps]] label-spread discipline). */
+  val Merges = 12
+
+  /** One learned merge rule: at rank `merge_rank`, symbols `a`+`b`
+    * (pair frequency `pair_n` at that round) fuse into `merged`. */
+  final case class MergeRule(
+      merge_rank: Int, a: String, b: String, merged: String, pair_n: Long)
+
+  private def byWord = Window.partitionBy(col("word")).orderBy(col("p"))
+
+  /** Default word model (the gate's): lowercase alphabetic words. */
+  val WordPattern = "^[a-z]+$"
+
+  /** Corpus word stream `(doc_id, word)` under the word model. The
+    * pattern is overridable for corpora with a wider charset (the
+    * ScaleUp fixture's copy-prefixed words) — callers owning the
+    * override also own end-marker disambiguation if their words can
+    * contain `_`. */
+  def wordStream(d: DataFrame, wordPattern: String = WordPattern): DataFrame =
+    d.select(col("doc_id"),
+        explode(TextOps.tokens(col("text"))).as("word"))
+      .filter(col("word").rlike(wordPattern))
+
+  /** The distinct-word histogram — the ONLY corpus-sized aggregation
+    * in training (map-side combinable; result is vocabulary-sized). */
+  def wordHist(d: DataFrame, wordPattern: String = WordPattern): DataFrame =
+    wordStream(d, wordPattern).groupBy(col("word")).agg(count(lit(1)).as("n"))
+
+  /** Initial symbol table: per word, positions 1..len+1 holding the
+    * word's characters then the `_` end symbol. */
+  def initSeq(hist: DataFrame): DataFrame =
+    hist.select(col("word"), col("n"),
+        explode(sequence(lit(1), length(col("word")) + 1)).as("p"))
+      .withColumn("s",
+        when(col("p") > length(col("word")), lit("_"))
+          .otherwise(expr("substring(word, p, 1)")))
+
+  /** Adjacent-pair frequencies over the symbol table, weighted by
+    * word frequency (overlapping occurrences count, as in Sennrich's
+    * `get_stats`): one word-partitioned `lead`, one combinable sum. */
+  def pairCounts(seq: DataFrame): DataFrame =
+    seq.select(col("n"), col("s").as("a"),
+        lead(col("s"), 1).over(byWord).as("b"))
+      .filter(col("b").isNotNull)
+      .groupBy(col("a"), col("b")).agg(sum(col("n")).as("pn"))
+
+  /** Apply one merge rule greedy-leftmost-non-overlapping to every
+    * word. Candidates are positions where `(s, next) = (a, b)`;
+    * overlaps only arise when a == b, as runs of consecutive
+    * candidate positions — greedy leftmost keeps exactly the even
+    * offsets within each maximal run, which the window algebra states
+    * directly: run id = p − row_number over candidates, keep
+    * (p − min(p) over (word, run)) even. Kept positions absorb their
+    * successor; positions are then renumbered dense. All windows are
+    * word-partitioned — word-local work, no cross-word shuffle beyond
+    * the hash partition on the vocabulary-sized table. */
+  def applyMerge(seq: DataFrame, a: String, b: String): DataFrame = {
+    val cand = seq
+      .withColumn("nxt", lead(col("s"), 1).over(byWord))
+      .filter(col("s") === lit(a) && col("nxt") === lit(b))
+      .select(col("word"), col("p"), row_number().over(byWord).as("rn"))
+    val taken = cand
+      .withColumn("off", col("p") - min(col("p")).over(
+        Window.partitionBy(col("word"), col("p") - col("rn"))))
+      .filter(col("off") % 2 === 0)
+      .select(col("word").as("tw"), col("p").as("tp"))
+    val t1 = taken.alias("t1")
+    val t2 = taken.alias("t2")
+    seq.alias("q")
+      .join(t1, col("q.word") === col("t1.tw") &&
+        col("q.p") === col("t1.tp"), "left")
+      .join(t2, col("q.word") === col("t2.tw") &&
+        col("q.p") === col("t2.tp") + 1, "left")
+      .filter(col("t2.tp").isNull)
+      .select(col("q.word").as("word"), col("q.n").as("n"), col("q.p").as("p"),
+        when(col("t1.tp").isNotNull, lit(a + b)).otherwise(col("q.s")).as("s"))
+      .withColumn("p", row_number().over(byWord))
+  }
+
+  /** Train [[Merges]] rounds on a word histogram. Each round pulls
+    * ONE scalar to the driver (the arg-max pair — the k-means
+    * centroid-pull discipline: bounded metadata, never data) and
+    * `localCheckpoint`s the rewritten symbol table so the 12-round
+    * window/join lineage never stacks. Stops early if no pair
+    * remains. Returns the rules in rank order and the final
+    * segmentation table. */
+  def trainOn(hist: DataFrame): (Seq[MergeRule], DataFrame) = {
+    var seq = initSeq(hist).localCheckpoint()
+    val rules = scala.collection.mutable.ArrayBuffer.empty[MergeRule]
+    var r = 1
+    var exhausted = false
+    while (r <= Merges && !exhausted) {
+      val best = pairCounts(seq)
+        .orderBy(col("pn").desc, col("a"), col("b")).limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val a = best(0).getString(0)
+        val b = best(0).getString(1)
+        rules += MergeRule(r, a, b, a + b, best(0).getLong(2))
+        seq = applyMerge(seq, a, b).localCheckpoint()
+        r += 1
+      }
+    }
+    (rules.toSeq, seq)
+  }
+
+  /** Replay a rank-ordered rule list onto a histogram — the ENCODER
+    * path: a tokenizer consumer holds only the merges artifact (the
+    * shipped "merges file"), never the training-time segmentation. */
+  def replayRules(hist: DataFrame, rules: Seq[MergeRule]): DataFrame =
+    rules.sortBy(_.merge_rank).foldLeft(initSeq(hist).localCheckpoint()) {
+      (seq, m) => applyMerge(seq, m.a, m.b).localCheckpoint()
+    }
+
+  /** Per-document encoding stats against a segmentation table:
+    * `n_words` whitespace words seen by the tokenizer, `n_subwords`
+    * BPE tokens they encode to (end-of-word symbols included). The
+    * corpus-sized side only ever joins the vocabulary-bounded
+    * word→length dimension. */
+  def encodeOn(d: DataFrame, finalSeq: DataFrame): DataFrame = {
+    val wlen = finalSeq.groupBy(col("word")).agg(count(lit(1)).as("k"))
+    val enc = wordStream(d).join(broadcast(wlen), "word")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("k")).as("n_subwords"))
+    d.select(col("doc_id")).join(enc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_subwords"), lit(0L)).as("n_subwords"))
+  }
+
+  /** One-shot word-histogram artifact: `hist/` rows + the replay
+    * watermark the streaming fold protocol requires for adoption. */
+  def writeWordHistStore(docs: DataFrame, histDir: String): Unit = {
+    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+    graft.ops.ArtifactSwap.writeAndSwap(histDir) { next =>
+      wordHist(docs).write.parquet(s"$next/hist")
+      graft.ops.StoreFiles.writeIdWatermark(next, maxId)
+      graft.ops.StoreFiles.createMarker(next, "_SUCCESS")
+    }
+  }
+
+  /** Fold a batch's word counts into the histogram artifact, commit
+    * ATOMIC with the replay watermark — the card-agg discipline
+    * ([[ClusterOps.foldClusterCardAgg]]): the fold is a
+    * non-idempotent sum over a store that holds no doc ids, so a
+    * crashed batch is undetectable from store contents; instead the
+    * whole (vocabulary-bounded) store swaps through
+    * [[graft.ops.ArtifactSwap]] with `_id_watermark` inside, so a
+    * replayed batch either re-folds in full or drops in full. The
+    * O(store) rewrite is the RIGHT trade for a vocabulary-bounded
+    * artifact, exactly as argued for the card store — the
+    * corpus-sized stores (cells/edges/postings) keep their
+    * partition-pruned appends. */
+  def foldWordHist(spark: SparkSession, histDir: String,
+      batchHist: DataFrame, batchMax: Long): Unit =
+    graft.ops.ArtifactSwap.writeAndSwap(histDir) { next =>
+      val seeded =
+        graft.ops.StoreFiles.parquetFileCount(s"$histDir/hist") > 0
+      val merged =
+        if (!seeded) batchHist
+        else spark.read.parquet(s"$histDir/hist")
+          .select(col("word"), col("n"))
+          .unionByName(batchHist)
+          .groupBy(col("word")).agg(sum(col("n")).as("n"))
+      merged.write.parquet(s"$next/hist")
+      graft.ops.StoreFiles.writeIdWatermark(next, batchMax)
+      graft.ops.StoreFiles.createMarker(next, "_SUCCESS")
+    }
+
+  /** The histogram read back from its artifact — the trainer input a
+    * sink-maintained store serves ([[trainOn]] accepts it as-is). */
+  def wordHistFromStore(spark: SparkSession, histDir: String): DataFrame =
+    spark.read.parquet(s"$histDir/hist").select(col("word"), col("n"))
+
+  /** DRIVER-GATED scaffold: ONE training per corpus dir, shared by
+    * both gate entries (the shared-scratch discipline, round-14
+    * verdict #6). The final segmentation and the merges artifact are
+    * scratch parquet so the memo survives as paths, not session-bound
+    * plans. */
+  private final case class Trained(
+      rules: Seq[MergeRule], mergesPath: String, segPath: String)
+  private val trainedDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, Trained]()
+  private def trained(spark: SparkSession, dir: String): Trained =
+    trainedDirs.computeIfAbsent(dir, _ => {
+      val (rules, finalSeq) = trainOn(wordHist(Tables.documents(spark, dir)))
+      val root = graft.ops.Scratch.dir("graft_bpe")
+      val segPath = root + "/seg"
+      val mergesPath = root + "/merges"
+      finalSeq.write.parquet(segPath)
+      rulesToDf(spark, rules).write.parquet(mergesPath)
+      Trained(rules, mergesPath, segPath)
+    })
+
+  private def rulesToDf(spark: SparkSession, rules: Seq[MergeRule]): DataFrame = {
+    import spark.implicits._
+    rules.toDF()
+  }
+
+  /** The learned merge table, rank order — the tokenizer's shippable
+    * artifact. */
+  def bpeMerges(spark: SparkSession, dir: String): DataFrame =
+    rulesToDf(spark, trained(spark, dir).rules)
+      .select(col("merge_rank"), col("a"), col("b"), col("merged"),
+        col("pair_n"))
+      .orderBy(col("merge_rank"))
+
+  /** Per-document encoding, both forms under one gate: `live` encodes
+    * with the training-time segmentation; `served` reads the merges
+    * ARTIFACT back and replays the rules onto the vocabulary — the
+    * round-trip a downstream consumer of the shipped merges file
+    * performs. Rules are rank-bounded metadata ([[Merges]] rows), so
+    * the served collect is a bounded driver pull, like the live
+    * trainer's own per-round arg-max. */
+  def bpeEncodeForms(spark: SparkSession, dir: String): DataFrame = {
+    val t = trained(spark, dir)
+    val d = Tables.documents(spark, dir)
+    val live = encodeOn(d, spark.read.parquet(t.segPath))
+    val servedRules = spark.read.parquet(t.mergesPath)
+      .orderBy(col("merge_rank")).collect()
+      .map(r => MergeRule(r.getAs[Int]("merge_rank"), r.getAs[String]("a"),
+        r.getAs[String]("b"), r.getAs[String]("merged"),
+        r.getAs[Long]("pair_n"))).toSeq
+    val served =
+      encodeOn(d, replayRules(wordHist(d), servedRules))
+    OracleForms.union("live" -> live, "served" -> served)
+      .select(col("form"), col("doc_id"), col("n_words"), col("n_subwords"))
+      .orderBy(col("form"), col("doc_id"))
+  }
+
+  // ---------------------------------------------------------------
+  // Oracle SQL — the full train+encode chain as one finite CTE
+  // pyramid: 6 CTEs per round over the vocabulary-sized symbol table,
+  // stating the same window algebra as the Spark side. Scalar
+  // subqueries against the per-round `bst` CTE keep the chain total
+  // when a round runs out of pairs (empty best ⇒ no candidates ⇒ the
+  // round is the identity), mirroring the trainer's early stop.
+  // ---------------------------------------------------------------
+
+  private val wordsSql =
+    """SELECT doc_id, unnest(CASE WHEN length(trim(text)) = 0 THEN [] ELSE regexp_split_to_array(trim(text), '\s+') END) AS word FROM documents"""
+
+  private def chainSql: String = {
+    val sb = new StringBuilder
+    sb ++= s"WITH wfd AS (SELECT doc_id, word FROM ($wordsSql) WHERE regexp_matches(word, '^[a-z]+$$')),\n"
+    sb ++= "hist AS (SELECT word, COUNT(*) AS n FROM wfd GROUP BY word),\n"
+    sb ++= "seq0 AS (SELECT word, n, p, CASE WHEN p > length(word) THEN '_' ELSE substr(word, CAST(p AS INT), 1) END AS s FROM (SELECT word, n, unnest(generate_series(1, length(word) + 1)) AS p FROM hist)),\n"
+    for (r <- 1 to Merges) {
+      val q = s"seq${r - 1}"
+      sb ++= s"pr$r AS (SELECT a, b, SUM(n) AS pn FROM (SELECT n, s AS a, lead(s) OVER (PARTITION BY word ORDER BY p) AS b FROM $q) WHERE b IS NOT NULL GROUP BY a, b),\n"
+      sb ++= s"bst$r AS (SELECT a, b, pn FROM pr$r ORDER BY pn DESC, a ASC, b ASC LIMIT 1),\n"
+      sb ++= s"cnd$r AS (SELECT word, p, row_number() OVER (PARTITION BY word ORDER BY p) AS rn FROM (SELECT word, p, s, lead(s) OVER (PARTITION BY word ORDER BY p) AS nxt FROM $q) WHERE s = (SELECT a FROM bst$r) AND nxt = (SELECT b FROM bst$r)),\n"
+      sb ++= s"tk$r AS (SELECT word, p FROM (SELECT word, p, p - MIN(p) OVER (PARTITION BY word, p - rn) AS off FROM cnd$r) WHERE off % 2 = 0),\n"
+      sb ++= s"seq$r AS (SELECT word, n, row_number() OVER (PARTITION BY word ORDER BY p) AS p, s FROM (SELECT q.word, q.n, q.p, CASE WHEN t1.p IS NOT NULL THEN (SELECT a || b FROM bst$r) ELSE q.s END AS s FROM $q q LEFT JOIN tk$r t1 ON q.word = t1.word AND q.p = t1.p LEFT JOIN tk$r t2 ON q.word = t2.word AND q.p = t2.p + 1 WHERE t2.p IS NULL)),\n"
+    }
+    sb.toString
+  }
+
+  private def mergesSql: String = {
+    val union = (1 to Merges).map(r =>
+      s"SELECT CAST($r AS INT) AS merge_rank, a, b, a || b AS merged, CAST(pn AS BIGINT) AS pair_n FROM bst$r"
+    ).mkString(" UNION ALL ")
+    chainSql +
+      s"mg AS ($union)\nSELECT merge_rank, a, b, merged, pair_n FROM mg ORDER BY merge_rank"
+  }
+
+  private def encodeBaseSql: String =
+    chainSql +
+      s"""wlen AS (SELECT word, COUNT(*) AS k FROM seq$Merges GROUP BY word),
+enc AS (SELECT doc_id, COUNT(*) AS n_words, SUM(k) AS n_subwords FROM wfd JOIN wlen USING (word) GROUP BY doc_id)
+SELECT d.doc_id, CAST(COALESCE(e.n_words, 0) AS BIGINT) AS n_words, CAST(COALESCE(e.n_subwords, 0) AS BIGINT) AS n_subwords FROM documents d LEFT JOIN enc e USING (doc_id)"""
+
+  val oracle: Map[String, String] = Map(
+    "text_bpe_merges" -> mergesSql,
+    "text_bpe_encode_forms" ->
+      (OracleForms.sql(encodeBaseSql, Seq("live", "served")) +
+        " ORDER BY form, doc_id"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_bpe_merges" -> (bpeMerges _),
+    "text_bpe_encode_forms" -> (bpeEncodeForms _))
+}

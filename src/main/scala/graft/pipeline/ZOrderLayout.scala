@@ -1,0 +1,140 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ext.OracleForms
+
+/** Z-order (Morton-curve) data layout — multi-dimensional clustering
+  * for file skipping, [[GoldLayout]]'s sibling for the OTHER gold
+  * read regime: point/range lookups on TWO independent keys. A
+  * single-key sort clusters min/max file statistics for that key
+  * only; a query on the second key reads every file. Interleaving
+  * the bits of both keys' grid coordinates gives a total order whose
+  * prefixes are rectangles in key space, so EVERY file bounds BOTH
+  * keys — the Delta/Hudi `OPTIMIZE ZORDER` idea, over plain parquet
+  * min/max row-group stats.
+  *
+  * Scale shape — deliberately nothing rank-based: grid coordinates
+  * are VALUE-quantized against the exact global min/max (one
+  * map-side-combinable aggregate pulling 4 scalars to the driver;
+  * an exact-rank ntile would be a single-partition global window,
+  * the one plan shape this engine bans at 100 TB). The file group is
+  * the z-value's PREFIX (top [[GroupBits]] bits) — group assignment
+  * is per-row arithmetic, so the layout write is
+  * `repartitionByRange(z).sortWithinPartitions(z)`: one range
+  * exchange, perfectly parallel, and group populations stay near-even
+  * exactly when the keys are near-uniform (TPC-H-ish keys are; a
+  * skewed dimension wants quantile boundaries instead — the
+  * documented variant, at the cost of the order-statistic pass).
+  * Everything is int64 arithmetic — engine-exact, no tolerance.
+  *
+  * The gate compares the z-order grouping against the single-key
+  * `linear` grouping under one shared chain: per file group, row
+  * count and min/max of BOTH keys. The z-order rows bound both
+  * dimensions tightly (each group spans ¼ of each key's range at
+  * [[GroupBits]] = 4); the linear rows bound only the sort key — the
+  * second key's min/max spans the whole domain in every group, the
+  * no-skipping pathology made visible as data. ZOrderSpec quantifies
+  * it end-to-end: files actually written by [[zorderWrite]] prune a
+  * second-key box query that the linear layout cannot.
+  *
+  * Reference scope: the reference's lakehouse tier is a flat csv →
+  * MySQL load (/root/reference/etl_pipeline/load.py); layout for
+  * selective reads is extension depth for the 100 TB story.
+  */
+object ZOrderLayout {
+
+  /** Grid resolution per dimension (2^Bits buckets). */
+  val Bits = 4
+
+  /** File-group count = 2^GroupBits (z-value prefix). */
+  val GroupBits = 4
+
+  /** Bit-interleave two [[Bits]]-bit grid coordinates: x in the even
+    * z bits, y in the odd. */
+  def interleave(xb: Column, yb: Column): Column =
+    (0 until Bits).map { i =>
+      (shiftleft(shiftright(xb, i).bitwiseAND(1), 2 * i))
+        .bitwiseOR(shiftleft(shiftright(yb, i).bitwiseAND(1), 2 * i + 1))
+    }.reduce(_ bitwiseOR _)
+
+  /** Value-quantized grid coordinate: (v - lo) * 2^Bits div span, in
+    * [0, 2^Bits) for v in [lo, hi]. floor-of-double-division equals
+    * exact integer division while (v − lo)·2^Bits < 2^53 and the
+    * quotient is small (both hold for any realistic key domain; the
+    * scaled numerator would need a ~2^49 key span to break it). */
+  def gridCoord(v: Column, lo: Long, hi: Long): Column =
+    floor(((v - lit(lo)) * lit(1L << Bits)).cast("double") /
+      lit((hi - lo + 1).toDouble)).cast("long")
+
+  /** Exact min/max of both keys — the 4 driver scalars the layout is
+    * parameterized by (combinable aggregate, bounded metadata). */
+  private def bounds(df: DataFrame, x: String, y: String): (Long, Long, Long, Long) = {
+    val r = df.agg(min(col(x)), max(col(x)), min(col(y)), max(col(y))).head()
+    (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+  }
+
+  /** Source frame with grid coords, z-value, and both group ids. */
+  def zFrame(df: DataFrame, x: String, y: String): DataFrame = {
+    val (xlo, xhi, ylo, yhi) = bounds(df, x, y)
+    val xb = gridCoord(col(x), xlo, xhi)
+    val yb = gridCoord(col(y), ylo, yhi)
+    val z = interleave(xb, yb)
+    df.withColumn("zval", z)
+      .withColumn("zgrp", shiftright(col("zval"), 2 * Bits - GroupBits))
+      .withColumn("lingrp", shiftright(xb, Bits - GroupBits))
+  }
+
+  /** Write `df` z-ordered on `(x, y)` into ~2^GroupBits files: one
+    * range exchange on the z-value, rows sorted within each file so
+    * parquet row-group stats are tight on BOTH keys. */
+  def zorderWrite(df: DataFrame, x: String, y: String, dir: String): Unit =
+    zFrame(df, x, y)
+      .repartitionByRange(1 << GroupBits, col("zval"))
+      .sortWithinPartitions(col("zval"))
+      .drop("zval", "zgrp", "lingrp")
+      .write.mode("overwrite").parquet(dir)
+
+  /** Per-group stats under a grouping column: the min/max envelope a
+    * reader's file-skipping sees. */
+  private def groupStats(zf: DataFrame, grp: String, x: String, y: String): DataFrame =
+    zf.groupBy(col(grp).as("grp"))
+      .agg(count(lit(1)).as("n"),
+        min(col(x)).as("x_min"), max(col(x)).as("x_max"),
+        min(col(y)).as("y_min"), max(col(y)).as("y_max"))
+
+  /** DRIVER-GATED: z-order vs linear group envelopes on
+    * lineitem(l_partkey, l_suppkey), one shared chain. */
+  def zorderStats(spark: SparkSession, dir: String): DataFrame = {
+    val zf = zFrame(Tables.lineitem(spark, dir), "l_partkey", "l_suppkey")
+      .localCheckpoint() // one source pass feeds both groupings
+    OracleForms.union(
+        "zorder" -> groupStats(zf, "zgrp", "l_partkey", "l_suppkey"),
+        "linear" -> groupStats(zf, "lingrp", "l_partkey", "l_suppkey"))
+      .select(col("form"), col("grp"), col("n"),
+        col("x_min"), col("x_max"), col("y_min"), col("y_max"))
+      .orderBy(col("form"), col("grp"))
+  }
+
+  private def interleaveSql(xb: String, yb: String): String =
+    (0 until Bits).map { i =>
+      s"((($xb >> $i) & 1) << ${2 * i}) | ((($yb >> $i) & 1) << ${2 * i + 1})"
+    }.mkString("(", ") | (", ")")
+
+  private val statsSql: String = {
+    val grid = (v: String, lo: String, hi: String) =>
+      s"(($v - $lo) * ${1L << Bits}) // ($hi - $lo + 1)"
+    s"""WITH b AS (SELECT MIN(l_partkey) AS xlo, MAX(l_partkey) AS xhi, MIN(l_suppkey) AS ylo, MAX(l_suppkey) AS yhi FROM lineitem),
+zf AS (SELECT ${interleaveSql("xb", "yb")} AS zval, xb, yb, l_partkey, l_suppkey FROM (SELECT ${grid("l_partkey", "b.xlo", "b.xhi")} AS xb, ${grid("l_suppkey", "b.ylo", "b.yhi")} AS yb, l_partkey, l_suppkey FROM lineitem, b)),
+st AS (SELECT 'zorder' AS form, zval >> ${2 * Bits - GroupBits} AS grp, COUNT(*) AS n, MIN(l_partkey) AS x_min, MAX(l_partkey) AS x_max, MIN(l_suppkey) AS y_min, MAX(l_suppkey) AS y_max FROM zf GROUP BY 1, 2
+UNION ALL SELECT 'linear' AS form, xb >> ${Bits - GroupBits} AS grp, COUNT(*) AS n, MIN(l_partkey) AS x_min, MAX(l_partkey) AS x_max, MIN(l_suppkey) AS y_min, MAX(l_suppkey) AS y_max FROM zf GROUP BY 1, 2)
+SELECT form, grp, n, x_min, x_max, y_min, y_max FROM st ORDER BY form, grp"""
+  }
+
+  val oracle: Map[String, String] = Map(
+    "layout_zorder_stats" -> statsSql)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "layout_zorder_stats" -> (zorderStats _))
+}

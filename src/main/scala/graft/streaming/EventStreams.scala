@@ -1003,6 +1003,61 @@ object EventStreams {
     q
   }
 
+  /** Streaming word-histogram maintenance for the BPE trainer
+    * ([[graft.ext.Bpe]]): the vocabulary-sized `(word, n)` store kept
+    * current over arriving document batches, so tokenizer training
+    * reads a maintained artifact instead of re-scanning the corpus —
+    * at 100 TB the histogram build is the trainer's ONLY corpus-sized
+    * stage, and this sink amortizes it to one scan of each batch as
+    * it arrives. Input contract: document batches with MONOTONE
+    * doc_ids (the artifact-sink family contract).
+    *
+    * Commit protocol is the card sink's, for the same structural
+    * reason: the fold is a non-idempotent sum into a store holding no
+    * doc ids, so replay protection cannot be re-derived from contents
+    * — fold + `_id_watermark` commit atomically
+    * ([[graft.ext.Bpe.foldWordHist]] swaps the whole
+    * vocabulary-bounded store), recovery at batch start makes
+    * store+watermark the last committed pair, and a foreign store
+    * without a watermark is REFUSED (seed via
+    * [[graft.ext.Bpe.writeWordHistStore]]). Stream-accumulated hist ==
+    * one-shot [[graft.ext.Bpe.wordHist]], and the merges trained from
+    * the store equal the batch-trained merges — asserted EXACT in
+    * EventStreamsSpec. */
+  def wordHistSink(docs: DataFrame, histDir: String,
+      checkpointDir: String): StreamingQuery = {
+    val q = docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (raw: DataFrame, _: Long) =>
+        val spark = raw.sparkSession
+        graft.ops.ArtifactSwap.recover(histDir)
+        val seeded =
+          graft.ops.StoreFiles.parquetFileCount(s"$histDir/hist") > 0
+        val wm = graft.ops.StoreFiles.readIdWatermark(histDir)
+        require(!seeded || wm.isDefined,
+          s"word-hist store at $histDir has no replay watermark: the " +
+            "sum fold is non-idempotent and the store holds no ids — " +
+            "seed through Bpe.writeWordHistStore, or set " +
+            "StoreFiles.writeIdWatermark to the max folded doc_id " +
+            "before adopting the store")
+        val fresh = wm match {
+          case Some(w) if seeded => raw.filter(col("doc_id") > w)
+          case _ => raw
+        }
+        // pinned: isEmpty + max + the fold all read it
+        val batchHist = graft.ext.Bpe.wordHist(fresh)
+          .localCheckpoint()
+        if (!batchHist.isEmpty) {
+          val batchMax = fresh.agg(max(col("doc_id"))).head().getLong(0)
+          graft.ext.Bpe.foldWordHist(spark, histDir, batchHist, batchMax)
+        }
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q
+  }
+
   /** Close [[semanticDedupSink]]'s crash window between the cells
     * append and the verdict append: any stored vector missing a
     * verdict row gets one re-derived from the store itself. Feeding

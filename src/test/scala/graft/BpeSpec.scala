@@ -1,0 +1,127 @@
+package graft
+
+import graft.ext.Bpe
+import org.apache.spark.sql.functions._
+
+/** Independent-recompute checks for the BPE trainer: a plain-Scala
+  * Sennrich-style reference (overlap-counting pair stats, greedy
+  * leftmost non-overlapping merge application) over collected text,
+  * compared exactly — the chain is all integer counts and total-order
+  * tie-breaks, so equality is exact. Plus the adversarial fixture the
+  * window algebra exists for: equal-symbol runs (`aaaa`), where naive
+  * "merge every candidate" would overlap. */
+class BpeSpec extends SparkSpec {
+  private lazy val sess = spark
+  import sess.implicits._
+
+  /** Reference BPE on a word-frequency map. */
+  private def refTrain(hist: Map[String, Long], rounds: Int)
+      : (Seq[(String, String, Long)], Map[String, Vector[String]]) = {
+    var seqs: Map[String, Vector[String]] =
+      hist.keys.map(w => w -> (w.map(_.toString).toVector :+ "_")).toMap
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var r = 0
+    while (r < rounds) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((w, syms) <- seqs; i <- 0 until syms.length - 1)
+        counts((syms(i), syms(i + 1))) =
+          counts.getOrElse((syms(i), syms(i + 1)), 0L) + hist(w)
+      if (counts.isEmpty) r = rounds
+      else {
+        val ((a, b), n) = counts.toSeq.minBy { case ((a, b), n) => (-n, a, b) }
+        out += ((a, b, n))
+        seqs = seqs.map { case (w, syms) =>
+          val merged = scala.collection.mutable.ArrayBuffer.empty[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i < syms.length - 1 && syms(i) == a && syms(i + 1) == b) {
+              merged += a + b; i += 2 // greedy leftmost non-overlap
+            } else { merged += syms(i); i += 1 }
+          }
+          w -> merged.toVector
+        }
+        r += 1
+      }
+    }
+    (out.toSeq, seqs)
+  }
+
+  private def histOf(df: org.apache.spark.sql.DataFrame): Map[String, Long] =
+    df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  test("trainer matches the reference BPE on the corpus") {
+    val hist = Bpe.wordHist(Tables.documents(spark, sf))
+    val (rules, finalSeq) = Bpe.trainOn(hist)
+    val (refRules, refSeqs) = refTrain(histOf(hist), Bpe.Merges)
+    assert(rules.map(m => (m.a, m.b, m.pair_n)) == refRules)
+    assert(rules.map(_.merge_rank) == (1 to rules.length))
+    assert(rules.forall(m => m.merged == m.a + m.b))
+    val got = finalSeq.orderBy(col("word"), col("p")).collect()
+      .groupBy(_.getString(0))
+      .map { case (w, rows) => w -> rows.sortBy(_.getInt(2)).map(_.getString(3)).toVector }
+    assert(got == refSeqs)
+  }
+
+  test("equal-symbol runs merge greedy-leftmost (aaaa -> aa aa)") {
+    val hist = Seq(("aaaa", 1L), ("aaa", 1L)).toDF("word", "n")
+    val (rules, finalSeq) = Bpe.trainOn(hist)
+    // round 1 best pair is (a, a): overlap-counted 3 + 2 = 5
+    assert(rules.head.a == "a" && rules.head.b == "a" && rules.head.pair_n == 5L)
+    val (refRules, refSeqs) = refTrain(Map("aaaa" -> 1L, "aaa" -> 1L), Bpe.Merges)
+    assert(rules.map(m => (m.a, m.b, m.pair_n)) == refRules)
+    val got = finalSeq.orderBy(col("word"), col("p")).collect()
+      .groupBy(_.getString(0))
+      .map { case (w, rows) => w -> rows.sortBy(_.getInt(2)).map(_.getString(3)).toVector }
+    assert(got == refSeqs)
+    // the round-1 invariant stated in the scaladoc, explicitly:
+    val after1 = Bpe.applyMerge(Bpe.initSeq(hist), "a", "a")
+      .filter(col("word") === "aaaa").orderBy(col("p"))
+      .select(col("s")).as[String].collect().toSeq
+    assert(after1 == Seq("aa", "aa", "_"))
+  }
+
+  test("trainer stops when no pairs remain; replay round-trips") {
+    val hist = Seq(("ab", 5L)).toDF("word", "n")
+    val (rules, finalSeq) = Bpe.trainOn(hist)
+    // "a b _" admits only 2 merges before the word is one symbol
+    assert(rules.length == 2)
+    assert(finalSeq.count() == 1L)
+    val replayed = Bpe.replayRules(hist, rules)
+    assert(replayed.orderBy(col("p")).collect().toSeq ==
+      finalSeq.orderBy(col("p")).collect().toSeq)
+  }
+
+  test("encode forms agree and count every tokenizer word") {
+    val forms = Bpe.bpeEncodeForms(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val (live, served) = forms.partition(_._1 == "live")
+    assert(live.length == served.length && live.nonEmpty)
+    assert(live.map(t => (t._2, t._3, t._4)).toSeq ==
+      served.map(t => (t._2, t._3, t._4)).toSeq)
+    // n_subwords >= n_words (every word is at least one token) and
+    // n_words matches the word model independently
+    assert(live.forall(t => t._4 >= t._3))
+    val expWords = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).trim.split("\\s+").count(w => w.matches("^[a-z]+$")))
+      .toMap
+    assert(live.forall(t => t._3 == expWords(t._2).toLong))
+  }
+
+  test("encode plan broadcasts the vocab dimension and prunes the scan") {
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val d = Tables.documents(spark, sf)
+    val (_, finalSeq) = Bpe.trainOn(Bpe.wordHist(d))
+    val plan = Bpe.encodeOn(d, finalSeq).queryExecution.executedPlan
+    assert(collectPlan(plan) { case b: BroadcastHashJoinExec => b }.nonEmpty,
+      "vocab word->length dimension must broadcast")
+    val scans = collectPlan(plan) {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.relation.location.rootPaths.exists(_.toString.contains("documents")) =>
+        f.requiredSchema.fieldNames.toSet
+    }
+    assert(scans.nonEmpty && scans.forall(_.subsetOf(Set("doc_id", "text"))),
+      s"documents scan must prune to doc_id/text, got $scans")
+  }
+}

@@ -1478,4 +1478,105 @@ class EventStreamsSpec extends SparkSpec {
     assert(edgeRows(edgesDir) == edgeRows(oneShotDir),
       "post-recovery stream must still equal the one-shot build")
   }
+
+  // ---- streaming word-histogram sink (BPE trainer feed) ----------
+
+  test("streaming word-hist sink: store equals the one-shot histogram " +
+      "through a replay and a swap crash, and the trainer reads it " +
+      "unchanged") {
+    import java.nio.file.{Files, Paths}
+    import graft.ext.Bpe
+    val base = Files.createTempDirectory("graft_hist_stream").toString
+    val srcDir = s"$base/src"; Files.createDirectories(Paths.get(srcDir))
+    val histDir = s"$base/hist"
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"))
+    val ids = docs.select(col("doc_id")).orderBy(col("doc_id"))
+      .collect().map(_.getLong(0))
+    val c0 = ids(ids.length / 2)
+    def stageFile(lo: Long, hi: Long, name: String): Unit = {
+      val tmp = Files.createTempDirectory("graft_hist_batch")
+      docs.filter(col("doc_id") > lo && col("doc_id") <= hi)
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val f = new java.io.File(tmp.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(f.toPath, Paths.get(srcDir, name))
+    }
+    def runOnce(): Unit =
+      EventStreams.wordHistSink(
+        spark.readStream.schema(docs.schema).parquet(srcDir),
+        histDir, s"$base/chk").stop()
+    stageFile(Long.MinValue, c0, "b0.parquet"); runOnce()
+    // crash between the swap's renames: live sits at .old, recovery
+    // must roll the store AND its inner watermark back together
+    Files.move(Paths.get(histDir), Paths.get(s"$histDir.old"))
+    stageFile(c0, Long.MaxValue, "b1.parquet"); runOnce()
+    def histRows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    val want = histRows(Bpe.wordHist(docs))
+    assert(want.nonEmpty &&
+      histRows(Bpe.wordHistFromStore(spark, histDir)) == want,
+      "stream-accumulated histogram must equal the one-shot scan")
+    // a replayed batch drops in full (the sum fold is non-idempotent)
+    stageFile(c0, Long.MaxValue, "b1_replay.parquet"); runOnce()
+    assert(histRows(Bpe.wordHistFromStore(spark, histDir)) == want,
+      "a replayed batch must be a no-op")
+    assert(graft.ops.StoreFiles.readIdWatermark(histDir)
+        .contains(ids.last),
+      "the watermark must have committed atomically with the fold")
+    // the trainer is a pure function of the histogram
+    val fromStore =
+      Bpe.trainOn(Bpe.wordHistFromStore(spark, histDir))._1
+    val fromBatch = Bpe.trainOn(Bpe.wordHist(docs))._1
+    assert(fromStore == fromBatch && fromStore.nonEmpty,
+      "merges trained from the maintained store must equal batch-trained")
+  }
+
+  test("the word-hist sink refuses a foreign store with no watermark, " +
+      "and adopts a seeded store exactly once") {
+    import java.nio.file.{Files, Paths}
+    import graft.ext.Bpe
+    val base = Files.createTempDirectory("graft_hist_adopt").toString
+    val srcDir = s"$base/src"; Files.createDirectories(Paths.get(srcDir))
+    val histDir = s"$base/hist"
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"))
+    val ids = docs.select(col("doc_id")).orderBy(col("doc_id"))
+      .collect().map(_.getLong(0))
+    val c0 = ids(ids.length / 2)
+    Bpe.writeWordHistStore(docs.filter(col("doc_id") <= c0), histDir)
+    val tmp = Files.createTempDirectory("graft_hist_adopt_batch")
+    docs.filter(col("doc_id") > c0)
+      .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    Files.move(
+      new java.io.File(tmp.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get.toPath,
+      Paths.get(srcDir, "b.parquet"))
+    def runOnce(): Unit =
+      EventStreams.wordHistSink(
+        spark.readStream.schema(docs.schema).parquet(srcDir),
+        histDir, s"$base/chk").stop()
+    // the one-shot writer commits a watermark, so adoption just works
+    runOnce()
+    def histRows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    assert(histRows(Bpe.wordHistFromStore(spark, histDir)) ==
+      histRows(Bpe.wordHist(docs)),
+      "the seeded store must fold the batch exactly once")
+    // a store stripped of its watermark is refused loudly
+    graft.ops.StoreFiles.deleteIdWatermark(histDir)
+    val tmp2 = Files.createTempDirectory("graft_hist_adopt_batch2")
+    docs.filter(col("doc_id") <= c0)
+      .coalesce(1).write.mode("overwrite").parquet(tmp2.toString)
+    Files.move(
+      new java.io.File(tmp2.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get.toPath,
+      Paths.get(srcDir, "b2.parquet"))
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      runOnce()
+    }
+    assert(ex.getMessage.contains("replay watermark") ||
+      Option(ex.getCause).exists(_.getMessage.contains("replay watermark")),
+      s"must refuse loudly, got: ${ex.getMessage}")
+  }
 }

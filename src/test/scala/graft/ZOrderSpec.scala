@@ -1,0 +1,79 @@
+package graft
+
+import graft.pipeline.ZOrderLayout
+import org.apache.spark.sql.functions._
+
+/** The z-order layout's reason to exist, asserted end-to-end: files
+  * actually written by [[ZOrderLayout.zorderWrite]] prune a
+  * second-key box query that a single-key sorted layout cannot. */
+class ZOrderSpec extends SparkSpec {
+
+  test("interleave is the Morton curve on the 16x16 grid") {
+    val sess = spark
+    import sess.implicits._
+    val pts = for (x <- 0 until 16; y <- 0 until 16) yield (x.toLong, y.toLong)
+    val got = pts.toDF("x", "y")
+      .select(col("x"), col("y"),
+        ZOrderLayout.interleave(col("x"), col("y")).as("z"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    def ref(x: Long, y: Long): Long =
+      (0 until 4).map(i => (((x >> i) & 1) << (2 * i)) | (((y >> i) & 1) << (2 * i + 1))).sum
+    assert(pts.forall { case (x, y) => got((x, y)) == ref(x, y) })
+    // bijective on the grid
+    assert(got.values.toSet.size == 256 && got.values.forall(z => z >= 0 && z < 256))
+  }
+
+  test("zorder groups bound both keys; linear groups bound only the sort key") {
+    val rows = ZOrderLayout.zorderStats(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6)))
+    val (zo, lin) = rows.partition(_._1 == "zorder")
+    assert(zo.nonEmpty && lin.nonEmpty)
+    val li = Tables.lineitem(spark, sf)
+    val b = li.agg(min("l_partkey"), max("l_partkey"),
+      min("l_suppkey"), max("l_suppkey")).head()
+    val (xSpan, ySpan) = (b.getLong(1) - b.getLong(0) + 1, b.getLong(3) - b.getLong(2) + 1)
+    // each z-group is one cell of the 4x4 macro grid: quarter-span in BOTH dims
+    assert(zo.forall(g => g._4 - g._3 <= xSpan / 4 + 1 &&
+      g._6 - g._5 <= ySpan / 4 + 1))
+    // the linear groups span (nearly) the whole second-key domain — no
+    // y skipping (>= 90% guards the unlikely absent-value draw)
+    assert(lin.forall(g => (g._6 - g._5 + 1) * 10 >= ySpan * 9))
+    assert(rows.map(_._2).sum == 2 * li.count())
+  }
+
+  test("written files prune a second-key box query the linear layout cannot") {
+    val li = Tables.lineitem(spark, sf)
+    val zDir = graft.ops.Scratch.dir("graft_zorder") + "/z"
+    val linDir = graft.ops.Scratch.dir("graft_zorder") + "/lin"
+    ZOrderLayout.zorderWrite(li, "l_partkey", "l_suppkey", zDir)
+    li.repartitionByRange(1 << ZOrderLayout.GroupBits, col("l_partkey"))
+      .sortWithinPartitions(col("l_partkey"))
+      .write.mode("overwrite").parquet(linDir)
+
+    def fileEnvelopes(dir: String): Array[(Long, Long)] =
+      spark.read.parquet(dir)
+        .groupBy(input_file_name())
+        .agg(min("l_suppkey").as("lo"), max("l_suppkey").as("hi"))
+        .collect().map(r => (r.getLong(1), r.getLong(2)))
+
+    val yb = li.agg(min("l_suppkey"), max("l_suppkey")).head()
+    val (ylo, ySpan) = (yb.getLong(0), yb.getLong(1) - yb.getLong(0) + 1)
+    val (boxLo, boxHi) = (ylo + 3 * ySpan / 10, ylo + 4 * ySpan / 10)
+    def touched(env: Array[(Long, Long)]): Int =
+      env.count { case (lo, hi) => hi >= boxLo && lo <= boxHi }
+    val zEnv = fileEnvelopes(zDir)
+    val linEnv = fileEnvelopes(linDir)
+    assert(zEnv.length > 1 && linEnv.length > 1)
+    // linear files all span the y domain; zorder touches only the
+    // macro-grid rows intersecting the box
+    assert(touched(linEnv) == linEnv.length)
+    assert(touched(zEnv) * 2 <= zEnv.length,
+      s"zorder touched ${touched(zEnv)} of ${zEnv.length} files")
+    // layout must not change the data
+    val key = (d: org.apache.spark.sql.DataFrame) =>
+      d.agg(count(lit(1)), sum(col("l_orderkey") * col("l_linenumber")),
+        sum(col("l_partkey") + col("l_suppkey"))).head().toSeq
+    assert(key(spark.read.parquet(zDir)) == key(li))
+  }
+}
