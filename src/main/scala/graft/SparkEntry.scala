@@ -40,7 +40,8 @@ object SparkEntry {
       graft.ext.Curation.queries ++
       graft.ext.ClusterOps.queries ++
       graft.ext.Bpe.queries ++
-      graft.pipeline.ZOrderLayout.queries
+      graft.pipeline.ZOrderLayout.queries ++
+      graft.ext.RetrievalEval.queries
 
   /** DuckDB inlines a non-MATERIALIZED CTE, re-evaluating it once PER
     * REFERENCE — and the k-means / sub-quantizer training chains
@@ -88,5 +89,6 @@ object SparkEntry {
       graft.ext.Curation.allOracle ++
       graft.ext.ClusterOps.oracle ++
       graft.ext.Bpe.oracle ++
-      graft.pipeline.ZOrderLayout.oracle
+      graft.pipeline.ZOrderLayout.oracle ++
+      graft.ext.RetrievalEval.oracle
 }

@@ -201,7 +201,12 @@ class PlanLintSpec extends SparkSpec {
       // per-cluster quota rides SkewOps.topKPerGroup (stage-2 bounded
       // at K·salts·quota — ClusterOps.clusterBalanceSample scaladoc);
       // the served form answers through the same two-phase rank
-      "sample_cluster_balance_forms")
+      "sample_cluster_balance_forms",
+      // exact-truth and IVF-probe top-k both ride topKPerGroup over
+      // the literal query block's fan-out (queries × corpus scored
+      // rows, stage-2 bounded at queries·salts·k —
+      // RetrievalEval.exactBatchTopK scaladoc)
+      "rag_eval_forms")
   // running-sum/rank windows partitioned by (source or epoch,
   // doc_id-shard): parallelism = groups × shards, and a deployment
   // scales the shard count with the corpus (Curation.packSequences /
