@@ -117,6 +117,71 @@ object ZOrderLayout {
       .orderBy(col("form"), col("grp"))
   }
 
+  /** Exact integer quantile boundaries over the DISTINCT-VALUE
+    * histogram — the skewed-key alternative to [[gridCoord]]'s value
+    * widths. Boundary j (1-based) = the smallest value whose
+    * cumulative count satisfies cum·parts ≥ j·N (all-integer — no
+    * float rank anywhere). The histogram is map-side-combinable and
+    * DOMAIN-bounded (distinct key values, not corpus rows); the
+    * cumulative pass runs on the driver over that bounded frame, the
+    * [[graft.ext.TextOps]] heapsFit discipline. Guarded loudly when
+    * the domain itself is huge — `approxQuantile` boundaries are the
+    * documented sketch path there (the layout tolerates approximate
+    * boundaries; only the GATE needs exact ones). */
+  def quantileBoundaries(df: DataFrame, c: Column, parts: Int,
+      maxDomain: Long = 1L << 20): Seq[Long] = {
+    val hist = df.groupBy(c.as("v")).agg(count(lit(1)).as("cnt"))
+    val nv = hist.count()
+    require(nv <= maxDomain,
+      s"quantileBoundaries: $nv distinct values exceed the exact " +
+        s"driver-side limit $maxDomain; use approxQuantile boundaries")
+    val rows = hist.orderBy(col("v")).collect()
+    val n = rows.map(_.getLong(1)).sum
+    var cum = 0L
+    val cums = rows.map { r => cum += r.getLong(1); (r.getLong(0), cum) }
+    (1 until parts).map(j => cums.find(_._2 * parts >= j.toLong * n).get._1)
+  }
+
+  /** Grid coordinate under quantile boundaries: the count of
+    * boundaries ≤ v (a literal fold — map-only, codegen-friendly). */
+  def quantileCoord(v: Column, bounds: Seq[Long]): Column =
+    bounds.foldLeft(lit(0L)) { (acc, b) =>
+      acc + when(v >= lit(b), lit(1L)).otherwise(lit(0L))
+    }
+
+  /** DRIVER-GATED: the skewed-key regime [[zorderStats]]'s scaladoc
+    * promises. The x key is l_partkey SQUARED — uniform in count,
+    * quadratic in value, so [[gridCoord]]'s equal value widths put
+    * ~half the rows in the lowest buckets while the quantile
+    * boundaries re-even them. Both forms share one source pass; the
+    * group envelopes make the pathology DATA (value form: population
+    * ratio ~4× at sf0.01; quantile form: ~1×). */
+  def zorderSkewStats(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select((col("l_partkey") * col("l_partkey")).as("xs"),
+        col("l_suppkey").as("ys"))
+      .localCheckpoint() // bounds agg + histogram + both stats passes
+    val r = li.agg(min(col("xs")), max(col("xs")),
+      min(col("ys")), max(col("ys"))).head()
+    val (xlo, xhi, ylo, yhi) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val bounds = quantileBoundaries(li, col("xs"), 1 << Bits)
+    val yb = gridCoord(col("ys"), ylo, yhi)
+    def statsOf(xb: Column): DataFrame = li
+      .withColumn("grp",
+        shiftright(interleave(xb, yb), 2 * Bits - GroupBits))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"),
+        min(col("xs")).as("x_min"), max(col("xs")).as("x_max"),
+        min(col("ys")).as("y_min"), max(col("ys")).as("y_max"))
+    OracleForms.union(
+        "value" -> statsOf(gridCoord(col("xs"), xlo, xhi)),
+        "quantile" -> statsOf(quantileCoord(col("xs"), bounds)))
+      .select(col("form"), col("grp"), col("n"),
+        col("x_min"), col("x_max"), col("y_min"), col("y_max"))
+      .orderBy(col("form"), col("grp"))
+  }
+
   private def interleaveSql(xb: String, yb: String): String =
     (0 until Bits).map { i =>
       s"((($xb >> $i) & 1) << ${2 * i}) | ((($yb >> $i) & 1) << ${2 * i + 1})"
@@ -132,9 +197,26 @@ UNION ALL SELECT 'linear' AS form, xb >> ${Bits - GroupBits} AS grp, COUNT(*) AS
 SELECT form, grp, n, x_min, x_max, y_min, y_max FROM st ORDER BY form, grp"""
   }
 
+  private val skewStatsSql: String = {
+    val inter = (xb: String, yb: String) => (0 until Bits).map { i =>
+      s"(((($xb) >> $i) & 1) << ${2 * i}) | (((($yb) >> $i) & 1) << ${2 * i + 1})"
+    }.mkString("(", ") | (", ")")
+    s"""WITH li2 AS (SELECT l_partkey * l_partkey AS xs, l_suppkey AS ys FROM lineitem),
+b AS (SELECT MIN(xs) AS xlo, MAX(xs) AS xhi, MIN(ys) AS ylo, MAX(ys) AS yhi, COUNT(*) AS n FROM li2),
+hist AS (SELECT xs AS v, COUNT(*) AS cnt FROM li2 GROUP BY xs),
+cum AS (SELECT v, SUM(cnt) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM hist),
+bx AS (SELECT j, MIN(v) AS bv FROM cum CROSS JOIN range(1, ${1 << Bits}) t(j) WHERE cum * ${1 << Bits} >= j * (SELECT n FROM b) GROUP BY j),
+co AS (SELECT xs, ys, ((xs - b.xlo) * ${1 << Bits}) // (b.xhi - b.xlo + 1) AS xbv, (SELECT COUNT(*) FROM bx WHERE bv <= xs) AS xbq, ((ys - b.ylo) * ${1 << Bits}) // (b.yhi - b.ylo + 1) AS yb FROM li2, b),
+zf AS (SELECT 'value' AS form, (${inter("xbv", "yb")}) >> ${2 * Bits - GroupBits} AS grp, xs, ys FROM co
+UNION ALL SELECT 'quantile' AS form, (${inter("xbq", "yb")}) >> ${2 * Bits - GroupBits} AS grp, xs, ys FROM co)
+SELECT form, grp, COUNT(*) AS n, MIN(xs) AS x_min, MAX(xs) AS x_max, MIN(ys) AS y_min, MAX(ys) AS y_max FROM zf GROUP BY form, grp ORDER BY form, grp"""
+  }
+
   val oracle: Map[String, String] = Map(
-    "layout_zorder_stats" -> statsSql)
+    "layout_zorder_stats" -> statsSql,
+    "layout_zorder_skew_stats" -> skewStatsSql)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "layout_zorder_stats" -> (zorderStats _))
+    "layout_zorder_stats" -> (zorderStats _),
+    "layout_zorder_skew_stats" -> (zorderSkewStats _))
 }

@@ -76,4 +76,35 @@ class ZOrderSpec extends SparkSpec {
         sum(col("l_partkey") + col("l_suppkey"))).head().toSeq
     assert(key(spark.read.parquet(zDir)) == key(li))
   }
+
+  test("quantile boundaries re-even a skewed key that value widths cannot") {
+    val rows = ZOrderLayout.zorderSkewStats(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(2)))
+    val (q, v) = rows.partition(_._1 == "quantile")
+    assert(q.nonEmpty && v.nonEmpty)
+    val qRatio = q.map(_._2).max.toDouble / q.map(_._2).min
+    val vRatio = v.map(_._2).max.toDouble / v.map(_._2).min
+    // the residual quantile-form unevenness is the y grid's (its span
+    // is 10 at sf0.001, so value widths land 1 or 2 suppkeys per
+    // bucket) — the x re-evening must still cut the ratio decisively
+    assert(qRatio < 2.0, s"quantile groups should be near-even, ratio $qRatio")
+    assert(vRatio > 2.0 && vRatio > qRatio * 2,
+      s"value widths on x^2 should skew (value $vRatio vs quantile $qRatio)")
+    // both forms partition the same rows
+    assert(q.map(_._2).sum == v.map(_._2).sum)
+  }
+
+  test("quantile boundaries match their integer definition exactly") {
+    val sess = spark
+    import sess.implicits._
+    // 8 rows, heavy duplication. cum: 1->5, 5->6, 9->8; rule
+    // cum*4 >= j*8 needs cum >= 2j: j=1,2 -> value 1 (cum 5);
+    // j=3 -> value 5 (cum 6)
+    val df = Seq(1L, 1L, 1L, 1L, 1L, 5L, 9L, 9L).toDF("v")
+    val b = ZOrderLayout.quantileBoundaries(df, col("v"), 4)
+    assert(b == Seq(1L, 1L, 5L), s"got $b")
+    val coords = df.select(ZOrderLayout.quantileCoord(col("v"), b).as("c"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(coords.sorted == Seq(2L, 2L, 2L, 2L, 2L, 3L, 3L, 3L))
+  }
 }
