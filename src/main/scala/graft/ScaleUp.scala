@@ -799,29 +799,29 @@ object ScaleUp {
         graft.ext.TextOps.heapsFitFromStore(spark, ixStore))
       time("rag_hybrid_rrf", src, 1)
     }
-    if (on("clu")) {
-      // embedding-cluster card + balanced sample at 100×. The tier
-      // needs documents and embeddings with ALIGNED ids at scale, so
-      // it copies the embeddings with the SAME maxDoc shift the
-      // documents build used (the sem tier's maxVec shift would
-      // misalign: sf0.1 has 5000 docs but 2000 vectors) and reuses
-      // the token-prefixed documents via a symlink. Per-copy dim-0
-      // perturbation as in the sem tier keeps cells non-degenerate.
-      // round-15 fixture (verdict #3): the old all-perturbed-copies
-      // corpus was recall-DEGENERATE — every vector's true neighbors
-      // were its own 1e-3-perturbed copies, same cell by
-      // construction, so every recall ladder read 1.000 and the
-      // multi-probe/OPQ recall claims rested on the 500-vector base
-      // fixture alone. The v2 corpus keeps half the copies as
-      // perturbed near-dups (the dedup story needs them) and strings
-      // the other half along INTERPOLATION CHAINS between far base
-      // pairs: v(t) = (1-t)·v_a + t·v_b with t stepped per copy, so
-      // each chain crosses cell boundaries and points near the
-      // crossing have true neighbors in the OTHER cell — recall@k < 1
-      // under single-probe, recovered by the runner-up probe.
-      // Versioned dir: every derived cache (knn_cells, gold edges,
-      // labels, bm25 index) keys off the path and rebuilds with it.
-      val cluDir = s"$dst/clu2"
+    // embedding corpus with ALIGNED doc ids and NON-DEGENERATE
+    // neighborhoods, shared by the clu/ragev tiers. The tier needs
+    // documents and embeddings with aligned ids at scale, so it
+    // copies the embeddings with the SAME maxDoc shift the documents
+    // build used (the sem tier's maxVec shift would misalign: sf0.1
+    // has 5000 docs but 2000 vectors) and reuses the token-prefixed
+    // documents via a symlink.
+    // round-15 fixture (verdict #3): the old all-perturbed-copies
+    // corpus was recall-DEGENERATE — every vector's true neighbors
+    // were its own 1e-3-perturbed copies, same cell by construction,
+    // so every recall ladder read 1.000 and the multi-probe/OPQ
+    // recall claims rested on the 500-vector base fixture alone. The
+    // v2 corpus keeps half the copies as perturbed near-dups (the
+    // dedup story needs them) and strings the other half along
+    // INTERPOLATION CHAINS between far base pairs: v(t) = (1-t)·v_a
+    // + t·v_b with t stepped per copy, so each chain crosses cell
+    // boundaries and points near the crossing have true neighbors in
+    // the OTHER cell — recall@k < 1 under single-probe, recovered by
+    // the runner-up probe. Versioned dir: every derived cache
+    // (knn_cells, gold edges, labels, bm25 index) keys off the path
+    // and rebuilds with it.
+    val cluDir = s"$dst/clu2"
+    def ensureCluCorpus(): Unit =
       if (!new java.io.File(s"$cluDir/embeddings.parquet").exists()) {
         new java.io.File(cluDir).mkdirs()
         val d0 = Tables.documents(spark, src)
@@ -864,6 +864,8 @@ object ScaleUp {
         println(s"[scaleup] built $cluDir (${copies}x aligned embeddings, " +
           "half perturbed dups / half cross-cell interpolation chains)")
       }
+    if (on("clu")) {
+      ensureCluCorpus()
       // live forms timed directly (the registry entries are now
       // form-tagged unions — timing those would double-count)
       timed("curation_cluster_card", src, 1)(
@@ -1250,6 +1252,75 @@ object ScaleUp {
           f"${(System.nanoTime - t1) / 1e9}%8.2f s  " +
           f"(${rules.length}%d merges)")
       }
+    }
+    if (on("ragev")) {
+      // the eval harness against the ann tier's 20M-vector corpus:
+      // the exact-truth pass is the one corpus-sized cost (a fan-out
+      // scan + the salted two-phase rank over queries × corpus scored
+      // rows), paid once per eval batch; the metrics join is bounded
+      // at queries·k rows. The IVF row re-pays its probe scan — the
+      // point of the row pair is truth-cost vs probe-cost at the same
+      // corpus.
+      ensureAnnEmbeddings()
+      import graft.ext.{KMeans, RetrievalEval}
+      val cents = KMeans.train(spark, src)
+      val qrows = KMeans.batchQueryRows(spark, dst)
+      val t0 = System.nanoTime()
+      val truth = RetrievalEval.exactBatchTopK(
+          KMeans.vecs(spark, dst), qrows, RetrievalEval.EvalK)
+        .localCheckpoint()
+      println(f"[scaleup] rag_eval_truth_20m           $dst%-18s " +
+        f"${(System.nanoTime - t0) / 1e9}%8.2f s  " +
+        f"(exact top-${RetrievalEval.EvalK}%d, ${qrows.length}%d queries)")
+      val t1 = System.nanoTime()
+      val sys = KMeans.ivfBatchTopKWith(spark, dst, cents)
+        .select(col("query_id"), col("vec_id"), col("rk"))
+      val m = RetrievalEval.metricsOn(sys, truth).orderBy(col("query_id"))
+        .collect()
+      println(f"[scaleup] rag_eval_ivf_20m             $dst%-18s " +
+        f"${(System.nanoTime - t1) / 1e9}%8.2f s  " +
+        f"(hits@${RetrievalEval.EvalK}%d " +
+        f"${m.map(_.getLong(2)).mkString(",")}%s, ndcg_micro " +
+        f"${m.map(_.getLong(6)).mkString(",")}%s)")
+      // the copies corpus is recall-degenerate for the min-id block
+      // (its true neighbors are its own perturbed copies, same cell)
+      // — the clu2 cross-cell-chain fixture with MID-CHAIN queries is
+      // where the harness measures something: neighbors of a deep
+      // interpolation point straddle the cell boundary
+      ensureCluCorpus()
+      val centsC = KMeans.train(spark, cluDir)
+      // HARD queries by construction: the 4 vectors with the smallest
+      // assignment margin (best vs runner-up cell distance) sit on
+      // Voronoi boundaries, where single-probe recall actually loses
+      // neighbors — min-id or random queries sample cell interiors
+      // and read a vacuous 1.0
+      val qC = KMeans.vecs(spark, cluDir)
+        .select(col("vec_id"), col("v"),
+          (graft.functions.NearestCentroid
+            .secondDistSq(col("v"), centsC.map(_._2)) -
+            graft.functions.NearestCentroid
+              .distSq(col("v"), centsC.map(_._2))).as("margin"))
+        .orderBy(col("margin"), col("vec_id")).limit(4)
+        .select(col("vec_id"), col("v")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+      val t2 = System.nanoTime()
+      val truthC = RetrievalEval.exactBatchTopK(
+          KMeans.vecs(spark, cluDir), qC, RetrievalEval.EvalK)
+        .localCheckpoint()
+      println(f"[scaleup] rag_eval_truth_clu2          $cluDir%-18s " +
+        f"${(System.nanoTime - t2) / 1e9}%8.2f s  " +
+        "(min-margin boundary queries)")
+      val t3 = System.nanoTime()
+      val mC = RetrievalEval.metricsOn(
+          KMeans.ivfBatchTopKOn(spark, cluDir, centsC, qC)
+            .select(col("query_id"), col("vec_id"), col("rk")),
+          truthC)
+        .orderBy(col("query_id")).collect()
+      println(f"[scaleup] rag_eval_ivf_clu2            $cluDir%-18s " +
+        f"${(System.nanoTime - t3) / 1e9}%8.2f s  " +
+        f"(hits@${RetrievalEval.EvalK}%d " +
+        f"${mC.map(_.getLong(2)).mkString(",")}%s, ndcg_micro " +
+        f"${mC.map(_.getLong(6)).mkString(",")}%s)")
     }
     if (on("zorder")) {
       // layout write cost + the skipping it buys, both scales: the

@@ -281,6 +281,42 @@ object Bpe {
       .orderBy(col("form"), col("doc_id"))
   }
 
+  /** Packing budget in BPE tokens and the shard fan-out, for
+    * [[bpePackSummary]]. Declared before the oracle val (init-order
+    * discipline). */
+  val PackBudget = 512
+  val PackShards = 8
+
+  /** Sequence packing under the TRAINED tokenizer's token counts —
+    * the composition the trainer exists for: training packs by
+    * TOKENIZER tokens, not whitespace words, so the budget math must
+    * run on [[encodeOn]]'s `n_subwords`
+    * ([[graft.ext.Curation.packSequences]] is the whitespace-chunk
+    * sibling). Greedy running-sum cut per (doc_id-shard): sequence id
+    * = (cum − n) div budget; parallelism = shard count, the scaling
+    * knob (sharded-window classification). Per shard: sequences cut,
+    * docs and tokens packed, budget-full count — integer-only. */
+  def bpePackSummary(spark: SparkSession, dir: String): DataFrame = {
+    val t = trained(spark, dir)
+    val enc = encodeOn(Tables.documents(spark, dir),
+      spark.read.parquet(t.segPath))
+    val w = Window.partitionBy(col("pack_shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    enc.filter(col("n_subwords") > 0)
+      .withColumn("pack_shard", pmod(col("doc_id"), lit(PackShards)))
+      .withColumn("cum", sum(col("n_subwords")).over(w))
+      .withColumn("seq_id", expr(s"(cum - n_subwords) div $PackBudget"))
+      .groupBy(col("pack_shard"), col("seq_id"))
+      .agg(count(lit(1)).as("docs"),
+        sum(col("n_subwords")).as("seq_tokens"))
+      .groupBy(col("pack_shard"))
+      .agg(count(lit(1)).as("sequences"), sum(col("docs")).as("docs"),
+        sum(col("seq_tokens")).as("tokens"),
+        sum((col("seq_tokens") >= PackBudget).cast("long"))
+          .as("full_sequences"))
+      .orderBy(col("pack_shard"))
+  }
+
   // ---------------------------------------------------------------
   // Oracle SQL — the full train+encode chain as one finite CTE
   // pyramid: 6 CTEs per round over the vocabulary-sized symbol table,
@@ -323,13 +359,23 @@ object Bpe {
 enc AS (SELECT doc_id, COUNT(*) AS n_words, SUM(k) AS n_subwords FROM wfd JOIN wlen USING (word) GROUP BY doc_id)
 SELECT d.doc_id, CAST(COALESCE(e.n_words, 0) AS BIGINT) AS n_words, CAST(COALESCE(e.n_subwords, 0) AS BIGINT) AS n_subwords FROM documents d LEFT JOIN enc e USING (doc_id)"""
 
+  private def packSql: String =
+    chainSql +
+      s"""wlen AS (SELECT word, COUNT(*) AS k FROM seq$Merges GROUP BY word),
+enc AS (SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n_subwords FROM wfd JOIN wlen USING (word) GROUP BY doc_id),
+pk AS (SELECT doc_id, n_subwords, doc_id % $PackShards AS pack_shard, SUM(n_subwords) OVER (PARTITION BY doc_id % $PackShards ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM enc),
+sq AS (SELECT pack_shard, (cum - n_subwords) // $PackBudget AS seq_id, COUNT(*) AS docs, SUM(n_subwords) AS seq_tokens FROM pk GROUP BY pack_shard, seq_id)
+SELECT pack_shard, CAST(COUNT(*) AS BIGINT) AS sequences, CAST(SUM(docs) AS BIGINT) AS docs, CAST(SUM(seq_tokens) AS BIGINT) AS tokens, CAST(SUM(CASE WHEN seq_tokens >= $PackBudget THEN 1 ELSE 0 END) AS BIGINT) AS full_sequences FROM sq GROUP BY pack_shard ORDER BY pack_shard"""
+
   val oracle: Map[String, String] = Map(
     "text_bpe_merges" -> mergesSql,
     "text_bpe_encode_forms" ->
       (OracleForms.sql(encodeBaseSql, Seq("live", "served")) +
-        " ORDER BY form, doc_id"))
+        " ORDER BY form, doc_id"),
+    "text_pack_bpe_summary" -> packSql)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_bpe_merges" -> (bpeMerges _),
-    "text_bpe_encode_forms" -> (bpeEncodeForms _))
+    "text_bpe_encode_forms" -> (bpeEncodeForms _),
+    "text_pack_bpe_summary" -> (bpePackSummary _))
 }

@@ -259,13 +259,20 @@ object KMeans {
     * corpus) and what the 100× tier times. */
   def ivfBatchTopKWith(spark: SparkSession, dir: String,
       cents: Seq[(Int, Seq[Double])],
-      nq: Int = BatchQueries, k: Int = 5): DataFrame = {
-    val e = vecs(spark, dir)
+      nq: Int = BatchQueries, k: Int = 5): DataFrame =
+    ivfBatchTopKOn(spark, dir, cents, batchQueryRows(spark, dir, nq), k)
+
+  /** [[ivfBatchTopKWith]] under a CALLER-CHOSEN query block — the
+    * eval harness ([[RetrievalEval]]) probes mid-corpus queries whose
+    * true neighbors cross cell boundaries, which the min-vec_id
+    * block cannot express. */
+  def ivfBatchTopKOn(spark: SparkSession, dir: String,
+      cents: Seq[(Int, Seq[Double])],
+      qrows: Seq[(Long, Seq[Double])], k: Int = 5): DataFrame =
     ivfBatchScore(
-      e.select(col("vec_id"), col("label"), col("v"),
+      vecs(spark, dir).select(col("vec_id"), col("label"), col("v"),
         assignCol(cents).as("cluster")),
-      cents, batchQueryRows(spark, dir, nq), k)
-  }
+      cents, qrows, k)
 
   /** The query block: the `nq` min-vec_id vectors, collected (nq × 64
     * doubles — driver-bounded prep, the serving contract where query

@@ -180,4 +180,15 @@ object NearestCentroid {
     GraftSqlBridge.column(
       NearestCentroid(GraftSqlBridge.expression(v), centroids,
         emitDist = true))
+
+  /** Squared distance to the SECOND-nearest centroid — with
+    * [[distSq]] this gives the per-row assignment MARGIN, the
+    * boundary-proximity signal the eval harness samples hard queries
+    * by (a row whose two best cells are near-equidistant sits on a
+    * Voronoi boundary, where single-probe recall actually loses
+    * neighbors). */
+  def secondDistSq(v: Column, centroids: Seq[Seq[Double]]): Column =
+    GraftSqlBridge.column(
+      NearestCentroid(GraftSqlBridge.expression(v), centroids,
+        rank = 1, emitDist = true))
 }

@@ -109,6 +109,37 @@ class BpeSpec extends SparkSpec {
     assert(live.forall(t => t._3 == expWords(t._2).toLong))
   }
 
+  test("BPE-token packing conserves tokens and respects the budget cut") {
+    val enc = Bpe.bpeEncodeForms(spark, sf).collect()
+      .filter(_.getString(0) == "live")
+    val totalTokens = enc.map(_.getLong(3)).sum
+    val packedDocs = enc.count(_.getLong(3) > 0)
+    val s = Bpe.bpePackSummary(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(s.map(_._1).toSeq == s.map(_._1).sorted.toSeq)
+    assert(s.map(_._3).sum == packedDocs.toLong, "every token-bearing doc packs")
+    assert(s.map(_._4).sum == totalTokens, "packing conserves tokens")
+    assert(s.forall(r => r._5 <= r._2), "full_sequences <= sequences")
+    // exact local replay of the greedy running-sum cut
+    val exp = enc.filter(_.getLong(3) > 0)
+      .map(r => (r.getLong(1), r.getLong(3)))
+      .groupBy(_._1 % Bpe.PackShards)
+      .map { case (shard, docs) =>
+        var cum = 0L
+        val seqIds = docs.sortBy(_._1).map { case (_, n) =>
+          val id = cum / Bpe.PackBudget; cum += n; (id, n)
+        }
+        val bySeq = seqIds.groupBy(_._1).values.map(_.map(_._2).sum).toSeq
+        shard -> (bySeq.size.toLong, seqIds.length.toLong, cum,
+          bySeq.count(_ >= Bpe.PackBudget).toLong)
+      }
+    s.foreach { case (shard, sequences, docs, tokens, full) =>
+      assert(exp(shard) == ((sequences, docs, tokens, full)),
+        s"shard $shard: got ${(sequences, docs, tokens, full)}, " +
+          s"want ${exp(shard)}") }
+  }
+
   test("encode plan broadcasts the vocab dimension and prunes the scan") {
     import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
     val d = Tables.documents(spark, sf)

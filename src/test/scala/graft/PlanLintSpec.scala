@@ -220,7 +220,12 @@ class PlanLintSpec extends SparkSpec {
     // (phase, shard) position windows — shard count is the scaling
     // knob (epochShuffle argument); also inherits pplBuckets'
     // guarded low-NDV lang-cutoff window
-    "mix_curriculum")
+    "mix_curriculum",
+    // BPE-token packing: the same (doc_id-shard) running-sum cut as
+    // text_pack_sequences, over the trained tokenizer's counts
+    // (Bpe.bpePackSummary scaladoc); the trainer's own windows are
+    // word-partitioned (NDV = vocabulary)
+    "text_pack_bpe_summary")
 
   test("every rank window is classified: row-keyed, entity-keyed, or guarded") {
     // built with AQE off: AdaptiveSparkPlanExec is a leaf node, so
