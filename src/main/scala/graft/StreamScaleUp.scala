@@ -111,7 +111,8 @@ object StreamScaleUp {
         "ckpt_sem", "sem_cells", "sem_verdicts",
         "ckpt_lex", "bm25_ix", "bm25_rebuild",
         "ckpt_knn", "knn_cells", "knn_edges", "knn_rebuild",
-        "ckpt_card", "card_agg", "card_rebuild"))
+        "ckpt_card", "card_agg", "card_rebuild",
+        "ckpt_zstore", "zstore"))
       rmrf(new java.io.File(s"$base/$d"))
 
     // ---- per-batch progress listener ----
@@ -640,6 +641,65 @@ object StreamScaleUp {
         .clusterCardFromAgg(spark, s"$base/card_agg").collect().length
       println(f"[streamscale] card from store " +
         f"${(System.nanoTime() - t2) / 1e9}%.2f s ($n%d clusters)")
+    }
+
+    if (on("zstore")) locally {
+      // z-ordered fact store maintenance at 100×: 10 landing files
+      // (6M lineitem rows each, l_orderkey shifted per copy so the
+      // monotone-id contract holds across files), deltas compacting
+      // into the base every CompactAfter triggers. Expected shape:
+      // append triggers FLAT (a delta write never reads the store);
+      // compaction triggers O(store) and growing — the bounded-
+      // frequency rewrite that buys every reader tight two-key file
+      // envelopes.
+      val liDir = s"$base/lineitem.parquet"
+      if (!new java.io.File(liDir).exists()) {
+        new java.io.File(liDir).mkdirs()
+        val li0 = Tables.lineitem(spark, src)
+          .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
+          .localCheckpoint()
+        val maxKey = li0.agg(max(col("l_orderkey"))).head().getLong(0) + 1
+        val per = math.max(1, copies / GroupsOf)
+        for (g <- 0 until (copies + per - 1) / per) {
+          val span = (g * per) until math.min((g + 1) * per, copies)
+          val tmp = s"$base/_tmp_li_$g"
+          span.map(i => li0.withColumn("l_orderkey",
+              col("l_orderkey") + lit(i * maxKey)))
+            .reduce(_ unionByName _)
+            .coalesce(1).write.mode("overwrite").parquet(tmp)
+          moveSinglePart(tmp, f"$liDir/g$g%02d.parquet")
+        }
+        println(s"[streamscale] staged $liDir (${copies}x)")
+      }
+      val schema = spark.read.parquet(liDir).schema
+      val t0 = System.nanoTime()
+      EventStreams.zorderStoreSink(
+        spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(liDir),
+        s"$base/zstore", s"$base/ckpt_zstore",
+        "l_partkey", "l_suppkey", "l_orderkey").stop()
+      println(f"[streamscale] zstore sink total " +
+        f"${(System.nanoTime() - t0) / 1e9}%.1f s " +
+        f"(appends flat, compaction O(store) every " +
+        f"${graft.pipeline.ZOrderLayout.CompactAfter}%d triggers)")
+      val got = graft.pipeline.ZOrderLayout
+        .readStore(spark, s"$base/zstore").count()
+      val want = spark.read.parquet(liDir).count()
+      println(s"[streamscale] zstore parity vs landing: " +
+        (if (got == want) s"EXACT ($got rows)"
+         else s"MISMATCH ($got vs $want)"))
+      // what the layout buys: per-file second-key envelopes of the
+      // compacted base vs the raw landing files
+      def medianSpan(dir: String): Long = {
+        val spans = spark.read.parquet(dir)
+          .groupBy(input_file_name())
+          .agg((max(col("l_suppkey")) - min(col("l_suppkey")) + 1)
+            .as("s")).collect().map(_.getLong(1)).sorted
+        spans(spans.length / 2)
+      }
+      println(s"[streamscale] zstore median y-span per file: base " +
+        s"${medianSpan(s"$base/zstore/base")} vs landing " +
+        s"${medianSpan(liDir)}")
     }
 
     val rocksDirs = Option(new java.io.File(

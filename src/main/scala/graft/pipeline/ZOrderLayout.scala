@@ -182,6 +182,84 @@ object ZOrderLayout {
       .orderBy(col("form"), col("grp"))
   }
 
+  // ---- maintained z-ordered store (the OPTIMIZE analog) ----------
+  //
+  // Layout: store/base (z-ordered parquet), store/delta/batch=<maxId>
+  // (raw row appends), store/_id_watermark. Appends land in a
+  // batch-stamped subdir whose NAME is a pure function of the fresh
+  // row set (its max monotone id), so a replayed batch OVERWRITES its
+  // own subdir instead of duplicating — exactly-once without a
+  // marker/repair pair. Compaction rewrites base := zorder(base ∪
+  // delta) and drops delta through ONE whole-store
+  // [[graft.ops.ArtifactSwap]] swap (watermark inside), so a crash
+  // anywhere in the rewrite resolves to either the old store or the
+  // new one, never a mix.
+
+  /** Number of delta subdirs that triggers compaction. */
+  val CompactAfter = 4
+
+  private def deltaDirs(store: String): Seq[String] = {
+    val d = new java.io.File(s"$store/delta")
+    Option(d.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+      .map(_.toString).toSeq
+  }
+
+  /** Pending delta-subdir count — the compaction trigger's input. */
+  def deltaCount(store: String): Int = deltaDirs(store).size
+
+  /** All live rows of the store: z-ordered base ∪ raw deltas. */
+  def readStore(spark: SparkSession, store: String): DataFrame = {
+    val base = s"$store/base"
+    val parts =
+      (if (graft.ops.StoreFiles.parquetFileCount(base) > 0) Seq(base)
+       else Seq.empty) ++ deltaDirs(store).filter(
+        graft.ops.StoreFiles.parquetFileCount(_) > 0)
+    require(parts.nonEmpty, s"empty z-order store at $store")
+    parts.map(spark.read.parquet(_)).reduce(_ unionByName _)
+  }
+
+  /** The replay watermark, re-derived from store contents when the
+    * scalar is torn/missing (the monotone-id contract makes max
+    * sufficient — one column read, never a distinct set). */
+  def storeWatermark(spark: SparkSession, store: String,
+      idCol: String): Option[Long] =
+    graft.ops.StoreFiles.readIdWatermark(store).orElse {
+      val base = s"$store/base"
+      val any = (if (graft.ops.StoreFiles.parquetFileCount(base) > 0)
+        Seq(base) else Seq.empty) ++ deltaDirs(store).filter(
+        graft.ops.StoreFiles.parquetFileCount(_) > 0)
+      if (any.isEmpty) None
+      else Some(any.map(spark.read.parquet(_)
+        .agg(max(col(idCol))).head().getLong(0)).max)
+    }
+
+  /** Append a batch: batch-stamped delta subdir (idempotent under
+    * replay — same fresh set, same dir, mode overwrite), then the
+    * watermark scalar. A crash between the two leaves a stale scalar
+    * that [[storeWatermark]]'s re-derivation or the subdir overwrite
+    * both absorb. */
+  def appendDelta(rows: DataFrame, store: String, idCol: String,
+      batchMax: Long): Unit = {
+    rows.write.mode("overwrite")
+      .parquet(s"$store/delta/batch=$batchMax")
+    graft.ops.StoreFiles.writeIdWatermark(store, batchMax)
+  }
+
+  /** Compact base ∪ delta into a fresh z-ordered base through one
+    * whole-store swap. O(store) by design — layout maintenance IS a
+    * rewrite; the trigger bounds how often it is paid. */
+  def compactStore(spark: SparkSession, store: String,
+      x: String, y: String, idCol: String): Unit = {
+    val wm = storeWatermark(spark, store, idCol)
+    val all = readStore(spark, store).localCheckpoint()
+    graft.ops.ArtifactSwap.writeAndSwap(store) { next =>
+      zorderWrite(all, x, y, s"$next/base")
+      wm.foreach(graft.ops.StoreFiles.writeIdWatermark(next, _))
+      graft.ops.StoreFiles.createMarker(next, "_SUCCESS")
+    }
+  }
+
   private def interleaveSql(xb: String, yb: String): String =
     (0 until Bits).map { i =>
       s"((($xb >> $i) & 1) << ${2 * i}) | ((($yb >> $i) & 1) << ${2 * i + 1})"

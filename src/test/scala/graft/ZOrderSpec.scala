@@ -94,6 +94,61 @@ class ZOrderSpec extends SparkSpec {
     assert(q.map(_._2).sum == v.map(_._2).sum)
   }
 
+  test("streaming z-order store equals its source through replay, a " +
+      "compaction-crash, and keeps tight envelopes after OPTIMIZE") {
+    import java.nio.file.{Files, Paths}
+    import graft.streaming.EventStreams
+    val base = Files.createTempDirectory("graft_zstore").toString
+    val srcDir = s"$base/src"; Files.createDirectories(Paths.get(srcDir))
+    val store = s"$base/store"
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
+    val maxKey = li.agg(max(col("l_orderkey"))).head().getLong(0)
+    val cuts = (1 to 5).map(i => maxKey * i / 5)
+    def stageFile(lo: Long, hi: Long, name: String): Unit = {
+      val tmp = Files.createTempDirectory("graft_zstore_batch")
+      li.filter(col("l_orderkey") > lo && col("l_orderkey") <= hi)
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val f = new java.io.File(tmp.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(f.toPath, Paths.get(srcDir, name))
+    }
+    def runOnce(): Unit =
+      EventStreams.zorderStoreSink(
+        spark.readStream.schema(li.schema).parquet(srcDir),
+        store, s"$base/chk", "l_partkey", "l_suppkey", "l_orderkey")
+        .stop()
+    def content(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).sortBy(_.mkString(",")).toSeq
+    stageFile(Long.MinValue, cuts(0), "b0.parquet"); runOnce()
+    stageFile(cuts(0), cuts(1), "b1.parquet"); runOnce()
+    // crash inside a compaction swap: live store renamed aside with
+    // an incomplete .next staged — the next batch must recover it
+    Files.move(Paths.get(store), Paths.get(s"$store.old"))
+    Files.createDirectories(Paths.get(s"$store.next"))
+    Files.write(Paths.get(s"$store.next/junk"), Array[Byte](1))
+    stageFile(cuts(1), cuts(2), "b2.parquet"); runOnce()
+    stageFile(cuts(2), cuts(3), "b3.parquet"); runOnce()
+    // 4 deltas by now -> compaction fired at least once
+    stageFile(cuts(3), Long.MaxValue, "b4.parquet"); runOnce()
+    assert(content(graft.pipeline.ZOrderLayout.readStore(spark, store)) ==
+      content(li), "store must equal the source after crash + OPTIMIZE")
+    // replayed batch is a no-op (its delta subdir self-overwrites)
+    stageFile(cuts(3), Long.MaxValue, "b4_replay.parquet"); runOnce()
+    assert(content(graft.pipeline.ZOrderLayout.readStore(spark, store)) ==
+      content(li), "a replayed batch must be a no-op")
+    // the compacted base keeps the skipping property: every base file
+    // bounds the second key well below the full domain
+    val yb = li.agg(min(col("l_suppkey")), max(col("l_suppkey"))).head()
+    val ySpan = yb.getLong(1) - yb.getLong(0) + 1
+    val env = spark.read.parquet(s"$store/base")
+      .groupBy(input_file_name())
+      .agg(min(col("l_suppkey")).as("lo"), max(col("l_suppkey")).as("hi"))
+      .collect().map(r => r.getLong(2) - r.getLong(1) + 1)
+    assert(env.length > 1 && env.count(_ * 2 <= ySpan) * 2 >= env.length,
+      s"most base files must bound y below half its domain, spans ${env.toSeq}")
+  }
+
   test("quantile boundaries match their integer definition exactly") {
     val sess = spark
     import sess.implicits._
