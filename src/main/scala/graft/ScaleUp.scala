@@ -1321,6 +1321,21 @@ object ScaleUp {
         f"(hits@${RetrievalEval.EvalK}%d " +
         f"${mC.map(_.getLong(2)).mkString(",")}%s, ndcg_micro " +
         f"${mC.map(_.getLong(6)).mkString(",")}%s)")
+      // the multi-probe recovery, quantified by the SAME harness:
+      // probing the runner-up cell should win back the boundary
+      // losses the margin-sampled queries exposed
+      val t4 = System.nanoTime()
+      val mC2 = RetrievalEval.metricsOn(
+          KMeans.ivfBatchTopKOn(spark, cluDir, centsC, qC,
+              RetrievalEval.EvalK, probes = 2)
+            .select(col("query_id"), col("vec_id"), col("rk")),
+          truthC)
+        .orderBy(col("query_id")).collect()
+      println(f"[scaleup] rag_eval_ivf_p2_clu2         $cluDir%-18s " +
+        f"${(System.nanoTime - t4) / 1e9}%8.2f s  " +
+        f"(hits@${RetrievalEval.EvalK}%d " +
+        f"${mC2.map(_.getLong(2)).mkString(",")}%s, ndcg_micro " +
+        f"${mC2.map(_.getLong(6)).mkString(",")}%s)")
     }
     if (on("zorder")) {
       // layout write cost + the skipping it buys, both scales: the

@@ -268,11 +268,12 @@ object KMeans {
     * block cannot express. */
   def ivfBatchTopKOn(spark: SparkSession, dir: String,
       cents: Seq[(Int, Seq[Double])],
-      qrows: Seq[(Long, Seq[Double])], k: Int = 5): DataFrame =
+      qrows: Seq[(Long, Seq[Double])], k: Int = 5,
+      probes: Int = 1): DataFrame =
     ivfBatchScore(
       vecs(spark, dir).select(col("vec_id"), col("label"), col("v"),
         assignCol(cents).as("cluster")),
-      cents, qrows, k)
+      cents, qrows, k, probes)
 
   /** The query block: the `nq` min-vec_id vectors, collected (nq × 64
     * doubles — driver-bounded prep, the serving contract where query
@@ -294,12 +295,18 @@ object KMeans {
     * the scan reads probed-cells bytes only. */
   private def ivfBatchScore(cells: DataFrame,
       cents: Seq[(Int, Seq[Double])],
-      qrows: Seq[(Long, Seq[Double])], k: Int = 5): DataFrame = {
-    def cellOf(qv: Seq[Double]): Int = cents.map { case (cid, cv) =>
+      qrows: Seq[(Long, Seq[Double])], k: Int = 5,
+      probes: Int = 1): DataFrame = {
+    // a query probes its `probes` nearest cells under the same
+    // (distance, cid) order as assignment; a scanned row belongs to
+    // exactly ONE cell partition, so multi-probe never duplicates a
+    // (query, row) pair — the fan-out leg just widens
+    def cellsOf(qv: Seq[Double]): Seq[Int] = cents.map { case (cid, cv) =>
       (qv.zip(cv).foldLeft(0.0) { case (acc, (x, c)) =>
         acc + (x - c) * (x - c) }, cid)
-    }.min._2
-    val byCell = qrows.map { case (qid, qv) => (cellOf(qv), qid, qv) }
+    }.sorted.take(probes).map(_._2)
+    val byCell = qrows
+      .flatMap { case (qid, qv) => cellsOf(qv).map(c => (c, qid, qv)) }
       .groupBy(_._1)
     val probed = byCell.keys.toSeq
     val qArr = byCell.foldLeft(

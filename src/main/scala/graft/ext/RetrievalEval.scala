@@ -116,8 +116,12 @@ object RetrievalEval {
       .localCheckpoint()
     val sys = KMeans.ivfBatchTopKWith(spark, dir, cents)
       .select(col("query_id"), col("vec_id"), col("rk"))
+    val sysP2 = KMeans
+      .ivfBatchTopKOn(spark, dir, cents, qrows, EvalK, probes = 2)
+      .select(col("query_id"), col("vec_id"), col("rk"))
     OracleForms.union(
         "ivf" -> metricsOn(sys, truth),
+        "ivf_p2" -> metricsOn(sysP2, truth),
         "self" -> metricsOn(truth, truth))
       .select(col("form"), col("query_id"), col("n_sys"),
         col("hits_at_k"), col("first_rel_rank"), col("mrr_micro"),
@@ -135,7 +139,7 @@ object RetrievalEval {
       s"WHEN $rk = $r THEN $d" }.mkString(" ") + " ELSE 0 END"
 
   private def sysCtes: String =
-    s"""qrows AS (SELECT vec_id AS qid, v AS qv FROM q ORDER BY vec_id LIMIT ${KMeans.BatchQueries}), qa AS (SELECT qid, qv, cid FROM (SELECT r.qid, r.qv, c.cid, row_number() OVER (PARTITION BY r.qid ORDER BY ${KMeans.distSqlN("r.qv", "c.cv", 64)}, c.cid) AS rn FROM qrows r CROSS JOIN c2 c) WHERE rn = 1), ssc AS (SELECT qa.qid AS query_id, af.vec_id, ${KMeans.cosSql("q.v", "qa.qv")} AS cosine FROM af JOIN q USING (vec_id) JOIN qa ON af.cid = qa.cid AND af.vec_id <> qa.qid), sys AS (SELECT query_id, vec_id, rn AS rk FROM (SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rn FROM ssc) WHERE rn <= $EvalK)"""
+    s"""qrows AS (SELECT vec_id AS qid, v AS qv FROM q ORDER BY vec_id LIMIT ${KMeans.BatchQueries}), qr AS (SELECT r.qid, r.qv, c.cid, row_number() OVER (PARTITION BY r.qid ORDER BY ${KMeans.distSqlN("r.qv", "c.cv", 64)}, c.cid) AS rn FROM qrows r CROSS JOIN c2 c), qa AS (SELECT qid, qv, cid FROM qr WHERE rn = 1), qa2 AS (SELECT qid, qv, cid FROM qr WHERE rn <= 2), ssc AS (SELECT qa.qid AS query_id, af.vec_id, ${KMeans.cosSql("q.v", "qa.qv")} AS cosine FROM af JOIN q USING (vec_id) JOIN qa ON af.cid = qa.cid AND af.vec_id <> qa.qid), sys AS (SELECT query_id, vec_id, rn AS rk FROM (SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rn FROM ssc) WHERE rn <= $EvalK), ssc2 AS (SELECT qa2.qid AS query_id, af.vec_id, ${KMeans.cosSql("q.v", "qa2.qv")} AS cosine FROM af JOIN q USING (vec_id) JOIN qa2 ON af.cid = qa2.cid AND af.vec_id <> qa2.qid), sys2 AS (SELECT query_id, vec_id, rn AS rk FROM (SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rn FROM ssc2) WHERE rn <= $EvalK)"""
 
   private def truthCtes: String =
     s"""ts AS (SELECT r.qid, e.vec_id, ${KMeans.cosSql("e.v", "r.qv")} AS cos FROM q e CROSS JOIN qrows r WHERE e.vec_id <> r.qid), tr AS (SELECT qid AS query_id, vec_id, rk FROM (SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk FROM ts) WHERE rk <= $EvalK)"""
@@ -147,6 +151,7 @@ object RetrievalEval {
     "rag_eval_forms" ->
       (s"WITH ${KMeans.trainCtes}, $sysCtes, $truthCtes " +
         s"SELECT 'ivf' AS form, m.* FROM (${metricsBlock("sys")}) m " +
+        s"UNION ALL SELECT 'ivf_p2' AS form, m.* FROM (${metricsBlock("sys2")}) m " +
         s"UNION ALL SELECT 'self' AS form, m.* FROM (${metricsBlock("tr")}) m " +
         "ORDER BY form, query_id"))
 

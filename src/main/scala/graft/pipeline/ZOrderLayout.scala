@@ -260,6 +260,42 @@ object ZOrderLayout {
     }
   }
 
+  /** Z-order group envelopes of an arbitrary row set — the
+    * [[zorderStats]] zorder half as a composable op (the store gate
+    * feeds it both the source and the maintained store). */
+  def zorderGroupStats(rows: DataFrame, x: String, y: String): DataFrame =
+    groupStats(zFrame(rows, x, y), "zgrp", x, y)
+
+  /** DRIVER-GATED: the maintained store serves the same rows — and
+    * therefore the same z-order group envelopes — as its source,
+    * through the full batch lifecycle (two delta appends + one
+    * compaction through the whole-store swap). One scratch store per
+    * corpus dir, memoized (the shared-scratch discipline). */
+  def zorderStoreForms(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
+    val store = storeDirs.computeIfAbsent(dir, _ => {
+      val s = graft.ops.Scratch.dir("graft_zstore_gate") + "/store"
+      val maxKey = li.agg(max(col("l_orderkey"))).head().getLong(0)
+      val cut = maxKey / 2
+      appendDelta(li.filter(col("l_orderkey") <= cut), s,
+        "l_orderkey", cut)
+      appendDelta(li.filter(col("l_orderkey") > cut), s,
+        "l_orderkey", maxKey)
+      compactStore(spark, s, "l_partkey", "l_suppkey", "l_orderkey")
+      s
+    })
+    OracleForms.union(
+        "source" -> zorderGroupStats(li, "l_partkey", "l_suppkey"),
+        "store" -> zorderGroupStats(readStore(spark, store),
+          "l_partkey", "l_suppkey"))
+      .select(col("form"), col("grp"), col("n"),
+        col("x_min"), col("x_max"), col("y_min"), col("y_max"))
+      .orderBy(col("form"), col("grp"))
+  }
+  private val storeDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   private def interleaveSql(xb: String, yb: String): String =
     (0 until Bits).map { i =>
       s"((($xb >> $i) & 1) << ${2 * i}) | ((($yb >> $i) & 1) << ${2 * i + 1})"
@@ -290,11 +326,25 @@ UNION ALL SELECT 'quantile' AS form, (${inter("xbq", "yb")}) >> ${2 * Bits - Gro
 SELECT form, grp, COUNT(*) AS n, MIN(xs) AS x_min, MAX(xs) AS x_max, MIN(ys) AS y_min, MAX(ys) AS y_max FROM zf GROUP BY form, grp ORDER BY form, grp"""
   }
 
+  // one shared chain for the store-forms gate: the zorder grouping
+  // alone (store content == source, so BOTH tags replay one chain)
+  private val zGroupSql: String = {
+    val grid = (v: String, lo: String, hi: String) =>
+      s"(($v - $lo) * ${1L << Bits}) // ($hi - $lo + 1)"
+    s"""WITH b AS (SELECT MIN(l_partkey) AS xlo, MAX(l_partkey) AS xhi, MIN(l_suppkey) AS ylo, MAX(l_suppkey) AS yhi FROM lineitem),
+zf AS (SELECT ${interleaveSql("xb", "yb")} AS zval, l_partkey, l_suppkey FROM (SELECT ${grid("l_partkey", "b.xlo", "b.xhi")} AS xb, ${grid("l_suppkey", "b.ylo", "b.yhi")} AS yb, l_partkey, l_suppkey FROM lineitem, b))
+SELECT zval >> ${2 * Bits - GroupBits} AS grp, COUNT(*) AS n, MIN(l_partkey) AS x_min, MAX(l_partkey) AS x_max, MIN(l_suppkey) AS y_min, MAX(l_suppkey) AS y_max FROM zf GROUP BY 1"""
+  }
+
   val oracle: Map[String, String] = Map(
     "layout_zorder_stats" -> statsSql,
-    "layout_zorder_skew_stats" -> skewStatsSql)
+    "layout_zorder_skew_stats" -> skewStatsSql,
+    "layout_zorder_store_forms" ->
+      (graft.ext.OracleForms.sql(zGroupSql, Seq("source", "store")) +
+        " ORDER BY form, grp"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "layout_zorder_stats" -> (zorderStats _),
-    "layout_zorder_skew_stats" -> (zorderSkewStats _))
+    "layout_zorder_skew_stats" -> (zorderSkewStats _),
+    "layout_zorder_store_forms" -> (zorderStoreForms _))
 }

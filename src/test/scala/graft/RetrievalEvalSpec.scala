@@ -43,6 +43,17 @@ class RetrievalEvalSpec extends SparkSpec {
     }
   }
 
+  test("probe-2 metrics dominate probe-1 (candidate superset)") {
+    // any candidate outscoring a truth member is itself a truth
+    // member, so widening the candidate set can only add hits
+    val rows = RetrievalEval.evalForms(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(3)))
+    val p1 = rows.filter(_._1 == "ivf").map(t => t._2 -> t._3).toMap
+    val p2 = rows.filter(_._1 == "ivf_p2").map(t => t._2 -> t._3).toMap
+    assert(p1.nonEmpty && p1.keySet == p2.keySet)
+    assert(p1.forall { case (q, h) => p2(q) >= h })
+  }
+
   test("the self form is the all-maxima calibration row") {
     val rows = RetrievalEval.evalForms(spark, sf).collect()
       .filter(_.getString(0) == "self")
