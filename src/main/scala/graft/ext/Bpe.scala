@@ -317,6 +317,34 @@ object Bpe {
       .orderBy(col("pack_shard"))
   }
 
+  /** Per-source tokenizer report — the data-card row a tokenizer
+    * build ships with: documents/words/subwords/chars seen and the
+    * compression ratio (chars per BPE token, micro-units, integer
+    * division — exact). A ratio drifting down across sources flags
+    * the vocabulary fitting one source's morphology at another's
+    * expense. One corpus word-stream pass against the
+    * vocabulary-bounded word→(token count, length) dimension. */
+  def bpeReport(spark: SparkSession, dir: String): DataFrame = {
+    val t = trained(spark, dir)
+    val wlen = spark.read.parquet(t.segPath)
+      .groupBy(col("word")).agg(count(lit(1)).as("k"))
+    val d = Tables.documents(spark, dir)
+    val perDoc = wordStream(d).join(broadcast(wlen), "word")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("k")).as("n_subwords"),
+        sum(length(col("word"))).as("n_chars"))
+    d.select(col("doc_id"), col("source")).join(perDoc, "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("docs"), sum(col("n_words")).as("words"),
+        sum(col("n_subwords")).as("subwords"),
+        sum(col("n_chars")).as("chars"))
+      .select(col("source"), col("docs"), col("words"), col("subwords"),
+        col("chars"),
+        expr("CAST(chars * 1000000 DIV subwords AS BIGINT)")
+          .as("chars_per_token_micro"))
+      .orderBy(col("source"))
+  }
+
   // ---------------------------------------------------------------
   // Oracle SQL — the full train+encode chain as one finite CTE
   // pyramid: 6 CTEs per round over the vocabulary-sized symbol table,
@@ -367,8 +395,15 @@ pk AS (SELECT doc_id, n_subwords, doc_id % $PackShards AS pack_shard, SUM(n_subw
 sq AS (SELECT pack_shard, (cum - n_subwords) // $PackBudget AS seq_id, COUNT(*) AS docs, SUM(n_subwords) AS seq_tokens FROM pk GROUP BY pack_shard, seq_id)
 SELECT pack_shard, CAST(COUNT(*) AS BIGINT) AS sequences, CAST(SUM(docs) AS BIGINT) AS docs, CAST(SUM(seq_tokens) AS BIGINT) AS tokens, CAST(SUM(CASE WHEN seq_tokens >= $PackBudget THEN 1 ELSE 0 END) AS BIGINT) AS full_sequences FROM sq GROUP BY pack_shard ORDER BY pack_shard"""
 
+  private def reportSql: String =
+    chainSql +
+      s"""wlen AS (SELECT word, COUNT(*) AS k FROM seq$Merges GROUP BY word),
+encs AS (SELECT doc_id, COUNT(*) AS n_words, CAST(SUM(k) AS BIGINT) AS n_subwords, CAST(SUM(length(word)) AS BIGINT) AS n_chars FROM wfd JOIN wlen USING (word) GROUP BY doc_id)
+SELECT d.source, CAST(COUNT(*) AS BIGINT) AS docs, CAST(SUM(encs.n_words) AS BIGINT) AS words, CAST(SUM(encs.n_subwords) AS BIGINT) AS subwords, CAST(SUM(encs.n_chars) AS BIGINT) AS chars, CAST(SUM(encs.n_chars) * 1000000 // SUM(encs.n_subwords) AS BIGINT) AS chars_per_token_micro FROM documents d JOIN encs USING (doc_id) GROUP BY d.source ORDER BY d.source"""
+
   val oracle: Map[String, String] = Map(
     "text_bpe_merges" -> mergesSql,
+    "text_bpe_report" -> reportSql,
     "text_bpe_encode_forms" ->
       (OracleForms.sql(encodeBaseSql, Seq("live", "served")) +
         " ORDER BY form, doc_id"),
@@ -376,6 +411,7 @@ SELECT pack_shard, CAST(COUNT(*) AS BIGINT) AS sequences, CAST(SUM(docs) AS BIGI
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_bpe_merges" -> (bpeMerges _),
+    "text_bpe_report" -> (bpeReport _),
     "text_bpe_encode_forms" -> (bpeEncodeForms _),
     "text_pack_bpe_summary" -> (bpePackSummary _))
 }

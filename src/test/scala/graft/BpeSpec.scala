@@ -140,6 +140,19 @@ class BpeSpec extends SparkSpec {
           s"want ${exp(shard)}") }
   }
 
+  test("tokenizer report conserves the encode totals") {
+    val enc = Bpe.bpeEncodeForms(spark, sf).collect()
+      .filter(r => r.getString(0) == "live" && r.getLong(3) > 0)
+    val rep = Bpe.bpeReport(spark, sf).collect()
+    assert(rep.nonEmpty)
+    assert(rep.map(_.getLong(1)).sum == enc.length.toLong)   // docs
+    assert(rep.map(_.getLong(2)).sum == enc.map(_.getLong(2)).sum) // words
+    assert(rep.map(_.getLong(3)).sum == enc.map(_.getLong(3)).sum) // subwords
+    // ratio definition: chars*1e6 div subwords, per source
+    rep.foreach { r =>
+      assert(r.getLong(5) == r.getLong(4) * 1000000L / r.getLong(3)) }
+  }
+
   test("encode plan broadcasts the vocab dimension and prunes the scan") {
     import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
     val d = Tables.documents(spark, sf)
