@@ -740,6 +740,11 @@ object Curation {
     s"""SELECT doc_id, chunk_idx, len(c) AS chunk_len, md5(array_to_string(c, ' ')) AS chunk_fp FROM (SELECT doc_id, chunk_idx, list_slice(t, chunk_idx*$ChunkSize+1, chunk_idx*$ChunkSize+$ChunkSize) AS c FROM (SELECT doc_id, t, unnest(range(0, CAST(ceil(len(t) / ${ChunkSize}.0) AS BIGINT))) AS chunk_idx FROM (SELECT doc_id, ${TextOps.toksSql} AS t FROM documents) WHERE len(t) > 0))"""
 
   val oracle: Map[String, String] = Map(
+    "curation_snapshot_diff" ->
+      s"""WITH v1 AS (SELECT doc_id, source, CASE WHEN doc_id % 11 = 0 THEN substr(text, 1, CAST(length(text) // 2 AS INT)) ELSE text END AS text FROM documents WHERE doc_id % 7 <> 3),
+v2 AS (SELECT doc_id, source, text FROM documents WHERE doc_id % 17 <> 5),
+j AS (SELECT COALESCE(b.source, a.source) AS source, CASE WHEN a.doc_id IS NULL THEN 'added' WHEN b.doc_id IS NULL THEN 'removed' WHEN md5(a.text) <> md5(b.text) THEN 'changed' ELSE 'unchanged' END AS status FROM v1 a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id)
+SELECT source, status, CAST(COUNT(*) AS BIGINT) AS n_docs FROM j GROUP BY source, status ORDER BY source, status""",
     "decontam_eval_overlap" ->
       s"""WITH g AS (SELECT doc_id, $gramSql AS sh FROM (SELECT doc_id, ${TextOps.toksSql} AS t FROM documents)), ev AS (SELECT DISTINCT unnest(sh) AS s FROM g WHERE doc_id % $EvalModulus = 0), tr AS (SELECT doc_id, unnest(sh) AS s FROM g WHERE doc_id % $EvalModulus <> 0), hits AS (SELECT doc_id, COUNT(*) AS n FROM tr JOIN ev USING (s) GROUP BY doc_id) SELECT d.doc_id, CAST(COALESCE(h.n, 0) AS BIGINT) AS shared_evalgrams, COALESCE(h.n, 0) > 0 AS contaminated FROM (SELECT doc_id FROM documents WHERE doc_id % $EvalModulus <> 0) d LEFT JOIN hits h USING (doc_id) ORDER BY doc_id""",
     "text_chunk_pack" -> s"$chunkPackSql ORDER BY doc_id, chunk_idx",
@@ -967,7 +972,47 @@ object Curation {
     "curation_data_card_by_source" -> bySourceCardSql,
     "curation_data_card_by_source_served" -> bySourceCardSql)
 
+  /** Snapshot DIFF — what changed between two versions of a corpus
+    * (the question every re-crawl/re-filter answers before retraining):
+    * per (source, status) counts with status ∈ added / removed /
+    * changed / unchanged. Rows pair by doc_id across versions; change
+    * detection compares CONTENT FINGERPRINTS (md5) computed in-scan,
+    * so the full-outer join shuffles three skinny columns, never the
+    * texts — the shape that matters when each snapshot is the 100 TB
+    * corpus. */
+  def snapshotDiffOn(v1: DataFrame, v2: DataFrame): DataFrame = {
+    val a = v1.select(col("doc_id"), col("source").as("src1"),
+      md5(col("text").cast("binary")).as("fp1"))
+    val b = v2.select(col("doc_id"), col("source").as("src2"),
+      md5(col("text").cast("binary")).as("fp2"))
+    a.join(b, Seq("doc_id"), "full_outer")
+      .select(coalesce(col("src2"), col("src1")).as("source"),
+        when(col("fp1").isNull, lit("added"))
+          .when(col("fp2").isNull, lit("removed"))
+          .when(col("fp1") =!= col("fp2"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"))
+      .groupBy(col("source"), col("status"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("source"), col("status"))
+  }
+
+  /** DRIVER-GATED [[snapshotDiffOn]] over two deterministic snapshot
+    * views of the fixture corpus: v1 drops every doc_id ≡ 3 (mod 7)
+    * (those read as `added` in v2) and halves the text of doc_id ≡ 0
+    * (mod 11) (those read as `changed`); v2 drops doc_id ≡ 5
+    * (mod 17) (those read as `removed`). */
+  def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val v1 = d.filter(col("doc_id") % 7 =!= 3)
+      .withColumn("text", when(col("doc_id") % 11 === 0,
+        expr("substring(text, 1, CAST(length(text) / 2 AS INT))"))
+        .otherwise(col("text")))
+    val v2 = d.filter(col("doc_id") % 17 =!= 5)
+    snapshotDiffOn(v1, v2)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "curation_snapshot_diff" -> snapshotDiff _,
     "decontam_eval_overlap" -> decontaminate _,
     "decontam_bloom" -> decontaminateBloom _,
     "decontam_two_phase" -> decontaminateTwoPhase _,

@@ -438,4 +438,30 @@ class CurationSpec extends SparkSpec {
     assert(fed == live,
       "card over merged artifacts diverges from the live full build")
   }
+
+  test("snapshot diff statuses match a local recompute of the fixture views") {
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def half(t: String) = t.substring(0, t.length / 2)
+    val v1 = docs.filter(_._1 % 7 != 3)
+      .map { case (id, s, t) => id -> ((s, if (id % 11 == 0) half(t) else t)) }
+      .toMap
+    val v2 = docs.filter(_._1 % 17 != 5)
+      .map { case (id, s, t) => id -> ((s, t)) }.toMap
+    val exp = (v1.keySet ++ v2.keySet).toSeq.map { id =>
+      val status =
+        if (!v1.contains(id)) "added"
+        else if (!v2.contains(id)) "removed"
+        else if (v1(id)._2 != v2(id)._2) "changed"
+        else "unchanged"
+      (v2.getOrElse(id, v1(id))._1, status)
+    }.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val got = Curation.snapshotDiff(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == exp)
+    // the fixture exercises every status
+    assert(Set("added", "removed", "changed", "unchanged")
+      .subsetOf(got.keySet.map(_._2)))
+  }
 }
