@@ -112,7 +112,7 @@ object StreamScaleUp {
         "ckpt_lex", "bm25_ix", "bm25_rebuild",
         "ckpt_knn", "knn_cells", "knn_edges", "knn_rebuild",
         "ckpt_card", "card_agg", "card_rebuild",
-        "ckpt_zstore", "zstore"))
+        "ckpt_zstore", "zstore", "ckpt_wordhist", "word_hist"))
       rmrf(new java.io.File(s"$base/$d"))
 
     // ---- per-batch progress listener ----
@@ -641,6 +641,43 @@ object StreamScaleUp {
         .clusterCardFromAgg(spark, s"$base/card_agg").collect().length
       println(f"[streamscale] card from store " +
         f"${(System.nanoTime() - t2) / 1e9}%.2f s ($n%d clusters)")
+    }
+
+    if (on("wordhist")) locally {
+      // BPE trainer feed at 100×: per-trigger cost is one map-side-
+      // combinable word count over the batch plus an atomic swap of
+      // the VOCABULARY-bounded store — expected FLAT per batch and
+      // independent of how much history the store has folded.
+      // Training from the maintained store afterwards touches only
+      // the bounded histogram (the trainer's corpus-sized stage is
+      // exactly what this sink amortized away).
+      // the staged docs carry per-copy word prefixes (c<i>_word), so
+      // the tier runs the widened word model — which is ALSO the
+      // vocab-axis stress: the maintained store is ~100× the base
+      // vocabulary and must still fold flat per trigger
+      val pat = "^[a-z0-9_]+$"
+      val t0 = System.nanoTime()
+      EventStreams.wordHistSink(
+        spark.readStream
+          .schema(spark.read.parquet(docsDir).schema)
+          .option("maxFilesPerTrigger", 1).parquet(docsDir),
+        s"$base/word_hist", s"$base/ckpt_wordhist", pat).stop()
+      println(f"[streamscale] wordhist sink total " +
+        f"${(System.nanoTime() - t0) / 1e9}%.1f s")
+      val t1 = System.nanoTime()
+      val hist = graft.ext.Bpe.wordHistFromStore(spark, s"$base/word_hist")
+      val v = hist.count()
+      val (rules, _) = graft.ext.Bpe.trainOn(hist)
+      println(f"[streamscale] bpe train from maintained store " +
+        f"${(System.nanoTime() - t1) / 1e9}%.1f s " +
+        f"(vocab $v%d, ${rules.length}%d merges)")
+      // parity: maintained hist == one-shot scan of everything staged
+      def rows(df: DataFrame) = df.collect()
+        .map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+      val par = rows(hist) ==
+        rows(graft.ext.Bpe.wordHist(spark.read.parquet(docsDir), pat))
+      println(s"[streamscale] wordhist parity vs one-shot scan: " +
+        (if (par) "EXACT" else "MISMATCH"))
     }
 
     if (on("zstore")) locally {

@@ -1025,7 +1025,8 @@ object EventStreams {
     * the store equal the batch-trained merges — asserted EXACT in
     * EventStreamsSpec. */
   def wordHistSink(docs: DataFrame, histDir: String,
-      checkpointDir: String): StreamingQuery = {
+      checkpointDir: String,
+      wordPattern: String = graft.ext.Bpe.WordPattern): StreamingQuery = {
     val q = docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (raw: DataFrame, _: Long) =>
@@ -1045,7 +1046,7 @@ object EventStreams {
           case _ => raw
         }
         // pinned: isEmpty + max + the fold all read it
-        val batchHist = graft.ext.Bpe.wordHist(fresh)
+        val batchHist = graft.ext.Bpe.wordHist(fresh, wordPattern)
           .localCheckpoint()
         if (!batchHist.isEmpty) {
           val batchMax = fresh.agg(max(col("doc_id"))).head().getLong(0)
