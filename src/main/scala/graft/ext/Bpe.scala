@@ -184,7 +184,10 @@ object Bpe {
   /** One-shot word-histogram artifact: `hist/` rows + the replay
     * watermark the streaming fold protocol requires for adoption. */
   def writeWordHistStore(docs: DataFrame, histDir: String): Unit = {
-    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+    // empty seed (bootstrapping before the first corpus drop): a
+    // MinValue watermark makes every future id fresh
+    val mx = docs.agg(max(col("doc_id"))).head()
+    val maxId = if (mx.isNullAt(0)) Long.MinValue else mx.getLong(0)
     graft.ops.ArtifactSwap.writeAndSwap(histDir) { next =>
       wordHist(docs).write.parquet(s"$next/hist")
       graft.ops.StoreFiles.writeIdWatermark(next, maxId)
@@ -340,8 +343,10 @@ object Bpe {
         sum(col("n_chars")).as("chars"))
       .select(col("source"), col("docs"), col("words"), col("subwords"),
         col("chars"),
-        expr("CAST(chars * 1000000 DIV subwords AS BIGINT)")
-          .as("chars_per_token_micro"))
+        // the ×1e6 scaling rides decimal(38,0): a 100 TB source's
+        // char sum would overflow long under the plain product
+        expr("CAST((CAST(chars AS DECIMAL(38,0)) * 1000000) DIV " +
+          "subwords AS BIGINT)").as("chars_per_token_micro"))
       .orderBy(col("source"))
   }
 
@@ -399,7 +404,7 @@ SELECT pack_shard, CAST(COUNT(*) AS BIGINT) AS sequences, CAST(SUM(docs) AS BIGI
     chainSql +
       s"""wlen AS (SELECT word, COUNT(*) AS k FROM seq$Merges GROUP BY word),
 encs AS (SELECT doc_id, COUNT(*) AS n_words, CAST(SUM(k) AS BIGINT) AS n_subwords, CAST(SUM(length(word)) AS BIGINT) AS n_chars FROM wfd JOIN wlen USING (word) GROUP BY doc_id)
-SELECT d.source, CAST(COUNT(*) AS BIGINT) AS docs, CAST(SUM(encs.n_words) AS BIGINT) AS words, CAST(SUM(encs.n_subwords) AS BIGINT) AS subwords, CAST(SUM(encs.n_chars) AS BIGINT) AS chars, CAST(SUM(encs.n_chars) * 1000000 // SUM(encs.n_subwords) AS BIGINT) AS chars_per_token_micro FROM documents d JOIN encs USING (doc_id) GROUP BY d.source ORDER BY d.source"""
+SELECT d.source, CAST(COUNT(*) AS BIGINT) AS docs, CAST(SUM(encs.n_words) AS BIGINT) AS words, CAST(SUM(encs.n_subwords) AS BIGINT) AS subwords, CAST(SUM(encs.n_chars) AS BIGINT) AS chars, CAST(CAST(SUM(encs.n_chars) AS HUGEINT) * 1000000 // SUM(encs.n_subwords) AS BIGINT) AS chars_per_token_micro FROM documents d JOIN encs USING (doc_id) GROUP BY d.source ORDER BY d.source"""
 
   val oracle: Map[String, String] = Map(
     "text_bpe_merges" -> mergesSql,

@@ -137,10 +137,17 @@ object StoreFiles {
   /** Number of first-level `<prefix>N/` partition directories under
     * `dir` (0 when absent) — the store's natural compaction floor is
     * one file per partition, so policies threshold at 2× this. */
-  def partitionDirCount(dir: String, prefix: String): Int = {
+  def partitionDirCount(dir: String, prefix: String): Int =
+    partitionDirs(dir, prefix).size
+
+  /** Prefix-matched subdirectory paths (FileSystem API — a store may
+    * live on any Hadoop scheme; java.io.File listings would silently
+    * see nothing there). */
+  def partitionDirs(dir: String, prefix: String): Seq[String] = {
     val (fs, p) = fsOf(dir)
-    if (!fs.exists(p)) return 0
-    fs.listStatus(p).count(s =>
-      s.isDirectory && s.getPath.getName.startsWith(prefix))
+    if (!fs.exists(p)) return Seq.empty
+    fs.listStatus(p).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(prefix))
+      .map(_.getPath.toString)
   }
 }

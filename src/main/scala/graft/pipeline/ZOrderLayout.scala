@@ -198,12 +198,12 @@ object ZOrderLayout {
   /** Number of delta subdirs that triggers compaction. */
   val CompactAfter = 4
 
-  private def deltaDirs(store: String): Seq[String] = {
-    val d = new java.io.File(s"$store/delta")
-    Option(d.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("batch="))
-      .map(_.toString).toSeq
-  }
+  // FileSystem API, not java.io.File: the store may live on any
+  // Hadoop scheme the swap layer admits (a local-File listing would
+  // silently see no deltas there — compaction never firing and
+  // readStore dropping delta rows)
+  private def deltaDirs(store: String): Seq[String] =
+    graft.ops.StoreFiles.partitionDirs(s"$store/delta", "batch=")
 
   /** Pending delta-subdir count — the compaction trigger's input. */
   def deltaCount(store: String): Int = deltaDirs(store).size

@@ -900,8 +900,23 @@ object EventStreams {
             .filter(col("cell").isin(touchedCells: _*))
           graft.ext.ClusterOps.appendKnnEdges(spark, edgesDir,
             storeCells, batchFrom)
-          labelsDir.foreach(ld => graft.ext.ClusterOps
-            .appendKnnCommunityLabels(spark, ld, storeCells, batchFrom))
+          // labels SEED must see EVERY stored cell, not the touched
+          // pruning: appendKnnCommunityLabels' empty-store branch
+          // writes exactly the cells it is given, and a pruned seed
+          // would leave the untouched cells permanently label-less
+          // (the marker-gated repair never fires on healthy batches).
+          // Steady-state appends keep the pruned read.
+          labelsDir.foreach { ld =>
+            val seedNeeded =
+              graft.ops.StoreFiles.partitionDirCount(ld, "cell=") == 0
+            val labelInput =
+              if (seedNeeded) spark.read.parquet(cellsDir)
+                .select(col("vec_id"), col("cell").cast("int").as("cell"),
+                  col("v"))
+              else storeCells
+            graft.ext.ClusterOps
+              .appendKnnCommunityLabels(spark, ld, labelInput, batchFrom)
+          }
           // watermark BEFORE the marker re-arms: a crash between the
           // two leaves the marker absent, which discards the
           // watermark at the next batch — a stale scalar is never

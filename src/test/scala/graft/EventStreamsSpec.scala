@@ -1256,6 +1256,56 @@ class EventStreamsSpec extends SparkSpec {
       labelsDir) == 0)
   }
 
+  test("adding a labels dir to an established graph sink seeds EVERY " +
+      "stored cell, not just the adopting batch's") {
+    import java.nio.file.{Files, Paths}
+    import graft.ext.{ClusterOps, KMeans}
+    val base = Files.createTempDirectory("graft_comm_adopt").toString
+    val srcDir = s"$base/src"; Files.createDirectories(Paths.get(srcDir))
+    val cellsDir = s"$base/cells"; val edgesDir = s"$base/edges"
+    val labelsDir = s"$base/labels"
+    val e = Tables.embeddings(spark, sf)
+    val ids = e.select(col("vec_id")).orderBy(col("vec_id"))
+      .collect().map(_.getLong(0))
+    val c0 = ids(ids.length * 4 / 5)
+    val cents = KMeans.trainFrame(
+      KMeans.vecs(spark, sf).filter(col("vec_id") <= c0)
+        .select(col("vec_id"), col("v")), KMeans.K)
+    def stageFile(lo: Long, hi: Long, name: String): Unit = {
+      val tmp = Files.createTempDirectory("graft_comm_adopt_batch")
+      e.filter(col("vec_id") > lo && col("vec_id") <= hi)
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val f = new java.io.File(tmp.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(f.toPath, Paths.get(srcDir, name))
+    }
+    def assign(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("vec_id"),
+        graft.functions.NearestCentroid(col("v"), cents.map(_._2))
+          .as("cell"), col("v"))
+    def runOnce(labels: Option[String]): Unit =
+      EventStreams.knnGraphSink(
+        spark.readStream.schema(e.schema).parquet(srcDir),
+        assign, cellsDir, edgesDir, labels, s"$base/chk").stop()
+    // phase 1: edges-only operation fills the cells store broadly
+    stageFile(Long.MinValue, c0, "b0.parquet"); runOnce(None)
+    // phase 2: the operator turns labels on; the adopting batch
+    // touches only the tail slice's cells
+    stageFile(c0, Long.MaxValue, "b1.parquet"); runOnce(Some(labelsDir))
+    def labelRows(dir: String) = spark.read.parquet(dir)
+      .select(col("vec_id"), col("community_id"),
+        col("cell").cast("int"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .toSet
+    val oneShotDir = s"$base/labels_oneshot"
+    ClusterOps.writeKnnCommunityLabels(
+      assign(KMeans.vecs(spark, sf).select(col("vec_id"), col("v"))),
+      oneShotDir)
+    assert(labelRows(labelsDir) == labelRows(oneShotDir),
+      "the labels seed must cover every stored cell, not the " +
+        "adopting batch's pruned read")
+  }
+
   // ---- streaming cluster-card sink (round-15) -------------------
 
   /** Shared fixture of the card-sink tests: the embeddings↔documents
@@ -1530,6 +1580,23 @@ class EventStreamsSpec extends SparkSpec {
     val fromBatch = Bpe.trainOn(Bpe.wordHist(docs))._1
     assert(fromStore == fromBatch && fromStore.nonEmpty,
       "merges trained from the maintained store must equal batch-trained")
+  }
+
+  test("an empty-corpus word-hist seed bootstraps a foldable store") {
+    import graft.ext.Bpe
+    val histDir = java.nio.file.Files
+      .createTempDirectory("graft_hist_empty").toString + "/hist"
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    Bpe.writeWordHistStore(docs.filter(lit(false)), histDir)
+    // watermark present (MinValue: everything future is fresh)
+    assert(graft.ops.StoreFiles.readIdWatermark(histDir)
+      .contains(Long.MinValue))
+    Bpe.foldWordHist(spark, histDir, Bpe.wordHist(docs),
+      docs.agg(max(col("doc_id"))).head().getLong(0))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    assert(rows(Bpe.wordHistFromStore(spark, histDir)) ==
+      rows(Bpe.wordHist(docs)))
   }
 
   test("the word-hist sink refuses a foreign store with no watermark, " +
