@@ -350,6 +350,30 @@ object Bpe {
       .orderBy(col("source"))
   }
 
+  /** Per-language tokenizer FERTILITY — subword tokens per word in
+    * micro-units (the standard tokenizer-quality metric; a language
+    * whose fertility is far above the corpus norm is being
+    * fragmented by a vocabulary fitted elsewhere — the multilingual
+    * failure mode fertility exists to flag). Same shape as
+    * [[bpeReport]], grouped by the documents' language column. */
+  def bpeFertility(spark: SparkSession, dir: String): DataFrame = {
+    val t = trained(spark, dir)
+    val wlen = spark.read.parquet(t.segPath)
+      .groupBy(col("word")).agg(count(lit(1)).as("k"))
+    val d = Tables.documents(spark, dir)
+    val perDoc = wordStream(d).join(broadcast(wlen), "word")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("k")).as("n_subwords"))
+    d.select(col("doc_id"), col("lang")).join(perDoc, "doc_id")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("docs"), sum(col("n_words")).as("words"),
+        sum(col("n_subwords")).as("subwords"))
+      .select(col("lang"), col("docs"), col("words"), col("subwords"),
+        expr("CAST((CAST(subwords AS DECIMAL(38,0)) * 1000000) DIV " +
+          "words AS BIGINT)").as("fertility_micro"))
+      .orderBy(col("lang"))
+  }
+
   // ---------------------------------------------------------------
   // Oracle SQL — the full train+encode chain as one finite CTE
   // pyramid: 6 CTEs per round over the vocabulary-sized symbol table,
@@ -406,9 +430,16 @@ SELECT pack_shard, CAST(COUNT(*) AS BIGINT) AS sequences, CAST(SUM(docs) AS BIGI
 encs AS (SELECT doc_id, COUNT(*) AS n_words, CAST(SUM(k) AS BIGINT) AS n_subwords, CAST(SUM(length(word)) AS BIGINT) AS n_chars FROM wfd JOIN wlen USING (word) GROUP BY doc_id)
 SELECT d.source, CAST(COUNT(*) AS BIGINT) AS docs, CAST(SUM(encs.n_words) AS BIGINT) AS words, CAST(SUM(encs.n_subwords) AS BIGINT) AS subwords, CAST(SUM(encs.n_chars) AS BIGINT) AS chars, CAST(CAST(SUM(encs.n_chars) AS HUGEINT) * 1000000 // SUM(encs.n_subwords) AS BIGINT) AS chars_per_token_micro FROM documents d JOIN encs USING (doc_id) GROUP BY d.source ORDER BY d.source"""
 
+  private def fertilitySql: String =
+    chainSql +
+      s"""wlen AS (SELECT word, COUNT(*) AS k FROM seq$Merges GROUP BY word),
+encs AS (SELECT doc_id, COUNT(*) AS n_words, CAST(SUM(k) AS BIGINT) AS n_subwords FROM wfd JOIN wlen USING (word) GROUP BY doc_id)
+SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS docs, CAST(SUM(encs.n_words) AS BIGINT) AS words, CAST(SUM(encs.n_subwords) AS BIGINT) AS subwords, CAST(CAST(SUM(encs.n_subwords) AS HUGEINT) * 1000000 // SUM(encs.n_words) AS BIGINT) AS fertility_micro FROM documents d JOIN encs USING (doc_id) GROUP BY d.lang ORDER BY d.lang"""
+
   val oracle: Map[String, String] = Map(
     "text_bpe_merges" -> mergesSql,
     "text_bpe_report" -> reportSql,
+    "text_bpe_fertility" -> fertilitySql,
     "text_bpe_encode_forms" ->
       (OracleForms.sql(encodeBaseSql, Seq("live", "served")) +
         " ORDER BY form, doc_id"),
@@ -417,6 +448,7 @@ SELECT d.source, CAST(COUNT(*) AS BIGINT) AS docs, CAST(SUM(encs.n_words) AS BIG
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_bpe_merges" -> (bpeMerges _),
     "text_bpe_report" -> (bpeReport _),
+    "text_bpe_fertility" -> (bpeFertility _),
     "text_bpe_encode_forms" -> (bpeEncodeForms _),
     "text_pack_bpe_summary" -> (bpePackSummary _))
 }

@@ -153,6 +153,19 @@ class BpeSpec extends SparkSpec {
       assert(r.getLong(5) == r.getLong(4) * 1000000L / r.getLong(3)) }
   }
 
+  test("fertility report conserves totals; every word is >= 1 token") {
+    val enc = Bpe.bpeEncodeForms(spark, sf).collect()
+      .filter(r => r.getString(0) == "live" && r.getLong(3) > 0)
+    val f = Bpe.bpeFertility(spark, sf).collect()
+    assert(f.nonEmpty)
+    assert(f.map(_.getLong(1)).sum == enc.length.toLong)
+    assert(f.map(_.getLong(2)).sum == enc.map(_.getLong(2)).sum)
+    assert(f.map(_.getLong(3)).sum == enc.map(_.getLong(3)).sum)
+    f.foreach { r =>
+      assert(r.getLong(4) >= 1000000L, "fertility >= 1 token per word")
+      assert(r.getLong(4) == r.getLong(3) * 1000000L / r.getLong(2)) }
+  }
+
   test("encode plan broadcasts the vocab dimension and prunes the scan") {
     import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
     val d = Tables.documents(spark, sf)
