@@ -48,14 +48,8 @@ object ArtifactSwap {
     * to a store whose rename atomicity the deployment has verified. */
   val AssumeAtomicKey = "graft.artifactswap.assume.atomic.rename"
 
-  private def fsOf(dir: String): (FileSystem, Path) = {
-    val p = new Path(dir)
-    val conf = org.apache.spark.sql.SparkSession.getActiveSession
-      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
-      .map(_.sparkContext.hadoopConfiguration)
-      .getOrElse(new org.apache.hadoop.conf.Configuration())
-    (p.getFileSystem(conf), p)
-  }
+  // the shared ops-layer FileSystem resolution (one definition)
+  private def fsOf(dir: String): (FileSystem, Path) = StoreFiles.fsOf(dir)
 
   /** Refuse to swap on a filesystem whose rename is not atomic —
     * loud and early, never a silent crash window (spec-asserted). */

@@ -44,14 +44,8 @@ object PointerSwap {
 
   private val VersionRe = "^v_(\\d{8})$".r
 
-  private def fsOf(dir: String): (FileSystem, Path) = {
-    val p = new Path(dir)
-    val conf = org.apache.spark.sql.SparkSession.getActiveSession
-      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
-      .map(_.sparkContext.hadoopConfiguration)
-      .getOrElse(new org.apache.hadoop.conf.Configuration())
-    (p.getFileSystem(conf), p)
-  }
+  // the shared ops-layer FileSystem resolution (one definition)
+  private def fsOf(dir: String): (FileSystem, Path) = StoreFiles.fsOf(dir)
 
   private def nameOf(n: Int): String = f"v_$n%08d"
 

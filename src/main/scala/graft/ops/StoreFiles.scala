@@ -24,7 +24,10 @@ object StoreFiles {
       .map(_.sparkContext.hadoopConfiguration)
       .getOrElse(new Configuration())
 
-  private def fsOf(dir: String): (FileSystem, Path) = {
+  /** Resolve a store path to its Hadoop FileSystem + Path — THE one
+    * definition (round-15 verdict #5: three ops files each carried a
+    * copy). */
+  private[ops] def fsOf(dir: String): (FileSystem, Path) = {
     val p = new Path(dir)
     (p.getFileSystem(conf()), p)
   }
@@ -39,7 +42,11 @@ object StoreFiles {
     var n = 0
     val it = fs.listFiles(p, true)
     while (it.hasNext) {
-      if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+      val f = it.next().getPath
+      // task files under an in-flight job's _temporary staging are
+      // not committed data and must not count as store content
+      if (f.getName.endsWith(".parquet") &&
+          !f.toString.contains("/_temporary/")) n += 1
     }
     n
   }
@@ -149,5 +156,22 @@ object StoreFiles {
     fs.listStatus(p).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith(prefix))
       .map(_.getPath.toString)
+  }
+
+  /** [[partitionDirs]] restricted to COMMITTED subdirs — those whose
+    * parquet job finished (Spark writes `_SUCCESS` at job commit). A
+    * torn write's directory is invisible to readers and healed by the
+    * writer's replay (round-15 ADVICE: the z-store's delta listing
+    * used to admit torn batch dirs, whose partial max-id rows could
+    * poison the re-derived watermark). */
+  def committedPartitionDirs(dir: String, prefix: String): Seq[String] =
+    partitionDirs(dir, prefix).filter(markerExists(_, "_SUCCESS"))
+
+  /** Total byte size under `dir` (0 when absent) — the size-ratio
+    * input of tiered compaction triggers. One metadata call, no data
+    * read. */
+  def dirBytes(dir: String): Long = {
+    val (fs, p) = fsOf(dir)
+    if (!fs.exists(p)) 0L else fs.getContentSummary(p).getLength
   }
 }
