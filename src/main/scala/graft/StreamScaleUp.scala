@@ -681,22 +681,28 @@ object StreamScaleUp {
     }
 
     if (on("zstore")) locally {
-      // z-ordered fact store maintenance at 100×: 10 landing files
-      // (6M lineitem rows each, l_orderkey shifted per copy so the
-      // monotone-id contract holds across files), deltas compacting
-      // into the base every CompactAfter triggers. Expected shape:
-      // append triggers FLAT (a delta write never reads the store);
-      // compaction triggers O(store) and growing — the bounded-
-      // frequency rewrite that buys every reader tight two-key file
-      // envelopes.
-      val liDir = s"$base/lineitem.parquet"
+      // TIERED z-ordered fact store maintenance at 100× (round-15
+      // verdict #2 measurement): 16 landing batches (l_orderkey
+      // shifted per copy so the monotone-id contract holds), driven
+      // through the same appendDelta → minorCompact →
+      // maybeCompactStore path the streaming sink runs, with each
+      // phase timed separately. Expected shape — the LSM growth law:
+      // appends FLAT (a delta write never reads the store); MINOR
+      // compactions FLAT (each folds exactly CompactAfter deltas,
+      // never the base — the old single-tier rewrite grew 18.7 →
+      // 37.9 s here as the base grew); MAJOR compactions O(store)
+      // but geometrically less frequent (size-ratio trigger), so
+      // per-row rewrite work is O(log N) over the store's life.
+      import graft.pipeline.ZOrderLayout
+      val nBatches = 16
+      val liDir = s"$base/lineitem16.parquet"
       if (!new java.io.File(liDir).exists()) {
         new java.io.File(liDir).mkdirs()
         val li0 = Tables.lineitem(spark, src)
           .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
           .localCheckpoint()
         val maxKey = li0.agg(max(col("l_orderkey"))).head().getLong(0) + 1
-        val per = math.max(1, copies / GroupsOf)
+        val per = math.max(1, copies / nBatches)
         for (g <- 0 until (copies + per - 1) / per) {
           val span = (g * per) until math.min((g + 1) * per, copies)
           val tmp = s"$base/_tmp_li_$g"
@@ -706,21 +712,36 @@ object StreamScaleUp {
             .coalesce(1).write.mode("overwrite").parquet(tmp)
           moveSinglePart(tmp, f"$liDir/g$g%02d.parquet")
         }
-        println(s"[streamscale] staged $liDir (${copies}x)")
+        println(s"[streamscale] staged $liDir (${copies}x, " +
+          s"$nBatches batches)")
       }
-      val schema = spark.read.parquet(liDir).schema
-      val t0 = System.nanoTime()
-      EventStreams.zorderStoreSink(
-        spark.readStream.schema(schema)
-          .option("maxFilesPerTrigger", 1).parquet(liDir),
-        s"$base/zstore", s"$base/ckpt_zstore",
-        "l_partkey", "l_suppkey", "l_orderkey").stop()
-      println(f"[streamscale] zstore sink total " +
-        f"${(System.nanoTime() - t0) / 1e9}%.1f s " +
-        f"(appends flat, compaction O(store) every " +
-        f"${graft.pipeline.ZOrderLayout.CompactAfter}%d triggers)")
-      val got = graft.pipeline.ZOrderLayout
-        .readStore(spark, s"$base/zstore").count()
+      val store = s"$base/zstore16"
+      val files = Option(new java.io.File(liDir).listFiles())
+        .getOrElse(Array.empty).map(_.getPath).sorted
+      val (x, y, idc) = ("l_partkey", "l_suppkey", "l_orderkey")
+      for ((f, i) <- files.zipWithIndex) {
+        val rows = spark.read.parquet(f)
+        val tA = System.nanoTime()
+        ZOrderLayout.appendDelta(rows, store, idc)
+        val aS = (System.nanoTime() - tA) / 1e9
+        var minS = 0.0; var majS = 0.0
+        if (ZOrderLayout.deltaCount(store) >= ZOrderLayout.CompactAfter) {
+          val tM = System.nanoTime()
+          ZOrderLayout.minorCompact(spark, store, x, y)
+          minS = (System.nanoTime() - tM) / 1e9
+          val tJ = System.nanoTime()
+          val (_, major) =
+            ZOrderLayout.maybeCompactStore(spark, store, x, y, idc)
+          if (major) majS = (System.nanoTime() - tJ) / 1e9
+        }
+        val baseMb =
+          graft.ops.StoreFiles.dirBytes(s"$store/base") / (1 << 20)
+        val l1Mb = graft.ops.StoreFiles.dirBytes(s"$store/l1") / (1 << 20)
+        println(f"[streamscale] zstore t${i + 1}%02d append $aS%5.1f s" +
+          f"  minor $minS%5.1f s  major $majS%5.1f s" +
+          f"  (base ${baseMb}%d MB, l1 ${l1Mb}%d MB)")
+      }
+      val got = ZOrderLayout.readStore(spark, store).count()
       val want = spark.read.parquet(liDir).count()
       println(s"[streamscale] zstore parity vs landing: " +
         (if (got == want) s"EXACT ($got rows)"
@@ -735,7 +756,7 @@ object StreamScaleUp {
         spans(spans.length / 2)
       }
       println(s"[streamscale] zstore median y-span per file: base " +
-        s"${medianSpan(s"$base/zstore/base")} vs landing " +
+        s"${medianSpan(s"$store/base")} vs landing " +
         s"${medianSpan(liDir)}")
     }
 

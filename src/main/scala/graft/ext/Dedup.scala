@@ -544,30 +544,33 @@ object Dedup {
     * (vec_id, v, cell under frozen quantizers), so compaction is a
     * read → hash-repartition on `cell` (each cell lands in one
     * task → one output file) → replace; content is bit-identical,
-    * no re-assignment runs. The replace rides the
-    * [[graft.ops.ArtifactSwap]] rename-aside, NOT an in-place
-    * overwrite: the cells store is the knn/dedup families' SOURCE OF
-    * TRUTH (the edges repair derives FROM it and could not rebuild
-    * it), and the source batches are already checkpoint-committed
-    * when compaction runs, so a crash inside an in-place rewrite
-    * would lose stored rows unrecoverably (round-14 ADVICE). Sinks
-    * run [[graft.ops.ArtifactSwap.recover]] on the store at batch
-    * start, which closes the swap's own crash windows. Returns
-    * whether a rewrite ran. */
+    * no re-assignment runs. The replace rides the commit protocol
+    * ([[graft.ops.StoreCommit]] — rename-aside by default,
+    * [[graft.ops.PointerCommit]]'s versioned dirs on object storage),
+    * NOT an in-place overwrite: the cells store is the knn/dedup
+    * families' SOURCE OF TRUTH (the edges repair derives FROM it and
+    * could not rebuild it), and the source batches are already
+    * checkpoint-committed when compaction runs, so a crash inside an
+    * in-place rewrite would lose stored rows unrecoverably (round-14
+    * ADVICE). Sinks run `commit.recover` on the store at batch start,
+    * which closes the protocol's own crash windows. Returns whether a
+    * rewrite ran. */
   def maybeCompactSemanticCells(spark: SparkSession, cellsDir: String,
-      threshold: Int = CompactFileThreshold): Boolean = {
+      threshold: Int = CompactFileThreshold,
+      commit: graft.ops.StoreCommit = graft.ops.SwapCommit): Boolean = {
+    val live = commit.readDir(cellsDir)
     // cell count from the partition layout — a directory listing,
     // no data read
     val cellDirs =
-      graft.ops.StoreFiles.partitionDirCount(cellsDir, "cell=")
-    if (cellsFileCount(cellsDir) > math.max(threshold, 2 * cellDirs)) {
+      graft.ops.StoreFiles.partitionDirCount(live, "cell=")
+    if (cellsFileCount(live) > math.max(threshold, 2 * cellDirs)) {
       // schema-preserving (keeps cell2 and any future data column):
       // compaction must not silently drop what the build wrote
-      val compacted = spark.read.parquet(cellsDir)
+      val compacted = spark.read.parquet(live)
         .withColumn("cell", col("cell").cast("int"))
         .repartition(col("cell"))
         .localCheckpoint()
-      graft.ops.ArtifactSwap.writeAndSwap(cellsDir) { next =>
+      commit.replace(cellsDir) { next =>
         compacted.write.partitionBy("cell").parquet(next)
       }
       true
@@ -1324,8 +1327,14 @@ object Dedup {
     * it the compaction path for a store fragmented by many small
     * appends. */
   def rebuildIndex(spark: SparkSession, goldDir: String,
-      indexDir: String, outFiles: Int = 0): Unit =
-    writeGoldIndex(spark.read.parquet(goldDir), indexDir, outFiles)
+      indexDir: String, outFiles: Int = 0,
+      commit: graft.ops.StoreCommit = graft.ops.SwapCommit): Unit = {
+    val gold = spark.read.parquet(goldDir)
+    // the whole three-component index replaces atomically through the
+    // commit protocol (the index is derived state — the staged
+    // replace just makes the rebuild itself crash-safe for free)
+    commit.replace(indexDir)(writeGoldIndex(gold, _, outFiles))
+  }
 
   /** Extend a [[writeGoldIndex]] store with newly-accepted docs
     * (append-mode writes of the same three components). Callers add
@@ -1334,15 +1343,17 @@ object Dedup {
     * probe join stays key-unique. The streaming pipeline
     * ([[graft.streaming.EventStreams.incrementalDedupSink]]) calls
     * this once per micro-batch. */
-  def appendGoldIndex(docs: DataFrame, path: String): Unit = {
+  def appendGoldIndex(docs: DataFrame, path: String,
+      commit: graft.ops.StoreCommit = graft.ops.SwapCommit): Unit = {
+    val live = commit.writeDir(path)
     docs.select(fingerprint(col("text")).as("fp"), col("doc_id"))
       .groupBy(col("fp")).agg(min(col("doc_id")).as("exact_match"))
-      .write.mode("append").parquet(s"$path/fingerprints")
+      .write.mode("append").parquet(s"$live/fingerprints")
     val sh = shingleSets(docs).cache()
     try {
       bandTable(sh).write.mode("append").partitionBy("band_idx")
-        .parquet(s"$path/bands")
-      sh.write.mode("append").parquet(s"$path/shingles")
+        .parquet(s"$live/bands")
+      sh.write.mode("append").parquet(s"$live/shingles")
     } finally sh.unpersist()
   }
 
@@ -1371,8 +1382,9 @@ object Dedup {
     * call this once per micro-batch (a file listing when under
     * threshold — cheap); batch deployments can call it on a schedule. */
   def maybeCompactIndex(spark: SparkSession, goldDir: String,
-      indexDir: String, threshold: Int = CompactFileThreshold): Boolean = {
-    val n = indexFileCount(indexDir)
+      indexDir: String, threshold: Int = CompactFileThreshold,
+      commit: graft.ops.StoreCommit = graft.ops.SwapCommit): Boolean = {
+    val n = indexFileCount(commit.readDir(indexDir))
     // compact to ~half the threshold, so the next compaction is
     // ~threshold/2 appends away instead of immediate — without the
     // file target the rebuild writes at plan parallelism and can
@@ -1380,7 +1392,7 @@ object Dedup {
     // 81-file store "compacted" to 81 files)
     if (n > threshold) {
       rebuildIndex(spark, goldDir, indexDir,
-        outFiles = math.max(6, threshold / 2))
+        outFiles = math.max(6, threshold / 2), commit = commit)
       true
     } else false
   }
@@ -1388,11 +1400,13 @@ object Dedup {
   /** Incremental dedup of `fresh` against a [[writeGoldIndex]] store —
     * no access to the gold texts, only the persisted index. */
   def incrementalAgainstIndex(spark: SparkSession, fresh: DataFrame,
-      path: String): DataFrame = {
-    val goldSh = spark.read.parquet(s"$path/shingles")
+      path: String,
+      commit: graft.ops.StoreCommit = graft.ops.SwapCommit): DataFrame = {
+    val live = commit.readDir(path)
+    val goldSh = spark.read.parquet(s"$live/shingles")
     incrementalCore(fresh,
-      spark.read.parquet(s"$path/fingerprints"),
-      spark.read.parquet(s"$path/bands")
+      spark.read.parquet(s"$live/fingerprints"),
+      spark.read.parquet(s"$live/bands")
         .select(col("doc_id"), col("band_idx"), col("band_val")),
       goldSh)
   }

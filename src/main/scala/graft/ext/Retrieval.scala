@@ -230,15 +230,24 @@ object Retrieval {
     * doc_ids whose postings fully landed (the replay-guard key —
     * written LAST, see the commit protocol below). avgdl is divided
     * out at SERVE time from the integers, so an append merges stats
-    * by summation and stays bit-identical to a rebuild. */
-  def writeBm25Index(td: DataFrame, out: String): Unit = {
-    td.agg(count(lit(1)).as("n_docs"),
-        sum(size(col("t")).cast("long")).as("sum_dl"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$out/meta")
-    postingsOf(td).write.mode("overwrite").partitionBy("tbucket")
-      .parquet(s"$out/postings")
-    td.select(col("doc_id"))
-      .write.mode("overwrite").parquet(committedDir(out))
+    * by summation and stays bit-identical to a rebuild.
+    *
+    * Each sub-artifact commits through `commit`
+    * ([[graft.ops.StoreCommit]]): the default rename-aside on
+    * atomic-rename filesystems, or [[graft.ops.PointerCommit]]'s
+    * versioned dirs + one-file pointer on object storage — the
+    * round-15 verdict #1 seam. */
+  def writeBm25Index(td: DataFrame, out: String,
+      commit: graft.ops.StoreCommit = graft.ops.SwapCommit): Unit = {
+    val meta = td.agg(count(lit(1)).as("n_docs"),
+      sum(size(col("t")).cast("long")).as("sum_dl"))
+      .coalesce(1).localCheckpoint()
+    commit.replace(s"$out/meta")(meta.write.parquet(_))
+    val post = postingsOf(td)
+    commit.replace(s"$out/postings")(
+      post.write.partitionBy("tbucket").parquet(_))
+    val ids = td.select(col("doc_id"))
+    commit.replace(committedDir(out))(ids.write.parquet(_))
   }
 
   /** Append a document batch to the index: new postings rows land in
@@ -252,18 +261,20 @@ object Retrieval {
     * docs uncommitted, and [[recoverBm25Store]] removes their partial
     * rows so a replay re-appends them from scratch. */
   def appendBm25Index(spark: SparkSession, batchTd: DataFrame,
-      store: String): Unit = {
-    val old = spark.read.parquet(s"$store/meta").head()
+      store: String,
+      commit: graft.ops.StoreCommit = graft.ops.SwapCommit): Unit = {
+    val old = spark.read.parquet(commit.readDir(s"$store/meta")).head()
     val add = batchTd.agg(count(lit(1)).cast("long"),
       sum(size(col("t")).cast("long"))).head()
     postingsOf(batchTd).write.mode("append").partitionBy("tbucket")
-      .parquet(s"$store/postings")
-    spark.range(1)
+      .parquet(commit.writeDir(s"$store/postings"))
+    val meta = spark.range(1)
       .select(lit(old.getLong(0) + add.getLong(0)).as("n_docs"),
         lit(old.getLong(1) + add.getLong(1)).as("sum_dl"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$store/meta")
+      .coalesce(1).localCheckpoint()
+    commit.replace(s"$store/meta")(meta.write.parquet(_))
     batchTd.select(col("doc_id"))
-      .write.mode("append").parquet(committedDir(store))
+      .write.mode("append").parquet(commit.writeDir(committedDir(store)))
   }
 
   /** Compaction policy for the append-mode postings store — the
@@ -276,8 +287,9 @@ object Retrieval {
     * hash-repartition on tbucket → overwrite; meta is untouched.
     * Returns whether a rewrite ran. */
   def maybeCompactPostings(spark: SparkSession, store: String,
-      threshold: Int = 256): Boolean = {
-    val dir = s"$store/postings"
+      threshold: Int = 256,
+      commit: graft.ops.StoreCommit = graft.ops.SwapCommit): Boolean = {
+    val dir = commit.readDir(s"$store/postings")
     val buckets =
       graft.ops.StoreFiles.partitionDirCount(dir, "tbucket=")
     if (Dedup.cellsFileCount(dir) > math.max(threshold, 2 * buckets)) {
@@ -286,20 +298,22 @@ object Retrieval {
           col("tbucket").cast("int").as("tbucket"))
         .repartition(col("tbucket"))
         .localCheckpoint()
-      // rename-aside swap, not in-place overwrite: unlike the cells /
-      // codes stores (derived from a gold corpus), the postings store
-      // IS the source of truth for the lexical index — a crash inside
-      // an in-place overwrite would lose committed docs unrecoverably
-      graft.ops.ArtifactSwap.writeAndSwap(dir) { next =>
+      // whole-store replace, not in-place overwrite: unlike the cells
+      // / codes stores (derived from a gold corpus), the postings
+      // store IS the source of truth for the lexical index — a crash
+      // inside an in-place overwrite would lose committed docs
+      // unrecoverably
+      commit.replace(s"$store/postings") { next =>
         compacted.write.partitionBy("tbucket").parquet(next)
       }
       // the committed log accrues one small file per batch — compact
       // it on the same trigger (derived from nothing: it IS the
-      // guard's key, so the rewrite rides the same rename-aside)
-      if (graft.ops.StoreFiles.hasTopLevelParquet(committedDir(store))) {
-        val docs = spark.read.parquet(committedDir(store))
+      // guard's key, so the rewrite rides the same commit protocol)
+      if (graft.ops.StoreFiles.hasTopLevelParquet(
+          commit.readDir(committedDir(store)))) {
+        val docs = spark.read.parquet(commit.readDir(committedDir(store)))
           .select(col("doc_id")).distinct().coalesce(1).localCheckpoint()
-        graft.ops.ArtifactSwap.writeAndSwap(committedDir(store)) { next =>
+        commit.replace(committedDir(store)) { next =>
           docs.write.parquet(next)
         }
       }
@@ -325,16 +339,18 @@ object Retrieval {
   def committedDir(store: String): String = s"$store/committed"
 
   /** Committed doc_ids (empty frame when the log does not exist). */
-  private def committedDocs(spark: SparkSession,
-      store: String): DataFrame =
-    if (graft.ops.StoreFiles.hasTopLevelParquet(committedDir(store)))
-      spark.read.parquet(committedDir(store)).select("doc_id").distinct()
+  private def committedDocs(spark: SparkSession, store: String,
+      commit: graft.ops.StoreCommit): DataFrame = {
+    val live = commit.readDir(committedDir(store))
+    if (graft.ops.StoreFiles.hasTopLevelParquet(live))
+      spark.read.parquet(live).select("doc_id").distinct()
     else {
       import org.apache.spark.sql.types._
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         StructType(Seq(StructField("doc_id", LongType))))
     }
+  }
 
   /** Close any crash window left by a torn sink batch: postings rows
     * whose doc_id never reached the committed log are leftovers of an
@@ -347,16 +363,17 @@ object Retrieval {
     * repairs. Cost: one column-pruned doc_id scan per call — the same
     * class as the old postings-keyed guard scan this protocol
     * replaces. Returns whether a repair ran. */
-  def recoverBm25Store(spark: SparkSession, store: String): Boolean = {
-    val dir = s"$store/postings"
-    // finish/abort any half-done rename-aside swap — postings
-    // compaction, committed-log compaction, meta rewrite, or a
-    // previous recovery — before probing liveness (round-14 ADVICE:
-    // a crash inside the committed-log swap used to leave the log
-    // renamed aside with no caller ever recovering it)
-    graft.ops.ArtifactSwap.recover(dir)
-    graft.ops.ArtifactSwap.recover(committedDir(store))
-    graft.ops.ArtifactSwap.recover(s"$store/meta")
+  def recoverBm25Store(spark: SparkSession, store: String,
+      commit: graft.ops.StoreCommit = graft.ops.SwapCommit): Boolean = {
+    // finish/abort any half-done commit — postings compaction,
+    // committed-log compaction, meta rewrite, or a previous recovery
+    // — before probing liveness (round-14 ADVICE: a crash inside the
+    // committed-log swap used to leave the log renamed aside with no
+    // caller ever recovering it)
+    commit.recover(s"$store/postings")
+    commit.recover(committedDir(store))
+    commit.recover(s"$store/meta")
+    val dir = commit.readDir(s"$store/postings")
     if (graft.ops.StoreFiles.parquetFileCount(dir) == 0) return false
     // Non-empty postings with NO committed log: if the postings write
     // job COMMITTED (`_SUCCESS` present — FileOutputCommitter writes
@@ -368,18 +385,20 @@ object Retrieval {
     // (round-14 ADVICE: classifying every doc as torn here swapped in
     // an empty store). Without `_SUCCESS` the seed itself tore and
     // the torn path below removes the partial rows.
-    if (!graft.ops.StoreFiles.hasTopLevelParquet(committedDir(store)) &&
+    if (!graft.ops.StoreFiles.hasTopLevelParquet(
+          commit.readDir(committedDir(store))) &&
         graft.ops.StoreFiles.markerExists(dir, "_SUCCESS")) {
       val docs = spark.read.parquet(dir).select(col("doc_id"))
         .distinct().coalesce(1).localCheckpoint()
-      graft.ops.ArtifactSwap.writeAndSwap(committedDir(store)) { next =>
+      commit.replace(committedDir(store)) { next =>
         docs.write.parquet(next)
       }
-      if (!metaConsistent(spark, store)) rederiveMeta(spark, store)
+      if (!metaConsistent(spark, store, commit))
+        rederiveMeta(spark, store, commit)
       return true
     }
     val torn = spark.read.parquet(dir).select("doc_id").distinct()
-      .join(committedDocs(spark, store), Seq("doc_id"), "left_anti")
+      .join(committedDocs(spark, store, commit), Seq("doc_id"), "left_anti")
       .localCheckpoint()
     if (torn.isEmpty) {
       // no torn postings, but a crash inside a previous META rewrite
@@ -387,8 +406,8 @@ object Retrieval {
       // here used to skip meta entirely, so broken meta never
       // self-healed) — validate n_docs against the committed count
       // and re-derive on any mismatch
-      if (metaConsistent(spark, store)) return false
-      rederiveMeta(spark, store)
+      if (metaConsistent(spark, store, commit)) return false
+      rederiveMeta(spark, store, commit)
       return true
     }
     val clean = spark.read.parquet(dir)
@@ -397,13 +416,13 @@ object Retrieval {
         col("tbucket").cast("int").as("tbucket"))
       .repartition(col("tbucket"))
       .localCheckpoint()
-    graft.ops.ArtifactSwap.writeAndSwap(dir) { next =>
+    commit.replace(s"$store/postings") { next =>
       clean.write.partitionBy("tbucket").parquet(next)
     }
     // meta from the pinned clean frame, not a store re-read: a fully
     // torn seed leaves the swapped-in store EMPTY (no files to infer
     // a schema from), while clean's schema is known
-    writeMetaFrom(spark, clean, store)
+    writeMetaFrom(spark, clean, store, commit)
     true
   }
 
@@ -413,32 +432,36 @@ object Retrieval {
     * sum_dl is derived by the same single pass that derives n_docs,
     * so a matched n_docs from an intact file implies a matched
     * sum_dl). */
-  private def metaConsistent(spark: SparkSession,
-      store: String): Boolean =
+  private def metaConsistent(spark: SparkSession, store: String,
+      commit: graft.ops.StoreCommit): Boolean =
     scala.util.Try {
-      val m = spark.read.parquet(s"$store/meta")
+      val m = spark.read.parquet(commit.readDir(s"$store/meta"))
         .select(col("n_docs"), col("sum_dl")).head()
       !m.isNullAt(0) && !m.isNullAt(1) &&
-        m.getLong(0) == spark.read.parquet(s"$store/postings")
+        m.getLong(0) == spark.read
+          .parquet(commit.readDir(s"$store/postings"))
           .select(col("doc_id")).distinct().count()
     }.getOrElse(false)
 
   /** Re-derive meta from the postings store (n_docs = distinct docs,
     * sum_dl = one dl per doc) — exact, whichever side of a meta
-    * rewrite a crash landed on. Routed through the ArtifactSwap
-    * rename-aside so the repair cannot itself tear meta (round-14
-    * ADVICE: this was a plain overwrite). */
-  private def rederiveMeta(spark: SparkSession, store: String): Unit =
-    writeMetaFrom(spark, spark.read.parquet(s"$store/postings"), store)
+    * rewrite a crash landed on. Routed through the commit protocol so
+    * the repair cannot itself tear meta (round-14 ADVICE: this was a
+    * plain overwrite). */
+  private def rederiveMeta(spark: SparkSession, store: String,
+      commit: graft.ops.StoreCommit): Unit =
+    writeMetaFrom(spark,
+      spark.read.parquet(commit.readDir(s"$store/postings")), store,
+      commit)
 
   private def writeMetaFrom(spark: SparkSession, postings: DataFrame,
-      store: String): Unit = {
+      store: String, commit: graft.ops.StoreCommit): Unit = {
     val m = postings
       .groupBy(col("doc_id")).agg(first(col("dl")).as("dl"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("dl").cast("long")).as("sum_dl"))
       .coalesce(1).localCheckpoint()
-    graft.ops.ArtifactSwap.writeAndSwap(s"$store/meta") { next =>
+    commit.replace(s"$store/meta") { next =>
       m.write.parquet(next)
     }
   }
@@ -450,8 +473,9 @@ object Retrieval {
     * never the corpus. The in-bucket non-query terms are cut by the
     * same broadcast term join as the live path. */
   def bm25FromIndex(spark: SparkSession, store: String,
-      docsDir: String, nq: Int): DataFrame = {
-    val meta = spark.read.parquet(s"$store/meta").head()
+      docsDir: String, nq: Int,
+      commit: graft.ops.StoreCommit = graft.ops.SwapCommit): DataFrame = {
+    val meta = spark.read.parquet(commit.readDir(s"$store/meta")).head()
     val n = meta.getLong(0)
     val avgdl = meta.getLong(1).toDouble / n.toDouble
     val qt = queryTerms(toksD(spark, docsDir), nq).localCheckpoint()
@@ -460,7 +484,7 @@ object Retrieval {
     val buckets = qt
       .select(pmod(hash(col("term")), lit(TermBuckets))).distinct()
       .collect().map(_.getInt(0)).toSeq
-    val tf = spark.read.parquet(s"$store/postings")
+    val tf = spark.read.parquet(commit.readDir(s"$store/postings"))
       .filter(col("tbucket").isin(buckets: _*))
       .join(broadcast(qt.select(col("term")).distinct()), "term")
       .select(col("doc_id"), col("dl"), col("term"), col("tf"))
@@ -470,22 +494,31 @@ object Retrieval {
   /** The standard query batch answered from an existing index store
     * (the steady-state serve form ScaleUp times). */
   def bm25BatchFromIndex(spark: SparkSession, dir: String,
-      store: String): DataFrame = servedBatch(spark, dir, store)
+      store: String,
+      commit: graft.ops.StoreCommit = graft.ops.SwapCommit): DataFrame =
+    servedBatch(spark, dir, store, commit)
 
   private def servedBatch(spark: SparkSession, dir: String,
-      store: String): DataFrame =
-    bm25TopPerQuery(bm25FromIndex(spark, store, dir, BatchQueries), BmK)
+      store: String,
+      commit: graft.ops.StoreCommit = graft.ops.SwapCommit): DataFrame =
+    bm25TopPerQuery(
+        bm25FromIndex(spark, store, dir, BatchQueries, commit), BmK)
       .select(col("query_id"), col("doc_id"), col("matched_terms"),
         col("bm25_micronats"), col("rank").cast("long").as("rank"))
       .orderBy(col("query_id"), col("rank"))
 
   /** DRIVER-GATED serve path: build the index into a scratch dir,
     * answer the query batch from it — oracle = `rag_bm25_batch`'s
-    * replay verbatim (serve == rebuild). */
+    * replay verbatim (serve == rebuild). The store commits through
+    * the OBJECT-STORE-SAFE pointer protocol
+    * ([[graft.ops.PointerCommit]]) — the gate proves a
+    * pointer-committed store serves hash-exactly (round-15 verdict
+    * #1's re-gate), while `rag_bm25_index_append` keeps the
+    * rename-aside mode covered. */
   def bm25Served(spark: SparkSession, dir: String): DataFrame = {
     val store = graft.ops.Scratch.dir("graft_bm25_served") + "/ix"
-    writeBm25Index(toksD(spark, dir), store)
-    servedBatch(spark, dir, store)
+    writeBm25Index(toksD(spark, dir), store, graft.ops.PointerCommit)
+    servedBatch(spark, dir, store, graft.ops.PointerCommit)
   }
 
   /** DRIVER-GATED append path: build the index from the ~90% gold

@@ -184,80 +184,182 @@ object ZOrderLayout {
 
   // ---- maintained z-ordered store (the OPTIMIZE analog) ----------
   //
-  // Layout: store/base (z-ordered parquet), store/delta/batch=<maxId>
-  // (raw row appends), store/_id_watermark. Appends land in a
-  // batch-stamped subdir whose NAME is a pure function of the fresh
-  // row set (its max monotone id), so a replayed batch OVERWRITES its
-  // own subdir instead of duplicating — exactly-once without a
-  // marker/repair pair. Compaction rewrites base := zorder(base ∪
-  // delta) and drops delta through ONE whole-store
-  // [[graft.ops.ArtifactSwap]] swap (watermark inside), so a crash
-  // anywhere in the rewrite resolves to either the old store or the
-  // new one, never a mix.
+  // TIERED layout (round-15 verdict #2 — the old single-tier
+  // compaction rewrote the WHOLE base every CompactAfter deltas,
+  // O(store) per trigger and O(N²/batch) amortized over the store's
+  // life; measured growing 18.7 → 37.9 s as a 60M-row base grew):
+  //
+  //   store/base              major-compacted z-ordered parquet (L2)
+  //   store/l1/run=<maxId>    z-ordered L1 runs (minor compactions)
+  //   store/delta/batch=<maxId>  raw per-trigger appends (L0)
+  //   store/_id_watermark     replay scalar (optimization only)
+  //
+  // MINOR compaction (every [[CompactAfter]] deltas) folds the
+  // pending deltas into ONE z-sorted L1 run — cost tracks the DELTAS,
+  // never the base. MAJOR compaction (base := zorder(base ∪ runs ∪
+  // deltas), one whole-store [[graft.ops.StoreCommit.replace]])
+  // fires only when the runs have grown to [[MajorSizeRatio]] × the
+  // base (or [[MaxL1Runs]] runs bound the read amplification) — the
+  // size-ratio trigger means the base roughly doubles per major
+  // rewrite, so every row is rewritten O(log N) times over the
+  // store's life instead of O(N/batch) times: the LSM growth law.
+  //
+  // Exactly-once without a marker/repair pair: a delta subdir is
+  // NAMED by its row set's max monotone id, so a replayed batch
+  // overwrites its own subdir; an L1 run is named by the max id it
+  // absorbed, so "delta id ≤ max run id" marks a delta as SUPERSEDED
+  // (monotone ids make that exact) — the crash window between a run
+  // landing and its absorbed deltas being deleted resolves by that
+  // rule on every read, and the sweep deletes the debris lazily.
+  // Torn subdirs (crashed mid-parquet-job) carry no `_SUCCESS` and
+  // are invisible to every listing below (round-15 ADVICE).
 
-  /** Number of delta subdirs that triggers compaction. */
+  /** Number of delta subdirs that triggers a MINOR compaction. */
   val CompactAfter = 4
 
-  // FileSystem API, not java.io.File: the store may live on any
-  // Hadoop scheme the swap layer admits (a local-File listing would
-  // silently see no deltas there — compaction never firing and
-  // readStore dropping delta rows)
-  private def deltaDirs(store: String): Seq[String] =
-    graft.ops.StoreFiles.partitionDirs(s"$store/delta", "batch=")
+  /** MAJOR compaction fires when Σ|L1 runs| ≥ ratio × |base| — the
+    * size-ratio trigger that makes per-row rewrite work logarithmic. */
+  val MajorSizeRatio = 1.0
 
-  /** Pending delta-subdir count — the compaction trigger's input. */
+  /** Hard bound on accumulated L1 runs (read-amplification cap): at
+    * this many runs a major compaction fires regardless of ratio. */
+  val MaxL1Runs = 8
+
+  private def idOf(dir: String): Long =
+    dir.substring(dir.lastIndexOf('=') + 1).toLong
+
+  // _SUCCESS-gated listings over the FileSystem API: torn dirs are
+  // invisible, and the store may live on any Hadoop scheme
+  private def runDirs(store: String): Seq[String] =
+    graft.ops.StoreFiles.committedPartitionDirs(s"$store/l1", "run=")
+
+  private def maxRunId(store: String): Long =
+    runDirs(store).map(idOf).foldLeft(Long.MinValue)(math.max)
+
+  /** LIVE delta subdirs: committed and not superseded by an L1 run. */
+  private def deltaDirs(store: String): Seq[String] = {
+    val cut = maxRunId(store)
+    graft.ops.StoreFiles.committedPartitionDirs(s"$store/delta", "batch=")
+      .filter(idOf(_) > cut)
+  }
+
+  /** Pending live-delta count — the minor-compaction trigger. */
   def deltaCount(store: String): Int = deltaDirs(store).size
 
-  /** All live rows of the store: z-ordered base ∪ raw deltas. */
+  /** All live rows of the store: base ∪ L1 runs ∪ live deltas. */
   def readStore(spark: SparkSession, store: String): DataFrame = {
-    val base = s"$store/base"
-    val parts =
-      (if (graft.ops.StoreFiles.parquetFileCount(base) > 0) Seq(base)
-       else Seq.empty) ++ deltaDirs(store).filter(
-        graft.ops.StoreFiles.parquetFileCount(_) > 0)
+    val parts = tierDirs(store)
     require(parts.nonEmpty, s"empty z-order store at $store")
     parts.map(spark.read.parquet(_)).reduce(_ unionByName _)
   }
 
-  /** The replay watermark, re-derived from store contents when the
-    * scalar is torn/missing (the monotone-id contract makes max
-    * sufficient — one column read, never a distinct set). */
+  private def tierDirs(store: String): Seq[String] = {
+    val base = s"$store/base"
+    (if (graft.ops.StoreFiles.parquetFileCount(base) > 0) Seq(base)
+     else Seq.empty) ++ runDirs(store) ++ deltaDirs(store)
+  }
+
+  /** The replay watermark, re-derived when the scalar is torn or
+    * missing: run/delta subdir NAMES are their max ids (cheap, no
+    * data read); only a bare base needs the one-column max scan. */
   def storeWatermark(spark: SparkSession, store: String,
       idCol: String): Option[Long] =
     graft.ops.StoreFiles.readIdWatermark(store).orElse {
+      val named = (runDirs(store) ++ graft.ops.StoreFiles
+        .committedPartitionDirs(s"$store/delta", "batch=")).map(idOf)
       val base = s"$store/base"
-      val any = (if (graft.ops.StoreFiles.parquetFileCount(base) > 0)
-        Seq(base) else Seq.empty) ++ deltaDirs(store).filter(
-        graft.ops.StoreFiles.parquetFileCount(_) > 0)
-      if (any.isEmpty) None
-      else Some(any.map(spark.read.parquet(_)
-        .agg(max(col(idCol))).head().getLong(0)).max)
+      val baseMax =
+        if (graft.ops.StoreFiles.parquetFileCount(base) > 0)
+          Some(spark.read.parquet(base)
+            .agg(max(col(idCol))).head().getLong(0))
+        else None
+      val all = named ++ baseMax
+      if (all.isEmpty) None else Some(all.max)
     }
 
-  /** Append a batch: batch-stamped delta subdir (idempotent under
-    * replay — same fresh set, same dir, mode overwrite), then the
-    * watermark scalar. A crash between the two leaves a stale scalar
-    * that [[storeWatermark]]'s re-derivation or the subdir overwrite
-    * both absorb. */
-  def appendDelta(rows: DataFrame, store: String, idCol: String,
-      batchMax: Long): Unit = {
+  /** Append a batch as a delta subdir named by the batch's own max
+    * id (computed here — the name is BY CONSTRUCTION a pure function
+    * of the row set, the round-15 ADVICE contract the old pass-it-in
+    * signature only documented), then the watermark scalar. Idempotent
+    * under replay: same fresh set → same name → mode-overwrite of its
+    * own subdir. Returns the max id. `rows` must be non-empty and
+    * pinned by the caller (the sink localCheckpoints the fresh set). */
+  def appendDelta(rows: DataFrame, store: String, idCol: String): Long = {
+    val batchMax = rows.agg(max(col(idCol))).head().getLong(0)
     rows.write.mode("overwrite")
       .parquet(s"$store/delta/batch=$batchMax")
     graft.ops.StoreFiles.writeIdWatermark(store, batchMax)
+    batchMax
   }
 
-  /** Compact base ∪ delta into a fresh z-ordered base through one
-    * whole-store swap. O(store) by design — layout maintenance IS a
-    * rewrite; the trigger bounds how often it is paid. */
+  /** MINOR compaction: fold every live delta into one z-sorted L1 run
+    * named by the max id absorbed, then delete the superseded deltas.
+    * Cost tracks Σ|deltas| — the base is never read. Crash windows:
+    * mid-run-write → no `_SUCCESS`, invisible, re-done (and the torn
+    * dir cleaned) next trigger; between run and delta deletion → the
+    * supersession rule hides the leftovers until [[sweepSuperseded]]
+    * removes them. */
+  def minorCompact(spark: SparkSession, store: String,
+      x: String, y: String): Unit = {
+    // clean torn runs from crashed minor compactions (invisible to
+    // readers, but they would accumulate as debris)
+    graft.ops.StoreFiles.partitionDirs(s"$store/l1", "run=")
+      .filterNot(graft.ops.StoreFiles.markerExists(_, "_SUCCESS"))
+      .foreach(graft.ops.StoreFiles.deleteDir)
+    val live = deltaDirs(store)
+    if (live.isEmpty) return
+    val runId = live.map(idOf).max
+    val rows = live.map(spark.read.parquet(_)).reduce(_ unionByName _)
+    zorderWrite(rows, x, y, s"$store/l1/run=$runId")
+    sweepSuperseded(store)
+  }
+
+  /** Delete committed delta subdirs an L1 run has absorbed. */
+  def sweepSuperseded(store: String): Unit = {
+    val cut = maxRunId(store)
+    graft.ops.StoreFiles.committedPartitionDirs(s"$store/delta", "batch=")
+      .filter(idOf(_) <= cut)
+      .foreach(graft.ops.StoreFiles.deleteDir)
+  }
+
+  /** MAJOR compaction: base := zorder(base ∪ runs ∪ deltas) through
+    * one whole-store replace (watermark inside, so the commit is
+    * old-or-new, never a mix). O(store) by design — the size-ratio
+    * trigger in [[maybeCompactStore]] bounds how often it is paid. */
   def compactStore(spark: SparkSession, store: String,
-      x: String, y: String, idCol: String): Unit = {
-    val wm = storeWatermark(spark, store, idCol)
-    val all = readStore(spark, store).localCheckpoint()
-    graft.ops.ArtifactSwap.writeAndSwap(store) { next =>
+      x: String, y: String, idCol: String,
+      commit: graft.ops.StoreCommit = graft.ops.SwapCommit): Unit = {
+    // tiers are read from the LIVE dir (the root in swap mode, the
+    // committed version in pointer mode); the replace targets the ROOT
+    val live = commit.readDir(store)
+    val wm = storeWatermark(spark, live, idCol)
+    val all = readStore(spark, live).localCheckpoint()
+    commit.replace(store) { next =>
       zorderWrite(all, x, y, s"$next/base")
       wm.foreach(graft.ops.StoreFiles.writeIdWatermark(next, _))
       graft.ops.StoreFiles.createMarker(next, "_SUCCESS")
     }
+  }
+
+  /** The tiered maintenance policy the streaming sink runs after each
+    * append: minor when [[CompactAfter]] deltas pend; major when the
+    * L1 tier reaches [[MajorSizeRatio]] × the base's bytes (one
+    * metadata call per tier) or [[MaxL1Runs]] runs. Returns
+    * (minorRan, majorRan). */
+  def maybeCompactStore(spark: SparkSession, store: String,
+      x: String, y: String, idCol: String,
+      commit: graft.ops.StoreCommit = graft.ops.SwapCommit)
+      : (Boolean, Boolean) = {
+    val live = commit.readDir(store)
+    val minor = deltaCount(live) >= CompactAfter
+    if (minor) minorCompact(spark, live, x, y)
+    val runs = runDirs(live)
+    val major = runs.nonEmpty && (runs.size >= MaxL1Runs ||
+      graft.ops.StoreFiles.dirBytes(s"$live/l1") >=
+        (MajorSizeRatio * graft.ops.StoreFiles
+          .dirBytes(s"$live/base")).toLong)
+    if (major) compactStore(spark, store, x, y, idCol, commit)
+    (minor, major)
   }
 
   /** Z-order group envelopes of an arbitrary row set — the
@@ -268,20 +370,23 @@ object ZOrderLayout {
 
   /** DRIVER-GATED: the maintained store serves the same rows — and
     * therefore the same z-order group envelopes — as its source,
-    * through the full batch lifecycle (two delta appends + one
-    * compaction through the whole-store swap). One scratch store per
-    * corpus dir, memoized (the shared-scratch discipline). */
+    * through the full TIERED lifecycle: three delta appends, a minor
+    * compaction folding the first two into an L1 run (so reads span
+    * base-absent run + delta), then the major whole-store compaction.
+    * One scratch store per corpus dir, memoized (the shared-scratch
+    * discipline). */
   def zorderStoreForms(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
     val store = storeDirs.computeIfAbsent(dir, _ => {
       val s = graft.ops.Scratch.dir("graft_zstore_gate") + "/store"
       val maxKey = li.agg(max(col("l_orderkey"))).head().getLong(0)
-      val cut = maxKey / 2
-      appendDelta(li.filter(col("l_orderkey") <= cut), s,
-        "l_orderkey", cut)
-      appendDelta(li.filter(col("l_orderkey") > cut), s,
-        "l_orderkey", maxKey)
+      val (c1, c2) = (maxKey / 3, 2 * maxKey / 3)
+      appendDelta(li.filter(col("l_orderkey") <= c1), s, "l_orderkey")
+      appendDelta(li.filter(col("l_orderkey") > c1 &&
+        col("l_orderkey") <= c2), s, "l_orderkey")
+      minorCompact(spark, s, "l_partkey", "l_suppkey")
+      appendDelta(li.filter(col("l_orderkey") > c2), s, "l_orderkey")
       compactStore(spark, s, "l_partkey", "l_suppkey", "l_orderkey")
       s
     })

@@ -275,30 +275,26 @@ object EventStreams {
     graft.ops.StoreFiles.hasTopLevelParquet(dir)
 
   def incrementalDedupSink(docs: DataFrame, indexDir: String,
-      goldDir: String, checkpointDir: String): StreamingQuery = {
+      goldDir: String, checkpointDir: String,
+      commit: graft.ops.StoreCommit = graft.ops.SwapCommit)
+      : StreamingQuery = {
     import org.apache.spark.sql.functions.col
     val q = docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
+        // the gold corpus is a flat APPEND-ONLY store (new objects
+        // only — no rename ever), so only the derived index, whose
+        // compaction is a whole-store rewrite, rides the commit
+        // protocol
+        commit.recover(indexDir)
+        val ix = commit.readDir(indexDir)
         val goldSeeded = hasParquet(goldDir)
-        // a batch that crashed mid-sequence leaves the sync marker
-        // absent — its watermark may be stale, so drop it and fall
-        // back to the exact anti-join for this batch (round-14
-        // verdict #2)
-        if (goldSeeded &&
-            !graft.ops.StoreFiles.markerExists(goldDir, "_ids_synced"))
-          graft.ops.StoreFiles.deleteIdWatermark(goldDir)
-        // replay guard: monotone doc ids reduce the gold-wide id
-        // anti-join to one scalar on the happy path
-        val fresh =
-          if (!goldSeeded) batch
-          else graft.ops.StoreFiles.readIdWatermark(goldDir) match {
-            case Some(wm) => batch.filter(col("doc_id") > wm)
-            case None =>
-              val seen = spark.read.parquet(goldDir).select("doc_id")
-              batch.join(seen, Seq("doc_id"), "left_anti")
-          }
+        // guard prologue + replay filter: graft.ops.SinkGuard owns
+        // the watermark/marker trust protocol for every artifact sink
+        graft.ops.SinkGuard.prologue(goldDir, "_ids_synced", goldSeeded)
+        val fresh = graft.ops.SinkGuard.fresh(batch, goldDir, "doc_id",
+          goldSeeded, spark.read.parquet(goldDir).select("doc_id"))
         // the watermark covers the WHOLE batch (duplicates too — a
         // replayed dup would just re-judge duplicate), computed
         // before any append invalidates fresh's gold-reading lineage
@@ -311,24 +307,23 @@ object EventStreams {
         // the index appends wrote zero rows). Checkpointing pins the
         // rows and truncates the lineage before any append happens.
         val uniques = (
-          if (hasParquet(s"$indexDir/fingerprints")) {
+          if (hasParquet(s"$ix/fingerprints")) {
             val verdicts = graft.ext.Dedup
-              .incrementalAgainstIndex(spark, fresh, indexDir)
+              .incrementalAgainstIndex(spark, fresh, indexDir, commit)
               .filter(col("verdict") === "unique").select("doc_id")
             fresh.join(verdicts, Seq("doc_id"))
           } else fresh // empty store: the first batch seeds it
         ).localCheckpoint()
-        graft.ops.StoreFiles.deleteMarker(goldDir, "_ids_synced")
-        uniques.write.mode("append").parquet(goldDir)
-        graft.ext.Dedup.appendGoldIndex(uniques, indexDir)
-        if (!batchMax.isNullAt(0))
-          graft.ops.StoreFiles.writeIdWatermark(goldDir,
-            batchMax.getLong(0))
-        graft.ops.StoreFiles.createMarker(goldDir, "_ids_synced")
+        graft.ops.SinkGuard.commit(goldDir, "_ids_synced",
+            if (batchMax.isNullAt(0)) None else Some(batchMax.getLong(0))) {
+          uniques.write.mode("append").parquet(goldDir)
+          graft.ext.Dedup.appendGoldIndex(uniques, indexDir, commit)
+        }
         // compaction policy: many small appends fragment the store;
         // past the file-count threshold the batch's tail rebuilds it
         // from gold (sequential per micro-batch, so race-free)
-        graft.ext.Dedup.maybeCompactIndex(spark, goldDir, indexDir)
+        graft.ext.Dedup.maybeCompactIndex(spark, goldDir, indexDir,
+          commit = commit)
         ()
       }
       .start()
@@ -459,45 +454,39 @@ object EventStreams {
       coarse: Seq[(Int, Seq[Double])],
       rcbs: Seq[Seq[(Int, Seq[Double])]],
       codesDir: String, goldDir: String,
-      checkpointDir: String): StreamingQuery = {
+      checkpointDir: String,
+      commit: graft.ops.StoreCommit = graft.ops.SwapCommit)
+      : StreamingQuery = {
     import org.apache.spark.sql.functions.col
     val q = vectors.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
+        // gold is flat append-only (no rename ever); the codes store,
+        // whose compaction rebuilds it whole, rides the commit
+        // protocol
+        commit.recover(codesDir)
         val goldSeeded = hasParquet(goldDir)
-        // crashed batch → stale watermark possible → drop it, this
-        // batch anti-joins exactly (round-14 verdict #2)
-        if (goldSeeded &&
-            !graft.ops.StoreFiles.markerExists(goldDir, "_ids_synced"))
-          graft.ops.StoreFiles.deleteIdWatermark(goldDir)
+        graft.ops.SinkGuard.prologue(goldDir, "_ids_synced", goldSeeded)
         // localCheckpoint (EAGER): the fresh set's lineage reads the
         // gold dir this batch appends to — same re-execution hazard
         // as incrementalDedupSink's accepted set
-        val fresh = (
-          if (!goldSeeded) batch
-          else graft.ops.StoreFiles.readIdWatermark(goldDir) match {
-            // monotone vec_ids: the scalar replaces the store-wide
-            // id anti-join on the happy path
-            case Some(wm) => batch.filter(col("vec_id") > wm)
-            case None =>
-              val seen = spark.read.parquet(goldDir).select("vec_id")
-              batch.join(seen, Seq("vec_id"), "left_anti")
-          }
-        ).localCheckpoint()
-        graft.ops.StoreFiles.deleteMarker(goldDir, "_ids_synced")
-        fresh.write.mode("append").parquet(goldDir)
-        graft.ext.ProductQuant.encodeFrameResidual(
-          fresh.select(col("vec_id"), col("label"),
-            col("embedding").cast("array<double>").as("v")),
-          coarse, rcbs)
-          .write.mode("append").partitionBy("cell").parquet(codesDir)
+        val fresh = graft.ops.SinkGuard.fresh(batch, goldDir, "vec_id",
+          goldSeeded, spark.read.parquet(goldDir).select("vec_id"))
+          .localCheckpoint()
         val mx = fresh.agg(max(col("vec_id"))).head() // pinned frame
-        if (!mx.isNullAt(0))
-          graft.ops.StoreFiles.writeIdWatermark(goldDir, mx.getLong(0))
-        graft.ops.StoreFiles.createMarker(goldDir, "_ids_synced")
+        graft.ops.SinkGuard.commit(goldDir, "_ids_synced",
+            if (mx.isNullAt(0)) None else Some(mx.getLong(0))) {
+          fresh.write.mode("append").parquet(goldDir)
+          graft.ext.ProductQuant.encodeFrameResidual(
+            fresh.select(col("vec_id"), col("label"),
+              col("embedding").cast("array<double>").as("v")),
+            coarse, rcbs)
+            .write.mode("append").partitionBy("cell")
+            .parquet(commit.writeDir(codesDir))
+        }
         graft.ext.ProductQuant.maybeCompactCodes(
-          spark, goldDir, codesDir, coarse, rcbs)
+          spark, goldDir, codesDir, coarse, rcbs, commit = commit)
         ()
       }
       .start()
@@ -547,63 +536,62 @@ object EventStreams {
       coarse: Seq[(Int, Seq[Double])],
       subs: Seq[Seq[(Int, Seq[Double])]], subK: Int,
       cellsDir: String, verdictsDir: String,
-      checkpointDir: String): StreamingQuery = {
+      checkpointDir: String,
+      commit: graft.ops.StoreCommit = graft.ops.SwapCommit)
+      : StreamingQuery = {
     val q = vectors.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (raw: DataFrame, _: Long) =>
         val spark = raw.sparkSession
         val batch = raw.select(col("vec_id"),
           col("embedding").cast("array<double>").as("v"))
-        // close any crash window of the compaction's rename-aside
-        // swap BEFORE probing the store (round-14 ADVICE: compaction
-        // used to rewrite the source-of-truth cells store in place —
-        // it now rides ArtifactSwap, and this recover is its other
-        // half: existence checks + renames only, cheap every batch)
-        graft.ops.ArtifactSwap.recover(cellsDir)
+        // close any crash window of the compaction's whole-store
+        // replace BEFORE probing the store (round-14 ADVICE:
+        // compaction used to rewrite the source-of-truth cells store
+        // in place — it now rides the commit protocol, and this
+        // recover is its other half: existence checks + small
+        // renames/deletes only, cheap every batch)
+        commit.recover(cellsDir)
+        val cells = commit.writeDir(cellsDir)
         // the cells store is cell-PARTITIONED: its part files live
         // under cell=N/ subdirs, so the presence probe must recurse
         // (the flat hasParquet sees only _SUCCESS at the top level
         // and would report an always-empty store — verified failure
         // mode: zero gold candidates, every verdict false)
-        val storeSeeded = graft.ext.Dedup.cellsFileCount(cellsDir) > 0
-        // crashed batch → stale watermark possible → drop it and
-        // anti-join exactly this once (round-14 verdict #2). The
-        // compaction swap also clears the in-store marker files, so
-        // the first post-compaction batch pays the same one-off
-        // fallback and re-derives the scalar.
-        if (storeSeeded &&
-            !graft.ops.StoreFiles.markerExists(cellsDir, "_ids_synced"))
-          graft.ops.StoreFiles.deleteIdWatermark(cellsDir)
-        // replay guard: monotone vec_ids reduce the store-wide id
-        // anti-join to one scalar on the happy path
-        val fresh =
-          if (!storeSeeded) batch
-          else graft.ops.StoreFiles.readIdWatermark(cellsDir) match {
-            case Some(wm) => batch.filter(col("vec_id") > wm)
-            case None =>
-              val seen = spark.read.parquet(cellsDir).select("vec_id")
-              batch.join(seen, Seq("vec_id"), "left_anti")
-          }
+        val storeSeeded = graft.ext.Dedup.cellsFileCount(cells) > 0
+        // guard state (marker + watermark) lives at the store ROOT:
+        // in swap mode that is the live dir (the compaction swap
+        // clears it — the first post-compaction batch pays a one-off
+        // anti-join fallback); in pointer mode the root survives
+        // version flips, and a content-preserving compaction keeps
+        // the watermark valid
+        graft.ops.SinkGuard.prologue(cellsDir, "_ids_synced",
+          storeSeeded)
+        val fresh = graft.ops.SinkGuard.fresh(batch, cellsDir,
+          "vec_id", storeSeeded,
+          spark.read.parquet(cells).select("vec_id"))
         val batchCells = graft.ext.Dedup
           .assignSemanticCells(fresh, coarse, subs, subK)
           .localCheckpoint()
         if (!batchCells.isEmpty) {
           val goldCells =
             if (storeSeeded)
-              spark.read.parquet(cellsDir).select(col("vec_id"),
+              spark.read.parquet(cells).select(col("vec_id"),
                 col("cell").cast("int").as("cell"), col("v"))
             else emptyCells(spark)
           val verdicts = graft.ext.Dedup
             .batchSemanticDups(goldCells, batchCells)
             .localCheckpoint()
-          graft.ops.StoreFiles.deleteMarker(cellsDir, "_ids_synced")
-          batchCells.write.mode("append").partitionBy("cell")
-            .parquet(cellsDir)
-          verdicts.write.mode("append").parquet(verdictsDir)
-          graft.ops.StoreFiles.writeIdWatermark(cellsDir,
-            batchCells.agg(max(col("vec_id"))).head().getLong(0))
-          graft.ops.StoreFiles.createMarker(cellsDir, "_ids_synced")
-          graft.ext.Dedup.maybeCompactSemanticCells(spark, cellsDir)
+          val batchMax =
+            batchCells.agg(max(col("vec_id"))).head().getLong(0)
+          graft.ops.SinkGuard.commit(cellsDir, "_ids_synced",
+              Some(batchMax)) {
+            batchCells.write.mode("append").partitionBy("cell")
+              .parquet(cells)
+            verdicts.write.mode("append").parquet(verdictsDir)
+          }
+          graft.ext.Dedup.maybeCompactSemanticCells(spark, cellsDir,
+            commit = commit)
         }
         ()
       }
@@ -652,43 +640,35 @@ object EventStreams {
     * removes whatever landed (half a doc or all of it) and the replay
     * re-processes the batch from scratch. */
   def lexicalIndexSink(docs: DataFrame, storeDir: String,
-      checkpointDir: String): StreamingQuery = {
+      checkpointDir: String,
+      commit: graft.ops.StoreCommit = graft.ops.SwapCommit)
+      : StreamingQuery = {
     val q = docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (raw: DataFrame, _: Long) =>
         val spark = raw.sparkSession
-        val postingsDir = s"$storeDir/postings"
-        // rename-aside recovery runs UNCONDITIONALLY — it is only
-        // existence checks and renames, and it must not hide behind
-        // the marker: compaction runs AFTER the marker is re-created,
-        // so a crash inside either of its writeAndSwap windows
+        // commit-protocol recovery runs UNCONDITIONALLY — it is only
+        // existence checks and small renames/deletes, and it must not
+        // hide behind the marker: compaction runs AFTER the marker is
+        // re-created, so a crash inside either of its replace windows
         // (postings or committed log) leaves the marker present with
-        // a dir renamed aside; the gated path below would then skip
-        // recoverBm25Store (the only ArtifactSwap.recover caller),
-        // see the missing dir as unseeded, and overwrite-seed the
+        // a half-done commit; the gated path below would then skip
+        // recoverBm25Store (the only full-recovery caller), see the
+        // missing dir as unseeded, and overwrite-seed the
         // source-of-truth store from one batch (round-14 ADVICE,
         // medium — silent loss of the whole index)
-        graft.ops.ArtifactSwap.recover(postingsDir)
-        graft.ops.ArtifactSwap.recover(
-          graft.ext.Retrieval.committedDir(storeDir))
-        graft.ops.ArtifactSwap.recover(s"$storeDir/meta")
+        commit.recover(s"$storeDir/postings")
+        commit.recover(graft.ext.Retrieval.committedDir(storeDir))
+        commit.recover(s"$storeDir/meta")
         // the full recovery is an O(doc_ids) scan, so it is GATED on
-        // the sync marker the happy path maintains below (the knn
-        // sink's `_cells_synced` discipline): steady state pays one
-        // existence probe; only a batch that crashed inside the
-        // postings→meta→committed sequence pays the scan. A store
-        // seeded OUTSIDE the sink has no marker yet — its first
-        // batch runs one recovery (which also bootstraps a missing
-        // committed log from committed postings) and arms it.
-        if (!graft.ops.StoreFiles.markerExists(storeDir,
-            "_committed_synced")) {
-          // a crashed batch may have committed its docs without
-          // updating the watermark — drop it so this batch's guard
-          // falls back to the exact anti-join (round-14 verdict #2)
-          graft.ops.StoreFiles.deleteIdWatermark(storeDir)
-          graft.ext.Retrieval.recoverBm25Store(spark, storeDir)
-          graft.ops.StoreFiles.createMarker(storeDir, "_committed_synced")
-        }
+        // the sync marker (SinkGuard.prologue with gate = true: a
+        // store seeded OUTSIDE the sink has no marker yet — its first
+        // batch runs one recovery, which also bootstraps a missing
+        // committed log from committed postings, and arms it).
+        graft.ops.SinkGuard.prologue(storeDir, "_committed_synced",
+          gate = true, repair = Some(() =>
+            { graft.ext.Retrieval.recoverBm25Store(spark, storeDir,
+                commit); () }))
         val batchTd = raw
           .select(col("doc_id"),
             graft.ext.TextOps.tokens(col("text")).as("t"))
@@ -696,32 +676,27 @@ object EventStreams {
         // post-recovery invariant: every posted doc is committed, so
         // the committed log is the complete seen-set (and unlike raw
         // part-file presence it can never claim a half-present doc)
-        val committed = graft.ext.Retrieval.committedDir(storeDir)
-        val seeded = graft.ext.Dedup.cellsFileCount(postingsDir) > 0 &&
+        val committed = commit.readDir(
+          graft.ext.Retrieval.committedDir(storeDir))
+        val seeded = graft.ext.Dedup.cellsFileCount(
+            commit.readDir(s"$storeDir/postings")) > 0 &&
           graft.ops.StoreFiles.hasTopLevelParquet(committed)
-        // replay guard: monotone doc ids reduce the committed-log
-        // anti-join to one scalar on the happy path; the log scan is
-        // the post-crash fallback only (round-14 verdict #2)
-        val fresh =
-          (if (!seeded) batchTd
-           else graft.ops.StoreFiles.readIdWatermark(storeDir) match {
-             case Some(wm) => batchTd.filter(col("doc_id") > wm)
-             case None =>
-               val seen = spark.read.parquet(committed)
-                 .select("doc_id").distinct()
-               batchTd.join(seen, Seq("doc_id"), "left_anti")
-           }).localCheckpoint()
+        val fresh = graft.ops.SinkGuard.fresh(batchTd, storeDir,
+            "doc_id", seeded,
+            spark.read.parquet(committed).select("doc_id").distinct())
+          .localCheckpoint()
         if (!fresh.isEmpty) {
           val batchMax = fresh.agg(max(col("doc_id"))).head().getLong(0)
-          graft.ops.StoreFiles.deleteMarker(storeDir, "_committed_synced")
-          if (seeded)
-            graft.ext.Retrieval.appendBm25Index(spark, fresh, storeDir)
-          else graft.ext.Retrieval.writeBm25Index(fresh, storeDir)
-          // watermark strictly before the marker re-arms (a crash
-          // between them discards it at the next batch)
-          graft.ops.StoreFiles.writeIdWatermark(storeDir, batchMax)
-          graft.ops.StoreFiles.createMarker(storeDir, "_committed_synced")
-          graft.ext.Retrieval.maybeCompactPostings(spark, storeDir)
+          graft.ops.SinkGuard.commit(storeDir, "_committed_synced",
+              Some(batchMax)) {
+            if (seeded)
+              graft.ext.Retrieval.appendBm25Index(spark, fresh,
+                storeDir, commit)
+            else graft.ext.Retrieval.writeBm25Index(fresh, storeDir,
+              commit)
+          }
+          graft.ext.Retrieval.maybeCompactPostings(spark, storeDir,
+            commit = commit)
         }
         ()
       }
@@ -805,9 +780,11 @@ object EventStreams {
   def knnEdgesSink(vectors: DataFrame,
       assign: DataFrame => DataFrame,
       cellsDir: String, edgesDir: String,
-      checkpointDir: String): StreamingQuery =
+      checkpointDir: String,
+      commit: graft.ops.StoreCommit = graft.ops.SwapCommit)
+      : StreamingQuery =
     knnGraphSink(vectors, assign, cellsDir, edgesDir, None,
-      checkpointDir)
+      checkpointDir, commit)
 
   /** [[knnEdgesSink]] one level up (round-14 stretch #7): when
     * `labelsDir` is given, each micro-batch ALSO folds the touched
@@ -826,53 +803,42 @@ object EventStreams {
       assign: DataFrame => DataFrame,
       cellsDir: String, edgesDir: String,
       labelsDir: Option[String],
-      checkpointDir: String): StreamingQuery = {
+      checkpointDir: String,
+      commit: graft.ops.StoreCommit = graft.ops.SwapCommit)
+      : StreamingQuery = {
     val q = vectors.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (raw: DataFrame, _: Long) =>
         val spark = raw.sparkSession
         // close any crash window of the cells compaction's
-        // rename-aside swap BEFORE the seeded probe (round-14 ADVICE:
-        // the in-place rewrite this replaces could lose stored cells
-        // rows on a crash, and repairKnnEdges cannot rebuild cells)
-        graft.ops.ArtifactSwap.recover(cellsDir)
-        val storeSeeded = graft.ext.Dedup.cellsFileCount(cellsDir) > 0
+        // whole-store replace BEFORE the seeded probe (round-14
+        // ADVICE: the in-place rewrite this replaces could lose
+        // stored cells rows on a crash, and repairKnnEdges cannot
+        // rebuild cells). The edges/labels stores keep their
+        // dynamic-partition-overwrite + consistency-repair protocol
+        // in BOTH commit modes — the repair detects torn partition
+        // commits from layout + content (count/owner-set disagreement
+        // vs the cells store), never from rename atomicity, so it is
+        // scheme-agnostic by construction.
+        commit.recover(cellsDir)
+        val cells = commit.writeDir(cellsDir)
+        val storeSeeded = graft.ext.Dedup.cellsFileCount(cells) > 0
         // repair is O(store) (two consistency aggregates), so it is
         // GATED on the sync marker the happy path maintains below:
         // steady state pays one existence probe, and only a batch
         // that actually crashed between the cells append and the
         // edges update (marker absent) pays the scan
-        if (storeSeeded &&
-            !graft.ops.StoreFiles.markerExists(edgesDir, "_cells_synced")) {
-          // a crashed batch: the watermark can be stale (e.g. the
-          // crash landed after the appends but before the watermark
-          // write), so drop it — this batch's guard falls back to the
-          // exact anti-join and re-derives it (round-14 verdict #2)
-          graft.ops.StoreFiles.deleteIdWatermark(edgesDir)
-          graft.ext.ClusterOps.repairKnnEdges(spark, cellsDir, edgesDir)
-          labelsDir.foreach(ld => graft.ext.ClusterOps
-            .repairKnnCommunityLabels(spark, cellsDir, ld))
-          // the stores are consistent now; re-arm the marker so a
-          // replay whose batch fully drops (guard below) doesn't pay
-          // the scan forever
-          graft.ops.StoreFiles.createMarker(edgesDir, "_cells_synced")
-        }
+        graft.ops.SinkGuard.prologue(edgesDir, "_cells_synced",
+          storeSeeded, repair = Some(() => {
+            graft.ext.ClusterOps.repairKnnEdges(spark, cells, edgesDir)
+            labelsDir.foreach(ld => graft.ext.ClusterOps
+              .repairKnnCommunityLabels(spark, cells, ld))
+          }))
         val batch = raw.select(col("vec_id"),
           col("embedding").cast("array<double>").as("v"))
-        // replay guard: the monotone-id contract reduces "already in
-        // the cells store" to one scalar — ids at or below the max
-        // stored id drop. The store-wide id anti-join survives only
-        // as the fallback for the batch right after a crash (round-14
-        // verdict #2: the guard scan was the sinks' only store-sized
-        // read on the happy path)
-        val fresh =
-          if (!storeSeeded) batch
-          else graft.ops.StoreFiles.readIdWatermark(edgesDir) match {
-            case Some(wm) => batch.filter(col("vec_id") > wm)
-            case None =>
-              val seen = spark.read.parquet(cellsDir).select("vec_id")
-              batch.join(seen, Seq("vec_id"), "left_anti")
-          }
+        val fresh = graft.ops.SinkGuard.fresh(batch, edgesDir,
+          "vec_id", storeSeeded,
+          spark.read.parquet(cells).select("vec_id"))
         val assigned = assign(fresh)
           .select(col("vec_id"), col("cell"), col("v"))
           .localCheckpoint()
@@ -881,49 +847,48 @@ object EventStreams {
             .agg(min(col("vec_id")), max(col("vec_id"))).head() match {
               case r => Array(r.getLong(0), r.getLong(1))
             }
-          graft.ops.StoreFiles.deleteMarker(edgesDir, "_cells_synced")
-          assigned.write.mode("append").partitionBy("cell")
-            .parquet(cellsDir)
-          // touched-cells-only read (round-14 verdict nit): the
-          // appends only ever need the batch's cells' members, so the
-          // partition filter is EXPLICIT at the store read instead of
-          // relying on pushdown through the appends' internal filter
-          // — self-documenting, and the plan stays pruned even if a
-          // future store layout breaks pushdown. Bounded collect:
-          // the batch's distinct cells, ≤ min(cell count, batch size).
-          val touchedCells = assigned.select(col("cell")).distinct()
-            .collect().map(_.get(0).toString.toInt).sorted
-            .map(Integer.valueOf)
-          val storeCells = spark.read.parquet(cellsDir)
-            .select(col("vec_id"), col("cell").cast("int").as("cell"),
-              col("v"))
-            .filter(col("cell").isin(touchedCells: _*))
-          graft.ext.ClusterOps.appendKnnEdges(spark, edgesDir,
-            storeCells, batchFrom)
-          // labels SEED must see EVERY stored cell, not the touched
-          // pruning: appendKnnCommunityLabels' empty-store branch
-          // writes exactly the cells it is given, and a pruned seed
-          // would leave the untouched cells permanently label-less
-          // (the marker-gated repair never fires on healthy batches).
-          // Steady-state appends keep the pruned read.
-          labelsDir.foreach { ld =>
-            val seedNeeded =
-              graft.ops.StoreFiles.partitionDirCount(ld, "cell=") == 0
-            val labelInput =
-              if (seedNeeded) spark.read.parquet(cellsDir)
-                .select(col("vec_id"), col("cell").cast("int").as("cell"),
-                  col("v"))
-              else storeCells
-            graft.ext.ClusterOps
-              .appendKnnCommunityLabels(spark, ld, labelInput, batchFrom)
+          graft.ops.SinkGuard.commit(edgesDir, "_cells_synced",
+              Some(batchMax)) {
+            assigned.write.mode("append").partitionBy("cell")
+              .parquet(cells)
+            // touched-cells-only read (round-14 verdict nit): the
+            // appends only ever need the batch's cells' members, so
+            // the partition filter is EXPLICIT at the store read
+            // instead of relying on pushdown through the appends'
+            // internal filter — self-documenting, and the plan stays
+            // pruned even if a future store layout breaks pushdown.
+            // Bounded collect: the batch's distinct cells,
+            // ≤ min(cell count, batch size).
+            val touchedCells = assigned.select(col("cell")).distinct()
+              .collect().map(_.get(0).toString.toInt).sorted
+              .map(Integer.valueOf)
+            val storeCells = spark.read.parquet(cells)
+              .select(col("vec_id"), col("cell").cast("int").as("cell"),
+                col("v"))
+              .filter(col("cell").isin(touchedCells: _*))
+            graft.ext.ClusterOps.appendKnnEdges(spark, edgesDir,
+              storeCells, batchFrom)
+            // labels SEED must see EVERY stored cell, not the touched
+            // pruning: appendKnnCommunityLabels' empty-store branch
+            // writes exactly the cells it is given, and a pruned seed
+            // would leave the untouched cells permanently label-less
+            // (the marker-gated repair never fires on healthy
+            // batches). Steady-state appends keep the pruned read.
+            labelsDir.foreach { ld =>
+              val seedNeeded =
+                graft.ops.StoreFiles.partitionDirCount(ld, "cell=") == 0
+              val labelInput =
+                if (seedNeeded) spark.read.parquet(cells)
+                  .select(col("vec_id"),
+                    col("cell").cast("int").as("cell"), col("v"))
+                else storeCells
+              graft.ext.ClusterOps
+                .appendKnnCommunityLabels(spark, ld, labelInput,
+                  batchFrom)
+            }
           }
-          // watermark BEFORE the marker re-arms: a crash between the
-          // two leaves the marker absent, which discards the
-          // watermark at the next batch — a stale scalar is never
-          // trusted
-          graft.ops.StoreFiles.writeIdWatermark(edgesDir, batchMax)
-          graft.ops.StoreFiles.createMarker(edgesDir, "_cells_synced")
-          graft.ext.Dedup.maybeCompactSemanticCells(spark, cellsDir)
+          graft.ext.Dedup.maybeCompactSemanticCells(spark, cellsDir,
+            commit = commit)
         }
         ()
       }
@@ -1094,22 +1059,27 @@ object EventStreams {
     * a mix. Stream content == source EXACT through crash + replay,
     * asserted in ZOrderSpec. */
   def zorderStoreSink(rows: DataFrame, store: String,
-      checkpointDir: String, x: String, y: String,
-      idCol: String): StreamingQuery = {
+      checkpointDir: String, x: String, y: String, idCol: String,
+      commit: graft.ops.StoreCommit = graft.ops.SwapCommit)
+      : StreamingQuery = {
     import graft.pipeline.ZOrderLayout
     val q = rows.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (raw: DataFrame, _: Long) =>
         val spark = raw.sparkSession
-        graft.ops.ArtifactSwap.recover(store)
-        val wm = ZOrderLayout.storeWatermark(spark, store, idCol)
+        commit.recover(store)
+        // the live dir: the store root (swap mode) or the committed
+        // pointer version (pointer mode) — appends and tier listings
+        // all run against it; the major compaction alone replaces the
+        // ROOT through the commit protocol
+        val live = commit.writeDir(store)
+        val wm = ZOrderLayout.storeWatermark(spark, live, idCol)
         val fresh = wm.map(w => raw.filter(col(idCol) > w))
           .getOrElse(raw).localCheckpoint()
         if (!fresh.isEmpty) {
-          val batchMax = fresh.agg(max(col(idCol))).head().getLong(0)
-          ZOrderLayout.appendDelta(fresh, store, idCol, batchMax)
-          if (ZOrderLayout.deltaCount(store) >= ZOrderLayout.CompactAfter)
-            ZOrderLayout.compactStore(spark, store, x, y, idCol)
+          ZOrderLayout.appendDelta(fresh, live, idCol)
+          ZOrderLayout.maybeCompactStore(spark, store, x, y, idCol,
+            commit)
         }
         ()
       }

@@ -149,6 +149,102 @@ class ZOrderSpec extends SparkSpec {
       s"most base files must bound y below half its domain, spans ${env.toSeq}")
   }
 
+  test("tiered store: torn deltas are invisible; superseded deltas " +
+      "never double-count; minor folds deltas without touching base") {
+    import java.nio.file.{Files, Paths}
+    val sess = spark
+    import sess.implicits._
+    val store = Files.createTempDirectory("graft_ztier").toString + "/s"
+    val part = (lo: Long, hi: Long) =>
+      (lo to hi).map(i => (i, i % 7, i % 5)).toDF("id", "x", "y")
+    ZOrderLayout.appendDelta(part(1, 10), store, "id")
+    ZOrderLayout.appendDelta(part(11, 20), store, "id")
+    // a torn delta: parquet file present, no _SUCCESS (crashed job)
+    val torn = Paths.get(s"$store/delta/batch=99")
+    Files.createDirectories(torn)
+    part(90, 99).coalesce(1).write.mode("overwrite")
+      .parquet(s"$store/delta/_t")
+    val pf = new java.io.File(s"$store/delta/_t").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    Files.move(pf.toPath, torn.resolve("part-torn.parquet"))
+    graft.ops.StoreFiles.deleteDir(s"$store/delta/_t")
+    assert(ZOrderLayout.deltaCount(store) == 2,
+      "torn delta must be invisible to the listing")
+    graft.ops.StoreFiles.deleteIdWatermark(store)
+    assert(ZOrderLayout.storeWatermark(spark, store, "id").contains(20L),
+      "torn delta must not poison the re-derived watermark")
+    // minor: both deltas fold into one run named by the max id
+    ZOrderLayout.minorCompact(spark, store, "x", "y")
+    assert(new java.io.File(s"$store/l1/run=20").exists())
+    assert(ZOrderLayout.deltaCount(store) == 0)
+    // resurrect a superseded delta (crash between run and sweep):
+    // readers must not double-count it
+    ZOrderLayout.appendDelta(part(15, 18), store, "id")
+    assert(ZOrderLayout.deltaCount(store) == 0,
+      "a delta at or below the max run id is superseded")
+    assert(ZOrderLayout.readStore(spark, store).count() == 20)
+    ZOrderLayout.sweepSuperseded(store)
+    assert(!new java.io.File(s"$store/delta/batch=18").exists())
+    // major folds base-absent run + a live delta into the base
+    ZOrderLayout.appendDelta(part(21, 30), store, "id")
+    ZOrderLayout.compactStore(spark, store, "x", "y", "id")
+    assert(ZOrderLayout.readStore(spark, store).count() == 30)
+    assert(ZOrderLayout.deltaCount(store) == 0 &&
+      new java.io.File(s"$store/base").exists())
+  }
+
+  test("pointer-mode z-store sink: replay + minor/major compaction " +
+      "commit through versioned dirs, content exact") {
+    import java.nio.file.{Files, Paths}
+    import graft.streaming.EventStreams
+    val base = Files.createTempDirectory("graft_zstore_ptr").toString
+    val srcDir = s"$base/src"; Files.createDirectories(Paths.get(srcDir))
+    val store = s"$base/store"
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
+    val maxKey = li.agg(max(col("l_orderkey"))).head().getLong(0)
+    val cuts = (1 to 5).map(i => maxKey * i / 5)
+    def stageFile(lo: Long, hi: Long, name: String): Unit = {
+      val tmp = Files.createTempDirectory("graft_zptr_batch")
+      li.filter(col("l_orderkey") > lo && col("l_orderkey") <= hi)
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val f = new java.io.File(tmp.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(f.toPath, Paths.get(srcDir, name))
+    }
+    def runOnce(): Unit =
+      EventStreams.zorderStoreSink(
+        spark.readStream.schema(li.schema).parquet(srcDir),
+        store, s"$base/chk", "l_partkey", "l_suppkey", "l_orderkey",
+        commit = graft.ops.PointerCommit).stop()
+    def content(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).sortBy(_.mkString(",")).toSeq
+    stageFile(Long.MinValue, cuts(0), "b0.parquet"); runOnce()
+    stageFile(cuts(0), cuts(1), "b1.parquet"); runOnce()
+    // crash mid-major-compaction in pointer mode: an orphan staged
+    // version above the committed one — recover must roll it back
+    val live0 = graft.ops.PointerCommit.readDir(store)
+    val orphan = Paths.get(store, "v_00000007")
+    Files.createDirectories(orphan)
+    Files.write(orphan.resolve("junk"), Array[Byte](1))
+    stageFile(cuts(1), cuts(2), "b2.parquet"); runOnce()
+    assert(!Files.exists(orphan), "orphan version must be rolled back")
+    stageFile(cuts(2), cuts(3), "b3.parquet"); runOnce()
+    stageFile(cuts(3), Long.MaxValue, "b4.parquet"); runOnce()
+    val live = graft.ops.PointerCommit.readDir(store)
+    assert(live != store && Files.exists(Paths.get(store, "CURRENT")))
+    assert(content(ZOrderLayout.readStore(spark, live)) == content(li),
+      "pointer-committed store must equal the source")
+    // replayed batch is a no-op
+    stageFile(cuts(3), Long.MaxValue, "b4r.parquet"); runOnce()
+    assert(content(ZOrderLayout.readStore(spark,
+      graft.ops.PointerCommit.readDir(store))) == content(li))
+    // the major compaction flipped versions at least once: base
+    // exists inside the committed version
+    assert(Files.exists(Paths.get(live, "base")), s"no base under $live")
+    assert(live0 != live, "compaction must have flipped the version")
+  }
+
   test("quantile boundaries match their integer definition exactly") {
     val sess = spark
     import sess.implicits._
