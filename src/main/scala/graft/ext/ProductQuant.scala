@@ -265,18 +265,23 @@ object ProductQuant {
   def maybeCompactCodes(spark: SparkSession, goldDir: String,
       codesDir: String, coarse: Seq[(Int, Seq[Double])],
       rcbs: Seq[Seq[(Int, Seq[Double])]],
-      threshold: Int = Dedup.CompactFileThreshold): Boolean = {
-    if (codesFileCount(codesDir) > threshold) {
+      threshold: Int = Dedup.CompactFileThreshold,
+      commit: graft.ops.StoreCommit = graft.ops.SwapCommit): Boolean = {
+    if (codesFileCount(commit.readDir(codesDir)) > threshold) {
       val gold = spark.read.parquet(goldDir)
         .select(col("vec_id"), col("label"),
           col("embedding").cast("array<double>").as("v"))
-      // materialize BEFORE the overwrite: the plan reads goldDir, not
+      // materialize BEFORE the replace: the plan reads goldDir, not
       // codesDir, but an eager pin keeps the rebuild one atomic job
       val rebuilt = encodeFrameResidual(gold, coarse, rcbs)
         .repartition(coarse.size, col("cell"))
         .localCheckpoint()
-      rebuilt.write.mode("overwrite").partitionBy("cell")
-        .parquet(codesDir)
+      // through the commit protocol (was an in-place overwrite):
+      // codes are derived state, but the staged replace also makes
+      // the rebuild itself crash-safe for free on both modes
+      commit.replace(codesDir) { next =>
+        rebuilt.write.partitionBy("cell").parquet(next)
+      }
       true
     } else false
   }
@@ -624,11 +629,68 @@ object ProductQuant {
     * descent of the OPQ objective, orthogonality of the learned R,
     * and recall ≥ the seeded-rotation chain — are asserted in
     * ProductQuantSpec. */
-  def opqLearnedTopK(spark: SparkSession, dir: String): DataFrame = {
+  def opqLearnedTopK(spark: SparkSession, dir: String): DataFrame =
+    opqChainWith(spark, dir, learnedRotationFor(spark, dir))
+
+  /** The learned rotation for a corpus dir — the bounded min-vec_id
+    * training sample + [[learnedRotation]], factored so the gated
+    * data-check ([[opqRotationCheck]]) verifies the SAME matrix the
+    * serving chain uses. */
+  def learnedRotationFor(spark: SparkSession,
+      dir: String): Seq[Seq[Double]] = {
     val sample = KMeans.vecs(spark, dir).orderBy(col("vec_id"))
       .limit(OpqSampleN).select(col("v")).collect()
       .map(_.getSeq[Double](0))
-    opqChainWith(spark, dir, learnedRotation(sample.toSeq))
+    learnedRotation(sample.toSeq)
+  }
+
+  /** DRIVER-GATED data-check of the LEARNED OPQ rotation (round-15
+    * verdict #6) — the checkable HALF of `sim_opq_learned_topk`'s
+    * contract, gated even though the Procrustes SVD itself has no SQL
+    * replay: a valid rotation must be ORTHOGONAL (R·Rᵀ = I) and
+    * therefore NORM-PRESERVING on every corpus vector (‖Rx‖² = ‖x‖²).
+    * Both invariants are stated in integer micro-units with a
+    * half-up rounding, so double-precision noise (~1e-12 on O(1)
+    * values) reads as exactly 0 and any real defect (a non-orthogonal
+    * update, a transposed index) reads as a large integer. The oracle
+    * states the SPEC — residuals 0 — plus the data-dependent row
+    * count, so the norm check provably ran over the whole corpus:
+    *
+    *   (property, n, residual_micro)
+    *   ("orthogonality", 64, 0)               — driver math on R
+    *   ("norm_preservation", count(*), 0)     — corpus-wide max
+    */
+  def opqRotationCheck(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rot = learnedRotationFor(spark, dir)
+    val d = rot.size
+    // max |(R·Rᵀ)_{ij} − δ_{ij}| — bounded driver arithmetic (64³)
+    var maxOrtho = 0.0
+    var i = 0
+    while (i < d) {
+      var j = 0
+      while (j < d) {
+        var s = 0.0; var k = 0
+        while (k < d) { s += rot(i)(k) * rot(j)(k); k += 1 }
+        val want = if (i == j) 1.0 else 0.0
+        if (math.abs(s - want) > maxOrtho) maxOrtho = math.abs(s - want)
+        j += 1
+      }
+      i += 1
+    }
+    val orthoMicro = math.floor(maxOrtho * 1e6 + 0.5).toLong
+    // corpus-wide max |‖Rx‖² − ‖x‖²| — one map-side-combinable pass
+    val rv = graft.functions.MatVec(col("v"), rot)
+    def sumSq(c: org.apache.spark.sql.Column) =
+      aggregate(c, lit(0.0), (acc, x) => acc + x * x)
+    val r = KMeans.vecs(spark, dir)
+      .select(abs(sumSq(rv) - sumSq(col("v"))).as("dn"))
+      .agg(count(lit(1)).as("n"), max(col("dn")).as("mx")).head()
+    val normMicro = math.floor(r.getDouble(1) * 1e6 + 0.5).toLong
+    Seq(("norm_preservation", r.getLong(0), normMicro),
+        ("orthogonality", d.toLong, orthoMicro))
+      .toDF("property", "n", "residual_micro")
+      .orderBy(col("property"))
   }
 
   /** Candidate multiplier for the exact re-rank rung: the ADC pass
@@ -694,18 +756,80 @@ object ProductQuant {
       coarse: Seq[(Int, Seq[Double])],
       rcbs: Seq[Seq[(Int, Seq[Double])]],
       nq: Int = KMeans.BatchQueries): Seq[(Long, Int, Seq[Seq[Double]])] =
-    KMeans.vecs(spark, dir).orderBy(col("vec_id")).limit(nq)
-      .select(col("vec_id"), col("v")).collect().toSeq
-      .map { r =>
-        val qid = r.getLong(0)
-        val qv = r.getSeq[Double](1)
-        val qCid = coarse.map { case (cid, cv) =>
-          (qv.zip(cv).foldLeft(0.0) { case (acc, (x, c)) =>
-            acc + (x - c) * (x - c) }, cid)
-        }.min._2
-        val qres = qv.zip(coarse(qCid)._2).map { case (x, c) => x - c }
-        (qid, qCid, distTable(qres, rcbs))
-      }
+    prepResidualRows(
+      KMeans.vecs(spark, dir).orderBy(col("vec_id")).limit(nq)
+        .select(col("vec_id"), col("v")).collect().toSeq
+        .map(r => (r.getLong(0), r.getSeq[Double](1))),
+      coarse, rcbs)
+
+  /** [[batchQueryPrepResidual]] for EXPLICIT (qid, qv) rows — the
+    * margin-sampled eval batches at 100× prep their Voronoi-boundary
+    * queries through this (driver work: |queries| × M × [[Ks]]). */
+  def prepResidualRows(qrows: Seq[(Long, Seq[Double])],
+      coarse: Seq[(Int, Seq[Double])],
+      rcbs: Seq[Seq[(Int, Seq[Double])]]): Seq[(Long, Int, Seq[Seq[Double]])] =
+    qrows.map { case (qid, qv) =>
+      val qCid = coarse.map { case (cid, cv) =>
+        (qv.zip(cv).foldLeft(0.0) { case (acc, (x, c)) =>
+          acc + (x - c) * (x - c) }, cid)
+      }.min._2
+      val qres = qv.zip(coarse(qCid)._2).map { case (x, c) => x - c }
+      (qid, qCid, distTable(qres, rcbs))
+    }
+
+  /** Exact-rerank lists for EXPLICIT query rows over a CODED frame:
+    * per query, the residual-ADC candidate cut at k′ =
+    * [[RerankFactor]]·[[TopK]] (bounded collect — k′ longs), then
+    * exact L2 over only those raw rows — (query_id, vec_id, rk ≤ k).
+    * The per-query loop is driver orchestration over bounded lists;
+    * every corpus-sized read stays a pruned cell scan. */
+  def rerankBatchOverCoded(vecs: DataFrame, coded: DataFrame,
+      prepped: Seq[(Long, Int, Seq[Seq[Double]])],
+      qvOf: Map[Long, Seq[Double]], k: Int): DataFrame =
+    prepped.map { case (qid, qCid, dt) =>
+      val adc = (0 until M).map { m =>
+        element_at(array(dt(m).map(lit): _*), col(s"code$m") + lit(1))
+      }.reduceLeft(_ + _)
+      val candIds = coded
+        .filter(col("cell") === qCid && col("vec_id") =!= qid)
+        .select(col("vec_id"), adc.as("adc_dist"))
+        .orderBy(col("adc_dist"), col("vec_id"))
+        .limit(RerankFactor * TopK)
+        .collect().map(_.getLong(0)).toSeq
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("d"), col("vec_id")) // bounded: ≤ k′ rows
+      vecs.filter(col("vec_id").isin(candIds: _*))
+        .select(lit(qid).as("query_id"), col("vec_id"),
+          exactDistCol(qvOf(qid)).as("d"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= k)
+        .select(col("query_id"), col("vec_id"), col("rk"))
+    }.reduce(_ unionByName _)
+
+  /** Seeded-OPQ lists for EXPLICIT query rows: rotate the corpus
+    * once, train the rotated coarse + residual codebooks once, then
+    * answer the whole query block through the batched ADC fan-out —
+    * (query_id, vec_id, rk ≤ k). */
+  def opqBatchFor(spark: SparkSession, dir: String,
+      rot: Seq[Seq[Double]], qrows: Seq[(Long, Seq[Double])],
+      k: Int): DataFrame = {
+    val rvecs = KMeans.vecs(spark, dir)
+      .select(col("vec_id"), col("label"),
+        graft.functions.MatVec(col("v"), rot).as("v"))
+    val coarse = KMeans.trainFrame(
+      rvecs.select(col("vec_id"), col("v")), KMeans.K)
+    val res = rvecs.select(col("vec_id"), residualCol(coarse).as("v"))
+    val rcbs = (0 until M).map(m => KMeans.trainFrame(
+      res.select(col("vec_id"),
+        slice(col("v"), m * SubDim + 1, SubDim).as("v")), Ks))
+    val prepped = prepResidualRows(
+      qrows.map { case (qid, qv) =>
+        (qid, ScalarQuant.rotateLocal(qv, rot)) }, coarse, rcbs)
+    adcBatchTopKOverCoded(encodeFrameResidual(rvecs, coarse, rcbs),
+        prepped)
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("vec_id"), col("rk"))
+  }
 
   /** Batched residual-ADC top-k over an already-ENCODED frame
     * (vec_id, label, cell, code0..M−1) — the composition of
@@ -1013,7 +1137,14 @@ object ProductQuant {
     // sim_kmeans_topk_p2 applies to the uncompressed IVF
     "sim_ivfpq_topk_p2" ->
       s"""WITH $pqCtes, ${KMeans.trainChain("q", "", 64, KMeans.K)}, $qrowCte, qa AS (SELECT cid FROM (SELECT c.cid, row_number() OVER (ORDER BY ${KMeans
-        .distSqlN("r.qv", "c.cv", 64)}, c.cid) AS rn FROM qrow r CROSS JOIN c2 c) WHERE rn <= 2) SELECT vec_id, label, adc_dist FROM (SELECT q.vec_id, q.label, $adcSql AS adc_dist FROM q JOIN af USING (vec_id) $codesJoin $cbJoins CROSS JOIN qrow r WHERE af.cid IN (SELECT cid FROM qa) AND q.vec_id <> r.qid) ORDER BY adc_dist, vec_id LIMIT $TopK"""
+        .distSqlN("r.qv", "c.cv", 64)}, c.cid) AS rn FROM qrow r CROSS JOIN c2 c) WHERE rn <= 2) SELECT vec_id, label, adc_dist FROM (SELECT q.vec_id, q.label, $adcSql AS adc_dist FROM q JOIN af USING (vec_id) $codesJoin $cbJoins CROSS JOIN qrow r WHERE af.cid IN (SELECT cid FROM qa) AND q.vec_id <> r.qid) ORDER BY adc_dist, vec_id LIMIT $TopK""",
+    // the rotation-check SPEC: residuals exactly 0 in micro-units
+    // (orthogonality and norm preservation are theorems of a valid
+    // rotation — the gate proves the LEARNED R satisfies them), with
+    // the data-dependent corpus count proving the norm check's scan
+    // really covered every vector
+    "sim_opq_rotation_check" ->
+      """SELECT 'norm_preservation' AS property, (SELECT COUNT(*) FROM embeddings) AS n, CAST(0 AS BIGINT) AS residual_micro UNION ALL SELECT 'orthogonality', 64, CAST(0 AS BIGINT) ORDER BY property"""
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1022,10 +1153,12 @@ object ProductQuant {
     "sim_ivfpq_topk" -> ivfPqTopK _,
     "sim_ivfpq_residual_topk" -> ivfPqResidualTopK _,
     "sim_opq_ivfpq_topk" -> opqIvfPqTopK _,
-    // no oracle entry: the Procrustes SVD is not DuckDB-expressible —
-    // the driver records the rows-only check; descent/orthogonality/
-    // recall are spec-asserted (ProductQuantSpec)
+    // no oracle entry for the top-k itself: the Procrustes SVD is not
+    // DuckDB-expressible — the driver records the rows-only check and
+    // descent/recall are spec-asserted (ProductQuantSpec); the
+    // rotation's CHECKABLE invariants are gated right below
     "sim_opq_learned_topk" -> opqLearnedTopK _,
+    "sim_opq_rotation_check" -> opqRotationCheck _,
     "sim_ivfpq_rerank" -> ivfPqRerankTopK _,
     "sim_adc_batch_topk" -> adcBatchTopK _,
     "sim_ivfpq_topk_p2" ->

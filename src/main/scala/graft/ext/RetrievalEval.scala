@@ -129,6 +129,56 @@ object RetrievalEval {
       .orderBy(col("form"), col("query_id"))
   }
 
+  /** DRIVER-GATED (round-15 verdict #4): recall@k / MRR / nDCG of
+    * the QUANTIZED retriever ladder — where recall claims matter
+    * most — against the same exact-truth chain:
+    *
+    *  - `adc`    — batched residual IVF-PQ ([[ProductQuant.adcBatchTopK]],
+    *               the production serving shape), all queries;
+    *  - `sq8`    — scalar-quantized full scan ([[ScalarQuant.sq8TopK]]);
+    *  - `rerank` — residual ADC + exact re-rank rung
+    *               ([[ProductQuant.ivfPqRerankTopK]]);
+    *  - `opq`    — seeded-rotation OPQ IVF-PQ
+    *               ([[ProductQuant.opqIvfPqTopK]]; the LEARNED
+    *               rotation has no SQL replay — its data checks are
+    *               `sim_opq_rotation_check` and ProductQuantSpec).
+    *
+    * The single-query forms evaluate the min-id query (their gated
+    * contract); ranks re-derive from each form's own (distance,
+    * vec_id) order over its bounded top-k output — a ≤[[ProductQuant.TopK]]-row
+    * window, the same bounded-window class as the RRF fuse. */
+  def evalQuantForms(spark: SparkSession, dir: String): DataFrame = {
+    val qrows = KMeans.batchQueryRows(spark, dir)
+    val truth = exactBatchTopK(KMeans.vecs(spark, dir), qrows, EvalK)
+      .localCheckpoint()
+    val qid = qrows.map(_._1).min
+    def single(df: DataFrame, dist: String): DataFrame = {
+      // bounded window: df is a top-k (≤ ProductQuant.TopK rows) frame
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col(dist), col("vec_id"))
+      df.select(col("vec_id"), col(dist))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= EvalK)
+        .select(lit(qid).as("query_id"), col("vec_id"), col("rk"))
+    }
+    val adcSys = ProductQuant.adcBatchTopK(spark, dir)
+      .filter(col("rk") <= EvalK)
+      .select(col("query_id"), col("vec_id"), col("rk"))
+    OracleForms.union(
+        "adc" -> metricsOn(adcSys, truth),
+        "opq" -> metricsOn(
+          single(ProductQuant.opqIvfPqTopK(spark, dir), "adc_dist"), truth),
+        "rerank" -> metricsOn(
+          single(ProductQuant.ivfPqRerankTopK(spark, dir), "exact_dist"),
+          truth),
+        "sq8" -> metricsOn(
+          single(ScalarQuant.sq8TopK(spark, dir), "sq_dist"), truth))
+      .select(col("form"), col("query_id"), col("n_sys"),
+        col("hits_at_k"), col("first_rel_rank"), col("mrr_micro"),
+        col("dcg_micro"), col("ndcg_micro"))
+      .orderBy(col("form"), col("query_id"))
+  }
+
   // ---- DuckDB replay: the system chain is the gated
   // sim_ivf_batch_topk chain verbatim (same trainCtes), the truth
   // chain the same fan-out stated as a cross join, metrics one
@@ -141,11 +191,21 @@ object RetrievalEval {
   private def sysCtes: String =
     s"""qrows AS (SELECT vec_id AS qid, v AS qv FROM q ORDER BY vec_id LIMIT ${KMeans.BatchQueries}), qr AS (SELECT r.qid, r.qv, c.cid, row_number() OVER (PARTITION BY r.qid ORDER BY ${KMeans.distSqlN("r.qv", "c.cv", 64)}, c.cid) AS rn FROM qrows r CROSS JOIN c2 c), qa AS (SELECT qid, qv, cid FROM qr WHERE rn = 1), qa2 AS (SELECT qid, qv, cid FROM qr WHERE rn <= 2), ssc AS (SELECT qa.qid AS query_id, af.vec_id, ${KMeans.cosSql("q.v", "qa.qv")} AS cosine FROM af JOIN q USING (vec_id) JOIN qa ON af.cid = qa.cid AND af.vec_id <> qa.qid), sys AS (SELECT query_id, vec_id, rn AS rk FROM (SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rn FROM ssc) WHERE rn <= $EvalK), ssc2 AS (SELECT qa2.qid AS query_id, af.vec_id, ${KMeans.cosSql("q.v", "qa2.qv")} AS cosine FROM af JOIN q USING (vec_id) JOIN qa2 ON af.cid = qa2.cid AND af.vec_id <> qa2.qid), sys2 AS (SELECT query_id, vec_id, rn AS rk FROM (SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rn FROM ssc2) WHERE rn <= $EvalK)"""
 
-  private def truthCtes: String =
-    s"""ts AS (SELECT r.qid, e.vec_id, ${KMeans.cosSql("e.v", "r.qv")} AS cos FROM q e CROSS JOIN qrows r WHERE e.vec_id <> r.qid), tr AS (SELECT qid AS query_id, vec_id, rk FROM (SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk FROM ts) WHERE rk <= $EvalK)"""
+  private def truthCtesOn(base: String): String =
+    s"""ts AS (SELECT r.qid, e.vec_id, ${KMeans.cosSql("e.v", "r.qv")} AS cos FROM $base e CROSS JOIN qrows r WHERE e.vec_id <> r.qid), tr AS (SELECT qid AS query_id, vec_id, rk FROM (SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk FROM ts) WHERE rk <= $EvalK)"""
+
+  private def truthCtes: String = truthCtesOn("q")
 
   private def metricsBlock(rel: String): String =
     s"""SELECT query_id, CAST(n_sys AS BIGINT) AS n_sys, CAST(hits_at_k AS BIGINT) AS hits_at_k, CAST(frr AS INT) AS first_rel_rank, CAST(CASE WHEN frr > 0 THEN 1000000 // frr ELSE 0 END AS BIGINT) AS mrr_micro, CAST(dcg AS BIGINT) AS dcg_micro, CAST(dcg * 1000000 // $IdcgMicro AS BIGINT) AS ndcg_micro FROM (SELECT s.query_id, COUNT(*) AS n_sys, SUM(CASE WHEN t.vec_id IS NULL THEN 0 ELSE 1 END) AS hits_at_k, COALESCE(MIN(CASE WHEN t.vec_id IS NOT NULL THEN s.rk END), 0) AS frr, SUM(CASE WHEN t.vec_id IS NOT NULL THEN ${discountCase("s.rk")} ELSE 0 END) AS dcg FROM $rel s LEFT JOIN tr t ON s.query_id = t.query_id AND s.vec_id = t.vec_id GROUP BY s.query_id)"""
+
+  /** A single-query quantized system list as a derived-table CTE:
+    * the family's EXISTING gated top-k oracle runs verbatim in its
+    * own scope (DuckDB WITH-in-subquery — no CTE-name collisions
+    * across families), ranks re-derived from its (distance, vec_id)
+    * output order, query_id = the min-id query the form answers. */
+  private def singleSysSql(innerSql: String, distCol: String): String =
+    s"""(SELECT (SELECT MIN(vec_id) FROM embeddings) AS query_id, vec_id, CAST(rn AS INT) AS rk FROM (SELECT vec_id, row_number() OVER (ORDER BY $distCol, vec_id) AS rn FROM ($innerSql)) WHERE rn <= $EvalK)"""
 
   val oracle: Map[String, String] = Map(
     "rag_eval_forms" ->
@@ -153,8 +213,25 @@ object RetrievalEval {
         s"SELECT 'ivf' AS form, m.* FROM (${metricsBlock("sys")}) m " +
         s"UNION ALL SELECT 'ivf_p2' AS form, m.* FROM (${metricsBlock("sys2")}) m " +
         s"UNION ALL SELECT 'self' AS form, m.* FROM (${metricsBlock("tr")}) m " +
+        "ORDER BY form, query_id"),
+    "rag_eval_quant_forms" ->
+      // outer base CTE is `eq`, NOT `q`: the nested family chains
+      // each define their own `q` and DuckDB's binder rejects the
+      // cross-scope duplicate
+      (s"WITH eq AS (${KMeans.qSql}), " +
+        s"qrows AS (SELECT vec_id AS qid, v AS qv FROM eq ORDER BY vec_id LIMIT ${KMeans.BatchQueries}), " +
+        s"${truthCtesOn("eq")}, " +
+        s"sys_adc AS MATERIALIZED (SELECT query_id, vec_id, CAST(rk AS INT) AS rk FROM (${ProductQuant.oracle("sim_adc_batch_topk")}) WHERE rk <= $EvalK), " +
+        s"sys_opq AS MATERIALIZED ${singleSysSql(ProductQuant.oracle("sim_opq_ivfpq_topk"), "adc_dist")}, " +
+        s"sys_rr AS MATERIALIZED ${singleSysSql(ProductQuant.oracle("sim_ivfpq_rerank"), "exact_dist")}, " +
+        s"sys_sq8 AS MATERIALIZED ${singleSysSql(ScalarQuant.oracle("sim_sq8_topk"), "sq_dist")} " +
+        s"SELECT 'adc' AS form, m.* FROM (${metricsBlock("sys_adc")}) m " +
+        s"UNION ALL SELECT 'opq' AS form, m.* FROM (${metricsBlock("sys_opq")}) m " +
+        s"UNION ALL SELECT 'rerank' AS form, m.* FROM (${metricsBlock("sys_rr")}) m " +
+        s"UNION ALL SELECT 'sq8' AS form, m.* FROM (${metricsBlock("sys_sq8")}) m " +
         "ORDER BY form, query_id"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "rag_eval_forms" -> (evalForms _))
+    "rag_eval_forms" -> (evalForms _),
+    "rag_eval_quant_forms" -> (evalQuantForms _))
 }

@@ -180,6 +180,27 @@ object ScalarQuant {
       .limit(k)
   }
 
+  /** SQ8 top-k lists for EXPLICIT query rows under frozen corpus
+    * bounds — (query_id, vec_id, rk ≤ k), the margin-sampled eval
+    * batch's system frame. Per query: one integer-distance scan +
+    * TakeOrdered; the rank window runs over the bounded k-row cut. */
+  def sq8BatchFor(spark: SparkSession, dir: String,
+      qrows: Seq[(Long, Seq[Double])], k: Int): DataFrame = {
+    val stats = dimStats(spark, dir)
+    qrows.map { case (qid, qv) =>
+      val qcodes = qv.zip(stats).map {
+        case (x, (mn, mx)) => quantize(x, mn, mx) }
+      val dist = graft.functions.Sq8.dist(col("v"), stats, qcodes)
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("d"), col("vec_id")) // bounded: ≤ k rows
+      KMeans.vecs(spark, dir).filter(col("vec_id") =!= qid)
+        .select(col("vec_id"), dist.as("d"))
+        .orderBy(col("d"), col("vec_id")).limit(k)
+        .select(lit(qid).as("query_id"), col("vec_id"),
+          row_number().over(w).as("rk"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Query-side encode under frozen bounds — the driver-side prep for
     * [[sq8OverCodes]]. */
   def encodeQuery(spark: SparkSession, dir: String,
