@@ -165,14 +165,139 @@ object Bpe {
       (seq, m) => applyMerge(seq, m.a, m.b).localCheckpoint()
     }
 
+  // ---------------------------------------------------------------
+  // Batched training (round-15 verdict #3): [[trainOn]] pays one
+  // driver-synchronized argmax + localCheckpoint PER MERGE — fine for
+  // the 12-rule gate, ~64k sequential round-trips for a real 32k
+  // vocabulary. The standard scalable-BPE fix: per round, take the
+  // top pairs by count and keep the count-ordered prefix subset whose
+  // pairs share NO symbol, then apply them all in ONE symbol-table
+  // rewrite. Symbol-disjointness is what makes the batch exact as a
+  // SET of merges: an (a,b) merge replaces two adjacent symbols with
+  // one, so it can neither create nor destroy a (c,d) adjacency when
+  // {a,b} ∩ {c,d} = ∅ — each kept pair's candidate positions, counts,
+  // and greedy-leftmost resolution are exactly what they would be if
+  // it were applied alone. The divergence from strict sequential
+  // greedy is only in RANK ORDER: sequential might interleave a pair
+  // containing a just-merged symbol; batched defers it one round
+  // (BpeSpec pins batched(maxBatch=1) == sequential EXACTLY, and
+  // batched == sequential on a disjoint-top corpus).
+  // ---------------------------------------------------------------
+
+  /** Apply a SYMBOL-DISJOINT set of merge pairs in one word-local
+    * window pass — [[applyMerge]] generalized: a position is a
+    * candidate when (s, next) matches ANY pair (at most one — pairs
+    * are disjoint), runs of consecutive candidates are single-pair by
+    * the same disjointness (adjacent candidates share a symbol), so
+    * the even-offset rule resolves them identically. The merged
+    * symbol is carried from the candidate itself (concat of its own
+    * s and successor), so no per-pair branching reaches the rewrite. */
+  def applyMerges(seq: DataFrame,
+      pairs: Seq[(String, String)]): DataFrame = {
+    require(pairs.nonEmpty, "applyMerges: empty pair batch")
+    // pairwise symbol-disjoint: no symbol may appear in two pairs
+    // (a self-pair (x,x) uses one symbol, x)
+    val syms = pairs.flatMap(p => Set(p._1, p._2))
+    require(syms.distinct.size == syms.size,
+      s"applyMerges: pairs must be symbol-disjoint, got $pairs")
+    val isCand = pairs.map { case (a, b) =>
+      col("s") === lit(a) && col("nxt") === lit(b)
+    }.reduce(_ || _)
+    val cand = seq
+      .withColumn("nxt", lead(col("s"), 1).over(byWord))
+      .filter(isCand)
+      .select(col("word"), col("p"),
+        concat(col("s"), col("nxt")).as("m"),
+        row_number().over(byWord).as("rn"))
+    val taken = cand
+      .withColumn("off", col("p") - min(col("p")).over(
+        Window.partitionBy(col("word"), col("p") - col("rn"))))
+      .filter(col("off") % 2 === 0)
+      .select(col("word").as("tw"), col("p").as("tp"), col("m"))
+    val t1 = taken.alias("t1")
+    val t2 = taken.alias("t2")
+    seq.alias("q")
+      .join(t1, col("q.word") === col("t1.tw") &&
+        col("q.p") === col("t1.tp"), "left")
+      .join(t2, col("q.word") === col("t2.tw") &&
+        col("q.p") === col("t2.tp") + 1, "left")
+      .filter(col("t2.tp").isNull)
+      .select(col("q.word").as("word"), col("q.n").as("n"),
+        col("q.p").as("p"),
+        when(col("t1.tp").isNotNull, col("t1.m"))
+          .otherwise(col("q.s")).as("s"))
+      .withColumn("p", row_number().over(byWord))
+  }
+
+  /** Greedy symbol-disjoint prefix of a count-ordered pair list:
+    * walk down, keep a pair iff neither symbol was used by an
+    * already-kept pair (skip-and-continue — a skipped pair's count
+    * may shift once a conflicting kept pair applies, so it waits for
+    * the next round's exact recount). */
+  private[graft] def disjointPrefix(top: Seq[(String, String, Long)],
+      maxKeep: Int): Seq[(String, String, Long)] = {
+    val used = scala.collection.mutable.Set.empty[String]
+    val keep = scala.collection.mutable.ArrayBuffer
+      .empty[(String, String, Long)]
+    val it = top.iterator
+    while (keep.size < maxKeep && it.hasNext) {
+      val p = it.next()
+      if (!used(p._1) && !used(p._2)) {
+        used += p._1; used += p._2
+        keep += p
+      }
+    }
+    keep.toSeq
+  }
+
+  /** Per-round pair-pull headroom multiplier: conflicts drop some of
+    * the top pairs, so the driver pulls `maxBatch × this` rows (a
+    * bounded metadata pull — vocabulary pairs, never corpus data). */
+  val BatchHeadroom = 4
+
+  /** Batched trainer: `merges` rules in ⌈merges/maxBatch⌉-ish rounds
+    * instead of `merges` driver round-trips — each round is one
+    * bounded top-pair pull + one [[applyMerges]] rewrite +
+    * localCheckpoint. Recorded `pair_n` values are the pre-round
+    * exact counts, which symbol-disjointness makes equal to the
+    * counts a sequential trainer would have recorded for the same
+    * merges. maxBatch = 1 IS the sequential trainer (spec-pinned). */
+  def trainBatched(hist: DataFrame, merges: Int,
+      maxBatch: Int = 64): (Seq[MergeRule], DataFrame) = {
+    var seq = initSeq(hist).localCheckpoint()
+    val rules = scala.collection.mutable.ArrayBuffer.empty[MergeRule]
+    var exhausted = false
+    while (rules.size < merges && !exhausted) {
+      val want = math.min(maxBatch, merges - rules.size)
+      val top = pairCounts(seq)
+        .orderBy(col("pn").desc, col("a"), col("b"))
+        .limit(want * BatchHeadroom).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+      if (top.isEmpty) exhausted = true
+      else {
+        val batch = disjointPrefix(top, want)
+        batch.foreach { case (a, b, pn) =>
+          rules += MergeRule(rules.size + 1, a, b, a + b, pn)
+        }
+        seq = applyMerges(seq, batch.map(p => (p._1, p._2)))
+          .localCheckpoint()
+      }
+    }
+    (rules.toSeq, seq)
+  }
+
   /** Per-document encoding stats against a segmentation table:
     * `n_words` whitespace words seen by the tokenizer, `n_subwords`
     * BPE tokens they encode to (end-of-word symbols included). The
     * corpus-sized side only ever joins the vocabulary-bounded
-    * word→length dimension. */
-  def encodeOn(d: DataFrame, finalSeq: DataFrame): DataFrame = {
+    * word→length dimension. `wordPattern` must be the TRAINING-time
+    * word model (round-15 ADVICE: encoding under the default pattern
+    * against a vocabulary trained under a widened one would silently
+    * drop every non-default word before the vocab join). */
+  def encodeOn(d: DataFrame, finalSeq: DataFrame,
+      wordPattern: String = WordPattern): DataFrame = {
     val wlen = finalSeq.groupBy(col("word")).agg(count(lit(1)).as("k"))
-    val enc = wordStream(d).join(broadcast(wlen), "word")
+    val enc = wordStream(d, wordPattern).join(broadcast(wlen), "word")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_words"), sum(col("k")).as("n_subwords"))
     d.select(col("doc_id")).join(enc, Seq("doc_id"), "left")
@@ -327,12 +452,17 @@ object Bpe {
     * the vocabulary fitting one source's morphology at another's
     * expense. One corpus word-stream pass against the
     * vocabulary-bounded word→(token count, length) dimension. */
-  def bpeReport(spark: SparkSession, dir: String): DataFrame = {
-    val t = trained(spark, dir)
-    val wlen = spark.read.parquet(t.segPath)
-      .groupBy(col("word")).agg(count(lit(1)).as("k"))
-    val d = Tables.documents(spark, dir)
-    val perDoc = wordStream(d).join(broadcast(wlen), "word")
+  def bpeReport(spark: SparkSession, dir: String,
+      wordPattern: String = WordPattern): DataFrame =
+    bpeReportOn(Tables.documents(spark, dir),
+      spark.read.parquet(trained(spark, dir).segPath), wordPattern)
+
+  /** [[bpeReport]] over an explicit corpus + segmentation — the form
+    * the ScaleUp big-vocabulary run composes with [[trainBatched]]. */
+  def bpeReportOn(d: DataFrame, finalSeq: DataFrame,
+      wordPattern: String = WordPattern): DataFrame = {
+    val wlen = finalSeq.groupBy(col("word")).agg(count(lit(1)).as("k"))
+    val perDoc = wordStream(d, wordPattern).join(broadcast(wlen), "word")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_words"), sum(col("k")).as("n_subwords"),
         sum(length(col("word"))).as("n_chars"))
@@ -356,12 +486,16 @@ object Bpe {
     * fragmented by a vocabulary fitted elsewhere — the multilingual
     * failure mode fertility exists to flag). Same shape as
     * [[bpeReport]], grouped by the documents' language column. */
-  def bpeFertility(spark: SparkSession, dir: String): DataFrame = {
-    val t = trained(spark, dir)
-    val wlen = spark.read.parquet(t.segPath)
-      .groupBy(col("word")).agg(count(lit(1)).as("k"))
-    val d = Tables.documents(spark, dir)
-    val perDoc = wordStream(d).join(broadcast(wlen), "word")
+  def bpeFertility(spark: SparkSession, dir: String,
+      wordPattern: String = WordPattern): DataFrame =
+    bpeFertilityOn(Tables.documents(spark, dir),
+      spark.read.parquet(trained(spark, dir).segPath), wordPattern)
+
+  /** [[bpeFertility]] over an explicit corpus + segmentation. */
+  def bpeFertilityOn(d: DataFrame, finalSeq: DataFrame,
+      wordPattern: String = WordPattern): DataFrame = {
+    val wlen = finalSeq.groupBy(col("word")).agg(count(lit(1)).as("k"))
+    val perDoc = wordStream(d, wordPattern).join(broadcast(wlen), "word")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_words"), sum(col("k")).as("n_subwords"))
     d.select(col("doc_id"), col("lang")).join(perDoc, "doc_id")
@@ -447,8 +581,8 @@ SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS docs, CAST(SUM(encs.n_words) AS BIGIN
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_bpe_merges" -> (bpeMerges _),
-    "text_bpe_report" -> (bpeReport _),
-    "text_bpe_fertility" -> (bpeFertility _),
+    "text_bpe_report" -> ((s, d) => bpeReport(s, d)),
+    "text_bpe_fertility" -> ((s, d) => bpeFertility(s, d)),
     "text_bpe_encode_forms" -> (bpeEncodeForms _),
     "text_pack_bpe_summary" -> (bpePackSummary _))
 }

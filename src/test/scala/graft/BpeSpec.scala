@@ -62,6 +62,66 @@ class BpeSpec extends SparkSpec {
     assert(got == refSeqs)
   }
 
+  private def segOf(finalSeq: org.apache.spark.sql.DataFrame) =
+    finalSeq.orderBy(col("word"), col("p")).collect()
+      .groupBy(_.getString(0))
+      .map { case (w, rows) =>
+        w -> rows.sortBy(_.getInt(2)).map(_.getString(3)).toVector }
+
+  test("batched trainer at maxBatch=1 IS the sequential trainer") {
+    val hist = Bpe.wordHist(Tables.documents(spark, sf))
+    val (seqRules, seqSeg) = Bpe.trainOn(hist)
+    val (batRules, batSeg) = Bpe.trainBatched(hist, Bpe.Merges,
+      maxBatch = 1)
+    assert(batRules == seqRules,
+      "maxBatch=1 batched rules must equal the sequential rules exactly")
+    assert(segOf(batSeg) == segOf(seqSeg))
+  }
+
+  test("batched == sequential on a symbol-disjoint top; conflicting " +
+      "pairs defer a round; replaying batched rules one-at-a-time " +
+      "reproduces the batched segmentation") {
+    // disjoint-top corpus: (a,b)=9 split across 'abu'×5 + 'abv'×4,
+    // (c,d)=8 across 'cdw'×4 + 'cdx'×4, (e,f)=7 across 'efy'×4 +
+    // 'efz'×3 — tops are symbol-disjoint AND every pair a merge
+    // creates ((ab,u)=5, (cd,w)=4, …) ranks below the next top, so
+    // sequential greedy picks exactly the batch in the same order
+    val hist = Seq(("abu", 5L), ("abv", 4L), ("cdw", 4L),
+      ("cdx", 4L), ("efy", 4L), ("efz", 3L)).toDF("word", "n")
+    val (seqRules, seqSeg) = Bpe.trainOn(hist)
+    val (batRules, batSeg) = Bpe.trainBatched(hist, 3, maxBatch = 3)
+    assert(batRules.map(m => (m.a, m.b, m.pair_n)) ==
+      seqRules.take(3).map(m => (m.a, m.b, m.pair_n)),
+      "on a disjoint top the batch must equal the sequential prefix")
+    // replaying the batched rules SEQUENTIALLY (applyMerge per rule)
+    // lands on the same segmentation — the commutativity the
+    // disjointness argument promises
+    assert(segOf(Bpe.replayRules(hist, batRules)) == segOf(batSeg))
+    assert(segOf(batSeg).nonEmpty && segOf(seqSeg).nonEmpty)
+
+    // conflict corpus: with the end marker, round-1 counts are
+    // (x,y)=9, (y,_)=9, (y,z)=7, (z,_)=7 — the y-pairs conflict with
+    // the kept (x,y) and defer, while the disjoint (z,_) is admitted
+    // (batched diverges from sequential in RANK here, by design; the
+    // merges it records still carry their exact pre-round counts)
+    val h2 = Seq(("xy", 9L), ("yz", 7L)).toDF("word", "n")
+    val (r2, s2) = Bpe.trainBatched(h2, 2, maxBatch = 2)
+    assert(r2.map(m => (m.a, m.b, m.pair_n)) ==
+      Seq(("x", "y", 9L), ("z", "_", 7L)),
+      s"round 1 must keep (x,y), defer the y-pairs, admit (z,_): $r2")
+    // replay consistency: applying the batch one rule at a time lands
+    // on the same segmentation (the commutativity argument)
+    assert(segOf(Bpe.replayRules(h2, r2)) == segOf(s2))
+    // every word's tokens concatenate back to word + end marker
+    segOf(s2).foreach { case (w, toks) =>
+      assert(toks.mkString == w + "_", s"$w segmented to $toks") }
+    // the disjoint-prefix selector itself
+    assert(Bpe.disjointPrefix(
+      Seq(("a", "b", 9L), ("b", "c", 8L), ("c", "d", 7L), ("e", "e", 6L),
+        ("e", "f", 5L), ("g", "h", 4L)), 10)
+      == Seq(("a", "b", 9L), ("c", "d", 7L), ("e", "e", 6L), ("g", "h", 4L)))
+  }
+
   test("equal-symbol runs merge greedy-leftmost (aaaa -> aa aa)") {
     val hist = Seq(("aaaa", 1L), ("aaa", 1L)).toDF("word", "n")
     val (rules, finalSeq) = Bpe.trainOn(hist)
