@@ -1251,6 +1251,31 @@ object ScaleUp {
         println(f"[scaleup] bpe_train_vocab_axis         $dst%-18s " +
           f"${(System.nanoTime - t1) / 1e9}%8.2f s  " +
           f"(${rules.length}%d merges)")
+        // REALISTIC MERGE COUNT (round-15 verdict #3): a 1k-rule
+        // vocabulary through the batched trainer — ~⌈1000/64⌉ rounds
+        // of bounded driver pulls instead of 1k sequential argmax
+        // round-trips, on the widened-vocab axis where there are
+        // enough distinct pairs to sustain it. The report/fertility
+        // composition then re-runs on the BIG vocabulary, proving the
+        // downstream tier consumes a realistic tokenizer, not the
+        // 12-rule gate anchor.
+        val t2 = System.nanoTime()
+        val (bigRules, bigSeg) = Bpe.trainBatched(hist, 1024)
+        val bigSegC = bigSeg.localCheckpoint()
+        println(f"[scaleup] bpe_train_batched_1k         $dst%-18s " +
+          f"${(System.nanoTime - t2) / 1e9}%8.2f s  " +
+          f"(${bigRules.length}%d merges, " +
+          f"${(bigRules.length + 63) / 64}%d rounds)")
+        val t3 = System.nanoTime()
+        val rep = Bpe.bpeReportOn(Tables.documents(spark, dst),
+          bigSegC, "^[a-z0-9_]+$").collect()
+        val fert = Bpe.bpeFertilityOn(Tables.documents(spark, dst),
+          bigSegC, "^[a-z0-9_]+$").collect()
+        println(f"[scaleup] bpe_report_big_vocab         $dst%-18s " +
+          f"${(System.nanoTime - t3) / 1e9}%8.2f s  (cpt_micro " +
+          f"${rep.map(_.getAs[Long]("chars_per_token_micro")).mkString(",")}%s" +
+          f"; fert_micro " +
+          f"${fert.map(_.getAs[Long]("fertility_micro")).mkString(",")}%s)")
       }
     }
     if (on("ragev")) {
@@ -1336,6 +1361,76 @@ object ScaleUp {
         f"(hits@${RetrievalEval.EvalK}%d " +
         f"${mC2.map(_.getLong(2)).mkString(",")}%s, ndcg_micro " +
         f"${mC2.map(_.getLong(6)).mkString(",")}%s)")
+      // the QUANTIZED ladder on the SAME margin-sampled boundary
+      // queries (round-15 verdict #4): recall where each compressed
+      // index actually loses — min-id queries read vacuous maxima
+      import graft.ext.{ProductQuant, ScalarQuant}
+      val rcbsC = ProductQuant.residualCodebooks(spark, cluDir, centsC)
+      val codedC = ProductQuant
+        .encodeWithCellsResidual(spark, cluDir, centsC, rcbsC)
+        .localCheckpoint()
+      val prepC = ProductQuant.prepResidualRows(qC, centsC, rcbsC)
+      def evalRow(tag: String)(sys: => org.apache.spark.sql.DataFrame): Unit = {
+        val t = System.nanoTime()
+        val m = RetrievalEval.metricsOn(sys, truthC)
+          .orderBy(col("query_id")).collect()
+        println(f"[scaleup] $tag%-28s $cluDir%-18s " +
+          f"${(System.nanoTime - t) / 1e9}%8.2f s  " +
+          f"(hits@${RetrievalEval.EvalK}%d " +
+          f"${m.map(_.getLong(2)).mkString(",")}%s, ndcg_micro " +
+          f"${m.map(_.getLong(6)).mkString(",")}%s)")
+      }
+      evalRow("rag_eval_adc_clu2")(ProductQuant
+        .adcBatchTopKOverCoded(codedC, prepC)
+        .filter(col("rk") <= RetrievalEval.EvalK)
+        .select(col("query_id"), col("vec_id"), col("rk")))
+      evalRow("rag_eval_rerank_clu2")(ProductQuant.rerankBatchOverCoded(
+        KMeans.vecs(spark, cluDir), codedC, prepC, qC.toMap,
+        RetrievalEval.EvalK))
+      evalRow("rag_eval_sq8_clu2")(ScalarQuant.sq8BatchFor(
+        spark, cluDir, qC, RetrievalEval.EvalK))
+      evalRow("rag_eval_opq_clu2")(ProductQuant.opqBatchFor(
+        spark, cluDir, ScalarQuant.rotationMatrix(), qC,
+        RetrievalEval.EvalK))
+    }
+    if (on("recurate")) {
+      // diff-driven re-curation at 100× (round-15 verdict stretch #7):
+      // the incremental keep-earliest maintenance must track the DIFF
+      // (~20% of docs under the fixture mods), not the corpus — its
+      // keeper recompute is confined to touched fingerprint groups.
+      // Expected shape: v1-state build and the full recompute both
+      // track corpus size; the incremental leg tracks |diff| (plus
+      // one state-sized anti-join + scan-bounded joins, no corpus
+      // text re-read).
+      import graft.ext.Curation
+      for (d <- Seq(src, dst)) {
+        val (v1, v2) = Curation.snapshotViews(Tables.documents(spark, d))
+        val t0 = System.nanoTime()
+        val state = v1.select(col("doc_id"),
+          md5(lower(trim(col("text")))).as("fp")).localCheckpoint()
+        val keep1 = state.groupBy(col("fp"))
+          .agg(min(col("doc_id")).as("keeper")).localCheckpoint()
+        println(f"[scaleup] recurate_v1_state_build      $d%-18s " +
+          f"${(System.nanoTime - t0) / 1e9}%8.2f s  " +
+          f"(${state.count()}%d docs)")
+        val t1 = System.nanoTime()
+        val diff = Curation.snapshotDiffDocsOn(v1, v2).localCheckpoint()
+        println(f"[scaleup] recurate_diff                $d%-18s " +
+          f"${(System.nanoTime - t1) / 1e9}%8.2f s  " +
+          f"(${diff.count()}%d diff docs)")
+        val t2 = System.nanoTime()
+        val nIncr = Curation
+          .diffRecurateKeepIncr(state, keep1, diff, v2).count()
+        println(f"[scaleup] recurate_incremental         $d%-18s " +
+          f"${(System.nanoTime - t2) / 1e9}%8.2f s  ($nIncr%d rows)")
+        val t3 = System.nanoTime()
+        val p2 = v2.select(col("doc_id"),
+          md5(lower(trim(col("text")))).as("fp"))
+        val nFull = p2.join(p2.groupBy(col("fp"))
+          .agg(min(col("doc_id")).as("keeper")), "fp").count()
+        println(f"[scaleup] recurate_full_rebuild        $d%-18s " +
+          f"${(System.nanoTime - t3) / 1e9}%8.2f s  ($nFull%d rows)")
+      }
     }
     if (on("zorder")) {
       // layout write cost + the skipping it buys, both scales: the

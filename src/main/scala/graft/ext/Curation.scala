@@ -739,12 +739,33 @@ object Curation {
   private val chunkPackSql =
     s"""SELECT doc_id, chunk_idx, len(c) AS chunk_len, md5(array_to_string(c, ' ')) AS chunk_fp FROM (SELECT doc_id, chunk_idx, list_slice(t, chunk_idx*$ChunkSize+1, chunk_idx*$ChunkSize+$ChunkSize) AS c FROM (SELECT doc_id, t, unnest(range(0, CAST(ceil(len(t) / ${ChunkSize}.0) AS BIGINT))) AS chunk_idx FROM (SELECT doc_id, ${TextOps.toksSql} AS t FROM documents) WHERE len(t) > 0))"""
 
+  // the deterministic snapshot views (Scala side: snapshotViews) as a
+  // shared CTE prefix for every diff-family oracle
+  private val snapViewsSql =
+    """v1 AS (SELECT doc_id, source, CASE WHEN doc_id % 11 = 0 THEN substr(text, 1, CAST(length(text) // 2 AS INT)) ELSE text END AS text FROM documents WHERE doc_id % 7 <> 3),
+v2 AS (SELECT doc_id, source, text FROM documents WHERE doc_id % 17 <> 5)"""
+
   val oracle: Map[String, String] = Map(
     "curation_snapshot_diff" ->
-      s"""WITH v1 AS (SELECT doc_id, source, CASE WHEN doc_id % 11 = 0 THEN substr(text, 1, CAST(length(text) // 2 AS INT)) ELSE text END AS text FROM documents WHERE doc_id % 7 <> 3),
-v2 AS (SELECT doc_id, source, text FROM documents WHERE doc_id % 17 <> 5),
+      s"""WITH $snapViewsSql,
 j AS (SELECT COALESCE(b.source, a.source) AS source, CASE WHEN a.doc_id IS NULL THEN 'added' WHEN b.doc_id IS NULL THEN 'removed' WHEN md5(a.text) <> md5(b.text) THEN 'changed' ELSE 'unchanged' END AS status FROM v1 a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id)
 SELECT source, status, CAST(COUNT(*) AS BIGINT) AS n_docs FROM j GROUP BY source, status ORDER BY source, status""",
+    // doc-level diff: the incremental re-curation work-list
+    "curation_snapshot_docs" ->
+      s"""WITH $snapViewsSql,
+j AS (SELECT COALESCE(b.doc_id, a.doc_id) AS doc_id, COALESCE(b.source, a.source) AS source, CASE WHEN a.doc_id IS NULL THEN 'added' WHEN b.doc_id IS NULL THEN 'removed' WHEN md5(a.text) <> md5(b.text) THEN 'changed' ELSE 'unchanged' END AS status FROM v1 a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id)
+SELECT doc_id, source, status FROM j WHERE status <> 'unchanged' ORDER BY doc_id""",
+    // diff-driven incremental == full re-run: the oracle computes the
+    // v2 truth ONCE and tags both forms — hash equality of the `incr`
+    // rows against it IS the re-curation proof
+    "curation_diff_card_forms" ->
+      (OracleForms.sql(
+        s"""WITH $snapViewsSql SELECT source, CAST(COUNT(*) AS BIGINT) AS docs, CAST(SUM(length(text)) AS BIGINT) AS chars, CAST(SUM(doc_id) AS BIGINT) AS id_sum FROM v2 GROUP BY source""",
+        Seq("full", "incr")) + " ORDER BY form, source"),
+    "curation_diff_keep_forms" ->
+      (OracleForms.sql(
+        s"""WITH $snapViewsSql, p2 AS (SELECT doc_id, md5(lower(trim(text))) AS fp FROM v2), k AS (SELECT fp, MIN(doc_id) AS keeper FROM p2 GROUP BY fp) SELECT p2.doc_id, k.keeper, p2.doc_id = k.keeper AS is_kept FROM p2 JOIN k USING (fp)""",
+        Seq("full", "incr")) + " ORDER BY form, doc_id"),
     "decontam_eval_overlap" ->
       s"""WITH g AS (SELECT doc_id, $gramSql AS sh FROM (SELECT doc_id, ${TextOps.toksSql} AS t FROM documents)), ev AS (SELECT DISTINCT unnest(sh) AS s FROM g WHERE doc_id % $EvalModulus = 0), tr AS (SELECT doc_id, unnest(sh) AS s FROM g WHERE doc_id % $EvalModulus <> 0), hits AS (SELECT doc_id, COUNT(*) AS n FROM tr JOIN ev USING (s) GROUP BY doc_id) SELECT d.doc_id, CAST(COALESCE(h.n, 0) AS BIGINT) AS shared_evalgrams, COALESCE(h.n, 0) > 0 AS contaminated FROM (SELECT doc_id FROM documents WHERE doc_id % $EvalModulus <> 0) d LEFT JOIN hits h USING (doc_id) ORDER BY doc_id""",
     "text_chunk_pack" -> s"$chunkPackSql ORDER BY doc_id, chunk_idx",
@@ -996,23 +1017,195 @@ SELECT source, status, CAST(COUNT(*) AS BIGINT) AS n_docs FROM j GROUP BY source
       .orderBy(col("source"), col("status"))
   }
 
-  /** DRIVER-GATED [[snapshotDiffOn]] over two deterministic snapshot
-    * views of the fixture corpus: v1 drops every doc_id ≡ 3 (mod 7)
+  /** The deterministic v1/v2 snapshot views of the fixture corpus the
+    * diff-family gates share: v1 drops every doc_id ≡ 3 (mod 7)
     * (those read as `added` in v2) and halves the text of doc_id ≡ 0
     * (mod 11) (those read as `changed`); v2 drops doc_id ≡ 5
     * (mod 17) (those read as `removed`). */
-  def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir)
+  private[graft] def snapshotViews(d: DataFrame): (DataFrame, DataFrame) = {
     val v1 = d.filter(col("doc_id") % 7 =!= 3)
       .withColumn("text", when(col("doc_id") % 11 === 0,
         expr("substring(text, 1, CAST(length(text) / 2 AS INT))"))
         .otherwise(col("text")))
     val v2 = d.filter(col("doc_id") % 17 =!= 5)
+    (v1, v2)
+  }
+
+  /** DRIVER-GATED [[snapshotDiffOn]] over the [[snapshotViews]]. */
+  def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val (v1, v2) = snapshotViews(Tables.documents(spark, dir))
     snapshotDiffOn(v1, v2)
+  }
+
+  /** Doc-LEVEL snapshot diff — the WORK-LIST incremental re-curation
+    * consumes (round-15 verdict stretch #7): one row per doc whose
+    * content changed between versions, status ∈ added / removed /
+    * changed. Same skinny fingerprint full-outer join as
+    * [[snapshotDiffOn]] (three columns shuffle, never the texts);
+    * `unchanged` rows are dropped — at 100 TB the work-list is the
+    * few-percent diff, not the corpus. */
+  def snapshotDiffDocsOn(v1: DataFrame, v2: DataFrame): DataFrame = {
+    val a = v1.select(col("doc_id"), col("source").as("src1"),
+      md5(col("text").cast("binary")).as("fp1"))
+    val b = v2.select(col("doc_id"), col("source").as("src2"),
+      md5(col("text").cast("binary")).as("fp2"))
+    a.join(b, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        coalesce(col("src2"), col("src1")).as("source"),
+        when(col("fp1").isNull, lit("added"))
+          .when(col("fp2").isNull, lit("removed"))
+          .when(col("fp1") =!= col("fp2"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"))
+      .filter(col("status") =!= "unchanged")
+  }
+
+  /** DRIVER-GATED [[snapshotDiffDocsOn]] over the [[snapshotViews]]. */
+  def snapshotDiffDocs(spark: SparkSession, dir: String): DataFrame = {
+    val (v1, v2) = snapshotViews(Tables.documents(spark, dir))
+    snapshotDiffDocsOn(v1, v2).orderBy(col("doc_id"))
+  }
+
+  /** DRIVER-GATED diff-driven incremental CARD maintenance (round-15
+    * verdict stretch #7, card leg): the per-source additive corpus
+    * card — docs, character sum, doc_id checksum; every metric a SUM,
+    * the metric class whose maintenance under a snapshot diff is
+    * EXACT integer algebra — updated from the v1 card plus SIGNED
+    * contributions of only the diff docs (removed/changed subtract
+    * their v1 row, added/changed add their v2 row). The gate folds
+    * the incremental result with the card computed directly on v2;
+    * the oracle computes v2 once and tags both forms — hash equality
+    * IS the incremental == full-re-run proof.
+    *
+    * Shape at scale: the incremental path touches the v1 CARD
+    * (source-domain rows) and the DIFF docs' texts — never the
+    * unchanged corpus. The full form exists only as the gate's truth
+    * side. */
+  def diffRecurateCardForms(spark: SparkSession, dir: String): DataFrame = {
+    val (v1, v2) = snapshotViews(Tables.documents(spark, dir))
+    diffRecurateCardOn(v1, v2)
+  }
+
+  /** [[diffRecurateCardForms]] over explicit (doc_id, source, text)
+    * snapshot frames — the composable core (spec-driven directly). */
+  def diffRecurateCardOn(v1: DataFrame, v2: DataFrame): DataFrame = {
+    def card(v: DataFrame): DataFrame =
+      v.groupBy(col("source")).agg(
+        count(lit(1)).as("docs"),
+        sum(length(col("text")).cast("long")).as("chars"),
+        sum(col("doc_id")).as("id_sum"))
+    // the v1 card is the maintained artifact: materialized, source-
+    // domain-sized; the diff work-list is materialized once too
+    val card1 = card(v1).localCheckpoint()
+    val diff = snapshotDiffDocsOn(v1, v2).localCheckpoint()
+    val minus = v1.join(
+        diff.filter(col("status").isin("removed", "changed"))
+          .select(col("doc_id")), Seq("doc_id"))
+      .select(col("source"), lit(-1L).as("sgn"), col("text"),
+        col("doc_id"))
+    val plus = v2.join(
+        diff.filter(col("status").isin("added", "changed"))
+          .select(col("doc_id")), Seq("doc_id"))
+      .select(col("source"), lit(1L).as("sgn"), col("text"),
+        col("doc_id"))
+    val delta = minus.unionByName(plus).groupBy(col("source")).agg(
+      sum(col("sgn")).as("d_docs"),
+      sum(col("sgn") * length(col("text")).cast("long")).as("d_chars"),
+      sum(col("sgn") * col("doc_id")).as("d_id"))
+    // full-outer: a brand-new source has no v1 row; a fully-removed
+    // source nets to docs = 0 and is dropped, matching the v2 card
+    val incr = card1.join(delta, Seq("source"), "full_outer")
+      .select(col("source"),
+        (coalesce(col("docs"), lit(0L))
+          + coalesce(col("d_docs"), lit(0L))).as("docs"),
+        (coalesce(col("chars"), lit(0L))
+          + coalesce(col("d_chars"), lit(0L))).as("chars"),
+        (coalesce(col("id_sum"), lit(0L))
+          + coalesce(col("d_id"), lit(0L))).as("id_sum"))
+      .filter(col("docs") =!= 0L)
+    OracleForms.union("full" -> card(v2), "incr" -> incr)
+      .orderBy(col("form"), col("source"))
+  }
+
+  /** DRIVER-GATED diff-driven incremental DEDUP-STATE maintenance
+    * (round-15 verdict stretch #7, dedup leg): the exact keep-earliest
+    * state — per-doc content fingerprint plus per-fingerprint keeper
+    * (min doc_id) — re-curated from a snapshot diff with the CASCADE
+    * the naive flow misses: tombstoning a keeper must re-elect the
+    * keeper among the group's SURVIVORS (a doc rejected as a dup of a
+    * since-removed doc becomes kept). Removed/changed docs tombstone
+    * their state rows; added/changed docs enter with their v2
+    * fingerprints; keeper election re-runs ONLY over the touched
+    * fingerprint groups (any group a tombstoned or entering doc
+    * carries) — work ∝ the diff's group neighborhood, never the
+    * corpus. Untouched groups keep their v1 keepers verbatim. The
+    * gate folds the incremental per-doc verdicts with the
+    * keep-earliest computed directly on v2; the oracle computes v2
+    * once and tags both forms. */
+  def diffRecurateKeepForms(spark: SparkSession, dir: String): DataFrame = {
+    val (v1, v2) = snapshotViews(Tables.documents(spark, dir))
+    diffRecurateKeepOn(v1, v2)
+  }
+
+  /** [[diffRecurateKeepForms]] over explicit (doc_id, source, text)
+    * snapshot frames — the composable core (spec-driven directly,
+    * incl. the keeper-cascade fixture). */
+  def diffRecurateKeepOn(v1: DataFrame, v2: DataFrame): DataFrame = {
+    // the maintained v1 state: per-doc fingerprints + per-group
+    // keepers, both materialized artifacts (the incremental path
+    // never re-reads v1 texts)
+    val state = docFp(v1).localCheckpoint()
+    val keep1 = state.groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("keeper")).localCheckpoint()
+    val diff = snapshotDiffDocsOn(v1, v2).localCheckpoint()
+    val incr = diffRecurateKeepIncr(state, keep1, diff, v2)
+    val p2 = docFp(v2)
+    val full = p2.join(
+        p2.groupBy(col("fp")).agg(min(col("doc_id")).as("keeper")), "fp")
+      .select(col("doc_id"), col("keeper"),
+        (col("doc_id") === col("keeper")).as("is_kept"))
+    OracleForms.union("full" -> full, "incr" -> incr)
+      .orderBy(col("form"), col("doc_id"))
+  }
+
+  /** The exact-dedup content fingerprint (shared by the keep-earliest
+    * family: the same lower/trim/md5 as the gold index's exact leg). */
+  private def docFp(v: DataFrame): DataFrame =
+    v.select(col("doc_id"), md5(lower(trim(col("text")))).as("fp"))
+
+  /** The incremental maintenance leg ALONE — inputs are the
+    * maintained v1 artifacts (per-doc fp `state`, per-group `keep1`)
+    * plus the diff work-list; of v2 only the rows the diff names are
+    * ever read (the 100× ScaleUp row times this leg against the full
+    * recompute). */
+  def diffRecurateKeepIncr(state: DataFrame, keep1: DataFrame,
+      diff: DataFrame, v2: DataFrame): DataFrame = {
+    val gone = diff.filter(col("status").isin("removed", "changed"))
+      .select(col("doc_id"))
+    val entrants = docFp(v2.join(
+      diff.filter(col("status").isin("added", "changed"))
+        .select(col("doc_id")), Seq("doc_id")))
+    val next = state.join(gone, Seq("doc_id"), "left_anti")
+      .unionByName(entrants)
+    // touched groups: every fingerprint a tombstoned doc carried in
+    // v1 or an entrant carries in v2 — diff-bounded, so broadcast
+    val touched = state.join(gone, Seq("doc_id"), "left_semi")
+      .select(col("fp"))
+      .unionByName(entrants.select(col("fp"))).distinct()
+    val touchedKeep = next
+      .join(broadcast(touched), Seq("fp"), "left_semi")
+      .groupBy(col("fp")).agg(min(col("doc_id")).as("keeper"))
+    val keepers = keep1.join(broadcast(touched), Seq("fp"), "left_anti")
+      .unionByName(touchedKeep)
+    next.join(keepers, "fp")
+      .select(col("doc_id"), col("keeper"),
+        (col("doc_id") === col("keeper")).as("is_kept"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "curation_snapshot_diff" -> snapshotDiff _,
+    "curation_snapshot_docs" -> snapshotDiffDocs _,
+    "curation_diff_card_forms" -> diffRecurateCardForms _,
+    "curation_diff_keep_forms" -> diffRecurateKeepForms _,
     "decontam_eval_overlap" -> decontaminate _,
     "decontam_bloom" -> decontaminateBloom _,
     "decontam_two_phase" -> decontaminateTwoPhase _,

@@ -230,6 +230,49 @@ object Sampling {
         col("doc_id"))
   }
 
+  /** Fertility-aware mixing (round-15 verdict stretch #8): per-LANGUAGE
+    * sampling weights that respond to tokenizer fertility. The
+    * multilingual failure mode [[Bpe.bpeFertility]] exists to flag is
+    * a vocabulary that fragments some languages (fertility ≫ 1
+    * subword per word) — sampling such a language at full weight buys
+    * fewer effective words per token of training budget, so the
+    * mixture down-weights it by INVERSE fertility, stated in integer
+    * micro-units end to end: weight_micro = 10^12 DIV fertility_micro
+    * (fertility ≥ 1 ⇒ weight ≤ 10^6), thresholds rescaled so the
+    * best-tokenized language samples at the full [[BucketCount]].
+    * Which documents a language keeps is the same nested
+    * [[mixHash]]-bucket rule as [[stratifiedSampleCore]].
+    *
+    * Shape at scale: fertility is a language-domain aggregate over one
+    * corpus encode pass (the [[Bpe]] scale story — merge rounds never
+    * touch the corpus); the mix itself is a broadcast join of the
+    * language-sized weight dimension plus a per-row hash compare —
+    * zero additional corpus shuffles. The oracle replays the 12-round
+    * BPE CTE pyramid (MATERIALIZED once) and the same divisions. */
+  def fertilityWeightedMix(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // language-domain frame (≤ distinct langs rows): the global
+    // window is bounded by the language domain, never the corpus
+    val w = Bpe.bpeFertility(spark, dir)
+      .select(col("lang"), col("fertility_micro"),
+        expr("CAST(1000000000000 DIV fertility_micro AS BIGINT)")
+          .as("weight_micro"))
+      .withColumn("max_w",
+        max(col("weight_micro")).over(Window.partitionBy()))
+      .select(col("lang"), col("fertility_micro"), col("weight_micro"),
+        expr(s"CAST(weight_micro * ${BucketCount}L DIV max_w AS BIGINT)")
+          .as("mix_threshold"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"))
+      .join(broadcast(w), "lang")
+      .groupBy(col("lang"), col("fertility_micro"),
+        col("weight_micro"), col("mix_threshold"))
+      .agg(count(lit(1)).as("total_docs"),
+        sum(when(mixHash(col("doc_id")) % BucketCount
+            < col("mix_threshold"), 1L).otherwise(0L)).as("sampled_docs"))
+      .orderBy(col("lang"))
+  }
+
   /** Epoch-repetition mixing — the upsampling half of a mixture
     * recipe (weights above 1.0 repeat a source across training
     * epochs; below 1.0 degrade to the stratified down-sample). A
@@ -633,6 +676,10 @@ object Sampling {
     // then the sharded running-sum cut in mixHash priority order
     "mix_token_budget" ->
       s"""WITH toks AS (SELECT doc_id, source, CAST(len(${TextOps.toksSql}) AS BIGINT) AS n_tokens FROM documents), per AS (SELECT source, CAST(floor(sqrt(CAST(COUNT(*) AS DOUBLE)) * $MixWeightScale) AS BIGINT) AS w_scaled FROM toks GROUP BY source), t AS (SELECT CAST(SUM(w_scaled) AS BIGINT) AS total_w FROM per), b AS (SELECT source, CAST((w_scaled * $MixBudgetTokens) // total_w // $MixTokenShards AS BIGINT) AS shard_budget FROM per, t), r AS (SELECT doc_id, source, doc_id % $MixTokenShards AS pack_shard, n_tokens, CAST(SUM(n_tokens) OVER (PARTITION BY source, doc_id % $MixTokenShards ORDER BY $hashSql, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens FROM toks) SELECT doc_id, source, pack_shard, n_tokens, cum_tokens FROM r JOIN b USING (source) WHERE cum_tokens <= shard_budget ORDER BY source, pack_shard, cum_tokens, doc_id""",
+    // inverse-fertility language weights: the BPE pyramid MATERIALIZED
+    // once, then the same integer divisions and hash-bucket compare
+    "mix_fertility_weighted" ->
+      s"""WITH fert AS MATERIALIZED (${Bpe.oracle("text_bpe_fertility")}), w AS (SELECT lang, fertility_micro, 1000000000000 // fertility_micro AS weight_micro FROM fert), mw AS (SELECT MAX(weight_micro) AS max_w FROM w), t AS (SELECT lang, fertility_micro, CAST(weight_micro AS BIGINT) AS weight_micro, CAST(weight_micro * $BucketCount // max_w AS BIGINT) AS mix_threshold FROM w, mw) SELECT t.lang, t.fertility_micro, t.weight_micro, t.mix_threshold, CAST(COUNT(*) AS BIGINT) AS total_docs, CAST(SUM(CASE WHEN $bucketSql < t.mix_threshold THEN 1 ELSE 0 END) AS BIGINT) AS sampled_docs FROM documents d JOIN t ON d.lang = t.lang GROUP BY 1, 2, 3, 4 ORDER BY t.lang""",
     // priority = w·P / (hash+1) with integer numerator/denominator and
     // one correctly-rounded division — bit-identical across engines;
     // τ is the (k+1)-th priority (0 when the corpus fits in k)
@@ -655,6 +702,7 @@ object Sampling {
     "mix_epoch_shuffle" -> epochShuffle _,
     "mix_shard_manifest" -> shardManifest _,
     "mix_token_budget" -> tokenBudgetMix _,
+    "mix_fertility_weighted" -> fertilityWeightedMix _,
     "sample_weighted_priority" -> prioritySample _,
     "sample_priority_by_source" -> prioritySampleBySource _
   )

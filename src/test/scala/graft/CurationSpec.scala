@@ -464,4 +464,62 @@ class CurationSpec extends SparkSpec {
     assert(Set("added", "removed", "changed", "unchanged")
       .subsetOf(got.keySet.map(_._2)))
   }
+
+  test("diff-driven keep-earliest re-curation CASCADES: a doc rejected " +
+      "as a dup of a since-removed keeper is re-elected") {
+    val ss = spark
+    import ss.implicits._
+    // v1: doc 1 keeps, doc 2 is its exact dup; doc 3 unique; doc 4 unique
+    val v1 = Seq(
+      (1L, "s1", "same text"), (2L, "s1", "Same Text "),
+      (3L, "s1", "unique a"), (4L, "s2", "unique b"))
+      .toDF("doc_id", "source", "text")
+    // v2: doc 1 REMOVED (doc 2 must be re-elected keeper of its
+    // group); doc 3 CHANGED into the same group (joins under keeper
+    // 2); doc 5 ADDED as a dup of untouched doc 4 (its group becomes
+    // touched through the entrant side only)
+    val v2 = Seq(
+      (2L, "s1", "Same Text "), (3L, "s1", "same text"),
+      (4L, "s2", "unique b"), (5L, "s2", "UNIQUE B"))
+      .toDF("doc_id", "source", "text")
+    val out = Curation.diffRecurateKeepOn(v1, v2).collect()
+      .map(r => (r.getString(3), r.getLong(0)) ->
+        ((r.getLong(1), r.getBoolean(2)))).toMap
+    val full = out.filter(_._1._1 == "full")
+    val incr = out.filter(_._1._1 == "incr")
+    assert(incr.map { case ((_, id), v) => id -> v } ==
+      full.map { case ((_, id), v) => id -> v },
+      "incremental must equal the full re-run")
+    // the cascade itself: 2 re-elected, 3 demoted into 2's group,
+    // 5 deduped against untouched 4
+    assert(incr((("incr", 2L))) == ((2L, true)))
+    assert(incr((("incr", 3L))) == ((2L, false)))
+    assert(incr((("incr", 4L))) == ((4L, true)))
+    assert(incr((("incr", 5L))) == ((4L, false)))
+  }
+
+  test("diff-driven card re-curation handles source appearance and " +
+      "disappearance exactly") {
+    val ss = spark
+    import ss.implicits._
+    val v1 = Seq(
+      (1L, "gone", "aaaa"), (2L, "stays", "bb"), (3L, "stays", "ccc"))
+      .toDF("doc_id", "source", "text")
+    // source `gone` fully removed; source `fresh` appears; one doc of
+    // `stays` changes length
+    val v2 = Seq(
+      (2L, "stays", "bbbbbb"), (3L, "stays", "ccc"),
+      (9L, "fresh", "dd"))
+      .toDF("doc_id", "source", "text")
+    val rows = Curation.diffRecurateCardOn(v1, v2).collect()
+      .map(r => (r.getString(4), r.getString(0)) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val expect = Map(
+      "stays" -> ((2L, 9L, 5L)),   // docs, chars (6+3), id_sum (2+3)
+      "fresh" -> ((1L, 2L, 9L)))
+    for (form <- Seq("full", "incr"); (src, v) <- expect)
+      assert(rows(((form, src))) == v, s"$form/$src")
+    assert(!rows.keySet.exists(_._2 == "gone"),
+      "a fully-removed source must leave no card row")
+  }
 }

@@ -21,6 +21,17 @@ class PlanLintSpec extends SparkSpec {
     // frame (rows = sources — Sampling.temperatureWeights scaladoc);
     // tokenBudgetMix's quota subplan carries the same window
     "mix_temperature_weights", "mix_token_budget",
+    // max-weight window over the POST-AGGREGATION per-LANGUAGE
+    // fertility frame (rows = languages, a model-bounded domain —
+    // Sampling.fertilityWeightedMix scaladoc)
+    "mix_fertility_weighted",
+    // the quantized-retriever eval's single-query forms re-derive
+    // ranks with one global rank window over each retriever's OWN
+    // top-k output — a ≤ ProductQuant.TopK-row frame by construction
+    // (RetrievalEval.evalQuantForms scaladoc: the same bounded-window
+    // class as the RRF fuse); the batched adc leg rides the salted
+    // two-phase rank like rag_eval_forms
+    "rag_eval_quant_forms",
     // in-batch negative sampling: one lead() over the OUTPUT-sized
     // near-pair set (bounded by dedup structure, not corpus size;
     // Similarity.contrastivePairs scaladoc documents the bucket-
