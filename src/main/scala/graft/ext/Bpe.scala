@@ -137,8 +137,25 @@ object Bpe {
     * window/join lineage never stacks. Stops early if no pair
     * remains. Returns the rules in rank order and the final
     * segmentation table. */
+  /** localCheckpoint + STATS reset — the round boundary every trainer
+    * loop must cross. A checkpoint inherits the round plan's
+    * ESTIMATED sizeInBytes, and because [[applyMerge]]'s self-joins
+    * MULTIPLY the leaf estimate (Catalyst's size-only join visitor is
+    * a product), the inherited BigInt's digit count grows
+    * geometrically with rounds: 12 rounds plan in milliseconds, but
+    * the 1k-merge ScaleUp run stalled around round ~20 with the
+    * DRIVER spending minutes per round inside million-digit BigInt
+    * multiplies during stats estimation. Rebuilding the frame from
+    * the checkpointed RDD gives a fresh leaf whose estimate is the
+    * constant session default, so per-round planning cost is flat at
+    * any merge count. Values are untouched — the gates re-prove it. */
+  private def checkpointReset(df: DataFrame): DataFrame = {
+    val cp = df.localCheckpoint()
+    cp.sparkSession.createDataFrame(cp.rdd, cp.schema)
+  }
+
   def trainOn(hist: DataFrame): (Seq[MergeRule], DataFrame) = {
-    var seq = initSeq(hist).localCheckpoint()
+    var seq = checkpointReset(initSeq(hist))
     val rules = scala.collection.mutable.ArrayBuffer.empty[MergeRule]
     var r = 1
     var exhausted = false
@@ -150,7 +167,7 @@ object Bpe {
         val a = best(0).getString(0)
         val b = best(0).getString(1)
         rules += MergeRule(r, a, b, a + b, best(0).getLong(2))
-        seq = applyMerge(seq, a, b).localCheckpoint()
+        seq = checkpointReset(applyMerge(seq, a, b))
         r += 1
       }
     }
@@ -161,9 +178,10 @@ object Bpe {
     * path: a tokenizer consumer holds only the merges artifact (the
     * shipped "merges file"), never the training-time segmentation. */
   def replayRules(hist: DataFrame, rules: Seq[MergeRule]): DataFrame =
-    rules.sortBy(_.merge_rank).foldLeft(initSeq(hist).localCheckpoint()) {
-      (seq, m) => applyMerge(seq, m.a, m.b).localCheckpoint()
-    }
+    rules.sortBy(_.merge_rank)
+      .foldLeft(checkpointReset(initSeq(hist))) {
+        (seq, m) => checkpointReset(applyMerge(seq, m.a, m.b))
+      }
 
   // ---------------------------------------------------------------
   // Batched training (round-15 verdict #3): [[trainOn]] pays one
@@ -264,7 +282,7 @@ object Bpe {
     * merges. maxBatch = 1 IS the sequential trainer (spec-pinned). */
   def trainBatched(hist: DataFrame, merges: Int,
       maxBatch: Int = 64): (Seq[MergeRule], DataFrame) = {
-    var seq = initSeq(hist).localCheckpoint()
+    var seq = checkpointReset(initSeq(hist))
     val rules = scala.collection.mutable.ArrayBuffer.empty[MergeRule]
     var exhausted = false
     while (rules.size < merges && !exhausted) {
@@ -279,8 +297,8 @@ object Bpe {
         batch.foreach { case (a, b, pn) =>
           rules += MergeRule(rules.size + 1, a, b, a + b, pn)
         }
-        seq = applyMerges(seq, batch.map(p => (p._1, p._2)))
-          .localCheckpoint()
+        seq = checkpointReset(
+          applyMerges(seq, batch.map(p => (p._1, p._2))))
       }
     }
     (rules.toSeq, seq)
