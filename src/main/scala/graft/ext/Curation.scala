@@ -1178,7 +1178,8 @@ SELECT doc_id, source, status FROM j WHERE status <> 'unchanged' ORDER BY doc_id
     * ever read (the 100× ScaleUp row times this leg against the full
     * recompute). */
   def diffRecurateKeepIncr(state: DataFrame, keep1: DataFrame,
-      diff: DataFrame, v2: DataFrame): DataFrame = {
+      diff: DataFrame, v2: DataFrame,
+      deltaOnly: Boolean = false): DataFrame = {
     val gone = diff.filter(col("status").isin("removed", "changed"))
       .select(col("doc_id"))
     val entrants = docFp(v2.join(
@@ -1194,9 +1195,18 @@ SELECT doc_id, source, status FROM j WHERE status <> 'unchanged' ORDER BY doc_id
     val touchedKeep = next
       .join(broadcast(touched), Seq("fp"), "left_semi")
       .groupBy(col("fp")).agg(min(col("doc_id")).as("keeper"))
-    val keepers = keep1.join(broadcast(touched), Seq("fp"), "left_anti")
-      .unionByName(touchedKeep)
-    next.join(keepers, "fp")
+    // deltaOnly = the STORE-maintenance output: only touched groups'
+    // verdict rows (what a deployed state store rewrites — untouched
+    // groups' stored verdicts remain valid). The full per-doc output
+    // exists for the equality gate, not for production upkeep.
+    val scope =
+      if (deltaOnly) next.join(broadcast(touched), Seq("fp"), "left_semi")
+      else next
+    val keepers =
+      if (deltaOnly) touchedKeep
+      else keep1.join(broadcast(touched), Seq("fp"), "left_anti")
+        .unionByName(touchedKeep)
+    scope.join(keepers, "fp")
       .select(col("doc_id"), col("keeper"),
         (col("doc_id") === col("keeper")).as("is_kept"))
   }
