@@ -1329,7 +1329,14 @@ object Dedup {
   def rebuildIndex(spark: SparkSession, goldDir: String,
       indexDir: String, outFiles: Int = 0,
       commit: graft.ops.StoreCommit = graft.ops.SwapCommit): Unit = {
-    val gold = spark.read.parquet(goldDir)
+    // tombstoned docs stay out of the rebuild, and the fresh store
+    // carries no tombstones component — compaction FOLDS the removals
+    // (a rebuild from full gold would silently resurrect them)
+    val ts = tombstonesOf(spark, commit.readDir(indexDir))
+    val gold0 = spark.read.parquet(goldDir)
+    val gold = ts.map(t =>
+      gold0.join(broadcast(t), Seq("doc_id"), "left_anti"))
+      .getOrElse(gold0)
     // the whole three-component index replaces atomically through the
     // commit protocol (the index is derived state — the staged
     // replace just makes the rebuild itself crash-safe for free)
@@ -1397,18 +1404,53 @@ object Dedup {
     } else false
   }
 
+  /** Tombstone REMOVED gold docs in a [[writeGoldIndex]] store — the
+    * snapshot-diff removal leg (round-15 stretch #7 applied to the
+    * near-dup index). Gold admits only ACCEPTED uniques (exact dups
+    * never enter — the sink rejects them), so every fingerprint row
+    * in the index belongs to exactly one gold doc and removal is
+    * per-row: fingerprints rows whose keeper id is tombstoned,
+    * band/shingle rows whose doc id is. The tombstone set is an
+    * append-only id list (read through distinct, so a replayed
+    * append is harmless); probes anti-join it on the index-bounded
+    * components — diff-sized broadcast work, never a corpus pass —
+    * and the next [[rebuildIndex]] compaction FOLDS it (rebuild from
+    * gold minus tombstones; the fresh store carries none). A CHANGED
+    * doc re-enters through the normal append path under a new
+    * monotone id after its old id is tombstoned; the gold corpus
+    * files themselves are append-only and keep the removed rows —
+    * the index (what probes consult) is what forgets them. */
+  def tombstoneGoldIndex(removed: DataFrame, path: String,
+      commit: graft.ops.StoreCommit = graft.ops.SwapCommit): Unit =
+    removed.select(col("doc_id")).write.mode("append")
+      .parquet(s"${commit.writeDir(path)}/tombstones")
+
+  private def tombstonesOf(spark: SparkSession,
+      live: String): Option[DataFrame] =
+    if (graft.ops.StoreFiles.hasTopLevelParquet(s"$live/tombstones"))
+      Some(spark.read.parquet(s"$live/tombstones")
+        .select(col("doc_id")).distinct())
+    else None
+
   /** Incremental dedup of `fresh` against a [[writeGoldIndex]] store —
-    * no access to the gold texts, only the persisted index. */
+    * no access to the gold texts, only the persisted index.
+    * Tombstoned docs (see [[tombstoneGoldIndex]]) are invisible on
+    * every component. */
   def incrementalAgainstIndex(spark: SparkSession, fresh: DataFrame,
       path: String,
       commit: graft.ops.StoreCommit = graft.ops.SwapCommit): DataFrame = {
     val live = commit.readDir(path)
-    val goldSh = spark.read.parquet(s"$live/shingles")
+    val ts = tombstonesOf(spark, live)
+    def dropTs(df: DataFrame, idCol: String): DataFrame =
+      ts.map(t => df.join(
+        broadcast(t.withColumnRenamed("doc_id", idCol)),
+        Seq(idCol), "left_anti")).getOrElse(df)
     incrementalCore(fresh,
-      spark.read.parquet(s"$live/fingerprints"),
-      spark.read.parquet(s"$live/bands")
+      dropTs(spark.read.parquet(s"$live/fingerprints"), "exact_match"),
+      dropTs(spark.read.parquet(s"$live/bands")
         .select(col("doc_id"), col("band_idx"), col("band_val")),
-      goldSh)
+        "doc_id"),
+      dropTs(spark.read.parquet(s"$live/shingles"), "doc_id"))
   }
 
   private def incrementalCore(fresh: DataFrame, goldFp: DataFrame,

@@ -196,6 +196,54 @@ class DedupSpec extends SparkSpec {
     assert(recovered.nonEmpty)
   }
 
+  test("tombstoned gold index judges like an index rebuilt without the " +
+      "removed docs, and compaction folds the tombstones") {
+    val d = graft.Tables.documents(spark, sf)
+    val maxId = d.agg(max(col("doc_id"))).head().getLong(0)
+    // gold under the sink invariant (only accepted uniques enter, so
+    // exact-fingerprint groups are singletons): keep min doc per fp
+    val slice = d.filter(col("doc_id") <= maxId * 8 / 10)
+    val fpc = md5(lower(trim(col("text"))).cast("binary"))
+    val keepIds = slice.select(col("doc_id"), fpc.as("fp"))
+      .groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    val gold = slice.join(keepIds, Seq("doc_id")).localCheckpoint()
+    val probe = d.filter(col("doc_id") > maxId * 8 / 10).localCheckpoint()
+    val base = java.nio.file.Files.createTempDirectory("gold_ts").toString
+    gold.write.parquet(s"$base/gold")
+    Dedup.writeGoldIndex(gold, s"$base/index")
+    val orig = Dedup.incrementalAgainstIndex(spark, probe, s"$base/index")
+      .localCheckpoint()
+    // removal set: docs the probe batch actually MATCHES — removing
+    // them must flip those verdicts (the re-curation cascade)
+    val removed = orig.filter(col("match_id").isNotNull)
+      .select(col("match_id").as("doc_id")).distinct().limit(3)
+      .localCheckpoint()
+    assert(removed.count() > 0, "fixture must have matched probes")
+    Dedup.tombstoneGoldIndex(removed, s"$base/index")
+    val viaTombstones = Dedup.incrementalAgainstIndex(
+      spark, probe, s"$base/index").collect().toSeq
+    // truth: a fresh index built on gold minus the removed docs
+    val cleanIdx = java.nio.file.Files
+      .createTempDirectory("gold_ts_clean").toString
+    Dedup.writeGoldIndex(
+      gold.join(removed, Seq("doc_id"), "left_anti"), cleanIdx)
+    val clean = Dedup.incrementalAgainstIndex(spark, probe, cleanIdx)
+      .collect().toSeq
+    assert(viaTombstones == clean,
+      "tombstoned index must answer like the rebuilt-without index")
+    assert(viaTombstones != orig.collect().toSeq,
+      "removing match targets must change some verdicts")
+    // compaction folds the tombstones: fresh store carries none and
+    // still answers like the truth index
+    Dedup.rebuildIndex(spark, s"$base/gold", s"$base/index")
+    assert(!new java.io.File(s"$base/index/tombstones").exists(),
+      "rebuild must fold (drop) the tombstone component")
+    val folded = Dedup.incrementalAgainstIndex(
+      spark, probe, s"$base/index").collect().toSeq
+    assert(folded == clean)
+  }
+
   test("index compaction: threshold triggers a rebuild that shrinks files, " +
       "verdicts unchanged") {
     val d = graft.Tables.documents(spark, sf)
