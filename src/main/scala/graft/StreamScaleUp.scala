@@ -715,33 +715,46 @@ object StreamScaleUp {
         println(s"[streamscale] staged $liDir (${copies}x, " +
           s"$nBatches batches)")
       }
-      val store = s"$base/zstore16"
+      // SPARK_GRAFT_STREAMSCALE_COMMIT=pointer drives the identical
+      // loop through the object-store commit protocol (versioned dirs
+      // + pointer flips on every major) — the overhead-parity row
+      val ptr = sys.env.get("SPARK_GRAFT_STREAMSCALE_COMMIT")
+        .contains("pointer")
+      val commitMode: graft.ops.StoreCommit =
+        if (ptr) graft.ops.PointerCommit else graft.ops.SwapCommit
+      val tag = if (ptr) " (pointer)" else ""
+      val store = s"$base/zstore16" + (if (ptr) "_ptr" else "")
       val files = Option(new java.io.File(liDir).listFiles())
         .getOrElse(Array.empty).map(_.getPath).sorted
       val (x, y, idc) = ("l_partkey", "l_suppkey", "l_orderkey")
       for ((f, i) <- files.zipWithIndex) {
         val rows = spark.read.parquet(f)
+        commitMode.recover(store)
+        val live = commitMode.writeDir(store)
         val tA = System.nanoTime()
-        ZOrderLayout.appendDelta(rows, store, idc)
+        ZOrderLayout.appendDelta(rows, live, idc)
         val aS = (System.nanoTime() - tA) / 1e9
         var minS = 0.0; var majS = 0.0
-        if (ZOrderLayout.deltaCount(store) >= ZOrderLayout.CompactAfter) {
+        if (ZOrderLayout.deltaCount(live) >= ZOrderLayout.CompactAfter) {
           val tM = System.nanoTime()
-          ZOrderLayout.minorCompact(spark, store, x, y)
+          ZOrderLayout.minorCompact(spark, live, x, y)
           minS = (System.nanoTime() - tM) / 1e9
           val tJ = System.nanoTime()
-          val (_, major) =
-            ZOrderLayout.maybeCompactStore(spark, store, x, y, idc)
+          val (_, major) = ZOrderLayout.maybeCompactStore(
+            spark, store, x, y, idc, commitMode)
           if (major) majS = (System.nanoTime() - tJ) / 1e9
         }
+        val liveNow = commitMode.readDir(store)
         val baseMb =
-          graft.ops.StoreFiles.dirBytes(s"$store/base") / (1 << 20)
-        val l1Mb = graft.ops.StoreFiles.dirBytes(s"$store/l1") / (1 << 20)
-        println(f"[streamscale] zstore t${i + 1}%02d append $aS%5.1f s" +
+          graft.ops.StoreFiles.dirBytes(s"$liveNow/base") / (1 << 20)
+        val l1Mb =
+          graft.ops.StoreFiles.dirBytes(s"$liveNow/l1") / (1 << 20)
+        println(f"[streamscale] zstore$tag%s t${i + 1}%02d append $aS%5.1f s" +
           f"  minor $minS%5.1f s  major $majS%5.1f s" +
           f"  (base ${baseMb}%d MB, l1 ${l1Mb}%d MB)")
       }
-      val got = ZOrderLayout.readStore(spark, store).count()
+      val got = ZOrderLayout
+        .readStore(spark, commitMode.readDir(store)).count()
       val want = spark.read.parquet(liDir).count()
       println(s"[streamscale] zstore parity vs landing: " +
         (if (got == want) s"EXACT ($got rows)"
@@ -756,7 +769,7 @@ object StreamScaleUp {
         spans(spans.length / 2)
       }
       println(s"[streamscale] zstore median y-span per file: base " +
-        s"${medianSpan(s"$store/base")} vs landing " +
+        s"${medianSpan(s"${commitMode.readDir(store)}/base")} vs landing " +
         s"${medianSpan(liDir)}")
     }
 
