@@ -1406,8 +1406,7 @@ object ScaleUp {
       for (d <- Seq(src, dst)) {
         val (v1, v2) = Curation.snapshotViews(Tables.documents(spark, d))
         val t0 = System.nanoTime()
-        val state = v1.select(col("doc_id"),
-          md5(lower(trim(col("text")))).as("fp")).localCheckpoint()
+        val state = Curation.docFp(v1).localCheckpoint()
         val keep1 = state.groupBy(col("fp"))
           .agg(min(col("doc_id")).as("keeper")).localCheckpoint()
         println(f"[scaleup] recurate_v1_state_build      $d%-18s " +
@@ -1439,8 +1438,7 @@ object ScaleUp {
         println(f"[scaleup] recurate_incremental_delta   $d%-18s " +
           f"${(System.nanoTime - t2b) / 1e9}%8.2f s  ($nDelta%d rows)")
         val t3 = System.nanoTime()
-        val p2 = v2.select(col("doc_id"),
-          md5(lower(trim(col("text")))).as("fp"))
+        val p2 = Curation.docFp(v2)
         val nFull = p2.join(p2.groupBy(col("fp"))
           .agg(min(col("doc_id")).as("keeper")), "fp").count()
         println(f"[scaleup] recurate_full_rebuild        $d%-18s " +

@@ -750,10 +750,11 @@ v2 AS (SELECT doc_id, source, text FROM documents WHERE doc_id % 17 <> 5)"""
       s"""WITH $snapViewsSql,
 j AS (SELECT COALESCE(b.source, a.source) AS source, CASE WHEN a.doc_id IS NULL THEN 'added' WHEN b.doc_id IS NULL THEN 'removed' WHEN md5(a.text) <> md5(b.text) THEN 'changed' ELSE 'unchanged' END AS status FROM v1 a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id)
 SELECT source, status, CAST(COUNT(*) AS BIGINT) AS n_docs FROM j GROUP BY source, status ORDER BY source, status""",
-    // doc-level diff: the incremental re-curation work-list
+    // doc-level diff: the incremental re-curation work-list (the
+    // fingerprint covers source||text — re-attribution is a change)
     "curation_snapshot_docs" ->
       s"""WITH $snapViewsSql,
-j AS (SELECT COALESCE(b.doc_id, a.doc_id) AS doc_id, COALESCE(b.source, a.source) AS source, CASE WHEN a.doc_id IS NULL THEN 'added' WHEN b.doc_id IS NULL THEN 'removed' WHEN md5(a.text) <> md5(b.text) THEN 'changed' ELSE 'unchanged' END AS status FROM v1 a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id)
+j AS (SELECT COALESCE(b.doc_id, a.doc_id) AS doc_id, COALESCE(b.source, a.source) AS source, CASE WHEN a.doc_id IS NULL THEN 'added' WHEN b.doc_id IS NULL THEN 'removed' WHEN md5(a.source || '|' || a.text) <> md5(b.source || '|' || b.text) THEN 'changed' ELSE 'unchanged' END AS status FROM v1 a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id)
 SELECT doc_id, source, status FROM j WHERE status <> 'unchanged' ORDER BY doc_id""",
     // diff-driven incremental == full re-run: the oracle computes the
     // v2 truth ONCE and tags both forms — hash equality of the `incr`
@@ -1039,16 +1040,23 @@ SELECT doc_id, source, status FROM j WHERE status <> 'unchanged' ORDER BY doc_id
 
   /** Doc-LEVEL snapshot diff — the WORK-LIST incremental re-curation
     * consumes (round-15 verdict stretch #7): one row per doc whose
-    * content changed between versions, status ∈ added / removed /
-    * changed. Same skinny fingerprint full-outer join as
-    * [[snapshotDiffOn]] (three columns shuffle, never the texts);
-    * `unchanged` rows are dropped — at 100 TB the work-list is the
-    * few-percent diff, not the corpus. */
+    * content OR source changed between versions, status ∈ added /
+    * removed / changed. The fingerprint covers (source, text) — a doc
+    * re-attributed to a new source with identical text must enter the
+    * work-list, or the incremental card would keep counting it under
+    * the old source while the full recompute counts it under the new
+    * one (the count-level [[snapshotDiffOn]] keeps its text-only
+    * semantics; this op feeds maintenance, where attribution IS
+    * state). Same skinny full-outer join shape (three columns
+    * shuffle, never the texts); `unchanged` rows are dropped — at
+    * 100 TB the work-list is the few-percent diff, not the corpus. */
   def snapshotDiffDocsOn(v1: DataFrame, v2: DataFrame): DataFrame = {
+    def fpc = md5(concat(col("source"), lit("|"), col("text"))
+      .cast("binary"))
     val a = v1.select(col("doc_id"), col("source").as("src1"),
-      md5(col("text").cast("binary")).as("fp1"))
+      fpc.as("fp1"))
     val b = v2.select(col("doc_id"), col("source").as("src2"),
-      md5(col("text").cast("binary")).as("fp2"))
+      fpc.as("fp2"))
     a.join(b, Seq("doc_id"), "full_outer")
       .select(col("doc_id"),
         coalesce(col("src2"), col("src1")).as("source"),
@@ -1168,8 +1176,10 @@ SELECT doc_id, source, status FROM j WHERE status <> 'unchanged' ORDER BY doc_id
   }
 
   /** The exact-dedup content fingerprint (shared by the keep-earliest
-    * family: the same lower/trim/md5 as the gold index's exact leg). */
-  private def docFp(v: DataFrame): DataFrame =
+    * family: the same lower/trim/md5 as the gold index's exact leg;
+    * private[graft] so the ScaleUp harness times THE shipped
+    * fingerprint, not a copy). */
+  private[graft] def docFp(v: DataFrame): DataFrame =
     v.select(col("doc_id"), md5(lower(trim(col("text")))).as("fp"))
 
   /** The incremental maintenance leg ALONE — inputs are the

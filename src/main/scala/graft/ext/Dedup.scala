@@ -1329,10 +1329,17 @@ object Dedup {
   def rebuildIndex(spark: SparkSession, goldDir: String,
       indexDir: String, outFiles: Int = 0,
       commit: graft.ops.StoreCommit = graft.ops.SwapCommit): Unit = {
-    // tombstoned docs stay out of the rebuild, and the fresh store
-    // carries no tombstones component — compaction FOLDS the removals
-    // (a rebuild from full gold would silently resurrect them)
+    // tombstoned docs stay out of the rebuilt components (a rebuild
+    // from full gold would silently resurrect them), and the
+    // tombstone set is CARRIED into the fresh store — gold is
+    // append-only and keeps the removed rows, so every future
+    // rebuild must re-apply the same removals (dropping the list
+    // here would resurrect the docs at the NEXT compaction). The
+    // carried list is compacted to its distinct ids — removal-set-
+    // sized, and the probe-side anti-join over the rebuilt
+    // components is a no-op until new tombstones arrive.
     val ts = tombstonesOf(spark, commit.readDir(indexDir))
+      .map(_.localCheckpoint())
     val gold0 = spark.read.parquet(goldDir)
     val gold = ts.map(t =>
       gold0.join(broadcast(t), Seq("doc_id"), "left_anti"))
@@ -1340,7 +1347,10 @@ object Dedup {
     // the whole three-component index replaces atomically through the
     // commit protocol (the index is derived state — the staged
     // replace just makes the rebuild itself crash-safe for free)
-    commit.replace(indexDir)(writeGoldIndex(gold, _, outFiles))
+    commit.replace(indexDir) { next =>
+      writeGoldIndex(gold, next, outFiles)
+      ts.foreach(_.write.parquet(s"$next/tombstones"))
+    }
   }
 
   /** Extend a [[writeGoldIndex]] store with newly-accepted docs
@@ -1414,12 +1424,14 @@ object Dedup {
     * append-only id list (read through distinct, so a replayed
     * append is harmless); probes anti-join it on the index-bounded
     * components — diff-sized broadcast work, never a corpus pass —
-    * and the next [[rebuildIndex]] compaction FOLDS it (rebuild from
-    * gold minus tombstones; the fresh store carries none). A CHANGED
-    * doc re-enters through the normal append path under a new
-    * monotone id after its old id is tombstoned; the gold corpus
-    * files themselves are append-only and keep the removed rows —
-    * the index (what probes consult) is what forgets them. */
+    * and [[rebuildIndex]] excludes the tombstoned docs from the
+    * rebuilt components while CARRYING the (distinct-compacted) list
+    * into the fresh store: gold is append-only and keeps the removed
+    * rows, so the removals must re-apply at every future rebuild. A
+    * CHANGED doc re-enters through the normal append path under a
+    * new monotone id after its old id is tombstoned; the gold corpus
+    * files themselves keep the removed rows — the index (what probes
+    * consult) is what forgets them. */
   def tombstoneGoldIndex(removed: DataFrame, path: String,
       commit: graft.ops.StoreCommit = graft.ops.SwapCommit): Unit =
     removed.select(col("doc_id")).write.mode("append")

@@ -268,22 +268,32 @@ object ProductQuant {
       threshold: Int = Dedup.CompactFileThreshold,
       commit: graft.ops.StoreCommit = graft.ops.SwapCommit): Boolean = {
     if (codesFileCount(commit.readDir(codesDir)) > threshold) {
-      val gold = spark.read.parquet(goldDir)
-        .select(col("vec_id"), col("label"),
-          col("embedding").cast("array<double>").as("v"))
-      // materialize BEFORE the replace: the plan reads goldDir, not
-      // codesDir, but an eager pin keeps the rebuild one atomic job
-      val rebuilt = encodeFrameResidual(gold, coarse, rcbs)
-        .repartition(coarse.size, col("cell"))
-        .localCheckpoint()
-      // through the commit protocol (was an in-place overwrite):
-      // codes are derived state, but the staged replace also makes
-      // the rebuild itself crash-safe for free on both modes
-      commit.replace(codesDir) { next =>
-        rebuilt.write.partitionBy("cell").parquet(next)
-      }
+      rebuildCodes(spark, goldDir, codesDir, coarse, rcbs, commit)
       true
     } else false
+  }
+
+  /** Rebuild the codes store from the gold vector corpus — the
+    * compaction body AND the crash repair for the gold→codes append
+    * window (the vector sink wires it as its guard-prologue repair). */
+  def rebuildCodes(spark: SparkSession, goldDir: String,
+      codesDir: String, coarse: Seq[(Int, Seq[Double])],
+      rcbs: Seq[Seq[(Int, Seq[Double])]],
+      commit: graft.ops.StoreCommit = graft.ops.SwapCommit): Unit = {
+    val gold = spark.read.parquet(goldDir)
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+    // materialize BEFORE the replace: the plan reads goldDir, not
+    // codesDir, but an eager pin keeps the rebuild one atomic job
+    val rebuilt = encodeFrameResidual(gold, coarse, rcbs)
+      .repartition(coarse.size, col("cell"))
+      .localCheckpoint()
+    // through the commit protocol (was an in-place overwrite):
+    // codes are derived state, but the staged replace also makes
+    // the rebuild itself crash-safe for free on both modes
+    commit.replace(codesDir) { next =>
+      rebuilt.write.partitionBy("cell").parquet(next)
+    }
   }
 
   /** Driver-side query prep for the residual layout: query id, coarse
@@ -638,11 +648,20 @@ object ProductQuant {
     * serving chain uses. */
   def learnedRotationFor(spark: SparkSession,
       dir: String): Seq[Seq[Double]] = {
-    val sample = KMeans.vecs(spark, dir).orderBy(col("vec_id"))
-      .limit(OpqSampleN).select(col("v")).collect()
-      .map(_.getSeq[Double](0))
-    learnedRotation(sample.toSeq)
+    // memoized per corpus dir: the iterative Procrustes/SVD training
+    // is deterministic, and a gate sweep evaluates BOTH
+    // sim_opq_learned_topk and sim_opq_rotation_check — without the
+    // memo each paid the family's most expensive driver computation
+    learnedRotations.computeIfAbsent(dir, _ => {
+      val sample = KMeans.vecs(spark, dir).orderBy(col("vec_id"))
+        .limit(OpqSampleN).select(col("v")).collect()
+        .map(_.getSeq[Double](0))
+      learnedRotation(sample.toSeq)
+    })
   }
+
+  private val learnedRotations =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[Seq[Double]]]()
 
   /** DRIVER-GATED data-check of the LEARNED OPQ rotation (round-15
     * verdict #6) — the checkable HALF of `sim_opq_learned_topk`'s

@@ -286,8 +286,16 @@ object ZOrderLayout {
     * pinned by the caller (the sink localCheckpoints the fresh set). */
   def appendDelta(rows: DataFrame, store: String, idCol: String): Long = {
     val batchMax = rows.agg(max(col(idCol))).head().getLong(0)
-    rows.write.mode("overwrite")
-      .parquet(s"$store/delta/batch=$batchMax")
+    val dir = s"$store/delta/batch=$batchMax"
+    rows.write.mode("overwrite").parquet(dir)
+    // stamp the commit marker OURSELVES: listings are _SUCCESS-gated,
+    // and a deployment that disables the job committer's marker
+    // (mapreduce.fileoutputcommitter.marksuccessfuljobs=false — a
+    // common object-store tuning) would otherwise acknowledge rows
+    // into dirs no reader ever lists. Idempotent when the committer
+    // already wrote it; a crash before this line leaves the dir torn
+    // and invisible, exactly the intended window.
+    graft.ops.StoreFiles.createMarker(dir, "_SUCCESS")
     graft.ops.StoreFiles.writeIdWatermark(store, batchMax)
     batchMax
   }
@@ -310,7 +318,11 @@ object ZOrderLayout {
     if (live.isEmpty) return
     val runId = live.map(idOf).max
     val rows = live.map(spark.read.parquet(_)).reduce(_ unionByName _)
-    zorderWrite(rows, x, y, s"$store/l1/run=$runId")
+    val runDir = s"$store/l1/run=$runId"
+    zorderWrite(rows, x, y, runDir)
+    // explicit marker, same reason as appendDelta: run visibility must
+    // not depend on the job committer's marksuccessfuljobs setting
+    graft.ops.StoreFiles.createMarker(runDir, "_SUCCESS")
     sweepSuperseded(store)
   }
 

@@ -291,8 +291,17 @@ object EventStreams {
         val ix = commit.readDir(indexDir)
         val goldSeeded = hasParquet(goldDir)
         // guard prologue + replay filter: graft.ops.SinkGuard owns
-        // the watermark/marker trust protocol for every artifact sink
-        graft.ops.SinkGuard.prologue(goldDir, "_ids_synced", goldSeeded)
+        // the watermark/marker trust protocol for every artifact sink.
+        // Repair: a crash between the gold append and the index
+        // append leaves gold docs the index never saw — and the
+        // replay's anti-join (against GOLD) drops them, so without a
+        // repair the index stays blind to them until a size-triggered
+        // compaction happens to fire, admitting their duplicates as
+        // "unique" into the append-only gold corpus. The rebuild from
+        // gold is O(gold) but crash/adoption-gated only.
+        graft.ops.SinkGuard.prologue(goldDir, "_ids_synced", goldSeeded,
+          repair = Some(() => graft.ext.Dedup.rebuildIndex(
+            spark, goldDir, indexDir, commit = commit)))
         val fresh = graft.ops.SinkGuard.fresh(batch, goldDir, "doc_id",
           goldSeeded, spark.read.parquet(goldDir).select("doc_id"))
         // the watermark covers the WHOLE batch (duplicates too — a
@@ -467,7 +476,13 @@ object EventStreams {
         // protocol
         commit.recover(codesDir)
         val goldSeeded = hasParquet(goldDir)
-        graft.ops.SinkGuard.prologue(goldDir, "_ids_synced", goldSeeded)
+        // repair: the gold→codes append window (gold rows whose codes
+        // never landed) — the replay anti-joins against gold and would
+        // otherwise never re-encode them; the rebuild is the same
+        // derived-state recovery maybeCompactCodes runs, crash-gated
+        graft.ops.SinkGuard.prologue(goldDir, "_ids_synced", goldSeeded,
+          repair = Some(() => graft.ext.ProductQuant.rebuildCodes(
+            spark, goldDir, codesDir, coarse, rcbs, commit)))
         // localCheckpoint (EAGER): the fresh set's lineage reads the
         // gold dir this batch appends to — same re-execution hazard
         // as incrementalDedupSink's accepted set
@@ -565,8 +580,12 @@ object EventStreams {
         // anti-join fallback); in pointer mode the root survives
         // version flips, and a content-preserving compaction keeps
         // the watermark valid
+        // repair: the cells→verdicts append window — stored vectors
+        // whose verdict row never landed get one re-derived from the
+        // store itself (exact, idempotent; crash-gated only)
         graft.ops.SinkGuard.prologue(cellsDir, "_ids_synced",
-          storeSeeded)
+          storeSeeded, repair = Some(() =>
+            repairSemanticVerdicts(spark, cells, verdictsDir)))
         val fresh = graft.ops.SinkGuard.fresh(batch, cellsDir,
           "vec_id", storeSeeded,
           spark.read.parquet(cells).select("vec_id"))

@@ -498,24 +498,28 @@ class CurationSpec extends SparkSpec {
     assert(incr((("incr", 5L))) == ((4L, false)))
   }
 
-  test("diff-driven card re-curation handles source appearance and " +
-      "disappearance exactly") {
+  test("diff-driven card re-curation handles source appearance, " +
+      "disappearance, and re-attribution exactly") {
     val ss = spark
     import ss.implicits._
     val v1 = Seq(
       (1L, "gone", "aaaa"), (2L, "stays", "bb"), (3L, "stays", "ccc"))
       .toDF("doc_id", "source", "text")
     // source `gone` fully removed; source `fresh` appears; one doc of
-    // `stays` changes length
+    // `stays` changes length; doc 3 MOVES to a new source with
+    // identical text (the re-attribution case the source||text diff
+    // fingerprint exists for — a text-only diff would miss it and
+    // leave doc 3 counted under `stays`)
     val v2 = Seq(
-      (2L, "stays", "bbbbbb"), (3L, "stays", "ccc"),
+      (2L, "stays", "bbbbbb"), (3L, "moved", "ccc"),
       (9L, "fresh", "dd"))
       .toDF("doc_id", "source", "text")
     val rows = Curation.diffRecurateCardOn(v1, v2).collect()
       .map(r => (r.getString(4), r.getString(0)) ->
         ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
     val expect = Map(
-      "stays" -> ((2L, 9L, 5L)),   // docs, chars (6+3), id_sum (2+3)
+      "stays" -> ((1L, 6L, 2L)),
+      "moved" -> ((1L, 3L, 3L)),
       "fresh" -> ((1L, 2L, 9L)))
     for (form <- Seq("full", "incr"); (src, v) <- expect)
       assert(rows(((form, src))) == v, s"$form/$src")

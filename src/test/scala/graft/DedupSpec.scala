@@ -234,14 +234,23 @@ class DedupSpec extends SparkSpec {
       "tombstoned index must answer like the rebuilt-without index")
     assert(viaTombstones != orig.collect().toSeq,
       "removing match targets must change some verdicts")
-    // compaction folds the tombstones: fresh store carries none and
-    // still answers like the truth index
+    // rebuild excludes the tombstoned docs AND carries the list (gold
+    // is append-only — dropping it would resurrect the docs at the
+    // NEXT rebuild)
     Dedup.rebuildIndex(spark, s"$base/gold", s"$base/index")
-    assert(!new java.io.File(s"$base/index/tombstones").exists(),
-      "rebuild must fold (drop) the tombstone component")
-    val folded = Dedup.incrementalAgainstIndex(
+    assert(new java.io.File(s"$base/index/tombstones").exists(),
+      "rebuild must carry the tombstone component forward")
+    val rebuilt = Dedup.incrementalAgainstIndex(
       spark, probe, s"$base/index").collect().toSeq
-    assert(folded == clean)
+    assert(rebuilt == clean)
+    // the resurrection regression: a SECOND rebuild from the same
+    // (unchanged, still containing the removed rows) gold corpus must
+    // not bring the removed docs back
+    Dedup.rebuildIndex(spark, s"$base/gold", s"$base/index")
+    val rebuiltTwice = Dedup.incrementalAgainstIndex(
+      spark, probe, s"$base/index").collect().toSeq
+    assert(rebuiltTwice == clean,
+      "second rebuild must not resurrect tombstoned docs")
   }
 
   test("index compaction: threshold triggers a rebuild that shrinks files, " +

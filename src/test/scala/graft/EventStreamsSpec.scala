@@ -331,6 +331,54 @@ class EventStreamsSpec extends SparkSpec {
     assert(spark.read.parquet(s"$base/gold").count() == expected.size)
   }
 
+  test("dedup sink crash between gold append and index append: the " +
+      "prologue repair rebuilds the index, so a duplicate of the " +
+      "crashed doc is still rejected") {
+    import java.nio.file.{Files, Paths}
+    import graft.ext.Dedup
+    val base = Files.createTempDirectory("graft_dedup_crash")
+    val srcDir = s"$base/src"; Files.createDirectories(Paths.get(srcDir))
+    val docs = Tables.documents(spark, sf)
+    val ids = docs.select(col("doc_id")).orderBy(col("doc_id"))
+      .collect().map(_.getLong(0))
+    val c0 = ids(ids.length / 2)
+    val gold0 = docs.filter(col("doc_id") <= c0)
+    gold0.write.mode("overwrite").parquet(s"$base/gold")
+    Dedup.writeGoldIndex(gold0, s"$base/index")
+    // a doc the index would accept, landed in gold by a batch that
+    // CRASHED before its index append: gold has it, the index is
+    // blind to it, the sync marker is down, the watermark is stale
+    val crashed = Dedup.incrementalSplit(gold0,
+        docs.filter(col("doc_id") > c0))
+      .filter(col("verdict") === "unique")
+      .orderBy(col("doc_id")).limit(1)
+      .select(col("doc_id")).collect().head.getLong(0)
+    val crashedDoc = docs.filter(col("doc_id") === crashed)
+      .localCheckpoint()
+    crashedDoc.write.mode("append").parquet(s"$base/gold")
+    graft.ops.StoreFiles.deleteMarker(s"$base/gold", "_ids_synced")
+    graft.ops.StoreFiles.deleteIdWatermark(s"$base/gold")
+    // next batch: an EXACT duplicate of the crashed doc under a new
+    // id — without the prologue repair the index never learned the
+    // crashed doc (the replay guard drops it as already-in-gold), so
+    // the duplicate would be judged unique and admitted forever
+    val dup = crashedDoc.withColumn("doc_id", lit(ids.max + 1))
+      .localCheckpoint()
+    val tmp = Files.createTempDirectory("graft_dedup_crash_b")
+    dup.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val f = new java.io.File(tmp.toString).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    Files.move(f.toPath, Paths.get(srcDir, "dup.parquet"))
+    val before = spark.read.parquet(s"$base/gold").count()
+    EventStreams.incrementalDedupSink(
+      spark.readStream.schema(docs.schema).parquet(srcDir),
+      s"$base/index", s"$base/gold", s"$base/chk").stop()
+    assert(spark.read.parquet(s"$base/gold").count() == before,
+      "the duplicate of the crashed doc must be rejected")
+    assert(!spark.read.parquet(s"$base/gold")
+      .filter(col("doc_id") === ids.max + 1).collect().nonEmpty)
+  }
+
   test("streaming curation: exactly-once dispositions, parity with batch " +
       "pipeline outside the online-dedup delta") {
     import java.nio.file.{Files, Paths}
