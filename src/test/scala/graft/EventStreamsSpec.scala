@@ -746,6 +746,116 @@ class EventStreamsSpec extends SparkSpec {
       s"$base/codes", coarse, rcbs, threshold = 10000))
   }
 
+  test("vector sink crash between gold append and codes append: the " +
+      "prologue repair re-encodes the crashed vectors") {
+    import java.nio.file.{Files, Paths}
+    import graft.ext.{KMeans, ProductQuant}
+    val base = Files.createTempDirectory("graft_vec_crash").toString
+    val srcDir = s"$base/src"; Files.createDirectories(Paths.get(srcDir))
+    val e = Tables.embeddings(spark, sf)
+    val ids = e.select(col("vec_id")).orderBy(col("vec_id"))
+      .collect().map(_.getLong(0))
+    val c0 = ids(ids.length * 3 / 5); val c1 = ids(ids.length * 4 / 5)
+    val coarse = KMeans.train(spark, sf)
+    val rcbs = ProductQuant.residualCodebooks(spark, sf, coarse)
+    def cast(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+    val seed = e.filter(col("vec_id") <= c0)
+    seed.write.mode("overwrite").parquet(s"$base/gold")
+    ProductQuant.encodeFrameResidual(cast(seed), coarse, rcbs)
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$base/codes")
+    // crash shape: b1's vectors reached gold, their codes never did,
+    // the marker is down — the replay guard would drop them as
+    // already-in-gold, so only the prologue repair can re-encode them
+    e.filter(col("vec_id") > c0 && col("vec_id") <= c1)
+      .write.mode("append").parquet(s"$base/gold")
+    graft.ops.StoreFiles.deleteMarker(s"$base/gold", "_ids_synced")
+    graft.ops.StoreFiles.deleteIdWatermark(s"$base/gold")
+    // drive the next batch through the sink
+    val b2 = e.filter(col("vec_id") > c1)
+    val tmp = Files.createTempDirectory("graft_vec_crash_b")
+    b2.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    Files.move(new java.io.File(tmp.toString).listFiles()
+      .find(_.getName.endsWith(".parquet")).get.toPath,
+      Paths.get(srcDir, "b2.parquet"))
+    EventStreams.incrementalVectorIndexSink(
+      spark.readStream.schema(e.schema).parquet(srcDir),
+      coarse, rcbs, s"$base/codes", s"$base/gold", s"$base/chk").stop()
+    def codeRows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("vec_id"), col("cell").cast("int"),
+          col("code0"), col("code1"))
+        .collect().map(r => (r.getLong(0), r.getInt(1),
+          r.getInt(2), r.getInt(3))).toSet
+    val full = codeRows(ProductQuant.encodeFrameResidual(
+      cast(spark.read.parquet(s"$base/gold")), coarse, rcbs))
+    assert(codeRows(spark.read.parquet(s"$base/codes")) == full,
+      "the codes store must include the crashed batch's re-encoded rows")
+  }
+
+  test("semantic sink crash between cells append and verdict append: " +
+      "the prologue repair re-derives the missing verdicts") {
+    import java.nio.file.{Files, Paths}
+    import graft.ext.Dedup
+    val base = Files.createTempDirectory("graft_sem_crash").toString
+    val srcDir = s"$base/src"; Files.createDirectories(Paths.get(srcDir))
+    val cellsDir = s"$base/cells"; val verdictsDir = s"$base/verdicts"
+    val e = Tables.embeddings(spark, sf)
+    val ids = e.select(col("vec_id")).orderBy(col("vec_id"))
+      .collect().map(_.getLong(0))
+    val c0 = ids(ids.length * 3 / 5); val c1 = ids(ids.length * 4 / 5)
+    val goldVecs = graft.ext.KMeans.vecs(spark, sf)
+      .filter(col("vec_id") <= c0)
+    val (coarse, subs) = Dedup.trainSemanticQuantizers(goldVecs, Dedup.SubK)
+    def stageFile(lo: Long, hi: Long, name: String): Unit = {
+      val tmp = Files.createTempDirectory("graft_semc_batch")
+      e.filter(col("vec_id") > lo && col("vec_id") <= hi)
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      Files.move(new java.io.File(tmp.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get.toPath,
+        Paths.get(srcDir, name))
+    }
+    def runOnce(): Unit =
+      EventStreams.semanticDedupSink(
+        spark.readStream.schema(e.schema).parquet(srcDir),
+        coarse, subs, Dedup.SubK,
+        cellsDir, verdictsDir, s"$base/chk").stop()
+    // healthy seed batch through the sink
+    stageFile(Long.MinValue, c0, "b0.parquet"); runOnce()
+    // crash shape: b1's assigned cells reached the store, their
+    // verdicts never did, the marker is down
+    val b1Assigned = Dedup.assignSemanticCells(
+      graft.ext.KMeans.vecs(spark, sf)
+        .filter(col("vec_id") > c0 && col("vec_id") <= c1),
+      coarse, subs, Dedup.SubK).localCheckpoint()
+    b1Assigned.write.mode("append").partitionBy("cell").parquet(cellsDir)
+    graft.ops.StoreFiles.deleteMarker(cellsDir, "_ids_synced")
+    graft.ops.StoreFiles.deleteIdWatermark(cellsDir)
+    // next batch through the sink: the prologue repair must backfill
+    // b1's verdicts BEFORE b2 lands (so their currency matches the
+    // crash-free run's)
+    stageFile(c1, Long.MaxValue, "b2.parquet"); runOnce()
+    val stored = spark.read.parquet(cellsDir)
+    val verdicts = spark.read.parquet(verdictsDir)
+    assert(verdicts.count() == stored.count(),
+      "every stored vector must have a verdict row")
+    assert(verdicts.select("vec_id").distinct().count() == stored.count(),
+      "exactly one verdict per vector")
+    // the crashed rows' verdicts equal the crash-free judgement:
+    // b1 judged against the b0+b1 store (repair runs before b2 lands)
+    def vRows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("vec_id"), col("is_dup"), col("dup_of"))
+        .collect().map(r => (r.getLong(0), r.getBoolean(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    val storeB0B1 = Dedup.assignSemanticCells(
+      graft.ext.KMeans.vecs(spark, sf).filter(col("vec_id") <= c1),
+      coarse, subs, Dedup.SubK)
+    val expect = vRows(Dedup.batchSemanticDups(storeB0B1, b1Assigned))
+    assert(vRows(verdicts.filter(col("vec_id") > c0
+      && col("vec_id") <= c1)) == expect,
+      "repaired verdicts must equal the crash-free judgement")
+  }
+
   test("streaming SemDeDup sink: accumulated cells equal the one-shot " +
       "assignment, the verdict log equals the full-store recompute, " +
       "replays no-op, and the crash-window repair is exact") {
