@@ -130,13 +130,6 @@ object Bpe {
       .withColumn("p", row_number().over(byWord))
   }
 
-  /** Train [[Merges]] rounds on a word histogram. Each round pulls
-    * ONE scalar to the driver (the arg-max pair — the k-means
-    * centroid-pull discipline: bounded metadata, never data) and
-    * `localCheckpoint`s the rewritten symbol table so the 12-round
-    * window/join lineage never stacks. Stops early if no pair
-    * remains. Returns the rules in rank order and the final
-    * segmentation table. */
   /** localCheckpoint + STATS reset — the round boundary every trainer
     * loop must cross. A checkpoint inherits the round plan's
     * ESTIMATED sizeInBytes, and because [[applyMerge]]'s self-joins
@@ -154,6 +147,13 @@ object Bpe {
     cp.sparkSession.createDataFrame(cp.rdd, cp.schema)
   }
 
+  /** Train [[Merges]] rounds on a word histogram. Each round pulls
+    * ONE scalar to the driver (the arg-max pair — the k-means
+    * centroid-pull discipline: bounded metadata, never data) and
+    * `localCheckpoint`s the rewritten symbol table so the 12-round
+    * window/join lineage never stacks. Stops early if no pair
+    * remains. Returns the rules in rank order and the final
+    * segmentation table. */
   def trainOn(hist: DataFrame): (Seq[MergeRule], DataFrame) = {
     var seq = checkpointReset(initSeq(hist))
     val rules = scala.collection.mutable.ArrayBuffer.empty[MergeRule]

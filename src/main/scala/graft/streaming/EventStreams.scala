@@ -288,7 +288,6 @@ object EventStreams {
         // compaction is a whole-store rewrite, rides the commit
         // protocol
         commit.recover(indexDir)
-        val ix = commit.readDir(indexDir)
         val goldSeeded = hasParquet(goldDir)
         // guard prologue + replay filter: graft.ops.SinkGuard owns
         // the watermark/marker trust protocol for every artifact sink.
@@ -302,6 +301,14 @@ object EventStreams {
         graft.ops.SinkGuard.prologue(goldDir, "_ids_synced", goldSeeded,
           repair = Some(() => graft.ext.Dedup.rebuildIndex(
             spark, goldDir, indexDir, commit = commit)))
+        // resolve the live index version AFTER the prologue: in
+        // pointer mode the repair above commits a NEW version dir
+        // (and the pre-repair pointer may name a placeholder or a
+        // dir the repair's PointerSwap already deleted), so an
+        // earlier read would probe a stale path, miss the
+        // fingerprints, and mis-take the "first batch seeds it"
+        // branch — appending near-duplicates to gold unjudged.
+        val ix = commit.readDir(indexDir)
         val fresh = graft.ops.SinkGuard.fresh(batch, goldDir, "doc_id",
           goldSeeded, spark.read.parquet(goldDir).select("doc_id"))
         // the watermark covers the WHOLE batch (duplicates too — a
@@ -575,11 +582,10 @@ object EventStreams {
         // mode: zero gold candidates, every verdict false)
         val storeSeeded = graft.ext.Dedup.cellsFileCount(cells) > 0
         // guard state (marker + watermark) lives at the store ROOT:
-        // in swap mode that is the live dir (the compaction swap
-        // clears it — the first post-compaction batch pays a one-off
-        // anti-join fallback); in pointer mode the root survives
-        // version flips, and a content-preserving compaction keeps
-        // the watermark valid
+        // in pointer mode the root survives version flips; in swap
+        // mode the compaction swap would clear it, so the compaction
+        // call below re-arms both after a content-preserving swap —
+        // either way the prologue repair stays crash-gated
         // repair: the cells→verdicts append window — stored vectors
         // whose verdict row never landed get one re-derived from the
         // store itself (exact, idempotent; crash-gated only)
@@ -609,8 +615,18 @@ object EventStreams {
               .parquet(cells)
             verdicts.write.mode("append").parquet(verdictsDir)
           }
-          graft.ext.Dedup.maybeCompactSemanticCells(spark, cellsDir,
-            commit = commit)
+          // in swap mode the compaction's whole-root replace also
+          // swaps out the guard state that lives there; the rewrite
+          // is content-preserving (same rows, fewer files), so the
+          // marker+watermark this batch just committed are still
+          // EXACTLY right — re-arm them, keeping the prologue repair
+          // genuinely crash-gated (it used to fire, O(store), on the
+          // first batch after every compaction cycle)
+          if (graft.ext.Dedup.maybeCompactSemanticCells(spark,
+              cellsDir, commit = commit)) {
+            graft.ops.StoreFiles.writeIdWatermark(cellsDir, batchMax)
+            graft.ops.StoreFiles.createMarker(cellsDir, "_ids_synced")
+          }
         }
         ()
       }

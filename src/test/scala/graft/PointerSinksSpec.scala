@@ -300,6 +300,52 @@ class PointerSinksSpec extends SparkSpec {
       "post-flip index must still recognize stored docs as dups")
   }
 
+  test("pointer-mode dedup sink crash between gold append and index " +
+      "append: the prologue repair commits a NEW index version, and " +
+      "the batch probes THAT version — the duplicate is rejected") {
+    // the round-16 ADVICE window: the sink used to resolve the live
+    // index dir BEFORE the prologue, so in pointer mode the repair's
+    // version flip (which DELETES the superseded committed dir) left
+    // the probe reading a stale path → "empty store" branch → the
+    // duplicate admitted to the append-only gold corpus unjudged
+    import java.nio.file.{Files, Paths}
+    import graft.ext.Dedup
+    val base = Files.createTempDirectory("graft_dedup_ptr_crash").toString
+    val srcDir = s"$base/src"; Files.createDirectories(Paths.get(srcDir))
+    val ixRoot = s"$base/ix"; val goldDir = s"$base/gold"
+    val d = Tables.documents(spark, sf)
+    val ids = d.select(col("doc_id")).orderBy(col("doc_id"))
+      .collect().map(_.getLong(0))
+    val c0 = ids(ids.length / 2)
+    def runOnce(): Unit =
+      EventStreams.incrementalDedupSink(
+        spark.readStream.schema(d.schema).parquet(srcDir),
+        ixRoot, goldDir, s"$base/chk", commit = PointerCommit).stop()
+    // seed the store through the sink so the index is pointer-committed
+    stage(d.filter(col("doc_id") <= c0), srcDir, "b0.parquet"); runOnce()
+    // crash window: a unique doc landed in gold, the index append and
+    // the marker re-arm never ran
+    val crashed = Dedup.incrementalSplit(d.filter(col("doc_id") <= c0),
+        d.filter(col("doc_id") > c0))
+      .filter(col("verdict") === "unique")
+      .orderBy(col("doc_id")).limit(1)
+      .select(col("doc_id")).collect().head.getLong(0)
+    val crashedDoc = d.filter(col("doc_id") === crashed).localCheckpoint()
+    crashedDoc.write.mode("append").parquet(goldDir)
+    graft.ops.StoreFiles.deleteMarker(goldDir, "_ids_synced")
+    graft.ops.StoreFiles.deleteIdWatermark(goldDir)
+    // next batch: an exact duplicate of the crashed doc, new id
+    val dup = crashedDoc.withColumn("doc_id", lit(ids.max + 1))
+      .localCheckpoint()
+    stage(dup, srcDir, "dup.parquet")
+    val before = spark.read.parquet(goldDir).count()
+    runOnce()
+    assert(spark.read.parquet(goldDir).count() == before,
+      "the duplicate of the crashed doc must be rejected in pointer mode")
+    assert(spark.read.parquet(goldDir)
+      .filter(col("doc_id") === ids.max + 1).isEmpty)
+  }
+
   test("pointer-mode knn graph sink: edges + labels equal the " +
       "one-shot rebuild with cells under pointer commit") {
     import java.nio.file.{Files, Paths}
