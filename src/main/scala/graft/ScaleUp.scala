@@ -243,6 +243,35 @@ object ScaleUp {
         time(q, src, 1); time(q, dst, 1)
       }
     }
+    if (on("skew")) {
+      // deliberately boilerplate-skewed 100× corpus (round-16 verdict
+      // #1): the scaled documents plus a template cluster of
+      // 300·copies byte-identical clones — one band value collecting
+      // ~30k docs, the template-page skew real crawls produce. The
+      // uncapped band self-join would enumerate ~C(30k,2) ≈ 4.5·10⁸
+      // candidates out of that one bucket; the capped join emits the
+      // template's star. Read the rows together: the skewed capped
+      // run should land near the unskewed run (the cluster adds ~3%
+      // rows and ZERO quadratic work), and the stats row prints the
+      // avoided candidate count as data.
+      val skewBase = s"$dst/skew"
+      if (!new java.io.File(s"$skewBase/documents.parquet").exists()) {
+        val d = Tables.documents(spark, dst)
+        val template = d.orderBy(col("doc_id")).limit(1).drop("doc_id")
+        val bound = d.agg(max(col("doc_id")).as("mx"))
+        val clones = spark.range(1, 300L * copies + 1).toDF("r")
+          .crossJoin(broadcast(template)).crossJoin(broadcast(bound))
+          .withColumn("doc_id", col("mx") + col("r")).drop("r", "mx")
+        d.unionByName(clones.select(d.columns.map(col): _*))
+          .write.mode("overwrite").parquet(s"$skewBase/documents.parquet")
+        println(s"[scaleup] built $skewBase (${300 * copies} clones)")
+      }
+      time("dedup_minhash_lsh", dst, 1)
+      timed("dedup_lsh_skew_capped", skewBase, 1)(
+        graft.ext.Dedup.minhashLshPairs(spark, skewBase))
+      timed("dedup_lsh_skew_stats", skewBase, 1)(
+        graft.ext.Dedup.lshBucketStatsOn(Tables.documents(spark, skewBase)))
+    }
     if (on("r11")) {
       // round-11 re-measure: the boilerplate singleton-gram prefilter
       // (totals now arithmetic on the token count — no second shingle

@@ -117,7 +117,9 @@ object Multimodal {
     * selectivity knob: at larger corpora, extend the signature with
     * more feature bits and widen each band (band-match probability
     * halves per added bit) to keep per-bucket group sizes bounded —
-    * the same knob the SimHash and MinHash banding paths document. */
+    * and whatever the static tuning misses, the RUNTIME hot-bucket
+    * cap ([[graft.ext.Dedup.cappedBandPairs]]) collapses, so a
+    * mis-sized band can degrade selectivity but never go quadratic. */
   def phashNearDup(spark: SparkSession, dir: String): DataFrame =
     phashNearDupOn(payloads(spark, dir), statPhash, PHashBandBits)
       .orderBy(col("doc_a"), col("doc_b"))
@@ -131,28 +133,29 @@ object Multimodal {
   }
 
   /** Banded near-dup core over an arbitrary signature column:
-    * signature → [[PHashBands]] bands of `bandBits` → self-equi-join →
-    * `bit_count(xor)` confirm at [[PHashHamT]]. Band completeness
-    * (pigeonhole over [[PHashBands]] = HamT + 1 bands) holds for ANY
-    * band width; width only sets SELECTIVITY. */
+    * signature → [[PHashBands]] bands of `bandBits` → hot-bucket-
+    * capped self-equi-join ([[graft.ext.Dedup.cappedBandPairs]] — a
+    * saturated band bucket collapses to its representative's star
+    * instead of k² pairs) → `bit_count(xor)` confirm at [[PHashHamT]].
+    * Band completeness (pigeonhole over [[PHashBands]] = HamT + 1
+    * bands) holds for ANY band width below the cap; width sets
+    * SELECTIVITY, and past the cap the bucket's members connect
+    * through its representative rather than pairwise. */
   private[graft] def phashNearDupOn(pay: DataFrame, sig: Column,
-      bandBits: Int): DataFrame = {
+      bandBits: Int, cap: Int = Dedup.HotBucketCap): DataFrame = {
     val sigs = pay.select(col("doc_id"), sig.as("phash"))
-    val bands = sigs.select(col("doc_id"), col("phash"),
+    val bands = sigs.select(col("doc_id"),
       explode(array((0 until PHashBands).map(i =>
         struct(lit(i).as("band_idx"),
           shiftright(col("phash"), i * bandBits)
             .bitwiseAND(lit((1L << bandBits) - 1)).as("band_val"))): _*))
         .as("b"))
-      .select(col("doc_id"), col("phash"), col("b.band_idx"), col("b.band_val"))
-    val cand = bands.as("x").join(bands.as("y"),
-        col("x.band_idx") === col("y.band_idx")
-          && col("x.band_val") === col("y.band_val")
-          && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        col("x.phash").as("pa"), col("y.phash").as("pb"))
-      .distinct()
-    cand
+      .select(col("doc_id"), col("b.band_idx"), col("b.band_val"))
+    Dedup.cappedBandPairs(bands, cap)
+      .join(sigs.select(col("doc_id").as("doc_a"), col("phash").as("pa")),
+        Seq("doc_a"))
+      .join(sigs.select(col("doc_id").as("doc_b"), col("phash").as("pb")),
+        Seq("doc_b"))
       .withColumn("hamming",
         bit_count(col("pa").bitwiseXOR(col("pb"))).cast("int"))
       .filter(col("hamming") <= PHashHamT)
@@ -193,7 +196,7 @@ object Multimodal {
     // phash packs the stub stats (width<<14 | height<<4 | frame_count-1);
     // bands are 5×5-bit slices, the confirm is bit_count(xor) <= 4
     "mm_phash_neardup" ->
-      s"""WITH ph AS (SELECT doc_id, (64 + l % 1216) * 16384 + (64 + (l * 7) % 656) * 16 + (l % 16) AS phash FROM (SELECT doc_id, octet_length(CAST(text AS BLOB)) AS l FROM documents)), bands AS (SELECT doc_id, phash, t.i AS band_idx, (phash >> CAST(5 * t.i AS INTEGER)) & 31 AS band_val FROM ph CROSS JOIN range(0, $PHashBands) t(i)), cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.phash AS pa, b.phash AS pb FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id) SELECT doc_a, doc_b, hamming FROM (SELECT doc_a, doc_b, CAST(bit_count(xor(pa, pb)) AS INTEGER) AS hamming FROM cand) WHERE hamming <= $PHashHamT ORDER BY doc_a, doc_b"""
+      s"""WITH ph AS (SELECT doc_id, (64 + l % 1216) * 16384 + (64 + (l * 7) % 656) * 16 + (l % 16) AS phash FROM (SELECT doc_id, octet_length(CAST(text AS BLOB)) AS l FROM documents)), bands AS (SELECT doc_id, t.i AS band_idx, (phash >> CAST(5 * t.i AS INTEGER)) & 31 AS band_val FROM ph CROSS JOIN range(0, $PHashBands) t(i)), ${Dedup.cappedCandCtes("bands")} SELECT doc_a, doc_b, hamming FROM (SELECT doc_a, doc_b, CAST(bit_count(xor(pa.phash, pb.phash)) AS INTEGER) AS hamming FROM cand JOIN ph pa ON cand.doc_a = pa.doc_id JOIN ph pb ON cand.doc_b = pb.doc_id) WHERE hamming <= $PHashHamT ORDER BY doc_a, doc_b"""
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -59,6 +59,34 @@ class DedupSpec extends SparkSpec {
     assert(pairs.count() > 0)
   }
 
+  test("hot-bucket collapse: the boilerplate clone cluster emits the " +
+      "template's star, and candidate work obeys the capped bound") {
+    val stats = Dedup.lshBucketStats(spark, sf).head()
+    val saturated = stats.getAs[Long]("saturated_buckets")
+    val uncapped = stats.getAs[Long]("uncapped_candidates")
+    val capped = stats.getAs[Long]("capped_candidates")
+    // the 301-doc clone cluster saturates all 4 of its band buckets
+    assert(saturated >= 4 && stats.getAs[Long]("max_bucket") >= 301)
+    // the collapse is the point: candidate work drops by >10× here
+    // (~45k clique pairs -> ~300 star edges per saturated bucket)
+    assert(capped * 10 < uncapped,
+      s"cap did not collapse the quadratic cluster: $capped vs $uncapped")
+    val d = Tables.documents(spark, sf)
+    val ids = d.agg(min(col("doc_id")), max(col("doc_id"))).head()
+    val (minId, maxId) = (ids.getLong(0), ids.getLong(1))
+    val pairs = Dedup.minhashLshHotBucket(spark, sf)
+    // every clone connects to the corpus through exactly one verified
+    // star edge anchored at the bucket representative (the template),
+    // with jaccard 1 (byte-identical text)
+    val clonePairs = pairs.filter(col("doc_b") > maxId).collect()
+    assert(clonePairs.length == Dedup.SkewClones)
+    assert(clonePairs.forall(r =>
+      r.getLong(0) == minId && r.getDouble(2) == 1.0))
+    // emitted pairs are a subset of the capped candidate set: the
+    // O(Σ min(n,cap)·n) bound holds on the materialized output too
+    assert(pairs.count() <= capped)
+  }
+
   test("prefix-filtered jaccard equals the full inverted-index result") {
     val full = Dedup.ngramJaccardPairs(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet

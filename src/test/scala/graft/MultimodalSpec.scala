@@ -23,25 +23,38 @@ class MultimodalSpec extends SparkSpec {
     })
   }
 
-  test("phash near-dup banding loses no pair: banded join == brute-force " +
-      "all-pairs Hamming scan") {
-    // Independent recompute: signatures in plain Scala, ALL O(n²)
-    // pairs scanned (no banding) — if the operator's pigeonhole
-    // banding argument is wrong, the sets diverge here.
+  test("phash near-dup banding matches the local capped recompute: cool " +
+      "buckets pairwise, saturated buckets collapse to the rep's star") {
+    // Independent recompute: signatures, band buckets, and the
+    // hot-bucket collapse all in plain Scala — if the operator's
+    // pigeonhole banding argument OR the cap algebra is wrong, the
+    // sets diverge here. (The 25-bit stat signature's 5-bit bands
+    // saturate on this corpus — max bucket ~70 vs cap 64 — so the
+    // collapse branch is genuinely exercised, not just compiled.)
     val lens = Tables.documents(spark, sf)
       .select(col("doc_id"), length(col("text")).as("l")).collect()
       .map(r => (r.getLong(0), r.getInt(1).toLong))
     def phash(l: Long): Long =
       (64 + l % 1216) * 16384L + (64 + (l * 7) % 656) * 16L + (l % 16)
-    val sigs = lens.map { case (id, l) => (id, phash(l)) }
-    val expect = (for {
-      (a, pa) <- sigs; (b, pb) <- sigs if a < b
-      ham = java.lang.Long.bitCount(pa ^ pb)
-      if ham <= Multimodal.PHashHamT
-    } yield (a, b, ham)).sortBy(p => (p._1, p._2))
+    val sigs = lens.map { case (id, l) => (id, phash(l)) }.toMap
+    val buckets = (for {
+      (id, ph) <- sigs.toSeq; i <- 0 until Multimodal.PHashBands
+    } yield ((i, (ph >> (5 * i)) & 31), id))
+      .groupBy(_._1).values.map(_.map(_._2).sorted)
+    val cap = graft.ext.Dedup.HotBucketCap
+    val cand = buckets.flatMap { ids =>
+      if (ids.size <= cap)
+        for { a <- ids; b <- ids if a < b } yield (a, b)
+      else ids.tail.map(m => (ids.head, m)) // rep = bucket min id
+    }.toSet
+    assert(buckets.exists(_.size > cap),
+      "fixture regression: no saturated bucket — the collapse branch is untested")
+    val expect = cand.toSeq.map { case (a, b) =>
+      (a, b, java.lang.Long.bitCount(sigs(a) ^ sigs(b)))
+    }.filter(_._3 <= Multimodal.PHashHamT).sortBy(p => (p._1, p._2))
     val got = Multimodal.phashNearDup(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
-    assert(got == expect.toSeq)
+    assert(got == expect)
     assert(got.nonEmpty, "corpus should contain near signatures")
     assert(got.exists(_._3 > 0),
       "threshold semantics untested: only exact matches found")
