@@ -263,18 +263,21 @@ object Retrieval {
   def appendBm25Index(spark: SparkSession, batchTd: DataFrame,
       store: String,
       commit: graft.ops.StoreCommit = graft.ops.SwapCommit): Unit = {
-    val old = spark.read.parquet(commit.readDir(s"$store/meta")).head()
+    val old = commit.read(spark, s"$store/meta").head()
     val add = batchTd.agg(count(lit(1)).cast("long"),
       sum(size(col("t")).cast("long"))).head()
-    postingsOf(batchTd).write.mode("append").partitionBy("tbucket")
-      .parquet(commit.writeDir(s"$store/postings"))
+    commit.append(s"$store/postings") { dir =>
+      postingsOf(batchTd).write.mode("append").partitionBy("tbucket")
+        .parquet(dir)
+    }
     val meta = spark.range(1)
       .select(lit(old.getLong(0) + add.getLong(0)).as("n_docs"),
         lit(old.getLong(1) + add.getLong(1)).as("sum_dl"))
       .coalesce(1).localCheckpoint()
     commit.replace(s"$store/meta")(meta.write.parquet(_))
-    batchTd.select(col("doc_id"))
-      .write.mode("append").parquet(commit.writeDir(committedDir(store)))
+    commit.append(committedDir(store)) { dir =>
+      batchTd.select(col("doc_id")).write.mode("append").parquet(dir)
+    }
   }
 
   /** Compaction policy for the append-mode postings store — the
@@ -292,8 +295,9 @@ object Retrieval {
     val dir = commit.readDir(s"$store/postings")
     val buckets =
       graft.ops.StoreFiles.partitionDirCount(dir, "tbucket=")
-    if (Dedup.cellsFileCount(dir) > math.max(threshold, 2 * buckets)) {
-      val compacted = spark.read.parquet(dir)
+    if (commit.fileCount(s"$store/postings") >
+        math.max(threshold, 2 * buckets)) {
+      val compacted = commit.read(spark, s"$store/postings")
         .select(col("doc_id"), col("dl"), col("term"), col("tf"),
           col("tbucket").cast("int").as("tbucket"))
         .repartition(col("tbucket"))
@@ -309,9 +313,8 @@ object Retrieval {
       // the committed log accrues one small file per batch — compact
       // it on the same trigger (derived from nothing: it IS the
       // guard's key, so the rewrite rides the same commit protocol)
-      if (graft.ops.StoreFiles.hasTopLevelParquet(
-          commit.readDir(committedDir(store)))) {
-        val docs = spark.read.parquet(commit.readDir(committedDir(store)))
+      if (commit.fileCount(committedDir(store)) > 0) {
+        val docs = commit.read(spark, committedDir(store))
           .select(col("doc_id")).distinct().coalesce(1).localCheckpoint()
         commit.replace(committedDir(store)) { next =>
           docs.write.parquet(next)
@@ -341,9 +344,8 @@ object Retrieval {
   /** Committed doc_ids (empty frame when the log does not exist). */
   private def committedDocs(spark: SparkSession, store: String,
       commit: graft.ops.StoreCommit): DataFrame = {
-    val live = commit.readDir(committedDir(store))
-    if (graft.ops.StoreFiles.hasTopLevelParquet(live))
-      spark.read.parquet(live).select("doc_id").distinct()
+    if (commit.fileCount(committedDir(store)) > 0)
+      commit.read(spark, committedDir(store)).select("doc_id").distinct()
     else {
       import org.apache.spark.sql.types._
       spark.createDataFrame(
@@ -374,7 +376,7 @@ object Retrieval {
     commit.recover(committedDir(store))
     commit.recover(s"$store/meta")
     val dir = commit.readDir(s"$store/postings")
-    if (graft.ops.StoreFiles.parquetFileCount(dir) == 0) return false
+    if (commit.fileCount(s"$store/postings") == 0) return false
     // Non-empty postings with NO committed log: if the postings write
     // job COMMITTED (`_SUCCESS` present — FileOutputCommitter writes
     // it last, so every posted doc is fully present), this is either
@@ -385,10 +387,10 @@ object Retrieval {
     // (round-14 ADVICE: classifying every doc as torn here swapped in
     // an empty store). Without `_SUCCESS` the seed itself tore and
     // the torn path below removes the partial rows.
-    if (!graft.ops.StoreFiles.hasTopLevelParquet(
-          commit.readDir(committedDir(store))) &&
+    if (commit.fileCount(committedDir(store)) == 0 &&
         graft.ops.StoreFiles.markerExists(dir, "_SUCCESS")) {
-      val docs = spark.read.parquet(dir).select(col("doc_id"))
+      val docs = commit.read(spark, s"$store/postings")
+        .select(col("doc_id"))
         .distinct().coalesce(1).localCheckpoint()
       commit.replace(committedDir(store)) { next =>
         docs.write.parquet(next)
@@ -397,7 +399,8 @@ object Retrieval {
         rederiveMeta(spark, store, commit)
       return true
     }
-    val torn = spark.read.parquet(dir).select("doc_id").distinct()
+    val torn = commit.read(spark, s"$store/postings")
+      .select("doc_id").distinct()
       .join(committedDocs(spark, store, commit), Seq("doc_id"), "left_anti")
       .localCheckpoint()
     if (torn.isEmpty) {
@@ -410,7 +413,7 @@ object Retrieval {
       rederiveMeta(spark, store, commit)
       return true
     }
-    val clean = spark.read.parquet(dir)
+    val clean = commit.read(spark, s"$store/postings")
       .join(torn, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("dl"), col("term"), col("tf"),
         col("tbucket").cast("int").as("tbucket"))
@@ -435,11 +438,10 @@ object Retrieval {
   private def metaConsistent(spark: SparkSession, store: String,
       commit: graft.ops.StoreCommit): Boolean =
     scala.util.Try {
-      val m = spark.read.parquet(commit.readDir(s"$store/meta"))
+      val m = commit.read(spark, s"$store/meta")
         .select(col("n_docs"), col("sum_dl")).head()
       !m.isNullAt(0) && !m.isNullAt(1) &&
-        m.getLong(0) == spark.read
-          .parquet(commit.readDir(s"$store/postings"))
+        m.getLong(0) == commit.read(spark, s"$store/postings")
           .select(col("doc_id")).distinct().count()
     }.getOrElse(false)
 
@@ -451,8 +453,7 @@ object Retrieval {
   private def rederiveMeta(spark: SparkSession, store: String,
       commit: graft.ops.StoreCommit): Unit =
     writeMetaFrom(spark,
-      spark.read.parquet(commit.readDir(s"$store/postings")), store,
-      commit)
+      commit.read(spark, s"$store/postings"), store, commit)
 
   private def writeMetaFrom(spark: SparkSession, postings: DataFrame,
       store: String, commit: graft.ops.StoreCommit): Unit = {
@@ -475,7 +476,7 @@ object Retrieval {
   def bm25FromIndex(spark: SparkSession, store: String,
       docsDir: String, nq: Int,
       commit: graft.ops.StoreCommit = graft.ops.SwapCommit): DataFrame = {
-    val meta = spark.read.parquet(commit.readDir(s"$store/meta")).head()
+    val meta = commit.read(spark, s"$store/meta").head()
     val n = meta.getLong(0)
     val avgdl = meta.getLong(1).toDouble / n.toDouble
     val qt = queryTerms(toksD(spark, docsDir), nq).localCheckpoint()
@@ -484,7 +485,7 @@ object Retrieval {
     val buckets = qt
       .select(pmod(hash(col("term")), lit(TermBuckets))).distinct()
       .collect().map(_.getInt(0)).toSeq
-    val tf = spark.read.parquet(commit.readDir(s"$store/postings"))
+    val tf = commit.read(spark, s"$store/postings")
       .filter(col("tbucket").isin(buckets: _*))
       .join(broadcast(qt.select(col("term")).distinct()), "term")
       .select(col("doc_id"), col("dl"), col("term"), col("tf"))
@@ -510,15 +511,18 @@ object Retrieval {
   /** DRIVER-GATED serve path: build the index into a scratch dir,
     * answer the query batch from it — oracle = `rag_bm25_batch`'s
     * replay verbatim (serve == rebuild). The store commits through
-    * the OBJECT-STORE-SAFE pointer protocol
-    * ([[graft.ops.PointerCommit]]) — the gate proves a
-    * pointer-committed store serves hash-exactly (round-15 verdict
-    * #1's re-gate), while `rag_bm25_index_append` keeps the
-    * rename-aside mode covered. */
+    * the MANIFEST protocol ([[graft.ops.ManifestCommit]] — versioned
+    * dirs + pointer flip + committed file list, the rename-free end
+    * of round-16 verdict #2): the gate proves a manifest-committed
+    * store builds AND serves hash-exactly, with every read resolving
+    * the committed file list instead of a directory listing.
+    * `rag_bm25_index_append` keeps the rename-aside mode covered, and
+    * ManifestSinksSpec covers pointer-mode crash shapes under
+    * `marksuccessfuljobs=false`. */
   def bm25Served(spark: SparkSession, dir: String): DataFrame = {
     val store = graft.ops.Scratch.dir("graft_bm25_served") + "/ix"
-    writeBm25Index(toksD(spark, dir), store, graft.ops.PointerCommit)
-    servedBatch(spark, dir, store, graft.ops.PointerCommit)
+    writeBm25Index(toksD(spark, dir), store, graft.ops.ManifestCommit)
+    servedBatch(spark, dir, store, graft.ops.ManifestCommit)
   }
 
   /** DRIVER-GATED append path: build the index from the ~90% gold

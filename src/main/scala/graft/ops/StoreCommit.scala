@@ -1,5 +1,7 @@
 package graft.ops
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
 /** Commit-protocol selector for directory-shaped artifact stores —
   * the round-15 verdict's top task: every corpus-sized streaming
   * store (postings, semantic cells, PQ codes, dedup index, z-order
@@ -25,13 +27,17 @@ package graft.ops
   *    pays a one-off anti-join fallback. Both behaviors are correct;
   *    pointer mode just skips the fallback.
   *
-  * What pointer mode does NOT cover: the per-object writes INSIDE a
-  * version dir still go through Spark's FileOutputCommitter, whose
-  * task-file renames on S3A want the S3A committers (magic/staging) —
-  * a Spark deployment setting, orthogonal to this layer's crash
-  * protocol (every window here is closed by _SUCCESS-gated
-  * completeness probes plus the watermark/marker replay guards, none
-  * of which assume a rename is atomic).
+  *  - [[ManifestCommit]]: pointer mode plus a committed FILE LIST
+  *    ([[Manifest]]) per version — readers trust neither directory
+  *    listings nor the FileOutputCommitter's task-file renames, which
+  *    closes the one window pointer mode left open: per-object writes
+  *    INSIDE a version dir go through Spark's job committer, whose
+  *    task-file renames are non-atomic on S3-class stores, so a torn
+  *    job commit can strand a partial set of renamed files that any
+  *    listing-trusting reader would adopt. Manifest readers read
+  *    exactly the committed list; the committer's renames become a
+  *    performance detail (tune with the S3A committers), never a
+  *    correctness dependency.
   */
 sealed trait StoreCommit {
 
@@ -54,6 +60,30 @@ sealed trait StoreCommit {
     * the replacement into the staging path it is given; the commit
     * point is the swap/pointer-flip after it returns. */
   def replace(root: String)(body: String => Unit): Unit
+
+  /** Run `body` as an APPEND into the committed live dir. Swap and
+    * pointer modes: a plain write into [[writeDir]] (replay safety is
+    * the sinks' watermark/marker protocol). Manifest mode overrides
+    * this to extend the committed file list afterwards — the append's
+    * commit point. */
+  def append(root: String)(body: String => Unit): Unit =
+    body(writeDir(root))
+
+  /** Read the committed store content. Swap and pointer modes read
+    * the live directory (trusting its listing); manifest mode reads
+    * exactly the committed file list, so objects stranded by a torn
+    * job commit are invisible. `basePath` is pinned to the live dir
+    * either way, preserving partition-column discovery and pruning. */
+  def read(spark: SparkSession, root: String): DataFrame = {
+    val live = readDir(root)
+    spark.read.option("basePath", live).parquet(live)
+  }
+
+  /** Number of committed data objects under root — the seeded-store
+    * probe ([[StoreFiles.parquetFileCount]] in listing modes, the
+    * manifest length in manifest mode). */
+  def fileCount(root: String): Int =
+    StoreFiles.parquetFileCount(readDir(root))
 }
 
 /** [[ArtifactSwap]] rename-aside commits — atomic-rename filesystems
@@ -82,4 +112,64 @@ case object PointerCommit extends StoreCommit {
     }
   def replace(root: String)(body: String => Unit): Unit =
     PointerSwap.writeAndCommit(root)(body)
+}
+
+/** [[PointerSwap]] versioned dirs PLUS a committed file list
+  * ([[Manifest]]) per version — the rename-free end of the protocol
+  * (round-16 verdict #2): the pointer flip commits the VERSION, the
+  * manifest commits its FILE SET, and manifest readers trust neither
+  * directory listings nor the FileOutputCommitter's task-file renames
+  * — an object a torn job commit strands in the version dir is
+  * simply never read. Appends extend the manifest by the writer's own
+  * before/after listing delta (single-writer, so the delta is exactly
+  * the append's objects; pre-existing junk can never be adopted), and
+  * the manifest replace — one small-object PUT — is the append's
+  * commit point: a crash before it leaves the new objects invisible
+  * and the sink's replay guard re-runs the batch. */
+case object ManifestCommit extends StoreCommit {
+  def recover(root: String): Unit = PointerSwap.recover(root)
+  def readDir(root: String): String = PointerCommit.readDir(root)
+  def writeDir(root: String): String =
+    PointerSwap.resolve(root).getOrElse {
+      // seed an empty first version WITH its (empty) manifest, so
+      // manifest readers of a just-seeded store see a committed list
+      replace(root)(_ => ())
+      PointerSwap.resolve(root).getOrElse(
+        sys.error(s"ManifestCommit: empty seed commit failed at $root"))
+    }
+  def replace(root: String)(body: String => Unit): Unit =
+    PointerSwap.writeAndCommit(root) { next =>
+      body(next)
+      // the writer's own post-write listing is authoritative: every
+      // rename the job will do has happened by the time the write
+      // call returns, and nothing else writes here (single-writer)
+      Manifest.stamp(next)
+    }
+  override def append(root: String)(body: String => Unit): Unit = {
+    val live = writeDir(root)
+    val before = Manifest.dataFiles(live).toSet
+    body(live)
+    val added = Manifest.dataFiles(live).filterNot(before)
+    val committed = Manifest.read(live).getOrElse(Seq.empty)
+    Manifest.write(live, (committed ++ added).distinct)
+  }
+  override def read(spark: SparkSession, root: String): DataFrame = {
+    val live = readDir(root)
+    Manifest.read(live) match {
+      case Some(files) if files.nonEmpty =>
+        spark.read.option("basePath", live)
+          .parquet(files.map(f => s"$live/$f"): _*)
+      case _ =>
+        // no/empty manifest: fall back to the listing — pointer-mode
+        // behavior, covered by the sinks' committed-log guards (and
+        // the empty case only arises on a just-seeded store, which
+        // callers gate on fileCount > 0 before reading)
+        spark.read.option("basePath", live).parquet(live)
+    }
+  }
+  override def fileCount(root: String): Int = {
+    val live = readDir(root)
+    Manifest.read(live).map(_.size)
+      .getOrElse(StoreFiles.parquetFileCount(live))
+  }
 }

@@ -710,15 +710,16 @@ object EventStreams {
           .filter(size(col("t")) > 0)
         // post-recovery invariant: every posted doc is committed, so
         // the committed log is the complete seen-set (and unlike raw
-        // part-file presence it can never claim a half-present doc)
-        val committed = commit.readDir(
-          graft.ext.Retrieval.committedDir(storeDir))
-        val seeded = graft.ext.Dedup.cellsFileCount(
-            commit.readDir(s"$storeDir/postings")) > 0 &&
-          graft.ops.StoreFiles.hasTopLevelParquet(committed)
+        // part-file presence it can never claim a half-present doc).
+        // Probes and the fallback read go through the commit seam so
+        // manifest mode resolves the COMMITTED file list, never a
+        // listing a torn job commit could have polluted.
+        val committedStore = graft.ext.Retrieval.committedDir(storeDir)
+        val seeded = commit.fileCount(s"$storeDir/postings") > 0 &&
+          commit.fileCount(committedStore) > 0
         val fresh = graft.ops.SinkGuard.fresh(batchTd, storeDir,
             "doc_id", seeded,
-            spark.read.parquet(committed).select("doc_id").distinct())
+            commit.read(spark, committedStore).select("doc_id").distinct())
           .localCheckpoint()
         if (!fresh.isEmpty) {
           val batchMax = fresh.agg(max(col("doc_id"))).head().getLong(0)
