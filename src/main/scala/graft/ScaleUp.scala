@@ -272,6 +272,37 @@ object ScaleUp {
       timed("dedup_lsh_skew_stats", skewBase, 1)(
         graft.ext.Dedup.lshBucketStatsOn(Tables.documents(spark, skewBase)))
     }
+    if (on("vacuum")) {
+      // physical vacuum at 100× (round-16 verdict #4): gold + index
+      // on the full scaled corpus, tombstone the doc_id % 7 == 3
+      // class (~14%), vacuum, report reclaimed bytes. The build is
+      // the dominant cost (one index pass); the vacuum itself is one
+      // anti-join rewrite of gold plus the same index rebuild a
+      // compaction pays — the number to read is reclaimed bytes
+      // scaling with the removed fraction while the wall stays at
+      // compaction cost.
+      val vbase = s"$dst/vacuum"
+      val goldDir = s"$vbase/gold"; val ixDir = s"$vbase/ix"
+      val d = Tables.documents(spark, dst)
+      if (!new java.io.File(goldDir).exists()) {
+        val t0 = System.nanoTime()
+        d.write.mode("overwrite").parquet(goldDir)
+        graft.ext.Dedup.writeGoldIndex(d, ixDir)
+        println(f"[scaleup] vacuum_store_build          $dst%-18s " +
+          f"${(System.nanoTime - t0) / 1e9}%8.2f s  " +
+          f"gold ${graft.ops.StoreFiles.dirBytes(goldDir) / 1048576.0}%9.1f MB  " +
+          f"ix ${graft.ops.StoreFiles.dirBytes(ixDir) / 1048576.0}%9.1f MB")
+      }
+      graft.ext.Dedup.tombstoneGoldIndex(
+        d.filter(col("doc_id") % 7 === 3), ixDir)
+      val t1 = System.nanoTime()
+      val (removed, reclaimed) =
+        graft.ext.Dedup.vacuumGold(spark, goldDir, ixDir)
+      println(f"[scaleup] vacuum_gold                  $dst%-18s " +
+        f"${(System.nanoTime - t1) / 1e9}%8.2f s  " +
+        f"removed $removed%d rows  reclaimed ${reclaimed / 1048576.0}%9.1f MB  " +
+        f"gold_after ${graft.ops.StoreFiles.dirBytes(goldDir) / 1048576.0}%9.1f MB")
+    }
     if (on("r11")) {
       // round-11 re-measure: the boilerplate singleton-gram prefilter
       // (totals now arithmetic on the token count — no second shingle

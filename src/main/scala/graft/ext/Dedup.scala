@@ -1570,6 +1570,86 @@ object Dedup {
         .select(col("doc_id")).distinct())
     else None
 
+  /** Residue class the vacuum gate tombstones (doc_id % 7 ==
+    * [[VacuumResidue]]) — arbitrary but fixed, so DuckDB replays the
+    * retained corpus exactly. */
+  private[graft] val VacuumResidue = 3
+
+  /** Physical vacuum for the gold corpus + its dedup index (round-16
+    * verdict #4). Gold is APPEND-ONLY, so a removed doc lives on as a
+    * stored row plus a carried tombstone forever: over a multi-year
+    * 100 TB lifecycle the dead bytes and the tombstone set grow
+    * without bound, every index rebuild re-applies the same removals,
+    * and every probe pays the anti-join. The vacuum is the one place
+    * the append-only contract is deliberately broken, as a
+    * maintenance pass under the commit protocol:
+    *
+    *  1. gold rewrites WITHOUT the tombstoned rows (rename-aside
+    *     replace; the guard watermark and sync marker are restored
+    *     after the swap — the watermark must stay at its PRE-vacuum
+    *     value, because the retained max id can be lower and replayed
+    *     old batches must still drop);
+    *  2. the index rebuilds from the retained corpus with the
+    *     tombstone list RESET (the removals are now physical — a
+    *     carried list would be a permanent no-op tax on every probe).
+    *
+    * Crash windows: a crash inside the gold swap recovers via
+    * [[graft.ops.ArtifactSwap.recover]] (run at entry); a crash
+    * between the gold swap and the index rebuild leaves the OLD index
+    * whose tombstone filter still masks the removed docs — reads stay
+    * correct, and the next vacuum (or the sink's crash-gated
+    * [[rebuildIndex]]) converges the index. Returns (removed rows,
+    * reclaimed gold bytes); (0, 0) when there is nothing to vacuum. */
+  def vacuumGold(spark: SparkSession, goldDir: String, indexDir: String,
+      commit: graft.ops.StoreCommit = graft.ops.SwapCommit): (Long, Long) = {
+    graft.ops.ArtifactSwap.recover(goldDir)
+    commit.recover(indexDir)
+    val ts = tombstonesOf(spark, commit.readDir(indexDir))
+      .map(_.localCheckpoint())
+      .getOrElse(return (0L, 0L))
+    if (ts.isEmpty) return (0L, 0L)
+    val bytesBefore = graft.ops.StoreFiles.dirBytes(goldDir)
+    val wm = graft.ops.StoreFiles.readIdWatermark(goldDir)
+    val gold0 = spark.read.parquet(goldDir)
+    val before = gold0.count()
+    val retained = gold0
+      .join(broadcast(ts), Seq("doc_id"), "left_anti")
+      .localCheckpoint()
+    graft.ops.SwapCommit.replace(goldDir)(retained.write.parquet(_))
+    // guard state died with the swapped-out root; the rewrite removed
+    // rows the index is ABOUT to forget too, so re-arming keeps the
+    // sink's prologue crash-gated (the index rebuild below IS the
+    // repair a crashed marker would trigger)
+    wm.foreach(graft.ops.StoreFiles.writeIdWatermark(goldDir, _))
+    graft.ops.StoreFiles.createMarker(goldDir, "_ids_synced")
+    commit.replace(indexDir)(next => writeGoldIndex(retained, next))
+    (before - retained.count(),
+      bytesBefore - graft.ops.StoreFiles.dirBytes(goldDir))
+  }
+
+  /** The vacuum, gated end to end: build gold + index on the ≤80%
+    * slice, tombstone the doc_id % 7 == [[VacuumResidue]] class,
+    * vacuum, then serve the held-out 20% through
+    * [[incrementalAgainstIndex]] on the VACUUMED store. The oracle
+    * replays the incremental dedup against a FRESH build on the
+    * retained corpus — so the hash-exact match is precisely
+    * "post-vacuum store serves identically to a fresh build on what
+    * remains". */
+  def vacuumServed(spark: SparkSession, dir: String): DataFrame = {
+    val base = graft.ops.Scratch.dir("graft_vacuum")
+    val goldDir = s"$base/gold"; val ixDir = s"$base/ix"
+    val d = graft.pipeline.GoldLayout.documentsBucketed(spark, dir)
+    val cutoff = d.agg(floor(max(col("doc_id")) * 0.8).cast("long"))
+      .head().getLong(0)
+    val gold = d.filter(col("doc_id") <= cutoff)
+    gold.write.parquet(goldDir)
+    writeGoldIndex(gold, ixDir)
+    tombstoneGoldIndex(
+      gold.filter(col("doc_id") % 7 === VacuumResidue), ixDir)
+    vacuumGold(spark, goldDir, ixDir)
+    incrementalAgainstIndex(spark, d.filter(col("doc_id") > cutoff), ixDir)
+  }
+
   /** Incremental dedup of `fresh` against a [[writeGoldIndex]] store —
     * no access to the gold texts, only the persisted index.
     * Tombstoned docs (see [[tombstoneGoldIndex]]) are invisible on
@@ -1794,6 +1874,15 @@ object Dedup {
     s"""WITH ${KMeans.trainCtes}, $cellChains, fine AS ($fineUnion), m AS (SELECT f.vec_id, f.cell, q.v FROM fine f JOIN q USING (vec_id)), p AS (SELECT b.vec_id, MIN(a.vec_id) AS dup_of FROM m a JOIN m b ON a.cell = b.cell AND a.vec_id < b.vec_id AND ${KMeans.cosSql("a.v", "b.v")} >= $SemThreshold GROUP BY b.vec_id) SELECT m.vec_id, CAST(m.cell AS INTEGER) AS cell, p.dup_of IS NOT NULL AS is_dup, p.dup_of FROM m LEFT JOIN p USING (vec_id) ORDER BY m.vec_id"""
   }
 
+  /** DuckDB replay of the incremental new-vs-gold dedup
+    * ([[incrementalNearDups]] / the [[vacuumServed]] gate): 80%
+    * cutoff split, fingerprint lookup, capped gold band probe, exact
+    * Jaccard verification, best-match precedence. `goldExtra` narrows
+    * the GOLD side (the vacuum gate drops the tombstoned residue
+    * class — a fresh-build replay on the retained corpus). */
+  private def incrementalOracleSql(goldExtra: String): String =
+    s"""WITH cut AS (SELECT CAST(floor(max(doc_id) * 0.8) AS BIGINT) AS c FROM documents), mh AS ($minhashSql), bands AS ($bandsSql), gold_fp AS (SELECT md5(lower(trim(text))) AS fp, min(doc_id) AS exact_match FROM documents WHERE doc_id <= (SELECT c FROM cut)$goldExtra GROUP BY 1), ex AS (SELECT n.doc_id, g.exact_match FROM (SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents WHERE doc_id > (SELECT c FROM cut)) n LEFT JOIN gold_fp g USING (fp)), gb AS (SELECT doc_id, band_idx, band_val FROM (SELECT doc_id, band_idx, band_val, row_number() OVER (PARTITION BY band_idx, band_val ORDER BY doc_id) AS rn FROM bands WHERE doc_id <= (SELECT c FROM cut)$goldExtra) WHERE rn <= $HotBucketCap), cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b FROM gb x JOIN bands y ON x.band_idx = y.band_idx AND x.band_val = y.band_val WHERE y.doc_id > (SELECT c FROM cut)), sh_tbl AS ($docShinglesSql), verified AS (SELECT doc_a, doc_b, jaccard FROM (SELECT doc_a, doc_b, $jaccardSql AS jaccard FROM cand JOIN (SELECT doc_id, sh AS sh_a FROM sh_tbl) sa ON cand.doc_a = sa.doc_id JOIN (SELECT doc_id, sh AS sh_b FROM sh_tbl) sb ON cand.doc_b = sb.doc_id) WHERE jaccard >= $JaccardThreshold), best AS (SELECT doc_id, near_match, jaccard FROM (SELECT doc_b AS doc_id, doc_a AS near_match, jaccard, row_number() OVER (PARTITION BY doc_b ORDER BY jaccard DESC, doc_a) AS rn FROM verified) WHERE rn = 1) SELECT e.doc_id, CASE WHEN e.exact_match IS NOT NULL THEN 'exact_dup' WHEN b.near_match IS NOT NULL THEN 'near_dup' ELSE 'unique' END AS verdict, COALESCE(e.exact_match, b.near_match) AS match_id, CASE WHEN e.exact_match IS NULL THEN b.jaccard END AS jaccard FROM ex e LEFT JOIN best b USING (doc_id) ORDER BY doc_id"""
+
   /** The skewed fixture ([[skewedDocs]]) in DuckDB: corpus UNION ALL
     * clones of the min-doc text under ids past max(doc_id). */
   private val skewedDocsSql =
@@ -1854,8 +1943,13 @@ object Dedup {
     // incremental new-batch-vs-gold dedup: DuckDB replays the 80% doc_id
     // cutoff split, the fingerprint lookup, the band join restricted to
     // gold × new, and the best-match precedence
-    "dedup_incremental" ->
-      s"""WITH cut AS (SELECT CAST(floor(max(doc_id) * 0.8) AS BIGINT) AS c FROM documents), mh AS ($minhashSql), bands AS ($bandsSql), gold_fp AS (SELECT md5(lower(trim(text))) AS fp, min(doc_id) AS exact_match FROM documents WHERE doc_id <= (SELECT c FROM cut) GROUP BY 1), ex AS (SELECT n.doc_id, g.exact_match FROM (SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents WHERE doc_id > (SELECT c FROM cut)) n LEFT JOIN gold_fp g USING (fp)), gb AS (SELECT doc_id, band_idx, band_val FROM (SELECT doc_id, band_idx, band_val, row_number() OVER (PARTITION BY band_idx, band_val ORDER BY doc_id) AS rn FROM bands WHERE doc_id <= (SELECT c FROM cut)) WHERE rn <= $HotBucketCap), cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b FROM gb x JOIN bands y ON x.band_idx = y.band_idx AND x.band_val = y.band_val WHERE y.doc_id > (SELECT c FROM cut)), sh_tbl AS ($docShinglesSql), verified AS (SELECT doc_a, doc_b, jaccard FROM (SELECT doc_a, doc_b, $jaccardSql AS jaccard FROM cand JOIN (SELECT doc_id, sh AS sh_a FROM sh_tbl) sa ON cand.doc_a = sa.doc_id JOIN (SELECT doc_id, sh AS sh_b FROM sh_tbl) sb ON cand.doc_b = sb.doc_id) WHERE jaccard >= $JaccardThreshold), best AS (SELECT doc_id, near_match, jaccard FROM (SELECT doc_b AS doc_id, doc_a AS near_match, jaccard, row_number() OVER (PARTITION BY doc_b ORDER BY jaccard DESC, doc_a) AS rn FROM verified) WHERE rn = 1) SELECT e.doc_id, CASE WHEN e.exact_match IS NOT NULL THEN 'exact_dup' WHEN b.near_match IS NOT NULL THEN 'near_dup' ELSE 'unique' END AS verdict, COALESCE(e.exact_match, b.near_match) AS match_id, CASE WHEN e.exact_match IS NULL THEN b.jaccard END AS jaccard FROM ex e LEFT JOIN best b USING (doc_id) ORDER BY doc_id""",
+    "dedup_incremental" -> incrementalOracleSql(""),
+    // the vacuum gate: same incremental replay, but the gold side is
+    // the RETAINED corpus (tombstoned doc_id % 7 = 3 rows physically
+    // gone) — so the hash-exact match IS "post-vacuum store serves
+    // identically to a fresh build on the retained corpus"
+    "dedup_vacuum_served" ->
+      incrementalOracleSql(s" AND doc_id % 7 <> $VacuumResidue"),
     "dedup_embedding_cosine" ->
       """SELECT vec_a, vec_b, cosine FROM (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, list_sum(list_transform(range(1, len(a.embedding)+1), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) / sqrt(list_sum(list_transform(range(1, len(a.embedding)+1), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))) * list_sum(list_transform(range(1, len(b.embedding)+1), i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))) AS cosine FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id) WHERE cosine >= 0.45 ORDER BY vec_a, vec_b"""
   )
@@ -1881,6 +1975,7 @@ object Dedup {
     "dedup_keep_best_served" -> keepBestQualityServed _,
     "dedup_method_agreement" -> methodAgreement _,
     "dedup_incremental" -> incrementalNearDups _,
+    "dedup_vacuum_served" -> vacuumServed _,
     "dedup_embedding_cosine" ->
       ((s: SparkSession, dir: String) => embeddingCosinePairs(s, dir))
   )

@@ -59,6 +59,49 @@ class DedupSpec extends SparkSpec {
     assert(pairs.count() > 0)
   }
 
+  test("vacuum physically drops tombstoned docs, resets the list, " +
+      "preserves the watermark, and the store serves like a fresh " +
+      "build on the retained corpus") {
+    import java.nio.file.Files
+    val base = Files.createTempDirectory("graft_vac").toString
+    val goldDir = s"$base/gold"; val ixDir = s"$base/ix"
+    val d = Tables.documents(spark, sf)
+    val ids = d.select(col("doc_id")).orderBy(col("doc_id"))
+      .collect().map(_.getLong(0))
+    val cutoff = ids(ids.length * 4 / 5)
+    val gold = d.filter(col("doc_id") <= cutoff)
+    gold.write.parquet(goldDir)
+    graft.ops.StoreFiles.writeIdWatermark(goldDir, cutoff)
+    graft.ops.StoreFiles.createMarker(goldDir, "_ids_synced")
+    Dedup.writeGoldIndex(gold, ixDir)
+    val doomed = gold.filter(col("doc_id") % 7 === 3)
+    val nDoomed = doomed.count()
+    assert(nDoomed > 0)
+    Dedup.tombstoneGoldIndex(doomed, ixDir)
+    val goldBefore = spark.read.parquet(goldDir).count()
+    val (removed, reclaimed) = Dedup.vacuumGold(spark, goldDir, ixDir)
+    assert(removed == nDoomed && reclaimed > 0,
+      s"vacuum removed=$removed (want $nDoomed) reclaimed=$reclaimed")
+    assert(spark.read.parquet(goldDir).count() == goldBefore - nDoomed)
+    // the tombstone list is RESET (removals are physical now)
+    assert(!graft.ops.StoreFiles.hasTopLevelParquet(s"$ixDir/tombstones"))
+    // the PRE-vacuum watermark survives: replayed old batches drop
+    assert(graft.ops.StoreFiles.readIdWatermark(goldDir).contains(cutoff))
+    assert(graft.ops.StoreFiles.markerExists(goldDir, "_ids_synced"))
+    // serving parity: the vacuumed index answers exactly like a live
+    // split against the retained gold
+    val fresh = d.filter(col("doc_id") > cutoff)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSeq
+    val servedRows = rows(Dedup.incrementalAgainstIndex(spark, fresh, ixDir))
+    val liveRows = rows(Dedup.incrementalSplit(
+      gold.filter(col("doc_id") % 7 =!= 3), fresh))
+    assert(servedRows == liveRows)
+    // idempotent: a second vacuum is a no-op
+    assert(Dedup.vacuumGold(spark, goldDir, ixDir) == ((0L, 0L)))
+  }
+
   test("hot-bucket collapse: the boilerplate clone cluster emits the " +
       "template's star, and candidate work obeys the capped bound") {
     val stats = Dedup.lshBucketStats(spark, sf).head()
