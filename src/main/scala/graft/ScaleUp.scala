@@ -1453,6 +1453,29 @@ object ScaleUp {
         spark, cluDir, ScalarQuant.rotationMatrix(), qC,
         RetrievalEval.EvalK))
     }
+    if (on("opqserve")) {
+      // OPQ build/serve split at 100× (round-16 verdict #5): the
+      // round-16 OPQ eval row trained rotation + 5 quantizers
+      // in-call (~77 s at this scale); the persisted store pays that
+      // ONCE, and a serve is query prep + one cell-pruned codes scan
+      // (+ k′ point fetches for the rerank rung). The serve rows are
+      // the steady-state numbers a deployment sees.
+      ensureCluCorpus()
+      import graft.ext.{ProductQuant, ScalarQuant}
+      val store = s"$cluDir/opq_store"
+      if (!new java.io.File(store).exists()) {
+        val t0 = System.nanoTime()
+        ProductQuant.writeOpqStore(spark, cluDir, store,
+          ScalarQuant.rotationMatrix())
+        println(f"[scaleup] opq_store_build              $cluDir%-18s " +
+          f"${(System.nanoTime - t0) / 1e9}%8.2f s  " +
+          f"(${graft.ops.StoreFiles.dirBytes(store) / 1048576.0}%9.1f MB)")
+      }
+      timed("opq_served_topk", cluDir, 2)(
+        ProductQuant.opqServedTopK(spark, cluDir, store))
+      timed("opq_rerank_served", cluDir, 2)(
+        ProductQuant.opqRerankServedTopK(spark, cluDir, store))
+    }
     if (on("recurate")) {
       // diff-driven re-curation at 100× (round-15 verdict stretch #7):
       // the incremental keep-earliest maintenance must track the DIFF

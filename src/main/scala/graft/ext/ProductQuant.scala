@@ -365,25 +365,8 @@ object ProductQuant {
     * from. */
   private def opqChainWith(spark: SparkSession, dir: String,
       rot: Seq[Seq[Double]]): DataFrame = {
-    val rvecs = KMeans.vecs(spark, dir)
-      .select(col("vec_id"), col("label"),
-        graft.functions.MatVec(col("v"), rot).as("v"))
-    val coarse = KMeans.trainFrame(
-      rvecs.select(col("vec_id"), col("v")), KMeans.K)
-    val res = rvecs.select(col("vec_id"), residualCol(coarse).as("v"))
-    val rcbs = (0 until M).map(m => KMeans.trainFrame(
-      res.select(col("vec_id"),
-        slice(col("v"), m * SubDim + 1, SubDim).as("v")), Ks))
-    val qraw = KMeans.vecs(spark, dir).orderBy(col("vec_id")).limit(1)
-      .select(col("vec_id"), col("v")).head()
-    val qid = qraw.getLong(0)
-    val qv = ScalarQuant.rotateLocal(qraw.getSeq[Double](1), rot)
-    val qCid = coarse.map { case (cid, cv) =>
-      (qv.zip(cv).foldLeft(0.0) { case (acc, (x, c)) =>
-        acc + (x - c) * (x - c) }, cid)
-    }.min._2
-    val qres = qv.zip(coarse(qCid)._2).map { case (x, c) => x - c }
-    val dt = distTable(qres, rcbs)
+    val (rvecs, coarse, rcbs) = opqTrain(spark, dir, rot)
+    val (qid, qCid, dt) = opqQueryPrep(spark, dir, rot, coarse, rcbs)
     val rv = residualCol(coarse)
     val adc = (0 until M).map { m =>
       element_at(array(dt(m).map(lit): _*),
@@ -395,6 +378,45 @@ object ProductQuant {
       .select(col("vec_id"), col("label"), adc.as("adc_dist"))
       .orderBy(col("adc_dist"), col("vec_id"))
       .limit(TopK)
+  }
+
+  /** The OPQ chain's training prefix under an explicit rotation —
+    * rotated corpus, coarse quantizer over the rotated space, and the
+    * per-subspace residual codebooks. Shared by the live chain
+    * ([[opqChainWith]]) and the store build ([[writeOpqStore]]) so
+    * the serve == rebuild contract is one definition deep. */
+  private def opqTrain(spark: SparkSession, dir: String,
+      rot: Seq[Seq[Double]])
+      : (DataFrame, Seq[(Int, Seq[Double])], Seq[Seq[(Int, Seq[Double])]]) = {
+    val rvecs = KMeans.vecs(spark, dir)
+      .select(col("vec_id"), col("label"),
+        graft.functions.MatVec(col("v"), rot).as("v"))
+    val coarse = KMeans.trainFrame(
+      rvecs.select(col("vec_id"), col("v")), KMeans.K)
+    val res = rvecs.select(col("vec_id"), residualCol(coarse).as("v"))
+    val rcbs = (0 until M).map(m => KMeans.trainFrame(
+      res.select(col("vec_id"),
+        slice(col("v"), m * SubDim + 1, SubDim).as("v")), Ks))
+    (rvecs, coarse, rcbs)
+  }
+
+  /** Driver-side OPQ query prep: min-vec_id query rotated locally,
+    * its coarse cell under the ROTATED centroids, and the ADC table
+    * from its residual — the [[queryPrepResidual]] shape one rotation
+    * deep. */
+  private def opqQueryPrep(spark: SparkSession, dir: String,
+      rot: Seq[Seq[Double]], coarse: Seq[(Int, Seq[Double])],
+      rcbs: Seq[Seq[(Int, Seq[Double])]]): (Long, Int, Seq[Seq[Double]]) = {
+    val qraw = KMeans.vecs(spark, dir).orderBy(col("vec_id")).limit(1)
+      .select(col("vec_id"), col("v")).head()
+    val qid = qraw.getLong(0)
+    val qv = ScalarQuant.rotateLocal(qraw.getSeq[Double](1), rot)
+    val qCid = coarse.map { case (cid, cv) =>
+      (qv.zip(cv).foldLeft(0.0) { case (acc, (x, c)) =>
+        acc + (x - c) * (x - c) }, cid)
+    }.min._2
+    val qres = qv.zip(coarse(qCid)._2).map { case (x, c) => x - c }
+    (qid, qCid, distTable(qres, rcbs))
   }
 
   /** Alternating-minimization rounds for the LEARNED OPQ rotation —
@@ -716,6 +738,136 @@ object ProductQuant {
     * keeps k′ = [[RerankFactor]]·[[TopK]] candidates, the re-rank
     * touches exactly k′ raw vectors. */
   val RerankFactor = 4
+
+  // ---- OPQ serving store (round-16 verdict #5): the build/serve
+  // split the residual-ADC family has, for the OPQ rung — the
+  // rotation, the rotated-space coarse centroids, the per-subspace
+  // residual codebooks, and the pre-encoded codes persisted once,
+  // so a serve pays query prep + one pruned codes scan, never the
+  // 5-quantizer training pass. ----
+
+  /** Persist the OPQ serving artifact under `commit`: `rotation/`
+    * (row-indexed d-vectors), `coarse/` (cid, cv), `codebooks/`
+    * (m, cid, cv), and `codes/` (vec_id, label, cell, code0..M−1,
+    * cell-partitioned — the ADC scan prunes to the probed cell).
+    * Quantizer metadata is KB-sized; codes are the corpus-sized
+    * component, repartitioned to one file per cell. */
+  def writeOpqStore(spark: SparkSession, dir: String, store: String,
+      rot: Seq[Seq[Double]],
+      commit: graft.ops.StoreCommit = graft.ops.SwapCommit): Unit = {
+    import spark.implicits._
+    val (rvecs, coarse, rcbs) = opqTrain(spark, dir, rot)
+    val codes = encodeFrameResidual(rvecs, coarse, rcbs)
+      .repartition(KMeans.K, col("cell"))
+      .localCheckpoint()
+    commit.replace(store) { next =>
+      rot.zipWithIndex.map { case (r, i) => (i, r) }.toDF("i", "vals")
+        .coalesce(1).write.parquet(s"$next/rotation")
+      coarse.toDF("cid", "cv")
+        .coalesce(1).write.parquet(s"$next/coarse")
+      rcbs.zipWithIndex.flatMap { case (cb, m) =>
+        cb.map { case (cid, cv) => (m, cid, cv) } }
+        .toDF("m", "cid", "cv")
+        .coalesce(1).write.parquet(s"$next/codebooks")
+      codes.write.partitionBy("cell").parquet(s"$next/codes")
+    }
+  }
+
+  /** Read the store's frozen quantizers back (bounded collects:
+    * d² + K·d + M·Ks·SubDim doubles ≈ tens of KB), in the exact
+    * positional order the driver math indexes by. */
+  def readOpqQuantizers(spark: SparkSession, store: String,
+      commit: graft.ops.StoreCommit = graft.ops.SwapCommit)
+      : (Seq[Seq[Double]], Seq[(Int, Seq[Double])],
+         Seq[Seq[(Int, Seq[Double])]]) = {
+    val live = commit.readDir(store)
+    val rot = spark.read.parquet(s"$live/rotation")
+      .orderBy(col("i")).select(col("vals"))
+      .collect().map(_.getSeq[Double](0).toSeq).toSeq
+    val coarse = spark.read.parquet(s"$live/coarse")
+      .orderBy(col("cid")).select(col("cid"), col("cv"))
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toSeq)).toSeq
+    val cbRows = spark.read.parquet(s"$live/codebooks")
+      .orderBy(col("m"), col("cid"))
+      .select(col("m"), col("cid"), col("cv"))
+      .collect()
+    val rcbs = (0 until M).map(m => cbRows.filter(_.getInt(0) == m)
+      .map(r => (r.getInt(1), r.getSeq[Double](2).toSeq)).toSeq)
+    (rot, coarse, rcbs)
+  }
+
+  /** Serve the min-vec_id query's OPQ top-k from a persisted store:
+    * quantizer read-back + driver query prep + ONE cell-pruned scan
+    * of the codes store (M table lookups per row) — no training
+    * anywhere. Doubles round-trip parquet exactly and the ADC sum
+    * replays [[opqChainWith]]'s expression order, so serve ==
+    * rebuild bit for bit (the gated contract). */
+  def opqServedTopK(spark: SparkSession, dir: String, store: String,
+      commit: graft.ops.StoreCommit = graft.ops.SwapCommit): DataFrame = {
+    val (rot, coarse, rcbs) = readOpqQuantizers(spark, store, commit)
+    val (qid, qCid, dt) = opqQueryPrep(spark, dir, rot, coarse, rcbs)
+    val adc = (0 until M).map { m =>
+      element_at(array(dt(m).map(lit): _*), col(s"code$m") + lit(1))
+    }.reduceLeft(_ + _)
+    spark.read.parquet(s"${commit.readDir(store)}/codes")
+      .filter(col("cell") === qCid && col("vec_id") =!= qid)
+      .select(col("vec_id"), col("label"), adc.as("adc_dist"))
+      .orderBy(col("adc_dist"), col("vec_id"))
+      .limit(TopK)
+  }
+
+  /** The OPQ exact re-rank rung (round-16 verdict #5: PQ had one,
+    * OPQ didn't — and the eval's margin readings showed exactly what
+    * it buys): the served ADC scan keeps k′ = [[RerankFactor]]·
+    * [[TopK]] candidates, then ONLY those rows' raw vectors are
+    * fetched, ROTATED on the fly (rotation is an isometry, so exact
+    * distance in the rotated space IS the exact distance — computed
+    * rotated to replay the oracle's rotated-chain arithmetic
+    * bit for bit), and ranked by exact L2 to the rotated query.
+    * Candidate ids collect (k′ = 40 longs) and push down as an In
+    * filter, the [[ivfPqRerankTopK]] point-fetch discipline. */
+  def opqRerankServedTopK(spark: SparkSession, dir: String,
+      store: String,
+      commit: graft.ops.StoreCommit = graft.ops.SwapCommit): DataFrame = {
+    val (rot, coarse, rcbs) = readOpqQuantizers(spark, store, commit)
+    val (qid, qCid, dt) = opqQueryPrep(spark, dir, rot, coarse, rcbs)
+    val qv = ScalarQuant.rotateLocal(
+      KMeans.vecs(spark, dir).orderBy(col("vec_id")).limit(1)
+        .select(col("v")).head().getSeq[Double](0), rot)
+    val adc = (0 until M).map { m =>
+      element_at(array(dt(m).map(lit): _*), col(s"code$m") + lit(1))
+    }.reduceLeft(_ + _)
+    val candIds = spark.read.parquet(s"${commit.readDir(store)}/codes")
+      .filter(col("cell") === qCid && col("vec_id") =!= qid)
+      .select(col("vec_id"), adc.as("adc_dist"))
+      .orderBy(col("adc_dist"), col("vec_id"))
+      .limit(RerankFactor * TopK)
+      .collect().map(_.getLong(0)).toSeq
+    KMeans.vecs(spark, dir)
+      .filter(col("vec_id").isin(candIds: _*))
+      .select(col("vec_id"), col("label"),
+        graft.functions.MatVec(col("v"), rot).as("v"))
+      .select(col("vec_id"), col("label"),
+        exactDistCol(qv).as("exact_dist"))
+      .orderBy(col("exact_dist"), col("vec_id"))
+      .limit(TopK)
+  }
+
+  /** Memoized per-corpus OPQ store (seeded rotation) — the gate sweep
+    * serves `sim_opq_served_topk`, `sim_opq_rerank`, AND two
+    * `rag_eval_quant_forms` rows from it; without the memo each would
+    * re-pay the 5-quantizer training build. Scratch-rooted: gate
+    * infrastructure, not a production path (production stores are
+    * caller-owned named dirs via [[writeOpqStore]]). */
+  def opqStoreFor(spark: SparkSession, dir: String): String =
+    opqStores.computeIfAbsent(dir, _ => {
+      val store = graft.ops.Scratch.dir("graft_opq_store") + "/ix"
+      writeOpqStore(spark, dir, store, ScalarQuant.rotationMatrix())
+      store
+    })
+
+  private val opqStores =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Exact squared-L2 of the row vector `v` to a LITERAL query vector,
     * as one left-to-right 64-term codegen chain — the same IEEE order
@@ -1099,6 +1251,12 @@ object ProductQuant {
     (0 until M).map(m => s"JOIN c2_ro$m g$m ON g$m.cid = af_ro$m.cid")
       .mkString(" ")
 
+  private val opqTopkSql =
+    s"""WITH $opqCtes, qrow AS (SELECT vec_id AS qid, v AS qv FROM qo ORDER BY vec_id LIMIT 1), qa AS (SELECT cid FROM (SELECT c.cid, row_number() OVER (ORDER BY ${KMeans
+      .distSqlN("r.qv", "c.cv", 64)}, c.cid) AS rn FROM qrow r CROSS JOIN c2o c) WHERE rn = 1), qres AS (SELECT r.qid, ${(0 until M).map(m =>
+      s"list_slice(list_transform(range(1, 65), i -> r.qv[i] - c.cv[i]), ${lo(m)}, ${hi(m)}) AS rv$m").mkString(", ")} FROM qrow r JOIN c2o c ON c.cid = (SELECT cid FROM qa)) SELECT vec_id, label, adc_dist FROM (SELECT q.vec_id, q.label, $residAdcSql AS adc_dist FROM qo q $opqCodesJoin $opqCbJoins JOIN afo USING (vec_id) CROSS JOIN qres s CROSS JOIN qa WHERE afo.cid = qa.cid AND q.vec_id <> s.qid) ORDER BY adc_dist, vec_id LIMIT $TopK"""
+      .replace(" AS (SELECT", " AS MATERIALIZED (SELECT")
+
   val oracle: Map[String, String] = Map(
     // every CTE of the OPQ chain is MATERIALIZED: DuckDB 1.0 INLINES
     // CTEs by default, and this chain's base table `qo` is itself an
@@ -1110,10 +1268,20 @@ object ProductQuant {
     // collapses each CTE to one evaluation (measured: OOM → 1.0 s).
     // The unrotated chains get away with inlining because their base
     // `q` is a cast of the table scan.
-    "sim_opq_ivfpq_topk" ->
+    "sim_opq_ivfpq_topk" -> opqTopkSql,
+    // serve == rebuild: the persisted-store serve replays the live
+    // chain's values bit for bit, so its oracle IS the live SQL
+    "sim_opq_served_topk" -> opqTopkSql,
+    // OPQ exact re-rank: the ADC candidate list cut at k′ =
+    // RerankFactor·TopK, re-ranked by exact L2 in the ROTATED space
+    // (rotation is an isometry; the rotated arithmetic is what the
+    // Spark side replays) — the sim_ivfpq_rerank pattern one
+    // rotation deep
+    "sim_opq_rerank" ->
       s"""WITH $opqCtes, qrow AS (SELECT vec_id AS qid, v AS qv FROM qo ORDER BY vec_id LIMIT 1), qa AS (SELECT cid FROM (SELECT c.cid, row_number() OVER (ORDER BY ${KMeans
         .distSqlN("r.qv", "c.cv", 64)}, c.cid) AS rn FROM qrow r CROSS JOIN c2o c) WHERE rn = 1), qres AS (SELECT r.qid, ${(0 until M).map(m =>
-        s"list_slice(list_transform(range(1, 65), i -> r.qv[i] - c.cv[i]), ${lo(m)}, ${hi(m)}) AS rv$m").mkString(", ")} FROM qrow r JOIN c2o c ON c.cid = (SELECT cid FROM qa)) SELECT vec_id, label, adc_dist FROM (SELECT q.vec_id, q.label, $residAdcSql AS adc_dist FROM qo q $opqCodesJoin $opqCbJoins JOIN afo USING (vec_id) CROSS JOIN qres s CROSS JOIN qa WHERE afo.cid = qa.cid AND q.vec_id <> s.qid) ORDER BY adc_dist, vec_id LIMIT $TopK"""
+        s"list_slice(list_transform(range(1, 65), i -> r.qv[i] - c.cv[i]), ${lo(m)}, ${hi(m)}) AS rv$m").mkString(", ")} FROM qrow r JOIN c2o c ON c.cid = (SELECT cid FROM qa)), cand AS (SELECT vec_id, row_number() OVER (ORDER BY adc_dist, vec_id) AS crn FROM (SELECT q.vec_id, $residAdcSql AS adc_dist FROM qo q $opqCodesJoin $opqCbJoins JOIN afo USING (vec_id) CROSS JOIN qres s CROSS JOIN qa WHERE afo.cid = qa.cid AND q.vec_id <> s.qid)) SELECT vec_id, label, exact_dist FROM (SELECT q.vec_id, q.label, ${KMeans
+        .distSqlN("r.qv", "q.v", 64)} AS exact_dist FROM qo q JOIN cand c ON q.vec_id = c.vec_id CROSS JOIN qrow r WHERE c.crn <= ${RerankFactor * TopK}) ORDER BY exact_dist, vec_id LIMIT $TopK"""
         .replace(" AS (SELECT", " AS MATERIALIZED (SELECT"),
     "sim_ivfpq_residual_topk" ->
       s"""WITH $residCtes, qrow AS (SELECT vec_id AS qid, v AS qv FROM q ORDER BY vec_id LIMIT 1), qa AS (SELECT cid FROM (SELECT c.cid, row_number() OVER (ORDER BY ${KMeans
@@ -1172,6 +1340,10 @@ object ProductQuant {
     "sim_ivfpq_topk" -> ivfPqTopK _,
     "sim_ivfpq_residual_topk" -> ivfPqResidualTopK _,
     "sim_opq_ivfpq_topk" -> opqIvfPqTopK _,
+    "sim_opq_served_topk" -> ((s: SparkSession, dir: String) =>
+      opqServedTopK(s, dir, opqStoreFor(s, dir))),
+    "sim_opq_rerank" -> ((s: SparkSession, dir: String) =>
+      opqRerankServedTopK(s, dir, opqStoreFor(s, dir))),
     // no oracle entry for the top-k itself: the Procrustes SVD is not
     // DuckDB-expressible — the driver records the rows-only check and
     // descent/recall are spec-asserted (ProductQuantSpec); the

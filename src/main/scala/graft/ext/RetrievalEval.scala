@@ -164,10 +164,20 @@ object RetrievalEval {
     val adcSys = ProductQuant.adcBatchTopK(spark, dir)
       .filter(col("rk") <= EvalK)
       .select(col("query_id"), col("vec_id"), col("rk"))
+    // the OPQ rows SERVE from the persisted store (build/serve split
+    // like the ADC row — round-16 verdict #5): rotation, codebooks,
+    // and codes are read back, never retrained, and the new
+    // opq_rerank rung shows what the exact re-rank buys the
+    // compressed form (the same margin the PQ rerank row repairs)
+    val opqStore = ProductQuant.opqStoreFor(spark, dir)
     OracleForms.union(
         "adc" -> metricsOn(adcSys, truth),
         "opq" -> metricsOn(
-          single(ProductQuant.opqIvfPqTopK(spark, dir), "adc_dist"), truth),
+          single(ProductQuant.opqServedTopK(spark, dir, opqStore),
+            "adc_dist"), truth),
+        "opq_rerank" -> metricsOn(
+          single(ProductQuant.opqRerankServedTopK(spark, dir, opqStore),
+            "exact_dist"), truth),
         "rerank" -> metricsOn(
           single(ProductQuant.ivfPqRerankTopK(spark, dir), "exact_dist"),
           truth),
@@ -223,10 +233,12 @@ object RetrievalEval {
         s"${truthCtesOn("eq")}, " +
         s"sys_adc AS MATERIALIZED (SELECT query_id, vec_id, CAST(rk AS INT) AS rk FROM (${ProductQuant.oracle("sim_adc_batch_topk")}) WHERE rk <= $EvalK), " +
         s"sys_opq AS MATERIALIZED ${singleSysSql(ProductQuant.oracle("sim_opq_ivfpq_topk"), "adc_dist")}, " +
+        s"sys_opqrr AS MATERIALIZED ${singleSysSql(ProductQuant.oracle("sim_opq_rerank"), "exact_dist")}, " +
         s"sys_rr AS MATERIALIZED ${singleSysSql(ProductQuant.oracle("sim_ivfpq_rerank"), "exact_dist")}, " +
         s"sys_sq8 AS MATERIALIZED ${singleSysSql(ScalarQuant.oracle("sim_sq8_topk"), "sq_dist")} " +
         s"SELECT 'adc' AS form, m.* FROM (${metricsBlock("sys_adc")}) m " +
         s"UNION ALL SELECT 'opq' AS form, m.* FROM (${metricsBlock("sys_opq")}) m " +
+        s"UNION ALL SELECT 'opq_rerank' AS form, m.* FROM (${metricsBlock("sys_opqrr")}) m " +
         s"UNION ALL SELECT 'rerank' AS form, m.* FROM (${metricsBlock("sys_rr")}) m " +
         s"UNION ALL SELECT 'sq8' AS form, m.* FROM (${metricsBlock("sys_sq8")}) m " +
         "ORDER BY form, query_id"))

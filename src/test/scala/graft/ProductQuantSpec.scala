@@ -351,6 +351,48 @@ class ProductQuantSpec extends SparkSpec {
     assert(!plan.contains("Join"), s"re-rank must not join:\n$plan")
   }
 
+  test("OPQ store: served top-k equals the live chain bit for bit; " +
+      "the rerank rung is exact-on-candidates and loses no recall") {
+    val store = ProductQuant.opqStoreFor(spark, sf)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.get(1), r.getDouble(2))).toSeq
+    // serve == rebuild: same ids, labels, AND raw double distances
+    assert(rows(ProductQuant.opqServedTopK(spark, sf, store)) ==
+      rows(ProductQuant.opqIvfPqTopK(spark, sf)),
+      "persisted-store serve must replay the live OPQ chain exactly")
+    // the rerank rung: exact rotated-space distances (an isometry of
+    // the true L2), ordered, recall >= the ADC form on the exact
+    // same-metric truth
+    val vs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    val qv = vs.head._2
+    def d2(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).foldLeft(0.0) { case (acc, (x, c)) => acc + (x - c) * (x - c) }
+    val exact = vs.tail.map { case (id, v) => (d2(v, qv), id) }
+      .sortBy(identity).take(ProductQuant.TopK).map(_._2).toSet
+    val adcIds = ProductQuant.opqServedTopK(spark, sf, store)
+      .collect().map(_.getLong(0)).toSet
+    val rr = ProductQuant.opqRerankServedTopK(spark, sf, store).collect()
+      .map(r => (r.getLong(0), r.getDouble(2)))
+    val rrRecall = (rr.map(_._1).toSet intersect exact).size
+    val adcRecall = (adcIds intersect exact).size
+    info(s"OPQ recall@${ProductQuant.TopK}: adc=$adcRecall rerank=$rrRecall")
+    assert(rrRecall >= adcRecall,
+      s"OPQ exact re-rank must not lose recall: $rrRecall < $adcRecall")
+    // rotated-space exact distance == original-space exact distance
+    // up to ulps (isometry); assert the ORDER is exactly the true
+    // exact order on the candidate set (ranking is the contract)
+    assert(rr.sortBy { case (id, d) => (d, id) }.toSeq == rr.toSeq)
+    val byId = vs.toMap
+    rr.foreach { case (id, d) =>
+      assert(math.abs(d - d2(byId(id), qv)) <= 1e-9 * (1.0 + d),
+        s"vec $id: rotated exact $d far from true ${d2(byId(id), qv)}")
+    }
+  }
+
   test("residual multi-probe: recall >= residual single-probe and >= raw multi-probe") {
     val vs = Tables.embeddings(spark, sf)
       .select(col("vec_id"), col("embedding").cast("array<double>"))
