@@ -773,6 +773,59 @@ object StreamScaleUp {
         s"${medianSpan(liDir)}")
     }
 
+    if (on("zdel")) locally {
+      // the DELETE-delta tier under the same 16-batch 100× ladder
+      // (round-16 verdict #6): after every landed batch, a removal
+      // batch tombstones its l_orderkey % 10 == 3 rows — the
+      // re-crawl shape (a re-fetched page superseding its old rows).
+      // Expected: appends and MINORS stay FLAT (the delete set rides
+      // a broadcast anti-join over delta-sized inputs), MAJORS stay
+      // geometric and apply the deletes physically (del tier drops
+      // with the replaced root), and final parity reads landing
+      // MINUS removed exactly.
+      import graft.pipeline.ZOrderLayout
+      val liDir = s"$base/lineitem16.parquet"
+      require(new java.io.File(liDir).exists(),
+        "run the zstore section first to stage the landing batches")
+      val store = s"$base/zstore16_del"
+      val files = Option(new java.io.File(liDir).listFiles())
+        .getOrElse(Array.empty).map(_.getPath).sorted
+      val (x, y, idc) = ("l_partkey", "l_suppkey", "l_orderkey")
+      for ((f, i) <- files.zipWithIndex) {
+        val rows = spark.read.parquet(f)
+        val tA = System.nanoTime()
+        ZOrderLayout.appendDelta(rows, store, idc)
+        val aS = (System.nanoTime() - tA) / 1e9
+        val tD = System.nanoTime()
+        ZOrderLayout.appendDeleteDelta(
+          rows.filter(col(idc) % 10 === 3), store, idc)
+        val dS = (System.nanoTime() - tD) / 1e9
+        var minS = 0.0; var majS = 0.0
+        if (ZOrderLayout.deltaCount(store) >= ZOrderLayout.CompactAfter) {
+          val tM = System.nanoTime()
+          ZOrderLayout.minorCompact(spark, store, x, y)
+          minS = (System.nanoTime() - tM) / 1e9
+          val tJ = System.nanoTime()
+          val (_, major) = ZOrderLayout.maybeCompactStore(
+            spark, store, x, y, idc)
+          if (major) majS = (System.nanoTime() - tJ) / 1e9
+        }
+        val baseMb =
+          graft.ops.StoreFiles.dirBytes(s"$store/base") / (1 << 20)
+        val delN = ZOrderLayout.pendingDeletes(spark, store)
+          .map(_.count()).getOrElse(0L)
+        println(f"[streamscale] zdel t${i + 1}%02d append $aS%5.1f s" +
+          f"  del $dS%5.1f s  minor $minS%5.1f s  major $majS%5.1f s" +
+          f"  (base ${baseMb}%d MB, pending deletes $delN%d)")
+      }
+      val got = ZOrderLayout.readStore(spark, store).count()
+      val landing = spark.read.parquet(liDir)
+      val want = landing.filter(col(idc) % 10 =!= 3).count()
+      println(s"[streamscale] zdel parity vs landing-minus-removed: " +
+        (if (got == want) s"EXACT ($got rows)"
+         else s"MISMATCH ($got vs $want)"))
+    }
+
     val rocksDirs = Option(new java.io.File(
       s"${sys.props("java.io.tmpdir")}").listFiles()).getOrElse(Array.empty)
       .filter(_.getName.startsWith("spark-"))

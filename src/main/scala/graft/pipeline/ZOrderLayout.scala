@@ -246,11 +246,73 @@ object ZOrderLayout {
   /** Pending live-delta count — the minor-compaction trigger. */
   def deltaCount(store: String): Int = deltaDirs(store).size
 
-  /** All live rows of the store: base ∪ L1 runs ∪ live deltas. */
+  // ---- DELETE-delta tier (round-16 verdict #6): the re-crawl story.
+  // The tiered store was append-only — a removal (a vacuumed doc, a
+  // takedown, a re-crawled page) could only reach it via a manual
+  // full rewrite. Removal id sets now land as L0 delete-deltas under
+  // store/del/batch=<content-hash>: reads anti-join the pending set
+  // (broadcast — removal-sized), MINOR compaction folds its input
+  // minus the deletes (the delete-delta is RETAINED, still masking
+  // base and older-run rows it cannot touch), and MAJOR compaction
+  // applies every delete physically — the whole-root replace writes
+  // only the retained base, and the del tier vanishes with the old
+  // root. Content-hash naming (order-independent 64-bit fold of the
+  // id set) makes a replayed delete batch overwrite its own subdir,
+  // the same idempotence the data deltas get from max-id naming —
+  // deletes target EXISTING ids, so the monotone name algebra does
+  // not apply to them. Under the monotone-id ingest contract a
+  // deleted id can never be re-appended, so dropping the del tier at
+  // major compaction loses nothing. ----
+
+  /** Append a DELETE batch: every current and future read of the
+    * store hides these ids until a major compaction removes the rows
+    * physically. `ids` needs just the id column (extra columns are
+    * projected away); empty sets are a no-op. */
+  def appendDeleteDelta(ids: DataFrame, store: String,
+      idCol: String): Unit = {
+    val d = ids.select(col(idCol)).distinct().localCheckpoint()
+    if (d.isEmpty) return
+    // order-independent 64-bit fold (bit_xor never overflows — the
+    // ANSI-mode sum alternative does), salted with the set size so
+    // prefix-ish sets don't collide trivially
+    val r = d.select(xxhash64(col(idCol).cast("string")).as("h"))
+      .agg(expr("bit_xor(h)").as("h"), count(lit(1)).as("n")).head()
+    val name = java.lang.Long.toUnsignedString(
+      r.getLong(0) ^ (r.getLong(1) * 0x9E3779B97F4A7C15L))
+    val dirPath = s"$store/del/batch=$name"
+    d.coalesce(1).write.mode("overwrite").parquet(dirPath)
+    // self-stamped like appendDelta: visibility must not depend on
+    // the job committer's marksuccessfuljobs setting
+    graft.ops.StoreFiles.createMarker(dirPath, "_SUCCESS")
+  }
+
+  private def deleteDirs(store: String): Seq[String] =
+    graft.ops.StoreFiles.committedPartitionDirs(s"$store/del", "batch=")
+
+  /** The pending delete set (distinct ids across live del batches),
+    * None when the tier is empty. The single column keeps the id
+    * column's NAME, so consumers anti-join without threading it. */
+  def pendingDeletes(spark: SparkSession, store: String): Option[DataFrame] = {
+    val dirs = deleteDirs(store)
+    if (dirs.isEmpty) None
+    else Some(dirs.map(spark.read.parquet(_))
+      .reduce(_ unionByName _).distinct())
+  }
+
+  private def minusDeletes(rows: DataFrame,
+      del: Option[DataFrame]): DataFrame =
+    del.map(d => rows.join(broadcast(d), Seq(d.columns.head), "left_anti"))
+      .getOrElse(rows)
+
+  /** All live rows of the store: (base ∪ L1 runs ∪ live deltas) minus
+    * the pending delete set — every read sees removals immediately,
+    * at the cost of one broadcast anti-join while deletes pend (zero
+    * once a major compaction has applied them physically). */
   def readStore(spark: SparkSession, store: String): DataFrame = {
     val parts = tierDirs(store)
     require(parts.nonEmpty, s"empty z-order store at $store")
-    parts.map(spark.read.parquet(_)).reduce(_ unionByName _)
+    minusDeletes(parts.map(spark.read.parquet(_)).reduce(_ unionByName _),
+      pendingDeletes(spark, store))
   }
 
   private def tierDirs(store: String): Seq[String] = {
@@ -317,9 +379,18 @@ object ZOrderLayout {
     val live = deltaDirs(store)
     if (live.isEmpty) return
     val runId = live.map(idOf).max
-    val rows = live.map(spark.read.parquet(_)).reduce(_ unionByName _)
+    // fold minus the pending deletes — applying them EARLY to the
+    // rows this minor touches (the delete-delta itself is retained:
+    // it still masks base/older-run rows only a major can rewrite).
+    // An all-deleted fold still writes the (empty, schema-bearing)
+    // run: the deltas are absorbed either way and the supersession
+    // rule must see the run id.
+    val rows0 = live.map(spark.read.parquet(_)).reduce(_ unionByName _)
+    val rows = minusDeletes(rows0, pendingDeletes(spark, store))
+      .localCheckpoint()
     val runDir = s"$store/l1/run=$runId"
-    zorderWrite(rows, x, y, runDir)
+    if (rows.isEmpty) rows.coalesce(1).write.mode("overwrite").parquet(runDir)
+    else zorderWrite(rows, x, y, runDir)
     // explicit marker, same reason as appendDelta: run visibility must
     // not depend on the job committer's marksuccessfuljobs setting
     graft.ops.StoreFiles.createMarker(runDir, "_SUCCESS")
@@ -334,10 +405,15 @@ object ZOrderLayout {
       .foreach(graft.ops.StoreFiles.deleteDir)
   }
 
-  /** MAJOR compaction: base := zorder(base ∪ runs ∪ deltas) through
-    * one whole-store replace (watermark inside, so the commit is
-    * old-or-new, never a mix). O(store) by design — the size-ratio
-    * trigger in [[maybeCompactStore]] bounds how often it is paid. */
+  /** MAJOR compaction: base := zorder((base ∪ runs ∪ deltas) minus
+    * pending deletes) through one whole-store replace (watermark
+    * inside, so the commit is old-or-new, never a mix). This is where
+    * the delete-delta tier is applied PHYSICALLY: [[readStore]]
+    * anti-joins the pending set, the rewritten root carries only
+    * `base`, and the del tier vanishes with the replaced root —
+    * correct because monotone ingest ids can never re-append a
+    * deleted id. O(store) by design — the size-ratio trigger in
+    * [[maybeCompactStore]] bounds how often it is paid. */
   def compactStore(spark: SparkSession, store: String,
       x: String, y: String, idCol: String,
       commit: graft.ops.StoreCommit = graft.ops.SwapCommit): Unit = {
@@ -413,6 +489,56 @@ object ZOrderLayout {
   private val storeDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Residue class the delete gate removes (l_orderkey % 5 ==
+    * [[DeleteResidue]]) — fixed so DuckDB replays the retained set. */
+  private val DeleteResidue = 2L
+
+  /** The DELETE-delta tier, gated end to end: the
+    * [[zorderStoreForms]] lifecycle plus a delete batch of the
+    * l_orderkey % 5 == [[DeleteResidue]] class. Two forms, both
+    * replaying one retained-rows chain in DuckDB:
+    *
+    *  - `masked`    — read with the delete-delta PENDING (stats
+    *                  pinned before any major ran): the anti-join
+    *                  mask hides the rows;
+    *  - `compacted` — read after the MAJOR compaction applied the
+    *                  deletes physically (the del tier is gone).
+    *
+    * Hash-equality of both against the fresh retained-set replay IS
+    * the tier's contract: read == landing minus removed, before and
+    * after physical application. */
+  def zstoreDeleteForms(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
+    val (masked, store) = delForms.computeIfAbsent(dir, _ => {
+      val s = graft.ops.Scratch.dir("graft_zstore_del") + "/store"
+      val maxKey = li.agg(max(col("l_orderkey"))).head().getLong(0)
+      val (c1, c2) = (maxKey / 3, 2 * maxKey / 3)
+      appendDelta(li.filter(col("l_orderkey") <= c1), s, "l_orderkey")
+      appendDelta(li.filter(col("l_orderkey") > c1 &&
+        col("l_orderkey") <= c2), s, "l_orderkey")
+      minorCompact(spark, s, "l_partkey", "l_suppkey")
+      appendDelta(li.filter(col("l_orderkey") > c2), s, "l_orderkey")
+      appendDeleteDelta(
+        li.filter(col("l_orderkey") % 5 === DeleteResidue),
+        s, "l_orderkey")
+      // pin the masked read BEFORE the major applies the deletes
+      val m = zorderGroupStats(readStore(spark, s),
+        "l_partkey", "l_suppkey").localCheckpoint()
+      compactStore(spark, s, "l_partkey", "l_suppkey", "l_orderkey")
+      (m, s)
+    })
+    OracleForms.union(
+        "compacted" -> zorderGroupStats(readStore(spark, store),
+          "l_partkey", "l_suppkey"),
+        "masked" -> masked)
+      .select(col("form"), col("grp"), col("n"),
+        col("x_min"), col("x_max"), col("y_min"), col("y_max"))
+      .orderBy(col("form"), col("grp"))
+  }
+  private val delForms =
+    new java.util.concurrent.ConcurrentHashMap[String, (DataFrame, String)]()
+
   private def interleaveSql(xb: String, yb: String): String =
     (0 until Bits).map { i =>
       s"((($xb >> $i) & 1) << ${2 * i}) | ((($yb >> $i) & 1) << ${2 * i + 1})"
@@ -443,25 +569,35 @@ UNION ALL SELECT 'quantile' AS form, (${inter("xbq", "yb")}) >> ${2 * Bits - Gro
 SELECT form, grp, COUNT(*) AS n, MIN(xs) AS x_min, MAX(xs) AS x_max, MIN(ys) AS y_min, MAX(ys) AS y_max FROM zf GROUP BY form, grp ORDER BY form, grp"""
   }
 
-  // one shared chain for the store-forms gate: the zorder grouping
-  // alone (store content == source, so BOTH tags replay one chain)
-  private val zGroupSql: String = {
+  // one shared chain for the store-forms gates: the zorder grouping
+  // alone over a (possibly row-filtered) lineitem projection — the
+  // store gate replays it unfiltered (store content == source), the
+  // delete gate replays it on the RETAINED rows (both its forms must
+  // equal a fresh build on what remains)
+  private def zGroupSqlWhere(cond: String): String = {
     val grid = (v: String, lo: String, hi: String) =>
       s"(($v - $lo) * ${1L << Bits}) // ($hi - $lo + 1)"
-    s"""WITH b AS (SELECT MIN(l_partkey) AS xlo, MAX(l_partkey) AS xhi, MIN(l_suppkey) AS ylo, MAX(l_suppkey) AS yhi FROM lineitem),
-zf AS (SELECT ${interleaveSql("xb", "yb")} AS zval, l_partkey, l_suppkey FROM (SELECT ${grid("l_partkey", "b.xlo", "b.xhi")} AS xb, ${grid("l_suppkey", "b.ylo", "b.yhi")} AS yb, l_partkey, l_suppkey FROM lineitem, b))
+    s"""WITH li0 AS (SELECT l_partkey, l_suppkey FROM lineitem$cond),
+b AS (SELECT MIN(l_partkey) AS xlo, MAX(l_partkey) AS xhi, MIN(l_suppkey) AS ylo, MAX(l_suppkey) AS yhi FROM li0),
+zf AS (SELECT ${interleaveSql("xb", "yb")} AS zval, l_partkey, l_suppkey FROM (SELECT ${grid("l_partkey", "b.xlo", "b.xhi")} AS xb, ${grid("l_suppkey", "b.ylo", "b.yhi")} AS yb, l_partkey, l_suppkey FROM li0, b))
 SELECT zval >> ${2 * Bits - GroupBits} AS grp, COUNT(*) AS n, MIN(l_partkey) AS x_min, MAX(l_partkey) AS x_max, MIN(l_suppkey) AS y_min, MAX(l_suppkey) AS y_max FROM zf GROUP BY 1"""
   }
+  private val zGroupSql = zGroupSqlWhere("")
 
   val oracle: Map[String, String] = Map(
     "layout_zorder_stats" -> statsSql,
     "layout_zorder_skew_stats" -> skewStatsSql,
     "layout_zorder_store_forms" ->
       (graft.ext.OracleForms.sql(zGroupSql, Seq("source", "store")) +
-        " ORDER BY form, grp"))
+        " ORDER BY form, grp"),
+    "layout_zstore_delete_forms" ->
+      (graft.ext.OracleForms.sql(
+        zGroupSqlWhere(s" WHERE l_orderkey % 5 <> $DeleteResidue"),
+        Seq("compacted", "masked")) + " ORDER BY form, grp"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "layout_zorder_stats" -> (zorderStats _),
     "layout_zorder_skew_stats" -> (zorderSkewStats _),
-    "layout_zorder_store_forms" -> (zorderStoreForms _))
+    "layout_zorder_store_forms" -> (zorderStoreForms _),
+    "layout_zstore_delete_forms" -> (zstoreDeleteForms _))
 }

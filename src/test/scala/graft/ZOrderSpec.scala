@@ -193,6 +193,54 @@ class ZOrderSpec extends SparkSpec {
       new java.io.File(s"$store/base").exists())
   }
 
+  test("delete-delta tier: reads mask immediately, minors fold minus " +
+      "deletes while retaining the mask, majors apply physically and " +
+      "drop the tier; replayed delete batches are idempotent") {
+    import java.nio.file.Files
+    val sess = spark
+    import sess.implicits._
+    val store = Files.createTempDirectory("graft_zdel").toString + "/s"
+    val part = (lo: Long, hi: Long) =>
+      (lo to hi).map(i => (i, i % 7, i % 5)).toDF("id", "x", "y")
+    def ids() = ZOrderLayout.readStore(spark, store)
+      .select("id").collect().map(_.getLong(0)).toSet
+    ZOrderLayout.appendDelta(part(1, 10), store, "id")
+    ZOrderLayout.appendDelta(part(11, 20), store, "id")
+    ZOrderLayout.minorCompact(spark, store, "x", "y")
+    ZOrderLayout.appendDelta(part(21, 30), store, "id")
+    // the delete batch spans base-bound rows (run) AND a live delta
+    val doomed = Set(3L, 12L, 25L)
+    ZOrderLayout.appendDeleteDelta(
+      doomed.toSeq.map(i => Tuple1(i)).toDF("id"), store, "id")
+    val want = (1L to 30L).toSet -- doomed
+    assert(ids() == want, "pending deletes must mask every read")
+    // replay of the SAME delete batch lands in the same subdir
+    val delDirs = () => graft.ops.StoreFiles
+      .committedPartitionDirs(s"$store/del", "batch=").size
+    val n0 = delDirs()
+    ZOrderLayout.appendDeleteDelta(
+      doomed.toSeq.map(i => Tuple1(i)).toDF("id"), store, "id")
+    assert(delDirs() == n0, "replayed delete batch must be idempotent")
+    // a minor fold applies deletes to ITS input but keeps the mask
+    // (base/run rows it cannot touch are still hidden by it)
+    ZOrderLayout.minorCompact(spark, store, "x", "y")
+    assert(delDirs() == n0,
+      "minor compaction must retain the delete-delta")
+    assert(ids() == want)
+    assert(spark.read.parquet(s"$store/l1/run=30")
+      .filter(col("id") === 25L).isEmpty,
+      "the minor fold must drop deleted rows from the run it writes")
+    // the watermark stays at the pre-delete max (replay guard intact)
+    assert(ZOrderLayout.storeWatermark(spark, store, "id").contains(30L))
+    // the major applies deletes physically and drops the del tier
+    ZOrderLayout.compactStore(spark, store, "x", "y", "id")
+    assert(ids() == want)
+    assert(ZOrderLayout.pendingDeletes(spark, store).isEmpty,
+      "major compaction must retire the applied delete-deltas")
+    assert(spark.read.parquet(s"$store/base").count() == want.size.toLong)
+    assert(ZOrderLayout.storeWatermark(spark, store, "id").contains(30L))
+  }
+
   test("pointer-mode z-store sink: replay + minor/major compaction " +
       "commit through versioned dirs, content exact") {
     import java.nio.file.{Files, Paths}
