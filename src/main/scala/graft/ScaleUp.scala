@@ -1338,6 +1338,59 @@ object ScaleUp {
           f"${fert.map(_.getAs[Long]("fertility_micro")).mkString(",")}%s)")
       }
     }
+    if (on("bpe8k")) {
+      // REAL-vocabulary BPE (round-16 verdict #3): >= 8k merges
+      // actually RUN end to end, not extrapolated from 1k. Widened
+      // word model on the 100x prefixed corpus (the vocab axis —
+      // ~100x distinct words sustains 8k+ distinct pairs), maxBatch
+      // raised to 256 so the driver sync count stays ~32 rounds. The
+      // per-round hook prints every 4th round — the number to read
+      // is round cost staying FLAT as the rule count grows (the
+      // checkpointReset planning-cost law at realistic merge
+      // counts), and the downstream report/fertility/mix tier
+      // re-proven on the 8k vocabulary.
+      import graft.ext.{Bpe, Sampling}
+      // the c<i>_ prefixes alone top out at ~3.1k words (~4k merges
+      // before every word is one symbol — measured: the first run
+      // EXHAUSTED at 4,014); a second per-doc-class token prefix
+      // (w<doc_id mod 97>_) widens the vocabulary to the ~300k-word
+      // regime a real multilingual corpus has, which sustains 8k+
+      // distinct pairs
+      val docs8k = Tables.documents(spark, dst).withColumn("text",
+        regexp_replace(col("text"), lit("(\\S+)"),
+          concat(lit("w"), pmod(col("doc_id"), lit(97)).cast("string"),
+            lit("_$1"))))
+        .localCheckpoint()
+      val hist = Bpe.wordHist(docs8k, "^[a-z0-9_]+$").localCheckpoint()
+      println(f"[scaleup] bpe8k_vocab                  $dst%-18s " +
+        f"(vocab ${hist.count()}%d)")
+      val t0 = System.nanoTime()
+      var rounds = 0
+      val (rules, seg) = Bpe.trainBatched(hist, 8192, maxBatch = 256,
+        onRound = (r, n, s) => {
+          rounds = r
+          if (r % 4 == 0 || s > 60) println(
+            f"[scaleup] bpe8k_round r$r%03d            $dst%-18s " +
+              f"$s%8.2f s  ($n%d rules)")
+        })
+      val segC = seg.localCheckpoint()
+      println(f"[scaleup] bpe8k_train                  $dst%-18s " +
+        f"${(System.nanoTime - t0) / 1e9}%8.2f s  " +
+        f"(${rules.length}%d merges, $rounds%d rounds)")
+      val t1 = System.nanoTime()
+      val rep = Bpe.bpeReportOn(docs8k, segC, "^[a-z0-9_]+$").collect()
+      val fertDf = Bpe.bpeFertilityOn(docs8k, segC, "^[a-z0-9_]+$")
+        .localCheckpoint()
+      val fert = fertDf.collect()
+      val mix = Sampling.fertilityWeightedMixOn(docs8k, fertDf).collect()
+      println(f"[scaleup] bpe8k_downstream             $dst%-18s " +
+        f"${(System.nanoTime - t1) / 1e9}%8.2f s  (cpt_micro " +
+        f"${rep.map(_.getAs[Long]("chars_per_token_micro")).mkString(",")}%s" +
+        f"; fert_micro " +
+        f"${fert.map(_.getAs[Long]("fertility_micro")).mkString(",")}%s" +
+        f"; mix sampled " +
+        f"${mix.map(_.getAs[Long]("sampled_docs")).mkString(",")}%s)")
+    }
     if (on("ragev")) {
       // the eval harness against the ann tier's 20M-vector corpus:
       // the exact-truth pass is the one corpus-sized cost (a fan-out

@@ -281,11 +281,15 @@ object Bpe {
     * counts a sequential trainer would have recorded for the same
     * merges. maxBatch = 1 IS the sequential trainer (spec-pinned). */
   def trainBatched(hist: DataFrame, merges: Int,
-      maxBatch: Int = 64): (Seq[MergeRule], DataFrame) = {
+      maxBatch: Int = 64,
+      onRound: (Int, Int, Double) => Unit = (_, _, _) => ())
+      : (Seq[MergeRule], DataFrame) = {
     var seq = checkpointReset(initSeq(hist))
     val rules = scala.collection.mutable.ArrayBuffer.empty[MergeRule]
     var exhausted = false
+    var round = 0
     while (rules.size < merges && !exhausted) {
+      val t0 = System.nanoTime()
       val want = math.min(maxBatch, merges - rules.size)
       val top = pairCounts(seq)
         .orderBy(col("pn").desc, col("a"), col("b"))
@@ -299,6 +303,10 @@ object Bpe {
         }
         seq = checkpointReset(
           applyMerges(seq, batch.map(p => (p._1, p._2))))
+        round += 1
+        // measurement hook (round index, rules so far, round secs) —
+        // how the ScaleUp rows read per-round flatness; default no-op
+        onRound(round, rules.size, (System.nanoTime() - t0) / 1e9)
       }
     }
     (rules.toSeq, seq)
@@ -387,13 +395,48 @@ object Bpe {
       val segPath = root + "/seg"
       val mergesPath = root + "/merges"
       finalSeq.write.parquet(segPath)
-      rulesToDf(spark, rules).write.parquet(mergesPath)
+      writeMergesArtifact(spark, rules, WordPattern, mergesPath)
       Trained(rules, mergesPath, segPath)
     })
 
   private def rulesToDf(spark: SparkSession, rules: Seq[MergeRule]): DataFrame = {
     import spark.implicits._
     rules.toDF()
+  }
+
+  /** Ship a merges artifact: the rank-ordered rules plus `_meta`
+    * carrying the TRAINING word pattern (round-16 stretch #8 — the
+    * last latent mismatch of round-15 ADVICE #2: every encode-time
+    * word model must come FROM the artifact, not from a caller's
+    * memory of what the trainer used; a consumer passing the default
+    * pattern against a widened-vocabulary artifact would silently
+    * drop every non-default word before the vocab join). The `_meta`
+    * subdir is underscore-named, so plain readers of the rules
+    * parquet never see it. */
+  def writeMergesArtifact(spark: SparkSession, rules: Seq[MergeRule],
+      wordPattern: String, path: String): Unit = {
+    import spark.implicits._
+    rulesToDf(spark, rules).write.mode("overwrite").parquet(path)
+    Seq(Tuple1(wordPattern)).toDF("word_pattern")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/_meta")
+  }
+
+  /** Read a merges artifact back: (rank-ordered rules, training word
+    * pattern). Artifacts written before the pattern was recorded
+    * (no `_meta`) read as the default [[WordPattern]] — exactly what
+    * their trainer used. */
+  def readMergesArtifact(spark: SparkSession, path: String)
+      : (Seq[MergeRule], String) = {
+    val rules = spark.read.parquet(path)
+      .orderBy(col("merge_rank")).collect()
+      .map(r => MergeRule(r.getAs[Int]("merge_rank"), r.getAs[String]("a"),
+        r.getAs[String]("b"), r.getAs[String]("merged"),
+        r.getAs[Long]("pair_n"))).toSeq
+    val pat =
+      if (graft.ops.StoreFiles.hasTopLevelParquet(s"$path/_meta"))
+        spark.read.parquet(s"$path/_meta").head().getString(0)
+      else WordPattern
+    (rules, pat)
   }
 
   /** The learned merge table, rank order — the tokenizer's shippable
@@ -415,13 +458,13 @@ object Bpe {
     val t = trained(spark, dir)
     val d = Tables.documents(spark, dir)
     val live = encodeOn(d, spark.read.parquet(t.segPath))
-    val servedRules = spark.read.parquet(t.mergesPath)
-      .orderBy(col("merge_rank")).collect()
-      .map(r => MergeRule(r.getAs[Int]("merge_rank"), r.getAs[String]("a"),
-        r.getAs[String]("b"), r.getAs[String]("merged"),
-        r.getAs[Long]("pair_n"))).toSeq
-    val served =
-      encodeOn(d, replayRules(wordHist(d), servedRules))
+    // the served round-trip takes BOTH the rules and the word
+    // pattern from the artifact — the consumer contract stretch #8
+    // closes (no caller-remembered pattern anywhere on this path)
+    val (servedRules, servedPattern) =
+      readMergesArtifact(spark, t.mergesPath)
+    val served = encodeOn(d,
+      replayRules(wordHist(d, servedPattern), servedRules), servedPattern)
     OracleForms.union("live" -> live, "served" -> served)
       .select(col("form"), col("doc_id"), col("n_words"), col("n_subwords"))
       .orderBy(col("form"), col("doc_id"))

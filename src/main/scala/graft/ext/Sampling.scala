@@ -249,11 +249,18 @@ object Sampling {
     * language-sized weight dimension plus a per-row hash compare —
     * zero additional corpus shuffles. The oracle replays the 12-round
     * BPE CTE pyramid (MATERIALIZED once) and the same divisions. */
-  def fertilityWeightedMix(spark: SparkSession, dir: String): DataFrame = {
+  def fertilityWeightedMix(spark: SparkSession, dir: String): DataFrame =
+    fertilityWeightedMixOn(
+      Tables.documents(spark, dir), Bpe.bpeFertility(spark, dir))
+
+  /** [[fertilityWeightedMix]] over explicit documents + a (lang,
+    * fertility_micro) frame — the form the ScaleUp BPE rows feed a
+    * REALISTIC-vocabulary fertility table ([[Bpe.bpeFertilityOn]]). */
+  def fertilityWeightedMixOn(docs: DataFrame, fert: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // language-domain frame (≤ distinct langs rows): the global
     // window is bounded by the language domain, never the corpus
-    val w = Bpe.bpeFertility(spark, dir)
+    val w = fert
       .select(col("lang"), col("fertility_micro"),
         expr("CAST(1000000000000 DIV fertility_micro AS BIGINT)")
           .as("weight_micro"))
@@ -262,7 +269,7 @@ object Sampling {
       .select(col("lang"), col("fertility_micro"), col("weight_micro"),
         expr(s"CAST(weight_micro * ${BucketCount}L DIV max_w AS BIGINT)")
           .as("mix_threshold"))
-    Tables.documents(spark, dir)
+    docs
       .select(col("doc_id"), col("lang"))
       .join(broadcast(w), "lang")
       .groupBy(col("lang"), col("fertility_micro"),

@@ -226,6 +226,38 @@ class BpeSpec extends SparkSpec {
       assert(r.getLong(4) == r.getLong(3) * 1000000L / r.getLong(2)) }
   }
 
+  test("merges artifact round-trips its training word pattern; a " +
+      "pattern-less artifact falls back to the default") {
+    import java.nio.file.Files
+    // the driver corpus is purely [a-z]+ words, so the mismatch this
+    // closes needs a fixture with words only a WIDENED model admits:
+    // underscore compounds, trained under `[a-z_]` — the exact shape
+    // of the 100× vocab-axis run
+    val widened = "^[a-z_]+$"
+    val d = Seq((1L, "foo_bar foo_bar baz baz baz"),
+        (2L, "foo_bar qux baz"), (3L, "qux qux foo_bar"))
+      .toDF("doc_id", "text")
+    val (rules, _) = Bpe.trainBatched(Bpe.wordHist(d, widened), 24)
+    val path = Files.createTempDirectory("graft_bpe_art").toString + "/m"
+    Bpe.writeMergesArtifact(spark, rules, widened, path)
+    val (rulesBack, patBack) = Bpe.readMergesArtifact(spark, path)
+    assert(rulesBack == rules && patBack == widened)
+    // the consumer story: encode under the ARTIFACT's pattern sees
+    // every trained word; a consumer trusting the default pattern
+    // silently drops the underscore words BEFORE the vocab join
+    val seg = Bpe.replayRules(Bpe.wordHist(d, patBack), rulesBack)
+    def words(p: String) = Bpe.encodeOn(d, seg, p)
+      .agg(sum(col("n_words"))).head().getLong(0)
+    assert(words(patBack) == 11L, "artifact pattern must see all words")
+    assert(words(Bpe.WordPattern) == 7L,
+      "a default-pattern consumer must demonstrably lose the " +
+        "underscore words — the mismatch the recorded pattern closes")
+    // legacy artifact (no _meta): reads as the default pattern
+    val legacy = Files.createTempDirectory("graft_bpe_leg").toString + "/m"
+    spark.createDataFrame(rules).write.parquet(legacy)
+    assert(Bpe.readMergesArtifact(spark, legacy)._2 == Bpe.WordPattern)
+  }
+
   test("encode plan broadcasts the vocab dimension and prunes the scan") {
     import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
     val d = Tables.documents(spark, sf)
