@@ -504,9 +504,12 @@ object Curation {
   /** Shared chunk explosion: (doc_id, source, chunk_idx, c) with `c`
     * the token slice — [[chunkPack]] fingerprints it,
     * [[packSequences]] packs it. */
-  private def chunkCore(spark: SparkSession, dir: String): DataFrame = {
+  private def chunkCore(spark: SparkSession, dir: String): DataFrame =
+    chunkCoreOn(Tables.documents(spark, dir))
+
+  private def chunkCoreOn(docs: DataFrame): DataFrame = {
     val toks = TextOps.tokens(col("text"))
-    Tables.documents(spark, dir)
+    docs
       .select(col("doc_id"), col("source"), toks.as("t"))
       .filter(size(col("t")) > 0)
       .select(col("doc_id"), col("source"), col("t"),
@@ -542,12 +545,18 @@ object Curation {
     * deployment scales `PackShards` with the cluster. Output order
     * and sequence ids are fully deterministic (no RNG, no
     * placement dependence). */
-  def packSequences(spark: SparkSession, dir: String): DataFrame = {
+  def packSequences(spark: SparkSession, dir: String): DataFrame =
+    packSequencesOn(Tables.documents(spark, dir))
+
+  /** [[packSequences]] over an explicit (doc_id, source, text) frame —
+    * the composable tail the version-bump pipeline packs its sampled
+    * keepers with. */
+  def packSequencesOn(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("source"), col("pack_shard"))
       .orderBy(col("doc_id"), col("chunk_idx"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    chunkCore(spark, dir)
+    chunkCoreOn(docs)
       .select(col("doc_id"), col("source"), col("chunk_idx"),
         size(col("c")).as("chunk_len"),
         pmod(col("doc_id"), lit(PackShards)).as("pack_shard"))
@@ -745,7 +754,30 @@ object Curation {
     """v1 AS (SELECT doc_id, source, CASE WHEN doc_id % 11 = 0 THEN substr(text, 1, CAST(length(text) // 2 AS INT)) ELSE text END AS text FROM documents WHERE doc_id % 7 <> 3),
 v2 AS (SELECT doc_id, source, text FROM documents WHERE doc_id % 17 <> 5)"""
 
+  /** Mix-tier keep fraction of the version-bump pipeline (buckets
+    * below this of [[Sampling.BucketCount]] survive — 70%). Declared
+    * before the oracle val (init-order discipline — a later
+    * declaration interpolates as 0 into the SQL). */
+  private[graft] val BumpMixThreshold = 7000L
+
   val oracle: Map[String, String] = Map(
+    // the composed bump pipeline's truth side: FULL recompute on v2 —
+    // keep-earliest directly, the identical integer mix rule, the
+    // identical pack window — so hash equality against Spark's
+    // DIFF-DRIVEN path proves the incremental tiers compose exactly
+    "curation_bump_pipeline" ->
+      s"""WITH $snapViewsSql,
+p2 AS (SELECT doc_id, md5(lower(trim(text))) AS fp FROM v2),
+k AS (SELECT fp, MIN(doc_id) AS keeper FROM p2 GROUP BY fp),
+kept AS (SELECT v2.doc_id, v2.source, v2.text FROM v2 JOIN p2 USING (doc_id) JOIN k USING (fp) WHERE p2.doc_id = k.keeper),
+samp AS (SELECT doc_id, source, text FROM kept WHERE ${Sampling.bucketSql} < $BumpMixThreshold),
+pd AS (${packDetailSqlOn("samp")}),
+s AS (SELECT source, pack_shard, seq_id, COUNT(*) AS seq_chunks, SUM(chunk_len) AS seq_tokens FROM pd GROUP BY 1, 2, 3),
+pk AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS sequences, CAST(SUM(seq_chunks) AS BIGINT) AS chunks, CAST(SUM(seq_tokens) AS BIGINT) AS tokens, CAST(SUM(CASE WHEN seq_tokens >= $PackBudget THEN 1 ELSE 0 END) AS BIGINT) AS full_sequences FROM s GROUP BY 1),
+st AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS docs_v2 FROM v2 GROUP BY 1),
+kc AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS kept_docs FROM kept GROUP BY 1),
+sc AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS sampled_docs FROM samp GROUP BY 1)
+SELECT st.source, st.docs_v2, COALESCE(kc.kept_docs, 0) AS kept_docs, COALESCE(sc.sampled_docs, 0) AS sampled_docs, COALESCE(pk.sequences, 0) AS sequences, COALESCE(pk.chunks, 0) AS chunks, COALESCE(pk.tokens, 0) AS tokens, COALESCE(pk.full_sequences, 0) AS full_sequences FROM st LEFT JOIN kc USING (source) LEFT JOIN sc USING (source) LEFT JOIN pk USING (source) ORDER BY st.source""",
     "curation_snapshot_diff" ->
       s"""WITH $snapViewsSql,
 j AS (SELECT COALESCE(b.source, a.source) AS source, CASE WHEN a.doc_id IS NULL THEN 'added' WHEN b.doc_id IS NULL THEN 'removed' WHEN md5(a.text) <> md5(b.text) THEN 'changed' ELSE 'unchanged' END AS status FROM v1 a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id)
@@ -794,9 +826,11 @@ SELECT doc_id, source, status FROM j WHERE status <> 'unchanged' ORDER BY doc_id
   )
 
   /** Packing detail (unordered) — the window replay of
-    * [[packSequences]]'s start-offset rule. */
-  private def packDetailSql: String =
-    s"""SELECT doc_id, source, pack_shard, CAST((cum - chunk_len) // $PackBudget AS BIGINT) AS seq_id, chunk_idx, chunk_len FROM (SELECT doc_id, source, chunk_idx, chunk_len, pack_shard, SUM(chunk_len) OVER (PARTITION BY source, pack_shard ORDER BY doc_id, chunk_idx ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM (SELECT doc_id, source, chunk_idx, len(list_slice(t, chunk_idx*$ChunkSize+1, chunk_idx*$ChunkSize+$ChunkSize)) AS chunk_len, doc_id % $PackShards AS pack_shard FROM (SELECT doc_id, source, t, unnest(range(0, CAST(ceil(len(t) / ${ChunkSize}.0) AS BIGINT))) AS chunk_idx FROM (SELECT doc_id, source, ${TextOps.toksSql} AS t FROM documents) WHERE len(t) > 0)))"""
+    * [[packSequences]]'s start-offset rule, over an arbitrary
+    * (doc_id, source, text) relation. */
+  private def packDetailSqlOn(tbl: String): String =
+    s"""SELECT doc_id, source, pack_shard, CAST((cum - chunk_len) // $PackBudget AS BIGINT) AS seq_id, chunk_idx, chunk_len FROM (SELECT doc_id, source, chunk_idx, chunk_len, pack_shard, SUM(chunk_len) OVER (PARTITION BY source, pack_shard ORDER BY doc_id, chunk_idx ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM (SELECT doc_id, source, chunk_idx, len(list_slice(t, chunk_idx*$ChunkSize+1, chunk_idx*$ChunkSize+$ChunkSize)) AS chunk_len, doc_id % $PackShards AS pack_shard FROM (SELECT doc_id, source, t, unnest(range(0, CAST(ceil(len(t) / ${ChunkSize}.0) AS BIGINT))) AS chunk_idx FROM (SELECT doc_id, source, ${TextOps.toksSql} AS t FROM $tbl) WHERE len(t) > 0)))"""
+  private def packDetailSql: String = packDetailSqlOn("documents")
 
   /** The pipeline oracle is the stage oracles composed as CTEs — the
     * same precedence CASE over the same frames. */
@@ -1221,7 +1255,66 @@ SELECT doc_id, source, status FROM j WHERE status <> 'unchanged' ORDER BY doc_id
         (col("doc_id") === col("keeper")).as("is_kept"))
   }
 
+  /** Round-16 stretch #7 — the COMPOSED version-bump pipeline in one
+    * gate: a corpus version bump (v1 → v2, the [[snapshotViews]]
+    * fixture) flows through the INCREMENTAL tiers end to end —
+    *
+    *   snapshot diff → diff-driven keep-state cascade (tombstoned
+    *   state rows + keeper re-election over touched groups ONLY,
+    *   [[diffRecurateKeepIncr]]) → the v2 keepers → deterministic
+    *   hash-bucket mixing ([[Sampling.mixHash]], 70%) → training-
+    *   sequence packing ([[packSequencesOn]]) —
+    *
+    * and reports one per-source audit row (docs_v2, kept, sampled,
+    * sequences/chunks/tokens/full). The DuckDB oracle computes the
+    * SAME row from a FULL recompute on v2 (keep-earliest directly,
+    * then the identical mix + pack algebra), so hash equality proves
+    * the tiers COMPOSE: feeding the diff-maintained dedup state into
+    * mixing and packing lands bit-identically to rebuilding the
+    * corpus from scratch — the integration the per-family gates
+    * don't test. Incremental work: the diff's group neighborhood for
+    * keep-state, then scan-shaped mix + shard-window pack over the
+    * kept slice — never a v1 re-read. */
+  def bumpPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val (v1, v2) = snapshotViews(Tables.documents(spark, dir))
+    val state = docFp(v1).localCheckpoint()
+    val keep1 = state.groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("keeper")).localCheckpoint()
+    val diff = snapshotDiffDocsOn(v1, v2).localCheckpoint()
+    val kept = v2.join(
+      diffRecurateKeepIncr(state, keep1, diff, v2)
+        .filter(col("is_kept")).select(col("doc_id")), Seq("doc_id"))
+    val sampled = kept.filter(
+      Sampling.mixHash(col("doc_id")) % Sampling.BucketCount
+        < BumpMixThreshold)
+    val pk = packSequencesOn(sampled)
+      .groupBy(col("source"), col("pack_shard"), col("seq_id"))
+      .agg(count(lit(1)).as("seq_chunks"),
+        sum(col("chunk_len")).as("seq_tokens"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("sequences"),
+        sum(col("seq_chunks")).as("chunks"),
+        sum(col("seq_tokens")).as("tokens"),
+        sum((col("seq_tokens") >= PackBudget).cast("long"))
+          .as("full_sequences"))
+    v2.groupBy(col("source")).agg(count(lit(1)).as("docs_v2"))
+      .join(kept.groupBy(col("source"))
+        .agg(count(lit(1)).as("kept_docs")), Seq("source"), "left")
+      .join(sampled.groupBy(col("source"))
+        .agg(count(lit(1)).as("sampled_docs")), Seq("source"), "left")
+      .join(pk, Seq("source"), "left")
+      .select(col("source"), col("docs_v2"),
+        coalesce(col("kept_docs"), lit(0L)).as("kept_docs"),
+        coalesce(col("sampled_docs"), lit(0L)).as("sampled_docs"),
+        coalesce(col("sequences"), lit(0L)).as("sequences"),
+        coalesce(col("chunks"), lit(0L)).as("chunks"),
+        coalesce(col("tokens"), lit(0L)).as("tokens"),
+        coalesce(col("full_sequences"), lit(0L)).as("full_sequences"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "curation_bump_pipeline" -> bumpPipeline _,
     "curation_snapshot_diff" -> snapshotDiff _,
     "curation_snapshot_docs" -> snapshotDiffDocs _,
     "curation_diff_card_forms" -> diffRecurateCardForms _,

@@ -89,7 +89,12 @@ class PlanLintSpec extends SparkSpec {
       // the NB candidate fan-out: token stream × the LANGUAGE domain
       // (a model-bounded constant, the sim_centroid_assign pattern —
       // work is |langs|× corpus, never corpus²)
-      "text_nb_lang_score", "text_nb_confusion")
+      "text_nb_lang_score", "text_nb_confusion",
+      // the boilerplate-skew fixture (Dedup.skewedDocs): clone
+      // generation cross-joins spark.range against a 1-ROW template
+      // and a 1-ROW max-id bound — both sides constant-size
+      // broadcasts, work is |clones|, never corpus²
+      "dedup_lsh_hot_bucket", "dedup_lsh_bucket_stats")
 
   test("no query plans a cartesian or nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
@@ -128,6 +133,13 @@ class PlanLintSpec extends SparkSpec {
     "dedup_substring_spans", "dedup_substring_summary",
     // partitioned by the md5 content fingerprint — NDV ~ doc count
     "text_corpus_filter", "text_corpus_filter_summary",
+    // band-bucket windows (band_idx, band_val) — NDV tracks the
+    // corpus (md5/sub-signature band values), and the window IS the
+    // hot-bucket guard: its count/min/row_number cost per bucket is
+    // sort-shaped, the mechanism that caps the band join's k²
+    // (Dedup.cappedBandPairs / the incrementalCore gold-side cap)
+    "dedup_minhash_lsh", "dedup_lsh_hot_bucket", "mm_phash_neardup",
+    "dedup_vacuum_served",
     // inherit corpusFilter's fingerprint-keyed dedup window
     "curation_pipeline", "curation_pipeline_summary",
     // built on etl_transform_sales' orderkey-keyed dedup window
@@ -236,7 +248,11 @@ class PlanLintSpec extends SparkSpec {
     // text_pack_sequences, over the trained tokenizer's counts
     // (Bpe.bpePackSummary scaladoc); the trainer's own windows are
     // word-partitioned (NDV = vocabulary)
-    "text_pack_bpe_summary")
+    "text_pack_bpe_summary",
+    // the composed version-bump pipeline packs its sampled keepers
+    // through the same (source, doc_id-shard) running-sum cut
+    // (Curation.packSequencesOn)
+    "curation_bump_pipeline")
 
   test("every rank window is classified: row-keyed, entity-keyed, or guarded") {
     // built with AQE off: AdaptiveSparkPlanExec is a leaf node, so
