@@ -1338,52 +1338,51 @@ object ScaleUp {
           f"${fert.map(_.getAs[Long]("fertility_micro")).mkString(",")}%s)")
       }
     }
-    if (on("bpe8k")) {
-      // REAL-vocabulary BPE (round-16 verdict #3): >= 8k merges
-      // actually RUN end to end, not extrapolated from 1k. Widened
-      // word model on the 100x prefixed corpus (the vocab axis —
-      // ~100x distinct words sustains 8k+ distinct pairs), maxBatch
-      // raised to 256 so the driver sync count stays ~32 rounds. The
-      // per-round hook prints every 4th round — the number to read
-      // is round cost staying FLAT as the rule count grows (the
-      // checkpointReset planning-cost law at realistic merge
-      // counts), and the downstream report/fertility/mix tier
-      // re-proven on the 8k vocabulary.
+    // REAL-vocabulary BPE (round-16 verdict #3): large merge counts
+    // actually RUN end to end, not extrapolated from 1k. Widened word
+    // model on the 100x prefixed corpus (the vocab axis — ~100x
+    // distinct words sustains 8k+ distinct pairs), maxBatch raised so
+    // the driver sync count stays bounded. The per-round hook prints
+    // every 4th round — the number to read is round cost staying FLAT
+    // as the rule count grows (the checkpointReset planning-cost law
+    // at realistic merge counts), and the downstream
+    // report/fertility/mix tier re-proven on the trained vocabulary.
+    def bpeVocabAxis(tag: String, merges: Int, maxBatch: Int): Unit = {
       import graft.ext.{Bpe, Sampling}
       // the c<i>_ prefixes alone top out at ~3.1k words (~4k merges
       // before every word is one symbol — measured: the first run
       // EXHAUSTED at 4,014); a second per-doc-class token prefix
       // (w<doc_id mod 97>_) widens the vocabulary to the ~300k-word
-      // regime a real multilingual corpus has, which sustains 8k+
-      // distinct pairs
-      val docs8k = Tables.documents(spark, dst).withColumn("text",
+      // regime a real multilingual corpus has, which sustains the
+      // full production merge budget
+      val docsW = Tables.documents(spark, dst).withColumn("text",
         regexp_replace(col("text"), lit("(\\S+)"),
           concat(lit("w"), pmod(col("doc_id"), lit(97)).cast("string"),
             lit("_$1"))))
         .localCheckpoint()
-      val hist = Bpe.wordHist(docs8k, "^[a-z0-9_]+$").localCheckpoint()
-      println(f"[scaleup] bpe8k_vocab                  $dst%-18s " +
+      val hist = Bpe.wordHist(docsW, "^[a-z0-9_]+$").localCheckpoint()
+      println(f"[scaleup] ${tag}_vocab                  $dst%-18s " +
         f"(vocab ${hist.count()}%d)")
       val t0 = System.nanoTime()
       var rounds = 0
-      val (rules, seg) = Bpe.trainBatched(hist, 8192, maxBatch = 256,
+      val (rules, seg) = Bpe.trainBatched(hist, merges, maxBatch,
         onRound = (r, n, s) => {
           rounds = r
           if (r % 4 == 0 || s > 60) println(
-            f"[scaleup] bpe8k_round r$r%03d            $dst%-18s " +
+            f"[scaleup] ${tag}_round r$r%04d           $dst%-18s " +
               f"$s%8.2f s  ($n%d rules)")
         })
       val segC = seg.localCheckpoint()
-      println(f"[scaleup] bpe8k_train                  $dst%-18s " +
+      println(f"[scaleup] ${tag}_train                  $dst%-18s " +
         f"${(System.nanoTime - t0) / 1e9}%8.2f s  " +
         f"(${rules.length}%d merges, $rounds%d rounds)")
       val t1 = System.nanoTime()
-      val rep = Bpe.bpeReportOn(docs8k, segC, "^[a-z0-9_]+$").collect()
-      val fertDf = Bpe.bpeFertilityOn(docs8k, segC, "^[a-z0-9_]+$")
+      val rep = Bpe.bpeReportOn(docsW, segC, "^[a-z0-9_]+$").collect()
+      val fertDf = Bpe.bpeFertilityOn(docsW, segC, "^[a-z0-9_]+$")
         .localCheckpoint()
       val fert = fertDf.collect()
-      val mix = Sampling.fertilityWeightedMixOn(docs8k, fertDf).collect()
-      println(f"[scaleup] bpe8k_downstream             $dst%-18s " +
+      val mix = Sampling.fertilityWeightedMixOn(docsW, fertDf).collect()
+      println(f"[scaleup] ${tag}_downstream             $dst%-18s " +
         f"${(System.nanoTime - t1) / 1e9}%8.2f s  (cpt_micro " +
         f"${rep.map(_.getAs[Long]("chars_per_token_micro")).mkString(",")}%s" +
         f"; fert_micro " +
@@ -1391,6 +1390,11 @@ object ScaleUp {
         f"; mix sampled " +
         f"${mix.map(_.getAs[Long]("sampled_docs")).mkString(",")}%s)")
     }
+    if (on("bpe8k")) bpeVocabAxis("bpe8k", 8192, maxBatch = 256)
+    // the PRODUCTION vocabulary size: 32k merges run for real, where
+    // round 16 could only extrapolate — maxBatch 512 keeps the driver
+    // sync count in the hundreds as the pair table thins
+    if (on("bpe32k")) bpeVocabAxis("bpe32k", 32768, maxBatch = 512)
     if (on("ragev")) {
       // the eval harness against the ann tier's 20M-vector corpus:
       // the exact-truth pass is the one corpus-sized cost (a fan-out

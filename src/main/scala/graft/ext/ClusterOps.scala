@@ -713,8 +713,9 @@ object ClusterOps {
     * the cells store and its partition overwritten. Returns the
     * number of repaired cells. */
   def repairKnnEdges(spark: SparkSession, cellsDir: String,
-      edgesDir: String): Int = {
-    val cells = spark.read.parquet(cellsDir)
+      edgesDir: String,
+      commit: graft.ops.StoreCommit = graft.ops.SwapCommit): Int = {
+    val cells = commit.read(spark, cellsDir)
       .select(col("vec_id"), col("cell").cast("int").as("cell"), col("v"))
     // expectation covers EVERY cell in the cells store (a cell of
     // n < 2 members expects ZERO edge rows — round-14 ADVICE: the
@@ -1014,8 +1015,9 @@ object ClusterOps {
     * from the cells store — the [[repairKnnEdges]] full-outer lesson)
     * relabel / delete. Returns the number of repaired cells. */
   def repairKnnCommunityLabels(spark: SparkSession, cellsDir: String,
-      labelsDir: String): Int = {
-    val cells = spark.read.parquet(cellsDir)
+      labelsDir: String,
+      commit: graft.ops.StoreCommit = graft.ops.SwapCommit): Int = {
+    val cells = commit.read(spark, cellsDir)
       .select(col("vec_id"), col("cell").cast("int").as("cell"), col("v"))
     val expect = cells.groupBy(col("cell"))
       .agg(count(lit(1)).as("want_rows"),

@@ -574,10 +574,12 @@ object Dedup {
     // no data read
     val cellDirs =
       graft.ops.StoreFiles.partitionDirCount(live, "cell=")
-    if (cellsFileCount(live) > math.max(threshold, 2 * cellDirs)) {
+    if (commit.fileCount(cellsDir) > math.max(threshold, 2 * cellDirs)) {
       // schema-preserving (keeps cell2 and any future data column):
-      // compaction must not silently drop what the build wrote
-      val compacted = spark.read.parquet(live)
+      // compaction must not silently drop what the build wrote; read
+      // through the commit seam, so manifest mode compacts exactly
+      // the committed content — never torn junk a listing would adopt
+      val compacted = commit.read(spark, cellsDir)
         .withColumn("cell", col("cell").cast("int"))
         .repartition(col("cell"))
         .localCheckpoint()
@@ -1391,6 +1393,28 @@ object Dedup {
       d.filter(col("doc_id") > cutoff))
   }
 
+  /** DRIVER-GATED manifest serve — the dedup-family sibling of
+    * [[graft.ext.Retrieval.bm25Served]]: build the gold index as a
+    * MANIFEST-committed store ([[graft.ops.ManifestCommit]] —
+    * versioned dir + pointer flip + committed file list, no rename
+    * dependency anywhere), then judge the held-out 20% against it
+    * through the manifest read path ([[incrementalAgainstIndex]]'s
+    * per-component manifest-filtered reads). Oracle =
+    * `dedup_incremental`'s replay verbatim, so hash equality proves a
+    * manifest-committed index store serves exactly like the live
+    * split. */
+  def incrementalManifestServed(spark: SparkSession,
+      dir: String): DataFrame = {
+    val ix = graft.ops.Scratch.dir("graft_dedup_manix") + "/ix"
+    val d = graft.pipeline.GoldLayout.documentsBucketed(spark, dir)
+    val cutoff = d.agg(floor(max(col("doc_id")) * 0.8).cast("long"))
+      .head().getLong(0)
+    graft.ops.ManifestCommit.replace(ix)(next =>
+      writeGoldIndex(d.filter(col("doc_id") <= cutoff), next))
+    incrementalAgainstIndex(spark, d.filter(col("doc_id") > cutoff), ix,
+      graft.ops.ManifestCommit)
+  }
+
   /** Core of [[incrementalNearDups]] over explicit gold/new frames
     * (both (doc_id, text, ...); doc_ids must be globally unique). */
   def incrementalSplit(gold: DataFrame, fresh: DataFrame): DataFrame = {
@@ -1464,7 +1488,7 @@ object Dedup {
     // carried list is compacted to its distinct ids — removal-set-
     // sized, and the probe-side anti-join over the rebuilt
     // components is a no-op until new tombstones arrive.
-    val ts = tombstonesOf(spark, commit.readDir(indexDir))
+    val ts = tombstonesOf(spark, indexDir, commit)
       .map(_.localCheckpoint())
     val gold0 = spark.read.parquet(goldDir)
     val gold = ts.map(t =>
@@ -1487,18 +1511,21 @@ object Dedup {
     * ([[graft.streaming.EventStreams.incrementalDedupSink]]) calls
     * this once per micro-batch. */
   def appendGoldIndex(docs: DataFrame, path: String,
-      commit: graft.ops.StoreCommit = graft.ops.SwapCommit): Unit = {
-    val live = commit.writeDir(path)
-    docs.select(fingerprint(col("text")).as("fp"), col("doc_id"))
-      .groupBy(col("fp")).agg(min(col("doc_id")).as("exact_match"))
-      .write.mode("append").parquet(s"$live/fingerprints")
-    val sh = shingleSets(docs).cache()
-    try {
-      bandTable(sh).write.mode("append").partitionBy("band_idx")
-        .parquet(s"$live/bands")
-      sh.write.mode("append").parquet(s"$live/shingles")
-    } finally sh.unpersist()
-  }
+      commit: graft.ops.StoreCommit = graft.ops.SwapCommit): Unit =
+    // through commit.append: in manifest mode the committed file list
+    // extends AFTER all three component writes land — the append's
+    // one commit point, covering every component at once
+    commit.append(path) { live =>
+      docs.select(fingerprint(col("text")).as("fp"), col("doc_id"))
+        .groupBy(col("fp")).agg(min(col("doc_id")).as("exact_match"))
+        .write.mode("append").parquet(s"$live/fingerprints")
+      val sh = shingleSets(docs).cache()
+      try {
+        bandTable(sh).write.mode("append").partitionBy("band_idx")
+          .parquet(s"$live/bands")
+        sh.write.mode("append").parquet(s"$live/shingles")
+      } finally sh.unpersist()
+    }
 
   /** Part-file count past which [[maybeCompactIndex]] rebuilds the
     * store. Each [[appendGoldIndex]] adds one task's worth of part
@@ -1527,7 +1554,10 @@ object Dedup {
   def maybeCompactIndex(spark: SparkSession, goldDir: String,
       indexDir: String, threshold: Int = CompactFileThreshold,
       commit: graft.ops.StoreCommit = graft.ops.SwapCommit): Boolean = {
-    val n = indexFileCount(commit.readDir(indexDir))
+    // per-component commit probes, so manifest mode counts the
+    // COMMITTED list, never a listing that could include torn junk
+    val n = Seq("fingerprints", "bands", "shingles")
+      .map(c => commit.subFileCount(indexDir, c)).sum
     // compact to ~half the threshold, so the next compaction is
     // ~threshold/2 appends away instead of immediate — without the
     // file target the rebuild writes at plan parallelism and can
@@ -1560,13 +1590,15 @@ object Dedup {
     * consult) is what forgets them. */
   def tombstoneGoldIndex(removed: DataFrame, path: String,
       commit: graft.ops.StoreCommit = graft.ops.SwapCommit): Unit =
-    removed.select(col("doc_id")).write.mode("append")
-      .parquet(s"${commit.writeDir(path)}/tombstones")
+    commit.append(path) { live =>
+      removed.select(col("doc_id")).write.mode("append")
+        .parquet(s"$live/tombstones")
+    }
 
-  private def tombstonesOf(spark: SparkSession,
-      live: String): Option[DataFrame] =
-    if (graft.ops.StoreFiles.hasTopLevelParquet(s"$live/tombstones"))
-      Some(spark.read.parquet(s"$live/tombstones")
+  private def tombstonesOf(spark: SparkSession, path: String,
+      commit: graft.ops.StoreCommit): Option[DataFrame] =
+    if (commit.subFileCount(path, "tombstones") > 0)
+      Some(commit.readSub(spark, path, "tombstones")
         .select(col("doc_id")).distinct())
     else None
 
@@ -1604,7 +1636,7 @@ object Dedup {
       commit: graft.ops.StoreCommit = graft.ops.SwapCommit): (Long, Long) = {
     graft.ops.ArtifactSwap.recover(goldDir)
     commit.recover(indexDir)
-    val ts = tombstonesOf(spark, commit.readDir(indexDir))
+    val ts = tombstonesOf(spark, indexDir, commit)
       .map(_.localCheckpoint())
       .getOrElse(return (0L, 0L))
     if (ts.isEmpty) return (0L, 0L)
@@ -1657,18 +1689,17 @@ object Dedup {
   def incrementalAgainstIndex(spark: SparkSession, fresh: DataFrame,
       path: String,
       commit: graft.ops.StoreCommit = graft.ops.SwapCommit): DataFrame = {
-    val live = commit.readDir(path)
-    val ts = tombstonesOf(spark, live)
+    val ts = tombstonesOf(spark, path, commit)
     def dropTs(df: DataFrame, idCol: String): DataFrame =
       ts.map(t => df.join(
         broadcast(t.withColumnRenamed("doc_id", idCol)),
         Seq(idCol), "left_anti")).getOrElse(df)
     incrementalCore(fresh,
-      dropTs(spark.read.parquet(s"$live/fingerprints"), "exact_match"),
-      dropTs(spark.read.parquet(s"$live/bands")
+      dropTs(commit.readSub(spark, path, "fingerprints"), "exact_match"),
+      dropTs(commit.readSub(spark, path, "bands")
         .select(col("doc_id"), col("band_idx"), col("band_val")),
         "doc_id"),
-      dropTs(spark.read.parquet(s"$live/shingles"), "doc_id"))
+      dropTs(commit.readSub(spark, path, "shingles"), "doc_id"))
   }
 
   private def incrementalCore(fresh: DataFrame, goldFp: DataFrame,
@@ -1944,6 +1975,10 @@ object Dedup {
     // cutoff split, the fingerprint lookup, the band join restricted to
     // gold × new, and the best-match precedence
     "dedup_incremental" -> incrementalOracleSql(""),
+    // same replay: the Spark side serves from a MANIFEST-committed
+    // index store, so the match proves the rename-free commit path
+    // end to end for the dedup family
+    "dedup_incremental_manifest" -> incrementalOracleSql(""),
     // the vacuum gate: same incremental replay, but the gold side is
     // the RETAINED corpus (tombstoned doc_id % 7 = 3 rows physically
     // gone) — so the hash-exact match IS "post-vacuum store serves
@@ -1975,6 +2010,7 @@ object Dedup {
     "dedup_keep_best_served" -> keepBestQualityServed _,
     "dedup_method_agreement" -> methodAgreement _,
     "dedup_incremental" -> incrementalNearDups _,
+    "dedup_incremental_manifest" -> incrementalManifestServed _,
     "dedup_vacuum_served" -> vacuumServed _,
     "dedup_embedding_cosine" ->
       ((s: SparkSession, dir: String) => embeddingCosinePairs(s, dir))

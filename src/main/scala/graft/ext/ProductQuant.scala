@@ -267,7 +267,7 @@ object ProductQuant {
       rcbs: Seq[Seq[(Int, Seq[Double])]],
       threshold: Int = Dedup.CompactFileThreshold,
       commit: graft.ops.StoreCommit = graft.ops.SwapCommit): Boolean = {
-    if (codesFileCount(commit.readDir(codesDir)) > threshold) {
+    if (commit.fileCount(codesDir) > threshold) {
       rebuildCodes(spark, goldDir, codesDir, coarse, rcbs, commit)
       true
     } else false
@@ -780,14 +780,13 @@ object ProductQuant {
       commit: graft.ops.StoreCommit = graft.ops.SwapCommit)
       : (Seq[Seq[Double]], Seq[(Int, Seq[Double])],
          Seq[Seq[(Int, Seq[Double])]]) = {
-    val live = commit.readDir(store)
-    val rot = spark.read.parquet(s"$live/rotation")
+    val rot = commit.readSub(spark, store, "rotation")
       .orderBy(col("i")).select(col("vals"))
       .collect().map(_.getSeq[Double](0).toSeq).toSeq
-    val coarse = spark.read.parquet(s"$live/coarse")
+    val coarse = commit.readSub(spark, store, "coarse")
       .orderBy(col("cid")).select(col("cid"), col("cv"))
       .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toSeq)).toSeq
-    val cbRows = spark.read.parquet(s"$live/codebooks")
+    val cbRows = commit.readSub(spark, store, "codebooks")
       .orderBy(col("m"), col("cid"))
       .select(col("m"), col("cid"), col("cv"))
       .collect()
@@ -809,7 +808,7 @@ object ProductQuant {
     val adc = (0 until M).map { m =>
       element_at(array(dt(m).map(lit): _*), col(s"code$m") + lit(1))
     }.reduceLeft(_ + _)
-    spark.read.parquet(s"${commit.readDir(store)}/codes")
+    commit.readSub(spark, store, "codes")
       .filter(col("cell") === qCid && col("vec_id") =!= qid)
       .select(col("vec_id"), col("label"), adc.as("adc_dist"))
       .orderBy(col("adc_dist"), col("vec_id"))
@@ -837,7 +836,7 @@ object ProductQuant {
     val adc = (0 until M).map { m =>
       element_at(array(dt(m).map(lit): _*), col(s"code$m") + lit(1))
     }.reduceLeft(_ + _)
-    val candIds = spark.read.parquet(s"${commit.readDir(store)}/codes")
+    val candIds = commit.readSub(spark, store, "codes")
       .filter(col("cell") === qCid && col("vec_id") =!= qid)
       .select(col("vec_id"), adc.as("adc_dist"))
       .orderBy(col("adc_dist"), col("vec_id"))

@@ -84,6 +84,26 @@ sealed trait StoreCommit {
     * manifest length in manifest mode). */
   def fileCount(root: String): Int =
     StoreFiles.parquetFileCount(readDir(root))
+
+  /** Read one SUBCOMPONENT of the committed version — the shape of
+    * the multi-component artifact stores (the dedup index's
+    * `fingerprints`/`bands`/`shingles`/`tombstones`, the OPQ store's
+    * `rotation`/`codebooks`/`codes`). Listing modes read the
+    * subdirectory; manifest mode reads exactly the committed list's
+    * `sub/` entries, so objects a torn job commit strands inside the
+    * component are invisible. `basePath` pins to the component dir
+    * either way, preserving partition-column discovery (`band_idx=`,
+    * `cell=`) and pruning. */
+  def readSub(spark: SparkSession, root: String, sub: String): DataFrame = {
+    val d = s"${readDir(root)}/$sub"
+    spark.read.option("basePath", d).parquet(d)
+  }
+
+  /** Committed data-object count under one subcomponent — the
+    * seeded/fragmentation probe for multi-component stores (the
+    * per-component face of [[fileCount]]). */
+  def subFileCount(root: String, sub: String): Int =
+    StoreFiles.parquetFileCount(s"${readDir(root)}/$sub")
 }
 
 /** [[ArtifactSwap]] rename-aside commits — atomic-rename filesystems
@@ -171,5 +191,27 @@ case object ManifestCommit extends StoreCommit {
     val live = readDir(root)
     Manifest.read(live).map(_.size)
       .getOrElse(StoreFiles.parquetFileCount(live))
+  }
+  override def readSub(spark: SparkSession, root: String,
+      sub: String): DataFrame = {
+    val live = readDir(root)
+    Manifest.read(live) match {
+      case Some(files) =>
+        val hits = files.filter(_.startsWith(s"$sub/"))
+        if (hits.isEmpty)
+          // empty component of a committed store — same contract as a
+          // listing mode reading an empty dir (callers gate on
+          // subFileCount first, exactly as they gate on fileCount)
+          spark.read.option("basePath", s"$live/$sub")
+            .parquet(s"$live/$sub")
+        else spark.read.option("basePath", s"$live/$sub")
+          .parquet(hits.map(f => s"$live/$f"): _*)
+      case None => super.readSub(spark, root, sub)
+    }
+  }
+  override def subFileCount(root: String, sub: String): Int = {
+    val live = readDir(root)
+    Manifest.read(live).map(_.count(_.startsWith(s"$sub/")))
+      .getOrElse(StoreFiles.parquetFileCount(s"$live/$sub"))
   }
 }

@@ -301,14 +301,6 @@ object EventStreams {
         graft.ops.SinkGuard.prologue(goldDir, "_ids_synced", goldSeeded,
           repair = Some(() => graft.ext.Dedup.rebuildIndex(
             spark, goldDir, indexDir, commit = commit)))
-        // resolve the live index version AFTER the prologue: in
-        // pointer mode the repair above commits a NEW version dir
-        // (and the pre-repair pointer may name a placeholder or a
-        // dir the repair's PointerSwap already deleted), so an
-        // earlier read would probe a stale path, miss the
-        // fingerprints, and mis-take the "first batch seeds it"
-        // branch — appending near-duplicates to gold unjudged.
-        val ix = commit.readDir(indexDir)
         val fresh = graft.ops.SinkGuard.fresh(batch, goldDir, "doc_id",
           goldSeeded, spark.read.parquet(goldDir).select("doc_id"))
         // the watermark covers the WHOLE batch (duplicates too — a
@@ -322,8 +314,16 @@ object EventStreams {
         // anti-join the batch against itself (verified failure mode:
         // the index appends wrote zero rows). Checkpointing pins the
         // rows and truncates the lineage before any append happens.
+        // probe the index through the COMMIT seam, and AFTER the
+        // prologue: in pointer mode the repair above commits a NEW
+        // version dir (a pre-repair resolution could name a
+        // placeholder or a dir the repair's PointerSwap already
+        // deleted, miss the fingerprints, and mis-take the "first
+        // batch seeds it" branch — appending near-duplicates to gold
+        // unjudged); in manifest mode the probe counts the committed
+        // list, never a listing with torn junk.
         val uniques = (
-          if (hasParquet(s"$ix/fingerprints")) {
+          if (commit.subFileCount(indexDir, "fingerprints") > 0) {
             val verdicts = graft.ext.Dedup
               .incrementalAgainstIndex(spark, fresh, indexDir, commit)
               .filter(col("verdict") === "unique").select("doc_id")
@@ -500,12 +500,14 @@ object EventStreams {
         graft.ops.SinkGuard.commit(goldDir, "_ids_synced",
             if (mx.isNullAt(0)) None else Some(mx.getLong(0))) {
           fresh.write.mode("append").parquet(goldDir)
-          graft.ext.ProductQuant.encodeFrameResidual(
-            fresh.select(col("vec_id"), col("label"),
-              col("embedding").cast("array<double>").as("v")),
-            coarse, rcbs)
-            .write.mode("append").partitionBy("cell")
-            .parquet(commit.writeDir(codesDir))
+          commit.append(codesDir) { live =>
+            graft.ext.ProductQuant.encodeFrameResidual(
+              fresh.select(col("vec_id"), col("label"),
+                col("embedding").cast("array<double>").as("v")),
+              coarse, rcbs)
+              .write.mode("append").partitionBy("cell")
+              .parquet(live)
+          }
         }
         graft.ext.ProductQuant.maybeCompactCodes(
           spark, goldDir, codesDir, coarse, rcbs, commit = commit)
@@ -574,13 +576,14 @@ object EventStreams {
         // recover is its other half: existence checks + small
         // renames/deletes only, cheap every batch)
         commit.recover(cellsDir)
-        val cells = commit.writeDir(cellsDir)
         // the cells store is cell-PARTITIONED: its part files live
         // under cell=N/ subdirs, so the presence probe must recurse
         // (the flat hasParquet sees only _SUCCESS at the top level
         // and would report an always-empty store — verified failure
-        // mode: zero gold candidates, every verdict false)
-        val storeSeeded = graft.ext.Dedup.cellsFileCount(cells) > 0
+        // mode: zero gold candidates, every verdict false).
+        // commit.fileCount recurses in every mode, and in manifest
+        // mode counts the COMMITTED list.
+        val storeSeeded = commit.fileCount(cellsDir) > 0
         // guard state (marker + watermark) lives at the store ROOT:
         // in pointer mode the root survives version flips; in swap
         // mode the compaction swap would clear it, so the compaction
@@ -591,17 +594,17 @@ object EventStreams {
         // store itself (exact, idempotent; crash-gated only)
         graft.ops.SinkGuard.prologue(cellsDir, "_ids_synced",
           storeSeeded, repair = Some(() =>
-            repairSemanticVerdicts(spark, cells, verdictsDir)))
+            repairSemanticVerdicts(spark, cellsDir, verdictsDir, commit)))
         val fresh = graft.ops.SinkGuard.fresh(batch, cellsDir,
           "vec_id", storeSeeded,
-          spark.read.parquet(cells).select("vec_id"))
+          commit.read(spark, cellsDir).select("vec_id"))
         val batchCells = graft.ext.Dedup
           .assignSemanticCells(fresh, coarse, subs, subK)
           .localCheckpoint()
         if (!batchCells.isEmpty) {
           val goldCells =
             if (storeSeeded)
-              spark.read.parquet(cells).select(col("vec_id"),
+              commit.read(spark, cellsDir).select(col("vec_id"),
                 col("cell").cast("int").as("cell"), col("v"))
             else emptyCells(spark)
           val verdicts = graft.ext.Dedup
@@ -611,8 +614,10 @@ object EventStreams {
             batchCells.agg(max(col("vec_id"))).head().getLong(0)
           graft.ops.SinkGuard.commit(cellsDir, "_ids_synced",
               Some(batchMax)) {
-            batchCells.write.mode("append").partitionBy("cell")
-              .parquet(cells)
+            commit.append(cellsDir) { live =>
+              batchCells.write.mode("append").partitionBy("cell")
+                .parquet(live)
+            }
             verdicts.write.mode("append").parquet(verdictsDir)
           }
           // in swap mode the compaction's whole-root replace also
@@ -857,8 +862,7 @@ object EventStreams {
         // vs the cells store), never from rename atomicity, so it is
         // scheme-agnostic by construction.
         commit.recover(cellsDir)
-        val cells = commit.writeDir(cellsDir)
-        val storeSeeded = graft.ext.Dedup.cellsFileCount(cells) > 0
+        val storeSeeded = commit.fileCount(cellsDir) > 0
         // repair is O(store) (two consistency aggregates), so it is
         // GATED on the sync marker the happy path maintains below:
         // steady state pays one existence probe, and only a batch
@@ -866,15 +870,16 @@ object EventStreams {
         // edges update (marker absent) pays the scan
         graft.ops.SinkGuard.prologue(edgesDir, "_cells_synced",
           storeSeeded, repair = Some(() => {
-            graft.ext.ClusterOps.repairKnnEdges(spark, cells, edgesDir)
+            graft.ext.ClusterOps.repairKnnEdges(spark, cellsDir,
+              edgesDir, commit)
             labelsDir.foreach(ld => graft.ext.ClusterOps
-              .repairKnnCommunityLabels(spark, cells, ld))
+              .repairKnnCommunityLabels(spark, cellsDir, ld, commit))
           }))
         val batch = raw.select(col("vec_id"),
           col("embedding").cast("array<double>").as("v"))
         val fresh = graft.ops.SinkGuard.fresh(batch, edgesDir,
           "vec_id", storeSeeded,
-          spark.read.parquet(cells).select("vec_id"))
+          commit.read(spark, cellsDir).select("vec_id"))
         val assigned = assign(fresh)
           .select(col("vec_id"), col("cell"), col("v"))
           .localCheckpoint()
@@ -885,8 +890,10 @@ object EventStreams {
             }
           graft.ops.SinkGuard.commit(edgesDir, "_cells_synced",
               Some(batchMax)) {
-            assigned.write.mode("append").partitionBy("cell")
-              .parquet(cells)
+            commit.append(cellsDir) { live =>
+              assigned.write.mode("append").partitionBy("cell")
+                .parquet(live)
+            }
             // touched-cells-only read (round-14 verdict nit): the
             // appends only ever need the batch's cells' members, so
             // the partition filter is EXPLICIT at the store read
@@ -898,7 +905,7 @@ object EventStreams {
             val touchedCells = assigned.select(col("cell")).distinct()
               .collect().map(_.get(0).toString.toInt).sorted
               .map(Integer.valueOf)
-            val storeCells = spark.read.parquet(cells)
+            val storeCells = commit.read(spark, cellsDir)
               .select(col("vec_id"), col("cell").cast("int").as("cell"),
                 col("v"))
               .filter(col("cell").isin(touchedCells: _*))
@@ -914,7 +921,7 @@ object EventStreams {
               val seedNeeded =
                 graft.ops.StoreFiles.partitionDirCount(ld, "cell=") == 0
               val labelInput =
-                if (seedNeeded) spark.read.parquet(cells)
+                if (seedNeeded) commit.read(spark, cellsDir)
                   .select(col("vec_id"),
                     col("cell").cast("int").as("cell"), col("v"))
                 else storeCells
@@ -1093,7 +1100,16 @@ object EventStreams {
     * one whole-store [[graft.ops.ArtifactSwap]] swap (watermark
     * inside), so a crash mid-OPTIMIZE resolves to old-or-new, never
     * a mix. Stream content == source EXACT through crash + replay,
-    * asserted in ZOrderSpec. */
+    * asserted in ZOrderSpec.
+    *
+    * Why this family does NOT need [[graft.ops.ManifestCommit]]: each
+    * delta/run subdir is sealed by a self-stamped `_SUCCESS` (a
+    * single-object PUT — [[graft.pipeline.ZOrderLayout]]'s listings
+    * skip unsealed dirs), and a job that dies mid-commit leaves its
+    * dir unsealed → invisible → the replay overwrites the SAME
+    * name. The per-dir marker is this store's committed file list:
+    * one marker per batch instead of one manifest per version, with
+    * the same no-rename-trust guarantee. */
   def zorderStoreSink(rows: DataFrame, store: String,
       checkpointDir: String, x: String, y: String, idCol: String,
       commit: graft.ops.StoreCommit = graft.ops.SwapCommit)
@@ -1134,9 +1150,10 @@ object EventStreams {
     * aggregate, and the gold side still prunes to touched cells — so
     * a repaired log equals the crash-free one. */
   def repairSemanticVerdicts(spark: SparkSession, cellsDir: String,
-      verdictsDir: String): Unit = {
-    if (graft.ext.Dedup.cellsFileCount(cellsDir) == 0) return
-    val stored = spark.read.parquet(cellsDir).select(col("vec_id"),
+      verdictsDir: String,
+      commit: graft.ops.StoreCommit = graft.ops.SwapCommit): Unit = {
+    if (commit.fileCount(cellsDir) == 0) return
+    val stored = commit.read(spark, cellsDir).select(col("vec_id"),
       col("cell").cast("int").as("cell"), col("v"))
     val missing =
       if (hasParquet(verdictsDir))

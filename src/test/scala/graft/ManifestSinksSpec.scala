@@ -4,15 +4,48 @@ import org.apache.spark.sql.functions._
 import graft.streaming.EventStreams
 import graft.ops.{Manifest, ManifestCommit}
 
-/** The BM25 store in MANIFEST-commit mode (round-16 verdict #2):
-  * versioned dirs + pointer flip + a committed FILE LIST per version,
-  * so no read trusts a directory listing or a FileOutputCommitter
-  * task-file rename. The whole suite runs with
+/** The artifact-sink families in MANIFEST-commit mode (round-16
+  * verdict #2, extended to the whole family in round 17): versioned
+  * dirs + pointer flip + a committed FILE LIST per version, so no
+  * read trusts a directory listing or a FileOutputCommitter task-file
+  * rename. Every test runs with
   * `mapreduce.fileoutputcommitter.marksuccessfuljobs=false` — the
   * object-store tuning that strips Spark's own `_SUCCESS` markers —
-  * proving the protocol's completeness stamps are all self-written.
+  * proving the protocol's completeness stamps are all self-written,
+  * and each family gets a junk-invisibility probe: objects stranded
+  * in the committed version by a torn job commit must never be read.
   */
 class ManifestSinksSpec extends SparkSpec {
+
+  /** Simulate a torn job commit: copy every data file of `srcSub`
+    * into the live version's `destSub` WITHOUT extending the manifest
+    * — exactly what FileOutputCommitter task renames strand when the
+    * job dies mid-commit. */
+  private def strandInto(srcSub: String, destSub: String): Int = {
+    import java.nio.file.{Files, Paths}
+    val parts = Option(new java.io.File(srcSub).listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+    parts.zipWithIndex.foreach { case (f, i) =>
+      Files.createDirectories(Paths.get(destSub))
+      Files.copy(f.toPath, Paths.get(destSub, s"torn-$i.parquet"))
+    }
+    parts.length
+  }
+
+  /** First committed `cell=`-partitioned part file under `live` — the
+    * victim the stranded-replay-copy probes duplicate. */
+  private def firstCellPart(live: String): java.nio.file.Path = {
+    val it = java.nio.file.Files
+      .walk(java.nio.file.Paths.get(live)).iterator()
+    var found: Option[java.nio.file.Path] = None
+    while (it.hasNext && found.isEmpty) {
+      val p = it.next()
+      if (p.toString.endsWith(".parquet") && p.toString.contains("cell="))
+        found = Some(p)
+    }
+    found.get
+  }
 
   /** Run `body` with the committer's _SUCCESS stamping disabled —
     * restore the previous value afterwards (shared session). */
@@ -159,6 +192,259 @@ class ManifestSinksSpec extends SparkSpec {
         spark, sf, store, ManifestCommit)) == live,
         "replayed append must commit exactly once (no stranded-object " +
           "double counting)")
+    }
+  }
+
+  test("manifest-mode dedup sink: verdict parity, replay no-op, a " +
+      "stranded fingerprint is invisible to the probe, and index " +
+      "compaction seals a fresh manifest") {
+    withoutSuccessMarkers {
+      import java.nio.file.{Files, Paths}
+      import graft.ext.Dedup
+      val base = Files.createTempDirectory("graft_dedup_man").toString
+      val srcDir = s"$base/src"; Files.createDirectories(Paths.get(srcDir))
+      val ixRoot = s"$base/ix"; val goldDir = s"$base/gold"
+      val d = Tables.documents(spark, sf)
+      val ids = d.select(col("doc_id")).orderBy(col("doc_id"))
+        .collect().map(_.getLong(0))
+      val c0 = ids(ids.length / 2)
+      def runOnce(): Unit =
+        EventStreams.incrementalDedupSink(
+          spark.readStream.schema(d.schema).parquet(srcDir),
+          ixRoot, goldDir, s"$base/chk", commit = ManifestCommit).stop()
+
+      stage(d.filter(col("doc_id") <= c0), srcDir, "b0.parquet"); runOnce()
+      stage(d.filter(col("doc_id") > c0), srcDir, "b1.parquet"); runOnce()
+      val streamed = spark.read.parquet(goldDir)
+        .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+      val u1 = Dedup.incrementalSplit(d.filter(col("doc_id") <= c0),
+          d.filter(col("doc_id") > c0))
+        .filter(col("verdict") === "unique")
+        .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+      val expected = ids.filter(_ <= c0).toSet ++ u1
+      assert(streamed == expected, "manifest-mode gold diverged")
+      // replay no-op
+      stage(d.filter(col("doc_id") > c0), srcDir, "b1r.parquet"); runOnce()
+      assert(spark.read.parquet(goldDir).count() == streamed.size.toLong)
+      // every committed index version seals a manifest that covers
+      // exactly its data files (seed + per-batch appends)
+      val ixLive = ManifestCommit.readDir(ixRoot)
+      assert(Manifest.read(ixLive).get.toSet ==
+        Manifest.dataFiles(ixLive).toSet)
+
+      // the junk probe, end to end THROUGH the sink: strand a
+      // fingerprints object for a text the store has never admitted
+      // (the shape a torn task rename leaves), then stream that very
+      // text as a new doc — a listing-trusting probe would call it an
+      // exact dup and silently reject it; the manifest probe must not
+      // see the stranded object, judge it unique, and admit it
+      val ghostText = "graft manifest ghost fixture text zzqx"
+      val ghost = d.orderBy(col("doc_id").desc).limit(1)
+        .withColumn("doc_id", lit(ids.max + 500))
+        .withColumn("text", lit(ghostText)).localCheckpoint()
+      val tmpIx = s"$base/ghost_ix"
+      Dedup.appendGoldIndex(ghost, tmpIx)
+      assert(strandInto(s"$tmpIx/fingerprints", s"$ixLive/fingerprints") > 0)
+      val probe = Dedup.incrementalAgainstIndex(spark,
+        ghost.withColumn("doc_id", lit(ids.max + 600)),
+        ixRoot, ManifestCommit)
+      assert(probe.filter(col("verdict") === "unique").count() == 1,
+        "a stranded unmanifested fingerprint must be invisible: the " +
+          "ghost text has never been committed, so its dup is unique")
+      stage(ghost.withColumn("doc_id", lit(ids.max + 600)),
+        srcDir, "ghost.parquet"); runOnce()
+      assert(spark.read.parquet(goldDir)
+        .filter(col("doc_id") === ids.max + 600).count() == 1,
+        "the sink must admit the ghost text (stranded object unseen)")
+
+      // compaction (rebuild from gold) flips the version — the junk
+      // dies with the superseded dir, the fresh manifest is complete
+      val v0 = ixLive
+      assert(Dedup.maybeCompactIndex(spark, goldDir, ixRoot,
+        threshold = 0, commit = ManifestCommit))
+      val v1 = ManifestCommit.readDir(ixRoot)
+      assert(v1 != v0)
+      assert(Manifest.read(v1).get.toSet == Manifest.dataFiles(v1).toSet)
+      val probe2 = Dedup.incrementalAgainstIndex(spark,
+        ghost.withColumn("doc_id", lit(ids.max + 700)),
+        ixRoot, ManifestCommit)
+      assert(probe2.filter(col("verdict") =!= "unique").count() == 1,
+        "post-compaction the admitted ghost doc IS committed — its " +
+          "duplicate must now be recognized")
+    }
+  }
+
+  test("manifest-mode semantic-dedup sink: cells == one-shot through " +
+      "replay, and a stranded cells object never double-reads") {
+    withoutSuccessMarkers {
+      import java.nio.file.{Files, Paths}
+      import graft.ext.Dedup
+      val base = Files.createTempDirectory("graft_sem_man").toString
+      val srcDir = s"$base/src"; Files.createDirectories(Paths.get(srcDir))
+      val cellsRoot = s"$base/cells"; val verdictsDir = s"$base/verdicts"
+      val e = Tables.embeddings(spark, sf)
+      val ids = e.select(col("vec_id")).orderBy(col("vec_id"))
+        .collect().map(_.getLong(0))
+      val c0 = ids(ids.length * 3 / 5)
+      val gold = graft.ext.KMeans.vecs(spark, sf)
+        .filter(col("vec_id") <= c0)
+      val (coarse, subs) = Dedup.trainSemanticQuantizers(gold, Dedup.SubK)
+      def runOnce(): Unit =
+        EventStreams.semanticDedupSink(
+          spark.readStream.schema(e.schema).parquet(srcDir),
+          coarse, subs, Dedup.SubK, cellsRoot, verdictsDir,
+          s"$base/chk", commit = ManifestCommit).stop()
+
+      stage(e.filter(col("vec_id") <= c0), srcDir, "b0.parquet"); runOnce()
+      stage(e.filter(col("vec_id") > c0), srcDir, "b1.parquet"); runOnce()
+      // replay no-op
+      stage(e.filter(col("vec_id") > c0), srcDir, "b1r.parquet"); runOnce()
+
+      def cellRows(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("vec_id"), col("cell").cast("int"), col("v"))
+          .collect()
+          .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Double](2))).toSet
+      val oneShot = cellRows(Dedup.assignSemanticCells(
+        graft.ext.KMeans.vecs(spark, sf), coarse, subs, Dedup.SubK))
+      assert(cellRows(ManifestCommit.read(spark, cellsRoot)) == oneShot,
+        "manifest-committed cells must equal the one-shot assignment")
+      assert(spark.read.parquet(verdictsDir).count() == ids.length.toLong)
+
+      // strand a COPY of a committed cells partition file (what a
+      // replayed-then-crashed task would leave): a listing read now
+      // double-counts those vectors; the manifest read must not
+      val live = ManifestCommit.readDir(cellsRoot)
+      val victim = firstCellPart(live)
+      Files.copy(victim,
+        victim.getParent.resolve("torn-replay-copy.parquet"))
+      assert(spark.read.parquet(live).count() > ids.length.toLong,
+        "precondition: the listing view really is poisoned")
+      assert(cellRows(ManifestCommit.read(spark, cellsRoot)) == oneShot,
+        "the stranded copy must be invisible to manifest reads")
+      assert(ManifestCommit.fileCount(cellsRoot) ==
+        Manifest.read(live).get.size)
+    }
+  }
+
+  test("manifest-mode vector-index sink: streamed codes == full " +
+      "re-encode, stranded codes invisible, compaction seals fresh") {
+    withoutSuccessMarkers {
+      import java.nio.file.{Files, Paths}
+      import graft.ext.ProductQuant
+      val base = Files.createTempDirectory("graft_vec_man").toString
+      val srcDir = s"$base/src"; Files.createDirectories(Paths.get(srcDir))
+      val codesRoot = s"$base/codes"; val goldDir = s"$base/gold"
+      val e = Tables.embeddings(spark, sf)
+      val ids = e.select(col("vec_id")).orderBy(col("vec_id"))
+        .collect().map(_.getLong(0))
+      val c0 = ids(ids.length / 2)
+      val coarse = graft.ext.KMeans.train(spark, sf)
+      val rcbs = ProductQuant.residualCodebooks(spark, sf, coarse)
+      def cast(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("vec_id"), col("label"),
+          col("embedding").cast("array<double>").as("v"))
+      def runOnce(): Unit =
+        EventStreams.incrementalVectorIndexSink(
+          spark.readStream.schema(e.schema).parquet(srcDir),
+          coarse, rcbs, codesRoot, goldDir, s"$base/chk",
+          commit = ManifestCommit).stop()
+
+      stage(e.filter(col("vec_id") <= c0), srcDir, "b0.parquet"); runOnce()
+      stage(e.filter(col("vec_id") > c0), srcDir, "b1.parquet"); runOnce()
+      stage(e.filter(col("vec_id") > c0), srcDir, "b1r.parquet"); runOnce()
+
+      def codeRows(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("vec_id"), col("label").cast("long"),
+            col("cell").cast("int"),
+            col("code0"), col("code1"), col("code2"), col("code3"))
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+            r.getInt(3), r.getInt(4), r.getInt(5), r.getInt(6))).toSet
+      val want = codeRows(ProductQuant.encodeFrameResidual(
+        cast(spark.read.parquet(goldDir)), coarse, rcbs))
+      assert(codeRows(ManifestCommit.read(spark, codesRoot)) == want,
+        "manifest-committed codes must equal the full re-encode")
+
+      // stranded replay copy: listing poisoned, manifest clean
+      val live = ManifestCommit.readDir(codesRoot)
+      val victim = firstCellPart(live)
+      Files.copy(victim,
+        victim.getParent.resolve("torn-replay-copy.parquet"))
+      assert(codeRows(ManifestCommit.read(spark, codesRoot)) == want,
+        "stranded codes must be invisible to manifest reads")
+
+      // compaction (rebuild from gold) — junk dies with the old
+      // version; the new version's manifest covers exactly its files
+      assert(ProductQuant.maybeCompactCodes(spark, goldDir, codesRoot,
+        coarse, rcbs, threshold = 1, commit = ManifestCommit))
+      val v1 = ManifestCommit.readDir(codesRoot)
+      assert(v1 != live)
+      assert(Manifest.read(v1).get.toSet == Manifest.dataFiles(v1).toSet)
+      assert(codeRows(ManifestCommit.read(spark, codesRoot)) == want)
+    }
+  }
+
+  test("manifest-mode knn graph sink: edges + labels == one-shot, and " +
+      "a stranded cells object cannot trigger a false repair") {
+    withoutSuccessMarkers {
+      import java.nio.file.{Files, Paths}
+      import graft.ext.{ClusterOps, KMeans}
+      val base = Files.createTempDirectory("graft_knn_man").toString
+      val srcDir = s"$base/src"; Files.createDirectories(Paths.get(srcDir))
+      val cellsRoot = s"$base/cells"; val edgesDir = s"$base/edges"
+      val labelsDir = s"$base/labels"
+      val e = Tables.embeddings(spark, sf)
+      val ids = e.select(col("vec_id")).orderBy(col("vec_id"))
+        .collect().map(_.getLong(0))
+      val c0 = ids(ids.length * 3 / 5)
+      val cents = KMeans.trainFrame(
+        KMeans.vecs(spark, sf).filter(col("vec_id") <= c0)
+          .select(col("vec_id"), col("v")), KMeans.K)
+      def assign(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("vec_id"),
+          graft.functions.NearestCentroid(col("v"), cents.map(_._2))
+            .as("cell"), col("v"))
+      def runOnce(): Unit =
+        EventStreams.knnGraphSink(
+          spark.readStream.schema(e.schema).parquet(srcDir),
+          assign, cellsRoot, edgesDir, Some(labelsDir), s"$base/chk",
+          commit = ManifestCommit).stop()
+
+      stage(e.filter(col("vec_id") <= c0), srcDir, "b0.parquet"); runOnce()
+      stage(e.filter(col("vec_id") > c0), srcDir, "b1.parquet"); runOnce()
+
+      def edgeRows(dir: String) = spark.read.parquet(dir)
+        .select(col("vec_id"), col("rk").cast("int"), col("nbr_id"),
+          col("cosine"), col("cell").cast("int"))
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+          r.getDouble(3), r.getInt(4))).toSet
+      def labelRows(dir: String) = spark.read.parquet(dir)
+        .select(col("vec_id"), col("community_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val allAssigned = assign(KMeans.vecs(spark, sf))
+      val oneShotE = s"$base/oneshot_e"; val oneShotL = s"$base/oneshot_l"
+      ClusterOps.writeKnnEdges(allAssigned, oneShotE)
+      ClusterOps.writeKnnCommunityLabels(allAssigned, oneShotL)
+      assert(edgeRows(edgesDir) == edgeRows(oneShotE))
+      assert(labelRows(labelsDir) == labelRows(oneShotL))
+
+      // stranded cells copy: the LISTING view of the cells store now
+      // disagrees with the edges store (inflated member counts), so a
+      // listing-trusting consistency repair would fire and rewrite
+      // healthy edge partitions; the manifest view stays consistent
+      val live = ManifestCommit.readDir(cellsRoot)
+      val victim = firstCellPart(live)
+      Files.copy(victim,
+        victim.getParent.resolve("torn-replay-copy.parquet"))
+      assert(ClusterOps.repairKnnEdges(spark, cellsRoot, edgesDir,
+        ManifestCommit) == 0,
+        "the committed view is consistent — a stranded object must " +
+          "not trigger a false repair")
+      assert(ClusterOps.repairKnnCommunityLabels(spark, cellsRoot,
+        labelsDir, ManifestCommit) == 0)
+      assert(edgeRows(edgesDir) == edgeRows(oneShotE),
+        "edges must be untouched after the no-op repair")
     }
   }
 }

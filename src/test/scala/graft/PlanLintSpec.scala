@@ -124,7 +124,8 @@ class PlanLintSpec extends SparkSpec {
   private val rowKeyedWindow = Set(
     "elt_dedup_keep_first", "elt_union_dedup_sources",
     "elt_processed_pipeline", "etl_transform_sales",
-    "dedup_incremental", "sim_centroid_assign",
+    "dedup_incremental", "dedup_incremental_manifest",
+    "sim_centroid_assign",
     // rank window partitioned by cluster_id — NDV ~ doc count, group
     // sizes are near-dup cluster sizes
     "dedup_keep_best",
