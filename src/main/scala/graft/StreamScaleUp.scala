@@ -482,6 +482,56 @@ object StreamScaleUp {
         f"rewrite ${(System.nanoTime() - t3) / 1e9}%.1f s")
     }
 
+    if (on("takedown")) locally {
+      // the retrieval-tier takedown at 100× (round 17): tombstone 10%
+      // of a built BM25 store, read the MASKED serve cost (should
+      // track the normal serve — the correction is removal-sized),
+      // vacuum (the one O(store) rewrite), and prove masked ==
+      // vacuumed row-for-row. The number to read: takedown VISIBILITY
+      // is immediate and serve-priced; only the physical reclaim pays
+      // a rewrite, on an operator-chosen schedule.
+      import graft.ext.Retrieval
+      val store = s"$base/bm25_take"
+      def tdOf(df: DataFrame): DataFrame = df
+        .select(col("doc_id"),
+          graft.ext.TextOps.tokens(col("text")).as("t"))
+        .filter(size(col("t")) > 0)
+      val docs = spark.read.parquet(docsDir)
+      val t0 = System.nanoTime()
+      Retrieval.writeBm25Index(tdOf(docs), store)
+      println(f"[streamscale] takedown index build " +
+        f"${(System.nanoTime() - t0) / 1e9}%6.1f s")
+      val t1 = System.nanoTime()
+      val pre = Retrieval.bm25BatchFromIndex(spark, base, store)
+        .collect().toSeq
+      println(f"[streamscale] takedown serve pre    " +
+        f"${(System.nanoTime() - t1) / 1e9}%6.1f s (${pre.length}%d rows)")
+      val t2 = System.nanoTime()
+      Retrieval.tombstoneBm25Docs(spark,
+        docs.filter(col("doc_id") % 10 === 3).select(col("doc_id")),
+        store)
+      println(f"[streamscale] takedown tombstone    " +
+        f"${(System.nanoTime() - t2) / 1e9}%6.1f s (10%% of docs)")
+      val t3 = System.nanoTime()
+      val masked = Retrieval.bm25BatchFromIndex(spark, base, store)
+        .collect().toSeq
+      println(f"[streamscale] takedown serve masked " +
+        f"${(System.nanoTime() - t3) / 1e9}%6.1f s (${masked.length}%d rows)")
+      val t4 = System.nanoTime()
+      val (nRem, reclaimed) = Retrieval.vacuumBm25(spark, store)
+      println(f"[streamscale] takedown vacuum       " +
+        f"${(System.nanoTime() - t4) / 1e9}%6.1f s " +
+        f"($nRem%d docs, ${reclaimed / (1 << 20)}%d MB reclaimed)")
+      val t5 = System.nanoTime()
+      val vac = Retrieval.bm25BatchFromIndex(spark, base, store)
+        .collect().toSeq
+      println(f"[streamscale] takedown serve vac    " +
+        f"${(System.nanoTime() - t5) / 1e9}%6.1f s")
+      println(s"[streamscale] takedown parity masked==vacuumed: " +
+        (if (masked == vac) "EXACT" else "MISMATCH") +
+        s"; pre!=masked: ${pre != masked}")
+    }
+
     // ---- 7. streaming kNN-edges sink (graph partitions per batch) ----
     if (on("knn")) locally {
       ensureVecStaged()

@@ -770,6 +770,111 @@ object ClusterOps {
     staleRows.length
   }
 
+  /** Remove vectors from the knn family (round 17 — the graph tier's
+    * takedown, the sibling of [[graft.ext.Dedup.vacuumGold]] and
+    * [[graft.ext.Retrieval.vacuumBm25]]): the cells store (the
+    * family's SOURCE OF TRUTH) rewrites without the removed ids
+    * through the commit protocol; the removed ids join the guard
+    * root's permanent `_removed` log
+    * ([[graft.ops.SinkGuard.appendRemovedIds]] — a replayed batch
+    * must never re-admit them through the post-crash anti-join
+    * fallback); and the EXISTING consistency repairs converge edges
+    * and labels for exactly the touched cells (count/owner-set
+    * disagreement → cell-confined dynamic overwrites — never a
+    * full-graph rebuild; knn edges and communities are cell-local,
+    * so cell confinement is exactness, not approximation). The
+    * edges-root guard marker drops across the flips and re-arms
+    * after the repairs; the replay watermark is restored at its
+    * PRE-removal value (the retained max id can be lower, and
+    * replayed old batches must still drop). A crash anywhere leaves
+    * the marker down → the next streamed batch's prologue runs the
+    * same repairs. Returns the number of removed vectors. */
+  def removeKnnVectors(spark: SparkSession, removedIds: DataFrame,
+      cellsDir: String, edgesDir: String, labelsDir: Option[String],
+      commit: graft.ops.StoreCommit = graft.ops.SwapCommit): Long = {
+    val rem = removedIds.select(col("vec_id")).distinct()
+      .localCheckpoint()
+    if (rem.isEmpty) return 0L
+    val stored = commit.read(spark, cellsDir)
+    val retained = stored
+      .join(broadcast(rem), Seq("vec_id"), "left_anti")
+      .withColumn("cell", col("cell").cast("int"))
+      .repartition(col("cell"))
+      .localCheckpoint()
+    val removedN = stored.count() - retained.count()
+    if (removedN == 0L) return 0L
+    val wm = graft.ops.StoreFiles.readIdWatermark(edgesDir)
+    graft.ops.SinkGuard.appendRemovedIds(rem, edgesDir)
+    graft.ops.StoreFiles.deleteMarker(edgesDir, "_cells_synced")
+    commit.replace(cellsDir) { next =>
+      retained.write.partitionBy("cell").parquet(next)
+    }
+    repairKnnEdges(spark, cellsDir, edgesDir, commit)
+    labelsDir.foreach(ld =>
+      repairKnnCommunityLabels(spark, cellsDir, ld, commit))
+    wm.foreach(graft.ops.StoreFiles.writeIdWatermark(edgesDir, _))
+    graft.ops.StoreFiles.createMarker(edgesDir, "_cells_synced")
+    removedN
+  }
+
+  /** Residue class the knn removal gate tombstones (vec_id % 9 ==
+    * [[KnnRemoveResidue]]) — fixed so DuckDB replays the retained
+    * graph exactly. */
+  private[graft] val KnnRemoveResidue = 4L
+
+  /** Build-once scaffold for the two removal gates: full-corpus
+    * quantizer (removal never retrains), cells + edges + labels
+    * stores, then [[removeKnnVectors]] of the residue class. Both
+    * gates read the CONVERGED stores. */
+  private def removedGraphStores(spark: SparkSession,
+      dir: String): (String, String) = {
+    val (edges, labels) = removeStores.computeIfAbsent(dir, _ => {
+      val base = graft.ops.Scratch.dir("graft_knn_rm")
+      val (cells, e, l) = (s"$base/cells", s"$base/edges", s"$base/labels")
+      val cents = KMeans.train(spark, dir)
+      val assigned = KMeans.vecs(spark, dir)
+        .select(col("vec_id"),
+          KMeans.assignOn(col("v"), cents).cast("int").as("cell"),
+          col("v"))
+        .localCheckpoint()
+      assigned.repartition(col("cell"))
+        .write.partitionBy("cell").parquet(cells)
+      writeKnnEdges(assigned, e)
+      writeKnnCommunityLabels(assigned, l)
+      removeKnnVectors(spark,
+        assigned.filter(col("vec_id") % 9 === KnnRemoveResidue)
+          .select(col("vec_id")),
+        cells, e, Some(l))
+      (e, l)
+    })
+    (edges, labels)
+  }
+
+  /** DRIVER-GATED removal, edge leg: the post-removal edges store
+    * must equal the knn graph computed fresh on the retained vectors
+    * under the SAME full-corpus quantizer — removal converges
+    * exactly, touched cells only. */
+  def knnRemoveEdges(spark: SparkSession, dir: String): DataFrame = {
+    val (edges, _) = removedGraphStores(spark, dir)
+    spark.read.parquet(edges)
+      .select(col("vec_id"), col("rk").cast("int").as("rk"),
+        col("nbr_id"), col("cosine"))
+      .orderBy(col("vec_id"), col("rk"))
+  }
+
+  /** DRIVER-GATED removal, label leg: post-removal community labels
+    * == the component-min labels of the retained graph (removing a
+    * component's min member must re-elect its label). */
+  def knnRemoveLabels(spark: SparkSession, dir: String): DataFrame = {
+    val (_, labels) = removedGraphStores(spark, dir)
+    spark.read.parquet(labels)
+      .select(col("vec_id"), col("community_id"))
+      .orderBy(col("vec_id"))
+  }
+
+  private val removeStores =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
   /** Shared scaffold of the DRIVER-GATED store-fed entries: the
     * [[knnGraphBatchMerge]] gold/batch split with the gold-trained
     * FROZEN quantizer, a gold edges artifact in a scratch dir, and
@@ -1333,8 +1438,18 @@ object ClusterOps {
   // are plain SQL over its final assignment joined to documents.
   // ---------------------------------------------------------------
 
-  private val knnPairsSql =
-    s"""SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id, ${Similarity.cosineSql("qa.v", "qb.v")} AS cosine FROM af a JOIN af b ON a.cid = b.cid AND a.vec_id <> b.vec_id JOIN q qa ON qa.vec_id = a.vec_id JOIN q qb ON qb.vec_id = b.vec_id"""
+  private def knnPairsFrom(t: String) =
+    s"""SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id, ${Similarity.cosineSql("qa.v", "qb.v")} AS cosine FROM $t a JOIN $t b ON a.cid = b.cid AND a.vec_id <> b.vec_id JOIN q qa ON qa.vec_id = a.vec_id JOIN q qb ON qb.vec_id = b.vec_id"""
+  private val knnPairsSql = knnPairsFrom("af")
+
+  // the removal chains: the SAME full-corpus quantizer (trainCtes is
+  // untouched — removal never retrains), pairs/rank/closure over the
+  // RETAINED assignment rows only
+  private def knnRemoveCond = s"vec_id % 9 <> $KnnRemoveResidue"
+  private def removedEdgesSql =
+    s"""WITH ${KMeans.trainCtes}, afr AS (SELECT * FROM af WHERE $knnRemoveCond), p AS (${knnPairsFrom("afr")}) $knnRankedSql ORDER BY vec_id, rk"""
+  private def removedLabelsSql =
+    s"""WITH RECURSIVE ${KMeans.trainCtes}, afr AS (SELECT * FROM af WHERE $knnRemoveCond), p AS MATERIALIZED (${knnPairsFrom("afr")}), e AS ($knnRankedSql), sym AS (SELECT vec_id AS a, nbr_id AS b FROM e UNION ALL SELECT nbr_id, vec_id FROM e), reach(a, b) AS (SELECT a, b FROM sym UNION SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a), cl AS (SELECT q.vec_id, least(q.vec_id, COALESCE(MIN(r.b), q.vec_id)) AS community_id FROM (SELECT * FROM q WHERE $knnRemoveCond) q LEFT JOIN reach r ON r.a = q.vec_id GROUP BY q.vec_id) SELECT vec_id, community_id FROM cl ORDER BY vec_id"""
 
   private val knnRankedSql =
     s"""SELECT vec_id, rk, nbr_id, cosine FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, nbr_id) AS rk FROM p) WHERE rk <= $KnnK"""
@@ -1411,6 +1526,10 @@ object ClusterOps {
     // fold, same tie-break)
     "sim_knn_graph" ->
       s"""WITH ${KMeans.trainCtes}, p AS ($knnPairsSql) $knnRankedSql ORDER BY vec_id, rk""",
+    // removal: the converged post-takedown stores must equal the
+    // retained-graph recompute under the FULL-corpus quantizer
+    "sim_knn_remove_edges" -> removedEdgesSql,
+    "sim_knn_remove_labels" -> removedLabelsSql,
     // reachability closure over the knn edge set = the bounded-round
     // large-star/small-star contraction (component-min labels agree —
     // the dedup_clusters congruence argument over a different edge
@@ -1496,6 +1615,8 @@ object ClusterOps {
     "curation_cluster_card_merge_forms" -> clusterCardMergeForms _,
     "sample_cluster_balance_forms" -> clusterBalanceForms _,
     "sim_knn_graph" -> knnGraph _,
+    "sim_knn_remove_edges" -> knnRemoveEdges _,
+    "sim_knn_remove_labels" -> knnRemoveLabels _,
     "sim_knn_components" -> knnCommunities _,
     "sim_knn_keep_best" -> knnKeepBest _,
     "sim_knn_community_hist" -> knnCommunityHistogram _,

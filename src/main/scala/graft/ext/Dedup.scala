@@ -583,11 +583,80 @@ object Dedup {
         .withColumn("cell", col("cell").cast("int"))
         .repartition(col("cell"))
         .localCheckpoint()
+      // the guard root's removed-id log ([[removeSemanticVectors]])
+      // lives inside the root a swap-mode replace destroys — carry it
+      val carriedLog = graft.ops.SinkGuard.removedIds(spark, cellsDir)
+        .map(_.localCheckpoint())
       commit.replace(cellsDir) { next =>
         compacted.write.partitionBy("cell").parquet(next)
       }
+      carriedLog.foreach(
+        graft.ops.SinkGuard.appendRemovedIds(_, cellsDir))
       true
     } else false
+  }
+
+  /** Remove vectors from the semantic-dedup family (round 17 — the
+    * SemDeDup takedown): the cells store (SOURCE OF TRUTH) rewrites
+    * without the removed ids through the commit protocol, the removed
+    * ids join the guard root's permanent `_removed` log
+    * ([[graft.ops.SinkGuard.appendRemovedIds]]), and the verdict log
+    * RE-ELECTS, cell-confined: verdicts are cell-local (dup_of = the
+    * min lower-id in-threshold neighbor within the SAME cell), so
+    * rows of untouched cells are kept verbatim and only the touched
+    * cells' retained members recompute — removing a doc that others
+    * were `dup_of` re-elects their match or frees them, exactly as a
+    * full recompute on the retained store would (the spec's gate).
+    * Order is takedown-first: the cells replace lands before the
+    * verdict rewrite, so a crash in between leaves the store clean
+    * (the takedown HOLDS) with stale verdict rows for the removed
+    * vecs — re-running the removal (idempotent: the anti-join is a
+    * no-op, the rewrite completes) converges the log. The replay
+    * watermark is restored at its PRE-removal value. Returns the
+    * number of removed vectors. */
+  def removeSemanticVectors(spark: SparkSession, removedIds: DataFrame,
+      cellsDir: String, verdictsDir: String,
+      commit: graft.ops.StoreCommit = graft.ops.SwapCommit): Long = {
+    val rem = removedIds.select(col("vec_id")).distinct()
+      .localCheckpoint()
+    if (rem.isEmpty) return 0L
+    val stored = commit.read(spark, cellsDir)
+      .select(col("vec_id"), col("cell").cast("int").as("cell"), col("v"))
+    val touched = stored.join(broadcast(rem), Seq("vec_id"))
+      .select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).sorted // bounded by the cell count
+    if (touched.isEmpty) return 0L
+    val retained = stored
+      .join(broadcast(rem), Seq("vec_id"), "left_anti")
+      .repartition(col("cell"))
+      .localCheckpoint()
+    val removedN = stored.count() - retained.count()
+    val wm = graft.ops.StoreFiles.readIdWatermark(cellsDir)
+    // the guard root IS the replaced dir in swap mode, so the log is
+    // captured (pinned) before the replace and re-written after —
+    // carried, like the index tombstones across rebuilds
+    val carriedLog = graft.ops.SinkGuard.removedIds(spark, cellsDir)
+      .map(_.select(col("vec_id")).unionByName(rem).distinct())
+      .getOrElse(rem).localCheckpoint()
+    graft.ops.StoreFiles.deleteMarker(cellsDir, "_ids_synced")
+    commit.replace(cellsDir) { next =>
+      retained.write.partitionBy("cell").parquet(next)
+    }
+    graft.ops.SinkGuard.appendRemovedIds(carriedLog, cellsDir)
+    val touchedVals = touched.map(Integer.valueOf)
+    val rewritten = (
+      spark.read.parquet(verdictsDir)
+        .select(col("vec_id"), col("cell").cast("int").as("cell"),
+          col("is_dup"), col("dup_of"))
+        .filter(!col("cell").isin(touchedVals: _*))
+        unionByName semanticDedupOverCells(
+          retained.filter(col("cell").isin(touchedVals: _*)))
+      ).localCheckpoint() // pinned BEFORE the swap reads-own-writes
+    graft.ops.ArtifactSwap.writeAndSwap(verdictsDir)(
+      rewritten.write.parquet(_))
+    wm.foreach(graft.ops.StoreFiles.writeIdWatermark(cellsDir, _))
+    graft.ops.StoreFiles.createMarker(cellsDir, "_ids_synced")
+    removedN
   }
 
   /** Gated form of the append story: quantizers train on the GOLD
@@ -1647,7 +1716,17 @@ object Dedup {
     val retained = gold0
       .join(broadcast(ts), Seq("doc_id"), "left_anti")
       .localCheckpoint()
+    // the PERMANENT removed-id log (round 17): after the physical
+    // rewrite, "absent from gold" no longer implies "never admitted",
+    // so the sink's post-crash anti-join fallback unions this log —
+    // a replayed batch must not re-admit a vacuumed doc. Captured
+    // before the swap (it lives inside the root the swap destroys)
+    // and re-written after, carried like the semantic cells log.
+    val carriedLog = graft.ops.SinkGuard.removedIds(spark, goldDir)
+      .map(_.select(col("doc_id")).unionByName(ts).distinct())
+      .getOrElse(ts).localCheckpoint()
     graft.ops.SwapCommit.replace(goldDir)(retained.write.parquet(_))
+    graft.ops.SinkGuard.appendRemovedIds(carriedLog, goldDir)
     // guard state died with the swapped-out root; the rewrite removed
     // rows the index is ABOUT to forget too, so re-arming keeps the
     // sink's prologue crash-gated (the index rebuild below IS the

@@ -296,6 +296,48 @@ object ProductQuant {
     }
   }
 
+  /** Remove vectors from the PQ family (round 17 — the codes tier's
+    * takedown, composing two already-gated pieces): the vector gold
+    * corpus rewrites without the removed ids (rename-aside replace,
+    * watermark restored at its PRE-removal value, removed ids carried
+    * into the permanent `_removed` log the sink's post-crash fallback
+    * unions), then [[rebuildCodes]] — the same derived-state recovery
+    * compaction uses — re-derives the codes store from the retained
+    * gold through the commit protocol. A crash between the two leaves
+    * the marker down, so the next streamed batch's prologue runs the
+    * SAME rebuild. Returns (removed vectors, reclaimed gold bytes). */
+  def vacuumVectorGold(spark: SparkSession, removedIds: DataFrame,
+      goldDir: String, codesDir: String,
+      coarse: Seq[(Int, Seq[Double])],
+      rcbs: Seq[Seq[(Int, Seq[Double])]],
+      commit: graft.ops.StoreCommit = graft.ops.SwapCommit): (Long, Long) = {
+    graft.ops.ArtifactSwap.recover(goldDir)
+    commit.recover(codesDir)
+    val rem = removedIds.select(col("vec_id")).distinct()
+      .localCheckpoint()
+    if (rem.isEmpty) return (0L, 0L)
+    val bytesBefore = graft.ops.StoreFiles.dirBytes(goldDir)
+    val wm = graft.ops.StoreFiles.readIdWatermark(goldDir)
+    val gold0 = spark.read.parquet(goldDir)
+    val before = gold0.count()
+    val retained = gold0
+      .join(broadcast(rem), Seq("vec_id"), "left_anti")
+      .localCheckpoint()
+    val removedN = before - retained.count()
+    if (removedN == 0L) return (0L, 0L)
+    val carriedLog = graft.ops.SinkGuard.removedIds(spark, goldDir)
+      .map(_.select(col("vec_id")).unionByName(rem).distinct())
+      .getOrElse(rem).localCheckpoint()
+    graft.ops.StoreFiles.deleteMarker(goldDir, "_ids_synced")
+    graft.ops.SwapCommit.replace(goldDir)(retained.write.parquet(_))
+    graft.ops.SinkGuard.appendRemovedIds(carriedLog, goldDir)
+    wm.foreach(graft.ops.StoreFiles.writeIdWatermark(goldDir, _))
+    rebuildCodes(spark, goldDir, codesDir, coarse, rcbs, commit)
+    graft.ops.StoreFiles.createMarker(goldDir, "_ids_synced")
+    (removedN,
+      bytesBefore - graft.ops.StoreFiles.dirBytes(goldDir))
+  }
+
   /** Driver-side query prep for the residual layout: query id, coarse
     * cell, and the ADC table built from the query's RESIDUAL to that
     * cell's centroid (dt[m][j] = ‖(q − c_cell)_m − rc_{m,j}‖²). */

@@ -475,20 +475,39 @@ object Retrieval {
     * same broadcast term join as the live path. */
   def bm25FromIndex(spark: SparkSession, store: String,
       docsDir: String, nq: Int,
-      commit: graft.ops.StoreCommit = graft.ops.SwapCommit): DataFrame = {
+      commit: graft.ops.StoreCommit = graft.ops.SwapCommit): DataFrame =
+    bm25FromIndexTd(spark, store, toksD(spark, docsDir), nq, commit)
+
+  /** [[bm25FromIndex]] over an explicit query-side td frame — the
+    * composable core the takedown gate feeds the RETAINED corpus. */
+  private def bm25FromIndexTd(spark: SparkSession, store: String,
+      queryTd: DataFrame, nq: Int,
+      commit: graft.ops.StoreCommit): DataFrame = {
     val meta = commit.read(spark, s"$store/meta").head()
-    val n = meta.getLong(0)
-    val avgdl = meta.getLong(1).toDouble / n.toDouble
-    val qt = queryTerms(toksD(spark, docsDir), nq).localCheckpoint()
+    // serve-time takedown correction: n/avgdl shift by the removed
+    // docs' (count, Σdl) — removal-sized reads — so a masked store
+    // scores EXACTLY like a fresh build on the retained corpus
+    val rem = removedBm25(spark, store, commit)
+    val remAgg = rem.map(_.agg(count(lit(1)), sum(col("dl"))).head())
+    val n = meta.getLong(0) - remAgg.map(_.getLong(0)).getOrElse(0L)
+    require(n > 0, s"takedown removed every indexed doc at $store")
+    val sumDl = meta.getLong(1) - remAgg.map(_.getLong(1)).getOrElse(0L)
+    val avgdl = sumDl.toDouble / n.toDouble
+    val qt = queryTerms(queryTd, nq).localCheckpoint()
     // bounded collect (≤ nq · QueryTerms rows): bucket literals for
     // the pruning filter, computed by the same Spark hash
     val buckets = qt
       .select(pmod(hash(col("term")), lit(TermBuckets))).distinct()
       .collect().map(_.getInt(0)).toSeq
-    val tf = commit.read(spark, s"$store/postings")
+    val tf0 = commit.read(spark, s"$store/postings")
       .filter(col("tbucket").isin(buckets: _*))
       .join(broadcast(qt.select(col("term")).distinct()), "term")
       .select(col("doc_id"), col("dl"), col("term"), col("tf"))
+    // removed docs' surviving postings rows are invisible (broadcast
+    // anti-join, removal-sized) — zero once a vacuum applied them
+    val tf = rem.map(r => tf0.join(
+        broadcast(r.select(col("doc_id"))), Seq("doc_id"), "left_anti"))
+      .getOrElse(tf0)
     scoreMatched(tf, qt, n, avgdl)
   }
 
@@ -642,13 +661,166 @@ object Retrieval {
       .limit(BmK)
 
   // ---------------------------------------------------------------
+  // Takedown: document removal for the retrieval tier (round 17) —
+  // the BM25 sibling of the gold vacuum (Dedup.vacuumGold) and the
+  // z-store delete-delta tier. A takedown (GDPR erasure, license
+  // revocation, re-crawl supersession) must reach the SERVING store
+  // immediately, without waiting for an O(store) rewrite: removed ids
+  // land in an append-only `removed` component carrying each doc's dl
+  // (resolved from postings ONCE, at tombstone time), serves hide the
+  // docs via a removal-sized broadcast anti-join AND shift n/avgdl by
+  // the removed (count, Σdl) — so a masked store scores bit-exactly
+  // like a fresh build on the retained corpus — and a later vacuum
+  // applies the removals physically and resets the list.
+  // ---------------------------------------------------------------
+
+  private def removedDir(store: String): String = s"$store/removed"
+
+  /** Consistency marker for the takedown tier: present ⇔ postings,
+    * meta, and the removed list are mutually consistent (the masked
+    * serve correction is exact). [[vacuumBm25]] drops it across its
+    * flips and re-arms it last, so a torn vacuum is detectable and
+    * [[recoverBm25Takedown]] can finish the job. */
+  private val TakedownMarker = "_takedown_synced"
+
+  /** The pending removed set as (doc_id, dl), None when the takedown
+    * tier is empty. Distinct on doc_id (a replayed tombstone append
+    * is harmless; dl is a pure function of the doc). */
+  private def removedBm25(spark: SparkSession, store: String,
+      commit: graft.ops.StoreCommit): Option[DataFrame] =
+    if (commit.fileCount(removedDir(store)) > 0)
+      Some(commit.read(spark, removedDir(store))
+        .groupBy(col("doc_id")).agg(first(col("dl")).as("dl")))
+    else None
+
+  /** Tombstone documents in a BM25 store: every serve hides them
+    * (and re-derives idf/avgdl as if they were never indexed) from
+    * this moment until [[vacuumBm25]] removes their rows physically.
+    * Ids with no postings (never indexed, or already vacuumed) drop
+    * at the join — re-tombstoning is a no-op. The one O(store) read
+    * (resolving each doc's dl) happens HERE, at maintenance time,
+    * so the per-serve correction stays removal-sized. */
+  def tombstoneBm25Docs(spark: SparkSession, removedIds: DataFrame,
+      store: String,
+      commit: graft.ops.StoreCommit = graft.ops.SwapCommit): Unit = {
+    val withDl = commit.read(spark, s"$store/postings")
+      .groupBy(col("doc_id")).agg(first(col("dl")).as("dl"))
+      .join(broadcast(removedIds.select(col("doc_id")).distinct()),
+        Seq("doc_id"))
+      .localCheckpoint()
+    if (withDl.isEmpty) return
+    commit.append(removedDir(store)) { dir =>
+      withDl.write.mode("append").parquet(dir)
+    }
+    // the masked state is exact by construction — stamp it consistent
+    graft.ops.StoreFiles.createMarker(store, TakedownMarker)
+  }
+
+  /** Physically apply the pending takedowns: postings rewrite WITHOUT
+    * the removed docs' rows, meta re-derives from the retained
+    * postings (the exact integers a fresh build would record), and
+    * the removed list resets. Re-entrant: every step is idempotent,
+    * so a vacuum that crashed anywhere can simply run again — and
+    * the serve stays SAFE through every window (removed docs are
+    * hidden by either the anti-join or the physical rewrite at all
+    * times; the one degraded window, between the meta flip and the
+    * list reset, shifts scores conservatively and is closed by
+    * [[recoverBm25Takedown]]). Returns (removed docs, reclaimed
+    * postings bytes). */
+  def vacuumBm25(spark: SparkSession, store: String,
+      commit: graft.ops.StoreCommit = graft.ops.SwapCommit): (Long, Long) = {
+    val rem = removedBm25(spark, store, commit)
+      .map(_.localCheckpoint()).getOrElse(return (0L, 0L))
+    val remIds = rem.select(col("doc_id"))
+    val nRem = rem.count()
+    if (nRem == 0) return (0L, 0L)
+    val bytesBefore =
+      graft.ops.StoreFiles.dirBytes(commit.readDir(s"$store/postings"))
+    graft.ops.StoreFiles.deleteMarker(store, TakedownMarker)
+    val retained = commit.read(spark, s"$store/postings")
+      .join(broadcast(remIds), Seq("doc_id"), "left_anti")
+      .withColumn("tbucket", col("tbucket").cast("int"))
+      .repartition(col("tbucket"))
+      .localCheckpoint()
+    commit.replace(s"$store/postings") { next =>
+      retained.write.partitionBy("tbucket").parquet(next)
+    }
+    val meta = retained
+      .groupBy(col("doc_id")).agg(first(col("dl")).as("dl"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("dl").cast("long")).as("sum_dl"))
+      .coalesce(1).localCheckpoint()
+    commit.replace(s"$store/meta")(meta.write.parquet(_))
+    // the committed replay log keeps the removed ids ON PURPOSE: ids
+    // are never reused, and a replayed old batch containing a removed
+    // doc must stay a no-op, not re-admit it.
+    // The reset commits an EMPTY removed version — the marker write
+    // materializes the staging dir (a bodiless replace would leave
+    // the swap with nothing to rename)
+    commit.replace(removedDir(store))(next =>
+      graft.ops.StoreFiles.createMarker(next, "_reset"))
+    graft.ops.StoreFiles.createMarker(store, TakedownMarker)
+    (nRem, bytesBefore - graft.ops.StoreFiles.dirBytes(
+      commit.readDir(s"$store/postings")))
+  }
+
+  /** Close a torn [[vacuumBm25]] (marker down, removals pending):
+    * finish the vacuum. Steady state pays two existence probes. */
+  def recoverBm25Takedown(spark: SparkSession, store: String,
+      commit: graft.ops.StoreCommit = graft.ops.SwapCommit): Boolean =
+    if (commit.fileCount(removedDir(store)) > 0 &&
+        !graft.ops.StoreFiles.markerExists(store, TakedownMarker)) {
+      vacuumBm25(spark, store, commit)
+      true
+    } else false
+
+  /** Residue class the takedown gate removes (doc_id % 9 ==
+    * [[TakedownResidue]]) — fixed so DuckDB replays the retained
+    * corpus exactly. */
+  private[graft] val TakedownResidue = 4L
+
+  /** DRIVER-GATED takedown, both phases against ONE retained-corpus
+    * oracle: build the index on the FULL corpus, tombstone the
+    * doc_id % 9 == [[TakedownResidue]] class, serve the retained
+    * query batch `masked` (stats-corrected anti-join serve, pinned
+    * before the vacuum), vacuum, serve again `vacuumed`. Both forms
+    * hash-equal the fresh-build replay on the retained corpus — the
+    * takedown contract at its strongest: hidden is indistinguishable
+    * from never-indexed, before AND after physical application. */
+  def bm25TakedownForms(spark: SparkSession, dir: String): DataFrame = {
+    val store = graft.ops.Scratch.dir("graft_bm25_take") + "/ix"
+    val td = toksD(spark, dir)
+    val retainedTd = td.filter(col("doc_id") % 9 =!= TakedownResidue)
+    writeBm25Index(td, store)
+    tombstoneBm25Docs(spark,
+      td.filter(col("doc_id") % 9 === TakedownResidue)
+        .select(col("doc_id")), store)
+    def serve(): DataFrame = bm25TopPerQuery(
+        bm25FromIndexTd(spark, store, retainedTd, BatchQueries,
+          graft.ops.SwapCommit), BmK)
+      .select(col("query_id"), col("doc_id"), col("matched_terms"),
+        col("bm25_micronats"), col("rank").cast("long").as("rank"))
+    val masked = serve().localCheckpoint()
+    vacuumBm25(spark, store)
+    OracleForms.union("masked" -> masked, "vacuumed" -> serve())
+      .select(col("form"), col("query_id"), col("doc_id"),
+        col("matched_terms"), col("bm25_micronats"), col("rank"))
+      .orderBy(col("form"), col("query_id"), col("rank"))
+  }
+
+  // ---------------------------------------------------------------
   // DuckDB replays — same query construction, same quantized
   // arithmetic, same tie-breaks. Heavy CTEs MATERIALIZED (the
   // DuckDB-1.0 CTE-inlining lesson).
   // ---------------------------------------------------------------
 
-  private def bmSql(nq: Int): String =
-    s"""WITH td AS MATERIALIZED (SELECT doc_id, t FROM (SELECT doc_id, ${TextOps.toksSql} AS t FROM documents) WHERE len(t) > 0),
+  private def bmSql(nq: Int): String = bmSqlWhere(nq, "")
+
+  // the same chain over a row-filtered corpus — the takedown gate
+  // replays it on the RETAINED rows (both its forms must equal a
+  // fresh build on what remains)
+  private def bmSqlWhere(nq: Int, cond: String): String =
+    s"""WITH td AS MATERIALIZED (SELECT doc_id, t FROM (SELECT doc_id, ${TextOps.toksSql} AS t FROM documents) WHERE len(t) > 0$cond),
        st AS (SELECT COUNT(*) AS n, CAST(SUM(len(t)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl FROM td),
        qd AS (SELECT doc_id AS query_id, t FROM td ORDER BY doc_id LIMIT $nq),
        qp AS (SELECT query_id, unnest(t) AS term, unnest(range(1, len(t) + 1)) AS pos FROM qd),
@@ -671,6 +843,15 @@ object Retrieval {
       s"""${bmSql(BatchQueries)} SELECT query_id, doc_id, matched_terms, bm25_micronats, CAST(rank AS BIGINT) AS rank FROM tk WHERE rank <= $BmK ORDER BY query_id, rank""",
     "rag_bm25_index_append" ->
       s"""${bmSql(BatchQueries)} SELECT query_id, doc_id, matched_terms, bm25_micronats, CAST(rank AS BIGINT) AS rank FROM tk WHERE rank <= $BmK ORDER BY query_id, rank""",
+    // takedown: both forms (masked serve + post-vacuum serve) replay
+    // ONE fresh-build chain on the retained corpus — hidden must be
+    // indistinguishable from never-indexed
+    "rag_bm25_takedown_forms" ->
+      (OracleForms.sql(
+        s"""${bmSqlWhere(BatchQueries,
+          s" AND doc_id % 9 <> $TakedownResidue")} SELECT query_id, doc_id, matched_terms, bm25_micronats, CAST(rank AS BIGINT) AS rank FROM tk WHERE rank <= $BmK""",
+        Seq("masked", "vacuumed")) +
+        " ORDER BY form, query_id, rank"),
     "rag_hybrid_rrf" ->
       s"""${bmSql(1)}, lex AS (SELECT doc_id, CAST(rank AS BIGINT) AS lex_rank FROM tk WHERE rank <= $RrfDepth),
          q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id = (SELECT min(vec_id) FROM embeddings)),
@@ -708,6 +889,7 @@ object Retrieval {
     "rag_bm25_batch" -> bm25Batch _,
     "rag_bm25_served" -> bm25Served _,
     "rag_bm25_index_append" -> bm25IndexAppend _,
+    "rag_bm25_takedown_forms" -> bm25TakedownForms _,
     "rag_hybrid_rrf" -> hybridRrf _,
     "rag_hybrid_rrf_ivf" -> hybridRrfIvf _,
     "rag_hybrid_rrf_batch" -> hybridRrfBatch _)

@@ -76,4 +76,23 @@ object SinkGuard {
     batchMax.foreach(StoreFiles.writeIdWatermark(guardDir, _))
     StoreFiles.createMarker(guardDir, marker)
   }
+
+  /** Append ids to the guard root's PERMANENT removed-id log
+    * (`_removed/` — an underscore dir, invisible to plain parquet
+    * reads of the root). A takedown physically removes ids from the
+    * store, which silently re-opens the post-crash anti-join
+    * fallback in [[fresh]]: "not in the store" no longer means
+    * "never admitted", so a replayed batch could re-admit a removed
+    * id. Sinks whose family supports removal union this log into
+    * their `seenIds` — removal must never look like novelty. */
+  def appendRemovedIds(ids: DataFrame, guardDir: String): Unit =
+    ids.write.mode("append").parquet(s"$guardDir/_removed")
+
+  /** The guard root's removed-id log, None when no removal ever ran
+    * (one existence probe — the steady-state cost). */
+  def removedIds(spark: org.apache.spark.sql.SparkSession,
+      guardDir: String): Option[DataFrame] =
+    if (StoreFiles.hasTopLevelParquet(s"$guardDir/_removed"))
+      Some(spark.read.parquet(s"$guardDir/_removed").distinct())
+    else None
 }

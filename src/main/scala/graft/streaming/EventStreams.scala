@@ -301,8 +301,16 @@ object EventStreams {
         graft.ops.SinkGuard.prologue(goldDir, "_ids_synced", goldSeeded,
           repair = Some(() => graft.ext.Dedup.rebuildIndex(
             spark, goldDir, indexDir, commit = commit)))
+        // the anti-join fallback unions the permanent removed-id log
+        // (Dedup.vacuumGold): a vacuumed doc absent from gold must
+        // not read as never-admitted
         val fresh = graft.ops.SinkGuard.fresh(batch, goldDir, "doc_id",
-          goldSeeded, spark.read.parquet(goldDir).select("doc_id"))
+          goldSeeded, {
+            val stored = spark.read.parquet(goldDir).select("doc_id")
+            graft.ops.SinkGuard.removedIds(spark, goldDir)
+              .map(r => stored.unionByName(r.select("doc_id")))
+              .getOrElse(stored)
+          })
         // the watermark covers the WHOLE batch (duplicates too — a
         // replayed dup would just re-judge duplicate), computed
         // before any append invalidates fresh's gold-reading lineage
@@ -493,8 +501,16 @@ object EventStreams {
         // localCheckpoint (EAGER): the fresh set's lineage reads the
         // gold dir this batch appends to — same re-execution hazard
         // as incrementalDedupSink's accepted set
+        // the anti-join fallback unions the permanent removed-id log
+        // (ProductQuant.vacuumVectorGold): a vacuumed vector absent
+        // from gold must not read as never-admitted
         val fresh = graft.ops.SinkGuard.fresh(batch, goldDir, "vec_id",
-          goldSeeded, spark.read.parquet(goldDir).select("vec_id"))
+          goldSeeded, {
+            val stored = spark.read.parquet(goldDir).select("vec_id")
+            graft.ops.SinkGuard.removedIds(spark, goldDir)
+              .map(r => stored.unionByName(r.select("vec_id")))
+              .getOrElse(stored)
+          })
           .localCheckpoint()
         val mx = fresh.agg(max(col("vec_id"))).head() // pinned frame
         graft.ops.SinkGuard.commit(goldDir, "_ids_synced",
@@ -595,9 +611,16 @@ object EventStreams {
         graft.ops.SinkGuard.prologue(cellsDir, "_ids_synced",
           storeSeeded, repair = Some(() =>
             repairSemanticVerdicts(spark, cellsDir, verdictsDir, commit)))
+        // the anti-join fallback unions the permanent removed-id log
+        // (Dedup.removeSemanticVectors): a taken-down id absent from
+        // the store must not read as never-admitted
         val fresh = graft.ops.SinkGuard.fresh(batch, cellsDir,
-          "vec_id", storeSeeded,
-          commit.read(spark, cellsDir).select("vec_id"))
+          "vec_id", storeSeeded, {
+            val stored = commit.read(spark, cellsDir).select("vec_id")
+            graft.ops.SinkGuard.removedIds(spark, cellsDir)
+              .map(r => stored.unionByName(r.select("vec_id")))
+              .getOrElse(stored)
+          })
         val batchCells = graft.ext.Dedup
           .assignSemanticCells(fresh, coarse, subs, subK)
           .localCheckpoint()
@@ -877,9 +900,16 @@ object EventStreams {
           }))
         val batch = raw.select(col("vec_id"),
           col("embedding").cast("array<double>").as("v"))
+        // the anti-join fallback unions the permanent removed-id log:
+        // a takedown (ClusterOps.removeKnnVectors) empties ids from
+        // the store, and "absent" must not read as "never admitted"
         val fresh = graft.ops.SinkGuard.fresh(batch, edgesDir,
-          "vec_id", storeSeeded,
-          commit.read(spark, cellsDir).select("vec_id"))
+          "vec_id", storeSeeded, {
+            val stored = commit.read(spark, cellsDir).select("vec_id")
+            graft.ops.SinkGuard.removedIds(spark, edgesDir)
+              .map(r => stored.unionByName(r.select("vec_id")))
+              .getOrElse(stored)
+          })
         val assigned = assign(fresh)
           .select(col("vec_id"), col("cell"), col("v"))
           .localCheckpoint()

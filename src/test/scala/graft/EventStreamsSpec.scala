@@ -1804,4 +1804,143 @@ class EventStreamsSpec extends SparkSpec {
       Option(ex.getCause).exists(_.getMessage.contains("replay watermark")),
       s"must refuse loudly, got: ${ex.getMessage}")
   }
+
+  test("semantic takedown: cells shed the removed ids, verdicts " +
+      "re-elect exactly as a retained-store recompute, and the " +
+      "removed-id log blocks re-admission through the post-crash " +
+      "anti-join fallback") {
+    import java.nio.file.{Files, Paths}
+    import graft.ext.Dedup
+    val base = Files.createTempDirectory("graft_sem_rm").toString
+    val srcDir = s"$base/src"; Files.createDirectories(Paths.get(srcDir))
+    val cellsRoot = s"$base/cells"; val verdictsDir = s"$base/verdicts"
+    val e = Tables.embeddings(spark, sf)
+    val maxId = e.agg(max(col("vec_id"))).head().getLong(0)
+    val (coarse, subs) = Dedup.trainSemanticQuantizers(
+      graft.ext.KMeans.vecs(spark, sf), Dedup.SubK)
+    def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory("graft_rm_batch")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val f = new java.io.File(tmp.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(f.toPath, Paths.get(srcDir, name)); ()
+    }
+    def runOnce(): Unit =
+      EventStreams.semanticDedupSink(
+        spark.readStream.schema(e.schema).parquet(srcDir),
+        coarse, subs, Dedup.SubK, cellsRoot, verdictsDir,
+        s"$base/chk").stop()
+    stage(e, "b0.parquet"); runOnce()
+
+    val removedIds = e.filter(col("vec_id") % 9 === 4)
+      .select(col("vec_id"))
+    val nExpected = removedIds.count()
+    assert(Dedup.removeSemanticVectors(spark, removedIds, cellsRoot,
+      verdictsDir) == nExpected)
+    // store clean
+    val cellIds = () => spark.read.parquet(cellsRoot)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(cellIds().forall(_ % 9 != 4))
+    // the STRONG gate: the rewritten log equals a full recompute on
+    // the retained store (kept cells verbatim + touched re-election)
+    def vr(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("vec_id"), col("cell").cast("int"), col("is_dup"),
+          col("dup_of"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSet
+    assert(vr(spark.read.parquet(verdictsDir)) ==
+      vr(Dedup.semanticDedupFromCells(spark, cellsRoot)))
+    // watermark preserved at its PRE-removal value; re-removal no-ops
+    assert(graft.ops.StoreFiles.readIdWatermark(cellsRoot)
+      .contains(maxId))
+    assert(Dedup.removeSemanticVectors(spark, removedIds, cellsRoot,
+      verdictsDir) == 0L)
+    // post-crash fallback: marker + watermark lost → the next batch
+    // anti-joins, and a REPLAYED removed id must stay out (the log),
+    // while a genuinely new id is admitted
+    graft.ops.StoreFiles.deleteMarker(cellsRoot, "_ids_synced")
+    graft.ops.StoreFiles.deleteIdWatermark(cellsRoot)
+    val removedOne = e.filter(col("vec_id") % 9 === 4)
+      .orderBy(col("vec_id")).limit(1).localCheckpoint()
+    val freshOne = removedOne.withColumn("vec_id", lit(maxId + 10))
+    stage(removedOne.unionByName(freshOne), "b1.parquet"); runOnce()
+    val after = cellIds()
+    assert(after.contains(maxId + 10), "the new id must be admitted")
+    assert(after.forall(_ % 9 != 4),
+      "a replayed removed id must never be re-admitted")
+  }
+
+  test("knn takedown survives its crash window: marker down mid-" +
+      "removal → the next batch's prologue converges edges+labels, " +
+      "and the removed-id log holds through the fallback") {
+    import java.nio.file.{Files, Paths}
+    import graft.ext.{ClusterOps, Dedup, KMeans}
+    val base = Files.createTempDirectory("graft_knn_rm_crash").toString
+    val srcDir = s"$base/src"; Files.createDirectories(Paths.get(srcDir))
+    val cellsRoot = s"$base/cells"; val edgesDir = s"$base/edges"
+    val labelsDir = s"$base/labels"
+    val e = Tables.embeddings(spark, sf)
+    val maxId = e.agg(max(col("vec_id"))).head().getLong(0)
+    val cents = KMeans.trainFrame(
+      KMeans.vecs(spark, sf).select(col("vec_id"), col("v")), KMeans.K)
+    def assign(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("vec_id"),
+        graft.functions.NearestCentroid(col("v"), cents.map(_._2))
+          .as("cell"), col("v"))
+    def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory("graft_rm_batch")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val f = new java.io.File(tmp.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(f.toPath, Paths.get(srcDir, name)); ()
+    }
+    def runOnce(): Unit =
+      EventStreams.knnGraphSink(
+        spark.readStream.schema(e.schema).parquet(srcDir),
+        assign, cellsRoot, edgesDir, Some(labelsDir), s"$base/chk").stop()
+    stage(e, "b0.parquet"); runOnce()
+
+    // the crash: cells replaced + log written, but the repairs and
+    // the marker re-arm never ran — simulated by the real removal
+    // followed by re-tearing its end state
+    val removedIds = e.filter(col("vec_id") % 9 === 4)
+      .select(col("vec_id"))
+    assert(ClusterOps.removeKnnVectors(spark, removedIds, cellsRoot,
+      edgesDir, Some(labelsDir)) > 0)
+    graft.ops.StoreFiles.deleteMarker(edgesDir, "_cells_synced")
+    graft.ops.StoreFiles.deleteIdWatermark(edgesDir)
+    // stale edges: poison one retained cell's edge partition so the
+    // prologue repair has something real to converge
+    val cell0 = spark.read.parquet(cellsRoot).select(col("cell"))
+      .distinct().orderBy(col("cell")).head().get(0).toString.toInt
+    graft.ops.StoreFiles.deleteDir(s"$edgesDir/cell=$cell0")
+    // next batch: one replayed removed id (must stay out) + one new
+    val removedOne = e.filter(col("vec_id") % 9 === 4)
+      .orderBy(col("vec_id")).limit(1).localCheckpoint()
+    val freshOne = removedOne.withColumn("vec_id", lit(maxId + 10))
+    stage(removedOne.unionByName(freshOne), "b1.parquet"); runOnce()
+    val cellIds = spark.read.parquet(cellsRoot)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(cellIds.contains(maxId + 10))
+    assert(cellIds.forall(_ % 9 != 4),
+      "a replayed removed id must never re-enter the graph")
+    // edges+labels converged to the one-shot rebuild on what remains
+    val want = assign(KMeans.vecs(spark, sf))
+      .filter(col("vec_id") % 9 =!= 4)
+      .unionByName(assign(freshOne.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))))
+    val oneShotE = s"$base/oneshot_e"; val oneShotL = s"$base/oneshot_l"
+    ClusterOps.writeKnnEdges(want, oneShotE)
+    ClusterOps.writeKnnCommunityLabels(want, oneShotL)
+    def edgeRows(dir: String) = spark.read.parquet(dir)
+      .select(col("vec_id"), col("rk").cast("int"), col("nbr_id"),
+        col("cosine"), col("cell").cast("int"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3), r.getInt(4))).toSet
+    def labelRows(dir: String) = spark.read.parquet(dir)
+      .select(col("vec_id"), col("community_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(edgeRows(edgesDir) == edgeRows(oneShotE))
+    assert(labelRows(labelsDir) == labelRows(oneShotL))
+  }
 }

@@ -166,6 +166,10 @@ class PlanLintSpec extends SparkSpec {
     // the community-keyed rank (NDV ~ corpus size, group = community)
     "sim_knn_graph", "sim_knn_components", "sim_knn_graph_p2_forms",
     "sim_knn_keep_best", "sim_knn_community_hist",
+    // the removal gates build the pre-removal stores (writeKnnEdges'
+    // same row-keyed rank) and the repairs recompute touched cells
+    // through the identical rank — group still bounded by cell size
+    "sim_knn_remove_edges", "sim_knn_remove_labels",
     // the merge-family forms entry runs the same row-keyed rank over
     // the gold side, the recomputed touched cells, and (served form)
     // the partition-pruned artifact read; the sub-probe forms entry
@@ -221,7 +225,7 @@ class PlanLintSpec extends SparkSpec {
       // queries·salts·k — Retrieval scaladoc); the store-fed forms
       // answer through the same two-phase rank
       "rag_bm25_topk", "rag_bm25_batch", "rag_bm25_served",
-      "rag_bm25_index_append",
+      "rag_bm25_index_append", "rag_bm25_takedown_forms",
       // per-cluster quota rides SkewOps.topKPerGroup (stage-2 bounded
       // at K·salts·quota — ClusterOps.clusterBalanceSample scaladoc);
       // the served form answers through the same two-phase rank

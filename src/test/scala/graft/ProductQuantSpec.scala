@@ -495,4 +495,48 @@ class ProductQuantSpec extends SparkSpec {
         r.getInt(4)))
     assert(got.toSeq == live.toSeq)
   }
+
+  test("vector-gold vacuum: codes rebuild to the retained re-encode, " +
+      "gold bytes reclaim, the watermark survives, re-vacuum no-ops") {
+    import java.nio.file.Files
+    import graft.ext.{KMeans, ProductQuant}
+    val base = Files.createTempDirectory("graft_pq_vac").toString
+    val goldDir = s"$base/gold"; val codesDir = s"$base/codes"
+    val e = Tables.embeddings(spark, sf)
+    val maxId = e.agg(max(col("vec_id"))).head().getLong(0)
+    val coarse = KMeans.train(spark, sf)
+    val rcbs = ProductQuant.residualCodebooks(spark, sf, coarse)
+    e.write.parquet(goldDir)
+    graft.ops.StoreFiles.writeIdWatermark(goldDir, maxId)
+    graft.ops.StoreFiles.createMarker(goldDir, "_ids_synced")
+    ProductQuant.rebuildCodes(spark, goldDir, codesDir, coarse, rcbs)
+    def cast(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+    def codeRows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("vec_id"), col("label").cast("long"),
+          col("cell").cast("int"),
+          col("code0"), col("code1"), col("code2"), col("code3"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+          r.getInt(3), r.getInt(4), r.getInt(5), r.getInt(6))).toSet
+    val rem = e.filter(col("vec_id") % 9 === 4).select(col("vec_id"))
+    val (n, bytes) = ProductQuant.vacuumVectorGold(spark, rem,
+      goldDir, codesDir, coarse, rcbs)
+    assert(n == rem.count() && bytes > 0)
+    assert(spark.read.parquet(goldDir)
+      .filter(col("vec_id") % 9 === 4).isEmpty)
+    assert(codeRows(spark.read.parquet(codesDir)) == codeRows(
+      ProductQuant.encodeFrameResidual(
+        cast(e.filter(col("vec_id") % 9 =!= 4)), coarse, rcbs)),
+      "vacuumed codes must equal the retained re-encode")
+    // pre-removal watermark survives (replayed old batches must drop)
+    assert(graft.ops.StoreFiles.readIdWatermark(goldDir)
+      .contains(maxId))
+    assert(graft.ops.StoreFiles.markerExists(goldDir, "_ids_synced"))
+    // the permanent log holds the removed ids; re-vacuum no-ops
+    assert(graft.ops.SinkGuard.removedIds(spark, goldDir)
+      .get.count() == n)
+    assert(ProductQuant.vacuumVectorGold(spark, rem, goldDir,
+      codesDir, coarse, rcbs) == ((0L, 0L)))
+  }
 }

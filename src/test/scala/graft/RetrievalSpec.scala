@@ -235,4 +235,52 @@ class RetrievalSpec extends SparkSpec {
         assert(bf(r.getLong(0)) == r.getLong(1))
     }
   }
+
+  test("takedown lifecycle: masked serve == fresh retained build, " +
+      "vacuum applies physically + resets the list, torn vacuum " +
+      "recovers, re-tombstone and never-indexed ids no-op") {
+    import java.nio.file.Files
+    val base = Files.createTempDirectory("graft_take").toString
+    val store = s"$base/ix"; val freshStore = s"$base/fresh"
+    val d = Tables.documents(spark, sf)
+    val td = d.select(col("doc_id"),
+        graft.ext.TextOps.tokens(col("text")).as("t"))
+      .filter(size(col("t")) > 0)
+    val retained = td.filter(col("doc_id") % 9 =!= 4)
+    Retrieval.writeBm25Index(td, store)
+    Retrieval.writeBm25Index(retained, freshStore)
+    def serve(s: String) = Retrieval.bm25BatchFromIndex(spark, sf, s)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    // NOTE: both stores serve the SAME query batch (from the docs
+    // table), so the comparison isolates the store-side correction
+    val pre = serve(store)
+    Retrieval.tombstoneBm25Docs(spark,
+      td.filter(col("doc_id") % 9 === 4).select(col("doc_id")), store)
+    val want = serve(freshStore)
+    assert(serve(store) == want,
+      "masked serve must equal a fresh build on the retained corpus")
+    assert(pre != want, "the takedown must actually change answers")
+    // never-indexed ids no-op (the removed list stays id-stable)
+    val remDir = graft.ops.SwapCommit.readDir(s"$store/removed")
+    val nRem = spark.read.parquet(remDir).count()
+    Retrieval.tombstoneBm25Docs(spark,
+      spark.range(10).select((col("id") + 1000000L).as("doc_id")), store)
+    assert(spark.read.parquet(remDir).count() == nRem)
+    // torn vacuum: marker lost mid-flight → recovery completes it
+    graft.ops.StoreFiles.deleteMarker(store, "_takedown_synced")
+    assert(Retrieval.recoverBm25Takedown(spark, store),
+      "pending removals without the consistency marker = torn vacuum")
+    assert(serve(store) == want, "recovered store must serve retained")
+    assert(graft.ops.SwapCommit.fileCount(s"$store/removed") == 0,
+      "recovery must have reset the removed list")
+    assert(!Retrieval.recoverBm25Takedown(spark, store))
+    // a second vacuum with nothing pending is a no-op
+    assert(Retrieval.vacuumBm25(spark, store) == ((0L, 0L)))
+    // re-tombstone of already-vacuumed ids: no postings left → no-op
+    Retrieval.tombstoneBm25Docs(spark,
+      td.filter(col("doc_id") % 9 === 4).select(col("doc_id")), store)
+    assert(graft.ops.SwapCommit.fileCount(s"$store/removed") == 0)
+    assert(serve(store) == want)
+  }
 }
