@@ -620,8 +620,11 @@ object Dedup {
     val rem = removedIds.select(col("vec_id")).distinct()
       .localCheckpoint()
     if (rem.isEmpty) return 0L
+    // schema-preserving, like the compaction: the store carries cell2
+    // (the runner-up probe cell) and any future data column — a
+    // removal must not silently drop them
     val stored = commit.read(spark, cellsDir)
-      .select(col("vec_id"), col("cell").cast("int").as("cell"), col("v"))
+      .withColumn("cell", col("cell").cast("int"))
     val touched = stored.join(broadcast(rem), Seq("vec_id"))
       .select(col("cell")).distinct()
       .collect().map(_.getInt(0)).sorted // bounded by the cell count

@@ -1837,10 +1837,13 @@ class EventStreamsSpec extends SparkSpec {
     val nExpected = removedIds.count()
     assert(Dedup.removeSemanticVectors(spark, removedIds, cellsRoot,
       verdictsDir) == nExpected)
-    // store clean
+    // store clean, and SCHEMA-preserving (cell2 — the runner-up
+    // probe cell — must survive the rewrite)
     val cellIds = () => spark.read.parquet(cellsRoot)
       .select("vec_id").collect().map(_.getLong(0)).toSet
     assert(cellIds().forall(_ % 9 != 4))
+    assert(spark.read.parquet(cellsRoot).columns.contains("cell2"),
+      "removal must not silently drop store columns")
     // the STRONG gate: the rewritten log equals a full recompute on
     // the retained store (kept cells verbatim + touched re-election)
     def vr(df: org.apache.spark.sql.DataFrame) =
