@@ -749,8 +749,9 @@ object Curation {
     s"""SELECT doc_id, chunk_idx, len(c) AS chunk_len, md5(array_to_string(c, ' ')) AS chunk_fp FROM (SELECT doc_id, chunk_idx, list_slice(t, chunk_idx*$ChunkSize+1, chunk_idx*$ChunkSize+$ChunkSize) AS c FROM (SELECT doc_id, t, unnest(range(0, CAST(ceil(len(t) / ${ChunkSize}.0) AS BIGINT))) AS chunk_idx FROM (SELECT doc_id, ${TextOps.toksSql} AS t FROM documents) WHERE len(t) > 0))"""
 
   // the deterministic snapshot views (Scala side: snapshotViews) as a
-  // shared CTE prefix for every diff-family oracle
-  private val snapViewsSql =
+  // shared CTE prefix for every diff-family oracle (private[graft]:
+  // the retrieval tier's diff-upsert gate replays the same bump)
+  private[graft] val snapViewsSql =
     """v1 AS (SELECT doc_id, source, CASE WHEN doc_id % 11 = 0 THEN substr(text, 1, CAST(length(text) // 2 AS INT)) ELSE text END AS text FROM documents WHERE doc_id % 7 <> 3),
 v2 AS (SELECT doc_id, source, text FROM documents WHERE doc_id % 17 <> 5)"""
 

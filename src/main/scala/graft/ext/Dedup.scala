@@ -1689,10 +1689,14 @@ object Dedup {
     * maintenance pass under the commit protocol:
     *
     *  1. gold rewrites WITHOUT the tombstoned rows (rename-aside
-    *     replace; the guard watermark and sync marker are restored
-    *     after the swap — the watermark must stay at its PRE-vacuum
-    *     value, because the retained max id can be lower and replayed
-    *     old batches must still drop);
+    *     replace — NOTE: gold is a FLAT append-only dir by the sink
+    *     family's contract, so its whole-dir swap needs an
+    *     atomic-rename filesystem; an object-store deployment runs
+    *     the vacuum against a posix/HDFS staging mount, or adopts a
+    *     versioned gold root before using it. The guard watermark
+    *     and sync marker are restored after the swap — the watermark
+    *     must stay at its PRE-vacuum value, because the retained max
+    *     id can be lower and replayed old batches must still drop);
     *  2. the index rebuilds from the retained corpus with the
     *     tombstone list RESET (the removals are now physical — a
     *     carried list would be a permanent no-op tax on every probe).

@@ -298,7 +298,9 @@ object ProductQuant {
 
   /** Remove vectors from the PQ family (round 17 — the codes tier's
     * takedown, composing two already-gated pieces): the vector gold
-    * corpus rewrites without the removed ids (rename-aside replace,
+    * corpus rewrites without the removed ids (rename-aside replace —
+    * like [[graft.ext.Dedup.vacuumGold]], the flat gold dir's swap
+    * needs an atomic-rename filesystem; see the caveat there —
     * watermark restored at its PRE-removal value, removed ids carried
     * into the permanent `_removed` log the sink's post-crash fallback
     * unions), then [[rebuildCodes]] — the same derived-state recovery

@@ -808,6 +808,47 @@ object Retrieval {
       .orderBy(col("form"), col("query_id"), col("rank"))
   }
 
+  /** DRIVER-GATED diff-driven index upsert (round 17 — the retrieval
+    * sibling of `curation_bump_pipeline`): a corpus version bump
+    * (v1 → v2, the [[graft.ext.Curation.snapshotViews]] fixture)
+    * applied to a LIVE index incrementally —
+    *
+    *   index built on v1 → snapshot diff → tombstone the removed AND
+    *   changed docs' old rows → vacuum (physical; resets the list so
+    *   the changed ids can serve again) → append the added and
+    *   changed docs' v2 rows —
+    *
+    * then the standard batch served from the upserted store. Oracle =
+    * the full BM25 chain on a FRESH v2 build, so hash equality proves
+    * incremental maintenance == rebuild through real score arithmetic
+    * (n, avgdl, df, and every changed doc's dl all shift with the
+    * bump). Work is diff-sized except the vacuum's one postings
+    * rewrite — the operator-scheduled cost the takedown tier already
+    * prices. */
+  def bm25DiffUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val store = graft.ops.Scratch.dir("graft_bm25_diff") + "/ix"
+    val (v1, v2) = Curation.snapshotViews(Tables.documents(spark, dir))
+    def tdOf(df: DataFrame) = df.select(col("doc_id"),
+        TextOps.tokens(col("text")).as("t"))
+      .filter(size(col("t")) > 0)
+    writeBm25Index(tdOf(v1), store)
+    val diff = Curation.snapshotDiffDocsOn(v1, v2).localCheckpoint()
+    tombstoneBm25Docs(spark,
+      diff.filter(col("status").isin("removed", "changed"))
+        .select(col("doc_id")), store)
+    vacuumBm25(spark, store)
+    val incoming = v2.join(
+      diff.filter(col("status").isin("added", "changed"))
+        .select(col("doc_id")), Seq("doc_id"))
+    appendBm25Index(spark, tdOf(incoming), store)
+    bm25TopPerQuery(
+        bm25FromIndexTd(spark, store, tdOf(v2), BatchQueries,
+          graft.ops.SwapCommit), BmK)
+      .select(col("query_id"), col("doc_id"), col("matched_terms"),
+        col("bm25_micronats"), col("rank").cast("long").as("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   // ---------------------------------------------------------------
   // DuckDB replays — same query construction, same quantized
   // arithmetic, same tie-breaks. Heavy CTEs MATERIALIZED (the
@@ -820,7 +861,13 @@ object Retrieval {
   // replays it on the RETAINED rows (both its forms must equal a
   // fresh build on what remains)
   private def bmSqlWhere(nq: Int, cond: String): String =
-    s"""WITH td AS MATERIALIZED (SELECT doc_id, t FROM (SELECT doc_id, ${TextOps.toksSql} AS t FROM documents) WHERE len(t) > 0$cond),
+    bmSqlOn(nq, "documents", cond, "")
+
+  // ...and over an arbitrary source relation with optional prefix
+  // CTEs — the diff-upsert gate replays it on the v2 snapshot view
+  private def bmSqlOn(nq: Int, src: String, cond: String,
+      prefix: String): String =
+    s"""WITH ${prefix}td AS MATERIALIZED (SELECT doc_id, t FROM (SELECT doc_id, ${TextOps.toksSql} AS t FROM $src) WHERE len(t) > 0$cond),
        st AS (SELECT COUNT(*) AS n, CAST(SUM(len(t)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl FROM td),
        qd AS (SELECT doc_id AS query_id, t FROM td ORDER BY doc_id LIMIT $nq),
        qp AS (SELECT query_id, unnest(t) AS term, unnest(range(1, len(t) + 1)) AS pos FROM qd),
@@ -846,6 +893,11 @@ object Retrieval {
     // takedown: both forms (masked serve + post-vacuum serve) replay
     // ONE fresh-build chain on the retained corpus — hidden must be
     // indistinguishable from never-indexed
+    // diff-driven upsert == fresh v2 rebuild, replayed on the same
+    // snapshot-view CTEs the curation diff family shares
+    "rag_bm25_diff_upsert" ->
+      s"""${bmSqlOn(BatchQueries, "v2", "",
+        Curation.snapViewsSql + ",\n")} SELECT query_id, doc_id, matched_terms, bm25_micronats, CAST(rank AS BIGINT) AS rank FROM tk WHERE rank <= $BmK ORDER BY query_id, rank""",
     "rag_bm25_takedown_forms" ->
       (OracleForms.sql(
         s"""${bmSqlWhere(BatchQueries,
@@ -890,6 +942,7 @@ object Retrieval {
     "rag_bm25_served" -> bm25Served _,
     "rag_bm25_index_append" -> bm25IndexAppend _,
     "rag_bm25_takedown_forms" -> bm25TakedownForms _,
+    "rag_bm25_diff_upsert" -> bm25DiffUpsert _,
     "rag_hybrid_rrf" -> hybridRrf _,
     "rag_hybrid_rrf_ivf" -> hybridRrfIvf _,
     "rag_hybrid_rrf_batch" -> hybridRrfBatch _)

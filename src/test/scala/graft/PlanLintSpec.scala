@@ -226,6 +226,7 @@ class PlanLintSpec extends SparkSpec {
       // answer through the same two-phase rank
       "rag_bm25_topk", "rag_bm25_batch", "rag_bm25_served",
       "rag_bm25_index_append", "rag_bm25_takedown_forms",
+      "rag_bm25_diff_upsert",
       // per-cluster quota rides SkewOps.topKPerGroup (stage-2 bounded
       // at K·salts·quota — ClusterOps.clusterBalanceSample scaladoc);
       // the served form answers through the same two-phase rank
