@@ -482,6 +482,53 @@ object StreamScaleUp {
         f"rewrite ${(System.nanoTime() - t3) / 1e9}%.1f s")
     }
 
+    if (on("lexman")) locally {
+      // manifest-mode lexical sink at 100×: what does the rename-free
+      // protocol COST where it is structurally priciest? Every
+      // streamed append pays the pointer resolution plus TWO
+      // recursive listings of the live version (the before/after
+      // delta that extends the committed file list) — O(store files)
+      // metadata work per batch by design. The numbers to read: the
+      // manifest sink wall vs the swap-mode `lex` section's, and
+      // serve parity EXACT against a swap-mode one-shot rebuild.
+      import graft.ops.{ManifestCommit, Manifest, StoreFiles}
+      val docsSchema = spark.read.parquet(docsDir).schema
+      val store = s"$base/bm25_ix_man"
+      StoreFiles.deleteDir(store)
+      StoreFiles.deleteDir(s"$base/ckpt_lexman")
+      val t0 = System.nanoTime()
+      EventStreams.lexicalIndexSink(
+        spark.readStream.schema(docsSchema)
+          .option("maxFilesPerTrigger", 1).parquet(docsDir),
+        store, s"$base/ckpt_lexman", commit = ManifestCommit).stop()
+      val pLive = ManifestCommit.readDir(s"$store/postings")
+      println(f"[streamscale] lexman sink total " +
+        f"${(System.nanoTime() - t0) / 1e9}%.1f s " +
+        f"(manifest ${Manifest.read(pLive).map(_.size).getOrElse(-1)}%d " +
+        f"committed objects)")
+      def tdOf(df: DataFrame): DataFrame = df
+        .select(col("doc_id"),
+          graft.ext.TextOps.tokens(col("text")).as("t"))
+        .filter(size(col("t")) > 0)
+      val rebuildStore = s"$base/bm25_man_rebuild"
+      StoreFiles.deleteDir(rebuildStore)
+      val t1 = System.nanoTime()
+      graft.ext.Retrieval.writeBm25Index(
+        tdOf(spark.read.parquet(docsDir)), rebuildStore)
+      println(f"[streamscale] lexman swap one-shot rebuild " +
+        f"${(System.nanoTime() - t1) / 1e9}%.1f s")
+      val t2 = System.nanoTime()
+      val served = graft.ext.Retrieval
+        .bm25BatchFromIndex(spark, base, store, ManifestCommit)
+        .collect().toSeq
+      println(f"[streamscale] lexman serve (manifest read) " +
+        f"${(System.nanoTime() - t2) / 1e9}%.1f s (${served.length}%d rows)")
+      val rebuilt = graft.ext.Retrieval
+        .bm25BatchFromIndex(spark, base, rebuildStore).collect().toSeq
+      println(s"[streamscale] lexman parity vs swap rebuild: " +
+        (if (served == rebuilt) "EXACT" else "MISMATCH"))
+    }
+
     if (on("takedown")) locally {
       // the retrieval-tier takedown at 100× (round 17): tombstone 10%
       // of a built BM25 store, read the MASKED serve cost (should
