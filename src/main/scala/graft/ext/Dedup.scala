@@ -612,8 +612,13 @@ object Dedup {
     * (the takedown HOLDS) with stale verdict rows for the removed
     * vecs — re-running the removal (idempotent: the anti-join is a
     * no-op, the rewrite completes) converges the log. The replay
-    * watermark is restored at its PRE-removal value. Returns the
-    * number of removed vectors. */
+    * watermark is restored at its PRE-removal value. NOTE: the
+    * verdict log is a FLAT dir by the sink family's contract, so its
+    * rewrite rides the rename-aside swap — the same atomic-rename
+    * caveat as [[vacuumGold]]'s flat gold dir; the CELLS side (the
+    * source of truth) commits through `commit` and is object-store
+    * safe in pointer/manifest modes. Returns the number of removed
+    * vectors. */
   def removeSemanticVectors(spark: SparkSession, removedIds: DataFrame,
       cellsDir: String, verdictsDir: String,
       commit: graft.ops.StoreCommit = graft.ops.SwapCommit): Long = {

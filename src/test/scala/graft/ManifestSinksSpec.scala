@@ -445,6 +445,28 @@ class ManifestSinksSpec extends SparkSpec {
         labelsDir, ManifestCommit) == 0)
       assert(edgeRows(edgesDir) == edgeRows(oneShotE),
         "edges must be untouched after the no-op repair")
+
+      // takedown under the object-store protocol: the cells replace
+      // commits a fresh manifest-sealed version (the stranded junk
+      // dies with the old one) and the repairs converge edges+labels
+      // to the one-shot build on the retained vectors
+      val removed = e.filter(col("vec_id") % 9 === 4)
+        .select(col("vec_id"))
+      assert(ClusterOps.removeKnnVectors(spark, removed, cellsRoot,
+        edgesDir, Some(labelsDir), ManifestCommit) == removed.count())
+      val vLive = ManifestCommit.readDir(cellsRoot)
+      assert(Manifest.read(vLive).get.toSet ==
+        Manifest.dataFiles(vLive).toSet,
+        "the removal's version must seal a complete manifest")
+      val retained = assign(KMeans.vecs(spark, sf))
+        .filter(col("vec_id") % 9 =!= 4)
+      val retE = s"$base/ret_e"; val retL = s"$base/ret_l"
+      ClusterOps.writeKnnEdges(retained, retE)
+      ClusterOps.writeKnnCommunityLabels(retained, retL)
+      assert(edgeRows(edgesDir) == edgeRows(retE),
+        "manifest-mode removal must converge edges to the retained " +
+          "one-shot build")
+      assert(labelRows(labelsDir) == labelRows(retL))
     }
   }
 }
