@@ -584,14 +584,19 @@ object Dedup {
         .repartition(col("cell"))
         .localCheckpoint()
       // the guard root's removed-id log ([[removeSemanticVectors]])
-      // lives inside the root a swap-mode replace destroys — carry it
-      val carriedLog = graft.ops.SinkGuard.removedIds(spark, cellsDir)
-        .map(_.localCheckpoint())
+      // lives inside the root a SWAP-mode replace destroys — carry it
+      // inside the staging dir (atomic with the content). In pointer
+      // and manifest modes the root survives the version flip and the
+      // log must not be touched (a re-append would duplicate it on
+      // every compaction cycle).
+      val carriedLog =
+        if (commit.rootSurvivesReplace) None
+        else graft.ops.SinkGuard.removedIds(spark, cellsDir)
+          .map(_.localCheckpoint())
       commit.replace(cellsDir) { next =>
         compacted.write.partitionBy("cell").parquet(next)
+        carriedLog.foreach(_.write.parquet(s"$next/_removed"))
       }
-      carriedLog.foreach(
-        graft.ops.SinkGuard.appendRemovedIds(_, cellsDir))
       true
     } else false
   }
@@ -640,17 +645,27 @@ object Dedup {
       .localCheckpoint()
     val removedN = stored.count() - retained.count()
     val wm = graft.ops.StoreFiles.readIdWatermark(cellsDir)
-    // the guard root IS the replaced dir in swap mode, so the log is
-    // captured (pinned) before the replace and re-written after —
-    // carried, like the index tombstones across rebuilds
-    val carriedLog = graft.ops.SinkGuard.removedIds(spark, cellsDir)
-      .map(_.select(col("vec_id")).unionByName(rem).distinct())
-      .getOrElse(rem).localCheckpoint()
     graft.ops.StoreFiles.deleteMarker(cellsDir, "_ids_synced")
-    commit.replace(cellsDir) { next =>
-      retained.write.partitionBy("cell").parquet(next)
+    if (commit.rootSurvivesReplace) {
+      // pointer/manifest: the root-level log survives the version
+      // flip — append ONLY this removal's ids (a carry would
+      // duplicate the whole log on every removal)
+      commit.replace(cellsDir) { next =>
+        retained.write.partitionBy("cell").parquet(next)
+      }
+      graft.ops.SinkGuard.appendRemovedIds(rem, cellsDir)
+    } else {
+      // swap: the replace destroys the root and the log with it, so
+      // the carry (old log ∪ this removal) is written INTO the
+      // staging dir — one atomic swap moves data and log together
+      val carriedLog = graft.ops.SinkGuard.removedIds(spark, cellsDir)
+        .map(_.select(col("vec_id")).unionByName(rem).distinct())
+        .getOrElse(rem).localCheckpoint()
+      commit.replace(cellsDir) { next =>
+        retained.write.partitionBy("cell").parquet(next)
+        carriedLog.write.parquet(s"$next/_removed")
+      }
     }
-    graft.ops.SinkGuard.appendRemovedIds(carriedLog, cellsDir)
     val touchedVals = touched.map(Integer.valueOf)
     val rewritten = (
       spark.read.parquet(verdictsDir)
@@ -1721,7 +1736,7 @@ object Dedup {
       .map(_.localCheckpoint())
       .getOrElse(return (0L, 0L))
     if (ts.isEmpty) return (0L, 0L)
-    val bytesBefore = graft.ops.StoreFiles.dirBytes(goldDir)
+    val bytesBefore = graft.ops.StoreFiles.dataBytes(goldDir)
     val wm = graft.ops.StoreFiles.readIdWatermark(goldDir)
     val gold0 = spark.read.parquet(goldDir)
     val before = gold0.count()
@@ -1731,14 +1746,18 @@ object Dedup {
     // the PERMANENT removed-id log (round 17): after the physical
     // rewrite, "absent from gold" no longer implies "never admitted",
     // so the sink's post-crash anti-join fallback unions this log —
-    // a replayed batch must not re-admit a vacuumed doc. Captured
-    // before the swap (it lives inside the root the swap destroys)
-    // and re-written after, carried like the semantic cells log.
+    // a replayed batch must not re-admit a vacuumed doc. The log
+    // lives inside the root the swap destroys, so the carry (old log
+    // ∪ this vacuum's ids) is written INTO the staging dir — one
+    // atomic swap moves data and log together; a crash anywhere
+    // leaves the OLD root with the old log intact.
     val carriedLog = graft.ops.SinkGuard.removedIds(spark, goldDir)
       .map(_.select(col("doc_id")).unionByName(ts).distinct())
       .getOrElse(ts).localCheckpoint()
-    graft.ops.SwapCommit.replace(goldDir)(retained.write.parquet(_))
-    graft.ops.SinkGuard.appendRemovedIds(carriedLog, goldDir)
+    graft.ops.SwapCommit.replace(goldDir) { next =>
+      retained.write.parquet(next)
+      carriedLog.write.parquet(s"$next/_removed")
+    }
     // guard state died with the swapped-out root; the rewrite removed
     // rows the index is ABOUT to forget too, so re-arming keeps the
     // sink's prologue crash-gated (the index rebuild below IS the
@@ -1747,7 +1766,7 @@ object Dedup {
     graft.ops.StoreFiles.createMarker(goldDir, "_ids_synced")
     commit.replace(indexDir)(next => writeGoldIndex(retained, next))
     (before - retained.count(),
-      bytesBefore - graft.ops.StoreFiles.dirBytes(goldDir))
+      bytesBefore - graft.ops.StoreFiles.dataBytes(goldDir))
   }
 
   /** The vacuum, gated end to end: build gold + index on the ≤80%

@@ -318,7 +318,7 @@ object ProductQuant {
     val rem = removedIds.select(col("vec_id")).distinct()
       .localCheckpoint()
     if (rem.isEmpty) return (0L, 0L)
-    val bytesBefore = graft.ops.StoreFiles.dirBytes(goldDir)
+    val bytesBefore = graft.ops.StoreFiles.dataBytes(goldDir)
     val wm = graft.ops.StoreFiles.readIdWatermark(goldDir)
     val gold0 = spark.read.parquet(goldDir)
     val before = gold0.count()
@@ -327,17 +327,22 @@ object ProductQuant {
       .localCheckpoint()
     val removedN = before - retained.count()
     if (removedN == 0L) return (0L, 0L)
+    // carry written INTO the staging dir: one atomic swap moves the
+    // retained rows and the removed-id log together (a crash leaves
+    // the old root with the old log — no window where the log is gone)
     val carriedLog = graft.ops.SinkGuard.removedIds(spark, goldDir)
       .map(_.select(col("vec_id")).unionByName(rem).distinct())
       .getOrElse(rem).localCheckpoint()
     graft.ops.StoreFiles.deleteMarker(goldDir, "_ids_synced")
-    graft.ops.SwapCommit.replace(goldDir)(retained.write.parquet(_))
-    graft.ops.SinkGuard.appendRemovedIds(carriedLog, goldDir)
+    graft.ops.SwapCommit.replace(goldDir) { next =>
+      retained.write.parquet(next)
+      carriedLog.write.parquet(s"$next/_removed")
+    }
     wm.foreach(graft.ops.StoreFiles.writeIdWatermark(goldDir, _))
     rebuildCodes(spark, goldDir, codesDir, coarse, rcbs, commit)
     graft.ops.StoreFiles.createMarker(goldDir, "_ids_synced")
     (removedN,
-      bytesBefore - graft.ops.StoreFiles.dirBytes(goldDir))
+      bytesBefore - graft.ops.StoreFiles.dataBytes(goldDir))
   }
 
   /** Driver-side query prep for the residual layout: query id, coarse

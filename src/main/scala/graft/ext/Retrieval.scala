@@ -703,6 +703,9 @@ object Retrieval {
   def tombstoneBm25Docs(spark: SparkSession, removedIds: DataFrame,
       store: String,
       commit: graft.ops.StoreCommit = graft.ops.SwapCommit): Unit = {
+    // finish a torn prior vacuum first: tombstoning on top of a
+    // half-applied one would mix exact and degraded corrections
+    recoverBm25Takedown(spark, store, commit)
     val withDl = commit.read(spark, s"$store/postings")
       .groupBy(col("doc_id")).agg(first(col("dl")).as("dl"))
       .join(broadcast(removedIds.select(col("doc_id")).distinct()),

@@ -58,23 +58,41 @@ object Manifest {
     out.result().sorted
   }
 
-  /** The committed file list, when `dir` carries a manifest. A torn
-    * single-file replace (delete landed, rename didn't) reads as
-    * None — callers fall back to the listing, i.e. pointer-mode
-    * behavior, whose correctness the sinks' committed-log guards
-    * already cover. */
+  /** Seal line terminating every manifest object: a `.tmp` staging
+    * manifest is trusted ONLY when sealed — a crash mid-write leaves
+    * it unsealed and it is ignored, never half-adopted. */
+  private val Seal = "#sealed"
+
+  /** The committed file list, when `dir` carries one. The torn
+    * single-file replace window (delete landed, rename didn't) is
+    * HEALED here, not fallen through: in that window the sealed
+    * `.tmp` object still holds the exact intended list, so the read
+    * recovers it verbatim. Only a store that never had a manifest
+    * (adopted pre-manifest) reads as None — callers then fall back to
+    * the listing, i.e. pointer-mode behavior, whose correctness the
+    * sinks' committed-log guards already cover (and an adopted store
+    * has no unmanifested junk to mis-adopt by construction). */
   def read(dir: String): Option[Seq[String]] = {
     val (fs, p) = StoreFiles.fsOf(dir)
-    val m = new Path(p, Name)
-    if (!fs.exists(m)) None
-    else scala.util.Try {
-      val in = fs.open(m)
-      try new String(
-        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
-        java.nio.charset.StandardCharsets.UTF_8)
-        .split("\n").map(_.trim).filter(_.nonEmpty).toSeq
-      finally in.close()
-    }.toOption
+    def parse(path: Path): Option[Seq[String]] =
+      if (!fs.exists(path)) None
+      else scala.util.Try {
+        val in = fs.open(path)
+        try new String(
+          org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+          java.nio.charset.StandardCharsets.UTF_8)
+          .split("\n").map(_.trim).filter(_.nonEmpty).toSeq
+        finally in.close()
+      }.toOption
+    parse(new Path(p, Name)) match {
+      case Some(lines) => Some(lines.filterNot(_.startsWith("#")))
+      case None =>
+        // the torn-replace window: trust the staging object iff its
+        // seal line made it to storage (a partial write has not)
+        parse(new Path(p, s"$Name.tmp"))
+          .filter(_.lastOption.contains(Seal))
+          .map(_.filterNot(_.startsWith("#")))
+    }
   }
 
   /** Replace the manifest: temp object + single-FILE rename (the
@@ -85,7 +103,7 @@ object Manifest {
     val tmp = new Path(p, s"$Name.tmp")
     val dst = new Path(p, Name)
     val out = fs.create(tmp, true)
-    try out.write(files.sorted.mkString("\n")
+    try out.write((files.sorted :+ Seal).mkString("\n")
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     if (fs.exists(dst)) fs.delete(dst, false)
@@ -96,7 +114,4 @@ object Manifest {
     * only from the single writer right after its write call returned
     * (every rename the job will do has happened by then). */
   def stamp(dir: String): Unit = write(dir, dataFiles(dir))
-
-  private[ops] def fsAndPath(dir: String): (FileSystem, Path) =
-    StoreFiles.fsOf(dir)
 }

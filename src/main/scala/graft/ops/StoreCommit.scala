@@ -104,6 +104,15 @@ sealed trait StoreCommit {
     * per-component face of [[fileCount]]). */
   def subFileCount(root: String, sub: String): Int =
     StoreFiles.parquetFileCount(s"${readDir(root)}/$sub")
+
+  /** Whether root-level state OUTSIDE the committed content (guard
+    * markers, the permanent `_removed` id log) survives a
+    * [[replace]]. Swap mode replaces the root itself — callers that
+    * keep root-adjacent state must carry it INSIDE the replace body
+    * (atomically, into the staging dir). Pointer/manifest modes
+    * replace only version dirs under the root, so root state
+    * survives untouched and must NOT be duplicated by a carry. */
+  def rootSurvivesReplace: Boolean
 }
 
 /** [[ArtifactSwap]] rename-aside commits — atomic-rename filesystems
@@ -114,6 +123,7 @@ case object SwapCommit extends StoreCommit {
   def writeDir(root: String): String = root
   def replace(root: String)(body: String => Unit): Unit =
     ArtifactSwap.writeAndSwap(root)(body)
+  def rootSurvivesReplace: Boolean = false
 }
 
 /** [[PointerSwap]] versioned-dir commits — object-store-safe (the
@@ -132,6 +142,7 @@ case object PointerCommit extends StoreCommit {
     }
   def replace(root: String)(body: String => Unit): Unit =
     PointerSwap.writeAndCommit(root)(body)
+  def rootSurvivesReplace: Boolean = true
 }
 
 /** [[PointerSwap]] versioned dirs PLUS a committed file list
@@ -148,6 +159,7 @@ case object PointerCommit extends StoreCommit {
   * and the sink's replay guard re-runs the batch. */
 case object ManifestCommit extends StoreCommit {
   def recover(root: String): Unit = PointerSwap.recover(root)
+  def rootSurvivesReplace: Boolean = true
   def readDir(root: String): String = PointerCommit.readDir(root)
   def writeDir(root: String): String =
     PointerSwap.resolve(root).getOrElse {
@@ -167,10 +179,15 @@ case object ManifestCommit extends StoreCommit {
     }
   override def append(root: String)(body: String => Unit): Unit = {
     val live = writeDir(root)
-    val before = Manifest.dataFiles(live).toSet
+    val before = Manifest.dataFiles(live)
     body(live)
-    val added = Manifest.dataFiles(live).filterNot(before)
-    val committed = Manifest.read(live).getOrElse(Seq.empty)
+    val added = Manifest.dataFiles(live).filterNot(before.toSet)
+    // a MISSING manifest (the torn single-file-replace window, or an
+    // adopted pre-manifest store) must fall back to the BEFORE
+    // listing — the same pointer-mode semantics the read path uses.
+    // Falling back to empty would commit a manifest naming only this
+    // append's objects and silently hide the whole store.
+    val committed = Manifest.read(live).getOrElse(before)
     Manifest.write(live, (committed ++ added).distinct)
   }
   override def read(spark: SparkSession, root: String): DataFrame = {

@@ -35,7 +35,12 @@ object StoreFiles {
   /** Recursive count of `.parquet` part files under `dir` (0 when the
     * path does not exist) — the fragmentation measure the compaction
     * policies watch: each streamed append writes one file per touched
-    * partition per micro-batch. */
+    * partition per micro-batch. Counts what a Spark READ of the dir
+    * would see: files under hidden (`_`/`.`-prefixed) subdirs — an
+    * in-flight job's `_temporary` staging, a guard root's permanent
+    * `_removed` id log — are invisible to readers and must not count
+    * as store content (a removal log under an otherwise-empty store
+    * must not make the seeded probe answer "seeded"). */
   def parquetFileCount(dir: String): Int = {
     val (fs, p) = fsOf(dir)
     if (!fs.exists(p)) return 0
@@ -43,10 +48,37 @@ object StoreFiles {
     val it = fs.listFiles(p, true)
     while (it.hasNext) {
       val f = it.next().getPath
-      // task files under an in-flight job's _temporary staging are
-      // not committed data and must not count as store content
-      if (f.getName.endsWith(".parquet") &&
-          !f.toString.contains("/_temporary/")) n += 1
+      if (f.getName.endsWith(".parquet") && !hiddenUnder(p, f)) n += 1
+    }
+    n
+  }
+
+  /** Whether any directory segment of `f` strictly below `base` is
+    * hidden by parquet-reader convention (`_` or `.` prefix). */
+  private def hiddenUnder(base: Path, f: Path): Boolean = {
+    val baseUri = base.toUri.getPath
+    var cur = f.getParent
+    while (cur != null && cur.toUri.getPath != baseUri) {
+      val n = cur.getName
+      if (n.startsWith("_") || n.startsWith(".")) return true
+      cur = cur.getParent
+    }
+    false
+  }
+
+  /** Recursive byte total of the DATA files under `dir` — the same
+    * visibility rule as [[parquetFileCount]], so reclaimed-bytes
+    * accounting is not skewed by guard logs or torn staging. */
+  def dataBytes(dir: String): Long = {
+    val (fs, p) = fsOf(dir)
+    if (!fs.exists(p)) return 0L
+    var n = 0L
+    val it = fs.listFiles(p, true)
+    while (it.hasNext) {
+      val f = it.next()
+      if (!f.getPath.getName.startsWith("_") &&
+          !f.getPath.getName.startsWith(".") &&
+          !hiddenUnder(p, f.getPath)) n += f.getLen
     }
     n
   }

@@ -732,6 +732,12 @@ object EventStreams {
           gate = true, repair = Some(() =>
             { graft.ext.Retrieval.recoverBm25Store(spark, storeDir,
                 commit); () }))
+        // heal a torn takedown vacuum (round 17): removals pending
+        // with the consistency marker down means a vacuum crashed
+        // between its flips — finishing it here keeps the serve-side
+        // stat correction exact without any operator intervention.
+        // Steady state pays two existence probes.
+        graft.ext.Retrieval.recoverBm25Takedown(spark, storeDir, commit)
         val batchTd = raw
           .select(col("doc_id"),
             graft.ext.TextOps.tokens(col("text")).as("t"))

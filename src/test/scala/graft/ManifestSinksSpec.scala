@@ -192,6 +192,46 @@ class ManifestSinksSpec extends SparkSpec {
         spark, sf, store, ManifestCommit)) == live,
         "replayed append must commit exactly once (no stranded-object " +
           "double counting)")
+
+      // TORN MANIFEST REPLACE (the review-caught window): the
+      // single-file replace died between its delete and its rename —
+      // the destination is gone but the SEALED staging object still
+      // holds the exact intended list. The read must recover it
+      // verbatim: an empty fallback would let the next append seal a
+      // manifest naming only its own objects (hiding the store), and
+      // a listing fallback would adopt the stranded duplicates this
+      // very test planted above (double-counted scores)
+      val pLive = ManifestCommit.readDir(s"$store/postings")
+      val committed = Manifest.read(pLive).get
+      val conf = spark.sparkContext.hadoopConfiguration
+      val mPath = new org.apache.hadoop.fs.Path(pLive, Manifest.Name)
+      val fsH = mPath.getFileSystem(conf)
+      // what Manifest.write leaves in that window: sealed tmp, no dst
+      val tmpPath =
+        new org.apache.hadoop.fs.Path(pLive, s"${Manifest.Name}.tmp")
+      val o = fsH.create(tmpPath, true)
+      o.write((committed.sorted :+ "#sealed").mkString("\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      o.close()
+      fsH.delete(mPath, false)
+      assert(Manifest.read(pLive).contains(committed.sorted),
+        "the sealed staging manifest must heal the torn replace")
+      val extra = td.filter(col("doc_id") === ids.max)
+        .withColumn("doc_id", col("doc_id") + 77777L)
+        .localCheckpoint()
+      Retrieval.appendBm25Index(spark, extra, store, ManifestCommit)
+      assert(Manifest.read(pLive).isDefined,
+        "the append must re-seal a manifest")
+      // exactness: the store must answer like a one-shot build on
+      // td ∪ extra — earlier committed docs still present, the
+      // appended doc's stats folded in
+      val oneShot = s"$base/ix_torn_ref"
+      Retrieval.writeBm25Index(td.unionByName(extra), oneShot)
+      assert(rows(Retrieval.bm25BatchFromIndex(
+          spark, sf, store, ManifestCommit)) ==
+        rows(Retrieval.bm25BatchFromIndex(spark, sf, oneShot)),
+        "after a torn-manifest append the store must still equal the " +
+          "full one-shot build (no silent store hiding)")
     }
   }
 

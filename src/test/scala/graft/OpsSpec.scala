@@ -279,4 +279,27 @@ class OpsSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(summary == bySplit.map { case (k, v) => k -> v.toLong })
   }
+
+  test("parquetFileCount and dataBytes see what a reader sees: files " +
+      "under hidden (_-prefixed) subdirs are not store content") {
+    import java.nio.file.Files
+    val sess = spark; import sess.implicits._
+    val d = Files.createTempDirectory("graft_hidden").toString
+    Seq(1, 2, 3).toDF("a").coalesce(1).write.parquet(s"$d/store")
+    // the guard root's permanent removed-id log, and torn staging
+    Seq(4L, 5L).toDF("id").coalesce(1).write
+      .parquet(s"$d/store/_removed")
+    val n = graft.ops.StoreFiles.parquetFileCount(s"$d/store")
+    assert(n == 1,
+      s"a removal log must not count as store content (got $n)")
+    val withLog = graft.ops.StoreFiles.dirBytes(s"$d/store")
+    val dataOnly = graft.ops.StoreFiles.dataBytes(s"$d/store")
+    assert(dataOnly < withLog,
+      "dataBytes must exclude the hidden log dirBytes includes")
+    // an empty store that carries ONLY a log reads as unseeded — the
+    // seeded probe must not send a sink into the read-the-store path
+    Seq(9L).toDF("id").coalesce(1).write
+      .parquet(s"$d/empty/_removed")
+    assert(graft.ops.StoreFiles.parquetFileCount(s"$d/empty") == 0)
+  }
 }

@@ -108,6 +108,32 @@ class PointerSinksSpec extends SparkSpec {
     // nothing without paying the anti-join fallback
     assert(graft.ops.StoreFiles.readIdWatermark(cellsRoot)
       .contains(ids.max))
+
+    // takedown in pointer mode: the cells replace flips a version,
+    // the ROOT-level removed-id log survives it, and neither the
+    // removal nor a later compaction duplicates the log (the
+    // review-caught unbounded-growth path)
+    val remIds = e.filter(col("vec_id") % 9 === 4).select(col("vec_id"))
+    val n = graft.ext.Dedup.removeSemanticVectors(spark, remIds,
+      cellsRoot, verdictsDir, PointerCommit)
+    assert(n == remIds.count() && n > 0)
+    def logRows() = spark.read.parquet(s"$cellsRoot/_removed").count()
+    assert(logRows() == n, "the log must hold exactly the removed ids")
+    assert(spark.read.parquet(verdictsDir).count() ==
+      ids.length.toLong - n)
+    // force a compaction cycle; the log must not grow
+    val vr = PointerCommit.readDir(cellsRoot)
+    val frag2 = spark.read.parquet(vr)
+      .withColumn("cell", col("cell").cast("int"))
+      .repartition(8).localCheckpoint()
+    frag2.write.mode("overwrite").partitionBy("cell").parquet(vr)
+    assert(Dedup.maybeCompactSemanticCells(spark, cellsRoot,
+      threshold = 1, commit = PointerCommit))
+    assert(logRows() == n,
+      "a compaction must not re-append (duplicate) the removed log")
+    assert(cellRows(PointerCommit.read(spark, cellsRoot)) ==
+      cellRows(oneShot.join(broadcast(remIds), Seq("vec_id"),
+        "left_anti")))
   }
 
   test("pointer-mode lexical sink: answers == live batch form through " +

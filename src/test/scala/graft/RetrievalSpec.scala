@@ -283,4 +283,56 @@ class RetrievalSpec extends SparkSpec {
     assert(graft.ops.SwapCommit.fileCount(s"$store/removed") == 0)
     assert(serve(store) == want)
   }
+
+  test("a torn takedown vacuum heals through the lexical sink: the " +
+      "degraded double-subtract window closes without operator action") {
+    import java.nio.file.{Files, Paths}
+    val base = Files.createTempDirectory("graft_take_heal").toString
+    val store = s"$base/ix"
+    val d = Tables.documents(spark, sf)
+    val ids = d.select(col("doc_id")).orderBy(col("doc_id"))
+      .collect().map(_.getLong(0))
+    val td = d.select(col("doc_id"),
+        graft.ext.TextOps.tokens(col("text")).as("t"))
+      .filter(size(col("t")) > 0)
+    Retrieval.writeBm25Index(td, store)
+    Retrieval.tombstoneBm25Docs(spark,
+      td.filter(col("doc_id") % 9 === 4).select(col("doc_id")), store)
+    Retrieval.vacuumBm25(spark, store)
+    // fabricate the crash window the review named: meta already
+    // adjusted (the vacuum ran), but the removed list is back and the
+    // consistency marker is down — every serve would double-subtract
+    td.filter(col("doc_id") % 9 === 4)
+      .select(col("doc_id"), size(col("t")).cast("int").as("dl"))
+      .coalesce(1).write.mode("append").parquet(s"$store/removed")
+    graft.ops.StoreFiles.deleteMarker(store, "_takedown_synced")
+    // one streamed batch (a genuinely new doc) heals it in-line
+    val srcDir = s"$base/src"; Files.createDirectories(Paths.get(srcDir))
+    val fresh = d.orderBy(col("doc_id").desc).limit(1)
+      .withColumn("doc_id", lit(ids.max + 1)).localCheckpoint()
+    val tmp = Files.createTempDirectory("graft_heal_batch")
+    fresh.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val f = new java.io.File(tmp.toString).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    Files.move(f.toPath, Paths.get(srcDir, "b0.parquet"))
+    graft.streaming.EventStreams.lexicalIndexSink(
+      spark.readStream.schema(d.schema).parquet(srcDir),
+      store, s"$base/chk").stop()
+    assert(graft.ops.StoreFiles.markerExists(store, "_takedown_synced"),
+      "the sink must re-arm the takedown consistency marker")
+    assert(graft.ops.SwapCommit.fileCount(s"$store/removed") == 0,
+      "the sink must finish the torn vacuum (removed list reset)")
+    // exactness: serve == one-shot build on retained ∪ the new doc
+    val ref = s"$base/ref"
+    Retrieval.writeBm25Index(
+      td.filter(col("doc_id") % 9 =!= 4).unionByName(
+        fresh.select(col("doc_id"),
+            graft.ext.TextOps.tokens(col("text")).as("t"))
+          .filter(size(col("t")) > 0)), ref)
+    def rows(s: String) = Retrieval.bm25BatchFromIndex(spark, sf, s)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(rows(store) == rows(ref),
+      "healed store must serve exactly like the fresh retained build")
+  }
 }
