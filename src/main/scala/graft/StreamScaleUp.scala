@@ -658,6 +658,58 @@ object StreamScaleUp {
         s"$repaired cells recomputed (expect 0)")
     }
 
+    if (on("knnrm")) locally {
+      // the graph-tier takedown at 100× (round 17): remove 10% of
+      // the vectors from the knn store built by the `knn` section.
+      // The cost to read: one cells rewrite plus touched-cells edge
+      // repairs — CELL-confined, never a full-graph rebuild — and
+      // parity: the post-removal edge signature equals a one-shot
+      // build on the retained vectors under the same frozen
+      // quantizers.
+      val cells = s"$base/knn_cells"; val edges = s"$base/knn_edges"
+      require(new java.io.File(cells).exists(),
+        "run the knn section first to build the stores")
+      val total = Tables.embeddings(spark, src).count() * copies
+      val subK = graft.ext.Dedup.subKFor(total)
+      val (coarse, subs) = graft.ext.Dedup.trainSemanticQuantizers(
+        graft.ext.KMeans.vecs(spark, src), subK, cap = 2 * subK)
+      val rem = spark.read.parquet(cells)
+        .filter(col("vec_id") % 10 === 7).select(col("vec_id"))
+        .localCheckpoint()
+      val t0 = System.nanoTime()
+      val n = graft.ext.ClusterOps.removeKnnVectors(spark, rem,
+        cells, edges, None)
+      println(f"[streamscale] knnrm removal " +
+        f"${(System.nanoTime() - t0) / 1e9}%6.1f s ($n%d vectors, " +
+        f"10%% of the graph)")
+      val t1 = System.nanoTime()
+      val again = graft.ext.ClusterOps.repairKnnEdges(spark, cells,
+        edges)
+      println(f"[streamscale] knnrm post-check     " +
+        f"${(System.nanoTime() - t1) / 1e9}%6.1f s " +
+        f"($again%d stale cells — expect 0: removal converged)")
+      val t2 = System.nanoTime()
+      graft.ext.ClusterOps.writeKnnEdges(
+        graft.ext.Dedup.assignSemanticCells(
+            spark.read.parquet(vecDir)
+              .filter(col("vec_id") % 10 =!= 7)
+              .select(col("vec_id"),
+                col("embedding").cast("array<double>").as("v")),
+            coarse, subs, subK)
+          .select(col("vec_id"), col("cell"), col("v")),
+        s"$base/knn_retained_ref")
+      println(f"[streamscale] knnrm retained rebuild " +
+        f"${(System.nanoTime() - t2) / 1e9}%6.1f s")
+      def sig(df: DataFrame): java.math.BigDecimal =
+        df.agg(sum(xxhash64(col("vec_id"), col("rk"), col("nbr_id"),
+          col("cosine").cast("string"), col("cell").cast("int"))
+          .cast("decimal(38,0)"))).head().getDecimal(0)
+      println(s"[streamscale] knnrm parity vs retained rebuild: " +
+        (if (sig(spark.read.parquet(edges)) ==
+            sig(spark.read.parquet(s"$base/knn_retained_ref")))
+          "EXACT" else "MISMATCH"))
+    }
+
     // ---- 8. streaming cluster-card sink (bounded store, atomic
     // fold+watermark swap per trigger) ----
     if (on("card")) locally {

@@ -216,6 +216,21 @@ class ManifestSinksSpec extends SparkSpec {
       fsH.delete(mPath, false)
       assert(Manifest.read(pLive).contains(committed.sorted),
         "the sealed staging manifest must heal the torn replace")
+      // the OTHER half of the window: a PARTIAL tmp (crash mid-write,
+      // seal never landed) must be ignored, not half-adopted
+      locally {
+        val o2 = fsH.create(tmpPath, true)
+        o2.write(committed.sorted.take(1).mkString("\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        o2.close()
+        assert(Manifest.read(pLive).isEmpty,
+          "an unsealed staging manifest must never be trusted")
+        // restore the sealed tmp for the append below
+        val o3 = fsH.create(tmpPath, true)
+        o3.write((committed.sorted :+ "#sealed").mkString("\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        o3.close()
+      }
       val extra = td.filter(col("doc_id") === ids.max)
         .withColumn("doc_id", col("doc_id") + 77777L)
         .localCheckpoint()
