@@ -23,6 +23,9 @@ object Verify {
       // in the written rows (a repartition would shuffle them away)
       val t0 = System.nanoTime()
       try {
+        // label every job with its query (guide §1.5) so event-log /
+        // UI profiles attribute job counts and shuffle bytes per entry
+        spark.sparkContext.setJobDescription(s"verify:$name")
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         // per-entry Spark-side cost next to the DuckDB profile
@@ -34,7 +37,7 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         errs(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
           .linesIterator.toSeq.headOption.getOrElse("")
-      }
+      } finally spark.sparkContext.setJobDescription(null)
     }
     System.err.println(f"[verify] total " +
       f"${(System.nanoTime - t0All) / 1e9}%.1f s for " +

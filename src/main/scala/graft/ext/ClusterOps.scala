@@ -495,11 +495,19 @@ object ClusterOps {
   private def frozenGoldAssigned(spark: SparkSession,
       dir: String): (DataFrame, Long) = {
     val vs = KMeans.vecs(spark, dir)
-    val cut = vs.agg(floor(max(col("vec_id")) * lit(0.8)).cast("long"))
-      .head().getLong(0)
-    val cents = KMeans.trainFrame(
-      vs.filter(col("vec_id") <= cut).select(col("vec_id"), col("v")),
-      KMeans.K)
+    // memoized per source fingerprint (graft.ops.TrainMemo): the
+    // cutoff and the gold-trained frozen centroids are deterministic
+    // functions of the embeddings file, and every *_merge_forms gate
+    // in this family re-derives the identical frozen quantizer
+    val (cut, cents) = graft.ops.TrainMemo.of(
+      "frozenGold|" + graft.ops.TrainMemo
+        .sourceFingerprint(s"$dir/embeddings.parquet")) {
+      val c = vs.agg(floor(max(col("vec_id")) * lit(0.8)).cast("long"))
+        .head().getLong(0)
+      (c, KMeans.trainFrame(
+        vs.filter(col("vec_id") <= c).select(col("vec_id"), col("v")),
+        KMeans.K))
+    }
     (vs.select(col("vec_id"), col("label"),
       KMeans.assignOn(col("v"), cents).as("cell"), col("v")), cut + 1)
   }
@@ -564,7 +572,14 @@ object ClusterOps {
     * keep the SQL static; ScaleUp's 100× row passes subKFor(N). */
   def knnGraphP2Sub(spark: SparkSession, dir: String): DataFrame = {
     val vecs = KMeans.vecs(spark, dir)
-    val (coarse, subs) = Dedup.trainSemanticQuantizers(vecs, Dedup.SubK)
+    // same memo key as Dedup.semanticCellsFor at the default
+    // cap/sampleMod — this IS the same frozen training
+    val (coarse, subs) = graft.ops.TrainMemo.of(
+      "semQuant|" + graft.ops.TrainMemo
+        .sourceFingerprint(s"$dir/embeddings.parquet") +
+        s"|${Dedup.SubK}|${Dedup.SampleCap}|1") {
+      Dedup.trainSemanticQuantizers(vecs, Dedup.SubK)
+    }
     knnGraphP2On(
       Dedup.assignSemanticCells(vecs, coarse, subs, Dedup.SubK)
         .localCheckpoint()) // pin: feeds both the probe and member legs

@@ -260,7 +260,13 @@ object Dedup {
     val e = KMeans.vecs(spark, dir)
       .select(col("vec_id"), col("v"),
         KMeans.assignOn(col("v"), coarse).as("cluster"))
-    val subs = subCentroids(e)
+    // memoized like the coarse trainer it composes (TrainMemo): K
+    // full-corpus trainFrame re-scans, deterministic per source file
+    val subs = graft.ops.TrainMemo.of(
+      "subCentroidsScaled|" + graft.ops.TrainMemo
+        .sourceFingerprint(s"$dir/embeddings.parquet")) {
+      subCentroids(e)
+    }
     // one CASE over the coarse cell picks the sub-quantizer; codegen
     // evaluates only the matched branch, so per-row work is one
     // K-loop plus one SubK-loop
@@ -344,6 +350,27 @@ object Dedup {
   private[ext] def semanticCellsOn(vecs: DataFrame, subK: Int,
       cap: Int = SampleCap, sampleMod: Long = 1L): DataFrame = {
     val (coarse, subs) = trainSemanticQuantizers(vecs, subK, cap, sampleMod)
+    assignSemanticCells(vecs, coarse, subs, subK)
+  }
+
+  /** [[semanticCellsOn]] over a corpus DIR, with the training half
+    * memoized per (source fingerprint, subK, cap, sampleMod) —
+    * [[graft.ops.TrainMemo]]: the sampled sub-quantizer training is a
+    * deterministic pure function of the embeddings file, and the
+    * semantic family's gate entries (artifact, scaled, served,
+    * streamed probes) each re-derived the identical frozen quantizer.
+    * Assignment still runs per call (it is the map-only projection the
+    * caller's plan needs); only the train-side corpus pass + bounded
+    * collect + driver Lloyd's loops are shared. */
+  private[ext] def semanticCellsFor(spark: SparkSession, dir: String,
+      subK: Int, cap: Int = SampleCap, sampleMod: Long = 1L): DataFrame = {
+    val vecs = KMeans.vecs(spark, dir)
+    val (coarse, subs) = graft.ops.TrainMemo.of(
+      "semQuant|" + graft.ops.TrainMemo
+        .sourceFingerprint(s"$dir/embeddings.parquet") +
+        s"|$subK|$cap|$sampleMod") {
+      trainSemanticQuantizers(vecs, subK, cap, sampleMod)
+    }
     assignSemanticCells(vecs, coarse, subs, subK)
   }
 
@@ -444,7 +471,7 @@ object Dedup {
     * the coarse form's (sub-splitting only loses pairs), asserted in
     * DedupSpec alongside trainLocal==trainFrame parity. */
   def semanticDedupArtifact(spark: SparkSession, dir: String): DataFrame = {
-    val g = semanticCellsOn(KMeans.vecs(spark, dir), SubK)
+    val g = semanticCellsFor(spark, dir, SubK)
       .localCheckpoint()
     semanticDedupOverCells(g).orderBy(col("vec_id"))
   }
@@ -455,7 +482,7 @@ object Dedup {
     * partition pruning on `cell`. */
   def writeSemanticCells(spark: SparkSession, dir: String, out: String,
       subK: Int = SubK, cap: Int = SampleCap, sampleMod: Long = 1L): Unit =
-    semanticCellsOn(KMeans.vecs(spark, dir), subK, cap, sampleMod)
+    semanticCellsFor(spark, dir, subK, cap, sampleMod)
       .write.mode("overwrite").partitionBy("cell").parquet(out)
 
   /** The serve side over the on-disk artifact — reads (vec_id, v,
@@ -692,7 +719,14 @@ object Dedup {
     val vecs = KMeans.vecs(spark, dir)
     val gold = vecs.filter(col("vec_id") < SemBatchCut)
     val batch = vecs.filter(col("vec_id") >= SemBatchCut)
-    val (coarse, subs) = trainSemanticQuantizers(gold, SubK)
+    // gold-frozen quantizers, memoized per source fingerprint
+    // (TrainMemo — the cut is the constant SemBatchCut, so the key
+    // needs only the file identity)
+    val (coarse, subs) = graft.ops.TrainMemo.of(
+      s"semQuantGold|$SemBatchCut|$SubK|" + graft.ops.TrainMemo
+        .sourceFingerprint(s"$dir/embeddings.parquet")) {
+      trainSemanticQuantizers(gold, SubK)
+    }
     val goldCells = assignSemanticCells(gold, coarse, subs, SubK)
       .localCheckpoint()
     val batchCells = assignSemanticCells(batch, coarse, subs, SubK)
@@ -929,23 +963,26 @@ object Dedup {
         t.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")))
       .orderBy(col("doc_a"), col("doc_b"))
 
-  /** MinHash signature columns mh0..mh7 over the shingle set. */
-  private def withMinhashes(t: DataFrame): DataFrame =
-    (0 until NumHashes).foldLeft(t) { (df, j) =>
-      df.withColumn(s"mh$j",
-        array_min(transform(col("sh"), s =>
-          md5(concat(lit(s"$j|"), s).cast("binary")))))
-    }
-
   /** LSH band table (doc_id, band_idx, band_val) over shingle sets —
     * the signature store an incremental pipeline persists per corpus
     * and joins each new batch against. Band values: md5 of the
-    * concatenated minhashes in the band. */
+    * concatenated minhashes in the band.
+    *
+    * The mh0..mh7 signatures come from ONE array-typed pass
+    * ([[graft.functions.MinHashes]], r17): the previous per-j
+    * `array_min(transform(sh, md5(...)))` chain ran the md5 walk
+    * through interpreted higher-order functions once per hash. The
+    * expression is non-cheap and referenced [[NumHashes]] times, so
+    * CollapseProject keeps the materializing projection and it
+    * evaluates once per row. Values are term-for-term identical (the
+    * expression's scaladoc carries the argument; the DuckDB oracle
+    * still replays the original md5 algebra). */
   private def bandTable(t: DataFrame): DataFrame = {
-    val mh = withMinhashes(t)
+    val mh = t.select(col("doc_id"),
+      graft.functions.MinHashes(col("sh"), NumHashes).as("mhs"))
     val bandCols = (0 until NumHashes / BandRows).map { bi =>
       struct(lit(bi).as("band_idx"),
-        md5(concat(col(s"mh${2 * bi}"), col(s"mh${2 * bi + 1}"))
+        md5(concat(col("mhs").getItem(2 * bi), col("mhs").getItem(2 * bi + 1))
           .cast("binary")).as("band_val"))
     }
     mh.select(col("doc_id"), explode(array(bandCols: _*)).as("b"))
@@ -1263,12 +1300,14 @@ object Dedup {
     }
     // structural star-forest check: satellites have exactly one center
     // and no center is itself a satellite — with connectivity
-    // preservation this certifies center = component min
+    // preservation this certifies center = component min. Both
+    // violations union into ONE probe job (r17).
     require(e.groupBy(col("u")).agg(countDistinct(col("v")).as("k"))
-      .filter(col("k") > 1).isEmpty,
-      "converged edge set has a satellite with two centers")
-    require(e.select(col("u")).intersect(e.select(col("v"))).isEmpty,
-      "converged edge set has a center that is also a satellite")
+      .filter(col("k") > 1).select(col("u"))
+      .unionByName(e.select(col("u")).intersect(e.select(col("v"))))
+      .isEmpty,
+      "converged edge set is not a star forest (a satellite with two " +
+        "centers, or a center that is also a satellite)")
     val labels = e.select(col("u").as("doc_id"), col("v").as("cluster_id"))
       .unionByName(e.select(col("v").as("doc_id"), col("v").as("cluster_id")))
       .distinct()

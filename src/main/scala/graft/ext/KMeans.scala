@@ -69,11 +69,23 @@ object KMeans {
     * centroid count k — the sub-quantizer trainer
     * [[ProductQuant]] runs per subspace. Identical discipline:
     * min-vec_id init, argmin assignment with low-cid ties,
-    * quantized-integer mean update, fixed rounds. */
+    * quantized-integer mean update, fixed rounds.
+    *
+    * Memoized per (source fingerprint, slice, k) within the session
+    * ([[graft.ops.TrainMemo]]): the training is a deterministic pure
+    * function of the embeddings file, and a registry sweep re-runs
+    * the same frozen quantizer for every query in the family —
+    * "train once, serve everything" is the contract the scaladocs
+    * already promise. */
   private[ext] def trainOn(spark: SparkSession, dir: String,
       lo: Int, len: Int, k: Int): Seq[(Int, Seq[Double])] =
-    trainFrame(vecs(spark, dir)
-      .select(col("vec_id"), slice(col("v"), lo, len).as("v")), k)
+    graft.ops.TrainMemo.of(
+      "kmeans|" +
+        graft.ops.TrainMemo.sourceFingerprint(s"$dir/embeddings.parquet") +
+        s"|$lo|$len|$k") {
+      trainFrame(vecs(spark, dir)
+        .select(col("vec_id"), slice(col("v"), lo, len).as("v")), k)
+    }
 
   /** [[trainOn]] over an arbitrary (vec_id, v) frame — the entry point
     * residual PQ uses to train sub-quantizers on residual slices

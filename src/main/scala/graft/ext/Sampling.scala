@@ -440,7 +440,13 @@ object Sampling {
     * batch. */
   def mergeBatchLabels(oldLabels: DataFrame, gold: DataFrame,
       batch: DataFrame): DataFrame = {
-    val edges = Dedup.batchNearDupEdges(gold, batch)
+    // localCheckpoint (r17): the delta edge set is referenced three
+    // times below (endpoint set ×2, CC input) and its lineage is the
+    // FULL gold-vs-batch LSH pipeline — two gold shingle passes per
+    // evaluation; unpinned, the gold corpus was scanned six times.
+    // The frame is batch-bounded (near-dup density × batch), so
+    // pinning it is metadata-sized at any scale.
+    val edges = Dedup.batchNearDupEdges(gold, batch).localCheckpoint()
     val endpoints = edges.select(col("doc_a").as("doc_id"))
       .unionByName(edges.select(col("doc_b").as("doc_id"))).distinct()
     val touchedClusters = oldLabels
@@ -478,7 +484,14 @@ object Sampling {
       .head().getLong(0)
     val gold = d.filter(col("doc_id") <= cutoff)
     val batch = d.filter(col("doc_id") > cutoff)
+    // localCheckpoint (r17): the live gold-label build stands in for
+    // the persisted label artifact ([[writeSplitLabels]]) that a
+    // deployment would read; mergeBatchLabels references it three
+    // times (touched-cluster pull, touched labels, untouched carry),
+    // and each unpinned reference re-ran the label join. Pinning it
+    // is exactly the artifact's materialize-once semantics.
     val goldLabels = splitFromClusters(Dedup.nearDupClustersOn(gold))
+      .localCheckpoint()
     mergeBatchLabels(goldLabels, gold, batch)
       .select(col("doc_id"), col("cluster_id"), col("split"))
       .orderBy(col("doc_id"))

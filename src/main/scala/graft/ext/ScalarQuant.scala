@@ -57,7 +57,14 @@ object ScalarQuant {
     * single 128-column row per task. Min/max are order-independent, so
     * the result is hash-exact regardless of partitioning. */
   def dimStats(spark: SparkSession, dir: String): Seq[(Double, Double)] =
-    dimStatsOn(KMeans.vecs(spark, dir))
+    // memoized per source fingerprint (graft.ops.TrainMemo): min/max
+    // per dim is a deterministic reduction of the embeddings file,
+    // re-derived by every SQ8 form in the ladder
+    graft.ops.TrainMemo.of(
+      "dimStats|" + graft.ops.TrainMemo
+        .sourceFingerprint(s"$dir/embeddings.parquet")) {
+      dimStatsOn(KMeans.vecs(spark, dir))
+    }
 
   /** [[dimStats]] over an explicit (…, v: array<double>) frame — the
     * form the rotated-space path shares. */
