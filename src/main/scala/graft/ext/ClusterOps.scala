@@ -991,7 +991,28 @@ object ClusterOps {
     * community. The finer-than-cell grouping a curation pass uses for
     * community-level balancing or near-dup triage — communities never
     * cross coarse cells because the graph's edges don't. */
-  def knnCommunities(spark: SparkSession, dir: String): DataFrame = {
+  def knnCommunities(spark: SparkSession, dir: String): DataFrame =
+    // session-scoped scratch labels, built once per source fingerprint
+    // (r17 — the Bpe.trained / round-14 shared-scratch discipline):
+    // three gates (components, keep-best, community-hist) each re-ran
+    // the identical graph build + CC fixpoint on the same corpus
+    spark.read.parquet(
+        communityLabels.computeIfAbsent(
+          graft.ops.TrainMemo
+            .sourceFingerprint(s"$dir/embeddings.parquet"), _ => {
+          val out = graft.ops.Scratch.dir("graft_knn_comm") + "/labels"
+          knnCommunitiesLive(spark, dir).write.parquet(out)
+          out
+        }))
+      .select(col("vec_id"), col("community_id"))
+      .orderBy(col("vec_id"))
+
+  private val communityLabels =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The live build [[knnCommunities]] memoizes. */
+  private def knnCommunitiesLive(spark: SparkSession,
+      dir: String): DataFrame = {
     val edges = knnGraph(spark, dir)
       .select(col("vec_id").as("doc_a"), col("nbr_id").as("doc_b"))
     val ids = KMeans.vecs(spark, dir).select(col("vec_id"))

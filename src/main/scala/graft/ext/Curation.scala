@@ -602,11 +602,18 @@ object Curation {
     * All stages key by doc_id, so the combining joins co-partition on
     * one exchange each; every stage's own scale shape is documented
     * and lint-checked at its definition. */
-  def curationPipeline(spark: SparkSession, dir: String): DataFrame =
+  def curationPipeline(spark: SparkSession, dir: String): DataFrame = {
+    // ONE cluster build (r17): the split column and the near-dup keep
+    // flag are both pure functions of the (doc_id, cluster_id) frame,
+    // but feeding them from trainTestSplitCore AND nearDupClusters ran
+    // the LSH pair build + CC fixpoint twice per invocation.
+    // splitFromClusters is trainTestSplitCore's own rule, so the
+    // values are identical by construction.
+    val clusters = Dedup.nearDupClusters(spark, dir)
     pipelineWith(Tables.documents(spark, dir),
-      Sampling.trainTestSplitCore(spark, dir),
-      Dedup.nearDupClusters(spark, dir)
-        .select(col("doc_id"), col("keep").as("nd_keep")))
+      Sampling.splitFromClusters(clusters),
+      clusters.select(col("doc_id"), col("keep").as("nd_keep")))
+  }
 
   /** [[curationPipeline]] fed from the persisted split-label artifact
     * ([[Sampling.writeSplitLabels]]) instead of re-running the
@@ -920,14 +927,14 @@ SELECT doc_id, source, status FROM j WHERE status <> 'unchanged' ORDER BY doc_id
     * pipeline's merge paths maintain — then answer from them via
     * [[dataCardFrom]]. Gated against the same component-oracle
     * aggregation as the live [[dataCard]] (serve == rebuild). */
-  def dataCardServed(spark: SparkSession, dir: String): DataFrame = {
-    val artDir = graft.ops.Scratch.dir("graft_card_served")
-    Sampling.writeSplitLabels(spark, dir, artDir)
-    Selection.tokenCountsOn(graft.Tables.documents(spark, dir))
-      .write.mode("overwrite")
-      .parquet(s"$artDir/${Selection.TokenCountsTable}.parquet")
-    dataCardFrom(spark, dir, artDir, artDir)
-  }
+  def dataCardServed(spark: SparkSession, dir: String): DataFrame =
+    // both seeds come from the session's build-once artifact stores
+    // (r17): the split-label store (one CC fixpoint per source file,
+    // shared with the other serve-path gates — Sampling.splitLabelsFor)
+    // and the token-count store (one tokenize pass, shared with the
+    // per-source card below)
+    dataCardFrom(spark, dir,
+      Sampling.splitLabelsFor(spark, dir), tokenCountsFor(spark, dir))
 
   /** PER-SOURCE data card (round-12 verdict task #5 — the
     * Dolma/FineWeb-class report shape: the same nine metrics, one row
@@ -995,14 +1002,28 @@ SELECT doc_id, source, status FROM j WHERE status <> 'unchanged' ORDER BY doc_id
   /** DRIVER-GATED serve path for the per-source card (build both
     * artifacts into a scratch dir, answer from them) — the
     * [[dataCardServed]] idiom. */
-  def dataCardBySourceServed(spark: SparkSession, dir: String): DataFrame = {
-    val artDir = graft.ops.Scratch.dir("graft_srccard_served")
-    Sampling.writeSplitLabels(spark, dir, artDir)
-    Selection.tokenCountsOn(graft.Tables.documents(spark, dir))
-      .write.mode("overwrite")
-      .parquet(s"$artDir/${Selection.TokenCountsTable}.parquet")
-    dataCardBySourceFrom(spark, dir, artDir, artDir)
-  }
+  def dataCardBySourceServed(spark: SparkSession, dir: String): DataFrame =
+    // same shared build-once seeds as [[dataCardServed]] (r17)
+    dataCardBySourceFrom(spark, dir,
+      Sampling.splitLabelsFor(spark, dir), tokenCountsFor(spark, dir))
+
+  /** Session-scoped scratch token-count store for a corpus dir —
+    * build-once per source fingerprint, the
+    * [[Sampling.splitLabelsFor]] discipline: both card serve-gates
+    * seed from the identical store, so the tokenize pass runs once. */
+  private def tokenCountsFor(spark: SparkSession, dir: String): String =
+    tokenCountDirs.computeIfAbsent(
+      graft.ops.TrainMemo.sourceFingerprint(s"$dir/documents.parquet"),
+      _ => {
+        val artDir = graft.ops.Scratch.dir("graft_token_counts")
+        Selection.tokenCountsOn(graft.Tables.documents(spark, dir))
+          .write.mode("overwrite")
+          .parquet(s"$artDir/${Selection.TokenCountsTable}.parquet")
+        artDir
+      })
+
+  private val tokenCountDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private val pipelineOracle: Map[String, String] = Map(
     "curation_pipeline" -> pipelineSql,

@@ -1323,7 +1323,28 @@ object Dedup {
     * left join of the corpus against the (edge-node-sized) label set —
     * the corpus is touched exactly once, outside the iteration. */
   def nearDupClusters(spark: SparkSession, dir: String): DataFrame =
-    nearDupClustersOn(Tables.documents(spark, dir)).orderBy(col("doc_id"))
+    // session-scoped scratch labels, built once per source fingerprint
+    // (r17 — the round-14 shared-scratch discipline, same shape as
+    // ClusterOps.knnCommunities): six gates (clusters, keep-best, the
+    // split family, the curation pipeline and cards) each re-ran the
+    // identical LSH pair build + CC fixpoint on the same corpus. The
+    // `keep` flag re-derives on read (keep = doc_id == cluster_id,
+    // the component-min election — a pure projection).
+    spark.read.parquet(
+        clusterLabelDirs.computeIfAbsent(
+          graft.ops.TrainMemo
+            .sourceFingerprint(s"$dir/documents.parquet"), _ => {
+          val out = graft.ops.Scratch.dir("graft_nd_clusters") + "/labels"
+          nearDupClustersOn(Tables.documents(spark, dir))
+            .select(col("doc_id"), col("cluster_id")).write.parquet(out)
+          out
+        }))
+      .select(col("doc_id"), col("cluster_id"),
+        (col("doc_id") === col("cluster_id")).as("keep"))
+      .orderBy(col("doc_id"))
+
+  private val clusterLabelDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** [[nearDupClusters]] over an explicit documents frame, unordered —
     * what the incremental label-merge path uses to build the initial
@@ -1414,11 +1435,11 @@ object Dedup {
     * #3): write the split-label artifact to a scratch dir, then
     * answer from it via [[keepBestQualityFrom]] — gated against the
     * same live-CC replay as [[keepBestQuality]]. */
-  def keepBestQualityServed(spark: SparkSession, dir: String): DataFrame = {
-    val labelsDir = graft.ops.Scratch.dir("graft_kb_served")
-    Sampling.writeSplitLabels(spark, dir, labelsDir)
-    keepBestQualityFrom(spark, dir, labelsDir)
-  }
+  def keepBestQualityServed(spark: SparkSession, dir: String): DataFrame =
+    // the label store is the session's build-once artifact (r17):
+    // three serve-path gates seeded private copies of the same store,
+    // re-running the CC fixpoint each time
+    keepBestQualityFrom(spark, dir, Sampling.splitLabelsFor(spark, dir))
 
   private def keepBestOver(spark: SparkSession, dir: String,
       clusters: DataFrame): DataFrame = {

@@ -209,13 +209,28 @@ object ProductQuant {
     * ([[KMeans.trainFrame]]), so the whole chain still replays in
     * DuckDB. */
   def residualCodebooks(spark: SparkSession, dir: String,
-      coarse: Seq[(Int, Seq[Double])]): Seq[Seq[(Int, Seq[Double])]] = {
-    val res = KMeans.vecs(spark, dir)
-      .select(col("vec_id"), residualCol(coarse).as("v"))
-    (0 until M).map(m => KMeans.trainFrame(
-      res.select(col("vec_id"),
-        slice(col("v"), m * SubDim + 1, SubDim).as("v")), Ks))
-  }
+      coarse: Seq[(Int, Seq[Double])]): Seq[Seq[(Int, Seq[Double])]] =
+    // memoized per source fingerprint (graft.ops.TrainMemo, r17):
+    // `coarse` is itself a deterministic function of the embeddings
+    // file (every caller passes KMeans.train(spark, dir) or the
+    // memoized equivalent — enforced below, so a future subset-trained
+    // caller fails loudly instead of serving another coarse's
+    // codebooks), so the residual sub-codebooks are too — and five
+    // residual-PQ gate entries each re-trained them (M trainFrame
+    // corpus passes per entry)
+    graft.ops.TrainMemo.of(
+      "residualCbs|" + graft.ops.TrainMemo
+        .sourceFingerprint(s"$dir/embeddings.parquet")) {
+      require(coarse == KMeans.train(spark, dir),
+        "residualCodebooks is memoized per dir and assumes coarse = " +
+          "KMeans.train(dir); train custom-coarse residual codebooks " +
+          "through KMeans.trainFrame directly")
+      val res = KMeans.vecs(spark, dir)
+        .select(col("vec_id"), residualCol(coarse).as("v"))
+      (0 until M).map(m => KMeans.trainFrame(
+        res.select(col("vec_id"),
+          slice(col("v"), m * SubDim + 1, SubDim).as("v")), Ks))
+    }
 
   /** Residual encode with coarse cells — the production residual
     * IVF-PQ table layout (write `partitionBy("cell")`). Map-only:

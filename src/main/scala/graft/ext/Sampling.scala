@@ -520,6 +520,27 @@ object Sampling {
       outDir: String): String =
     writeLabelArtifact(spark, trainTestSplitCore(spark, dir), outDir)
 
+  /** Session-scoped scratch split-labels artifact for a corpus dir —
+    * built ONCE per source fingerprint (the
+    * [[graft.pipeline.GoldLayout.ensureBucketedTable]] build-once
+    * pattern). Three serve-path gates (`dedup_keep_best_served`,
+    * `curation_data_card_served`, `curation_data_card_by_source_served`)
+    * each built a private copy of the SAME artifact, re-running the
+    * LSH pair build + CC fixpoint per gate (r17). The artifact is
+    * derived state in a process-scoped scratch dir — a fresh process
+    * always rebuilds from the parquet inputs. */
+  def splitLabelsFor(spark: SparkSession, dir: String): String =
+    splitLabelDirs.computeIfAbsent(
+      graft.ops.TrainMemo.sourceFingerprint(s"$dir/documents.parquet"),
+      _ => {
+        val out = graft.ops.Scratch.dir("graft_split_labels")
+        writeSplitLabels(spark, dir, out)
+        out
+      })
+
+  private val splitLabelDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** Persist an explicit (doc_id, cluster_id, split) label frame as
     * the artifact — shared by [[writeSplitLabels]] (full build) and
     * incremental bootstrap (write gold-only labels once, then
