@@ -1089,9 +1089,17 @@ object ClusterOps {
     * incremental merge can carry untouched cells with a pruned read
     * instead of re-running their CC. Derived state — rebuildable from
     * the cells frame. */
-  def writeKnnCommunityLabels(cells: DataFrame, out: String): Unit = {
+  def writeKnnCommunityLabels(cells: DataFrame, out: String): Unit =
+    writeKnnCommunityLabelsFromEdges(cells, knnEdgesOn(cells), out)
+
+  /** [[writeKnnCommunityLabels]] over an already-derived edge frame —
+    * the seam that lets the merge-forms gate derive the gold edges
+    * ONCE for the artifact build and the live form's untouched leg
+    * (r17). */
+  private def writeKnnCommunityLabelsFromEdges(cells: DataFrame,
+      edges: DataFrame, out: String): Unit = {
     val (labels, _) = Dedup.connectedComponents(
-      knnEdgesOn(cells)
+      edges
         .select(col("vec_id").as("doc_a"), col("nbr_id").as("doc_b")))
     cells.select(col("vec_id"), col("cell"))
       .join(labels, cells("vec_id") === labels("doc_id"), "left")
@@ -1249,12 +1257,55 @@ object ClusterOps {
       dir: String): DataFrame = {
     val (all, batchFrom) = frozenGoldAssigned(spark, dir)
     val labelsDir = graft.ops.Scratch.dir("graft_knn_commforms") + "/labels"
-    writeKnnCommunityLabels(all.filter(col("vec_id") < batchFrom),
-      labelsDir)
-    val served =
-      knnCommunitiesMergeFromLabels(spark, labelsDir, all, batchFrom)
-    liveCommunitiesMergeOn(all, batchFrom)
-      .withColumn("form", lit("live"))
+    // r17: the two forms share their DERIVED inputs (the round-14
+    // shared-scratch discipline, one level further): the gold edge
+    // set feeds the artifact build AND the live form's untouched leg
+    // (it ran twice), and the touched-cells edges + their CC labels
+    // are the same computation in both forms (they ran twice each —
+    // the forms' distinct claims are the CARRY paths: artifact read
+    // vs live anti-join, which stay separate below). Both pinned
+    // frames are N·K-edge / label-sized, the artifact's own size.
+    val touched = all.filter(col("vec_id") >= batchFrom)
+      .select(col("cell")).distinct()
+    val goldEdges = knnEdgesOn(all.filter(col("vec_id") < batchFrom))
+      .localCheckpoint()
+    writeKnnCommunityLabelsFromEdges(
+      all.filter(col("vec_id") < batchFrom), goldEdges, labelsDir)
+    val touchedEdges =
+      knnEdgesOn(all.join(broadcast(touched), Seq("cell")))
+        .localCheckpoint()
+    def ccLabels(e: DataFrame): DataFrame =
+      Dedup.connectedComponents(
+        e.select(col("vec_id").as("doc_a"), col("nbr_id").as("doc_b")))._1
+    val touchedLabels = ccLabels(touchedEdges).localCheckpoint()
+    val ids = all.select(col("vec_id"))
+    def withSingletons(labels: DataFrame): DataFrame =
+      ids.join(labels, ids("vec_id") === labels("doc_id"), "left")
+        .select(ids("vec_id"),
+          coalesce(col("cluster_id"), ids("vec_id")).as("community_id"))
+    // live form: untouched components re-labeled from the live gold
+    // edge set (anti-join carry), touched from the shared CC
+    val live = withSingletons(
+      ccLabels(goldEdges.join(broadcast(touched), Seq("cell"), "left_anti"))
+        .unionByName(touchedLabels))
+    // served form: untouched labels CARRIED from the artifact read
+    // (the serve claim), touched from the same shared CC — the
+    // recompute knnCommunitiesMergeFromLabels would run is the
+    // identical computation on the identical members
+    val touchedLits = touched.collect().map(r =>
+      Integer.valueOf(r.getInt(0))).sorted
+    val carried = spark.read.parquet(labelsDir)
+      .filter(!col("cell").cast("int").isin(touchedLits: _*))
+      .select(col("vec_id"), col("community_id"))
+    val members = all.join(broadcast(touched), Seq("cell"))
+      .select(col("vec_id"))
+    val served = carried.unionByName(
+      members.join(touchedLabels,
+          members("vec_id") === touchedLabels("doc_id"), "left")
+        .select(members("vec_id"),
+          coalesce(col("cluster_id"), members("vec_id"))
+            .as("community_id")))
+    live.withColumn("form", lit("live"))
       .unionByName(served.withColumn("form", lit("served")))
       .select(col("form"), col("vec_id"), col("community_id"))
       .orderBy(col("form"), col("vec_id"))
