@@ -855,7 +855,13 @@ object ClusterOps {
       assigned.repartition(col("cell"))
         .write.partitionBy("cell").parquet(cells)
       writeKnnEdges(assigned, e)
-      writeKnnCommunityLabels(assigned, l)
+      // labels from the edges store just written, not a second
+      // in-cell pairwise derivation (r17, guide §1.2): the CC input
+      // is the identical edge set either way, and the store read is
+      // K·N rows vs Σ|cell|² cosines re-paid
+      writeKnnCommunityLabelsFromEdges(assigned,
+        spark.read.parquet(e)
+          .select(col("vec_id"), col("nbr_id")), l)
       removeKnnVectors(spark,
         assigned.filter(col("vec_id") % 9 === KnnRemoveResidue)
           .select(col("vec_id")),

@@ -238,11 +238,14 @@ object Dedup {
     * sf0.01), and trainFrame fails loudly if a cell ever has fewer
     * than [[SubK]] members rather than silently shrinking. */
   private def subCentroids(e: DataFrame): Seq[Seq[(Int, Seq[Double])]] =
-    (0 until KMeans.K).map { c =>
-      KMeans.trainFrame(
-        e.filter(col("cluster") === c).select(col("vec_id"), col("v")),
-        SubK)
-    }
+    // r17: all K cell trainers fused into one distributed Lloyd loop
+    // ([[KMeans.trainFramesGrouped]] — bit-identical per-cell results,
+    // parity asserted in OptimizationR17Spec): the per-cell form paid
+    // K × (init + Rounds) corpus-scan jobs, each re-evaluating the
+    // coarse assignment column just to filter one cell
+    KMeans.trainFramesGrouped(
+      e.select(col("cluster").as("grp"), col("vec_id"), col("v")),
+      KMeans.K, SubK)
 
   /** [[semanticDedup]] with the K knob turned: cells are split again
     * by per-cell sub-quantizers, so the effective cell count is

@@ -121,6 +121,72 @@ object KMeans {
     cents
   }
 
+  /** Independent per-group [[trainFrame]]s fused into ONE distributed
+    * pass per round (r17, guide §1.2 step 1): trains `groups`
+    * independent k-means — one per value of `grp` in [0, groups) —
+    * over a (grp, vec_id, v) frame. Arithmetic is IDENTICAL to
+    * calling trainFrame once per group (parity asserted in
+    * OptimizationR17Spec): the init is each group's k min-vec_id
+    * members with ids = vec_id rank (the salted two-phase rank, so
+    * the stage-2 sort is bounded — no corpus-sized window); the
+    * assignment is the same [[graft.functions.NearestCentroid]] fold
+    * under the row's OWN group's current centroids (a CASE over grp
+    * picks the branch — codegen evaluates only the matched arm, the
+    * [[Dedup.semanticDedupScaled]] fine-assign construct); and the
+    * update sums the same `floor(x·2^20 + 0.5)` integers per
+    * (grp, cid, dim) — integer sums are order-independent, so fusing
+    * the groups into one aggregation cannot change any value. Empty
+    * cells keep their previous centroid, exactly like trainFrame.
+    * Replaces groups × (1 init + [[Rounds]]) corpus-scan jobs with
+    * (1 + Rounds) — the first-payer cost of the per-cell
+    * sub-quantizer memos. Fails loudly when a group has fewer than k
+    * members (trainFrame's own loudness contract). */
+  private[graft] def trainFramesGrouped(e: DataFrame, groups: Int,
+      k: Int): IndexedSeq[Seq[(Int, Seq[Double])]] = {
+    val initRows = graft.ops.SkewOps.topKPerGroup(
+        e.select(col("grp"), col("vec_id"), col("v")),
+        col("grp"), Seq(col("vec_id").asc), k, spreadBy = col("vec_id"))
+      .select(col("grp"), col("vec_id"), col("v"))
+      .collect() // bounded: ≤ groups · k rows
+    var cents: IndexedSeq[Seq[(Int, Seq[Double])]] =
+      (0 until groups).map { g =>
+        val rows = initRows.filter(_.getInt(0) == g).sortBy(_.getLong(1))
+        require(rows.length >= k,
+          s"trainFramesGrouped: group $g has ${rows.length} members < $k")
+        rows.take(k).toIndexedSeq.zipWithIndex.map { case (r, i) =>
+          (i, r.getSeq[Double](2).toSeq)
+        }
+      }
+    val q = e.select(col("grp"), col("v"),
+      transform(col("v"), x => floor(x * lit(Q) + lit(0.5)).cast("long"))
+        .as("vi"))
+    (1 to Rounds).foreach { _ =>
+      val assignG = (0 until groups).foldLeft(lit(-1)) { (acc, g) =>
+        when(col("grp") === g, assignOn(col("v"), cents(g)))
+          .otherwise(acc)
+      }
+      val sums = q.select(col("grp"), assignG.as("cid"),
+          posexplode(col("vi")).as(Seq("dim", "x")))
+        .groupBy(col("grp"), col("cid"), col("dim"))
+        .agg(sum(col("x")).as("s"), count(lit(1)).as("cnt"))
+        .collect() // bounded: ≤ groups · k · dims rows
+      cents = (0 until groups).map { g =>
+        val upd = sums.filter(_.getInt(0) == g).groupBy(_.getInt(1))
+          .map { case (cid, rows) =>
+            cid -> rows.sortBy(_.getInt(2))
+              .map(r => r.getLong(3).toDouble / r.getLong(4).toDouble / Q)
+              .toSeq
+          }
+        cents(g).map { case (cid, old) =>
+          (cid, upd.getOrElse(cid, old))
+        }
+      }
+      cents.foreach(c => assert(c.size == k,
+        s"centroid set shrank to ${c.size}"))
+    }
+    cents
+  }
+
   /** [[trainFrame]] run entirely on the DRIVER over an
     * already-collected member sample — the sampled-sub-quantizer
     * trainer ([[Dedup.semanticDedupArtifact]]) uses after ONE bounded

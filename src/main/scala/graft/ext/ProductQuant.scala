@@ -45,10 +45,19 @@ object ProductQuant {
   val TopK = 10
 
   /** Per-subspace codebooks from the shared quantized-Lloyd trainer —
-    * subspace m trains on dims [m·SubDim, (m+1)·SubDim). */
+    * subspace m trains on dims [m·SubDim, (m+1)·SubDim). All M
+    * trainings run as ONE grouped Lloyd loop (r17,
+    * [[trainSubspaces]] — bit-identical to the per-slice
+    * [[KMeans.trainOn]] calls this replaces), memoized per source
+    * fingerprint like the trainer it wraps. */
   def codebooks(spark: SparkSession, dir: String): Seq[Seq[(Int, Seq[Double])]] =
-    (0 until M).map(m =>
-      KMeans.trainOn(spark, dir, m * SubDim + 1, SubDim, Ks))
+    graft.ops.TrainMemo.of(
+      "pqCodebooks|" + graft.ops.TrainMemo
+        .sourceFingerprint(s"$dir/embeddings.parquet") +
+        s"|$M|$SubDim|$Ks") {
+      trainSubspaces(
+        KMeans.vecs(spark, dir).select(col("vec_id"), col("v")), Ks)
+    }
 
   private def codeCol(cbs: Seq[Seq[(Int, Seq[Double])]], m: Int): Column =
     KMeans.assignOn(slice(col("v"), m * SubDim + 1, SubDim), cbs(m))
@@ -227,10 +236,26 @@ object ProductQuant {
           "through KMeans.trainFrame directly")
       val res = KMeans.vecs(spark, dir)
         .select(col("vec_id"), residualCol(coarse).as("v"))
-      (0 until M).map(m => KMeans.trainFrame(
-        res.select(col("vec_id"),
-          slice(col("v"), m * SubDim + 1, SubDim).as("v")), Ks))
+      trainSubspaces(res, Ks)
     }
+
+  /** The M per-subspace [[KMeans.trainFrame]] calls fused into ONE
+    * grouped Lloyd loop (r17, [[KMeans.trainFramesGrouped]] — per-
+    * subspace results bit-identical, parity in OptimizationR17Spec):
+    * subspace m's training rows are exactly the slice
+    * [m·SubDim, (m+1)·SubDim) of every vector, so a posexplode of the
+    * M slices is the same M row sets tagged by `grp`, and the fused
+    * trainer replaces M × (1 + Rounds) corpus-scan jobs with
+    * (1 + Rounds). */
+  private def trainSubspaces(vs: DataFrame,
+      k: Int): Seq[Seq[(Int, Seq[Double])]] =
+    KMeans.trainFramesGrouped(
+      vs.select(col("vec_id"), posexplode(
+          array((0 until M).map(m =>
+            slice(col("v"), m * SubDim + 1, SubDim)): _*))
+        .as(Seq("grp", "v")))
+        .select(col("grp"), col("vec_id"), col("v")),
+      M, k)
 
   /** Residual encode with coarse cells — the production residual
     * IVF-PQ table layout (write `partitionBy("cell")`). Map-only:
@@ -458,9 +483,9 @@ object ProductQuant {
     val coarse = KMeans.trainFrame(
       rvecs.select(col("vec_id"), col("v")), KMeans.K)
     val res = rvecs.select(col("vec_id"), residualCol(coarse).as("v"))
-    val rcbs = (0 until M).map(m => KMeans.trainFrame(
-      res.select(col("vec_id"),
-        slice(col("v"), m * SubDim + 1, SubDim).as("v")), Ks))
+    // r17: one grouped Lloyd loop instead of M per-subspace trainings
+    // (see [[trainSubspaces]] — bit-identical results)
+    val rcbs = trainSubspaces(res, Ks)
     (rvecs, coarse, rcbs)
   }
 
@@ -1053,9 +1078,9 @@ object ProductQuant {
     val coarse = KMeans.trainFrame(
       rvecs.select(col("vec_id"), col("v")), KMeans.K)
     val res = rvecs.select(col("vec_id"), residualCol(coarse).as("v"))
-    val rcbs = (0 until M).map(m => KMeans.trainFrame(
-      res.select(col("vec_id"),
-        slice(col("v"), m * SubDim + 1, SubDim).as("v")), Ks))
+    // r17: one grouped Lloyd loop instead of M per-subspace trainings
+    // (see [[trainSubspaces]] — bit-identical results)
+    val rcbs = trainSubspaces(res, Ks)
     val prepped = prepResidualRows(
       qrows.map { case (qid, qv) =>
         (qid, ScalarQuant.rotateLocal(qv, rot)) }, coarse, rcbs)

@@ -239,6 +239,17 @@ object Retrieval {
     * round-15 verdict #1 seam. */
   def writeBm25Index(td: DataFrame, out: String,
       commit: graft.ops.StoreCommit = graft.ops.SwapCommit): Unit = {
+    // The three td passes (meta agg, postings, committed ids) are
+    // deliberate. r17 measured the "obvious" fix — write postings
+    // first and derive meta + committed ids from the written store
+    // (writeMetaFrom already proves the derivation exact) — and
+    // REVERTED it: the 100× build A/B read 12.3 s vs 13.3 s (parity;
+    // the tokenize passes it removes are map-only scan-reduces while
+    // the store-derived meta pays a (doc_id, dl) groupBy SHUFFLE plus
+    // two commit-resolved store reads), and at gate scale the four
+    // BM25 store gates regressed 1-3 s each (job-count-bound regime:
+    // two cheap scan jobs became read+shuffle+write chains). See
+    // OPTIMIZATION_r17.md "Attempted and REVERTED".
     val meta = td.agg(count(lit(1)).as("n_docs"),
       sum(size(col("t")).cast("long")).as("sum_dl"))
       .coalesce(1).localCheckpoint()
