@@ -959,7 +959,19 @@ object Dedup {
 
   /** Exact-Jaccard verification of a candidate pair set: attach both
     * shingle sets, intersect, threshold — work proportional to the
-    * candidate count (shared by the prefix and LSH paths). */
+    * candidate count (shared by the prefix and LSH paths).
+    *
+    * r17 measured and REVERTED a candidate-endpoint pre-filter here
+    * (pin candidates, broadcast the endpoint ids, semi-join the
+    * shingle table before the attach — guide §8's "move payloads
+    * once"): it cut the dedup_minhash_lsh 100× shuffle 1844 → 521 MB
+    * (non-candidate shingle ARRAYS no longer cross the attach
+    * exchanges) at wall-clock PARITY on local[32] — local shuffle is
+    * not the bottleneck — while costing 25-40% warm at gate scale on
+    * both verify consumers (the eager candidate pin blocks
+    * pipelining, and the dense prefix path's endpoints ≈ all docs,
+    * making the filter pure overhead). On a network-bound cluster the
+    * byte cut is the right trade; re-evaluate there, not here. */
   private def verifyCandidates(t: DataFrame, cand: DataFrame): DataFrame =
     exactJaccardPairs(cand,
         t.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")),
@@ -1014,9 +1026,16 @@ object Dedup {
     * verified near-dup; inside a saturated bucket the verified set is
     * the rep's star rather than all k² pairs.
     *
-    * Shape at scale: the window and the cool-bucket self-join hash on
-    * the same (band_idx, band_val) keys, so the exchange is reused;
-    * star edges are a map-side projection of the sized table. Output
+    * Shape at scale: the sized band table is PINNED
+    * (localCheckpoint) because it feeds three consumers — both sides
+    * of the cool-bucket self-join and the star-edge projection. r17
+    * measured the unpinned plan: AQE broadcasts the self-join's build
+    * side, so the hoped-for exchange reuse never forms and the whole
+    * tokenize → shingle → minhash → window chain ran THREE times
+    * (three Exchange+Window subtrees in
+    * plans/r17/dedup_minhash_lsh_after.txt). The pinned frame is
+    * band-table-sized — NumHashes/BandRows skinny rows per doc,
+    * linear in the corpus — and the window runs once. Output
     * pairs are distinct with doc_a < doc_b (the rep is the bucket
     * min, so star edges already satisfy the order). */
   private[graft] def cappedBandPairs(bands: DataFrame,
@@ -1025,6 +1044,7 @@ object Dedup {
     val sized = bands
       .withColumn("bucket_n", count(lit(1)).over(w))
       .withColumn("rep", min(col("doc_id")).over(w))
+      .localCheckpoint()
     val cool = sized.filter(col("bucket_n") <= cap)
       .select(col("doc_id"), col("band_idx"), col("band_val"))
     val coolPairs = cool.as("x").join(cool.as("y"),
@@ -1228,10 +1248,18 @@ object Dedup {
     val sym = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
     val mins = sym.groupBy(col("u")).agg(min(col("v")).as("mn"))
       .select(col("u"), least(col("u"), col("mn")).as("m"))
+    // no dedup here (r17): the only consumer is [[smallStar]], whose
+    // groupBy-min is duplicate-insensitive and whose own distinct
+    // canonicalizes the round's output — the per-round edge SET is
+    // identical (CC loop evolution unchanged, asserted by the same
+    // convergence/star-forest checks), and dropping the exchange cuts
+    // the loop from 4 to 3 edge-set shuffles per round. Duplicate
+    // volume is bounded: the input is distinct, so repeats arise only
+    // when two centers share a (satellite, min) pair — ≤ |E_sym|
+    // rows either way.
     sym.join(mins, Seq("u"))
       .filter(col("v") > col("u"))
       .select(col("v").as("u"), col("m").as("v"))
-      .distinct()
   }
 
   /** Small-star operation: for every node u (over edges directed
