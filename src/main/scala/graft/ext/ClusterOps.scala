@@ -1016,7 +1016,12 @@ object ClusterOps {
   private val communityLabels =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  /** The live build [[knnCommunities]] memoizes. */
+  /** The live build [[knnCommunities]] memoizes. Unordered: the one
+    * consumer is the label-store write, and every reader applies its
+    * own ORDER BY — sorting here was a wasted corpus-sized
+    * sort+exchange per store build (guide §2.4's accidental
+    * "orderBy used only to make output deterministic"; r17,
+    * the [[Dedup.nearDupClusters]] store write's existing shape). */
   private def knnCommunitiesLive(spark: SparkSession,
       dir: String): DataFrame = {
     val edges = knnGraph(spark, dir)
@@ -1026,7 +1031,6 @@ object ClusterOps {
     ids.join(labels, ids("vec_id") === labels("doc_id"), "left")
       .select(col("vec_id"),
         coalesce(col("cluster_id"), col("vec_id")).as("community_id"))
-      .orderBy(col("vec_id"))
   }
 
   /** Community keep-best: the canonical (highest-quality, ties to the
