@@ -1033,7 +1033,8 @@ object Dedup {
     * side, so the hoped-for exchange reuse never forms and the whole
     * tokenize → shingle → minhash → window chain ran THREE times
     * (three Exchange+Window subtrees in
-    * plans/r17/dedup_minhash_lsh_after.txt). The pinned frame is
+    * plans/r17/dedup_minhash_lsh_prepin.txt; the pinned shape is
+    * plans/r17/dedup_minhash_lsh_postpin.txt). The pinned frame is
     * band-table-sized — NumHashes/BandRows skinny rows per doc,
     * linear in the corpus — and the window runs once. Output
     * pairs are distinct with doc_a < doc_b (the rep is the bucket

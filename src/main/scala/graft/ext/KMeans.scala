@@ -143,6 +143,15 @@ object KMeans {
     * members (trainFrame's own loudness contract). */
   private[graft] def trainFramesGrouped(e: DataFrame, groups: Int,
       k: Int): IndexedSeq[Seq[(Int, Seq[Double])]] = {
+    // the per-round assignment is a linear CASE chain over `groups`
+    // NearestCentroid folds; NearestCentroid's scaladoc documents
+    // janino failures on large generated expressions, so fail loudly
+    // here instead of deep inside codegen (r17 ADVICE). Current
+    // callers pass K=10 cells or M=4 subspaces.
+    require(groups <= 64,
+      s"trainFramesGrouped: $groups groups would generate a CASE " +
+        "chain past the janino-safe bound (64); batch the groups or " +
+        "fall back to per-group trainFrame")
     val initRows = graft.ops.SkewOps.topKPerGroup(
         e.select(col("grp"), col("vec_id"), col("v")),
         col("grp"), Seq(col("vec_id").asc), k, spreadBy = col("vec_id"))

@@ -218,7 +218,7 @@ object ProductQuant {
     * ([[KMeans.trainFrame]]), so the whole chain still replays in
     * DuckDB. */
   def residualCodebooks(spark: SparkSession, dir: String,
-      coarse: Seq[(Int, Seq[Double])]): Seq[Seq[(Int, Seq[Double])]] =
+      coarse: Seq[(Int, Seq[Double])]): Seq[Seq[(Int, Seq[Double])]] = {
     // memoized per source fingerprint (graft.ops.TrainMemo, r17):
     // `coarse` is itself a deterministic function of the embeddings
     // file (every caller passes KMeans.train(spark, dir) or the
@@ -226,18 +226,24 @@ object ProductQuant {
     // caller fails loudly instead of serving another coarse's
     // codebooks), so the residual sub-codebooks are too — and five
     // residual-PQ gate entries each re-trained them (M trainFrame
-    // corpus passes per entry)
+    // corpus passes per entry).
+    // The require sits BEFORE the memo lookup (r18): inside the
+    // compute block it only fired for the first payer, so a
+    // custom-coarse caller arriving after the memo was warm would
+    // silently get the default-coarse codebooks. KMeans.train is
+    // itself memoized, so the check is a map lookup when warm.
+    require(coarse == KMeans.train(spark, dir),
+      "residualCodebooks is memoized per dir and assumes coarse = " +
+        "KMeans.train(dir); train custom-coarse residual codebooks " +
+        "through KMeans.trainFrame directly")
     graft.ops.TrainMemo.of(
       "residualCbs|" + graft.ops.TrainMemo
         .sourceFingerprint(s"$dir/embeddings.parquet")) {
-      require(coarse == KMeans.train(spark, dir),
-        "residualCodebooks is memoized per dir and assumes coarse = " +
-          "KMeans.train(dir); train custom-coarse residual codebooks " +
-          "through KMeans.trainFrame directly")
       val res = KMeans.vecs(spark, dir)
         .select(col("vec_id"), residualCol(coarse).as("v"))
       trainSubspaces(res, Ks)
     }
+  }
 
   /** The M per-subspace [[KMeans.trainFrame]] calls fused into ONE
     * grouped Lloyd loop (r17, [[KMeans.trainFramesGrouped]] — per-
