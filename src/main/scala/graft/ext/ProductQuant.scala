@@ -71,9 +71,16 @@ object ProductQuant {
         (0 until M).map(m => codeCol(cbs, m).as(s"code$m")): _*)
 
   /** PQ encode: (vec_id, label, code0..code3) — the compressed corpus
-    * representation downstream ADC scans read instead of the vectors. */
+    * representation downstream ADC scans read instead of the vectors.
+    * Served from the shared codes store (r18): the raw-slice code
+    * columns are identical with or without the coarse cell attached
+    * ([[encodeWithCells]] = [[encodeWith]] + `cell`), so this reads
+    * the store and drops `cell` instead of re-encoding the corpus. */
   def pqCodes(spark: SparkSession, dir: String): DataFrame =
-    encodeWith(spark, dir, codebooks(spark, dir)).orderBy(col("vec_id"))
+    rawCodesStored(spark, dir)
+      .select(col("vec_id") +: col("label") +:
+        (0 until M).map(m => col(s"code$m")): _*)
+      .orderBy(col("vec_id"))
 
   /** ADC distance table for a query vector: dt[m][j] = ‖q_m − c_{m,j}‖²,
     * left-to-right fold per entry — identical IEEE result to the
@@ -134,11 +141,11 @@ object ProductQuant {
   def pqTopK(spark: SparkSession, dir: String): DataFrame = {
     val cbs = codebooks(spark, dir)
     val (qid, dt) = queryTable(spark, dir, cbs)
-    val adc = (0 until M).map { m =>
-      element_at(array(dt(m).map(lit): _*), codeCol(cbs, m) + lit(1))
-    }.reduceLeft(_ + _)
-    KMeans.vecs(spark, dir).filter(col("vec_id") =!= qid)
-      .select(col("vec_id"), col("label"), adc.as("adc_dist"))
+    // r18: full scan of the shared CODES store (M small ints/row) —
+    // the raw-vector scan + per-row sub-assigns this replaces read
+    // the embeddings and re-derived the same codes per invocation
+    rawCodesStored(spark, dir).filter(col("vec_id") =!= qid)
+      .select(col("vec_id"), col("label"), adcOverStored(dt).as("adc_dist"))
       .orderBy(col("adc_dist"), col("vec_id"))
       .limit(TopK)
   }
@@ -155,6 +162,80 @@ object ProductQuant {
       .select(col("vec_id") +: col("label") +:
         KMeans.assignOn(col("v"), coarse).as("cell") +:
         (0 until M).map(m => codeCol(cbs, m).as(s"code$m")): _*)
+
+  // ---------------------------------------------------------------
+  // Session-scoped codes stores (r18): every live IVF-PQ gate
+  // re-encoded the corpus per invocation — a full raw-vector scan
+  // with K-coarse + M×Ks sub-assign NearestCentroid folds per row —
+  // and then filtered on the computed cell, which can never prune
+  // the parquet scan. One encode now lands in a cell-PARTITIONED
+  // scratch store per (family, source fingerprint), and every
+  // consumer's cell filter becomes partition pruning over an
+  // already-compressed codes table (the exact serving shape
+  // [[adcBatchTopKOverCoded]]'s scaladoc names as production).
+  // Encode is a deterministic map under memoized quantizers, so
+  // every consumer's values are unchanged; staleness rides the same
+  // fingerprint guard as every session store.
+  // ---------------------------------------------------------------
+
+  private val codesStores =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Residual codes store: [[encodeWithCellsResidual]] written
+    * `partitionBy("cell")`, shared by the residual ADC/rerank/
+    * multi-probe gates and the eval rungs riding them. */
+  private[graft] def residualCodesStoreFor(spark: SparkSession,
+      dir: String): String =
+    codesStores.computeIfAbsent(
+      "res|" + graft.ops.TrainMemo
+        .sourceFingerprint(s"$dir/embeddings.parquet"), _ => {
+        val coarse = KMeans.train(spark, dir)
+        val rcbs = residualCodebooks(spark, dir, coarse)
+        val out = graft.ops.Scratch.dir("graft_res_codes") + "/codes"
+        encodeWithCellsResidual(spark, dir, coarse, rcbs)
+          .write.partitionBy("cell").parquet(out)
+        out
+      })
+
+  /** Raw-slice codes store: [[encodeWithCells]] written
+    * `partitionBy("cell")`, shared by the raw IVF-PQ gates and the
+    * full-scan PQ forms (which read it ignoring `cell`). */
+  private[graft] def rawCodesStoreFor(spark: SparkSession,
+      dir: String): String =
+    codesStores.computeIfAbsent(
+      "raw|" + graft.ops.TrainMemo
+        .sourceFingerprint(s"$dir/embeddings.parquet"), _ => {
+        val coarse = KMeans.train(spark, dir)
+        val cbs = codebooks(spark, dir)
+        val out = graft.ops.Scratch.dir("graft_pq_codes") + "/codes"
+        encodeWithCells(spark, dir, coarse, cbs)
+          .write.partitionBy("cell").parquet(out)
+        out
+      })
+
+  /** A codes store read back, typed exactly like the encode output
+    * (`cell` returns as a partition column). */
+  private def codesStored(spark: SparkSession, store: String): DataFrame =
+    spark.read.parquet(store)
+      .select(col("vec_id") +: col("label") +:
+        col("cell").cast("int").as("cell") +:
+        (0 until M).map(m => col(s"code$m").cast("int").as(s"code$m")): _*)
+
+  private def residualCodesStored(spark: SparkSession,
+      dir: String): DataFrame =
+    codesStored(spark, residualCodesStoreFor(spark, dir))
+
+  private def rawCodesStored(spark: SparkSession, dir: String): DataFrame =
+    codesStored(spark, rawCodesStoreFor(spark, dir))
+
+  /** ADC column over stored code columns for a driver-built distance
+    * table — M literal-array lookups summed left-to-right (the same
+    * IEEE order as the expression-over-raw-vectors form it replaces:
+    * the stored code IS [[KMeans.assignOn]] of the same slice). */
+  private def adcOverStored(dt: Seq[Seq[Double]]): Column =
+    (0 until M).map { m =>
+      element_at(array(dt(m).map(lit): _*), col(s"code$m") + lit(1))
+    }.reduceLeft(_ + _)
 
   /** Driver-side query prep for the composed IVF-PQ layouts: the
     * min-vec_id query's id, its coarse cell (same left-to-right fold
@@ -182,14 +263,13 @@ object ProductQuant {
   def ivfPqTopK(spark: SparkSession, dir: String): DataFrame = {
     val coarse = KMeans.train(spark, dir)
     val cbs = codebooks(spark, dir)
-    val e = KMeans.vecs(spark, dir)
     val (qid, qCid, dt) = queryPrep(spark, dir, coarse, cbs)
-    val adc = (0 until M).map { m =>
-      element_at(array(dt(m).map(lit): _*), codeCol(cbs, m) + lit(1))
-    }.reduceLeft(_ + _)
-    e.filter(KMeans.assignOn(col("v"), coarse) === qCid &&
-        col("vec_id") =!= qid)
-      .select(col("vec_id"), col("label"), adc.as("adc_dist"))
+    // r18: the cell filter is partition pruning over the shared codes
+    // store — the raw-vector scan + per-row assignment this replaces
+    // could never prune (the predicate was an expression)
+    rawCodesStored(spark, dir)
+      .filter(col("cell") === qCid && col("vec_id") =!= qid)
+      .select(col("vec_id"), col("label"), adcOverStored(dt).as("adc_dist"))
       .orderBy(col("adc_dist"), col("vec_id"))
       .limit(TopK)
   }
@@ -418,15 +498,11 @@ object ProductQuant {
     val coarse = KMeans.train(spark, dir)
     val rcbs = residualCodebooks(spark, dir, coarse)
     val (qid, qCid, dt) = queryPrepResidual(spark, dir, coarse, rcbs)
-    val rv = residualCol(coarse)
-    val adc = (0 until M).map { m =>
-      element_at(array(dt(m).map(lit): _*),
-        KMeans.assignOn(slice(rv, m * SubDim + 1, SubDim), rcbs(m)) + lit(1))
-    }.reduceLeft(_ + _)
-    KMeans.vecs(spark, dir)
-      .filter(KMeans.assignOn(col("v"), coarse) === qCid &&
-        col("vec_id") =!= qid)
-      .select(col("vec_id"), col("label"), adc.as("adc_dist"))
+    // r18: pruned scan of the shared residual-codes store (see
+    // [[residualCodesStoreFor]]) — same codes, same ADC values
+    residualCodesStored(spark, dir)
+      .filter(col("cell") === qCid && col("vec_id") =!= qid)
+      .select(col("vec_id"), col("label"), adcOverStored(dt).as("adc_dist"))
       .orderBy(col("adc_dist"), col("vec_id"))
       .limit(TopK)
   }
@@ -991,21 +1067,17 @@ object ProductQuant {
     val (qid, qCid, dt) = queryPrepResidual(spark, dir, coarse, rcbs)
     val qv = KMeans.vecs(spark, dir).orderBy(col("vec_id")).limit(1)
       .select(col("v")).head().getSeq[Double](0)
-    val rv = residualCol(coarse)
-    val adc = (0 until M).map { m =>
-      element_at(array(dt(m).map(lit): _*),
-        KMeans.assignOn(slice(rv, m * SubDim + 1, SubDim), rcbs(m)) + lit(1))
-    }.reduceLeft(_ + _)
     // candidate ids COLLECT to the driver (k′ = 40 longs) and return
     // as a pushed-down In filter — a broadcast join would still scan
     // the whole raw-vector table to find 40 rows, while the literal
     // predicate reaches the parquet reader (PushedFilters, asserted in
     // ProductQuantSpec) and prunes row groups on a vec_id-sorted
-    // layout: the re-rank leg is k′ point fetches at any corpus size
-    val candIds = KMeans.vecs(spark, dir)
-      .filter(KMeans.assignOn(col("v"), coarse) === qCid &&
-        col("vec_id") =!= qid)
-      .select(col("vec_id"), adc.as("adc_dist"))
+    // layout: the re-rank leg is k′ point fetches at any corpus size.
+    // The ADC leg reads the shared residual-codes store pruned to the
+    // query's cell (r18) instead of re-encoding the corpus.
+    val candIds = residualCodesStored(spark, dir)
+      .filter(col("cell") === qCid && col("vec_id") =!= qid)
+      .select(col("vec_id"), adcOverStored(dt).as("adc_dist"))
       .orderBy(col("adc_dist"), col("vec_id"))
       .limit(RerankFactor * TopK)
       .collect().map(_.getLong(0))
@@ -1152,8 +1224,11 @@ object ProductQuant {
     val coarse = KMeans.train(spark, dir)
     val rcbs = residualCodebooks(spark, dir, coarse)
     val prepped = batchQueryPrepResidual(spark, dir, coarse, rcbs)
-    adcBatchTopKOverCoded(
-      encodeWithCellsResidual(spark, dir, coarse, rcbs), prepped)
+    // r18: the shared residual-codes store IS the "persisted
+    // cell-partitioned codes scan" this scaladoc already named as the
+    // steady-state form — the probed-cells filter inside
+    // adcBatchTopKOverCoded now prunes partitions
+    adcBatchTopKOverCoded(residualCodesStored(spark, dir), prepped)
   }
 
   /** Residual IVF-PQ with nprobe=2 — the multi-probe knob composed
@@ -1179,25 +1254,20 @@ object ProductQuant {
       (qv.zip(cv).foldLeft(0.0) { case (acc, (x, c)) =>
         acc + (x - c) * (x - c) }, cid)
     }.sorted.take(probes).map(_._2)
-    val rv = residualCol(coarse)
-    val codeCols = (0 until M).map(m =>
-      KMeans.assignOn(slice(rv, m * SubDim + 1, SubDim), rcbs(m)))
-    val cellCol = KMeans.assignOn(col("v"), coarse)
     // per-cell ADC: the query residual (and so the distance table)
-    // depends on which cell a row lives in
+    // depends on which cell a row lives in. Codes and cells come
+    // from the shared residual-codes store (r18) — the probed-cells
+    // filter is partition pruning.
     val adcByCell = probeCids.map { cid =>
       val qres = qv.zip(coarse(cid)._2).map { case (x, c) => x - c }
-      val dtc = distTable(qres, rcbs)
-      cid -> (0 until M).map { m =>
-        element_at(array(dtc(m).map(lit): _*), codeCols(m) + lit(1))
-      }.reduceLeft(_ + _)
+      cid -> adcOverStored(distTable(qres, rcbs))
     }
     val adc = adcByCell.tail.foldLeft(
-      when(cellCol === adcByCell.head._1, adcByCell.head._2)) {
-      case (acc, (cid, d)) => acc.when(cellCol === cid, d)
+      when(col("cell") === adcByCell.head._1, adcByCell.head._2)) {
+      case (acc, (cid, d)) => acc.when(col("cell") === cid, d)
     }
-    KMeans.vecs(spark, dir)
-      .filter(cellCol.isin(probeCids: _*) && col("vec_id") =!= qid)
+    residualCodesStored(spark, dir)
+      .filter(col("cell").isin(probeCids: _*) && col("vec_id") =!= qid)
       .select(col("vec_id"), col("label"), adc.as("adc_dist"))
       .orderBy(col("adc_dist"), col("vec_id"))
       .limit(TopK)
@@ -1214,8 +1284,7 @@ object ProductQuant {
       probes: Int = 2): DataFrame = {
     val coarse = KMeans.train(spark, dir)
     val cbs = codebooks(spark, dir)
-    val e = KMeans.vecs(spark, dir)
-    val qrow = e.orderBy(col("vec_id")).limit(1)
+    val qrow = KMeans.vecs(spark, dir).orderBy(col("vec_id")).limit(1)
       .select(col("vec_id"), col("v")).head()
     val qid = qrow.getLong(0)
     val qv = qrow.getSeq[Double](1)
@@ -1224,12 +1293,10 @@ object ProductQuant {
         acc + (x - c) * (x - c) }, cid)
     }.sorted.take(probes).map(_._2)
     val dt = distTable(qv, cbs)
-    val adc = (0 until M).map { m =>
-      element_at(array(dt(m).map(lit): _*), codeCol(cbs, m) + lit(1))
-    }.reduceLeft(_ + _)
-    e.filter(KMeans.assignOn(col("v"), coarse).isin(probeCids: _*) &&
-        col("vec_id") =!= qid)
-      .select(col("vec_id"), col("label"), adc.as("adc_dist"))
+    // r18: probed-cells partition pruning over the shared codes store
+    rawCodesStored(spark, dir)
+      .filter(col("cell").isin(probeCids: _*) && col("vec_id") =!= qid)
+      .select(col("vec_id"), col("label"), adcOverStored(dt).as("adc_dist"))
       .orderBy(col("adc_dist"), col("vec_id"))
       .limit(TopK)
   }

@@ -73,6 +73,32 @@ object RetrievalEval {
       .select(col("query_id"), col("vec_id"), col("rk"))
   }
 
+  /** The exact-truth frame shared by BOTH eval gates (r18): the
+    * brute-force truth pass (queries × corpus cosines) ran once per
+    * gate — `rag_eval_forms` and `rag_eval_quant_forms` each built
+    * the identical [[exactBatchTopK]] over the same query block. The
+    * result is BOUNDED (nq·[[EvalK]] rows), so it memoizes as
+    * collected rows per source fingerprint ([[graft.ops.TrainMemo]])
+    * and recreates as a literal frame per consumer — same discipline
+    * as the trained quantizers, same staleness guard. */
+  private def truthFor(spark: SparkSession, dir: String): DataFrame = {
+    val rows = graft.ops.TrainMemo.of(
+      "evalTruth|" + graft.ops.TrainMemo
+        .sourceFingerprint(s"$dir/embeddings.parquet") + s"|$EvalK") {
+      exactBatchTopK(KMeans.vecs(spark, dir),
+          KMeans.batchQueryRows(spark, dir), EvalK)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    }
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(
+      rows.map(t => org.apache.spark.sql.Row(t._1, t._2, t._3)).asJava,
+      StructType(Seq(StructField("query_id", LongType, nullable = false),
+        StructField("vec_id", LongType, nullable = false),
+        StructField("rk", IntegerType, nullable = false))))
+  }
+
   /** Per-query metrics of `sys` against `truth` (both `(query_id,
     * vec_id, rk)`): hits@k, first relevant rank (0 = none), MRR and
     * binary nDCG in micro-units. */
@@ -112,8 +138,7 @@ object RetrievalEval {
   def evalForms(spark: SparkSession, dir: String): DataFrame = {
     val cents = KMeans.train(spark, dir)
     val qrows = KMeans.batchQueryRows(spark, dir)
-    val truth = exactBatchTopK(KMeans.vecs(spark, dir), qrows, EvalK)
-      .localCheckpoint()
+    val truth = truthFor(spark, dir) // r18: shared with the quant gate
     val sys = KMeans.ivfBatchTopKWith(spark, dir, cents)
       .select(col("query_id"), col("vec_id"), col("rk"))
     val sysP2 = KMeans
@@ -149,8 +174,7 @@ object RetrievalEval {
     * window, the same bounded-window class as the RRF fuse. */
   def evalQuantForms(spark: SparkSession, dir: String): DataFrame = {
     val qrows = KMeans.batchQueryRows(spark, dir)
-    val truth = exactBatchTopK(KMeans.vecs(spark, dir), qrows, EvalK)
-      .localCheckpoint()
+    val truth = truthFor(spark, dir) // r18: shared with the ivf gate
     val qid = qrows.map(_._1).min
     def single(df: DataFrame, dist: String): DataFrame = {
       // bounded window: df is a top-k (≤ ProductQuant.TopK rows) frame
