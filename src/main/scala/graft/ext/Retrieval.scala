@@ -66,8 +66,28 @@ object Retrieval {
     docs.select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
       .filter(size(col("t")) > 0)
 
+  /** The tokenized corpus, served from a session-scoped scratch
+    * store built once per source fingerprint (r18, VERDICT r17 item
+    * 3): the four BM25 store gates and the live query forms together
+    * re-ran the tokenize (text scan + regex split) a dozen-plus times
+    * per sweep over the same corpus. One pass now writes (doc_id, t)
+    * to scratch parquet; every consumer reads it (column-pruned —
+    * e.g. the committed-ids pass reads only doc_id), and the slice
+    * filters (`doc_id % 10`, takedown residue) apply on the read.
+    * Values identical: tokenize is a deterministic map and parquet
+    * round-trips string arrays exactly. The diff-upsert gate's
+    * snapshot views tokenize their own derived text and stay live. */
   private def toksD(spark: SparkSession, dir: String): DataFrame =
-    toksOf(Tables.documents(spark, dir))
+    spark.read.parquet(toksStores.computeIfAbsent(
+      "toks|" + graft.ops.TrainMemo
+        .sourceFingerprint(s"$dir/documents.parquet"), _ => {
+        val out = graft.ops.Scratch.dir("graft_bm25_toks") + "/toks"
+        toksOf(Tables.documents(spark, dir)).write.parquet(out)
+        out
+      }))
+
+  private val toksStores =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Query-term table (query_id, term) for the nq lowest doc_ids:
     * first-position rank with token tie-break, top [[QueryTerms]] per
