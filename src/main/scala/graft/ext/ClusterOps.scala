@@ -1320,6 +1320,11 @@ object ClusterOps {
     // frames are N·K-edge / label-sized, the artifact's own size.
     val touched = all.filter(col("vec_id") >= batchFrom)
       .select(col("cell")).distinct()
+    // Decision record (r18): the gold-edge pin is CORPUS-LINEAR
+    // (K·N edge rows) and lineage-free; executor loss on a cluster
+    // fails the job rather than recomputing. Accepted in local-mode
+    // gates — at scale the gold edges are the PERSISTED artifact
+    // (writeKnnEdges) and this pin never ships.
     val goldEdges = knnEdgesOn(all.filter(col("vec_id") < batchFrom))
       .localCheckpoint()
     writeKnnCommunityLabelsFromEdges(

@@ -490,6 +490,12 @@ object Sampling {
     // times (touched-cluster pull, touched labels, untouched carry),
     // and each unpinned reference re-ran the label join. Pinning it
     // is exactly the artifact's materialize-once semantics.
+    // Decision record (r18): this pin is CORPUS-LINEAR (one label
+    // row per gold doc) and lineage-free — executor loss on a real
+    // cluster fails the job rather than recomputing. Accepted in
+    // local-mode gates; at cluster scale a deployment reads the
+    // PERSISTED artifact here (the stand-in's whole point), so the
+    // pin never ships.
     val goldLabels = splitFromClusters(Dedup.nearDupClustersOn(gold))
       .localCheckpoint()
     mergeBatchLabels(goldLabels, gold, batch)
