@@ -802,8 +802,29 @@ object Dedup {
     * to the naive all-pairs formulation, which the DuckDB oracle
     * uses (|∩|/|∪| from the same integer counts). */
   def ngramJaccardPairs(spark: SparkSession, dir: String): DataFrame =
-    ngramJaccardPairsOn(Tables.documents(spark, dir))
+    // r18: served from a session store built once per source
+    // fingerprint — three gates (ngram_jaccard, source_overlap,
+    // method_agreement) each re-ran the full inverted-index count
+    // join per sweep (the measured 4.9 GB shuffle at 100×); the
+    // verified pair set is near-dup-density-bounded, so the store is
+    // tiny while the pass it saves is corpus-sized. Values identical
+    // (the pass is deterministic; parquet round-trips the exact
+    // doubles). The cluster-label build keeps its own pass via
+    // [[ngramJaccardPairsOn]] (it runs once per corpus behind the
+    // r17 label store).
+    spark.read.parquet(pairStores.computeIfAbsent(
+      "ngramPairs|" + graft.ops.TrainMemo
+        .sourceFingerprint(s"$dir/documents.parquet"), _ => {
+        val out = graft.ops.Scratch.dir("graft_ngram_pairs") + "/pairs"
+        ngramJaccardPairsOn(Tables.documents(spark, dir))
+          .write.parquet(out)
+        out
+      }))
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
+
+  private val pairStores =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** [[ngramJaccardPairs]] over an explicit documents frame,
     * unordered — the edge feeder for per-subset cluster builds
@@ -1987,21 +2008,35 @@ object Dedup {
     * join, not after) — don't build this inside a hot loop; it is a
     * quarantined exactness baseline, not a production path. */
   def embeddingCosinePairs(spark: SparkSession, dir: String,
-      maxRows: Long = MaxExactRows): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    val n = e.count()
-    require(n <= maxRows,
-      s"embeddingCosinePairs is the all-pairs O(n^2) exactness baseline " +
-        s"($n rows > limit $maxRows); use Similarity.lshBucketedPairs at scale")
-    val a = e.select(col("vec_id").as("vec_a"), col("v").as("va"))
-    val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"))
-    a.join(b, col("vec_a") < col("vec_b"))
-      .select(col("vec_a"), col("vec_b"),
-        graft.functions.CosineSimilarity(col("va"), col("vb")).as("cosine"))
-      .filter(col("cosine") >= 0.45)
+      maxRows: Long = MaxExactRows): DataFrame =
+    // r18: served from a session store — the guarded O(n²) baseline
+    // ran twice per sweep (its own gate + method_agreement's semantic
+    // leg). The guard runs at store-build time (maxRows is part of
+    // the key, so a stricter caller still re-checks).
+    spark.read.parquet(pairStores.computeIfAbsent(
+      s"cosPairs|$maxRows|" + graft.ops.TrainMemo
+        .sourceFingerprint(s"$dir/embeddings.parquet"), _ => {
+        val e = Tables.embeddings(spark, dir)
+          .select(col("vec_id"),
+            col("embedding").cast("array<double>").as("v"))
+        val n = e.count()
+        require(n <= maxRows,
+          s"embeddingCosinePairs is the all-pairs O(n^2) exactness " +
+            s"baseline ($n rows > limit $maxRows); use " +
+            s"Similarity.lshBucketedPairs at scale")
+        val a = e.select(col("vec_id").as("vec_a"), col("v").as("va"))
+        val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"))
+        val out = graft.ops.Scratch.dir("graft_cos_pairs") + "/pairs"
+        a.join(b, col("vec_a") < col("vec_b"))
+          .select(col("vec_a"), col("vec_b"),
+            graft.functions.CosineSimilarity(col("va"), col("vb"))
+              .as("cosine"))
+          .filter(col("cosine") >= 0.45)
+          .write.parquet(out)
+        out
+      }))
+      .select(col("vec_a"), col("vec_b"), col("cosine"))
       .orderBy(col("vec_a"), col("vec_b"))
-  }
 
   private val shSql =
     """list_distinct(CASE WHEN len(t) >= 3 THEN list_transform(range(1, len(t)-1), i -> t[i]||' '||t[i+1]||' '||t[i+2]) ELSE [] END)"""
